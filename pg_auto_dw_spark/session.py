@@ -1,0 +1,70 @@
+"""SparkSession construction and runtime configuration.
+
+The reference delegates all execution to Postgres via SPI
+(reference: extension/src/lib.rs:32); we delegate to Catalyst. This
+module centralizes the session tuning we rely on everywhere:
+
+- UTC session timezone (reference stores all timestamps AT TIME ZONE
+  'UTC', utility/sql/info_tables.sql:22).
+- AQE on: runtime broadcast/skew handling is our answer to "Postgres
+  picks the plan" (SURVEY.md section 4).
+- ``spark.sql.legacy.parquet.nanosAsLong``: the driver test data's
+  ``events.parquet`` carries TIMESTAMP(NANOS), which Spark 4 refuses
+  by default. We read it as nanosecond longs and normalize with
+  ``timestamp_micros(ns div 1000)`` (same truncation DuckDB applies).
+
+At 100 TB these settings matter more than at test scale: AQE coalesces
+post-shuffle partitions, converts sort-merge joins to broadcast when a
+side turns out small, and splits skewed partitions.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs applied to ANY session handed to us (the
+# verification driver owns its own builder, so prepare() must be
+# idempotent and builder-independent).
+_RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # events.parquet ships TIMESTAMP(NANOS); read as long nanos.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Arrow for any pandas-UDF path (dedup/multimodal operators).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def prepare(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an externally-created session (idempotent)."""
+    for key, value in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            # Static or unknown conf on this build -- every conf above is
+            # documented runtime-settable on Spark 4.x, but stay resilient.
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "pg_auto_dw_spark", master: str | None = None) -> SparkSession:
+    """Build (or fetch) a tuned local session.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (driver contract);
+    shuffle partitions match cores in local mode -- on a real cluster
+    AQE coalescing makes a higher initial number safe.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    return prepare(builder.getOrCreate())

@@ -1,0 +1,55 @@
+"""Test-data source loading (SURVEY.md S4: heap-table scan -> parquet scan).
+
+Centralizes reading the driver's parquet tables so every query sees the
+same normalized schema:
+
+- ``events.ts`` arrives as TIMESTAMP(NANOS) parquet, which we read as
+  long nanos (see session.py) and normalize to a microsecond timestamp
+  with integer floor-division -- byte-identical to what DuckDB produces
+  when it reads the same file, so oracle hashes line up.
+
+Scale posture: these are plain ``spark.read.parquet`` scans, so column
+pruning and predicate pushdown reach the file scan (verify with
+``df.explain`` -> PushedFilters/ReadSchema). At 100 TB the same code
+reads a partitioned directory tree and Catalyst prunes partitions.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import prepare
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one test table with schema normalization applied."""
+    prepare(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # nanos -> micros with integer division (a double division here
+        # would lose precision: epoch-nanos exceed 2^53), truncating the
+        # same way DuckDB does when it reads the same file.
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
+    """Register every test table as a temp view (for spark.sql queries)."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
