@@ -1,0 +1,283 @@
+"""Transformer client: per-column 3-question classification with retry
+and hint injection (reference: extension/src/controller/
+bgw_transformer_client.rs:18-301).
+
+Control flow mirrors the reference exactly:
+
+- per column: BK-component question (<=3 retries, hint injected after a
+  malformed/failed response), then BK-name question only if identified
+  as a component, then PII question for every column;
+- category decision (bgw_transformer_client.rs:218-281): both BK
+  answers present -> 'Business Key Part' with confidence =
+  min(component, name) ("weakest link"); else 'Descriptor', flipped to
+  'Descriptor - Sensitive' iff is_pii and pii confidence > 0.5;
+- BK names have spaces replaced with underscores (:251-253).
+
+Transports are pluggable: DeterministicStub for correctness runs
+(FIXTURES.md section 4), OllamaTransport/OpenAITransport for real LLMs
+(utility/ollama_client.rs / openai_client.rs: 180s/60s timeouts,
+temperature 0.75, JSON response format).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import urllib.request
+from dataclasses import dataclass
+
+from .prompts import PromptTemplate, render
+
+MAX_TRANSFORMER_RETRIES = 3  # bgw_transformer_client.rs:14
+
+COLUMN_NO_RE = re.compile(r"Column No: (\d+)")  # F13 (:317-325)
+
+
+@dataclass
+class ResponseRow:
+    """One transformer_responses row (sans pk/created_at)."""
+
+    fk_source_objects: int
+    model_name: str
+    category: str
+    business_key_name: str
+    confidence_score: str  # decimal string, e.g. "0.95"
+    reason: str
+
+
+def extract_column_numbers(table_details_json: str) -> list[int]:
+    return [int(m) for m in COLUMN_NO_RE.findall(table_details_json)]
+
+
+class Classifier:
+    def __init__(self, transport, model_name: str):
+        self.transport = transport
+        self.model_name = model_name
+
+    def _ask(self, template: PromptTemplate, details: str, column_no: int):
+        """<=3 attempts; failed/malformed responses inject a hint
+        (bgw_transformer_client.rs:79-114)."""
+        hints = ""
+        for attempt in range(MAX_TRANSFORMER_RETRIES):
+            try:
+                raw = self.transport(render(template, details, column_no, hints))
+                parsed = raw if isinstance(raw, dict) else json.loads(raw)
+                return self._validate(template, parsed)
+            except Exception:
+                hints = (
+                    "Hint: Please ensure you provide a JSON response only.  "
+                    f"This is your {attempt + 1} attempt."
+                )
+        return None
+
+    @staticmethod
+    def _validate(template: PromptTemplate, parsed: dict) -> dict:
+        key = {
+            PromptTemplate.BK_COMPONENT_IDENTIFICATION: "Business Key Component Identification",
+            PromptTemplate.BK_NAME: "Business Key Name",
+            PromptTemplate.DESCRIPTOR_SENSITIVE: "Descriptor - Sensitive",
+        }[template]
+        body = parsed[key]
+        out = {"confidence": float(body["Confidence Value"]), "reason": str(body["Reason"])}
+        if template is PromptTemplate.BK_COMPONENT_IDENTIFICATION:
+            out["is_bk"] = bool(body["Is Business Key Component"])
+        elif template is PromptTemplate.BK_NAME:
+            out["name"] = str(body["Name"])
+        else:
+            out["is_pii"] = bool(body["Is PII"])
+        return out
+
+    def classify_table(
+        self, table_details_json: str, column_links: dict[int, int]
+    ) -> list[ResponseRow]:
+        """column_links: ordinal -> pk_source_objects (from the
+        table_column_links JSON)."""
+        columns = extract_column_numbers(table_details_json)
+        bk_component = {}
+        bk_name = {}
+        pii = {}
+        for col in columns:
+            r = self._ask(PromptTemplate.BK_COMPONENT_IDENTIFICATION, table_details_json, col)
+            if r is not None:
+                bk_component[col] = r
+        for col in columns:
+            r = bk_component.get(col)
+            if r and r["is_bk"]:
+                n = self._ask(PromptTemplate.BK_NAME, table_details_json, col)
+                if n is not None:
+                    bk_name[col] = n
+        for col in columns:
+            r = self._ask(PromptTemplate.DESCRIPTOR_SENSITIVE, table_details_json, col)
+            if r is not None:
+                pii[col] = r
+
+        rows: list[ResponseRow] = []
+        for col in columns:
+            fk = column_links[col]
+            comp, name = bk_component.get(col), bk_name.get(col)
+            if comp and name:
+                confidence = min(comp["confidence"], name["confidence"])
+                rows.append(
+                    ResponseRow(
+                        fk_source_objects=fk,
+                        model_name=self.model_name,
+                        category="Business Key Part",
+                        business_key_name=name["name"].replace(" ", "_"),
+                        confidence_score=f"{confidence:.2f}",
+                        reason=(
+                            f"BK Identified Reason: {comp['reason']}, "
+                            f"BK Naming Reason: {name['reason']}"
+                        ),
+                    )
+                )
+            else:
+                category = "Descriptor"
+                confidence = 1.0
+                reason = "Defaulted of category 'Descriptor' maintained."
+                p = pii.get(col)
+                if p and p["is_pii"] and p["confidence"] > 0.5:
+                    category = "Descriptor - Sensitive"
+                    confidence = p["confidence"]
+                    reason = p["reason"]
+                rows.append(
+                    ResponseRow(
+                        fk_source_objects=fk,
+                        model_name=self.model_name,
+                        category=category,
+                        business_key_name="NA",
+                        confidence_score=f"{confidence:.2f}",
+                        reason=reason,
+                    )
+                )
+        return rows
+
+
+# ---------------------------------------------------------------------------
+# Transports
+# ---------------------------------------------------------------------------
+
+
+class DeterministicStub:
+    """Rule-based fake LLM for correctness runs (FIXTURES.md section 4):
+    PK-flagged or ``*_id``/``*key``-named columns -> BK component
+    (conf 0.95), BK name = table name stripped of prefixes; columns
+    named like name/email/address/phone -> PII (conf 0.90)."""
+
+    PII_HINTS = ("name", "email", "address", "phone", "ssn", "zip")
+
+    def __call__(self, prompt: str) -> dict:
+        details = self._details(prompt)
+        col_no = int(re.search(r"column\s*(?:number)?\s*(\d+)", prompt, re.I).group(1))
+        name, typ, is_pk, table = self._column_facts(details, col_no)
+        if "Business Key Component Identification" in prompt:
+            # PK marker wins; the name heuristic only applies when the
+            # table declares no PK at all (otherwise FK-ish columns like
+            # c_nationkey would be misread as key parts).
+            table_has_pk = "And is a primary key." in prompt
+            is_bk = bool(is_pk or (not table_has_pk and re.search(r"(_id$|key$)", name)))
+            return {
+                "Business Key Component Identification": {
+                    "Is Business Key Component": is_bk,
+                    "Confidence Value": 0.95 if is_bk else 0.97,
+                    "Reason": f"Column {name} {'is' if is_bk else 'is not'} an identifier.",
+                }
+            }
+        if "Business Key Name" in prompt:
+            return {
+                "Business Key Name": {
+                    "Name": table,
+                    "Confidence Value": 0.95,
+                    "Reason": f"Single-column key of table {table}.",
+                }
+            }
+        is_pii = any(h in name.lower() for h in self.PII_HINTS)
+        return {
+            "Descriptor - Sensitive": {
+                "Is PII": is_pii,
+                "Confidence Value": 0.90 if is_pii else 0.85,
+                "Reason": f"Column {name} {'resembles' if is_pii else 'does not resemble'} PII.",
+            }
+        }
+
+    @staticmethod
+    def _details(prompt: str) -> dict:
+        start = prompt.index('{"Schema Name"')
+        depth = 0
+        for i in range(start, len(prompt)):
+            depth += {"{": 1, "}": -1}.get(prompt[i], 0)
+            if depth == 0:
+                return json.loads(prompt[start : i + 1])
+        raise ValueError("no details JSON found")
+
+    @staticmethod
+    def _column_facts(details: dict, col_no: int):
+        for d in details["Column Details"]:
+            m = re.match(
+                r"Column No: (\d+) Named: (\S+) of type: (\S+) (And is a primary key\.)?", d
+            )
+            if m and int(m.group(1)) == col_no:
+                return m.group(2), m.group(3), bool(m.group(4)), details["Table Name"]
+        raise ValueError(f"column {col_no} not in details")
+
+
+class OllamaTransport:
+    """HTTP transport for a local Ollama server (utility/ollama_client.rs:
+    33-68: 180s timeout, format=json, temperature 0.75)."""
+
+    def __init__(self, url: str = "http://localhost:11434/api/generate", model: str = "mistral"):
+        self.url = url
+        self.model = model
+
+    def __call__(self, prompt: str) -> dict:
+        payload = json.dumps(
+            {
+                "model": self.model,
+                "prompt": prompt,
+                "stream": False,
+                "format": "json",
+                "options": {"temperature": 0.75},
+            }
+        ).encode()
+        req = urllib.request.Request(
+            self.url, data=payload, headers={"Content-Type": "application/json"}
+        )
+        with urllib.request.urlopen(req, timeout=180) as resp:
+            body = json.loads(resp.read())
+        return json.loads(body["response"])
+
+
+class OpenAITransport:
+    """HTTP transport for an OpenAI-compatible endpoint
+    (utility/openai_client.rs:56-103: 60s timeout,
+    response_format=json_object, temperature 0.75)."""
+
+    def __init__(
+        self,
+        api_key: str,
+        url: str = "https://api.openai.com/v1/chat/completions",
+        model: str = "gpt-4o",
+    ):
+        self.api_key = api_key
+        self.url = url
+        self.model = model
+
+    def __call__(self, prompt: str) -> dict:
+        payload = json.dumps(
+            {
+                "model": self.model,
+                "messages": [{"role": "user", "content": prompt}],
+                "temperature": 0.75,
+                "response_format": {"type": "json_object"},
+            }
+        ).encode()
+        req = urllib.request.Request(
+            self.url,
+            data=payload,
+            headers={
+                "Content-Type": "application/json",
+                "Authorization": f"Bearer {self.api_key}",
+            },
+        )
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            body = json.loads(resp.read())
+        return json.loads(body["choices"][0]["message"]["content"])

@@ -1,0 +1,128 @@
+"""Shared inline fixtures for oracle-gated metadata queries.
+
+The status engine and SCD2 merge operate on auto_dw metadata tables
+that don't exist in the driver's parquet test set, so their oracle
+pairs are built from identical inline VALUES on both sides (SURVEY S1:
+the reference's own source_table() is a VALUES scan). One Python
+definition generates both the Spark DataFrame and the DuckDB VALUES
+clause, so the fixtures cannot drift.
+
+The rows model the reference's demo walkthrough (README Act 1/2,
+FIXTURES.md): a clean single-BK table, a composite-BK table with one
+low-confidence part (exercising every branch of the status ladder),
+and an unclassified table.
+"""
+
+from __future__ import annotations
+
+import decimal
+
+# source_objects: (pk, schema_name, table_name, column_name, ordinal,
+#                  current_flag, deleted_flag)
+SOURCE_OBJECTS_ROWS = [
+    (1, "public", "customer", "customer_id", 1, "Y", "N"),
+    (2, "public", "customer", "city", 2, "Y", "N"),
+    (3, "public", "customer", "state", 3, "Y", "N"),
+    (4, "public", "customer", "zip", 4, "Y", "N"),
+    (5, "public", "order_details", "order_id", 1, "Y", "N"),
+    (6, "public", "order_details", "product_id", 2, "Y", "N"),
+    (7, "public", "order_details", "quantity", 3, "Y", "N"),
+    (8, "public", "events_log", "event_id", 1, "Y", "N"),
+    (9, "public", "events_log", "payload", 2, "Y", "N"),
+    # closed + deleted rows must be ignored by the status engine
+    (10, "public", "customer", "zip_old", 4, "N", "N"),
+    (11, "public", "customer", "fax", 5, "Y", "Y"),
+]
+
+# transformer_responses: (pk, fk, model_name, category, business_key_name,
+#                         confidence_score, reason)
+# pk 101 is an older response for customer_id superseded by 107 (A2).
+TRANSFORMER_RESPONSES_ROWS = [
+    (101, 1, "m1", "Descriptor", "NA", "0.60", "early guess"),
+    (102, 2, "m1", "Descriptor", "NA", "1.00", "city descriptor"),
+    (103, 3, "m1", "Descriptor", "NA", "1.00", "state descriptor"),
+    (104, 4, "m1", "Descriptor - Sensitive", "NA", "0.90", "zip is PII"),
+    (105, 5, "m1", "Business Key Part", "order", "0.95", "order id"),
+    (106, 6, "m1", "Business Key Part", "product", "0.70", "product id"),
+    (107, 1, "m2", "Business Key Part", "customer", "0.95", "customer id"),
+    (108, 7, "m1", "Descriptor", "NA", "1.00", "quantity descriptor"),
+]
+
+
+def source_objects_df(spark):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("pk_source_objects", T.LongType()),
+            T.StructField("schema_name", T.StringType()),
+            T.StructField("table_name", T.StringType()),
+            T.StructField("column_name", T.StringType()),
+            T.StructField("column_ordinal_position", T.IntegerType()),
+            T.StructField("current_flag", T.StringType()),
+            T.StructField("deleted_flag", T.StringType()),
+        ]
+    )
+    return spark.createDataFrame(SOURCE_OBJECTS_ROWS, schema)
+
+
+def transformer_responses_df(spark):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("pk_transformer_responses", T.LongType()),
+            T.StructField("fk_source_objects", T.LongType()),
+            T.StructField("model_name", T.StringType()),
+            T.StructField("category", T.StringType()),
+            T.StructField("business_key_name", T.StringType()),
+            T.StructField("confidence_score", T.DecimalType(3, 2)),
+            T.StructField("reason", T.StringType()),
+        ]
+    )
+    rows = [
+        (pk, fk, m, c, b, decimal.Decimal(s), r)
+        for pk, fk, m, c, b, s, r in TRANSFORMER_RESPONSES_ROWS
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def _sql_lit(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, (int, float)):
+        return str(v)
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def source_objects_values_sql() -> str:
+    rows = ",\n".join(
+        "(" + ", ".join(_sql_lit(v) for v in r) + ")" for r in SOURCE_OBJECTS_ROWS
+    )
+    return (
+        "(VALUES\n" + rows + "\n) AS so(pk_source_objects, schema_name, table_name,"
+        " column_name, column_ordinal_position, current_flag, deleted_flag)"
+    )
+
+
+def transformer_responses_values_sql() -> str:
+    rows = ",\n".join(
+        "("
+        + ", ".join(
+            [
+                _sql_lit(pk),
+                _sql_lit(fk),
+                _sql_lit(m),
+                _sql_lit(c),
+                _sql_lit(b),
+                f"CAST({s} AS DECIMAL(3,2))",
+                _sql_lit(r),
+            ]
+        )
+        + ")"
+        for pk, fk, m, c, b, s, r in TRANSFORMER_RESPONSES_ROWS
+    )
+    return (
+        "(VALUES\n" + rows + "\n) AS tr(pk_transformer_responses, fk_source_objects,"
+        " model_name, category, business_key_name, confidence_score, reason)"
+    )

@@ -154,3 +154,289 @@ def hub_new_keys_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         src.filter(F.col("c_custkey") % 2 == 0), bk, load_ts=LOAD_TS
     ).select("hub_customer_hk")
     return staged.join(existing, on="hub_customer_hk", how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Status engine (SURVEY W1/W2/A2/F4/P2/P5/P9/J1/J6) over shared fixtures
+# ---------------------------------------------------------------------------
+
+from .fixtures import (  # noqa: E402
+    source_objects_df,
+    source_objects_values_sql,
+    transformer_responses_df,
+    transformer_responses_values_sql,
+)
+
+_STATUS_ORACLE = f"""
+WITH
+confidence_level AS (SELECT CAST(0.8 AS DECIMAL(3,2)) AS value),
+so AS (SELECT * FROM {source_objects_values_sql()}),
+tr AS (SELECT * FROM {transformer_responses_values_sql()}),
+cal AS (
+    SELECT MAX(pk_transformer_responses) AS max_pk
+    FROM tr GROUP BY fk_source_objects
+),
+latest AS (
+    SELECT tr.* FROM tr JOIN cal ON tr.pk_transformer_responses = cal.max_pk
+),
+prep AS (
+    SELECT
+        t.pk_transformer_responses,
+        s.schema_name, s.table_name, s.column_name, s.column_ordinal_position,
+        t.confidence_score, t.reason, t.category, t.model_name,
+        MAX(CASE WHEN t.category = 'Business Key Part'
+                  AND t.confidence_score < cl.value THEN 1 ELSE 0 END)
+            OVER (PARTITION BY s.schema_name, s.table_name) AS bk_hold,
+        SUM(CASE WHEN t.category = 'Business Key Part' THEN 1 ELSE 0 END)
+            OVER (PARTITION BY s.schema_name, s.table_name) AS bkp_cnt
+    FROM so AS s
+    JOIN confidence_level AS cl ON true
+    LEFT JOIN latest AS t ON s.pk_source_objects = t.fk_source_objects
+    WHERE s.current_flag = 'Y' AND s.deleted_flag = 'N'
+),
+source_object AS (
+    SELECT *,
+        CASE
+            WHEN confidence_score IS NULL THEN 'Queued for Processing'
+            WHEN category = 'Business Key Part' AND confidence_score >= cl.value
+                 AND bkp_cnt > 1 THEN 'Ready to Deploy - Awaiting Link Implementation'
+            WHEN category <> 'Business Key Part' AND confidence_score >= cl.value
+                 AND bk_hold = 0 AND bkp_cnt > 1
+                 THEN 'Ready to Deploy - Awaiting Link Implementation'
+            WHEN category <> 'Business Key Part' AND confidence_score >= cl.value
+                 AND bk_hold = 1 AND bkp_cnt > 1
+                 THEN 'Ready to Deploy - Awaiting Business Key (BK), Awaiting Link Implementation'
+            WHEN category = 'Business Key Part' AND confidence_score >= cl.value
+                 THEN 'Ready to Deploy'
+            WHEN category <> 'Business Key Part' AND confidence_score >= cl.value
+                 AND bk_hold = 0 THEN 'Ready to Deploy'
+            WHEN category <> 'Business Key Part' AND confidence_score >= cl.value
+                 AND bk_hold = 1 THEN 'Ready to Deploy - Awaiting Business Key (BK)'
+            ELSE 'Requires Attention'
+        END AS status,
+        CASE WHEN confidence_score IS NOT NULL
+             THEN CAST(CAST(confidence_score * 100 AS INT) AS VARCHAR) || '%'
+             ELSE '-' END AS confidence_level,
+        CASE WHEN confidence_score IS NOT NULL THEN
+            'Status: ' ||
+            CASE WHEN confidence_score >= cl.value THEN 'Ready to Deploy'
+                 ELSE 'Requires Attention' END || ': ' ||
+            'Model: ' || model_name ||
+            ' categorized this column as a ' || category ||
+            ' with a confidence of ' ||
+            CAST(CAST(confidence_score * 100 AS INT) AS VARCHAR) || '%' || '.  ' ||
+            'Model Reasoning: ' || reason
+        ELSE '-' END AS status_response
+    FROM prep
+    JOIN confidence_level AS cl ON true
+)
+SELECT schema_name AS "schema", table_name AS "table", column_name AS "column",
+       status, confidence_level, status_response
+FROM source_object
+"""
+
+
+@register("status_source_column", _STATUS_ORACLE)
+def status_source_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """auto_dw.source_column() status ladder (reference: queries.rs:441-532)
+    over the shared inline fixture: exercises A2 latest-response, W1/W2
+    window flags, and every CASE branch incl. composite-BK links."""
+    from .model.status import source_column_df
+
+    return source_column_df(
+        source_objects_df(spark), transformer_responses_df(spark), "0.8"
+    )
+
+
+@register(
+    "status_window_flags",
+    f"""
+    WITH
+    confidence_level AS (SELECT CAST(0.8 AS DECIMAL(3,2)) AS value),
+    so AS (SELECT * FROM {source_objects_values_sql()}),
+    tr AS (SELECT * FROM {transformer_responses_values_sql()}),
+    cal AS (SELECT MAX(pk_transformer_responses) AS max_pk FROM tr GROUP BY fk_source_objects),
+    latest AS (SELECT tr.* FROM tr JOIN cal ON tr.pk_transformer_responses = cal.max_pk)
+    SELECT
+        s.pk_source_objects,
+        MAX(CASE WHEN t.category = 'Business Key Part'
+                  AND t.confidence_score < cl.value THEN 1 ELSE 0 END)
+            OVER (PARTITION BY s.schema_name, s.table_name) AS bk_hold,
+        CAST(SUM(CASE WHEN t.category = 'Business Key Part' THEN 1 ELSE 0 END)
+            OVER (PARTITION BY s.schema_name, s.table_name) AS BIGINT) AS bkp_cnt
+    FROM so AS s
+    JOIN confidence_level AS cl ON true
+    LEFT JOIN latest AS t ON s.pk_source_objects = t.fk_source_objects
+    WHERE s.current_flag = 'Y' AND s.deleted_flag = 'N'
+    """,
+)
+def status_window_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W2 whole-partition window flags in isolation (queries.rs:352-363)."""
+    from .model.status import status_prep
+
+    return status_prep(
+        source_objects_df(spark), transformer_responses_df(spark), "0.8"
+    ).select("pk_source_objects", "bk_hold", F.col("bkp_cnt").cast("bigint").alias("bkp_cnt"))
+
+
+@register(
+    "latest_transformer_responses",
+    f"""
+    WITH tr AS (SELECT * FROM {transformer_responses_values_sql()}),
+    cal AS (SELECT MAX(pk_transformer_responses) AS max_pk FROM tr GROUP BY fk_source_objects)
+    SELECT tr.pk_transformer_responses, tr.fk_source_objects, tr.category,
+           CAST(tr.confidence_score AS DOUBLE) AS confidence_score
+    FROM tr JOIN cal ON tr.pk_transformer_responses = cal.max_pk
+    """,
+)
+def latest_transformer_responses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 latest-per-group via MAX(pk)+self-join (queries.rs:332-340)."""
+    from .model.status import latest_responses
+
+    return latest_responses(transformer_responses_df(spark)).select(
+        "pk_transformer_responses",
+        "fk_source_objects",
+        "category",
+        F.col("confidence_score").cast("double").alias("confidence_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Include/exclude keyed-list semantics (SURVEY O3/O4/P3) on documents
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tracking_union_except",
+    """
+    SELECT doc_id FROM documents WHERE source = 'src0'
+    UNION
+    SELECT doc_id FROM documents WHERE regexp_matches(lang, '^(en|de)$')
+    EXCEPT
+    SELECT doc_id FROM documents WHERE n_chars < 100
+    """,
+)
+def tracking_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's include/exclude list algebra (queries.rs:164-194):
+    deduplicating UNION then EXCEPT, with regex include patterns."""
+    docs = load_table(spark, sf_dir, "documents")
+    cur = docs.filter(F.col("source") == "src0").select("doc_id")
+    inc = docs.filter(F.col("lang").rlike("^(en|de)$")).select("doc_id")
+    exc = docs.filter(F.col("n_chars") < 100).select("doc_id")
+    return cur.union(inc).distinct().subtract(exc)
+
+
+# ---------------------------------------------------------------------------
+# SCD2 merge final-state (SURVEY S8/P6/P7/J5/J8; queries.rs:221-321)
+# ---------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+WITH
+cur(pk_source_objects, column_name, column_ordinal_position, column_type_name,
+    current_flag, deleted_flag, has_valid_to) AS (VALUES
+    (1, 'a', 1, 'int',      'Y', 'N', 0),
+    (2, 'b', 2, 'int',      'Y', 'N', 0),
+    (3, 'c', 3, 'int',      'Y', 'N', 0),
+    (4, 'd', 4, 'int',      'Y', 'Y', 0),
+    (5, 'b', 2, 'smallint', 'N', 'N', 1)),
+snap(s_col, s_ord, s_typ) AS (VALUES
+    ('a', 1, 'int'), ('b', 2, 'text'), ('d', 4, 'int'), ('e', 5, 'int')),
+cur_y AS (SELECT * FROM cur WHERE current_flag = 'Y'),
+cur_n AS (SELECT * FROM cur WHERE current_flag <> 'Y'),
+j AS (
+    SELECT cur_y.*, snap.s_col, snap.s_typ,
+           (snap.s_ord IS NOT NULL) AS m,
+           ((snap.s_ord IS NOT NULL) AND
+            (cur_y.column_name IS DISTINCT FROM snap.s_col OR
+             cur_y.column_type_name IS DISTINCT FROM snap.s_typ)) AS changed
+    FROM cur_y LEFT JOIN snap ON cur_y.column_ordinal_position = snap.s_ord
+),
+upd AS (
+    SELECT pk_source_objects, column_name, column_ordinal_position, column_type_name,
+           CASE WHEN changed THEN 'N' ELSE current_flag END AS current_flag,
+           CASE WHEN NOT m THEN 'Y'
+                WHEN m AND NOT changed AND deleted_flag = 'Y' THEN 'N'
+                ELSE deleted_flag END AS deleted_flag,
+           CASE WHEN changed THEN 1 ELSE has_valid_to END AS has_valid_to
+    FROM j
+),
+ins AS (
+    SELECT 5 + CAST(ROW_NUMBER() OVER (ORDER BY s.s_ord) AS BIGINT) AS pk_source_objects,
+           s.s_col AS column_name, s.s_ord AS column_ordinal_position,
+           s.s_typ AS column_type_name,
+           'Y' AS current_flag, 'N' AS deleted_flag, 0 AS has_valid_to
+    FROM snap AS s
+    WHERE s.s_ord NOT IN (SELECT column_ordinal_position FROM j WHERE NOT changed)
+)
+SELECT CAST(pk_source_objects AS BIGINT) AS pk_source_objects, column_name,
+       column_ordinal_position, column_type_name, current_flag, deleted_flag,
+       has_valid_to
+FROM upd
+UNION ALL
+SELECT CAST(pk_source_objects AS BIGINT), column_name, column_ordinal_position,
+       column_type_name, current_flag, deleted_flag, has_valid_to
+FROM cur_n
+UNION ALL
+SELECT pk_source_objects, column_name, column_ordinal_position, column_type_name,
+       current_flag, deleted_flag, has_valid_to
+FROM ins
+"""
+
+
+@register("scd2_merge_state", _SCD2_ORACLE)
+def scd2_merge_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the real 4-step SCD2 merge (catalog/scd2.py) on a fixture
+    covering every transition -- unchanged, type-change close+reinsert,
+    delete, resurrect, untouched history -- and returns the final table
+    state. Oracle recomputes the same state in SQL."""
+    import tempfile
+
+    from .catalog.scd2 import SOURCE_OBJECTS_SCHEMA, ensure_table, merge_snapshot
+    from .warehouse import Warehouse
+
+    as_of = datetime.datetime(2024, 6, 1)
+    earlier = datetime.datetime(2024, 1, 1)
+
+    def so_row(pk, col, ord_, typ, cur, dele, valid_to):
+        return (
+            pk, 1, "s", "NA", 10, "t", "NA", ord_, col, typ.split("(")[0], None,
+            typ, "NA", 0, "NA", 0, "N", earlier, valid_to, cur, dele,
+        )
+
+    cur_rows = [
+        so_row(1, "a", 1, "int", "Y", "N", None),
+        so_row(2, "b", 2, "int", "Y", "N", None),
+        so_row(3, "c", 3, "int", "Y", "N", None),
+        so_row(4, "d", 4, "int", "Y", "Y", None),
+        so_row(5, "b", 2, "smallint", "N", "N", earlier),
+    ]
+
+    def snap_row(col, ord_, typ):
+        return (1, "s", "NA", 10, "t", "NA", ord_, col, typ.split("(")[0], None,
+                typ, "NA", 0, "NA", 0)
+
+    snap_rows = [
+        snap_row("a", 1, "int"),
+        snap_row("b", 2, "text"),
+        snap_row("d", 4, "int"),
+        snap_row("e", 5, "int"),
+    ]
+
+    from .catalog.introspect import SNAPSHOT_SCHEMA
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="autodw_scd2_"))
+    ensure_table(wh)
+    wh.append(
+        "auto_dw.source_objects", spark.createDataFrame(cur_rows, SOURCE_OBJECTS_SCHEMA)
+    )
+    merge_snapshot(wh, spark.createDataFrame(snap_rows, SNAPSHOT_SCHEMA), as_of=as_of)
+    final = wh.read("auto_dw.source_objects")
+    return final.select(
+        "pk_source_objects",
+        "column_name",
+        "column_ordinal_position",
+        "column_type_name",
+        "current_flag",
+        "deleted_flag",
+        F.when(F.col("valid_to").isNotNull(), 1).otherwise(0).alias("has_valid_to"),
+    )
