@@ -1,0 +1,78 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced with a cheap count() action (no driver-side
+collect of data-sized results). Timings include plan+execute, not
+session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # DV pipeline
+    "hub_load_customer",
+    "sat_load_customer",
+    "status_source_column",
+    "scd2_merge_state",
+    # analytical
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "top_orders_per_customer",
+    "events_hourly_rollup",
+    # training-data pipeline (registered as implemented)
+    "dedup_exact_documents",
+    "dedup_minhash_lsh_pairs",
+    "text_quality_scores",
+    "ann_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from pg_auto_dw_spark import queries_catalog
+    from pg_auto_dw_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qmap = queries_catalog.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qmap.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        try:
+            fn(spark, sf_dir).count()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # a failing query must not hide the others
+            print(f"bench error in {name}: {e}", file=sys.stderr)
+            timings[name] = -1.0
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_clock_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

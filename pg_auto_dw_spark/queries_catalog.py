@@ -440,3 +440,289 @@ def scd2_merge_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "deleted_flag",
         F.when(F.col("valid_to").isNotNull(), 1).otherwise(0).alias("has_valid_to"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Analytical coverage (SURVEY A1/A3/A6/J2/J4/O1/O2/F4-F9) + bench headliners.
+# Doubles aggregate through DECIMAL (exact, order-independent) and emit
+# DOUBLE so Spark and DuckDB hash identically.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                    (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                    (1 - CAST(l_discount AS DECIMAL(18,4))) *
+                    (1 + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: the multi-aggregate groupBy shape
+    of the reference's A1/A6 operators at data scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    disc_price = dec("l_extendedprice") * (1 - dec("l_discount"))
+    charge = disc_price * (1 + dec("l_tax"))
+    g = (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).alias("dq"),
+            F.sum(dec("l_extendedprice")).alias("dp"),
+            F.sum(disc_price).alias("ddp"),
+            F.sum(charge).alias("dch"),
+            F.sum(dec("l_discount")).alias("ddisc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("dq").cast("double").alias("sum_qty"),
+        F.col("dp").cast("double").alias("sum_base_price"),
+        F.col("ddp").cast("double").alias("sum_disc_price"),
+        F.col("dch").cast("double").alias("sum_charge"),
+        (F.col("dq").cast("double") / F.col("count_order")).alias("avg_qty"),
+        (F.col("dp").cast("double") / F.col("count_order")).alias("avg_price"),
+        (F.col("ddisc").cast("double") / F.col("count_order")).alias("avg_disc"),
+        "count_order",
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                    (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: selective dim filter -> 3-way join -> agg -> top-n.
+    customer is broadcast (small side); lineitem never shuffles twice."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    dec = lambda c_: F.col(c_).cast("decimal(18,4)")  # noqa: E731
+    j = li.join(
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]),
+        li["l_orderkey"] == o["o_orderkey"],
+    )
+    return (
+        j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(dec("l_extendedprice") * (1 - dec("l_discount"))).alias("rev"))
+        .select(
+            "l_orderkey",
+            F.col("rev").cast("double").alias("revenue"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                    (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style 6-way star join (SURVEY J4 at data scale): all
+    dimension sides broadcast; only the orders-lineitem join shuffles."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    dec = lambda c_: F.col(c_).cast("decimal(18,4)")  # noqa: E731
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (li["l_suppkey"] == s["s_suppkey"]) & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(F.sum(dec("l_extendedprice") * (1 - dec("l_discount"))).alias("rev"))
+        .select("n_name", F.col("rev").cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "top_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number() top-n per group -- the idiomatic Spark replacement the
+    survey names for the A2 latest-per-group pattern (SURVEY 2.5)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.col("o_totalprice").cast("double"))
+    )
+
+
+@register(
+    "events_hourly_rollup",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window batch rollup on the event stream table (the batch
+    twin of the streaming job in streaming/jobs.py), including the
+    nanos->micros timestamp normalization."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+@register(
+    "part_name_tokens_explode",
+    """
+    SELECT p_partkey, token
+    FROM part, unnest(string_split(p_name, ' ')) AS t(token)
+    """,
+)
+def part_name_tokens_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array explode (SURVEY F9: unnest(conkey) analog) over part names."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select("p_partkey", F.explode(F.split("p_name", " ")).alias("token"))
+
+
+@register(
+    "orders_json_payload",
+    """
+    SELECT o_orderkey,
+           to_json(struct_pack(
+               "Order Key" := o_orderkey,
+               "Status" := o_orderstatus,
+               "Priority" := o_orderpriority)) AS payload
+    FROM orders
+    """,
+)
+def orders_json_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """json_build_object analog (SURVEY F8): to_json(named_struct(...))
+    produces byte-identical compact JSON in both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.to_json(
+            F.struct(
+                F.col("o_orderkey").alias("Order Key"),
+                F.col("o_orderstatus").alias("Status"),
+                F.col("o_orderpriority").alias("Priority"),
+            )
+        ).alias("payload"),
+    )
+
+
+@register(
+    "orders_without_lineitems_anti",
+    """
+    SELECT o_orderkey FROM orders
+    WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+    """,
+)
+def orders_without_lineitems_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti at data scale (SURVEY J5/J8)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return o.join(li, o["o_orderkey"] == li["l_orderkey"], "left_anti").select("o_orderkey")
+
+
+@register(
+    "customer_order_coalesce_outer",
+    """
+    SELECT c_custkey,
+           COALESCE(CAST(cnt AS BIGINT), 0) AS n_orders
+    FROM customer
+    LEFT JOIN (SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey) oc
+      ON c_custkey = oc.o_custkey
+    """,
+)
+def customer_order_coalesce_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT JOIN + COALESCE default (SURVEY J1/F5)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    oc = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt"))
+    return c.join(oc, c["c_custkey"] == oc["o_custkey"], "left").select(
+        "c_custkey", F.coalesce(F.col("cnt"), F.lit(0)).alias("n_orders")
+    )
