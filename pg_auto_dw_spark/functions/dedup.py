@@ -1,0 +1,254 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH, SimHash, and n-gram Jaccard.
+
+Scale design (the whole point of these shapes at 100 TB):
+
+- **exact**: one hash-partitioned groupBy on a 64-hex digest --
+  uniformly distributed keys, no skew, one shuffle.
+- **minhash_lsh**: per-doc signature is a narrow map (explode shingles
+  -> 16 min-aggregations); candidate generation shuffles on *band key*
+  only, so similar docs co-locate and the cross product stays within
+  buckets. Never computes the O(n^2) pair matrix.
+- **simhash**: 32-bit fingerprint via bit-vote aggregation; near-dup
+  pairs = same blocking key + hamming distance <= k on a 64-bit int --
+  cheap bit_count(xor) comparisons.
+- **ngram_jaccard**: exact pairwise verifier, meant to run AFTER a
+  candidate generator (LSH buckets / blocking), never globally.
+
+Hash functions are md5/sha2 built-ins: engine-portable (oracle parity)
+and codegen'd. The min-over-fixed-length-lowercase-hex trick makes
+MIN(md5(...)) a valid uniform minhash without any hex->int conversion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import normalized_text
+
+
+def char_shingles(text: Column, k: int = 5) -> Column:
+    """Distinct k-character shingles of the normalized text."""
+    norm = F.regexp_replace(F.lower(text), r"\s+", " ")
+    n = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(norm, i, k))
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via sha256 groupBy: canonical (min id) + group size.
+
+    One shuffle on the digest; at 100 TB this is the optimal plan (no
+    sort, map-side partial agg, no skew)."""
+    t = F.sha2(F.col(text_col), 256)
+    return (
+        df.select(t.alias("exact_hash"), F.col(id_col))
+        .groupBy("exact_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """(id, seed, minhash) rows: minhash = MIN(md5(seed || ':' || shingle)).
+
+    Lexicographic MIN over fixed-length lowercase hex equals numeric MIN
+    over the 128-bit hash value, so no hex->int conversion is needed.
+    """
+    # A small doc table arrives as one parquet split; fan docs out across
+    # cores BEFORE the explode so the md5 work parallelizes (cheap: the
+    # shuffle moves docs, not shingles).
+    par = df.sparkSession.sparkContext.defaultParallelism
+    shingled = df.repartition(par, id_col).select(
+        F.col(id_col), F.explode(char_shingles(F.col(text_col), shingle_k)).alias("sh")
+    )
+    # All seeds in one pass: a seed cross-join would multiply shuffle rows
+    # 16x; computing the 16 hashes as columns and MIN-aggregating each
+    # keeps one shuffle of (doc, 16 cols) with map-side partial agg.
+    hashed = shingled.select(
+        id_col,
+        *[
+            F.md5(F.concat_ws(":", F.lit(seed), F.col("sh"))).alias(f"h{seed}")
+            for seed in range(num_hashes)
+        ],
+    )
+    wide = hashed.groupBy(id_col).agg(
+        *[F.min(f"h{seed}").alias(f"h{seed}") for seed in range(num_hashes)]
+    )
+    pairs = F.array(
+        *[
+            F.struct(F.lit(seed).alias("seed"), F.col(f"h{seed}").alias("minhash"))
+            for seed in range(num_hashes)
+        ]
+    )
+    return wide.select(id_col, F.explode(pairs).alias("p")).select(
+        id_col, F.col("p.seed").alias("seed"), F.col("p.minhash").alias("minhash")
+    )
+
+
+def lsh_band_keys(
+    signatures: DataFrame, id_col: str = "doc_id", band_size: int = 4
+) -> DataFrame:
+    """(id, band, band_key): band_key = md5 of the band's minhashes in
+    seed order. Docs sharing any band_key are candidates."""
+    banded = signatures.withColumn("band", (F.col("seed") / band_size).cast("int"))
+    agg = banded.groupBy(id_col, "band").agg(
+        F.array_sort(F.collect_list(F.struct("seed", "minhash"))).alias("sigs")
+    )
+    return agg.select(
+        id_col,
+        "band",
+        F.md5(
+            F.array_join(F.transform("sigs", lambda s: s["minhash"]), ",")
+        ).alias("band_key"),
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    band_size: int = 4,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Distinct candidate near-dup pairs (id_a < id_b) sharing >= 1 LSH
+    band. The join shuffles on band_key only -- the scalable shape."""
+    bands = lsh_band_keys(
+        minhash_signatures(df, text_col, id_col, num_hashes, shingle_k),
+        id_col,
+        band_size,
+    )
+    # Bucket-local pair generation instead of a band self-join: the self
+    # join would recompute the whole signature lineage for each side (2x
+    # the md5 work) and shuffle twice. One groupBy collects each bucket's
+    # ids (buckets are small by construction) and emits ordered pairs.
+    buckets = (
+        bands.groupBy("band", "band_key")
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            "ids",
+            lambda a: F.filter(
+                F.transform("ids", lambda b: F.struct(a.alias("id_a"), b.alias("id_b"))),
+                lambda p: p["id_a"] < p["id_b"],
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """Per-doc SimHash: sum +1/-1 votes of each token-hash bit, then
+    assemble the sign bits into one integer fingerprint."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.split(F.trim(normalized_text(F.col(text_col))), " "))
+        ).alias("tok"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint")
+    hashed = toks.select(id_col, h.alias("h"))
+    bit = hashed.join(
+        df.sparkSession.range(bits).select(F.col("id").cast("int").alias("bit")),
+        how="cross",
+    ).select(
+        id_col,
+        "bit",
+        # shiftright/shiftleft builtins take a literal count, so the
+        # per-row shift goes through expr()
+        F.when(F.expr("shiftright(h, bit) & 1") == 1, 1).otherwise(-1).alias("vote"),
+    )
+    votes = bit.groupBy(id_col, "bit").agg(F.sum("vote").alias("v"))
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("v") >= 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0)
+        ).alias("simhash")
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    blocking_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Near-dup pairs within a blocking key: hamming(simhash) <= k via
+    bit_count(xor). Blocking bounds the pair space (at scale the block
+    is an LSH bucket or shard key, never the whole corpus)."""
+    s = simhash(df, text_col, id_col)
+    base = df.select(F.col(id_col), F.col(blocking_col).alias("blk")).join(s, id_col)
+    a = base.select(
+        F.col(id_col).alias("id_a"), F.col("blk").alias("blk_a"), F.col("simhash").alias("sh_a")
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), F.col("blk").alias("blk_b"), F.col("simhash").alias("sh_b")
+    )
+    return (
+        a.join(b, F.col("blk_a") == F.col("blk_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    blocking_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact Jaccard over distinct k-shingles for pairs sharing a
+    blocking key: |A intersect B| / (|A| + |B| - |A intersect B|).
+
+    Ratio computed from exact integer set sizes -> deterministic
+    doubles. Verifier stage: run on candidates, not the full corpus.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.col(blocking_col).alias("blk"),
+        char_shingles(F.col(text_col), shingle_k).alias("sh"),
+    )
+    a = sh.select(
+        F.col(id_col).alias("id_a"), F.col("blk").alias("blk_a"), F.col("sh").alias("sh_a")
+    )
+    b = sh.select(
+        F.col(id_col).alias("id_b"), F.col("blk").alias("blk_b"), F.col("sh").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    return (
+        a.join(b, F.col("blk_a") == F.col("blk_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,108 @@
+"""Multimodal column plumbing: opaque binary media columns with typed
+metadata, processed via Arrow-batched ``mapInPandas``.
+
+The image/audio decode libraries are not available in this
+environment, so the actual decode is STUBBED -- ``decode_media_batch``
+dispatches to a deterministic fake decoder and raises
+``NotImplementedError`` for real codecs. Everything Spark-side is
+real and tested: the binary schema, the mapInPandas signature, Arrow
+batch iteration, output schema enforcement, and partition-preserving
+execution.
+
+Scale notes: media blobs ride in parquet binary columns; decode is a
+narrow per-partition map (no shuffle), and Arrow batching keeps the
+Python boundary amortized. At 100 TB you partition by media shard and
+size ``spark.sql.files.maxPartitionBytes`` so a batch of blobs fits in
+executor memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("meta", T.StringType(), True),  # JSON sidecar
+    ]
+)
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("n_bytes", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def synth_media_df(documents: DataFrame) -> DataFrame:
+    """Deterministic fake media table derived from ``documents``: the
+    UTF-8 text bytes stand in for an encoded payload. Exercises the
+    binary column path end to end."""
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.to_json(F.struct(F.col("source"), F.col("lang"))).alias("meta"),
+    )
+
+
+def _fake_decode(media_type: str, payload: bytes) -> dict:
+    """Deterministic stand-in decoder: derives dimensions from payload
+    length only. Replace with PIL/librosa/pyav when available."""
+    n = len(payload or b"")
+    if media_type == "image":
+        return {"width": 16 + n % 624, "height": 16 + (n * 7) % 464, "n_frames": 1}
+    if media_type == "audio":
+        return {"width": None, "height": None, "n_frames": 1 + n % 1000}
+    if media_type == "video":
+        return {"width": 16 + n % 624, "height": 16 + (n * 7) % 464, "n_frames": 1 + n % 120}
+    raise NotImplementedError(f"real decoder for media_type={media_type!r} not available")
+
+
+def decode_media_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: per Arrow batch, decode each payload and emit
+    DECODED_SCHEMA rows (feature = 8-dim byte-histogram sketch)."""
+    for pdf in batches:
+        out = {
+            "media_id": pdf["media_id"],
+            "media_type": pdf["media_type"],
+            "n_bytes": pdf["payload"].map(lambda b: len(b or b"")).astype("int32"),
+        }
+        decoded = [
+            _fake_decode(t, p) for t, p in zip(pdf["media_type"], pdf["payload"])
+        ]
+        out["width"] = pd.array([d["width"] for d in decoded], dtype="Int32")
+        out["height"] = pd.array([d["height"] for d in decoded], dtype="Int32")
+        out["n_frames"] = pd.array([d["n_frames"] for d in decoded], dtype="Int32")
+
+        def histogram(b: bytes | None) -> list[float]:
+            b = b or b""
+            counts = [0] * 8
+            for byte in b:
+                counts[byte >> 5] += 1
+            total = max(len(b), 1)
+            return [c / total for c in counts]
+
+        out["feature"] = pdf["payload"].map(histogram)
+        yield pd.DataFrame(out)
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Distributed decode: Arrow-batched, schema-enforced, no shuffle."""
+    return media.mapInPandas(decode_media_batch, schema=DECODED_SCHEMA)

@@ -1,0 +1,118 @@
+"""Text-analysis operators for training-data pipelines over the
+``documents`` table: language ID, quality scoring, token counting,
+fingerprinting.
+
+All pure built-in expressions (regexp_extract_all / split / md5 /
+arithmetic) -- JVM-side, codegen'd, no Python UDFs -- so they scale
+linearly with the scan and survive a 100 TB corpus: every operator is
+a narrow per-row map with no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Distinctive stopwords per language for the n-gram/stopword-count
+# language heuristic. Deliberately tiny: the point is the operator
+# shape (vectorized regex counting + deterministic argmax), not model
+# quality.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "en": ["the", "and", "of", "is", "not"],
+    "es": ["el", "la", "de", "que", "no"],
+    "fr": ["le", "la", "et", "est", "pas"],
+}
+
+
+def _count_matches(col: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), 0))
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    lower = F.lower(text)
+    out = {}
+    for lang, words in LANG_STOPWORDS.items():
+        pattern = r"\b(" + "|".join(words) + r")\b"
+        out[lang] = _count_matches(lower, pattern)
+    return out
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-count language ID with deterministic argmax (highest
+    count wins; ties break on language code ascending; all-zero ->
+    'und')."""
+    scores = lang_scores(F.col(text_col))
+    langs = sorted(scores)
+    # fold languages in reverse alphabetical order with >=, so the
+    # alphabetically-first language (applied last) wins exact ties
+    expr_lang, expr_score = F.lit("und"), F.lit(0)
+    for lang in reversed(langs):
+        expr_lang = F.when(scores[lang] >= expr_score, F.lit(lang)).otherwise(expr_lang)
+        expr_score = F.when(scores[lang] >= expr_score, scores[lang]).otherwise(expr_score)
+    zero = F.lit(True)
+    for lang in langs:
+        zero = zero & (scores[lang] == 0)
+    cols = [F.col(id_col), *[scores[lang].alias(f"score_{lang}") for lang in langs]]
+    return df.select(
+        *cols, F.when(zero, F.lit("und")).otherwise(expr_lang).alias("detected_lang")
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality features: lengths, word counts, punctuation /
+    digit / uppercase / stopword ratios, mean word length."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    words = F.split(F.trim(t), r"\s+")
+    n_words = F.size(words)
+    n_punct = _count_matches(t, r"[^\sA-Za-z0-9]")
+    n_digit = _count_matches(t, r"[0-9]")
+    n_upper = _count_matches(t, r"[A-Z]")
+    n_stop = _count_matches(F.lower(t), r"\b(the|and|of|is|a|to|in|not)\b")
+    n_alpha_chars = _count_matches(t, r"[A-Za-z]")
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        (n_alpha_chars.cast("double") / n_chars).alias("alpha_ratio"),
+        (n_punct.cast("double") / n_chars).alias("punct_ratio"),
+        (n_digit.cast("double") / n_chars).alias("digit_ratio"),
+        (n_upper.cast("double") / n_chars).alias("upper_ratio"),
+        (n_stop.cast("double") / n_words).alias("stopword_ratio"),
+        (n_alpha_chars.cast("double") / n_words).alias("mean_word_len"),
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace tokens plus a BPE-ish pre-tokenizer count (runs of
+    alphanumerics, or single non-space symbols) -- the standard cheap
+    proxy for LLM token budgeting."""
+    t = F.col(text_col)
+    ws = F.size(F.split(F.trim(t), r"\s+"))
+    bpe = _count_matches(t, r"[A-Za-z0-9]+|[^A-Za-z0-9\s]")
+    return df.select(
+        F.col(id_col),
+        ws.alias("n_ws_tokens"),
+        bpe.alias("n_bpe_tokens"),
+    )
+
+
+def normalized_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, strip non-alnum to
+    spaces, collapse, then sorted unique tokens joined by single spaces
+    (the OpenRefine-style key-collision fingerprint)."""
+    cleaned = F.regexp_replace(F.lower(text), r"[^a-z0-9]+", " ")
+    toks = F.array_distinct(F.split(F.trim(cleaned), r"\s+"))
+    return F.array_join(F.array_sort(toks), " ")
+
+
+def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Doc fingerprints: raw sha256 (exact-dup key) + md5 of the
+    normalized token set (near-canonical dup key)."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.sha2(t, 256).alias("exact_hash"),
+        F.md5(normalized_text(t)).alias("fingerprint"),
+    )

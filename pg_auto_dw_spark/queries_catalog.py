@@ -726,3 +726,319 @@ def customer_order_coalesce_outer(spark: SparkSession, sf_dir: str) -> DataFrame
     return c.join(oc, c["c_custkey"] == oc["o_custkey"], "left").select(
         "c_custkey", F.coalesce(F.col("cnt"), F.lit(0)).alias("n_orders")
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: text analysis / dedup / similarity / multimodal
+# ---------------------------------------------------------------------------
+
+_LANG_RE = {
+    "de": r"\b(der|die|und|ist|nicht)\b",
+    "en": r"\b(the|and|of|is|not)\b",
+    "es": r"\b(el|la|de|que|no)\b",
+    "fr": r"\b(le|la|et|est|pas)\b",
+}
+
+
+@register(
+    "text_language_id",
+    f"""
+    WITH s AS (
+        SELECT doc_id,
+               len(regexp_extract_all(lower(text), '{_LANG_RE["de"]}')) AS score_de,
+               len(regexp_extract_all(lower(text), '{_LANG_RE["en"]}')) AS score_en,
+               len(regexp_extract_all(lower(text), '{_LANG_RE["es"]}')) AS score_es,
+               len(regexp_extract_all(lower(text), '{_LANG_RE["fr"]}')) AS score_fr
+        FROM documents)
+    SELECT doc_id, score_de, score_en, score_es, score_fr,
+           CASE WHEN score_de = 0 AND score_en = 0 AND score_es = 0 AND score_fr = 0
+                THEN 'und'
+                WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr
+                THEN 'de'
+                WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
+                WHEN score_es >= score_fr THEN 'es'
+                ELSE 'fr' END AS detected_lang
+    FROM s
+    """,
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-count language ID (deterministic argmax, tie -> code asc)."""
+    from .functions.text import language_id
+
+    return language_id(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_quality_scores",
+    r"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / length(text) AS alpha_ratio,
+           CAST(len(regexp_extract_all(text, '[^\sA-Za-z0-9]')) AS DOUBLE) / length(text) AS punct_ratio,
+           CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text) AS digit_ratio,
+           CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE) / length(text) AS upper_ratio,
+           CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|is|a|to|in|not)\b')) AS DOUBLE)
+               / len(regexp_split_to_array(trim(text), '\s+')) AS stopword_ratio,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+               / len(regexp_split_to_array(trim(text), '\s+')) AS mean_word_len
+    FROM documents
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features (length/punct/stopword ratios)."""
+    from .functions.text import quality_features
+
+    return quality_features(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_token_counts",
+    r"""
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish pre-tokenizer counts."""
+    from .functions.text import token_counts
+
+    return token_counts(load_table(spark, sf_dir, "documents"))
+
+
+_NORM_SQL = (
+    "array_to_string(list_sort(list_distinct(regexp_split_to_array(trim("
+    "regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+'))), ' ')"
+)
+
+
+@register(
+    "text_fingerprints",
+    f"""
+    SELECT doc_id,
+           sha256(text) AS exact_hash,
+           md5({_NORM_SQL}) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sha256 exact-dup key + md5 token-set fingerprint."""
+    from .functions.text import fingerprints
+
+    return fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_exact_documents",
+    """
+    SELECT sha256(text) AS exact_hash,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY sha256(text)
+    """,
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one groupBy shuffle on the digest."""
+    from .functions.dedup import dedup_exact
+
+    return dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+_SHINGLE_SQL = (
+    "list_distinct([substr(norm, i, 5)"
+    " for i in range(1, greatest(length(norm) - 4, 1) + 1)])"
+)
+
+_MINHASH_ORACLE = f"""
+WITH
+norm AS (
+    SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm
+    FROM documents),
+shingles AS (
+    SELECT doc_id, unnest({_SHINGLE_SQL}) AS sh FROM norm),
+seeded AS (
+    SELECT s.doc_id, r.range AS seed, s.sh
+    FROM shingles s CROSS JOIN range(16) r),
+sigs AS (
+    SELECT doc_id, seed,
+           MIN(md5(CAST(seed AS VARCHAR) || ':' || sh)) AS minhash
+    FROM seeded GROUP BY doc_id, seed),
+bands AS (
+    SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+           md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
+    FROM sigs GROUP BY doc_id, seed // 4)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.band = b.band
+WHERE a.doc_id < b.doc_id
+"""
+
+
+@register("dedup_minhash_lsh_pairs", _MINHASH_ORACLE)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (16 hashes) + LSH (4 bands x 4) candidate pairs; the
+    shuffle key is the band signature, never the O(n^2) pair space."""
+    from .functions.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(load_table(spark, sf_dir, "documents"))
+
+
+_SIMHASH_ORACLE = f"""
+WITH
+norm AS (
+    SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
+toks AS (
+    SELECT doc_id, unnest(list_distinct(string_split(norm, ' '))) AS tok FROM norm),
+hashed AS (
+    SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks),
+votes AS (
+    SELECT doc_id, r.range AS bit,
+           SUM(CASE WHEN (h >> CAST(r.range AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+    FROM hashed CROSS JOIN range(32) r
+    GROUP BY doc_id, r.range)
+SELECT doc_id,
+       SUM(CASE WHEN v >= 0 THEN (1::BIGINT << CAST(bit AS INT)) ELSE 0 END) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+
+@register("dedup_simhash", _SIMHASH_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints via bit-vote aggregation."""
+    from .functions.dedup import simhash
+
+    return simhash(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    """
+    WITH sh AS (
+        SELECT doc_id, lang,
+               list_distinct([substr(norm, i, 3)
+                   for i in range(1, greatest(length(norm) - 2, 1) + 1)]) AS sh
+        FROM (SELECT doc_id, lang,
+                     regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm
+              FROM documents))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+               (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.3
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard verifier over lang-blocked candidate pairs."""
+    from .functions.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        blocking_col="lang",
+        shingle_k=3,
+        threshold=0.3,
+    )
+
+
+_QVEC_SQL = "[CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) for x in embedding]"
+_DOT_SQL = "CAST(list_sum([qa.qvec[i] * qb.qvec[i] for i in range(1, 65)]) AS BIGINT)"
+
+_ANN_ORACLE = f"""
+WITH q AS (
+    SELECT vec_id, {_QVEC_SQL} AS qvec FROM embeddings),
+n AS (
+    SELECT vec_id, qvec,
+           CAST(list_sum([qvec[i] * qvec[i] for i in range(1, 65)]) AS BIGINT) AS qnorm
+    FROM q),
+sims AS (
+    SELECT qa.vec_id AS query_id, qb.vec_id AS neighbor_id,
+           CAST({_DOT_SQL} AS DOUBLE) /
+               (sqrt(CAST(qa.qnorm AS DOUBLE)) * sqrt(CAST(qb.qnorm AS DOUBLE))) AS cosine
+    FROM n qa JOIN n qb ON qa.vec_id <> qb.vec_id
+    WHERE qa.vec_id < 10),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rn
+    FROM sims)
+SELECT query_id, neighbor_id, cosine FROM ranked WHERE rn <= 5
+"""
+
+
+@register("ann_cosine_topk", _ANN_ORACLE)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vecs 0..9: exact integer-
+    quantized dot products -> identical IEEE doubles in both engines."""
+    from .functions.similarity import brute_force_topk
+
+    return brute_force_topk(
+        load_table(spark, sf_dir, "embeddings"), query_ids=list(range(10)), k=5
+    )
+
+
+_ANN_LSH_ORACLE = f"""
+WITH base AS (
+    SELECT vec_id,
+           concat(
+               CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket,
+           {_QVEC_SQL} AS qvec
+    FROM embeddings),
+n AS (
+    SELECT vec_id, bucket, qvec,
+           CAST(list_sum([qvec[i] * qvec[i] for i in range(1, 65)]) AS BIGINT) AS qnorm
+    FROM base),
+sims AS (
+    SELECT qa.vec_id AS query_id, qb.vec_id AS neighbor_id,
+           CAST({_DOT_SQL} AS DOUBLE) /
+               (sqrt(CAST(qa.qnorm AS DOUBLE)) * sqrt(CAST(qb.qnorm AS DOUBLE))) AS cosine
+    FROM n qa JOIN n qb ON qa.bucket = qb.bucket AND qa.vec_id <> qb.vec_id),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rn
+    FROM sims)
+SELECT query_id, neighbor_id, cosine FROM ranked WHERE rn <= 5
+"""
+
+
+@register("ann_lsh_bucket_topk", _ANN_LSH_ORACLE)
+def ann_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed approximate top-5: candidates shuffle on the
+    bucket key only (the 100 TB path; brute force is the exact baseline)."""
+    from .functions.similarity import lsh_bucket_topk
+
+    return lsh_bucket_topk(load_table(spark, sf_dir, "embeddings"), k=5, n_planes=8)
+
+
+@register(
+    "multimodal_decode_stats",
+    """
+    SELECT doc_id AS media_id,
+           ['image', 'audio', 'video'][(doc_id % 3) + 1] AS media_type,
+           CAST(length(text) AS INT) AS n_bytes,
+           CASE WHEN (doc_id % 3) = 0 OR (doc_id % 3) = 2
+                THEN CAST(16 + length(text) % 624 AS INT) END AS width,
+           CASE WHEN (doc_id % 3) = 0 OR (doc_id % 3) = 2
+                THEN CAST(16 + (length(text) * 7) % 464 AS INT) END AS height,
+           CASE WHEN (doc_id % 3) = 0 THEN 1
+                WHEN (doc_id % 3) = 1 THEN CAST(1 + length(text) % 1000 AS INT)
+                ELSE CAST(1 + length(text) % 120 AS INT) END AS n_frames
+    FROM documents
+    """,
+)
+def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode of binary media columns (decode
+    itself is a deterministic stub; the Spark plumbing is real). The
+    oracle recomputes the stub arithmetic from text length (payloads
+    are the UTF-8 text bytes; corpus is ASCII so chars == bytes)."""
+    from .functions.multimodal import decode_media, synth_media_df
+
+    media = synth_media_df(load_table(spark, sf_dir, "documents"))
+    return decode_media(media).drop("feature")

@@ -1,0 +1,140 @@
+"""Streaming / recurring computation (SURVEY.md section 2.9).
+
+The reference has no true streaming -- two background workers poll on a
+10 s latch (bgw_source_objects.rs:18, bgw_transformer_client.rs:29).
+Both of its jobs are idempotent by construction (SCD2 merge; anti-join
+loads), so the Spark-native equivalents are:
+
+- ``run_polling_worker``: the literal analog -- call a job function on
+  a cadence. Cadence is free because every job is a no-op when nothing
+  changed, exactly like the reference.
+- ``events_stream_rollup``: a real Structured Streaming pipeline over
+  the events table (file source -> watermark -> windowed agg ->
+  append/update sink). This is the shape the reference *would* need on
+  a stream source; ``trigger(availableNow=True)`` gives the
+  batch-equivalent semantics the driver can test.
+- ``incremental_hub_stream``: streaming hub load -- new source files
+  become hub rows via the same hash+dedup logic; idempotency comes
+  from ``dropDuplicates`` on the hash key with state, mirroring the
+  anti-join of the batch loader.
+
+Scale: watermark bounds state; the windowed agg shuffles on
+(window, event_type) which is low-cardinality -> AQE coalesces; the
+streaming hub dedup keys on the uniform hash -> no skew.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos (see sources.py)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def run_polling_worker(
+    job: Callable[[], object],
+    iterations: int = 1,
+    poll_seconds: float = 10.0,
+    sleep: Callable[[float], None] = time.sleep,
+) -> list[object]:
+    """10-second-latch worker loop (bgw_source_objects.rs:18-51).
+
+    ``iterations`` bounds the loop for tests/batch runs; pass
+    ``float('inf')``-like large values for a daemon. Results collected
+    per iteration."""
+    out = []
+    for i in range(iterations):
+        out.append(job())
+        if i + 1 < iterations:
+            sleep(poll_seconds)
+    return out
+
+
+def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream of events parquet; normalizes the nanosecond
+    timestamp exactly like the batch reader (sources.py)."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(events_dir)
+    )
+    return stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+
+
+def events_stream_rollup(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    output_dir: str,
+    watermark: str = "1 hour",
+    window: str = "1 hour",
+):
+    """Watermarked tumbling-window rollup; availableNow trigger makes it
+    a catch-up batch with streaming semantics. Returns the query."""
+    ev = read_events_stream(spark, events_dir)
+    agg = (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .format("parquet")
+        .option("path", output_dir)
+        .start()
+    )
+
+
+def incremental_hub_stream(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema: T.StructType,
+    key_cols: list[str],
+    checkpoint_dir: str,
+    output_dir: str,
+    record_source: str = "stream",
+):
+    """Streaming hub load: hash new keys as files arrive; exactly-once
+    per key via stateful dropDuplicates on the hash (the streaming twin
+    of the batch anti-join, dv_loader.rs:177-181)."""
+    stream = spark.readStream.schema(source_schema).parquet(source_dir)
+    staged = stream.select(
+        F.sha2(F.concat_ws(",", *[F.col(c).cast("string") for c in key_cols]), 256).alias(
+            "hub_hk"
+        ),
+        F.current_timestamp().alias("load_ts"),
+        F.lit(record_source).alias("record_source"),
+        *[F.col(c).cast("string").alias(f"{c}_bk") for c in key_cols],
+    ).dropDuplicates(["hub_hk"])
+    return (
+        staged.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .format("parquet")
+        .option("path", output_dir)
+        .start()
+    )
