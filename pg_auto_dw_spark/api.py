@@ -63,6 +63,14 @@ LOG_SCHEMA = T.StructType(
     ]
 )
 
+CONTEXT_SCHEMA = T.StructType(
+    [
+        T.StructField("object_name", T.StringType(), False),
+        T.StructField("context", T.StringType(), True),  # JSON
+        T.StructField("updated_at", T.TimestampType(), True),
+    ]
+)
+
 
 class AutoDW:
     def __init__(
@@ -92,8 +100,10 @@ class AutoDW:
             ("auto_dw.build_call", BUILD_CALL_SCHEMA),
             ("auto_dw.dv_repo", DV_REPO_SCHEMA),
             ("auto_dw.log", LOG_SCHEMA),
+            ("auto_dw.context", CONTEXT_SCHEMA),
         ):
             self.wh.create_table(name, schema)
+        self._context: dict[str, dict] = {}
 
     # -- source registration (stand-in for "tables living in Postgres") --
     def register_source(self, schema_name: str, table_name: str, df: DataFrame) -> None:
@@ -138,6 +148,33 @@ class AutoDW:
             all_rows.extend(self.classifier.classify_table(p["table_details"], links))
         if not all_rows:
             return 0
+        # apply update_context() sensitivity overrides (U6): context on
+        # schema.table.column wins over the model's PII decision
+        overrides = {
+            k: v for k, v in self._context.items() if "sensitive" in v and k.count(".") == 2
+        }
+        if overrides:
+            pk_names = {
+                r["pk_source_objects"]: (
+                    f"{r['schema_name']}.{r['table_name']}.{r['column_name']}".lower()
+                )
+                for r in so.filter(
+                    (F.col("current_flag") == "Y") & (F.col("deleted_flag") == "N")
+                )
+                .select("pk_source_objects", "schema_name", "table_name", "column_name")
+                .collect()
+            }
+            for r in all_rows:
+                ctx = overrides.get(pk_names.get(r.fk_source_objects, ""))
+                if ctx is None or r.category == "Business Key Part":
+                    continue
+                if ctx["sensitive"] and r.category == "Descriptor":
+                    r.category = "Descriptor - Sensitive"
+                    r.reason = "Context override: marked sensitive."
+                elif not ctx["sensitive"] and r.category == "Descriptor - Sensitive":
+                    r.category = "Descriptor"
+                    r.confidence_score = "1.00"
+                    r.reason = "Context override: marked not sensitive."
         max_pk = tr.agg(F.max("pk_transformer_responses")).collect()[0][0] or 0
         now = self._clock()
         data = [
@@ -176,7 +213,27 @@ class AutoDW:
         )
 
     # -- build + load ---------------------------------------------------
-    def go(self, flag: str = "Build", load_ts: datetime.datetime | None = None) -> str:
+    def go(
+        self,
+        flag: str = "Build",
+        status: str = "RTD",
+        load_ts: datetime.datetime | None = None,
+    ) -> str:
+        """auto_dw.go([flag, status]) (src/lib.rs:16-37 + docs go.md):
+
+        - go() / go('Build', 'RTD')  -> build + load everything ready
+        - go('DryRun', 'RTD')        -> render DDL + plan load counts,
+                                        persist nothing
+        - go('Push-Table', 'sch.tbl')-> re-load one table from the
+                                        latest deployed DVSchema
+        """
+        if flag == "DryRun":
+            return self._go_dry_run()
+        if flag == "Push-Table":
+            return self._go_push_table(status, load_ts=load_ts)
+        return self._go_build(load_ts=load_ts)
+
+    def _go_build(self, load_ts: datetime.datetime | None = None) -> str:
         build_id = str(uuid.uuid4())
         so = self.wh.read("auto_dw.source_objects")
         tr = self.wh.read("auto_dw.transformer_responses")
@@ -212,6 +269,132 @@ class AutoDW:
         msg = f"Build ID: {build_id} | Data warehouse tables are currently being built."
         self._log("go", "INFO", msg)
         return msg
+
+    def _go_dry_run(self) -> str:
+        """Build-test-rollback (docs go.md): assemble the ready set and
+        render the DDL that WOULD run plus planned load counts; nothing
+        is persisted (build_call/dv_repo untouched, no tables created)."""
+        from .build.builder import (
+            assemble_business_keys,
+            build_object_pull,
+            ready_build_call_rows,
+        )
+        from .build.ddl import hub_ddl_sql, satellite_ddl_sql
+        from .build.loader import hub_stage_df
+
+        so = self.wh.read("auto_dw.source_objects")
+        tr = self.wh.read("auto_dw.transformer_responses")
+        # same pull as a real build, but over an in-memory build_call that
+        # is never persisted (build-test-rollback)
+        ready = ready_build_call_rows(so, tr, self.confidence_threshold, "dry-run")
+        ready_rows = [(r["fk_transformer_responses"], "dry-run") for r in ready.collect()]
+        if not ready_rows:
+            self._log("go", "INFO", "DryRun completed: 0 business keys.")
+            return "DryRun | 0 business key(s)"
+        bc = self.spark.createDataFrame(
+            ready_rows, "fk_transformer_responses BIGINT, build_id STRING"
+        )
+        pulled = build_object_pull(bc, tr, so, "dry-run", self.system_id).collect()
+        business_keys = assemble_business_keys(pulled)
+        ddl: list[str] = []
+        plan: list[str] = []
+        for bk in business_keys:
+            ddl.append(hub_ddl_sql(self.dw_schema, bk))
+            ddl.extend(satellite_ddl_sql(self.dw_schema, bk).values())
+            schema_name, table_name = bk.source_table()
+            n = hub_stage_df(self.resolve_source(schema_name, table_name), bk).count()
+            plan.append(f"hub_{bk.name}: {n} keys staged")
+        msg = (
+            "DryRun | "
+            + f"{len(business_keys)} business key(s); "
+            + "; ".join(plan)
+            + ("\n" + "\n".join(ddl) if ddl else "")
+        )
+        self._log("go", "INFO", f"DryRun completed: {len(business_keys)} business keys.")
+        return msg
+
+    def _go_push_table(
+        self, qualified_table: str, load_ts: datetime.datetime | None = None
+    ) -> str:
+        """go('Push-Table', 'schema.table'): re-load one source table
+        through the latest deployed DVSchema (docs go.md)."""
+        from .build.loader import load_hub, load_satellite
+
+        dv = self.latest_dv_schema()
+        if dv is None:
+            return "Push-Table | No deployed DVSchema found. Run go() first."
+        schema_name, _, table_name = qualified_table.lower().partition(".")
+        for bk in dv.business_keys:
+            s, t = bk.source_table()
+            if (s.lower(), t.lower()) == (schema_name, table_name):
+                source = self.resolve_source(s, t)
+                n_hub = load_hub(self.wh, source, bk, dw_schema=dv.dw_schema, load_ts=load_ts)
+                n_sats = {
+                    key: load_satellite(
+                        self.wh, source, bk, key, dw_schema=dv.dw_schema, load_ts=load_ts
+                    )
+                    for key in bk.satellites()
+                }
+                msg = f"Push-Table | {qualified_table}: hub +{n_hub}, sats {n_sats}"
+                self._log("go", "INFO", msg)
+                return msg
+        return f"Push-Table | {qualified_table} is not part of the deployed DVSchema."
+
+    def health(self) -> DataFrame:
+        """auto_dw.health() (docs health.md): one row per automation
+        component with its state."""
+        so = self.wh.read("auto_dw.source_objects")
+        tr = self.wh.read("auto_dw.transformer_responses")
+        bc = self.wh.read("auto_dw.build_call")
+        tracked = so.filter(
+            (F.col("current_flag") == "Y") & (F.col("deleted_flag") == "N")
+        ).count()
+        from .classify.pending import tables_requiring_transformation
+
+        pending = tables_requiring_transformation(so, tr).count()
+        builds = bc.select("build_id").distinct().count()
+        rows = [
+            (
+                "catalog_crawl",
+                "OK" if tracked else "IDLE",
+                f"{tracked} column(s) tracked",
+            ),
+            (
+                "transformer",
+                "PENDING" if pending else "OK",
+                f"{pending} table(s) awaiting classification",
+            ),
+            ("builder", "OK" if builds else "IDLE", f"{builds} build(s) deployed"),
+        ]
+        return self.spark.createDataFrame(rows, ["component", "status", "detail"])
+
+    def update_context(self, object_name: str, context: str | dict) -> str:
+        """auto_dw.update_context(object, context) (docs
+        update_context.md): attach JSON context to a schema, table, or
+        column. Recognized keys: description (feeds classifier prompts),
+        sensitive (overrides PII classification), cron (recorded)."""
+        import json
+
+        ctx = context if isinstance(context, dict) else json.loads(context)
+        key = object_name.lower()
+        self._context[key] = {**self._context.get(key, {}), **ctx}
+        parts = key.split(".")
+        if "description" in ctx and len(parts) == 3:
+            meta = self.registry.get(parts[0], parts[1])
+            meta.column_descriptions[parts[2]] = str(ctx["description"])
+            self.registry.register(meta)
+        if "description" in ctx and len(parts) == 2:
+            meta = self.registry.get(parts[0], parts[1])
+            meta.description = str(ctx["description"])
+            self.registry.register(meta)
+        self.wh.append(
+            "auto_dw.context",
+            self.spark.createDataFrame(
+                [(key, json.dumps(ctx, sort_keys=True), self._clock())], CONTEXT_SCHEMA
+            ),
+        )
+        self._log("update_context", "INFO", f"Context updated for {object_name}.")
+        return "Context Updated"
 
     def latest_dv_schema(self) -> DVSchema | None:
         rows = (

@@ -168,10 +168,17 @@ def merge_snapshot(
         .select(*cur.columns)
     )
 
+    # One aggregation pass for the audit counts (four separate count()
+    # jobs would re-run the join each time).
+    stats = j.agg(
+        F.sum((~matched & (F.col("deleted_flag") == "N")).cast("int")).alias("deleted"),
+        F.sum(changed.cast("int")).alias("closed"),
+        F.sum(resurrect.cast("int")).alias("resurrected"),
+    ).collect()[0]
     counts = {
-        "deleted": j.filter(~matched & (F.col("deleted_flag") == "N")).count(),
-        "closed": j.filter(changed).count(),
-        "resurrected": j.filter(resurrect).count(),
+        "deleted": stats["deleted"] or 0,
+        "closed": stats["closed"] or 0,
+        "resurrected": stats["resurrected"] or 0,
         "inserted": inserts.count(),
     }
     final = cur_n.unionByName(updated_y).unionByName(inserts)

@@ -1042,3 +1042,143 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synth_media_df(load_table(spark, sf_dir, "documents"))
     return decode_media(media).drop("feature")
+
+
+# ---------------------------------------------------------------------------
+# Pending-work detection + prompt payload (SURVEY A1/P8/A5/F8/F13)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pending_tables_cutoff",
+    """
+    WITH so(pk_source_objects, table_oid, current_flag, deleted_flag, valid_from) AS
+        (VALUES (1, 10, 'Y', 'N', '2024-05-01'),
+                (2, 10, 'Y', 'N', '2024-05-01'),
+                (3, 20, 'Y', 'N', '2024-04-01'),
+                (4, 30, 'Y', 'N', '2024-03-01'),
+                (5, 20, 'N', 'N', '2024-01-01')),
+    tr(pk_transformer_responses, fk_source_objects, created_at) AS
+        (VALUES (100, 1, '2024-04-02'), (101, 3, '2024-05-02')),
+    cal AS (
+        SELECT table_oid,
+               MAX(valid_from) AS max_table_update,
+               MAX(created_at) AS max_gen
+        FROM so LEFT JOIN tr ON so.pk_source_objects = tr.fk_source_objects
+        WHERE current_flag = 'Y' AND deleted_flag = 'N'
+        GROUP BY table_oid)
+    SELECT DISTINCT table_oid FROM cal
+    WHERE max_table_update > max_gen OR max_gen IS NULL
+    """,
+)
+def pending_tables_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/P8 pending-classification cutoff (queries.rs:10-23): table 10
+    changed after its last response, table 30 has none -> pending; table
+    20 is up to date. Timestamps modeled as ISO strings (MAX agrees)."""
+    from .classify.pending import tables_requiring_transformation
+
+    so = spark.createDataFrame(
+        [
+            (1, 10, "Y", "N", "2024-05-01"),
+            (2, 10, "Y", "N", "2024-05-01"),
+            (3, 20, "Y", "N", "2024-04-01"),
+            (4, 30, "Y", "N", "2024-03-01"),
+            (5, 20, "N", "N", "2024-01-01"),
+        ],
+        ["pk_source_objects", "table_oid", "current_flag", "deleted_flag", "valid_from"],
+    )
+    tr = spark.createDataFrame(
+        [(100, 1, "2024-04-02"), (101, 3, "2024-05-02")],
+        ["pk_transformer_responses", "fk_source_objects", "created_at"],
+    )
+    return tables_requiring_transformation(so, tr)
+
+
+_PROMPT_SO_SQL = """
+    (VALUES
+        (1, 10, 'public', 'customer', 'customer_id', 1, 'uuid', 1, 'NA', 'Y', 'N', '2024-05-01'),
+        (2, 10, 'public', 'customer', 'zip', 2, 'varchar(10)', 0, 'zip code', 'Y', 'N', '2024-05-01')
+    ) AS so(pk_source_objects, table_oid, schema_name, table_name, column_name,
+            column_ordinal_position, column_type_name, column_pk_ind,
+            column_description, current_flag, deleted_flag, valid_from)
+"""
+
+
+@register(
+    "source_table_prompt_payload",
+    f"""
+    WITH so AS (SELECT * FROM {_PROMPT_SO_SQL}),
+    prep AS (
+        SELECT table_oid, schema_name, table_name, column_ordinal_position AS ord,
+               struct_pack(
+                   "PK Source Objects" := pk_source_objects,
+                   "Column Ordinal Position" := column_ordinal_position) AS column_link,
+               'Column No: ' || CAST(column_ordinal_position AS VARCHAR) ||
+               ' Named: ' || column_name ||
+               ' of type: ' || column_type_name || ' ' ||
+               CASE WHEN column_pk_ind = 1 THEN 'And is a primary key.' ELSE '' END ||
+               'Column Comments: ' || column_description AS column_details
+        FROM so)
+    SELECT table_oid,
+           to_json(struct_pack("Column Links" := list(column_link ORDER BY ord)))
+               AS table_column_links,
+           to_json(struct_pack(
+               "Schema Name" := schema_name,
+               "Table Name" := table_name,
+               "Column Details" := list(column_details ORDER BY ord))) AS table_details
+    FROM prep
+    GROUP BY table_oid, schema_name, table_name
+    """,
+)
+def source_table_prompt_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/F8 ordered array_agg into JSON prompt payloads (queries.rs:
+    25-62), including the 'Column No:' detail format the F13 regex
+    parses back out."""
+    from .classify.pending import source_table_prompts
+
+    so = spark.createDataFrame(
+        [
+            (1, 10, "public", "customer", "customer_id", 1, "uuid", 1, "NA", "Y", "N", "2024-05-01"),
+            (2, 10, "public", "customer", "zip", 2, "varchar(10)", 0, "zip code", "Y", "N", "2024-05-01"),
+        ],
+        [
+            "pk_source_objects", "table_oid", "schema_name", "table_name",
+            "column_name", "column_ordinal_position", "column_type_name",
+            "column_pk_ind", "column_description", "current_flag",
+            "deleted_flag", "valid_from",
+        ],
+    )
+    tr = spark.createDataFrame(
+        [], "pk_transformer_responses BIGINT, fk_source_objects BIGINT, created_at STRING"
+    )
+    return source_table_prompts(so, tr)
+
+
+@register(
+    "auto_dw_hash_parity",
+    """
+    SELECT c_custkey, sha256(c_name) AS name_hash FROM customer
+    """,
+)
+def auto_dw_hash_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """auto_dw.hash(text) = lowercase hex sha256 (U5/F1, src/lib.rs:
+    153-157) -- Spark's built-in sha2 is byte-identical, no UDF."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select("c_custkey", F.sha2(F.col("c_name"), 256).alias("name_hash"))
+
+
+@register(
+    "source_table_demo_values",
+    """
+    SELECT 'PUBLIC' AS "schema", 'CUSTOMER' AS "table", 'Skipped' AS status,
+           'SKIP' AS status_code
+    """,
+)
+def source_table_demo_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3/S1: the reference's source_table() demo VALUES row
+    (queries.rs:1-7) -- kept verbatim for surface parity; the real
+    table-grain rollup lives in AutoDW.source_table()."""
+    return spark.createDataFrame(
+        [("PUBLIC", "CUSTOMER", "Skipped", "SKIP")],
+        ["schema", "table", "status", "status_code"],
+    )
