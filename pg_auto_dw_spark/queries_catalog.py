@@ -1182,3 +1182,114 @@ def source_table_demo_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("PUBLIC", "CUSTOMER", "Skipped", "SKIP")],
         ["schema", "table", "status", "status_code"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Composite business key (multi-part hub, SURVEY F2 multi-part concat)
+# ---------------------------------------------------------------------------
+
+
+def lineitem_business_key():
+    """Composite-PK source (l_orderkey, l_linenumber) -> two-part hub,
+    the reference's multi-part ARRAY_TO_STRING path (dv_loader.rs:
+    163-176 with >1 part link)."""
+    return business_key_from_spec(
+        schema_name="main",
+        table_name="lineitem",
+        bk_name="lineitem",
+        key_columns=[("l_orderkey", "bigint"), ("l_linenumber", "int")],
+        descriptor_columns=[
+            ("l_quantity", "double precision", False),
+            ("l_returnflag", "text", False),
+        ],
+    )
+
+
+@register(
+    "hub_load_lineitem_composite",
+    f"""
+    SELECT DISTINCT
+           sha256(concat_ws(',', CAST(l_orderkey AS VARCHAR),
+                                 CAST(l_linenumber AS VARCHAR))) AS hub_lineitem_hk,
+           '{LOAD_TS_STR}' AS load_ts,
+           'main' AS record_source,
+           CAST(l_orderkey AS VARCHAR) AS l_orderkey_bk,
+           CAST(l_linenumber AS VARCHAR) AS l_linenumber_bk
+    FROM lineitem
+    """,
+)
+def hub_load_lineitem_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-part hub staging: hash over comma-joined rendered parts."""
+    from .build.loader import hub_stage_df
+
+    src = load_table(spark, sf_dir, "lineitem")
+    df = hub_stage_df(src, lineitem_business_key(), load_ts=LOAD_TS)
+    return df.withColumn("load_ts", F.date_format("load_ts", "yyyy-MM-dd HH:mm:ss"))
+
+
+@register(
+    "sat_load_lineitem_composite",
+    f"""
+    SELECT sha256(concat_ws(',', CAST(l_orderkey AS VARCHAR),
+                                 CAST(l_linenumber AS VARCHAR))) AS hub_lineitem_hk,
+           '{LOAD_TS_STR}' AS load_ts,
+           'main' AS record_source,
+           sha256(concat_ws(',', CAST(CAST(l_quantity AS DECIMAL(38,2)) AS VARCHAR),
+                                 l_returnflag)) AS sat_lineitem_hd,
+           CAST(l_quantity AS DOUBLE) AS l_quantity, l_returnflag
+    FROM lineitem
+    """,
+)
+def sat_load_lineitem_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Satellite for the composite-key hub: hash-diff over descriptors,
+    key hash over both parts."""
+    from .build.loader import satellite_stage_df
+
+    src = load_table(spark, sf_dir, "lineitem")
+    df = satellite_stage_df(src, lineitem_business_key(), "lineitem", load_ts=LOAD_TS)
+    return df.withColumn("load_ts", F.date_format("load_ts", "yyyy-MM-dd HH:mm:ss"))
+
+
+# ---------------------------------------------------------------------------
+# DV link tables (extension completing the reference's Awaiting-Link path)
+# ---------------------------------------------------------------------------
+
+
+def lineitem_link_spec():
+    from .build.link import LinkSpec, LinkUnit
+
+    return LinkSpec(
+        name="order_part_supplier",
+        schema_name="main",
+        table_name="lineitem",
+        units=[
+            LinkUnit("order", ["l_orderkey"]),
+            LinkUnit("part", ["l_partkey"]),
+            LinkUnit("supplier", ["l_suppkey"]),
+        ],
+    )
+
+
+@register(
+    "link_load_order_part_supplier",
+    f"""
+    SELECT DISTINCT
+           sha256(concat_ws(',', CAST(l_orderkey AS VARCHAR),
+                                 CAST(l_partkey AS VARCHAR),
+                                 CAST(l_suppkey AS VARCHAR))) AS link_order_part_supplier_hk,
+           '{LOAD_TS_STR}' AS load_ts,
+           'main' AS record_source,
+           sha256(CAST(l_orderkey AS VARCHAR)) AS hub_order_hk,
+           sha256(CAST(l_partkey AS VARCHAR)) AS hub_part_hk,
+           sha256(CAST(l_suppkey AS VARCHAR)) AS hub_supplier_hk
+    FROM lineitem
+    """,
+)
+def link_load_order_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DV link staging over lineitem: link hash over all FK parts plus
+    the constituent hub hashes (hash-compatible with each hub load)."""
+    from .build.link import link_stage_df
+
+    src = load_table(spark, sf_dir, "lineitem")
+    df = link_stage_df(src, lineitem_link_spec(), load_ts=LOAD_TS)
+    return df.withColumn("load_ts", F.date_format("load_ts", "yyyy-MM-dd HH:mm:ss"))

@@ -1,0 +1,126 @@
+"""Property-based checks (hypothesis) for the two correctness surfaces
+SURVEY.md section 7 calls the hard parts: PG-style text rendering
+(hash parity) and SCD2 merge invariants."""
+
+import math
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from pg_auto_dw_spark.functions.hashing import pg_text_expr
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    return duckdb.connect()
+
+
+finite_doubles = st.floats(
+    allow_nan=False,
+    allow_infinity=False,
+    min_value=-1e12,
+    max_value=1e12,
+)
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(values=st.lists(finite_doubles, min_size=1, max_size=20))
+def test_double_rendering_matches_duckdb(spark, ddb, values):
+    """pg_text_expr(double) must equal DuckDB's DECIMAL(38,2) rendering
+    for arbitrary finite doubles -- the byte-level contract every
+    hash-diff depends on."""
+    df = spark.createDataFrame([(v,) for v in values], ["x"])
+    got = [
+        r[0]
+        for r in df.select(pg_text_expr(F.col("x"), "double")).collect()
+    ]
+    want = [
+        ddb.execute(
+            "SELECT CAST(CAST(? AS DECIMAL(38,2)) AS VARCHAR)", [v]
+        ).fetchone()[0]
+        for v in values
+    ]
+    assert got == want
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    ints=st.lists(
+        st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=20
+    )
+)
+def test_bigint_rendering_matches_duckdb(spark, ddb, ints):
+    df = spark.createDataFrame([(v,) for v in ints], ["x"])
+    got = [r[0] for r in df.select(pg_text_expr(F.col("x"), "bigint")).collect()]
+    want = [str(v) for v in ints]
+    assert got == want
+
+
+# --- SCD2 invariants over random transition sequences ------------------
+
+COLS = ["a", "b", "c", "d"]
+TYPES = ["int", "text", "smallint"]
+
+
+@st.composite
+def snapshots(draw):
+    """A random sequence of catalog snapshots: each is a subset of COLS
+    with a type per column."""
+    n_steps = draw(st.integers(min_value=1, max_value=4))
+    steps = []
+    for _ in range(n_steps):
+        present = draw(st.sets(st.sampled_from(COLS), min_size=0, max_size=4))
+        steps.append({c: draw(st.sampled_from(TYPES)) for c in sorted(present)})
+    return steps
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(steps=snapshots())
+def test_scd2_invariants_random_sequences(spark, tmp_path_factory, steps):
+    """After any sequence of merges:
+    - at most one current='Y' row per key;
+    - live rows (Y/N-deleted) match the last snapshot exactly;
+    - closed rows all carry valid_to;
+    - pk_source_objects stays unique."""
+    import datetime
+
+    from pg_auto_dw_spark.catalog.introspect import SNAPSHOT_SCHEMA
+    from pg_auto_dw_spark.catalog.scd2 import (
+        ensure_table,
+        merge_snapshot,
+    )
+    from pg_auto_dw_spark.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path_factory.mktemp("scd2prop")))
+    ensure_table(wh)
+    ordinal = {c: i + 1 for i, c in enumerate(COLS)}
+    for step_no, snap in enumerate(steps):
+        rows = [
+            (1, "s", "NA", 10, "t", "NA", ordinal[c], c, typ, None, typ,
+             "NA", 0, "NA", 0)
+            for c, typ in snap.items()
+        ]
+        snap_df = spark.createDataFrame(rows, SNAPSHOT_SCHEMA)
+        merge_snapshot(wh, snap_df, as_of=datetime.datetime(2024, 1, 1 + step_no))
+
+    final = wh.read("auto_dw.source_objects").collect()
+    # pk uniqueness
+    pks = [r["pk_source_objects"] for r in final]
+    assert len(pks) == len(set(pks))
+    # one current row per key
+    cur = [r for r in final if r["current_flag"] == "Y"]
+    keys = [(r["schema_oid"], r["table_oid"], r["column_ordinal_position"]) for r in cur]
+    assert len(keys) == len(set(keys))
+    # live view == last snapshot
+    last = steps[-1]
+    live = {
+        r["column_name"]: r["column_type_name"]
+        for r in cur
+        if r["deleted_flag"] == "N"
+    }
+    assert live == last
+    # closed rows carry valid_to
+    assert all(r["valid_to"] is not None for r in final if r["current_flag"] == "N")
