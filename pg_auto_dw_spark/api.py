@@ -83,6 +83,7 @@ class AutoDW:
         model_name: str = "deterministic-stub",
         transport=None,
         clock=None,
+        partition_dv_by_load_date: bool = False,
     ):
         self.spark = prepare(spark)
         self.wh = Warehouse(spark, warehouse_root)
@@ -91,6 +92,7 @@ class AutoDW:
         self.confidence_threshold = confidence_threshold
         self.model_name = model_name
         self.classifier = Classifier(transport or DeterministicStub(), model_name)
+        self.partition_dv_by_load_date = partition_dv_by_load_date
         self._clock = clock or (lambda: datetime.datetime.utcnow().replace(microsecond=0))
         self._sources: dict[tuple[str, str], DataFrame] = {}
         self.system_id = 4242  # pg_control_system analog (S3): fixed app id
@@ -265,7 +267,13 @@ class AutoDW:
                 [(build_id, self._clock(), dv.to_json())], DV_REPO_SCHEMA
             ),
         )
-        build_and_load(self.wh, self.resolve_source, dv, load_ts=load_ts)
+        build_and_load(
+            self.wh,
+            self.resolve_source,
+            dv,
+            load_ts=load_ts,
+            partition_by_load_date=self.partition_dv_by_load_date,
+        )
         msg = f"Build ID: {build_id} | Data warehouse tables are currently being built."
         self._log("go", "INFO", msg)
         return msg
@@ -401,6 +409,28 @@ class AutoDW:
             self.wh.read("auto_dw.dv_repo").orderBy(F.col("insert_time").desc()).limit(1).collect()
         )
         return DVSchema.from_json(rows[0]["schema"]) if rows else None
+
+    def create_views(self) -> list[str]:
+        """Register the auto_dw tables and status functions as temp views
+        so users can work in pure Spark SQL (the reference's SELECT *
+        FROM auto_dw.* surface). Returns the view names."""
+        views = []
+        for table in (
+            "auto_dw.source_objects",
+            "auto_dw.transformer_responses",
+            "auto_dw.build_call",
+            "auto_dw.dv_repo",
+            "auto_dw.log",
+            "auto_dw.context",
+        ):
+            name = table.replace(".", "_")
+            self.wh.read(table).createOrReplaceTempView(name)
+            views.append(name)
+        self.source_column().createOrReplaceTempView("auto_dw_source_column")
+        self.source_table().createOrReplaceTempView("auto_dw_source_table")
+        self.health().createOrReplaceTempView("auto_dw_health")
+        views += ["auto_dw_source_column", "auto_dw_source_table", "auto_dw_health"]
+        return views
 
     # -- misc -----------------------------------------------------------
     @staticmethod

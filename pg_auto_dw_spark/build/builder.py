@@ -179,14 +179,23 @@ def build_and_load(
     resolve_source,
     dv: DVSchema,
     load_ts: datetime.datetime | None = None,
+    partition_by_load_date: bool = False,
 ) -> dict[str, int]:
     """DDL + full load for a DVSchema. resolve_source(schema, table) ->
-    DataFrame. Returns appended-row counts per target table."""
+    DataFrame. Returns appended-row counts per target table.
+
+    ``partition_by_load_date`` creates date-partitioned hubs/satellites
+    (the 100 TB layout -- incremental loads only touch new partitions)."""
     counts: dict[str, int] = {}
+    part = ["load_date"] if partition_by_load_date else None
     for bk in dv.business_keys:
-        wh.create_table(f"{dv.dw_schema}.hub_{bk.name}", hub_schema(bk))
-        for name, schema in satellite_schemas(bk).items():
-            wh.create_table(f"{dv.dw_schema}.{name}", schema)
+        wh.create_table(
+            f"{dv.dw_schema}.hub_{bk.name}",
+            hub_schema(bk, partitioned=partition_by_load_date),
+            partition_by=part,
+        )
+        for name, schema in satellite_schemas(bk, partitioned=partition_by_load_date).items():
+            wh.create_table(f"{dv.dw_schema}.{name}", schema, partition_by=part)
         schema_name, table_name = bk.source_table()
         source = resolve_source(schema_name, table_name)
         counts[f"hub_{bk.name}"] = load_hub(

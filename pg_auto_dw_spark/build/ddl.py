@@ -65,9 +65,11 @@ def spark_type_for(type_name: str) -> T.DataType:
     return T.StringType()
 
 
-def hub_schema(business_key: BusinessKey) -> T.StructType:
+def hub_schema(business_key: BusinessKey, partitioned: bool = False) -> T.StructType:
     """hub_<bk>(hub_<bk>_hk, load_ts, record_source, <alias>_bk...)
-    (reference: dv_builder.rs:390-397)."""
+    (reference: dv_builder.rs:390-397). ``partitioned`` appends the
+    load_date partition column (100 TB layout: incremental loads touch
+    only new date partitions -- SCALE.md)."""
     fields = [
         T.StructField(f"hub_{business_key.name}_hk", T.StringType(), False),
         T.StructField("load_ts", T.TimestampType(), False),
@@ -75,10 +77,14 @@ def hub_schema(business_key: BusinessKey) -> T.StructType:
     ]
     for part in business_key.business_key_part_links:
         fields.append(T.StructField(f"{part.alias}_bk", T.StringType(), True))
+    if partitioned:
+        fields.append(T.StructField("load_date", T.DateType(), True))
     return T.StructType(fields)
 
 
-def satellite_schemas(business_key: BusinessKey) -> dict[str, T.StructType]:
+def satellite_schemas(
+    business_key: BusinessKey, partitioned: bool = False
+) -> dict[str, T.StructType]:
     """sat_<orbit>[_sensitive](hub_<bk>_hk, load_ts, record_source,
     sat_<key>_hd, <descriptor cols in source types>)
     (reference: dv_builder.rs:428-436; sensitive split at :406-416)."""
@@ -99,6 +105,8 @@ def satellite_schemas(business_key: BusinessKey) -> dict[str, T.StructType]:
                     True,
                 )
             )
+        if partitioned:
+            fields.append(T.StructField("load_date", T.DateType(), True))
         out[f"sat_{key}"] = T.StructType(fields)
     return out
 

@@ -151,6 +151,14 @@ def satellite_stage_df(
     )
 
 
+def _with_partition_cols(wh: Warehouse, table: str, df: DataFrame) -> DataFrame:
+    """Add the load_date partition column when the target table is
+    date-partitioned (100 TB layout, SCALE.md)."""
+    if "load_date" in [c for c in wh._partitioning.get(table, [])]:
+        df = df.withColumn("load_date", F.to_date("load_ts"))
+    return df
+
+
 def load_hub(
     wh: Warehouse,
     source: DataFrame,
@@ -165,10 +173,12 @@ def load_hub(
     appended = 0
     # Ghost init only when the hub is empty (dv_loader.rs:111-118 A4).
     if existing.limit(1).count() == 0:
-        ghosts = ghost_records_df(source, business_key)
+        ghosts = _with_partition_cols(wh, table, ghost_records_df(source, business_key))
         wh.append(table, ghosts)
         appended += 2
-    staged = hub_stage_df(source, business_key, load_ts=load_ts)
+    staged = _with_partition_cols(
+        wh, table, hub_stage_df(source, business_key, load_ts=load_ts)
+    )
     new_rows = staged.join(wh.read(table).select(hk), on=hk, how="left_anti")
     n = new_rows.count()
     if n:
@@ -189,7 +199,9 @@ def load_satellite(
     table = f"{dw_schema}.sat_{satellite_key}"
     hk = f"hub_{business_key.name}_hk"
     hd = f"sat_{satellite_key}_hd"
-    staged = satellite_stage_df(source, business_key, satellite_key, load_ts=load_ts)
+    staged = _with_partition_cols(
+        wh, table, satellite_stage_df(source, business_key, satellite_key, load_ts=load_ts)
+    )
     new_rows = staged.join(wh.read(table).select(hk, hd), on=[hk, hd], how="left_anti")
     n = new_rows.count()
     if n:

@@ -106,8 +106,11 @@ def merge_snapshot(
     wh: Warehouse,
     snapshot: DataFrame,
     as_of: datetime.datetime | None = None,
+    audit: bool = True,
 ) -> dict[str, int]:
-    """Run the 4-step SCD2 merge; returns row counts per action."""
+    """Run the 4-step SCD2 merge; returns row counts per action
+    (``audit=False`` skips the counting jobs -- the merge itself is one
+    write either way)."""
     ensure_table(wh)
     now = F.lit(as_of).cast("timestamp") if as_of else F.current_timestamp()
     cur = wh.read(TABLE)
@@ -168,19 +171,21 @@ def merge_snapshot(
         .select(*cur.columns)
     )
 
-    # One aggregation pass for the audit counts (four separate count()
-    # jobs would re-run the join each time).
-    stats = j.agg(
-        F.sum((~matched & (F.col("deleted_flag") == "N")).cast("int")).alias("deleted"),
-        F.sum(changed.cast("int")).alias("closed"),
-        F.sum(resurrect.cast("int")).alias("resurrected"),
-    ).collect()[0]
-    counts = {
-        "deleted": stats["deleted"] or 0,
-        "closed": stats["closed"] or 0,
-        "resurrected": stats["resurrected"] or 0,
-        "inserted": inserts.count(),
-    }
+    counts = {"deleted": 0, "closed": 0, "resurrected": 0, "inserted": 0}
+    if audit:
+        # One aggregation pass for the audit counts (four separate
+        # count() jobs would re-run the join each time).
+        stats = j.agg(
+            F.sum((~matched & (F.col("deleted_flag") == "N")).cast("int")).alias("deleted"),
+            F.sum(changed.cast("int")).alias("closed"),
+            F.sum(resurrect.cast("int")).alias("resurrected"),
+        ).collect()[0]
+        counts = {
+            "deleted": stats["deleted"] or 0,
+            "closed": stats["closed"] or 0,
+            "resurrected": stats["resurrected"] or 0,
+            "inserted": inserts.count(),
+        }
     final = cur_n.unionByName(updated_y).unionByName(inserts)
     wh.overwrite(TABLE, final)
     return counts

@@ -108,17 +108,54 @@ def sign_bucket(vec: Column, n_planes: int = 8) -> Column:
     return F.concat(*bits)
 
 
+def hyperplane_bucket(vec: Column, dims: int, n_planes: int = 8, seed: int = 42) -> Column:
+    """Random-hyperplane LSH bucket key: sign bits of dot(vec, plane_i)
+    for ``n_planes`` seeded pseudo-random hyperplanes (SimHash for
+    vectors). Unlike axis-aligned sign buckets, the guarantee is
+    data-independent -- on real (anisotropic) embeddings axis buckets
+    can collapse into a few cells. Planes are deterministic in
+    (seed, dims) and embedded as literals, so the plan stays JVM-side."""
+    import random
+
+    rng = random.Random(seed)
+    bits = []
+    for p in range(n_planes):
+        plane = [rng.gauss(0.0, 1.0) for _ in range(dims)]
+        dot = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(w) for w in plane]),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     k: int = 5,
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    hyperplanes: bool = False,
+    dims: int = 64,
+    seed: int = 42,
 ) -> DataFrame:
     """Approximate all-pairs top-k: candidates restricted to the same
-    sign-LSH bucket; shuffle key = bucket, never the full cross join."""
+    LSH bucket; shuffle key = bucket, never the full cross join.
+    ``hyperplanes=True`` switches from axis-aligned sign buckets (the
+    oracle-friendly baseline) to seeded random hyperplanes (the scale
+    path with better recall)."""
+    bucket = (
+        hyperplane_bucket(F.col(vec_col), dims, n_planes, seed)
+        if hyperplanes
+        else sign_bucket(F.col(vec_col), n_planes)
+    )
     base = with_quantized(corpus, vec_col).select(
-        F.col(id_col), sign_bucket(F.col(vec_col), n_planes).alias("bucket"), "qvec", "qnorm"
+        F.col(id_col), bucket.alias("bucket"), "qvec", "qnorm"
     )
     a = base.select(
         F.col(id_col).alias("query_id"),

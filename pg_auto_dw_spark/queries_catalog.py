@@ -429,7 +429,9 @@ def scd2_merge_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     wh.append(
         "auto_dw.source_objects", spark.createDataFrame(cur_rows, SOURCE_OBJECTS_SCHEMA)
     )
-    merge_snapshot(wh, spark.createDataFrame(snap_rows, SNAPSHOT_SCHEMA), as_of=as_of)
+    merge_snapshot(
+        wh, spark.createDataFrame(snap_rows, SNAPSHOT_SCHEMA), as_of=as_of, audit=False
+    )
     final = wh.read("auto_dw.source_objects")
     return final.select(
         "pk_source_objects",
@@ -732,11 +734,12 @@ def customer_order_coalesce_outer(spark: SparkSession, sf_dir: str) -> DataFrame
 # Training-data pipeline: text analysis / dedup / similarity / multimodal
 # ---------------------------------------------------------------------------
 
+from .functions.text import LANG_STOPWORDS  # noqa: E402
+
+# derived from the library's stopword lists so oracle and Spark side
+# can never drift
 _LANG_RE = {
-    "de": r"\b(der|die|und|ist|nicht)\b",
-    "en": r"\b(the|and|of|is|not)\b",
-    "es": r"\b(el|la|de|que|no)\b",
-    "fr": r"\b(le|la|et|est|pas)\b",
+    lang: r"\b(" + "|".join(words) + r")\b" for lang, words in LANG_STOPWORDS.items()
 }
 
 
@@ -1293,3 +1296,33 @@ def link_load_order_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame
     src = load_table(spark, sf_dir, "lineitem")
     df = link_stage_df(src, lineitem_link_spec(), load_ts=LOAD_TS)
     return df.withColumn("load_ts", F.date_format("load_ts", "yyyy-MM-dd HH:mm:ss"))
+
+
+@register(
+    "events_props_json_extract",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INT) AS k_value
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+)
+def events_props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the props payload column (the read
+    direction of SURVEY F8; from_json/get_json_object stay JVM-side)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_value"),
+    )
+
+
+@register("multimodal_features_rows_only", None)
+def multimodal_features_rows_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full mapInPandas output including the array<float> byte-histogram
+    feature -- not SQL-expressible (Arrow batch boundary), so declared
+    rows-only for the driver's weaker check; pytest asserts the feature
+    semantics (tests/test_pipeline_ops.py)."""
+    from .functions.multimodal import decode_media, synth_media_df
+
+    return decode_media(synth_media_df(load_table(spark, sf_dir, "documents")))

@@ -142,3 +142,39 @@ def test_hash_matches_reference_udf():
         AutoDW.hash("hello")
         == "2cf24dba5fb0a30e26e83b2ac5b9e29e1b161e5c1fa7425e73043362938b9824"
     )
+
+
+def test_partitioned_dv_load(spark, warehouse_dir, sf_dir):
+    from pg_auto_dw_spark.api import AutoDW
+    from pg_auto_dw_spark.sources import load_table
+    import datetime
+    import os
+
+    adw = AutoDW(
+        spark,
+        warehouse_dir,
+        registry=_testdata_registry(),
+        clock=CLOCK,
+        partition_dv_by_load_date=True,
+    )
+    adw.register_source("main", "customer", load_table(spark, sf_dir, "customer"))
+    adw.source_include("main", "customer")
+    adw.classify_pending()
+    adw.go(load_ts=LOAD_TS)
+
+    hub = adw.wh.read("dw.hub_customer")
+    n_src = adw.resolve_source("main", "customer").count()
+    assert hub.count() == n_src + 2
+    assert "load_date" in hub.columns
+    # physical layout: hive-style load_date= directories
+    hub_dir = adw.wh.path("dw.hub_customer")
+    parts = [d for d in os.listdir(hub_dir) if d.startswith("load_date=")]
+    assert any(d == "load_date=2024-06-02" for d in parts)
+    # ghost rows land in the year-0001 partition
+    assert any(d == "load_date=0001-01-01" for d in parts)
+    # partition pruning: filtering on load_date scans one partition
+    pruned = hub.filter(F.col("load_date") == "2024-06-02")
+    assert pruned.count() == n_src
+    # idempotent under partitioning too
+    adw.go(load_ts=datetime.datetime(2024, 6, 3))
+    assert adw.wh.read("dw.hub_customer").count() == n_src + 2

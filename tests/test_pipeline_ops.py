@@ -92,3 +92,70 @@ def test_multimodal_decode_feature_histogram(spark, sf_dir):
             assert r["width"] is None
         else:
             assert 16 <= r["width"] < 640
+
+
+def test_hyperplane_lsh_mechanism(spark, sf_dir):
+    """Seeded random-hyperplane buckets: deterministic in the seed,
+    nontrivial bucket spread, nonzero recall of true nearest neighbors,
+    and a planted duplicate always shares its original's bucket.
+
+    (On isotropic synthetic embeddings, hyperplanes are not expected to
+    beat axis-aligned buckets -- both are random directions; their value
+    is data-independence on real, anisotropic embeddings.)"""
+    from pg_auto_dw_spark.functions.similarity import hyperplane_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    buckets = emb.select(
+        "vec_id", hyperplane_bucket(F.col("embedding"), 64, 4).alias("b")
+    )
+    n_buckets = buckets.select("b").distinct().count()
+    assert 2 <= n_buckets <= 16  # 4 planes -> at most 2^4 buckets
+    # deterministic in the seed
+    again = emb.select("vec_id", hyperplane_bucket(F.col("embedding"), 64, 4).alias("b"))
+    assert buckets.exceptAll(again).count() == 0
+    # identical vectors share a bucket
+    dup = emb.filter(F.col("vec_id") == 3).withColumn(
+        "vec_id", F.lit(55555).cast("bigint")
+    )
+    both = (
+        emb.unionByName(dup)
+        .filter(F.col("vec_id").isin([3, 55555]))
+        .select(hyperplane_bucket(F.col("embedding"), 64, 4).alias("b"))
+        .collect()
+    )
+    assert both[0]["b"] == both[1]["b"]
+    # nonzero recall of true nearest neighbors
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, query_ids=list(range(30)), k=1).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_bucket_topk(emb, k=5, n_planes=4, hyperplanes=True, dims=64).collect()
+        if r["query_id"] < 30
+    }
+    assert len(exact & approx) > 0
+
+
+def test_create_views_sql_surface(spark, sf_dir, tmp_path):
+    import datetime
+
+    from pg_auto_dw_spark.api import AutoDW
+    from pg_auto_dw_spark.catalog.registry import testdata_registry
+
+    adw = AutoDW(
+        spark,
+        str(tmp_path / "wh"),
+        registry=testdata_registry(),
+        clock=lambda: datetime.datetime(2024, 6, 1),
+    )
+    adw.register_source("main", "customer", load_table(spark, sf_dir, "customer"))
+    adw.source_include("main", "customer")
+    adw.classify_pending()
+    views = adw.create_views()
+    assert "auto_dw_source_column" in views
+    n = spark.sql(
+        "SELECT count(*) FROM auto_dw_source_column WHERE status = 'Ready to Deploy'"
+    ).collect()[0][0]
+    assert n == 5
+    assert spark.sql("SELECT * FROM auto_dw_health").count() == 3
