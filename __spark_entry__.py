@@ -19,7 +19,6 @@ Conventions for oracle parity (see pg_auto_dw_spark/functions/hashing.py):
 from __future__ import annotations
 
 import datetime
-import os
 import tempfile
 from collections.abc import Callable
 

@@ -31,7 +31,7 @@ from .build.builder import (
     ready_build_call_rows,
 )
 from .catalog.introspect import catalog_snapshot
-from .catalog.registry import SourceRegistry, synthetic_oid
+from .catalog.registry import SourceRegistry
 from .catalog.scd2 import SOURCE_OBJECTS_SCHEMA, crawl as scd2_crawl
 from .classify.client import Classifier, DeterministicStub
 from .classify.pending import source_table_prompts

@@ -22,7 +22,6 @@ from ..model.dv_schema import (
     Descriptor,
     DescriptorLink,
     DVSchema,
-    new_id,
 )
 from ..model.status import status_prep
 from .ddl import hub_schema, satellite_schemas

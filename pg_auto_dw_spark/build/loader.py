@@ -31,7 +31,7 @@ import datetime
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import hash_diff, hash_key, pg_text_expr
+from ..functions.hashing import pg_text_expr
 from ..model.dv_schema import BusinessKey
 from ..warehouse import Warehouse
 

@@ -157,6 +157,68 @@ class Classifier:
 # ---------------------------------------------------------------------------
 
 
+def classify_prompts_distributed(
+    prompts,  # DataFrame: (table_oid, table_column_links, table_details)
+    transport_factory,
+    model_name: str,
+):
+    """Distributed classification: one Arrow-batched ``mapInPandas`` pass
+    over the prompt table, each executor running its own transport
+    (SURVEY 3.3 'LLM calls from driver/mapInPandas').
+
+    Correct altitude at scale: prompts are table-grain (one row per
+    pending table), so 10^5 pending tables fan out across executors
+    with per-partition rate limiting instead of a driver-side loop.
+    ``transport_factory`` must be a picklable zero-arg callable (it is
+    invoked once per batch on the executor).
+
+    Returns a DataFrame shaped like transformer_responses (sans
+    pk/created_at).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("fk_source_objects", T.LongType()),
+            T.StructField("model_name", T.StringType()),
+            T.StructField("category", T.StringType()),
+            T.StructField("business_key_name", T.StringType()),
+            T.StructField("confidence_score", T.StringType()),
+            T.StructField("reason", T.StringType()),
+        ]
+    )
+
+    def run(batches):
+        import json as _json
+
+        classifier = Classifier(transport_factory(), model_name)
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                links = {
+                    link["Column Ordinal Position"]: link["PK Source Objects"]
+                    for link in _json.loads(r["table_column_links"])["Column Links"]
+                }
+                for resp in classifier.classify_table(r["table_details"], links):
+                    rows.append(
+                        (
+                            resp.fk_source_objects,
+                            resp.model_name,
+                            resp.category,
+                            resp.business_key_name,
+                            resp.confidence_score,
+                            resp.reason,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in out_schema.fields]
+            )
+
+    par = prompts.sparkSession.sparkContext.defaultParallelism
+    return prompts.repartition(par).mapInPandas(run, schema=out_schema)
+
+
 class DeterministicStub:
     """Rule-based fake LLM for correctness runs (FIXTURES.md section 4):
     PK-flagged or ``*_id``/``*key``-named columns -> BK component

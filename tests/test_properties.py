@@ -2,8 +2,6 @@
 SURVEY.md section 7 calls the hard parts: PG-style text rendering
 (hash parity) and SCD2 merge invariants."""
 
-import math
-
 import duckdb
 import pytest
 from hypothesis import HealthCheck, given, settings

@@ -1,8 +1,6 @@
 """U6 docs-only surface: health(), update_context(), go() variants
 (reference: extension/docs/sql_functions/{health,update_context,go}.md)."""
 
-import datetime
-
 from pyspark.sql import functions as F
 
 from tests.test_end_to_end import LOAD_TS, make_autodw
