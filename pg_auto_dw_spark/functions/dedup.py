@@ -60,34 +60,38 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_k: int = 5,
 ) -> DataFrame:
-    """(id, seed, minhash) rows: minhash = MIN(md5(seed || ':' || shingle)).
-
-    Lexicographic MIN over fixed-length lowercase hex equals numeric MIN
-    over the 128-bit hash value, so no hex->int conversion is needed.
-    """
+    """(id, seed, minhash) rows: minhash_i = MIN over shingles of
+    g_i(shingle), with g_i = (h1 + i*h2) mod 2^32 from one md5 per
+    shingle (Kirsch-Mitzenmacher two-hash family)."""
     # A small doc table arrives as one parquet split; fan docs out across
-    # cores BEFORE the explode so the md5 work parallelizes (cheap: the
+    # cores BEFORE the explode so the hash work parallelizes (cheap: the
     # shuffle moves docs, not shingles).
     par = df.sparkSession.sparkContext.defaultParallelism
     shingled = df.repartition(par, id_col).select(
         F.col(id_col), F.explode(char_shingles(F.col(text_col), shingle_k)).alias("sh")
     )
-    # All seeds in one pass: a seed cross-join would multiply shuffle rows
-    # 16x; computing the 16 hashes as columns and MIN-aggregating each
-    # keeps one shuffle of (doc, 16 cols) with map-side partial agg.
+    # Kirsch-Mitzenmacher: ONE md5 per shingle -> two 32-bit halves
+    # (h1, h2); hash family g_i = (h1 + i*h2) mod 2^32. 16x less hashing
+    # than md5-per-seed, same minhash guarantees. All seeds aggregate in
+    # one pass (a seed cross-join would multiply shuffle rows 16x); the
+    # groupBy keeps map-side partial agg of 16 int columns.
     hashed = shingled.select(
         id_col,
-        *[
-            F.md5(F.concat_ws(":", F.lit(seed), F.col("sh"))).alias(f"h{seed}")
-            for seed in range(num_hashes)
-        ],
+        F.conv(F.substring(F.md5(F.col("sh")), 1, 8), 16, 10).cast("bigint").alias("h1"),
+        F.conv(F.substring(F.md5(F.col("sh")), 9, 8), 16, 10).cast("bigint").alias("h2"),
     )
+    mask = F.lit(4294967295)  # 2^32 - 1
     wide = hashed.groupBy(id_col).agg(
-        *[F.min(f"h{seed}").alias(f"h{seed}") for seed in range(num_hashes)]
+        *[
+            F.min((F.col("h1") + F.lit(seed) * F.col("h2")).bitwiseAND(mask)).alias(
+                f"g{seed}"
+            )
+            for seed in range(num_hashes)
+        ]
     )
     pairs = F.array(
         *[
-            F.struct(F.lit(seed).alias("seed"), F.col(f"h{seed}").alias("minhash"))
+            F.struct(F.lit(seed).alias("seed"), F.col(f"g{seed}").alias("minhash"))
             for seed in range(num_hashes)
         ]
     )
@@ -109,7 +113,7 @@ def lsh_band_keys(
         id_col,
         "band",
         F.md5(
-            F.array_join(F.transform("sigs", lambda s: s["minhash"]), ",")
+            F.array_join(F.transform("sigs", lambda s: s["minhash"].cast("string")), ",")
         ).alias("band_key"),
     )
 

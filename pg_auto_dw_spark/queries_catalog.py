@@ -862,16 +862,21 @@ norm AS (
     FROM documents),
 shingles AS (
     SELECT doc_id, unnest({_SHINGLE_SQL}) AS sh FROM norm),
+hashed AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h1,
+           ('0x' || substr(md5(sh), 9, 8))::BIGINT AS h2
+    FROM shingles),
 seeded AS (
-    SELECT s.doc_id, r.range AS seed, s.sh
-    FROM shingles s CROSS JOIN range(16) r),
+    SELECT h.doc_id, r.range AS seed,
+           (h.h1 + r.range * h.h2) & 4294967295 AS g
+    FROM hashed h CROSS JOIN range(16) r),
 sigs AS (
-    SELECT doc_id, seed,
-           MIN(md5(CAST(seed AS VARCHAR) || ':' || sh)) AS minhash
+    SELECT doc_id, seed, MIN(g) AS minhash
     FROM seeded GROUP BY doc_id, seed),
 bands AS (
     SELECT doc_id, CAST(seed // 4 AS INT) AS band,
-           md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
+           md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS band_key
     FROM sigs GROUP BY doc_id, seed // 4)
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.band = b.band

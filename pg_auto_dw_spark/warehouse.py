@@ -41,6 +41,41 @@ class Warehouse:
         os.makedirs(root, exist_ok=True)
         self._schemas: dict[str, T.StructType] = {}
         self._partitioning: dict[str, list[str]] = {}
+        self._load_meta()
+
+    # -- durable table metadata ------------------------------------------
+    # Schemas and partition specs must survive the process: a fresh
+    # session appending to a partitioned table without knowing its spec
+    # would write unpartitioned files into it.
+    def _meta_path(self) -> str:
+        return os.path.join(self.root, "_warehouse_meta.json")
+
+    def _load_meta(self) -> None:
+        import json
+
+        if not os.path.isfile(self._meta_path()):
+            return
+        with open(self._meta_path()) as f:
+            meta = json.load(f)
+        for name, entry in meta.get("tables", {}).items():
+            if entry.get("schema"):
+                self._schemas[name] = T.StructType.fromJson(entry["schema"])
+            if entry.get("partition_by"):
+                self._partitioning[name] = list(entry["partition_by"])
+
+    def _save_meta(self) -> None:
+        import json
+
+        tables = {}
+        for name in set(self._schemas) | set(self._partitioning):
+            tables[name] = {
+                "schema": self._schemas[name].jsonValue() if name in self._schemas else None,
+                "partition_by": self._partitioning.get(name),
+            }
+        tmp = self._meta_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"tables": tables}, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._meta_path())
 
     # -- paths ----------------------------------------------------------
     def path(self, name: str) -> str:
@@ -64,14 +99,16 @@ class Warehouse:
         """CREATE TABLE: register schema and write an empty dataset."""
         if self.exists(name):
             if if_not_exists:
-                self._schemas[name] = schema
+                self._schemas.setdefault(name, schema)
                 if partition_by:
-                    self._partitioning[name] = partition_by
+                    self._partitioning.setdefault(name, partition_by)
+                self._save_meta()
                 return
             raise ValueError(f"table {name} already exists")
         self._schemas[name] = schema
         if partition_by:
             self._partitioning[name] = partition_by
+        self._save_meta()
         empty = self.spark.createDataFrame([], schema)
         writer = empty.write.mode("overwrite")
         if partition_by:
@@ -83,6 +120,7 @@ class Warehouse:
             shutil.rmtree(self.path(name))
         self._schemas.pop(name, None)
         self._partitioning.pop(name, None)
+        self._save_meta()
 
     # -- reads ----------------------------------------------------------
     def read(self, name: str) -> DataFrame:

@@ -146,3 +146,32 @@ def test_dv_schema_json_roundtrip():
     assert back.business_keys[0].name == "customer"
     assert back.business_keys[0].business_key_part_links[0].alias == "c_custkey"
     assert '"DW Schema"' in js and '"Business Keys"' in js
+
+
+def test_warehouse_metadata_survives_new_instance(spark, warehouse_dir, sf_dir):
+    """A fresh Warehouse over the same root must recover schemas and
+    partition specs (otherwise a second process would append
+    unpartitioned files into a partitioned table)."""
+    import datetime
+
+    from pg_auto_dw_spark.build.ddl import hub_schema
+    from pg_auto_dw_spark.build.loader import load_hub
+
+    bk = customer_bk()
+    wh1 = Warehouse(spark, warehouse_dir)
+    wh1.create_table(
+        "dw.hub_customer", hub_schema(bk, partitioned=True), partition_by=["load_date"]
+    )
+    source = load_table(spark, sf_dir, "customer")
+    load_hub(wh1, source, bk, load_ts=datetime.datetime(2024, 6, 2))
+
+    # brand-new instance, same root
+    wh2 = Warehouse(spark, warehouse_dir)
+    assert wh2._partitioning.get("dw.hub_customer") == ["load_date"]
+    n = load_hub(wh2, source.limit(10).withColumn("c_custkey", F.col("c_custkey") + 900000),
+                 bk, load_ts=datetime.datetime(2024, 6, 5))
+    assert n == 10
+    import os
+
+    parts = os.listdir(wh2.path("dw.hub_customer"))
+    assert any(p == "load_date=2024-06-05" for p in parts)
