@@ -157,12 +157,18 @@ def merge_snapshot(
     surviving_keys = j.filter(~changed).select(*KEYS)
     inserts_src = snapshot.join(surviving_keys, on=KEYS, how="left_anti")
 
-    max_pk = (cur.agg(F.max("pk_source_objects")).collect()[0][0]) or 0
+    # max existing pk attached via a broadcast scalar cross join instead
+    # of a driver collect -- keeps the merge a single job at write time
+    max_pk_df = cur.agg(
+        F.coalesce(F.max("pk_source_objects"), F.lit(0)).alias("__max_pk")
+    )
     from pyspark.sql import Window
 
     w = Window.orderBy("schema_name", "table_name", "column_ordinal_position")
     inserts = (
-        inserts_src.withColumn("pk_source_objects", F.row_number().over(w) + F.lit(max_pk))
+        inserts_src.crossJoin(F.broadcast(max_pk_df))
+        .withColumn("pk_source_objects", F.row_number().over(w) + F.col("__max_pk"))
+        .drop("__max_pk")
         .withColumn("column_dw_flag", F.lit("N"))
         .withColumn("valid_from", now)
         .withColumn("valid_to", F.lit(None).cast("timestamp"))

@@ -1331,3 +1331,54 @@ def multimodal_features_rows_only(spark: SparkSession, sf_dir: str) -> DataFrame
     from .functions.multimodal import decode_media, synth_media_df
 
     return decode_media(synth_media_df(load_table(spark, sf_dir, "documents")))
+
+
+@register(
+    "sat_current_view",
+    f"""
+    WITH sat AS (
+        SELECT sha256(CAST(c_custkey AS VARCHAR)) AS hub_customer_hk,
+               CASE WHEN c_custkey % 10 = 0 THEN '2024-06-05' ELSE '{LOAD_TS_STR}' END
+                   AS load_ts,
+               CASE WHEN c_custkey % 10 = 0 THEN 'v2' ELSE 'v1' END AS version_tag,
+               c_mktsegment
+        FROM customer
+        UNION ALL
+        SELECT sha256(CAST(c_custkey AS VARCHAR)), '{LOAD_TS_STR}', 'v1', c_mktsegment
+        FROM customer WHERE c_custkey % 10 = 0)
+    SELECT hub_customer_hk, load_ts, version_tag, c_mktsegment
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY hub_customer_hk
+                                       ORDER BY load_ts DESC, version_tag DESC) AS rn
+          FROM sat)
+    WHERE rn = 1
+    """,
+)
+def sat_current_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DV read-side: current-state satellite view (latest row per hub
+    key by load_ts) -- the standard consumption pattern over hash-diff
+    history, as a row_number window. Fixture simulates a second load
+    that updated every 10th customer."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    hk = F.sha2(F.col("c_custkey").cast("string"), 256).alias("hub_customer_hk")
+    v1 = c.select(
+        hk, F.lit(LOAD_TS_STR).alias("load_ts"), F.lit("v1").alias("version_tag"),
+        "c_mktsegment",
+    )
+    v2 = (
+        c.filter(F.col("c_custkey") % 10 == 0)
+        .select(
+            hk, F.lit("2024-06-05").alias("load_ts"), F.lit("v2").alias("version_tag"),
+            "c_mktsegment",
+        )
+    )
+    hist = v1.unionByName(v2)
+    w = Window.partitionBy("hub_customer_hk").orderBy(
+        F.col("load_ts").desc(), F.col("version_tag").desc()
+    )
+    return (
+        hist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
