@@ -207,3 +207,72 @@ def load_satellite(
     if n:
         wh.append(table, new_rows.select(*[f.name for f in wh.read(table).schema.fields]))
     return n
+
+
+def load_hub_multi(
+    wh: Warehouse,
+    sources: list[tuple[DataFrame, int]],
+    business_key: BusinessKey,
+    dw_schema: str = "dw",
+    load_ts: datetime.datetime | None = None,
+) -> int:
+    """Multi-source hub load -- completes the reference's TODO "Need
+    acount for more than once source" (dv_loader.rs:148,216): the same
+    business key fed by several source tables.
+
+    ``sources`` pairs each DataFrame with the index into every part
+    link's ``source_columns`` list that describes that source's column
+    names (model/dv_schema.rs:38: Source Column Data is a Vec for
+    exactly this reason). Stages from all sources union; when two
+    sources carry the same key, the lower source index wins
+    deterministically; then the usual anti-join append.
+    """
+    table = f"{dw_schema}.hub_{business_key.name}"
+    hk = f"hub_{business_key.name}_hk"
+    existing = wh.read(table)
+    appended = 0
+    if existing.limit(1).count() == 0:
+        ghosts = _with_partition_cols(
+            wh, table, ghost_records_df(sources[0][0], business_key)
+        )
+        wh.append(table, ghosts)
+        appended += 2
+
+    staged_parts = []
+    for priority, (source, src_idx) in enumerate(sources):
+        src_types = dict(source.dtypes)
+        part_cols, part_exprs = [], []
+        for p in business_key.business_key_part_links:
+            col_name = p.source_columns[src_idx].column_name
+            rendered = pg_text_expr(F.col(col_name), src_types.get(col_name, "string"))
+            part_cols.append(rendered.alias(f"{p.alias}_bk"))
+            part_exprs.append(rendered)
+        schema_name = business_key.business_key_part_links[0].source_columns[
+            src_idx
+        ].schema_name
+        staged_parts.append(
+            source.select(
+                F.sha2(F.concat_ws(",", *part_exprs), 256).alias(hk),
+                _load_ts_col(load_ts).alias("load_ts"),
+                F.lit(schema_name).alias("record_source"),
+                *part_cols,
+                F.lit(priority).alias("__prio"),
+            )
+        )
+    union = staged_parts[0]
+    for s in staged_parts[1:]:
+        union = union.unionByName(s)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(hk).orderBy("__prio")
+    staged = (
+        union.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__prio")
+    )
+    staged = _with_partition_cols(wh, table, staged)
+    new_rows = staged.join(wh.read(table).select(hk), on=hk, how="left_anti")
+    n = new_rows.count()
+    if n:
+        wh.append(table, new_rows.select(*[f.name for f in wh.read(table).schema.fields]))
+    return appended + n

@@ -1382,3 +1382,36 @@ def sat_current_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@register(
+    "dv_round_trip_customer",
+    """
+    SELECT sha256(CAST(c_custkey AS VARCHAR)) AS hub_customer_hk,
+           CAST(c_custkey AS VARCHAR) AS c_custkey_bk,
+           c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer
+    """,
+)
+def dv_round_trip_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end DV round trip: build + load the full vault for
+    customer in a temp warehouse, then reconstruct the source shape via
+    the business view. Oracle = the source table itself -- the
+    strongest single statement that hub/satellite load + current-view
+    semantics are lossless."""
+    import tempfile
+
+    from .build.ddl import hub_schema, satellite_schemas
+    from .build.loader import load_hub, load_satellite
+    from .build.views import business_view
+    from .warehouse import Warehouse
+
+    bk = customer_business_key()
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="autodw_rt_"))
+    wh.create_table("dw.hub_customer", hub_schema(bk))
+    for name, schema in satellite_schemas(bk).items():
+        wh.create_table(f"dw.{name}", schema)
+    src = load_table(spark, sf_dir, "customer")
+    load_hub(wh, src, bk, load_ts=LOAD_TS)
+    load_satellite(wh, src, bk, "customer", load_ts=LOAD_TS)
+    return business_view(wh, bk)

@@ -53,3 +53,31 @@ def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = T
     """Register every test table as a temp view (for spark.sql queries)."""
     for name in tables:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_source(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema=None,
+    **options,
+) -> DataFrame:
+    """Generic source reader (the S4 scan for non-parquet feeds): the
+    reference reads Postgres heap tables; external sources here are
+    parquet/csv/json files or directories. CSV defaults to header +
+    no inference unless a schema is given (inference = an extra full
+    scan -- unacceptable at 100 TB, so pass a schema in production)."""
+    prepare(spark)
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        options.setdefault("header", "true")
+        if schema is None:
+            options.setdefault("inferSchema", "true")
+        return reader.options(**options).csv(path)
+    if fmt == "json":
+        return reader.options(**options).json(path)
+    if fmt == "parquet":
+        return reader.options(**options).parquet(path)
+    raise ValueError(f"unsupported source format: {fmt!r}")
