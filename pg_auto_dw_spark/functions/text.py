@@ -53,7 +53,10 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     zero = F.lit(True)
     for lang in langs:
         zero = zero & (scores[lang] == 0)
-    cols = [F.col(id_col), *[scores[lang].alias(f"score_{lang}") for lang in langs]]
+    cols = [
+        F.col(id_col),
+        *[scores[lang].cast("long").alias(f"score_{lang}") for lang in langs],
+    ]
     return df.select(
         *cols, F.when(zero, F.lit("und")).otherwise(expr_lang).alias("detected_lang")
     )
@@ -73,8 +76,8 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     n_alpha_chars = _count_matches(t, r"[A-Za-z]")
     return df.select(
         F.col(id_col),
-        n_chars.alias("n_chars"),
-        n_words.alias("n_words"),
+        n_chars.cast("long").alias("n_chars"),
+        n_words.cast("long").alias("n_words"),
         (n_alpha_chars.cast("double") / n_chars).alias("alpha_ratio"),
         (n_punct.cast("double") / n_chars).alias("punct_ratio"),
         (n_digit.cast("double") / n_chars).alias("digit_ratio"),
@@ -93,8 +96,8 @@ def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     bpe = _count_matches(t, r"[A-Za-z0-9]+|[^A-Za-z0-9\s]")
     return df.select(
         F.col(id_col),
-        ws.alias("n_ws_tokens"),
-        bpe.alias("n_bpe_tokens"),
+        ws.cast("long").alias("n_ws_tokens"),
+        bpe.cast("long").alias("n_bpe_tokens"),
     )
 
 

@@ -42,6 +42,16 @@ def oracle_sql() -> dict[str, str]:
     return dict(_ORACLE)
 
 
+def _scratch_dir(prefix: str) -> str:
+    """Scratch warehouse for self-contained queries: tmpfs when present
+    (metadata-sized tables; disk IO would dominate the timing)."""
+    import os
+    import tempfile
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
+
+
 def customer_business_key():
     """The demo BusinessKey the reference walks through (README Act 1/2),
     transplanted onto the driver's customer table (FIXTURES.md section 1)."""
@@ -258,7 +268,7 @@ def status_source_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     cal AS (SELECT MAX(pk_transformer_responses) AS max_pk FROM tr GROUP BY fk_source_objects),
     latest AS (SELECT tr.* FROM tr JOIN cal ON tr.pk_transformer_responses = cal.max_pk)
     SELECT
-        s.pk_source_objects,
+        CAST(s.pk_source_objects AS BIGINT) AS pk_source_objects,
         MAX(CASE WHEN t.category = 'Business Key Part'
                   AND t.confidence_score < cl.value THEN 1 ELSE 0 END)
             OVER (PARTITION BY s.schema_name, s.table_name) AS bk_hold,
@@ -284,7 +294,8 @@ def status_window_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH tr AS (SELECT * FROM {transformer_responses_values_sql()}),
     cal AS (SELECT MAX(pk_transformer_responses) AS max_pk FROM tr GROUP BY fk_source_objects)
-    SELECT tr.pk_transformer_responses, tr.fk_source_objects, tr.category,
+    SELECT CAST(tr.pk_transformer_responses AS BIGINT) AS pk_transformer_responses,
+           CAST(tr.fk_source_objects AS BIGINT) AS fk_source_objects, tr.category,
            CAST(tr.confidence_score AS DOUBLE) AS confidence_score
     FROM tr JOIN cal ON tr.pk_transformer_responses = cal.max_pk
     """,
@@ -424,7 +435,7 @@ def scd2_merge_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .catalog.introspect import SNAPSHOT_SCHEMA
 
-    wh = Warehouse(spark, tempfile.mkdtemp(prefix="autodw_scd2_"))
+    wh = Warehouse(spark, _scratch_dir("autodw_scd2_"))
     ensure_table(wh)
     wh.append(
         "auto_dw.source_objects", spark.createDataFrame(cur_rows, SOURCE_OBJECTS_SCHEMA)
@@ -673,10 +684,10 @@ def part_name_tokens_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders_json_payload",
     """
     SELECT o_orderkey,
-           to_json(struct_pack(
+           CAST(to_json(struct_pack(
                "Order Key" := o_orderkey,
                "Status" := o_orderstatus,
-               "Priority" := o_orderpriority)) AS payload
+               "Priority" := o_orderpriority)) AS VARCHAR) AS payload
     FROM orders
     """,
 )
@@ -907,7 +918,8 @@ votes AS (
     FROM hashed CROSS JOIN range(32) r
     GROUP BY doc_id, r.range)
 SELECT doc_id,
-       SUM(CASE WHEN v >= 0 THEN (1::BIGINT << CAST(bit AS INT)) ELSE 0 END) AS simhash
+       CAST(SUM(CASE WHEN v >= 0 THEN (1::BIGINT << CAST(bit AS INT)) ELSE 0 END)
+            AS BIGINT) AS simhash
 FROM votes GROUP BY doc_id
 """
 
@@ -1075,7 +1087,7 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM so LEFT JOIN tr ON so.pk_source_objects = tr.fk_source_objects
         WHERE current_flag = 'Y' AND deleted_flag = 'N'
         GROUP BY table_oid)
-    SELECT DISTINCT table_oid FROM cal
+    SELECT DISTINCT CAST(table_oid AS BIGINT) AS table_oid FROM cal
     WHERE max_table_update > max_gen OR max_gen IS NULL
     """,
 )
@@ -1127,13 +1139,14 @@ _PROMPT_SO_SQL = """
                CASE WHEN column_pk_ind = 1 THEN 'And is a primary key.' ELSE '' END ||
                'Column Comments: ' || column_description AS column_details
         FROM so)
-    SELECT table_oid,
-           to_json(struct_pack("Column Links" := list(column_link ORDER BY ord)))
-               AS table_column_links,
-           to_json(struct_pack(
+    SELECT CAST(table_oid AS BIGINT) AS table_oid,
+           CAST(to_json(struct_pack("Column Links" := list(column_link ORDER BY ord)))
+               AS VARCHAR) AS table_column_links,
+           CAST(to_json(struct_pack(
                "Schema Name" := schema_name,
                "Table Name" := table_name,
-               "Column Details" := list(column_details ORDER BY ord))) AS table_details
+               "Column Details" := list(column_details ORDER BY ord))) AS VARCHAR)
+               AS table_details
     FROM prep
     GROUP BY table_oid, schema_name, table_name
     """,
@@ -1407,7 +1420,7 @@ def dv_round_trip_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .warehouse import Warehouse
 
     bk = customer_business_key()
-    wh = Warehouse(spark, tempfile.mkdtemp(prefix="autodw_rt_"))
+    wh = Warehouse(spark, _scratch_dir("autodw_rt_"))
     wh.create_table("dw.hub_customer", hub_schema(bk))
     for name, schema in satellite_schemas(bk).items():
         wh.create_table(f"dw.{name}", schema)
