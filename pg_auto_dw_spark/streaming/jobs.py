@@ -109,6 +109,28 @@ def events_stream_rollup(
     )
 
 
+def _hash_cols(schema: T.StructType, cols: list[str]):
+    """PG-text-rendered hash over the named columns -- the SAME
+    hash_key/hash_diff rendering the batch loaders use, so batch and
+    streaming loads of one table produce identical hashes (a raw
+    string cast would diverge on doubles >= 1e7 and on timestamps)."""
+    from ..functions.hashing import hash_key
+
+    types = {f.name: f.dataType.simpleString() for f in schema.fields}
+    return hash_key([F.col(c) for c in cols], [types[c] for c in cols])
+
+
+def _start_stream_sink(staged, checkpoint_dir: str, output_dir: str):
+    return (
+        staged.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .format("parquet")
+        .option("path", output_dir)
+        .start()
+    )
+
+
 def incremental_hub_stream(
     spark: SparkSession,
     source_dir: str,
@@ -120,21 +142,59 @@ def incremental_hub_stream(
 ):
     """Streaming hub load: hash new keys as files arrive; exactly-once
     per key via stateful dropDuplicates on the hash (the streaming twin
-    of the batch anti-join, dv_loader.rs:177-181)."""
+    of the batch anti-join, dv_loader.rs:177-181). State is bounded by
+    the number of distinct keys."""
     stream = spark.readStream.schema(source_schema).parquet(source_dir)
     staged = stream.select(
-        F.sha2(F.concat_ws(",", *[F.col(c).cast("string") for c in key_cols]), 256).alias(
-            "hub_hk"
-        ),
+        _hash_cols(source_schema, key_cols).alias("hub_hk"),
         F.current_timestamp().alias("load_ts"),
         F.lit(record_source).alias("record_source"),
         *[F.col(c).cast("string").alias(f"{c}_bk") for c in key_cols],
     ).dropDuplicates(["hub_hk"])
-    return (
-        staged.writeStream.outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", checkpoint_dir)
-        .format("parquet")
-        .option("path", output_dir)
-        .start()
+    return _start_stream_sink(staged, checkpoint_dir, output_dir)
+
+
+def incremental_satellite_stream(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema: T.StructType,
+    key_cols: list[str],
+    descriptor_cols: list[str],
+    checkpoint_dir: str,
+    output_dir: str,
+    record_source: str = "stream",
+    watermark: tuple[str, str] | None = None,
+):
+    """Streaming satellite load: hash key + hash-diff as files arrive;
+    exactly-once per (hk, hd) via stateful dropDuplicates -- the
+    streaming twin of the batch satellite anti-join
+    (dv_loader.rs:339-346), hashing through the same PG-text rendering
+    so batch and streaming versions of a row dedupe against each other.
+
+    State notes: unlike the hub (one entry per key), version-dedup
+    state grows with every (key, version) ever seen. For long-running
+    feeds pass ``watermark=(event_ts_col, delay)`` to switch to
+    ``dropDuplicatesWithinWatermark`` -- bounded state, at the cost of
+    re-admitting a version re-delivered later than the delay (the
+    batch anti-join load remains the exact backstop).
+    """
+    reserved = {"hub_hk", "sat_hd", "load_ts", "record_source"}
+    clash = reserved & set(descriptor_cols)
+    if clash:
+        raise ValueError(f"descriptor column(s) {sorted(clash)} collide with generated columns")
+    stream = spark.readStream.schema(source_schema).parquet(source_dir)
+    staged = stream.select(
+        _hash_cols(source_schema, key_cols).alias("hub_hk"),
+        F.current_timestamp().alias("load_ts"),
+        F.lit(record_source).alias("record_source"),
+        _hash_cols(source_schema, descriptor_cols).alias("sat_hd"),
+        *[F.col(c) for c in descriptor_cols],
     )
+    if watermark:
+        ts_col, delay = watermark
+        staged = staged.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+            ["hub_hk", "sat_hd"]
+        )
+    else:
+        staged = staged.dropDuplicates(["hub_hk", "sat_hd"])
+    return _start_stream_sink(staged, checkpoint_dir, output_dir)

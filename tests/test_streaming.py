@@ -10,6 +10,7 @@ from pg_auto_dw_spark.sources import load_table
 from pg_auto_dw_spark.streaming.jobs import (
     events_stream_rollup,
     incremental_hub_stream,
+    incremental_satellite_stream,
     run_polling_worker,
 )
 
@@ -81,3 +82,134 @@ def test_incremental_hub_stream_exactly_once(spark, sf_dir, tmp_path):
     q2 = incremental_hub_stream(spark, src, **kwargs)
     q2.awaitTermination(120)
     assert spark.read.parquet(str(tmp_path / "hub")).count() == n
+
+
+def test_incremental_satellite_stream_versions(spark, sf_dir, tmp_path):
+    """Unchanged rows dedupe across restarts; changed descriptors create
+    a second version row."""
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    )
+    src_dir = str(tmp_path / "src")
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    base.write.parquet(src_dir)
+    n = base.count()
+    kwargs = dict(
+        source_schema=schema,
+        key_cols=["c_custkey"],
+        descriptor_cols=["c_name", "c_mktsegment"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        output_dir=str(tmp_path / "sat"),
+    )
+    q = incremental_satellite_stream(spark, src_dir, **kwargs)
+    q.awaitTermination(120)
+    assert spark.read.parquet(str(tmp_path / "sat")).count() == n
+
+    # re-deliver the same rows plus changed descriptors for every 10th key
+    changed = base.withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 10 == 0, F.lit("MOVED")).otherwise(
+            F.col("c_mktsegment")
+        ),
+    )
+    changed.write.mode("append").parquet(src_dir)
+    q2 = incremental_satellite_stream(spark, src_dir, **kwargs)
+    q2.awaitTermination(120)
+    n_changed = base.filter(F.col("c_custkey") % 10 == 0).count()
+    assert spark.read.parquet(str(tmp_path / "sat")).count() == n + n_changed
+
+
+def test_polling_workers_drive_crawl_and_classify(spark, sf_dir, tmp_path):
+    """The two reference background workers as polling jobs: crawl then
+    classify on a cadence; second iteration is a no-op (idempotent)."""
+    import datetime
+
+    from pg_auto_dw_spark.api import AutoDW
+    from pg_auto_dw_spark.catalog.registry import testdata_registry
+
+    adw = AutoDW(
+        spark,
+        str(tmp_path / "wh"),
+        registry=testdata_registry(),
+        clock=lambda: datetime.datetime(2024, 6, 1),
+    )
+    adw.register_source("main", "customer", load_table(spark, sf_dir, "customer"))
+    adw.source_include("main", "customer")
+
+    classified = run_polling_worker(
+        lambda: (adw.crawl(), adw.classify_pending()), iterations=2, sleep=lambda s: None
+    )
+    assert classified[0][1] == 5   # first pass classifies all columns
+    assert classified[1][1] == 0   # second pass: nothing pending
+
+
+def test_stream_and_batch_hashes_agree(spark, sf_dir, tmp_path):
+    """The streaming satellite must produce the same hub/descriptor
+    hashes as the batch loader for the same rows -- including a double
+    column whose rendering would diverge under a naive string cast."""
+    import datetime
+
+    from pg_auto_dw_spark.build.loader import satellite_stage_df
+    from pg_auto_dw_spark.build.spec import business_key_from_spec
+
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    # force a value >= 1e7 so scientific-notation divergence would show
+    base = base.withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 5 == 0, F.col("c_acctbal") + 2e7).otherwise(
+            F.col("c_acctbal")
+        ),
+    )
+    src_dir = str(tmp_path / "src")
+    base.write.parquet(src_dir)
+
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+        ]
+    )
+    q = incremental_satellite_stream(
+        spark,
+        src_dir,
+        source_schema=schema,
+        key_cols=["c_custkey"],
+        descriptor_cols=["c_acctbal"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        output_dir=str(tmp_path / "sat"),
+    )
+    q.awaitTermination(120)
+    stream_hashes = {
+        (r["hub_hk"], r["sat_hd"])
+        for r in spark.read.parquet(str(tmp_path / "sat")).collect()
+    }
+
+    bk = business_key_from_spec(
+        "main", "customer", "customer",
+        [("c_custkey", "bigint")], [("c_acctbal", "double precision", False)],
+    )
+    batch = satellite_stage_df(base, bk, "customer", load_ts=datetime.datetime(2024, 6, 1))
+    batch_hashes = {
+        (r["hub_customer_hk"], r["sat_customer_hd"]) for r in batch.collect()
+    }
+    assert stream_hashes == batch_hashes
+
+
+def test_satellite_stream_rejects_reserved_descriptor_names(spark, tmp_path):
+    import pytest
+
+    schema = T.StructType([T.StructField("k", T.LongType()), T.StructField("load_ts", T.StringType())])
+    with pytest.raises(ValueError, match="collide"):
+        incremental_satellite_stream(
+            spark, str(tmp_path), source_schema=schema, key_cols=["k"],
+            descriptor_cols=["load_ts"], checkpoint_dir=str(tmp_path / "c"),
+            output_dir=str(tmp_path / "o"),
+        )
