@@ -395,6 +395,8 @@ class AutoDW:
             meta = self.registry.get(parts[0], parts[1])
             meta.description = str(ctx["description"])
             self.registry.register(meta)
+        if "description" in ctx and len(parts) == 1:
+            self.registry.schema_descriptions[parts[0]] = str(ctx["description"])
         self.wh.append(
             "auto_dw.context",
             self.spark.createDataFrame(

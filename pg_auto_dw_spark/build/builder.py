@@ -86,6 +86,10 @@ def assemble_business_keys(rows: list) -> list[BusinessKey]:
     (lowercased)."""
     by_table: dict[int, list] = {}
     for r in rows:
+        if r["table_oid"] is None:
+            # dangling build_call -> responses -> source_objects join
+            # (deleted fk); nothing buildable from such a row
+            continue
         by_table.setdefault(r["table_oid"], []).append(r)
 
     out: list[BusinessKey] = []
@@ -124,8 +128,9 @@ def assemble_business_keys(rows: list) -> list[BusinessKey]:
                 )
         bk_name = ""
         for r in table_rows:  # last non-'na' wins (dv_builder.rs:129-138)
-            if (r["business_key_name"] or "").lower() != "na":
-                bk_name = r["business_key_name"].lower()
+            candidate = (r["business_key_name"] or "").lower()
+            if candidate and candidate != "na":
+                bk_name = candidate
         if not part_links:
             continue
         out.append(
@@ -186,6 +191,16 @@ def build_and_load(
     ``partition_by_load_date`` creates date-partitioned hubs/satellites
     (the 100 TB layout -- incremental loads only touch new partitions)."""
     counts: dict[str, int] = {}
+    # two tables classified with the same BK name would silently fight
+    # over one hub table; fail loudly and point at the multi-source API
+    names = [bk.name for bk in dv.business_keys]
+    dupes = {n for n in names if names.count(n) > 1}
+    if dupes:
+        raise ValueError(
+            f"multiple business keys share hub name(s) {sorted(dupes)}: rename via "
+            "the classifier/update_context, or model them as one multi-source hub "
+            "(build.loader.load_hub_multi)"
+        )
     part = ["load_date"] if partition_by_load_date else None
     for bk in dv.business_keys:
         wh.create_table(

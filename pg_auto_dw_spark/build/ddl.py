@@ -33,7 +33,10 @@ _PG_TO_SPARK: dict[str, T.DataType] = {
     "int8": T.LongType(),
     "bigserial": T.LongType(),
     "real": T.FloatType(),
+    "float": T.FloatType(),
     "float4": T.FloatType(),
+    "tinyint": T.ByteType(),
+    "binary": T.BinaryType(),
     "double precision": T.DoubleType(),
     "float8": T.DoubleType(),
     "double": T.DoubleType(),
@@ -46,7 +49,11 @@ _PG_TO_SPARK: dict[str, T.DataType] = {
 def spark_type_for(type_name: str) -> T.DataType:
     """Map a catalog type-name string to a Spark type (F10 analog --
     the reference carries types as strings from format_type,
-    model/queries.rs:100)."""
+    model/queries.rs:100). Accepts both PG-ish names and Spark
+    simpleString/DDL names (incl. complex types like array<float>):
+    the snapshot records simpleString, and a wrong fallback here would
+    declare a satellite column as string while the loader writes the
+    native type -- corrupting the table on the second read."""
     t = type_name.strip().lower()
     if t in _PG_TO_SPARK:
         return _PG_TO_SPARK[t]
@@ -62,7 +69,12 @@ def spark_type_for(type_name: str) -> T.DataType:
         return T.DecimalType(38, 18)
     if t.startswith("timestamp"):
         return T.TimestampType()
-    return T.StringType()
+    try:
+        # Spark DDL names: float, tinyint, binary, array<...>, map<...>,
+        # struct<...> -- anything simpleString/format_type could emit.
+        return T.DataType.fromDDL(t)
+    except Exception:
+        return T.StringType()
 
 
 def hub_schema(business_key: BusinessKey, partitioned: bool = False) -> T.StructType:

@@ -79,16 +79,17 @@ def link_stage_df(
     def rendered(cols: list[str]):
         return [pg_text_expr(F.col(c), src_types.get(c, "string")) for c in cols]
 
+    from .loader import _load_ts_col
+
     all_parts = []
     hub_hks = []
     for u in spec.units:
         parts = rendered(u.source_columns)
         all_parts.extend(parts)
         hub_hks.append(F.sha2(F.concat_ws(",", *parts), 256).alias(f"hub_{u.bk_name}_hk"))
-    ts = F.lit(load_ts).cast("timestamp") if load_ts else F.current_timestamp()
     return source.select(
         F.sha2(F.concat_ws(",", *all_parts), 256).alias(f"link_{spec.name}_hk"),
-        ts.alias("load_ts"),
+        _load_ts_col(load_ts).alias("load_ts"),
         F.lit(spec.schema_name).alias("record_source"),
         *hub_hks,
     ).dropDuplicates([f"link_{spec.name}_hk"])
@@ -106,8 +107,11 @@ def load_link(
     hk = f"link_{spec.name}_hk"
     wh.create_table(table, link_schema(spec))
     staged = link_stage_df(source, spec, load_ts=load_ts)
-    new_rows = staged.join(wh.read(table).select(hk), on=hk, how="left_anti")
-    n = new_rows.count()
-    if n:
-        wh.append(table, new_rows.select(*[f.name for f in link_schema(spec).fields]))
+    new_rows = staged.join(wh.read(table).select(hk), on=hk, how="left_anti").persist()
+    try:
+        n = new_rows.count()
+        if n:
+            wh.append(table, new_rows.select(*[f.name for f in link_schema(spec).fields]))
+    finally:
+        new_rows.unpersist()
     return n

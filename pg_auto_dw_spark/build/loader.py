@@ -142,13 +142,18 @@ def satellite_stage_df(
         for d in descriptors
         if d.descriptor_link.source_column
     ]
-    return source.select(
+    staged = source.select(
         F.sha2(F.concat_ws(",", *key_exprs), 256).alias(hk_name),
         _load_ts_col(load_ts).alias("load_ts"),
         F.lit(schema_name).alias("record_source"),
         F.sha2(F.concat_ws(",", *desc_exprs), 256).alias(hd_name),
         *desc_out,
     )
+    # within-batch dedup on (hk, hd): the anti-join only removes rows
+    # already in the target, so without this a non-unique source would
+    # append identical versions twice in one load (same hardening as
+    # hub_stage_df's distinct_keys)
+    return staged.dropDuplicates([hk_name, hd_name])
 
 
 def _with_partition_cols(wh: Warehouse, table: str, df: DataFrame) -> DataFrame:
@@ -179,10 +184,16 @@ def load_hub(
     staged = _with_partition_cols(
         wh, table, hub_stage_df(source, business_key, load_ts=load_ts)
     )
-    new_rows = staged.join(wh.read(table).select(hk), on=hk, how="left_anti")
-    n = new_rows.count()
-    if n:
-        wh.append(table, new_rows.select(*[f.name for f in wh.read(table).schema.fields]))
+    new_rows = staged.join(wh.read(table).select(hk), on=hk, how="left_anti").persist()
+    try:
+        # persist so count + append execute the scan/hash/anti-join once
+        n = new_rows.count()
+        if n:
+            wh.append(
+                table, new_rows.select(*[f.name for f in wh.read(table).schema.fields])
+            )
+    finally:
+        new_rows.unpersist()
     return appended + n
 
 
@@ -202,10 +213,17 @@ def load_satellite(
     staged = _with_partition_cols(
         wh, table, satellite_stage_df(source, business_key, satellite_key, load_ts=load_ts)
     )
-    new_rows = staged.join(wh.read(table).select(hk, hd), on=[hk, hd], how="left_anti")
-    n = new_rows.count()
-    if n:
-        wh.append(table, new_rows.select(*[f.name for f in wh.read(table).schema.fields]))
+    new_rows = staged.join(
+        wh.read(table).select(hk, hd), on=[hk, hd], how="left_anti"
+    ).persist()
+    try:
+        n = new_rows.count()
+        if n:
+            wh.append(
+                table, new_rows.select(*[f.name for f in wh.read(table).schema.fields])
+            )
+    finally:
+        new_rows.unpersist()
     return n
 
 
@@ -271,8 +289,14 @@ def load_hub_multi(
         .drop("__rn", "__prio")
     )
     staged = _with_partition_cols(wh, table, staged)
-    new_rows = staged.join(wh.read(table).select(hk), on=hk, how="left_anti")
-    n = new_rows.count()
-    if n:
-        wh.append(table, new_rows.select(*[f.name for f in wh.read(table).schema.fields]))
+    new_rows = staged.join(wh.read(table).select(hk), on=hk, how="left_anti").persist()
+    try:
+        # persist so count + append execute the scan/hash/anti-join once
+        n = new_rows.count()
+        if n:
+            wh.append(
+                table, new_rows.select(*[f.name for f in wh.read(table).schema.fields])
+            )
+    finally:
+        new_rows.unpersist()
     return appended + n

@@ -75,13 +75,17 @@ def pit_table(
     hub = wh.read(f"{dw_schema}.hub_{business_key.name}").filter(
         F.col("record_source") != GHOST_SOURCE
     )
-    out = hub.select(hk).crossJoin(F.broadcast(spine))
+    base = hub.select(hk).crossJoin(F.broadcast(spine))
+    out = base
     for key in business_key.satellites():
         sat = wh.read(f"{dw_schema}.sat_{key}").select(
             hk, F.col("load_ts").alias(f"__ts_{key}")
         )
+        # compute each satellite's effective ts from the slim spine, not
+        # the progressively widened result (otherwise every previously
+        # attached column rides through every later shuffle)
         eff = (
-            out.join(sat, on=hk, how="left")
+            base.join(sat, on=hk, how="left")
             .filter((F.col(f"__ts_{key}") <= F.col("as_of")) | F.col(f"__ts_{key}").isNull())
             .groupBy(hk, "as_of")
             .agg(F.max(f"__ts_{key}").alias(f"sat_{key}_load_ts"))

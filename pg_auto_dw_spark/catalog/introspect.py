@@ -72,7 +72,7 @@ def catalog_snapshot(
                 (
                     synthetic_oid(schema_name),
                     schema_name,
-                    meta.description,
+                    registry.schema_descriptions.get(schema_name),
                     synthetic_oid(schema_name, table_name),
                     table_name,
                     meta.description or "NA",

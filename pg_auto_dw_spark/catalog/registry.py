@@ -44,6 +44,8 @@ class SourceRegistry:
 
     def __init__(self, tables: list[TableMeta] | None = None):
         self._tables: dict[tuple[str, str], TableMeta] = {}
+        # schema-level descriptions (pg_description on the namespace)
+        self.schema_descriptions: dict[str, str] = {}
         for t in tables or []:
             self.register(t)
 

@@ -35,6 +35,13 @@ def pg_text_expr(col: Column, spark_type: str) -> Column:
     through a fixed-scale decimal: Spark's double->string cast emits
     scientific notation for abs(x) >= 1e7 while Postgres/DuckDB do not,
     so a direct cast would silently break hash parity.
+
+    Double contract: engine-identical for values with <= 2 fractional
+    decimal digits (the money-like columns hash-diffs render). Exact
+    .xx5 ties at the 3rd decimal round differently across engines
+    (Spark HALF_UP vs DuckDB's inconsistent tie behavior) -- property-
+    tested boundary, see tests/test_properties.py. For full-precision
+    doubles, hash the raw bit pattern instead of a decimal rendering.
     """
     t = spark_type.lower()
     if t in ("double", "float"):

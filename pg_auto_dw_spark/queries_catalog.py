@@ -1251,7 +1251,8 @@ def hub_load_lineitem_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sat_load_lineitem_composite",
     f"""
-    SELECT sha256(concat_ws(',', CAST(l_orderkey AS VARCHAR),
+    SELECT DISTINCT
+           sha256(concat_ws(',', CAST(l_orderkey AS VARCHAR),
                                  CAST(l_linenumber AS VARCHAR))) AS hub_lineitem_hk,
            '{LOAD_TS_STR}' AS load_ts,
            'main' AS record_source,
