@@ -244,11 +244,12 @@ class AutoDW:
             self.wh.read("auto_dw.build_call").agg(F.max("pk_build_call")).collect()[0][0]
             or 0
         )
-        from pyspark.sql import Window
+        from .functions.sequence import global_row_number
 
-        w = Window.orderBy("fk_transformer_responses")
         bc = (
-            bc_rows.withColumn("pk_build_call", F.row_number().over(w) + F.lit(max_pk))
+            global_row_number(bc_rows, ["fk_transformer_responses"], "__rn")
+            .withColumn("pk_build_call", F.col("__rn") + F.lit(max_pk))
+            .drop("__rn")
             .withColumn("created_at", F.lit(self._clock()).cast("timestamp"))
             .select([f.name for f in BUILD_CALL_SCHEMA.fields])
         )

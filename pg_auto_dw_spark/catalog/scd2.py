@@ -162,13 +162,19 @@ def merge_snapshot(
     max_pk_df = cur.agg(
         F.coalesce(F.max("pk_source_objects"), F.lit(0)).alias("__max_pk")
     )
-    from pyspark.sql import Window
+    from ..functions.sequence import global_row_number
 
-    w = Window.orderBy("schema_name", "table_name", "column_ordinal_position")
+    # contiguous pk sequence without a single-partition window
+    # (Postgres-sequence analog, utility/sql/info_tables.sql)
     inserts = (
-        inserts_src.crossJoin(F.broadcast(max_pk_df))
-        .withColumn("pk_source_objects", F.row_number().over(w) + F.col("__max_pk"))
-        .drop("__max_pk")
+        global_row_number(
+            inserts_src,
+            ["schema_name", "table_name", "column_ordinal_position"],
+            "__rn",
+        )
+        .crossJoin(F.broadcast(max_pk_df))
+        .withColumn("pk_source_objects", F.col("__rn") + F.col("__max_pk"))
+        .drop("__max_pk", "__rn")
         .withColumn("column_dw_flag", F.lit("N"))
         .withColumn("valid_from", now)
         .withColumn("valid_to", F.lit(None).cast("timestamp"))

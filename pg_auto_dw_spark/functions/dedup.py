@@ -53,16 +53,19 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def minhash_signatures(
+def minhash_signatures_wide(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 16,
     shingle_k: int = 5,
 ) -> DataFrame:
-    """(id, seed, minhash) rows: minhash_i = MIN over shingles of
-    g_i(shingle), with g_i = (h1 + i*h2) mod 2^32 from one md5 per
-    shingle (Kirsch-Mitzenmacher two-hash family)."""
+    """One row per doc: (id, g0..g{n-1}) with minhash_i = MIN over
+    shingles of g_i(shingle), g_i = (h1 + i*h2) mod 2^32 from one md5
+    per shingle (Kirsch-Mitzenmacher two-hash family).
+
+    The wide shape is the scalable one: a single groupBy(id) with
+    map-side partial agg of n int columns -- no per-seed row blowup."""
     # A small doc table arrives as one parquet split; fan docs out across
     # cores BEFORE the explode so the hash work parallelizes (cheap: the
     # shuffle moves docs, not shingles).
@@ -72,16 +75,15 @@ def minhash_signatures(
     )
     # Kirsch-Mitzenmacher: ONE md5 per shingle -> two 32-bit halves
     # (h1, h2); hash family g_i = (h1 + i*h2) mod 2^32. 16x less hashing
-    # than md5-per-seed, same minhash guarantees. All seeds aggregate in
-    # one pass (a seed cross-join would multiply shuffle rows 16x); the
-    # groupBy keeps map-side partial agg of 16 int columns.
-    hashed = shingled.select(
+    # than md5-per-seed, same minhash guarantees. Materialize the digest
+    # once so the two substrings can't become two md5 evaluations.
+    hashed = shingled.select(id_col, F.md5(F.col("sh")).alias("d")).select(
         id_col,
-        F.conv(F.substring(F.md5(F.col("sh")), 1, 8), 16, 10).cast("bigint").alias("h1"),
-        F.conv(F.substring(F.md5(F.col("sh")), 9, 8), 16, 10).cast("bigint").alias("h2"),
+        F.conv(F.substring(F.col("d"), 1, 8), 16, 10).cast("bigint").alias("h1"),
+        F.conv(F.substring(F.col("d"), 9, 8), 16, 10).cast("bigint").alias("h2"),
     )
     mask = F.lit(4294967295)  # 2^32 - 1
-    wide = hashed.groupBy(id_col).agg(
+    return hashed.groupBy(id_col).agg(
         *[
             F.min((F.col("h1") + F.lit(seed) * F.col("h2")).bitwiseAND(mask)).alias(
                 f"g{seed}"
@@ -89,6 +91,17 @@ def minhash_signatures(
             for seed in range(num_hashes)
         ]
     )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """(id, seed, minhash) long form of minhash_signatures_wide."""
+    wide = minhash_signatures_wide(df, text_col, id_col, num_hashes, shingle_k)
     pairs = F.array(
         *[
             F.struct(F.lit(seed).alias("seed"), F.col(f"g{seed}").alias("minhash"))
@@ -103,8 +116,9 @@ def minhash_signatures(
 def lsh_band_keys(
     signatures: DataFrame, id_col: str = "doc_id", band_size: int = 4
 ) -> DataFrame:
-    """(id, band, band_key): band_key = md5 of the band's minhashes in
-    seed order. Docs sharing any band_key are candidates."""
+    """(id, band, band_key) from long-form signatures: band_key = md5 of
+    the band's minhashes in seed order. Kept for long-form inputs; the
+    candidate pipeline uses lsh_band_keys_wide (no extra shuffle)."""
     banded = signatures.withColumn("band", (F.col("seed") / band_size).cast("int"))
     agg = banded.groupBy(id_col, "band").agg(
         F.array_sort(F.collect_list(F.struct("seed", "minhash"))).alias("sigs")
@@ -118,6 +132,35 @@ def lsh_band_keys(
     )
 
 
+def lsh_band_keys_wide(
+    wide: DataFrame, id_col: str = "doc_id", band_size: int = 4
+) -> DataFrame:
+    """(id, band, band_key) straight from the wide signature -- pure
+    projection + explode, NO shuffle (vs. the long-form path's
+    groupBy(id, band) re-aggregation)."""
+    seeds = [c for c in wide.columns if c.startswith("g")]
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"g{s}").cast("string")
+                            for s in range(b * band_size, (b + 1) * band_size)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(len(seeds) // band_size)
+        ]
+    )
+    return wide.select(id_col, F.explode(bands).alias("p")).select(
+        id_col, F.col("p.band").alias("band"), F.col("p.band_key").alias("band_key")
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -127,9 +170,10 @@ def minhash_lsh_candidates(
     shingle_k: int = 5,
 ) -> DataFrame:
     """Distinct candidate near-dup pairs (id_a < id_b) sharing >= 1 LSH
-    band. The join shuffles on band_key only -- the scalable shape."""
-    bands = lsh_band_keys(
-        minhash_signatures(df, text_col, id_col, num_hashes, shingle_k),
+    band. Two shuffles total (signature groupBy + bucket groupBy); the
+    second shuffles on *band key* only -- the scalable shape."""
+    bands = lsh_band_keys_wide(
+        minhash_signatures_wide(df, text_col, id_col, num_hashes, shingle_k),
         id_col,
         band_size,
     )
