@@ -39,8 +39,10 @@ HEADLINE = [
     # training-data pipeline (registered as implemented)
     "dedup_exact_documents",
     "dedup_minhash_lsh_pairs",
+    "dedup_embedding_cosine",
     "text_quality_scores",
     "ann_cosine_topk",
+    "ann_ivf_topk",
 ]
 
 

@@ -263,6 +263,62 @@ def simhash_near_pairs(
     )
 
 
+def simhash_chunk_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 32,
+    n_chunks: int = 4,
+) -> DataFrame:
+    """Blocking-free near-dup pairs: hamming(simhash) <= k via the
+    pigeonhole chunk trick (Manku et al., WWW'07). Split the
+    fingerprint into ``n_chunks`` equal bit-chunks; any pair within
+    hamming k < n_chunks must agree exactly on >= n_chunks - k chunks,
+    so with k < n_chunks agreeing on at least one chunk is a complete
+    candidate filter. The candidate join shuffles on (chunk position,
+    chunk value) -- never the O(n^2) pair space and no semantic
+    blocking key needed (vs. simhash_near_pairs)."""
+    assert max_hamming < n_chunks, "pigeonhole needs k < n_chunks"
+    chunk_bits = bits // n_chunks
+    mask = (1 << chunk_bits) - 1
+    s = simhash(df, text_col, id_col)
+    chunks = s.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("pos"),
+                        F.expr(f"shiftright(simhash, {i * chunk_bits})")
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "simhash", F.col("c.pos").alias("pos"), F.col("c.val").alias("val"))
+    a = chunks.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "pos", "val"
+    )
+    b = chunks.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "pos", "val"
+    )
+    return (
+        a.join(b, ["pos", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     blocking_col: str,

@@ -184,6 +184,104 @@ def lsh_bucket_topk(
     )
 
 
+def ivf_centroids(
+    corpus: DataFrame,
+    stride: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic IVF centroid seed set: every ``stride``-th vector
+    by id. Stands in for a k-means codebook (which would be refined
+    offline and read from a table) while keeping the assignment
+    SQL-expressible for the oracle; the downstream plan shape --
+    broadcast codebook, shuffle on cell -- is the real IVF one."""
+    return with_quantized(corpus, vec_col).filter(
+        (F.col(id_col) % stride) == 0
+    ).select(
+        F.col(id_col).alias("cent_id"),
+        F.col("qvec").alias("cv"),
+        F.col("qnorm").alias("cn"),
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    stride: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell, qvec, qnorm): each vector assigned to its max-cosine
+    centroid (tie -> lowest centroid id).
+
+    Scale shape: the codebook broadcasts (IVF codebooks are small by
+    construction -- O(sqrt(n)) cells); the corpus never shuffles for
+    scoring. The per-vector argmax is a single MAX of a comparable
+    struct with full map-side partial aggregation, so the exchange
+    carries one row per vector, not one per (vector, centroid)."""
+    base = with_quantized(corpus, vec_col).select(
+        F.col(id_col), "qvec", "qnorm"
+    )
+    scored = base.crossJoin(F.broadcast(ivf_centroids(corpus, stride, id_col, vec_col))).select(
+        F.col(id_col),
+        F.struct(
+            cosine(int_dot(F.col("qvec"), F.col("cv")), F.col("qnorm"), F.col("cn")).alias(
+                "csim"
+            ),
+            # struct MAX compares fields in order: highest cosine wins,
+            # ties fall to highest -cent_id == lowest cent_id
+            (-F.col("cent_id")).alias("neg_cent"),
+            F.col("qvec").alias("qvec"),
+            F.col("qnorm").alias("qnorm"),
+        ).alias("cand"),
+    )
+    best = scored.groupBy(id_col).agg(F.max("cand").alias("best"))
+    return best.select(
+        F.col(id_col),
+        (-F.col("best.neg_cent")).cast("bigint").alias("cell"),
+        F.col("best.qvec").alias("qvec"),
+        F.col("best.qnorm").alias("qnorm"),
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    k: int = 5,
+    stride: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (single-probe) approximate all-pairs top-k: candidates are
+    restricted to the query's own cell, so the pair join shuffles on
+    the cell key only. Recall improves with multi-probe (join the
+    next-nearest cells too) at proportional cost; brute_force_topk is
+    the exact baseline."""
+    assigned = ivf_assign(corpus, stride, id_col, vec_col)
+    a = assigned.select(
+        F.col(id_col).alias("query_id"),
+        F.col("cell").alias("cell_a"),
+        F.col("qvec").alias("qv"),
+        F.col("qnorm").alias("qn"),
+    )
+    b = assigned.select(
+        F.col(id_col).alias("neighbor_id"), F.col("cell").alias("cell_b"), "qvec", "qnorm"
+    )
+    sim = a.join(
+        b, (F.col("cell_a") == F.col("cell_b")) & (F.col("query_id") != F.col("neighbor_id"))
+    ).select(
+        "query_id",
+        "neighbor_id",
+        cosine(int_dot(F.col("qv"), F.col("qvec")), F.col("qn"), F.col("qnorm")).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        sim.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,

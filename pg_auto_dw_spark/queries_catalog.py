@@ -932,6 +932,31 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(load_table(spark, sf_dir, "documents"))
 
 
+_SIMHASH_CHUNK_ORACLE = f"""
+WITH
+sims AS ({_SIMHASH_ORACLE}),
+chunks AS (
+    SELECT doc_id, simhash, r.range AS pos,
+           (simhash >> CAST(r.range * 8 AS INT)) & 255 AS val
+    FROM sims CROSS JOIN range(4) r)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM chunks a JOIN chunks b ON a.pos = b.pos AND a.val = b.val
+                           AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+@register("dedup_simhash_hamming", _SIMHASH_CHUNK_ORACLE)
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-free SimHash near-dup pairs (hamming <= 3) via the
+    Manku pigeonhole chunk trick: candidates shuffle on (chunk pos,
+    chunk value), never the O(n^2) pair space."""
+    from .functions.dedup import simhash_chunk_pairs
+
+    return simhash_chunk_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
+
+
 @register(
     "dedup_ngram_jaccard",
     """
@@ -1035,6 +1060,84 @@ def ann_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.similarity import lsh_bucket_topk
 
     return lsh_bucket_topk(load_table(spark, sf_dir, "embeddings"), k=5, n_planes=8)
+
+
+_ANN_IVF_ORACLE = f"""
+WITH q AS (
+    SELECT vec_id, {_QVEC_SQL} AS qvec FROM embeddings),
+n AS (
+    SELECT vec_id, qvec,
+           CAST(list_sum([qvec[i] * qvec[i] for i in range(1, 65)]) AS BIGINT) AS qnorm
+    FROM q),
+c AS (
+    SELECT vec_id AS cent_id, qvec AS cv, qnorm AS cn FROM n WHERE vec_id % 50 = 0),
+scored AS (
+    SELECT n.vec_id, n.qvec, n.qnorm, c.cent_id,
+           CAST(CAST(list_sum([n.qvec[i] * c.cv[i] for i in range(1, 65)]) AS BIGINT)
+                AS DOUBLE) /
+               (sqrt(CAST(n.qnorm AS DOUBLE)) * sqrt(CAST(c.cn AS DOUBLE))) AS csim
+    FROM n CROSS JOIN c),
+assigned AS (
+    SELECT vec_id, qvec, qnorm, cent_id AS cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
+    FROM scored),
+cells AS (SELECT vec_id, qvec, qnorm, cell FROM assigned WHERE rn = 1),
+sims AS (
+    SELECT qa.vec_id AS query_id, qb.vec_id AS neighbor_id,
+           CAST({_DOT_SQL} AS DOUBLE) /
+               (sqrt(CAST(qa.qnorm AS DOUBLE)) * sqrt(CAST(qb.qnorm AS DOUBLE))) AS cosine
+    FROM cells qa JOIN cells qb ON qa.cell = qb.cell AND qa.vec_id <> qb.vec_id),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rn
+    FROM sims)
+SELECT query_id, neighbor_id, cosine FROM ranked WHERE rn <= 5
+"""
+
+
+@register("ann_ivf_topk", _ANN_IVF_ORACLE)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF single-probe top-5: broadcast codebook assigns each vector
+    to its max-cosine cell (one map-side-combined agg), pair join
+    shuffles on the cell key only."""
+    from .functions.similarity import ivf_topk
+
+    return ivf_topk(load_table(spark, sf_dir, "embeddings"), k=5, stride=50)
+
+
+_EMB_NEAR_DUP_ORACLE = f"""
+WITH base AS (
+    SELECT vec_id,
+           concat(
+               CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket,
+           {_QVEC_SQL} AS qvec
+    FROM embeddings),
+n AS (
+    SELECT vec_id, bucket, qvec,
+           CAST(list_sum([qvec[i] * qvec[i] for i in range(1, 65)]) AS BIGINT) AS qnorm
+    FROM base)
+SELECT qa.vec_id AS id_a, qb.vec_id AS id_b,
+       CAST({_DOT_SQL} AS DOUBLE) /
+           (sqrt(CAST(qa.qnorm AS DOUBLE)) * sqrt(CAST(qb.qnorm AS DOUBLE))) AS cosine
+FROM n qa JOIN n qb ON qa.bucket = qb.bucket AND qa.vec_id < qb.vec_id
+WHERE CAST({_DOT_SQL} AS DOUBLE) /
+          (sqrt(CAST(qa.qnorm AS DOUBLE)) * sqrt(CAST(qb.qnorm AS DOUBLE))) >= 0.25
+"""
+
+
+@register("dedup_embedding_cosine", _EMB_NEAR_DUP_ORACLE)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: sign-LSH bucket candidates +
+    exact quantized-cosine filter (threshold tuned so the synthetic
+    near-random corpus still yields a non-trivial pair set)."""
+    from .functions.similarity import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.25, n_planes=4
+    )
 
 
 @register(

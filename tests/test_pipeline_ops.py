@@ -159,3 +159,44 @@ def test_create_views_sql_surface(spark, sf_dir, tmp_path):
     ).collect()[0][0]
     assert n == 5
     assert spark.sql("SELECT * FROM auto_dw_health").count() == 3
+
+
+def test_ivf_assign_and_planted_dup(spark, sf_dir):
+    from pg_auto_dw_spark.functions.similarity import ivf_assign, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = ivf_assign(emb, stride=50).collect()
+    # every vector gets exactly one cell, and cells are centroid ids
+    assert len(cells) == emb.count()
+    assert all(r["cell"] % 50 == 0 for r in cells)
+    # centroid vectors assign to themselves (cosine 1.0 with own cell)
+    own = {r["vec_id"]: r["cell"] for r in cells}
+    for cid in [0, 50, 100]:
+        assert own[cid] == cid
+    # a planted duplicate shares the query's cell -> IVF finds it first
+    dup = emb.filter(F.col("vec_id") == 7).withColumn(
+        "vec_id", F.lit(66666).cast("bigint")
+    )
+    top = ivf_topk(emb.unionByName(dup), k=1, stride=50).collect()
+    by_q = {r["query_id"]: r for r in top}
+    assert by_q[7]["neighbor_id"] == 66666
+    assert abs(by_q[7]["cosine"] - 1.0) < 1e-9
+
+
+def test_simhash_chunk_pairs_complete_vs_blocked(spark, sf_dir):
+    from pg_auto_dw_spark.functions.dedup import simhash_chunk_pairs
+
+    docs = load_table(spark, sf_dir, "documents").limit(120)
+    # ground truth: all-pairs hamming via a global blocking key
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_pairs(
+            docs.withColumn("blk", F.lit(1)), blocking_col="blk", max_hamming=3
+        ).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_chunk_pairs(docs, max_hamming=3).collect()
+    }
+    # pigeonhole candidates are COMPLETE for k < n_chunks: exact match
+    assert got == truth
