@@ -282,7 +282,10 @@ def simhash_chunk_pairs(
     assert max_hamming < n_chunks, "pigeonhole needs k < n_chunks"
     chunk_bits = bits // n_chunks
     mask = (1 << chunk_bits) - 1
-    s = simhash(df, text_col, id_col)
+    # Pin the fingerprints: one (id, simhash) row per doc -- tiny vs the
+    # corpus -- so both sides of the chunk join read the one computed
+    # pass instead of re-hashing every token per side.
+    s = simhash(df, text_col, id_col).localCheckpoint(eager=False)
     chunks = s.select(
         F.col(id_col),
         F.col("simhash"),

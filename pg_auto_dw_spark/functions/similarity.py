@@ -154,9 +154,11 @@ def lsh_bucket_topk(
         if hyperplanes
         else sign_bucket(F.col(vec_col), n_planes)
     )
+    # Pin: both sides of the bucket self-join read the one computed
+    # quantize+bucket pass instead of re-running it per side.
     base = with_quantized(corpus, vec_col).select(
         F.col(id_col), bucket.alias("bucket"), "qvec", "qnorm"
-    )
+    ).localCheckpoint(eager=False)
     a = base.select(
         F.col(id_col).alias("query_id"),
         F.col("bucket").alias("bk_a"),
@@ -217,7 +219,13 @@ def ivf_assign(
     construction -- O(sqrt(n)) cells); the corpus never shuffles for
     scoring. The per-vector argmax is a single MAX of a comparable
     struct with full map-side partial aggregation, so the exchange
-    carries one row per vector, not one per (vector, centroid)."""
+    carries one row per vector, not one per (vector, centroid).
+
+    The result is pinned (``localCheckpoint``): the assignment is an
+    *index build* -- consumers (the pair join's two sides, repeated
+    probes) must read the built index, not re-run the codebook scoring
+    per reference. At warehouse scale the same role is played by
+    writing the assignment to a table once and probing it many times."""
     base = with_quantized(corpus, vec_col).select(
         F.col(id_col), "qvec", "qnorm"
     )
@@ -240,7 +248,7 @@ def ivf_assign(
         (-F.col("best.neg_cent")).cast("bigint").alias("cell"),
         F.col("best.qvec").alias("qvec"),
         F.col("best.qnorm").alias("qnorm"),
-    )
+    ).localCheckpoint(eager=False)
 
 
 def ivf_topk(
@@ -293,7 +301,7 @@ def embedding_near_dup_pairs(
     cosine >= threshold (id_a < id_b)."""
     base = with_quantized(corpus, vec_col).select(
         F.col(id_col), sign_bucket(F.col(vec_col), n_planes).alias("bucket"), "qvec", "qnorm"
-    )
+    ).localCheckpoint(eager=False)  # one quantize pass feeds both join sides
     a = base.select(
         F.col(id_col).alias("id_a"), F.col("bucket").alias("bk_a"),
         F.col("qvec").alias("qv"), F.col("qnorm").alias("qn"),

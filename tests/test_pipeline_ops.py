@@ -200,3 +200,19 @@ def test_simhash_chunk_pairs_complete_vs_blocked(spark, sf_dir):
     }
     # pigeonhole candidates are COMPLETE for k < n_chunks: exact match
     assert got == truth
+
+
+def test_global_row_number_both_paths(spark, sf_dir):
+    from pg_auto_dw_spark.functions.sequence import global_row_number
+
+    df = spark.range(1000).select(
+        (F.col("id") * 7919 % 1000).alias("k")  # permutation of 0..999
+    )
+    # small path: single-partition window
+    small = global_row_number(df, ["k"], "rn").collect()
+    assert sorted((r["k"], r["rn"]) for r in small) == [(i, i + 1) for i in range(1000)]
+    # large path: force the range-partitioned branch with a tiny threshold
+    large = global_row_number(df, ["k"], "rn", single_partition_max=10).collect()
+    assert sorted((r["k"], r["rn"]) for r in large) == [(i, i + 1) for i in range(1000)]
+    # empty input
+    assert global_row_number(df.filter(F.lit(False)), ["k"], "rn").count() == 0
