@@ -1439,15 +1439,54 @@ def events_props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_features_rows_only", None)
-def multimodal_features_rows_only(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full mapInPandas output including the array<float> byte-histogram
-    feature -- not SQL-expressible (Arrow batch boundary), so declared
-    rows-only for the driver's weaker check; pytest asserts the feature
-    semantics (tests/test_pipeline_ops.py)."""
+# The stub feature is an 8-bin byte histogram: bin b counts bytes with
+# (byte >> 5) == b, normalized by max(len, 1). The corpus is ASCII, so
+# the oracle recomputes it from characters. The float32 round-trip is
+# replicated with CAST(... AS FLOAT); the rendering is
+# floor(double(f32) * 1e6) as BIGINT -- f32->double widening is exact
+# and IEEE double multiply/floor is engine-independent, unlike
+# decimal/str rendering of floats (Spark and DuckDB round the 6th
+# decimal differently for some f32 values).
+_FEATURE_BIN_SQL = ", ".join(
+    "CAST(CAST(floor(CAST(CAST(CAST(len(list_filter(range(1, length(text) + 1), "
+    f"i -> (ascii(text[i]) >> 5) = {b})) AS DOUBLE) / greatest(length(text), 1) "
+    "AS FLOAT) AS DOUBLE) * 1000000.0) AS BIGINT) AS VARCHAR)"
+    for b in range(8)
+)
+
+
+@register(
+    "multimodal_features",
+    f"""
+    SELECT doc_id AS media_id,
+           ['image', 'audio', 'video'][(doc_id % 3) + 1] AS media_type,
+           CAST(length(text) AS INT) AS n_bytes,
+           concat_ws(',', {_FEATURE_BIN_SQL}) AS feature_sig
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full mapInPandas decode INCLUDING the byte-histogram feature,
+    rendered as a sortable string signature (the driver's canonicalizer
+    cannot sort raw array<float> columns). Each float32 feature value is
+    widened to double and rendered as floor(x * 1e6) on both sides --
+    exact, engine-independent integer rendering; the raw-array variant
+    stays under pytest (tests/test_pipeline_ops.py)."""
     from .functions.multimodal import decode_media, synth_media_df
 
-    return decode_media(synth_media_df(load_table(spark, sf_dir, "documents")))
+    decoded = decode_media(synth_media_df(load_table(spark, sf_dir, "documents")))
+    return decoded.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        F.array_join(
+            F.transform(
+                "feature",
+                lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast("string"),
+            ),
+            ",",
+        ).alias("feature_sig"),
+    )
 
 
 @register(
