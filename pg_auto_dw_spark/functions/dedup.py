@@ -168,23 +168,43 @@ def minhash_lsh_candidates(
     num_hashes: int = 16,
     band_size: int = 4,
     shingle_k: int = 5,
+    max_bucket_size: int = 256,
 ) -> DataFrame:
     """Distinct candidate near-dup pairs (id_a < id_b) sharing >= 1 LSH
-    band. Two shuffles total (signature groupBy + bucket groupBy); the
-    second shuffles on *band key* only -- the scalable shape."""
+    band, skew-safe for degenerate buckets.
+
+    Real corpora have pathological buckets (boilerplate / templated
+    docs): all-pairs inside a hot bucket is O(b^2) output concentrated
+    in one task. Shape here:
+
+    1. Pin the narrow (id, band, band_key) band table once.
+    2. ``groupBy(band, band_key).count`` -- map-side combined, so even a
+       100M-row bucket contributes ~1 row per input task; no collect of
+       raw ids at unbounded size.
+    3. Buckets with 2..max_bucket_size ids: collect + ordered all-pairs
+       (the recall-exact path; bounded memory by construction).
+    4. Oversized buckets: *star* pairs (min id <-> every other id) --
+       O(b) rows streamed through a join, no giant array, and the
+       bucket stays one connected component for downstream dedup
+       clustering, so no duplicate escapes the cap.
+    """
     bands = lsh_band_keys_wide(
         minhash_signatures_wide(df, text_col, id_col, num_hashes, shingle_k),
         id_col,
         band_size,
+    # Pin the band table: it is read 2x below (sizes + join); without a
+    # checkpoint each read would recompute the md5-per-shingle lineage.
+    ).localCheckpoint(eager=False)
+    sizes = bands.groupBy("band", "band_key").agg(
+        F.count(F.lit(1)).alias("n"), F.min(id_col).alias("rep")
     )
-    # Bucket-local pair generation instead of a band self-join: the self
-    # join would recompute the whole signature lineage for each side (2x
-    # the md5 work) and shuffle twice. One groupBy collects each bucket's
-    # ids (buckets are small by construction) and emits ordered pairs.
-    buckets = (
-        bands.groupBy("band", "band_key")
+    tagged = bands.join(sizes.filter(F.col("n") > 1), ["band", "band_key"])
+    # Small buckets: exact all-pairs via bucket-local generation (not a
+    # self-join, which would shuffle twice and recompute lineage).
+    small = (
+        tagged.filter(F.col("n") <= max_bucket_size)
+        .groupBy("band", "band_key")
         .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
-        .filter(F.size("ids") > 1)
     )
     pairs = F.flatten(
         F.transform(
@@ -195,19 +215,33 @@ def minhash_lsh_candidates(
             ),
         )
     )
-    return (
-        buckets.select(F.explode(pairs).alias("p"))
-        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
-        .distinct()
+    small_pairs = small.select(F.explode(pairs).alias("p")).select(
+        F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")
     )
+    # Oversized buckets: star pairs against the bucket representative.
+    # rep = min(id), so id_a < id_b holds without a sort.
+    big_pairs = (
+        tagged.filter(F.col("n") > max_bucket_size)
+        .filter(F.col(id_col) != F.col("rep"))
+        .select(F.col("rep").alias("id_a"), F.col(id_col).alias("id_b"))
+    )
+    return small_pairs.union(big_pairs).distinct()
 
 
 def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
 ) -> DataFrame:
     """Per-doc SimHash: sum +1/-1 votes of each token-hash bit, then
-    assemble the sign bits into one integer fingerprint."""
-    toks = df.select(
+    assemble the sign bits into one integer fingerprint.
+
+    Single-aggregation shape: one groupBy(id) computing ``bits``
+    conditional sums over the token rows (map-side combined), then a
+    pure projection assembles the fingerprint. No per-bit row blowup
+    and no second shuffle (the earlier draft cross-joined tokens with
+    range(bits): 32x the rows and two groupBys). Docs are fanned out by
+    id before the explode, so the groupBy reuses that partitioning."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    toks = df.repartition(par, id_col).select(
         F.col(id_col),
         F.explode(
             F.array_distinct(F.split(F.trim(normalized_text(F.col(text_col))), " "))
@@ -215,22 +249,21 @@ def simhash(
     )
     h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint")
     hashed = toks.select(id_col, h.alias("h"))
-    bit = hashed.join(
-        df.sparkSession.range(bits).select(F.col("id").cast("int").alias("bit")),
-        how="cross",
-    ).select(
-        id_col,
-        "bit",
-        # shiftright/shiftleft builtins take a literal count, so the
-        # per-row shift goes through expr()
-        F.when(F.expr("shiftright(h, bit) & 1") == 1, 1).otherwise(-1).alias("vote"),
+    votes = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(bits)
+        ]
     )
-    votes = bit.groupBy(id_col, "bit").agg(F.sum("vote").alias("v"))
-    return votes.groupBy(id_col).agg(
-        F.sum(
-            F.when(F.col("v") >= 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0)
-        ).alias("simhash")
-    )
+    fingerprint = None
+    for i in range(bits):
+        term = F.when(F.col(f"v{i}") >= 0, F.lit(1 << i).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return votes.select(F.col(id_col), fingerprint.alias("simhash"))
 
 
 def simhash_near_pairs(

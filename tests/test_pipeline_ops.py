@@ -32,6 +32,43 @@ def test_exact_duplicates_are_lsh_candidates(spark, sf_dir):
     assert any(r["id_a"] == 0 and r["id_b"] == 99999 and r["jaccard"] == 1.0 for r in jac)
 
 
+def test_lsh_hot_bucket_emits_star_not_all_pairs(spark):
+    """A planted degenerate bucket (10k identical docs) must produce
+    O(n) star pairs against the bucket representative, never the
+    ~50M all-pairs blowup in a single task."""
+    n = 10_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate text repeated across the whole corpus").alias(
+            "text"
+        ),
+    )
+    rows = minhash_lsh_candidates(docs, max_bucket_size=64).collect()
+    assert len(rows) == n - 1
+    assert all(r["id_a"] == 0 for r in rows)  # rep = min(id) of the bucket
+    assert {r["id_b"] for r in rows} == set(range(1, n))
+
+
+def test_lsh_small_buckets_keep_exact_all_pairs(spark, sf_dir):
+    """Buckets at or under the cap still get the recall-exact all-pairs
+    path: 10 identical docs -> C(10,2) = 45 pairs."""
+    base = load_table(spark, sf_dir, "documents").limit(20)
+    clones = spark.range(10).select(
+        (F.col("id") + 500_000).alias("doc_id"),
+        F.lit("ten way duplicate cluster under the bucket cap").alias("text"),
+    )
+    docs = base.select("doc_id", "text").unionByName(clones)
+    pair_set = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(docs, max_bucket_size=64).collect()
+        if r["id_a"] >= 500_000
+    }
+    expected = {
+        (500_000 + i, 500_000 + j) for i in range(10) for j in range(i + 1, 10)
+    }
+    assert pair_set == expected
+
+
 def test_simhash_identical_docs_same_hash(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(30)
     dup = docs.filter(F.col("doc_id") == 1).withColumn("doc_id", F.lit(88888).cast("bigint"))
