@@ -12,9 +12,20 @@ reference uses (SURVEY.md S5-S9):
                      alone never duplicates.
 - ``overwrite``   -> the SCD2 UPDATE sinks (S8). Metadata tables are
                      catalog-sized (rows = number of source columns), so
-                     a full rewrite per merge is cheap and atomic enough
-                     (write to temp dir + rename).
+                     a full rewrite per merge is cheap; atomicity comes
+                     from generation-dir + pointer-file commit (below).
 - ``create``      -> DDL sink (S6) with an explicit StructType.
+
+Crash safety: ``overwrite`` never renames the live directory. It writes
+a fresh generation dir (``<table>__gen-<id>``), then commits by
+atomically ``os.replace``-ing a pointer file (``<table>.live``) that
+names the live generation -- the single-transaction stand-in for the
+reference's one-script SCD2 merge (reference:
+controller/dv_loader.rs:59-64). A crash before the pointer swap leaves
+the old generation live; a crash after it leaves the new one live; in
+neither window is the table missing or half-renamed. Orphan
+generations and legacy ``.staging-*``/``.old-*`` dirs are garbage-
+collected on ``Warehouse`` init.
 
 Scale posture: data-plane tables (hubs/satellites) are written with
 ``partitionBy`` when a partition spec is registered -- at 100 TB you
@@ -42,6 +53,7 @@ class Warehouse:
         self._schemas: dict[str, T.StructType] = {}
         self._partitioning: dict[str, list[str]] = {}
         self._load_meta()
+        self._gc_stale_dirs()
 
     # -- durable table metadata ------------------------------------------
     # Schemas and partition specs must survive the process: a fresh
@@ -78,8 +90,70 @@ class Warehouse:
         os.replace(tmp, self._meta_path())
 
     # -- paths ----------------------------------------------------------
-    def path(self, name: str) -> str:
+    def _base(self, name: str) -> str:
         return os.path.join(self.root, name.replace(".", "__"))
+
+    def _pointer_path(self, name: str) -> str:
+        return self._base(name) + ".live"
+
+    def path(self, name: str) -> str:
+        """Resolve the live data directory for a table.
+
+        With a pointer file present, the live dir is the generation it
+        names; otherwise the plain base dir (tables that have never
+        been overwritten, or written by the pre-pointer layout)."""
+        ptr = self._pointer_path(name)
+        if os.path.isfile(ptr):
+            with open(ptr) as f:
+                live = f.read().strip()
+            resolved = os.path.join(self.root, live)
+            if os.path.isdir(resolved):
+                return resolved
+        return self._base(name)
+
+    def _commit_generation(self, name: str, gen_dir: str) -> None:
+        """Atomically make ``gen_dir`` the live generation, then GC the
+        previous one. The os.replace IS the commit point."""
+        old = self.path(name)
+        ptr = self._pointer_path(name)
+        tmp = ptr + ".tmp-" + uuid.uuid4().hex[:8]
+        with open(tmp, "w") as f:
+            f.write(os.path.basename(gen_dir))
+        os.replace(tmp, ptr)  # commit
+        # Post-commit cleanup is best-effort: a failure here leaves an
+        # orphan generation that init-time GC removes.
+        if os.path.isdir(old) and os.path.abspath(old) != os.path.abspath(gen_dir):
+            shutil.rmtree(old, ignore_errors=True)
+
+    def _gc_stale_dirs(self) -> None:
+        """Remove uncommitted/orphaned data dirs: generations not named
+        by their pointer, superseded base dirs, legacy staging/backup
+        dirs, and stale pointer tmp files."""
+        try:
+            entries = os.listdir(self.root)
+        except FileNotFoundError:
+            return
+        live = set()
+        for e in entries:
+            if e.endswith(".live"):
+                try:
+                    with open(os.path.join(self.root, e)) as f:
+                        live.add(f.read().strip())
+                except OSError:
+                    continue
+        for e in entries:
+            p = os.path.join(self.root, e)
+            if ".live.tmp-" in e:
+                os.unlink(p)
+            elif os.path.isdir(p) and (".staging-" in e or ".old-" in e):
+                shutil.rmtree(p, ignore_errors=True)
+            elif os.path.isdir(p) and "__gen-" in e and e not in live:
+                shutil.rmtree(p, ignore_errors=True)
+            elif os.path.isdir(p) and "__gen-" not in e and e + ".live" in entries:
+                # base dir superseded by a committed generation
+                name = e.replace("__", ".")
+                if os.path.abspath(self.path(name)) != os.path.abspath(p):
+                    shutil.rmtree(p, ignore_errors=True)
 
     def exists(self, name: str) -> bool:
         p = self.path(name)
@@ -118,6 +192,11 @@ class Warehouse:
     def drop_table(self, name: str) -> None:
         if os.path.isdir(self.path(name)):
             shutil.rmtree(self.path(name))
+        for p in (self._pointer_path(name), self._base(name)):
+            if os.path.isfile(p):
+                os.unlink(p)
+            elif os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
         self._schemas.pop(name, None)
         self._partitioning.pop(name, None)
         self._save_meta()
@@ -143,21 +222,17 @@ class Warehouse:
         writer.parquet(self.path(name))
 
     def overwrite(self, name: str, df: DataFrame) -> None:
-        """Atomic-enough full rewrite: stage to a temp dir, then swap.
+        """Crash-safe full rewrite: write a new generation dir, then
+        commit it with one atomic pointer replace.
 
         A direct overwrite of the directory being read would corrupt the
         self-referential merges (read current -> compute -> rewrite), so
-        we always stage.
+        the new generation is always written beside the live one; the
+        table is readable (old or new, never neither) at every instant.
         """
-        staging = self.path(name) + ".staging-" + uuid.uuid4().hex[:8]
+        gen = self._base(name) + "__gen-" + uuid.uuid4().hex[:8]
         writer = df.write.mode("overwrite")
         if name in self._partitioning:
             writer = writer.partitionBy(*self._partitioning[name])
-        writer.parquet(staging)
-        target = self.path(name)
-        backup = target + ".old-" + uuid.uuid4().hex[:8]
-        if os.path.isdir(target):
-            os.rename(target, backup)
-        os.rename(staging, target)
-        if os.path.isdir(backup):
-            shutil.rmtree(backup)
+        writer.parquet(gen)
+        self._commit_generation(name, gen)
