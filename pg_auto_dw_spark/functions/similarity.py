@@ -134,6 +134,43 @@ def hyperplane_bucket(vec: Column, dims: int, n_planes: int = 8, seed: int = 42)
     return F.concat(*bits)
 
 
+def bucket_sizes(base: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """(key..., n, rep) per bucket -- map-side-combined count + min id.
+
+    Tiny output (one row per bucket), so downstream joins against it
+    broadcast: the corpus never shuffles just to learn its bucket size.
+    This is also the monitoring hook for cap drops -- filter
+    ``n > max_bucket_size`` and log/count before running the pair stage.
+    """
+    return base.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n"), F.min(id_col).alias("rep")
+    )
+
+
+def _sampled_neighbors(
+    base: DataFrame, sizes: DataFrame, key_cols: list[str], id_col: str, cap: int
+) -> DataFrame:
+    """Neighbor side of a bucketed self-join, bounded per bucket.
+
+    Buckets at or under ``cap`` keep every member; oversized buckets
+    keep a deterministic ~``cap``-sized hash sample (xxhash64(id) mod
+    ceil(n/cap) == 0 -- stable across runs, no window sort of the hot
+    bucket, no collect). The join output for a hot bucket of b rows is
+    O(b * cap) instead of O(b^2); recall in degenerate buckets degrades
+    gracefully (a random sample of an over-full cell) rather than
+    OOMing one task."""
+    ratio = F.greatest(F.ceil(F.col("n") / F.lit(cap)).cast("bigint"), F.lit(1))
+    return (
+        base.join(F.broadcast(sizes), key_cols)
+        .filter(
+            (F.col("n") <= cap)
+            | (F.pmod(F.abs(F.xxhash64(F.col(id_col))), ratio) == 0)
+            | (F.col(id_col) == F.col("rep"))  # rep always survives
+        )
+        .drop("n", "rep")
+    )
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     k: int = 5,
@@ -143,12 +180,19 @@ def lsh_bucket_topk(
     hyperplanes: bool = False,
     dims: int = 64,
     seed: int = 42,
+    max_bucket_size: int = 1024,
 ) -> DataFrame:
     """Approximate all-pairs top-k: candidates restricted to the same
     LSH bucket; shuffle key = bucket, never the full cross join.
     ``hyperplanes=True`` switches from axis-aligned sign buckets (the
     oracle-friendly baseline) to seeded random hyperplanes (the scale
-    path with better recall)."""
+    path with better recall).
+
+    Skew-safe: a degenerate bucket (many near-identical embeddings)
+    would make the self-join quadratic in one partition. The neighbor
+    side is capped at ~``max_bucket_size`` members per bucket via a
+    deterministic hash sample (queries keep full coverage; candidates
+    in over-full buckets are sampled)."""
     bucket = (
         hyperplane_bucket(F.col(vec_col), dims, n_planes, seed)
         if hyperplanes
@@ -159,13 +203,14 @@ def lsh_bucket_topk(
     base = with_quantized(corpus, vec_col).select(
         F.col(id_col), bucket.alias("bucket"), "qvec", "qnorm"
     ).localCheckpoint(eager=False)
+    sizes = bucket_sizes(base, ["bucket"], id_col)
     a = base.select(
         F.col(id_col).alias("query_id"),
         F.col("bucket").alias("bk_a"),
         F.col("qvec").alias("qv"),
         F.col("qnorm").alias("qn"),
     )
-    b = base.select(
+    b = _sampled_neighbors(base, sizes, ["bucket"], id_col, max_bucket_size).select(
         F.col(id_col).alias("neighbor_id"), F.col("bucket").alias("bk_b"), "qvec", "qnorm"
     )
     sim = (
@@ -206,30 +251,16 @@ def ivf_centroids(
     )
 
 
-def ivf_assign(
-    corpus: DataFrame,
-    stride: int = 50,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """(id, cell, qvec, qnorm): each vector assigned to its max-cosine
-    centroid (tie -> lowest centroid id).
+def _assign_against(base: DataFrame, codebook: DataFrame, id_col: str) -> DataFrame:
+    """(id, cell, qvec, qnorm): each vector of ``base`` assigned to its
+    max-cosine centroid of ``codebook`` (tie -> lowest centroid id).
 
     Scale shape: the codebook broadcasts (IVF codebooks are small by
     construction -- O(sqrt(n)) cells); the corpus never shuffles for
     scoring. The per-vector argmax is a single MAX of a comparable
     struct with full map-side partial aggregation, so the exchange
-    carries one row per vector, not one per (vector, centroid).
-
-    The result is pinned (``localCheckpoint``): the assignment is an
-    *index build* -- consumers (the pair join's two sides, repeated
-    probes) must read the built index, not re-run the codebook scoring
-    per reference. At warehouse scale the same role is played by
-    writing the assignment to a table once and probing it many times."""
-    base = with_quantized(corpus, vec_col).select(
-        F.col(id_col), "qvec", "qnorm"
-    )
-    scored = base.crossJoin(F.broadcast(ivf_centroids(corpus, stride, id_col, vec_col))).select(
+    carries one row per vector, not one per (vector, centroid)."""
+    scored = base.crossJoin(F.broadcast(codebook)).select(
         F.col(id_col),
         F.struct(
             cosine(int_dot(F.col("qvec"), F.col("cv")), F.col("qnorm"), F.col("cn")).alias(
@@ -248,7 +279,126 @@ def ivf_assign(
         (-F.col("best.neg_cent")).cast("bigint").alias("cell"),
         F.col("best.qvec").alias("qvec"),
         F.col("best.qnorm").alias("qnorm"),
-    ).localCheckpoint(eager=False)
+    )
+
+
+def ivf_kmeans_codebook(
+    corpus: DataFrame,
+    stride: int = 50,
+    iters: int = 1,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """K-means-refined IVF codebook: Lloyd iterations as DataFrame jobs.
+
+    Starts from the deterministic stride seed set and runs ``iters``
+    refinement rounds: broadcast-codebook argmax assignment (one
+    map-side-combined MAX per vector), then new centroids as the
+    element-wise mean of each cell's members -- computed as ``dims``
+    integer SUM aggregates in ONE groupBy (map-side combined, no
+    per-dimension row explode) with ``floor(sum / n)`` division.
+
+    All math stays on quantized int64 coordinates, so centroids are
+    exact integers regardless of aggregation order -- reproducible
+    across runs/engines (float k-means would drift with partial-agg
+    order). Cell labels stay the seed centroid ids; cells that lose all
+    members drop out (standard Lloyd). Empty-input-safe: with no rows
+    the seed codebook survives unchanged iff iters == 0.
+
+    Mirrors the codebook-refinement role the reference delegates to its
+    index build; here it is a short chain of narrow shuffles over the
+    corpus (iters x [broadcast-score + 1 groupBy]), trainable on a
+    sample at 100 TB and applied to the full corpus via ivf_assign."""
+    base = with_quantized(corpus, vec_col).select(
+        F.col(id_col), "qvec", "qnorm"
+    ).localCheckpoint(eager=False)  # iters+1 passes read one computed scan
+    codebook = ivf_centroids(corpus, stride, id_col, vec_col)
+    for _ in range(iters):
+        assigned = _assign_against(base, codebook, id_col)
+        sums = assigned.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.element_at(F.col("qvec"), i + 1)).alias(f"s{i}")
+                for i in range(dims)
+            ],
+        )
+        cv = F.array(
+            *[
+                F.floor(F.col(f"s{i}").cast("double") / F.col("n")).cast("bigint")
+                for i in range(dims)
+            ]
+        )
+        codebook = sums.select(
+            F.col("cell").alias("cent_id"), cv.alias("cv")
+        ).withColumn("cn", int_dot(F.col("cv"), F.col("cv")))
+        # Pin per round: the next assignment re-reads this tiny table,
+        # not the whole previous iteration's lineage.
+        codebook = codebook.localCheckpoint(eager=False)
+    return codebook
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    stride: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """(id, cell, qvec, qnorm) against the stride seed codebook (the
+    SQL-expressible oracle baseline) or a supplied one (e.g. from
+    ivf_kmeans_codebook).
+
+    The result is pinned (``localCheckpoint``): the assignment is an
+    *index build* -- consumers (the pair join's two sides, repeated
+    probes) must read the built index, not re-run the codebook scoring
+    per reference. At warehouse scale the same role is played by
+    writing the assignment to a table once and probing it many times."""
+    base = with_quantized(corpus, vec_col).select(
+        F.col(id_col), "qvec", "qnorm"
+    )
+    if codebook is None:
+        codebook = ivf_centroids(corpus, stride, id_col, vec_col)
+    return _assign_against(base, codebook, id_col).localCheckpoint(eager=False)
+
+
+def _assign_top_p(base: DataFrame, codebook: DataFrame, id_col: str, p: int) -> DataFrame:
+    """(id, cell, qvec, qnorm) with each vector assigned to its top-``p``
+    cells (multi-probe query expansion): one groupBy(id) collecting the
+    per-centroid scores, sorted and sliced to p, then exploded.
+
+    The collected list is O(#cells) per vector pre-slice -- fine for
+    codebooks up to ~10k cells (IVF codebooks are O(sqrt n)); beyond
+    that, probe selection should move to p iterated MAX passes."""
+    scored = base.crossJoin(F.broadcast(codebook)).select(
+        F.col(id_col),
+        F.col("qvec"),
+        F.col("qnorm"),
+        F.struct(
+            cosine(int_dot(F.col("qvec"), F.col("cv")), F.col("qnorm"), F.col("cn")).alias(
+                "csim"
+            ),
+            (-F.col("cent_id")).alias("neg_cent"),
+        ).alias("cand"),
+    )
+    top = scored.groupBy(id_col).agg(
+        # reverse(array_sort) = csim desc, then neg_cent desc == cent_id
+        # asc: identical tie-break to the single-probe struct MAX
+        F.slice(F.reverse(F.array_sort(F.collect_list("cand"))), 1, p).alias("probes"),
+        F.first("qvec").alias("qvec"),   # identical per id
+        F.first("qnorm").alias("qnorm"),
+    )
+    return top.select(
+        F.col(id_col),
+        F.explode("probes").alias("pr"),
+        "qvec",
+        "qnorm",
+    ).select(
+        F.col(id_col),
+        (-F.col("pr.neg_cent")).cast("bigint").alias("cell"),
+        "qvec",
+        "qnorm",
+    )
 
 
 def ivf_topk(
@@ -257,20 +407,40 @@ def ivf_topk(
     stride: int = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cell_size: int = 1024,
+    codebook: DataFrame | None = None,
+    n_probes: int = 1,
 ) -> DataFrame:
-    """IVF (single-probe) approximate all-pairs top-k: candidates are
-    restricted to the query's own cell, so the pair join shuffles on
-    the cell key only. Recall improves with multi-probe (join the
-    next-nearest cells too) at proportional cost; brute_force_topk is
-    the exact baseline."""
-    assigned = ivf_assign(corpus, stride, id_col, vec_col)
-    a = assigned.select(
+    """IVF approximate all-pairs top-k: candidates are restricted to
+    the query's cell(s), so the pair join shuffles on the cell key
+    only. ``n_probes > 1`` expands each *query* to its n nearest cells
+    (the database side keeps one cell per vector, so no duplicate
+    pairs) -- recall rises toward brute force at proportional candidate
+    cost. ``codebook`` plugs in a k-means-refined codebook
+    (ivf_kmeans_codebook); default is the stride seed baseline.
+
+    Skew-safe: a hot cell (clustered data under a too-coarse codebook)
+    is the classic IVF failure; the neighbor side is capped at
+    ~``max_cell_size`` members per cell via a deterministic hash sample
+    so the pair join stays O(cell * cap), never O(cell^2)."""
+    assigned = ivf_assign(corpus, stride, id_col, vec_col, codebook=codebook)
+    sizes = bucket_sizes(assigned, ["cell"], id_col)
+    if n_probes > 1:
+        cb = codebook if codebook is not None else ivf_centroids(
+            corpus, stride, id_col, vec_col
+        )
+        queries = _assign_top_p(
+            assigned.select(F.col(id_col), "qvec", "qnorm"), cb, id_col, n_probes
+        )
+    else:
+        queries = assigned
+    a = queries.select(
         F.col(id_col).alias("query_id"),
         F.col("cell").alias("cell_a"),
         F.col("qvec").alias("qv"),
         F.col("qnorm").alias("qn"),
     )
-    b = assigned.select(
+    b = _sampled_neighbors(assigned, sizes, ["cell"], id_col, max_cell_size).select(
         F.col(id_col).alias("neighbor_id"), F.col("cell").alias("cell_b"), "qvec", "qnorm"
     )
     sim = a.join(
@@ -296,20 +466,34 @@ def embedding_near_dup_pairs(
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int = 1024,
 ) -> DataFrame:
     """Embedding-cosine near-dup candidates: same sign bucket AND
-    cosine >= threshold (id_a < id_b)."""
+    cosine >= threshold (id_a < id_b).
+
+    Skew-safe (same contract as ``dedup.minhash_lsh_candidates``):
+    buckets at or under ``max_bucket_size`` get the recall-exact
+    all-pairs join; oversized buckets fall back to *star* pairs against
+    the bucket representative (min id) -- O(b) rows, broadcast-joined so
+    the hot bucket never concentrates in one task, and the bucket stays
+    one connected component for downstream dedup clustering. Pairs that
+    skip the star's cosine filter are the documented recall cost of a
+    degenerate bucket."""
     base = with_quantized(corpus, vec_col).select(
         F.col(id_col), sign_bucket(F.col(vec_col), n_planes).alias("bucket"), "qvec", "qnorm"
     ).localCheckpoint(eager=False)  # one quantize pass feeds both join sides
-    a = base.select(
+    sizes = bucket_sizes(base, ["bucket"], id_col)
+    small = base.join(
+        F.broadcast(sizes.filter(F.col("n") <= max_bucket_size).select("bucket")), "bucket"
+    )
+    a = small.select(
         F.col(id_col).alias("id_a"), F.col("bucket").alias("bk_a"),
         F.col("qvec").alias("qv"), F.col("qnorm").alias("qn"),
     )
-    b = base.select(
+    b = small.select(
         F.col(id_col).alias("id_b"), F.col("bucket").alias("bk_b"), "qvec", "qnorm"
     )
-    return (
+    small_pairs = (
         a.join(b, (F.col("bk_a") == F.col("bk_b")) & (F.col("id_a") < F.col("id_b")))
         .select(
             "id_a",
@@ -320,3 +504,33 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+    # Oversized buckets: one row per bucket rep (tiny -> broadcast), so
+    # the hot bucket's members stream map-side against their rep vector.
+    reps = (
+        base.join(
+            F.broadcast(
+                sizes.filter(F.col("n") > max_bucket_size).select("bucket", "rep")
+            ),
+            "bucket",
+        )
+        .filter(F.col(id_col) == F.col("rep"))
+        .select(
+            F.col("bucket").alias("bk_r"),
+            F.col("rep").alias("id_a"),
+            F.col("qvec").alias("rv"),
+            F.col("qnorm").alias("rn"),
+        )
+    )
+    big_pairs = (
+        base.join(F.broadcast(reps), F.col("bucket") == F.col("bk_r"))
+        .filter(F.col(id_col) != F.col("id_a"))
+        .select(
+            "id_a",
+            F.col(id_col).alias("id_b"),
+            cosine(int_dot(F.col("rv"), F.col("qvec")), F.col("rn"), F.col("qnorm")).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    return small_pairs.unionByName(big_pairs)

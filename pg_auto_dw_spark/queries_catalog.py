@@ -1105,6 +1105,66 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(load_table(spark, sf_dir, "embeddings"), k=5, stride=50)
 
 
+_IVF_KMEANS_ORACLE = f"""
+WITH q AS (
+    SELECT vec_id, {_QVEC_SQL} AS qvec FROM embeddings),
+n AS (
+    SELECT vec_id, qvec,
+           CAST(list_sum([qvec[i] * qvec[i] for i in range(1, 65)]) AS BIGINT) AS qnorm
+    FROM q),
+c0 AS (
+    SELECT vec_id AS cent_id, qvec AS cv, qnorm AS cn FROM n WHERE vec_id % 50 = 0),
+s0 AS (
+    SELECT n.vec_id, n.qvec, n.qnorm, c0.cent_id,
+           CAST(CAST(list_sum([n.qvec[i] * c0.cv[i] for i in range(1, 65)]) AS BIGINT)
+                AS DOUBLE) /
+               (sqrt(CAST(n.qnorm AS DOUBLE)) * sqrt(CAST(c0.cn AS DOUBLE))) AS csim
+    FROM n CROSS JOIN c0),
+a0 AS (
+    SELECT vec_id, qvec, qnorm, cent_id AS cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
+    FROM s0),
+m0 AS (SELECT vec_id, qvec, qnorm, cell FROM a0 WHERE rn = 1),
+sums AS (
+    SELECT cell, r.range AS pos,
+           sum(qvec[CAST(r.range + 1 AS INT)]) AS s, count(*) AS cnt
+    FROM m0 CROSS JOIN range(64) r GROUP BY 1, 2),
+c1 AS (
+    SELECT cell AS cent_id,
+           list(CAST(floor(CAST(s AS DOUBLE) / cnt) AS BIGINT) ORDER BY pos) AS cv
+    FROM sums GROUP BY cell),
+c1n AS (
+    SELECT cent_id, cv,
+           CAST(list_sum([cv[i] * cv[i] for i in range(1, 65)]) AS BIGINT) AS cn
+    FROM c1),
+s1 AS (
+    SELECT n.vec_id, c1n.cent_id,
+           CAST(CAST(list_sum([n.qvec[i] * c1n.cv[i] for i in range(1, 65)]) AS BIGINT)
+                AS DOUBLE) /
+               (sqrt(CAST(n.qnorm AS DOUBLE)) * sqrt(CAST(c1n.cn AS DOUBLE))) AS csim
+    FROM n CROSS JOIN c1n),
+a1 AS (
+    SELECT vec_id, cent_id AS cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
+    FROM s1)
+SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM a1 WHERE rn = 1
+"""
+
+
+@register("ann_ivf_kmeans_assign", _IVF_KMEANS_ORACLE)
+def ann_ivf_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd refinement round over the stride seed codebook, then
+    the full assignment against the refined centroids. Exact integer
+    centroid math (element-wise floor(sum/n) on quantized coordinates)
+    makes k-means reproducible across engines -- the assignment-
+    stability contract for the IVF index build."""
+    from .functions.similarity import ivf_assign, ivf_kmeans_codebook
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = ivf_kmeans_codebook(emb, stride=50, iters=1)
+    return ivf_assign(emb, codebook=cb).select("vec_id", "cell")
+
+
 _EMB_NEAR_DUP_ORACLE = f"""
 WITH base AS (
     SELECT vec_id,

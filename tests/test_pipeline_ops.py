@@ -117,6 +117,53 @@ def test_embedding_near_dup_detects_planted_dup(spark, sf_dir):
     assert any(r["id_a"] == 5 and r["id_b"] == 66666 for r in pairs)
 
 
+def _identical_embeddings(spark, n):
+    """n identical 8-dim vectors -> one LSH bucket / one IVF cell."""
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(float(v)) for v in [0.5, -0.25, 0.75, 0.1, -0.6, 0.3, 0.9, -0.05]])
+        .cast("array<float>")
+        .alias("embedding"),
+    )
+
+
+def test_lsh_topk_hot_bucket_caps_neighbor_side(spark):
+    """A planted degenerate bucket (5k identical vectors) must sample
+    the neighbor side (~cap members), never the 25M-pair self-join:
+    every query still gets k results, drawn from the bounded pool."""
+    n, cap, k = 5_000, 50, 3
+    emb = _identical_embeddings(spark, n)
+    rows = lsh_bucket_topk(emb, k=k, n_planes=8, max_bucket_size=cap).collect()
+    assert len({r["query_id"] for r in rows}) == n  # full query coverage
+    pool = {r["neighbor_id"] for r in rows}
+    assert len(pool) <= 3 * cap  # bounded candidate pool, not all 5k
+    assert all(abs(r["cosine"] - 1.0) < 1e-9 for r in rows)
+
+
+def test_ivf_topk_hot_cell_caps_neighbor_side(spark):
+    from pg_auto_dw_spark.functions.similarity import ivf_topk
+
+    n, cap = 2_000, 32
+    emb = _identical_embeddings(spark, n)
+    rows = ivf_topk(emb, k=2, stride=50, max_cell_size=cap).collect()
+    assert len({r["query_id"] for r in rows}) == n
+    assert len({r["neighbor_id"] for r in rows}) <= 3 * cap
+
+
+def test_embedding_near_dup_hot_bucket_emits_star(spark):
+    """Oversized near-dup bucket falls back to star pairs against the
+    bucket rep (min id): O(n) rows, connectivity preserved."""
+    n = 3_000
+    emb = _identical_embeddings(spark, n)
+    rows = embedding_near_dup_pairs(
+        emb, threshold=0.99, n_planes=8, max_bucket_size=64
+    ).collect()
+    assert len(rows) == n - 1
+    assert all(r["id_a"] == 0 for r in rows)
+    assert {r["id_b"] for r in rows} == set(range(1, n))
+    assert all(abs(r["cosine"] - 1.0) < 1e-9 for r in rows)
+
+
 def test_multimodal_decode_feature_histogram(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(20)
     decoded = decode_media(synth_media_df(docs)).collect()
@@ -218,6 +265,44 @@ def test_ivf_assign_and_planted_dup(spark, sf_dir):
     by_q = {r["query_id"]: r for r in top}
     assert by_q[7]["neighbor_id"] == 66666
     assert abs(by_q[7]["cosine"] - 1.0) < 1e-9
+
+
+def test_ivf_kmeans_codebook_and_multiprobe_recall(spark, sf_dir):
+    """K-means refinement + multi-probe: centroids are exact integers
+    (reproducible), refined cells still cover every vector, and
+    multi-probe recall vs brute force is >= single-probe recall with
+    the same codebook (probe sets are supersets)."""
+    from pg_auto_dw_spark.functions.similarity import (
+        ivf_assign,
+        ivf_kmeans_codebook,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = ivf_kmeans_codebook(emb, stride=50, iters=2)
+    cents = cb.collect()
+    assert 1 <= len(cents) <= emb.count() // 50 + 1
+    assert all(isinstance(v, int) for r in cents for v in r["cv"])  # exact ints
+    # deterministic: a second build gives the identical codebook
+    again = {r["cent_id"]: r["cv"] for r in ivf_kmeans_codebook(emb, stride=50, iters=2).collect()}
+    assert {r["cent_id"]: r["cv"] for r in cents} == again
+    # full coverage under the refined codebook
+    assigned = ivf_assign(emb, codebook=cb)
+    assert assigned.count() == emb.count()
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, query_ids=list(range(40)), k=1).collect()
+    }
+    def recall(probes):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(emb, k=5, codebook=cb, n_probes=probes).collect()
+            if r["query_id"] < 40
+        }
+        return len(exact & got)
+    r1, r3 = recall(1), recall(3)
+    assert r3 >= r1
+    assert r3 > 0
 
 
 def test_simhash_chunk_pairs_complete_vs_blocked(spark, sf_dir):
