@@ -177,16 +177,18 @@ def lsh_bucket_topk(
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    hyperplanes: bool = False,
+    hyperplanes: bool = True,
     dims: int = 64,
     seed: int = 42,
     max_bucket_size: int = 1024,
 ) -> DataFrame:
     """Approximate all-pairs top-k: candidates restricted to the same
     LSH bucket; shuffle key = bucket, never the full cross join.
-    ``hyperplanes=True`` switches from axis-aligned sign buckets (the
-    oracle-friendly baseline) to seeded random hyperplanes (the scale
-    path with better recall).
+    Default bucketing is seeded random hyperplanes -- data-independent
+    recall on real (anisotropic) embeddings, where axis-aligned sign
+    buckets can collapse or split true neighbors on noise coordinates.
+    ``hyperplanes=False`` keeps the axis-aligned baseline (the
+    SQL-expressible oracle contract).
 
     Skew-safe: a degenerate bucket (many near-identical embeddings)
     would make the self-join quadratic in one partition. The neighbor
@@ -467,9 +469,15 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket_size: int = 1024,
+    hyperplanes: bool = True,
+    dims: int = 64,
+    seed: int = 42,
 ) -> DataFrame:
-    """Embedding-cosine near-dup candidates: same sign bucket AND
-    cosine >= threshold (id_a < id_b).
+    """Embedding-cosine near-dup candidates: same LSH bucket AND
+    cosine >= threshold (id_a < id_b). Default bucketing is seeded
+    random hyperplanes (data-independent recall on anisotropic
+    embeddings); ``hyperplanes=False`` keeps the axis-aligned sign
+    baseline the SQL oracle expresses.
 
     Skew-safe (same contract as ``dedup.minhash_lsh_candidates``):
     buckets at or under ``max_bucket_size`` get the recall-exact
@@ -479,8 +487,13 @@ def embedding_near_dup_pairs(
     one connected component for downstream dedup clustering. Pairs that
     skip the star's cosine filter are the documented recall cost of a
     degenerate bucket."""
+    bucket = (
+        hyperplane_bucket(F.col(vec_col), dims, n_planes, seed)
+        if hyperplanes
+        else sign_bucket(F.col(vec_col), n_planes)
+    )
     base = with_quantized(corpus, vec_col).select(
-        F.col(id_col), sign_bucket(F.col(vec_col), n_planes).alias("bucket"), "qvec", "qnorm"
+        F.col(id_col), bucket.alias("bucket"), "qvec", "qnorm"
     ).localCheckpoint(eager=False)  # one quantize pass feeds both join sides
     sizes = bucket_sizes(base, ["bucket"], id_col)
     small = base.join(

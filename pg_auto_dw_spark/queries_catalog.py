@@ -1056,10 +1056,14 @@ SELECT query_id, neighbor_id, cosine FROM ranked WHERE rn <= 5
 @register("ann_lsh_bucket_topk", _ANN_LSH_ORACLE)
 def ann_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed approximate top-5: candidates shuffle on the
-    bucket key only (the 100 TB path; brute force is the exact baseline)."""
+    bucket key only (the 100 TB path; brute force is the exact baseline).
+    hyperplanes=False pins the axis-aligned SQL-expressible baseline;
+    the package default is seeded random hyperplanes."""
     from .functions.similarity import lsh_bucket_topk
 
-    return lsh_bucket_topk(load_table(spark, sf_dir, "embeddings"), k=5, n_planes=8)
+    return lsh_bucket_topk(
+        load_table(spark, sf_dir, "embeddings"), k=5, n_planes=8, hyperplanes=False
+    )
 
 
 _ANN_IVF_ORACLE = f"""
@@ -1196,7 +1200,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.similarity import embedding_near_dup_pairs
 
     return embedding_near_dup_pairs(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.25, n_planes=4
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=0.25,
+        n_planes=4,
+        hyperplanes=False,  # axis-aligned SQL-expressible baseline
     )
 
 

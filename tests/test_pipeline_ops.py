@@ -267,6 +267,39 @@ def test_ivf_assign_and_planted_dup(spark, sf_dir):
     assert abs(by_q[7]["cosine"] - 1.0) < 1e-9
 
 
+def test_hyperplane_beats_sign_bucket_on_anisotropic(spark):
+    """On anisotropic embeddings -- cluster structure in dims 9..64,
+    pure +/- noise in dims 1..8 -- axis-aligned sign buckets (which
+    read only the first 8 coordinates) split cluster-mates on noise
+    signs, while seeded hyperplanes (reading all 64 dims) keep them
+    together. This is why hyperplanes are the package default."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for c in range(10):
+        center = [rng.gauss(0.0, 1.0) for _ in range(56)]
+        for m in range(20):
+            noise_head = [rng.gauss(0.0, 0.01) for _ in range(8)]
+            body = [v + rng.gauss(0.0, 0.05) for v in center]
+            rows.append((c * 20 + m, [float(x) for x in noise_head + body]))
+    emb = spark.createDataFrame(rows, "vec_id: bigint, embedding: array<float>")
+    truth = {
+        r["query_id"]: r["neighbor_id"]
+        for r in brute_force_topk(emb, query_ids=list(range(200)), k=1).collect()
+    }
+
+    def recall(hyper):
+        got = {}
+        for r in lsh_bucket_topk(emb, k=5, n_planes=8, hyperplanes=hyper).collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return sum(1 for q, n in truth.items() if n in got.get(q, set())) / len(truth)
+
+    hyper, axis = recall(True), recall(False)
+    assert hyper > axis
+    assert hyper >= 0.8  # cluster-mates nearly always share a hyperplane bucket
+
+
 def test_ivf_kmeans_codebook_and_multiprobe_recall(spark, sf_dir):
     """K-means refinement + multi-probe: centroids are exact integers
     (reproducible), refined cells still cover every vector, and
