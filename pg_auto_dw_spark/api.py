@@ -95,6 +95,19 @@ class AutoDW:
         self.partition_dv_by_load_date = partition_dv_by_load_date
         self._clock = clock or (lambda: datetime.datetime.utcnow().replace(microsecond=0))
         self._sources: dict[tuple[str, str], DataFrame] = {}
+        # guc.rs:7-31 defaults, except server_type: the reference
+        # defaults to ollama; this package defaults to the hermetic
+        # stub (set_config('pg_auto_dw.transformer_server_type',
+        # 'ollama') switches live).
+        self._settings: dict[str, str | None] = {
+            "pg_auto_dw.database_name": None,
+            "pg_auto_dw.dw_schema": dw_schema,
+            "pg_auto_dw.transformer_server_type": None if transport else "stub",
+            "pg_auto_dw.transformer_server_url": "http://localhost:11434/api/generate",
+            "pg_auto_dw.transformer_server_token": None,
+            "pg_auto_dw.model": model_name,
+            "pg_auto_dw.accepted_transformer_confidence_level": confidence_threshold,
+        }
         self.system_id = 4242  # pg_control_system analog (S3): fixed app id
         for name, schema in (
             ("auto_dw.source_objects", SOURCE_OBJECTS_SCHEMA),
@@ -376,6 +389,74 @@ class AutoDW:
             ("builder", "OK" if builds else "IDLE", f"{builds} build(s) deployed"),
         ]
         return self.spark.createDataFrame(rows, ["component", "status", "detail"])
+
+    # -- live settings (utility/guc.rs:33-126 analog) -------------------
+    _CONFIG_KEYS = (
+        "pg_auto_dw.database_name",
+        "pg_auto_dw.dw_schema",
+        "pg_auto_dw.transformer_server_type",
+        "pg_auto_dw.transformer_server_url",
+        "pg_auto_dw.transformer_server_token",
+        "pg_auto_dw.model",
+        "pg_auto_dw.accepted_transformer_confidence_level",
+    )
+
+    def set_config(self, name: str, value) -> str:
+        """Live setting change, mirroring the reference's seven
+        ``pg_auto_dw.*`` GUCs (utility/guc.rs:33-126). Settings take
+        effect immediately: the confidence threshold re-gates the next
+        status/build pass, dw_schema retargets the next build, and the
+        transformer settings rebuild the classifier transport
+        (server_type ollama/openai/stub -- stub is this package's
+        hermetic default where the reference defaults to ollama)."""
+        if name not in self._CONFIG_KEYS:
+            raise ValueError(f"unknown setting {name!r}; valid: {list(self._CONFIG_KEYS)}")
+        key = name.rsplit(".", 1)[1]
+        if key == "accepted_transformer_confidence_level":
+            f = float(value)  # define_float_guc bounds (guc.rs:92-101)
+            if not 0.0 <= f <= 1.0:
+                raise ValueError("accepted_transformer_confidence_level must be in [0, 1]")
+            self.confidence_threshold = str(value)
+        elif key == "dw_schema":
+            self.dw_schema = str(value)
+        elif key == "model":
+            self.model_name = str(value)
+            if hasattr(self.classifier.transport, "model"):
+                self.classifier.transport.model = str(value)
+            self.classifier = Classifier(self.classifier.transport, self.model_name)
+        self._settings[name] = None if value is None else str(value)
+        if key.startswith("transformer_server"):
+            self._rebuild_transport()
+        self._log("set_config", "INFO", f"{name} set.")
+        return "Setting Applied"
+
+    def show_config(self, name: str | None = None):
+        """Current settings -- the whole dict, or one value by name."""
+        if name is None:
+            return dict(self._settings)
+        if name not in self._CONFIG_KEYS:
+            raise ValueError(f"unknown setting {name!r}; valid: {list(self._CONFIG_KEYS)}")
+        return self._settings[name]
+
+    def _rebuild_transport(self) -> None:
+        from .classify.client import OllamaTransport, OpenAITransport
+
+        stype = (self._settings["pg_auto_dw.transformer_server_type"] or "stub").lower()
+        url = self._settings["pg_auto_dw.transformer_server_url"]
+        token = self._settings["pg_auto_dw.transformer_server_token"]
+        model = self._settings["pg_auto_dw.model"] or self.model_name
+        if stype == "ollama":
+            transport = OllamaTransport(
+                **{k: v for k, v in (("url", url), ("model", model)) if v}
+            )
+        elif stype == "openai":
+            transport = OpenAITransport(
+                api_key=token or "",
+                **{k: v for k, v in (("url", url), ("model", model)) if v},
+            )
+        else:
+            transport = DeterministicStub()
+        self.classifier = Classifier(transport, self.model_name)
 
     def update_context(self, object_name: str, context: str | dict) -> str:
         """auto_dw.update_context(object, context) (docs

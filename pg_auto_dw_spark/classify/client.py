@@ -229,13 +229,20 @@ class DeterministicStub:
 
     def __call__(self, prompt: str) -> dict:
         details = self._details(prompt)
-        col_no = int(re.search(r"column\s*(?:number)?\s*(\d+)", prompt, re.I).group(1))
+        # The prompt ends with the query slot "Column No: {column_no}"
+        # (reference closing block); earlier matches are the few-shot
+        # examples and the table's own column detail lines.
+        col_no = int(COLUMN_NO_RE.findall(prompt)[-1])
         name, typ, is_pk, table = self._column_facts(details, col_no)
         if "Business Key Component Identification" in prompt:
             # PK marker wins; the name heuristic only applies when the
             # table declares no PK at all (otherwise FK-ish columns like
-            # c_nationkey would be misread as key parts).
-            table_has_pk = "And is a primary key." in prompt
+            # c_nationkey would be misread as key parts). Scoped to the
+            # queried table's details -- the few-shot examples also
+            # contain PK markers.
+            table_has_pk = any(
+                "And is a primary key." in d for d in details["Column Details"]
+            )
             is_bk = bool(is_pk or (not table_has_pk and re.search(r"(_id$|key$)", name)))
             return {
                 "Business Key Component Identification": {

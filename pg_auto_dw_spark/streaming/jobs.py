@@ -177,21 +177,40 @@ def incremental_satellite_stream(
     ``dropDuplicatesWithinWatermark`` -- bounded state, at the cost of
     re-admitting a version re-delivered later than the delay (the
     batch anti-join load remains the exact backstop).
+
+    The watermark column is event-time *metadata*, not a descriptor:
+    it is carried through the staged projection (and into the sink,
+    where it doubles as the satellite's applied timestamp) but always
+    EXCLUDED from the hash-diff -- hashing it would make every
+    re-delivery a "new version" and defeat dedup entirely. A LongType
+    watermark column is interpreted as epoch nanoseconds (the events
+    table convention) and converted to a timestamp.
     """
     reserved = {"hub_hk", "sat_hd", "load_ts", "record_source"}
     clash = reserved & set(descriptor_cols)
     if clash:
         raise ValueError(f"descriptor column(s) {sorted(clash)} collide with generated columns")
+    ts_col = watermark[0] if watermark else None
+    if ts_col is not None and ts_col not in source_schema.fieldNames():
+        raise ValueError(f"watermark column {ts_col!r} not in source schema")
+    hash_diff_cols = [c for c in descriptor_cols if c != ts_col]
+    out_cols = list(descriptor_cols)
+    if ts_col is not None and ts_col not in out_cols:
+        out_cols.append(ts_col)
     stream = spark.readStream.schema(source_schema).parquet(source_dir)
     staged = stream.select(
         _hash_cols(source_schema, key_cols).alias("hub_hk"),
         F.current_timestamp().alias("load_ts"),
         F.lit(record_source).alias("record_source"),
-        _hash_cols(source_schema, descriptor_cols).alias("sat_hd"),
-        *[F.col(c) for c in descriptor_cols],
+        _hash_cols(source_schema, hash_diff_cols).alias("sat_hd"),
+        *[F.col(c) for c in out_cols],
     )
     if watermark:
         ts_col, delay = watermark
+        if isinstance(source_schema[ts_col].dataType, T.LongType):
+            staged = staged.withColumn(
+                ts_col, F.expr(f"timestamp_micros({ts_col} DIV 1000)")
+            )
         staged = staged.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
             ["hub_hk", "sat_hd"]
         )

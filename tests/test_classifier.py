@@ -143,3 +143,57 @@ def test_distributed_classification_matches_driver_side(spark, sf_dir, tmp_path)
 
     key = lambda r: (r["fk_source_objects"], r["category"], r["business_key_name"])  # noqa: E731
     assert sorted(key(r) for r in dist) == sorted(key(r) for r in driver_side)
+
+
+def test_prompt_snapshot_structure_and_substitution():
+    """Rendered-prompt snapshot vs the reference's template contract
+    (prompt_template.rs:11-427): every template carries its task title,
+    request-detail rules, confidence convention, few-shot examples with
+    the exact response-envelope keys, and the closing
+    {hints}/{new_json}/{column_no} substitution in reference order."""
+    from pg_auto_dw_spark.classify.prompts import PromptTemplate, render
+
+    details = _details([("customer_id", "uuid", True), ("city", "text", False)])
+    hint = "Hint: Please ensure you provide a JSON response only.  This is your 2 attempt."
+
+    cases = {
+        PromptTemplate.BK_COMPONENT_IDENTIFICATION: (
+            "Business Key Component Identification",
+            ["business key component", "primary key", "composite", "email or username"],
+            6,
+        ),
+        PromptTemplate.BK_NAME: (
+            "Business Key Name",
+            ["data vault perspective", "table or schema name"],
+            2,
+        ),
+        PromptTemplate.DESCRIPTOR_SENSITIVE: (
+            "Descriptor - Sensitive",
+            ["Email Address: PII", "Standard 5-Digit Zip Code: Not PII",
+             "No Overgeneralization", "Geolocation Data"],
+            4,
+        ),
+    }
+    for tpl, (envelope_key, phrases, n_examples) in cases.items():
+        out = render(tpl, details, 2, hint)
+        # substitution: slots fully replaced, in reference order
+        assert "{new_json}" not in out and "{column_no}" not in out and "{hints}" not in out
+        assert out.index(hint) < out.index(details) < out.rindex("Column No: 2")
+        assert out.rstrip().endswith("Column No: 2")
+        # few-shot examples, each showing the exact envelope key
+        for i in range(1, n_examples + 1):
+            assert f"Example Input {i})" in out and f"Example Output {i})" in out
+        assert out.count(f'"{envelope_key}"') == n_examples
+        assert '"Confidence Value"' in out and '"Reason"' in out
+        assert "rounded to two decimal places" in out
+        for p in phrases:
+            assert p in out, (tpl, p)
+    # question-specific envelope fields
+    bk = render(PromptTemplate.BK_COMPONENT_IDENTIFICATION, details, 1, "")
+    assert '"Is Business Key Component"' in bk
+    name = render(PromptTemplate.BK_NAME, details, 1, "")
+    assert '"Name"' in name
+    pii = render(PromptTemplate.DESCRIPTOR_SENSITIVE, details, 1, "")
+    assert '"Is PII"' in pii
+    # empty hints leave no artifact
+    assert "Hint" not in pii

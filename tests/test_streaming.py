@@ -213,3 +213,46 @@ def test_satellite_stream_rejects_reserved_descriptor_names(spark, tmp_path):
             descriptor_cols=["load_ts"], checkpoint_dir=str(tmp_path / "c"),
             output_dir=str(tmp_path / "o"),
         )
+
+
+def test_satellite_stream_watermark_bounded_state(spark, tmp_path):
+    """The watermark path: ts carried through the staged select (it is
+    NOT a descriptor), excluded from the hash-diff -- a re-delivery
+    with a LATER event time but unchanged descriptors must still
+    dedupe, while a changed descriptor still creates a version."""
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("ts", T.LongType()),  # epoch nanos
+        ]
+    )
+    base_ns = 1_704_067_200 * 1_000_000_000  # 2024-01-01T00:00:00Z
+    rows = [(k, f"name_{k}", base_ns + k * 1_000_000_000) for k in range(100)]
+    src_dir = str(tmp_path / "src")
+    spark.createDataFrame(rows, schema).write.parquet(src_dir)
+    kwargs = dict(
+        source_schema=schema,
+        key_cols=["c_custkey"],
+        descriptor_cols=["c_name"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        output_dir=str(tmp_path / "sat"),
+        watermark=("ts", "30 days"),
+    )
+    q = incremental_satellite_stream(spark, src_dir, **kwargs)
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "sat"))
+    assert out.count() == 100
+    # ts survives to the sink as a real timestamp (not in the hash-diff)
+    assert dict(out.dtypes)["ts"] == "timestamp"
+
+    # re-deliver everything one hour later; every 10th key renamed
+    redelivered = [
+        (k, f"renamed_{k}" if k % 10 == 0 else f"name_{k}",
+         base_ns + k * 1_000_000_000 + 3_600 * 1_000_000_000)
+        for k in range(100)
+    ]
+    spark.createDataFrame(redelivered, schema).write.mode("append").parquet(src_dir)
+    q2 = incremental_satellite_stream(spark, src_dir, **kwargs)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(str(tmp_path / "sat")).count() == 110

@@ -82,3 +82,44 @@ def test_update_context_description_feeds_prompts(spark, warehouse_dir, sf_dir):
     so = adw.wh.read("auto_dw.source_objects")
     row = so.filter(F.col("column_name") == "c_acctbal").collect()[0]
     assert row["column_description"] == "account balance"
+
+
+def test_set_config_live_settings(spark, warehouse_dir, sf_dir):
+    """GUC-surface parity (guc.rs:33-126): the seven pg_auto_dw.*
+    settings are live -- confidence re-gates status, model renames the
+    recorded transformer, server settings rebuild the transport, and
+    bad names/values are rejected."""
+    import pytest
+
+    from pg_auto_dw_spark.classify.client import OllamaTransport
+
+    adw = make_autodw(spark, warehouse_dir, sf_dir)
+    cfg = adw.show_config()
+    assert set(cfg) == set(adw._CONFIG_KEYS)
+    assert cfg["pg_auto_dw.accepted_transformer_confidence_level"] == "0.8"
+
+    # live confidence threshold: with the bar above the stub's scores,
+    # nothing reaches Ready to Deploy
+    adw.set_config("pg_auto_dw.accepted_transformer_confidence_level", "0.99")
+    adw.source_include("main", "customer")
+    adw.classify_pending()
+    ready = adw.source_column().filter(F.col("status") == "Ready to Deploy").count()
+    assert ready == 0
+    adw.set_config("pg_auto_dw.accepted_transformer_confidence_level", "0.8")
+    assert adw.source_column().filter(F.col("status") == "Ready to Deploy").count() > 0
+
+    # live model + transport rebuild
+    adw.set_config("pg_auto_dw.model", "mistral-large")
+    assert adw.model_name == "mistral-large"
+    adw.set_config("pg_auto_dw.transformer_server_type", "ollama")
+    assert isinstance(adw.classifier.transport, OllamaTransport)
+    assert adw.classifier.transport.model == "mistral-large"
+    adw.set_config("pg_auto_dw.transformer_server_type", "stub")
+    adw.set_config("pg_auto_dw.dw_schema", "dw2")
+    assert adw.dw_schema == "dw2"
+    assert adw.show_config("pg_auto_dw.dw_schema") == "dw2"
+
+    with pytest.raises(ValueError, match="unknown setting"):
+        adw.set_config("pg_auto_dw.nope", "x")
+    with pytest.raises(ValueError, match="in \\[0, 1\\]"):
+        adw.set_config("pg_auto_dw.accepted_transformer_confidence_level", "1.5")
