@@ -120,11 +120,13 @@ def merge_snapshot(
     snap = snapshot.select(
         *[F.col(c).alias(f"snap_{c}") for c in snapshot.columns], F.lit(1).alias("snap_match")
     )
+    # Pinned: the join feeds up to three consumers (audit aggregate,
+    # insert anti-join, final write) -- one computed pass, not three.
     j = cur_y.join(
         snap,
         on=[F.col(k) == F.col(f"snap_{k}") for k in KEYS],
         how="left",
-    )
+    ).localCheckpoint(eager=False)
 
     matched = F.col("snap_match").isNotNull()
     # any tracked column IS DISTINCT FROM its snapshot value (P6)
@@ -155,7 +157,12 @@ def merge_snapshot(
 
     # insert: snapshot keys whose current row was closed or never existed
     surviving_keys = j.filter(~changed).select(*KEYS)
-    inserts_src = snapshot.join(surviving_keys, on=KEYS, how="left_anti")
+    # Pinned + counted once: the count sizes the sequence window AND
+    # supplies the audit's "inserted" figure -- no second job.
+    inserts_src = snapshot.join(surviving_keys, on=KEYS, how="left_anti").localCheckpoint(
+        eager=False
+    )
+    n_inserts = inserts_src.count()
 
     # max existing pk attached via a broadcast scalar cross join instead
     # of a driver collect -- keeps the merge a single job at write time
@@ -171,6 +178,7 @@ def merge_snapshot(
             inserts_src,
             ["schema_name", "table_name", "column_ordinal_position"],
             "__rn",
+            n_rows=n_inserts,
         )
         .crossJoin(F.broadcast(max_pk_df))
         .withColumn("pk_source_objects", F.col("__rn") + F.col("__max_pk"))
@@ -183,7 +191,7 @@ def merge_snapshot(
         .select(*cur.columns)
     )
 
-    counts = {"deleted": 0, "closed": 0, "resurrected": 0, "inserted": 0}
+    counts = {"deleted": 0, "closed": 0, "resurrected": 0, "inserted": n_inserts}
     if audit:
         # One aggregation pass for the audit counts (four separate
         # count() jobs would re-run the join each time).
@@ -196,7 +204,7 @@ def merge_snapshot(
             "deleted": stats["deleted"] or 0,
             "closed": stats["closed"] or 0,
             "resurrected": stats["resurrected"] or 0,
-            "inserted": inserts.count(),
+            "inserted": n_inserts,
         }
     final = cur_n.unionByName(updated_y).unionByName(inserts)
     wh.overwrite(TABLE, final)

@@ -42,15 +42,24 @@ def global_row_number(
     order_cols: list[str],
     out_col: str = "__rn",
     single_partition_max: int = SINGLE_PARTITION_MAX,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Add ``out_col`` = contiguous 1-based global row number in
-    ``order_cols`` order, without an unmeasured single-partition window."""
+    ``order_cols`` order, without an unmeasured single-partition window.
+
+    ``n_rows`` lets a caller that already counted (and pinned) the
+    input skip the sizing job -- e.g. the SCD2 merge counts its insert
+    set for the audit anyway."""
     spark = df.sparkSession
-    # Pin the input: the size probe below materializes the blocks once,
-    # and whichever numbering path follows re-reads those exact blocks
-    # (the upstream plan -- typically a join -- never runs twice).
-    pinned = df.localCheckpoint(eager=False)
-    total = pinned.count()
+    if n_rows is not None:
+        pinned, total = df, n_rows
+    else:
+        # Pin the input: the size probe below materializes the blocks
+        # once, and whichever numbering path follows re-reads those
+        # exact blocks (the upstream plan -- typically a join -- never
+        # runs twice).
+        pinned = df.localCheckpoint(eager=False)
+        total = pinned.count()
     if total == 0:
         return df.withColumn(out_col, F.lit(None).cast("long")).limit(0)
     if total <= single_partition_max:
