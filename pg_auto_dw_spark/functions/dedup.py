@@ -228,6 +228,88 @@ def minhash_lsh_candidates(
     return small_pairs.union(big_pairs).distinct()
 
 
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame | None = None,
+    id_col: str = "doc_id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """(id, cluster_id) from candidate near-dup pairs: cluster_id = the
+    minimum id in each connected component -- the canonical-document
+    assignment that turns pairwise dedup output into keep/drop sets.
+
+    Iterative min-label propagation as DataFrame jobs: each round takes
+    the min label over graph neighbors (one shuffle join + map-side-
+    combined MIN) AND jumps each label to its label's label (pointer
+    halving), so convergence is O(log diameter) rounds, not O(diameter)
+    -- chains across LSH buckets stay cheap. Labels are pinned per
+    round; each round costs one change-count action. This is the
+    standard large-graph CC shape (cf. the alternating-star algorithm);
+    at 100 TB the per-round state is one narrow (id, label) table
+    hash-partitioned on id.
+
+    ``nodes`` (default: ids appearing in pairs) adds singleton docs so
+    every document gets a cluster row."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    if nodes is None:
+        ids = (
+            pairs.select(F.col("id_a").alias(id_col))
+            .union(pairs.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+    else:
+        ids = nodes.select(F.col(id_col)).distinct()
+    labels = ids.select(F.col(id_col), F.col(id_col).alias("label")).localCheckpoint(
+        eager=False
+    )
+    for _ in range(max_iters):
+        # min label among graph neighbors
+        neigh = (
+            edges.join(labels, edges["dst"] == labels[id_col])
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        stepped = (
+            labels.join(neigh, labels[id_col] == neigh["src"], "left")
+            .select(
+                F.col(id_col),
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=False)  # read by both sides of the jump
+        )
+        # pointer jump: label <- label(label) (labels only ever shrink,
+        # so jumping through the previous round's table is safe)
+        parent = stepped.select(
+            F.col(id_col).alias("p_id"), F.col("label").alias("p_label")
+        )
+        jumped = (
+            stepped.join(parent, stepped["label"] == parent["p_id"], "left")
+            .select(
+                F.col(id_col),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            labels.join(jumped.withColumnRenamed("label", "new_label"), id_col)
+            .filter(F.col("label") != F.col("new_label"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.select(F.col(id_col), F.col("label").alias("cluster_id"))
+
+
 def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
 ) -> DataFrame:

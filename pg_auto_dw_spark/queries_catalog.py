@@ -904,6 +904,33 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_candidates(load_table(spark, sf_dir, "documents"))
 
 
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE
+cand_pairs AS ({_MINHASH_ORACLE}),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM cand_pairs
+    UNION ALL
+    SELECT id_b, id_a FROM cand_pairs),
+reach(id, r) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r)
+SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+"""
+
+
+@register("dedup_clusters", _CLUSTERS_ORACLE)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash-LSH candidate pairs:
+    cluster_id = min doc_id per component (singletons keep their own
+    id). Pairwise dedup output becomes keep/drop sets -- the step a
+    training-data pipeline actually acts on."""
+    from .functions.dedup import connected_components, minhash_lsh_candidates
+
+    docs = load_table(spark, sf_dir, "documents")
+    return connected_components(minhash_lsh_candidates(docs), nodes=docs)
+
+
 _SIMHASH_ORACLE = f"""
 WITH
 norm AS (
@@ -1107,6 +1134,50 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.similarity import ivf_topk
 
     return ivf_topk(load_table(spark, sf_dir, "embeddings"), k=5, stride=50)
+
+
+_IVF_MULTIPROBE_ORACLE = f"""
+WITH q AS (
+    SELECT vec_id, {_QVEC_SQL} AS qvec FROM embeddings),
+n AS (
+    SELECT vec_id, qvec,
+           CAST(list_sum([qvec[i] * qvec[i] for i in range(1, 65)]) AS BIGINT) AS qnorm
+    FROM q),
+c AS (
+    SELECT vec_id AS cent_id, qvec AS cv, qnorm AS cn FROM n WHERE vec_id % 50 = 0),
+scored AS (
+    SELECT n.vec_id, n.qvec, n.qnorm, c.cent_id,
+           CAST(CAST(list_sum([n.qvec[i] * c.cv[i] for i in range(1, 65)]) AS BIGINT)
+                AS DOUBLE) /
+               (sqrt(CAST(n.qnorm AS DOUBLE)) * sqrt(CAST(c.cn AS DOUBLE))) AS csim
+    FROM n CROSS JOIN c),
+ranked_cells AS (
+    SELECT vec_id, qvec, qnorm, cent_id AS cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
+    FROM scored),
+db AS (SELECT vec_id, qvec, qnorm, cell FROM ranked_cells WHERE rn = 1),
+probes AS (SELECT vec_id, qvec, qnorm, cell FROM ranked_cells WHERE rn <= 2),
+sims AS (
+    SELECT qa.vec_id AS query_id, qb.vec_id AS neighbor_id,
+           CAST({_DOT_SQL} AS DOUBLE) /
+               (sqrt(CAST(qa.qnorm AS DOUBLE)) * sqrt(CAST(qb.qnorm AS DOUBLE))) AS cosine
+    FROM probes qa JOIN db qb ON qa.cell = qb.cell AND qa.vec_id <> qb.vec_id),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rn
+    FROM sims)
+SELECT query_id, neighbor_id, cosine FROM ranked WHERE rn <= 5
+"""
+
+
+@register("ann_ivf_multiprobe_topk", _IVF_MULTIPROBE_ORACLE)
+def ann_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with 2-probe query expansion: each query searches its two
+    nearest cells (database side stays single-cell, so no duplicate
+    pairs); recall rises toward brute force at ~2x candidate cost."""
+    from .functions.similarity import ivf_topk
+
+    return ivf_topk(load_table(spark, sf_dir, "embeddings"), k=5, stride=50, n_probes=2)
 
 
 _IVF_KMEANS_ORACLE = f"""

@@ -371,3 +371,27 @@ def test_global_row_number_both_paths(spark, sf_dir):
     assert sorted((r["k"], r["rn"]) for r in large) == [(i, i + 1) for i in range(1000)]
     # empty input
     assert global_row_number(df.filter(F.lit(False)), ["k"], "rn").count() == 0
+
+
+def test_connected_components_chain_clique_singleton(spark):
+    """Min-label clustering: a 40-node chain (worst case for plain
+    propagation -- pointer jumping must converge it within the round
+    budget), a clique, and singletons from the node set."""
+    from pg_auto_dw_spark.functions.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(100, 140)]          # component min 100
+    clique = [(a, b) for a in range(200, 205) for b in range(a + 1, 205)]
+    pairs = spark.createDataFrame(chain + clique, "id_a: bigint, id_b: bigint")
+    nodes = spark.range(300, 303).select(F.col("id").alias("doc_id")).unionByName(
+        spark.createDataFrame(
+            [(i,) for i in list(range(100, 141)) + list(range(200, 205))],
+            "doc_id: bigint",
+        )
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs, nodes=nodes).collect()
+    }
+    assert all(got[i] == 100 for i in range(100, 141))
+    assert all(got[i] == 200 for i in range(200, 205))
+    assert all(got[i] == i for i in range(300, 303))  # singletons
