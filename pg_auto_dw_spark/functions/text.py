@@ -38,11 +38,12 @@ def lang_scores(text: Column) -> dict[str, Column]:
     return out
 
 
-def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Stopword-count language ID with deterministic argmax (highest
-    count wins; ties break on language code ascending; all-zero ->
-    'und')."""
-    scores = lang_scores(F.col(text_col))
+def language_expr(text: Column) -> Column:
+    """Detected-language column: stopword-count argmax (highest count
+    wins; ties break on language code ascending; all-zero -> 'und').
+    Exposed as a bare expression so composed pipelines can fold it into
+    a single scan."""
+    scores = lang_scores(text)
     langs = sorted(scores)
     # fold languages in reverse alphabetical order with >=, so the
     # alphabetically-first language (applied last) wins exact ties
@@ -53,13 +54,18 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     zero = F.lit(True)
     for lang in langs:
         zero = zero & (scores[lang] == 0)
+    return F.when(zero, F.lit("und")).otherwise(expr_lang)
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-count language ID with per-language scores."""
+    scores = lang_scores(F.col(text_col))
+    langs = sorted(scores)
     cols = [
         F.col(id_col),
         *[scores[lang].cast("long").alias(f"score_{lang}") for lang in langs],
     ]
-    return df.select(
-        *cols, F.when(zero, F.lit("und")).otherwise(expr_lang).alias("detected_lang")
-    )
+    return df.select(*cols, language_expr(F.col(text_col)).alias("detected_lang"))
 
 
 def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

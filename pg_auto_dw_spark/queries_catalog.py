@@ -931,6 +931,67 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(minhash_lsh_candidates(docs), nodes=docs)
 
 
+_CLEAN_FEATS_SQL = f"""(
+    WITH s AS (
+        SELECT doc_id, text,
+               len(regexp_extract_all(lower(text), '{_LANG_RE["de"]}')) AS score_de,
+               len(regexp_extract_all(lower(text), '{_LANG_RE["en"]}')) AS score_en,
+               len(regexp_extract_all(lower(text), '{_LANG_RE["es"]}')) AS score_es,
+               len(regexp_extract_all(lower(text), '{_LANG_RE["fr"]}')) AS score_fr
+        FROM documents)
+    SELECT doc_id,
+           CASE WHEN score_de = 0 AND score_en = 0 AND score_es = 0 AND score_fr = 0
+                THEN 'und'
+                WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr
+                THEN 'de'
+                WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
+                WHEN score_es >= score_fr THEN 'es'
+                ELSE 'fr' END AS detected_lang,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / length(text)
+               AS alpha_ratio,
+           len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens
+    FROM s
+) f
+JOIN ({_CLUSTERS_ORACLE}) cl
+  ON f.doc_id = cl.doc_id AND cl.doc_id = cl.cluster_id
+WHERE f.detected_lang <> 'und' AND f.n_words >= 5 AND f.alpha_ratio >= 0.5"""
+
+_CLEAN_DOCS_ORACLE = f"""
+SELECT f.doc_id, f.detected_lang, f.n_words, f.alpha_ratio, f.n_bpe_tokens
+FROM {_CLEAN_FEATS_SQL}
+"""
+
+_CLEAN_CORPUS_ORACLE = f"""
+SELECT f.detected_lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(f.n_bpe_tokens) AS BIGINT) AS total_tokens
+FROM {_CLEAN_FEATS_SQL}
+GROUP BY f.detected_lang
+"""
+
+
+@register("corpus_clean_docs", _CLEAN_DOCS_ORACLE)
+def corpus_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level cleaned corpus: every surviving document with its
+    language, word count, alpha ratio, and token count -- the
+    discriminating (per-row) check for the composed pipeline."""
+    from .functions.corpus import clean_corpus
+
+    return clean_corpus(load_table(spark, sf_dir, "documents"))
+
+
+@register("corpus_clean_summary", _CLEAN_CORPUS_ORACLE)
+def corpus_clean_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data flow: language filter + quality gates
+    + near-dup canonicalization (one doc per MinHash-LSH cluster) +
+    token budgeting, summarized per language. All per-doc features ride
+    ONE scan; the only join is a semi-join against the canonical set."""
+    from .functions.corpus import clean_corpus_summary
+
+    return clean_corpus_summary(load_table(spark, sf_dir, "documents"))
+
+
 _SIMHASH_ORACLE = f"""
 WITH
 norm AS (
