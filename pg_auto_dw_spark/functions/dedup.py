@@ -359,7 +359,13 @@ def simhash_near_pairs(
     bit_count(xor). Blocking bounds the pair space (at scale the block
     is an LSH bucket or shard key, never the whole corpus)."""
     s = simhash(df, text_col, id_col)
-    base = df.select(F.col(id_col), F.col(blocking_col).alias("blk")).join(s, id_col)
+    # Pin: both sides of the blocking self-join read one computed
+    # (id, blk, simhash) pass instead of re-hashing every token per side.
+    base = (
+        df.select(F.col(id_col), F.col(blocking_col).alias("blk"))
+        .join(s, id_col)
+        .localCheckpoint(eager=False)
+    )
     a = base.select(
         F.col(id_col).alias("id_a"), F.col("blk").alias("blk_a"), F.col("simhash").alias("sh_a")
     )
@@ -451,11 +457,12 @@ def ngram_jaccard_pairs(
     Ratio computed from exact integer set sizes -> deterministic
     doubles. Verifier stage: run on candidates, not the full corpus.
     """
+    # Pin: the shingle arrays feed both sides of the blocking self-join.
     sh = df.select(
         F.col(id_col),
         F.col(blocking_col).alias("blk"),
         char_shingles(F.col(text_col), shingle_k).alias("sh"),
-    )
+    ).localCheckpoint(eager=False)
     a = sh.select(
         F.col(id_col).alias("id_a"), F.col("blk").alias("blk_a"), F.col("sh").alias("sh_a")
     )

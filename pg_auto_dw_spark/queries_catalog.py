@@ -668,6 +668,38 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_sessionize",
+    """
+    WITH o AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                      OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+        SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM o)
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM s GROUP BY user_id, session_no
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity closes a session;
+    session_window-compatible semantics): LAG boundary flag + running
+    SUM sharing one user_id window partitioning, then a grouped
+    rollup. The batch twin of streaming session_window."""
+    from .functions.sessions import sessionize
+
+    return sessionize(load_table(spark, sf_dir, "events"))
+
+
+@register(
     "part_name_tokens_explode",
     """
     SELECT p_partkey, token

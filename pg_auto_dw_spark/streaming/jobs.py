@@ -109,6 +109,45 @@ def events_stream_rollup(
     )
 
 
+def events_stream_sessions(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    output_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+):
+    """Streaming sessionization with the built-in ``session_window``
+    (gap-close semantics identical to functions/sessions.py's batch
+    twin): per (user, session) event count + value sum, emitted when
+    the watermark closes the session. State is bounded by open sessions
+    per user; the shuffle key is user_id."""
+    ev = read_events_stream(spark, events_dir)
+    agg = (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .format("parquet")
+        .option("path", output_dir)
+        .start()
+    )
+
+
 def _hash_cols(schema: T.StructType, cols: list[str]):
     """PG-text-rendered hash over the named columns -- the SAME
     hash_key/hash_diff rendering the batch loaders use, so batch and

@@ -256,3 +256,37 @@ def test_satellite_stream_watermark_bounded_state(spark, tmp_path):
     q2 = incremental_satellite_stream(spark, src_dir, **kwargs)
     q2.awaitTermination(120)
     assert spark.read.parquet(str(tmp_path / "sat")).count() == 110
+
+
+def test_events_stream_sessions_match_batch(spark, sf_dir, tmp_path):
+    """session_window streaming sessions (closed by the watermark) must
+    agree with the batch gap-sessionization twin on (user, start):
+    same event counts and value sums."""
+    import shutil
+
+    from pg_auto_dw_spark.functions.sessions import sessionize
+    from pg_auto_dw_spark.streaming.jobs import events_stream_sessions
+
+    events_dir = tmp_path / "events_in"
+    events_dir.mkdir()
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), events_dir / "part-0.parquet")
+    q = events_stream_sessions(
+        spark, str(events_dir), str(tmp_path / "ckpt"), str(tmp_path / "out")
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "out")).select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.col("n_events").alias("s_n"),
+        F.col("total_value").alias("s_v"),
+    )
+    batch = sessionize(load_table(spark, sf_dir, "events"))
+    assert out.count() > 0
+    j = out.join(batch, ["user_id", "session_start"], "inner")
+    # every emitted streaming session exists in the batch result with
+    # identical aggregates
+    assert j.count() == out.count()
+    assert j.filter(
+        (F.col("s_n") != F.col("n_events"))
+        | (F.abs(F.col("s_v") - F.col("total_value")) > 1e-9)
+    ).count() == 0
