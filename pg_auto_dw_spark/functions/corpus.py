@@ -14,7 +14,7 @@ handful of language keys.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import connected_components, minhash_lsh_candidates
@@ -55,6 +55,63 @@ def clean_corpus(
         (F.col("detected_lang") != "und")
         & (F.col("n_words") >= min_words)
         & (F.col("alpha_ratio") >= min_alpha)
+    )
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budget_tokens: int = 20_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Deterministic per-language token-budget sampling (pretraining-mix
+    construction): greedily keep documents in md5-hash order until each
+    language's BPE-token budget is filled.
+
+    Scale shape: a naive per-language ordered cumulative sum is a
+    single-partition sort per language -- the exact shape this package
+    avoids. Instead the greedy order is *bucket-coarse*: docs hash into
+    ``n_buckets`` buckets; per-(lang, bucket) token sums (map-side
+    combined, <= langs x buckets rows) get a cumulative offset over a
+    tiny window; each doc then needs only an intra-bucket cumulative
+    sum (bounded partitions of ~n/n_buckets rows). A doc is kept when
+    its bucket offset plus intra-bucket prefix fits the budget --
+    identical greedy semantics, no unbounded sort anywhere."""
+    t = F.col(text_col)
+    h = F.md5(F.col(id_col).cast("string"))
+    feats = docs.select(
+        F.col(id_col),
+        language_expr(t).alias("detected_lang"),
+        F.size(
+            F.regexp_extract_all(t, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0)
+        ).cast("long").alias("n_bpe_tokens"),
+        h.alias("h"),
+        F.pmod(F.conv(F.substring(h, 1, 4), 16, 10).cast("bigint"), F.lit(n_buckets)).alias(
+            "bucket"
+        ),
+    )
+    bsum = feats.groupBy("detected_lang", "bucket").agg(
+        F.sum("n_bpe_tokens").alias("btok")
+    )
+    wb = Window.partitionBy("detected_lang").orderBy("bucket")
+    bcum = bsum.withColumn(
+        "cum_before",
+        F.coalesce(
+            F.sum("btok").over(wb.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+        ),
+    ).select("detected_lang", "bucket", "cum_before")
+    wd = Window.partitionBy("detected_lang", "bucket").orderBy("h", id_col)
+    return (
+        feats.join(F.broadcast(bcum), ["detected_lang", "bucket"])
+        .withColumn(
+            "dcum",
+            F.sum("n_bpe_tokens").over(
+                wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .filter(F.col("cum_before") + F.col("dcum") <= budget_tokens)
+        .select(id_col, "detected_lang", "n_bpe_tokens")
     )
 
 

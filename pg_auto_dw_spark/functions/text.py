@@ -107,6 +107,32 @@ def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+def repetition_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_k: int = 3
+) -> DataFrame:
+    """Intra-document repetition (Gopher/RefinedWeb-style quality
+    heuristics): share of duplicate k-character shingles and duplicate
+    words within each document. Pure array expressions (size vs
+    size(array_distinct)) -- narrow per-row map, integer-exact ratios."""
+    t = F.col(text_col)
+    norm = F.regexp_replace(F.lower(t), r"\s+", " ")
+    n = F.greatest(F.length(norm) - F.lit(shingle_k - 1), F.lit(1))
+    grams = F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(norm, i, shingle_k))
+    words = F.split(F.trim(norm), " ")
+    return df.select(
+        F.col(id_col),
+        F.size(grams).cast("long").alias("n_grams"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(grams)).cast("double") / F.size(grams)
+        ).alias("dup_gram_ratio"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(words)).cast("double") / F.size(words)
+        ).alias("dup_word_ratio"),
+    )
+
+
 def normalized_text(text: Column) -> Column:
     """Canonical form for fingerprinting: lowercase, strip non-alnum to
     spaces, collapse, then sorted unique tokens joined by single spaces

@@ -854,6 +854,82 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_counts(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "text_repetition",
+    """
+    WITH n AS (
+        SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm
+        FROM documents),
+    g AS (
+        SELECT doc_id,
+               [substr(norm, i, 3)
+                for i in range(1, greatest(length(norm) - 2, 1) + 1)] AS grams,
+               regexp_split_to_array(trim(norm), ' ') AS words
+        FROM n)
+    SELECT doc_id,
+           len(grams) AS n_grams,
+           1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams) AS dup_gram_ratio,
+           1.0 - CAST(len(list_distinct(words)) AS DOUBLE) / len(words) AS dup_word_ratio
+    FROM g
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-doc repetition ratios (duplicate 3-grams / words) -- the
+    Gopher-style repetition quality heuristic as pure array math."""
+    from .functions.text import repetition_scores
+
+    return repetition_scores(load_table(spark, sf_dir, "documents"))
+
+
+_TOKEN_BUDGET_ORACLE = f"""
+WITH f0 AS (
+    SELECT doc_id, text,
+           len(regexp_extract_all(lower(text), '{_LANG_RE["de"]}')) AS score_de,
+           len(regexp_extract_all(lower(text), '{_LANG_RE["en"]}')) AS score_en,
+           len(regexp_extract_all(lower(text), '{_LANG_RE["es"]}')) AS score_es,
+           len(regexp_extract_all(lower(text), '{_LANG_RE["fr"]}')) AS score_fr
+    FROM documents),
+f AS (
+    SELECT doc_id,
+           CASE WHEN score_de = 0 AND score_en = 0 AND score_es = 0 AND score_fr = 0
+                THEN 'und'
+                WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr
+                THEN 'de'
+                WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
+                WHEN score_es >= score_fr THEN 'es'
+                ELSE 'fr' END AS detected_lang,
+           len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+           md5(CAST(doc_id AS VARCHAR)) AS h,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 256 AS bucket
+    FROM f0),
+b AS (
+    SELECT detected_lang, bucket, SUM(n_bpe_tokens) AS btok
+    FROM f GROUP BY 1, 2),
+c AS (
+    SELECT detected_lang, bucket,
+           COALESCE(SUM(btok) OVER (PARTITION BY detected_lang ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+    FROM b),
+d AS (
+    SELECT f.doc_id, f.detected_lang, f.n_bpe_tokens, c.cum_before,
+           SUM(f.n_bpe_tokens) OVER (PARTITION BY f.detected_lang, f.bucket
+                    ORDER BY f.h, f.doc_id ROWS UNBOUNDED PRECEDING) AS dcum
+    FROM f JOIN c ON f.detected_lang = c.detected_lang AND f.bucket = c.bucket)
+SELECT doc_id, detected_lang, CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens
+FROM d WHERE cum_before + dcum <= 20000
+"""
+
+
+@register("corpus_token_budget_sample", _TOKEN_BUDGET_ORACLE)
+def corpus_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-budget sampling in deterministic hash order,
+    bucket-coarse so no language needs a single-partition sort (the
+    pretraining-mix construction step)."""
+    from .functions.corpus import token_budget_sample
+
+    return token_budget_sample(load_table(spark, sf_dir, "documents"))
+
+
 _NORM_SQL = (
     "array_to_string(list_sort(list_distinct(regexp_split_to_array(trim("
     "regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+'))), ' ')"

@@ -395,3 +395,24 @@ def test_connected_components_chain_clique_singleton(spark):
     assert all(got[i] == 100 for i in range(100, 141))
     assert all(got[i] == 200 for i in range(200, 205))
     assert all(got[i] == i for i in range(300, 303))  # singletons
+
+
+def test_token_budget_sample_respects_budget(spark, sf_dir):
+    """Greedy hash-order sampling: per-language token sums stay within
+    budget, the result is deterministic, and kept docs are a prefix in
+    (bucket, hash) order -- adding budget only grows the set."""
+    from pg_auto_dw_spark.functions.corpus import token_budget_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    small = token_budget_sample(docs, budget_tokens=5_000)
+    sums = {
+        r["detected_lang"]: r["s"]
+        for r in small.groupBy("detected_lang").agg(F.sum("n_bpe_tokens").alias("s")).collect()
+    }
+    assert sums and all(s <= 5_000 for s in sums.values())
+    again = token_budget_sample(docs, budget_tokens=5_000)
+    assert small.exceptAll(again).count() == 0 and again.exceptAll(small).count() == 0
+    bigger = token_budget_sample(docs, budget_tokens=20_000)
+    small_ids = {r["doc_id"] for r in small.collect()}
+    bigger_ids = {r["doc_id"] for r in bigger.collect()}
+    assert small_ids <= bigger_ids
