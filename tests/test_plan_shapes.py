@@ -1,0 +1,52 @@
+"""Physical-plan regression tests: the properties that matter at
+100 TB, asserted on the actual optimized plans (explain-only, nothing
+is executed).
+
+- No CartesianProduct anywhere in the registered query catalog: every
+  intentional cross join is a broadcast (BroadcastNestedLoopJoin of a
+  scalar/codebook side), never a shuffled cartesian.
+- Filter pushdown reaches the parquet scans (PushedFilters).
+- Small dimension joins broadcast (no data-side shuffle).
+"""
+
+from pyspark.sql import functions as F
+
+from pg_auto_dw_spark.queries_catalog import queries
+from pg_auto_dw_spark.sources import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_no_cartesian_product_in_any_registered_query(spark, sf_dir):
+    offenders = []
+    for name, fn in queries().items():
+        plan = _plan(fn(spark, sf_dir))
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert offenders == []
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
+    """A filtered, projected read must show both PushedFilters and a
+    pruned ReadSchema on the scan."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "O"
+    ).select("o_orderkey")
+    plan = _plan(o)
+    assert "PushedFilters" in plan
+    assert "EqualTo(o_orderstatus,O)" in plan
+    # column pruning: the scan reads only the two needed columns
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read and "o_totalprice" not in read[0]
+
+
+def test_small_dimension_join_broadcasts(spark, sf_dir):
+    """q5-style star join: region/nation dimensions must broadcast."""
+    from pg_auto_dw_spark.queries_catalog import q5_local_supplier_volume
+
+    plan = _plan(q5_local_supplier_volume(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
