@@ -106,3 +106,95 @@ def decode_media_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
 def decode_media(media: DataFrame) -> DataFrame:
     """Distributed decode: Arrow-batched, schema-enforced, no shuffle."""
     return media.mapInPandas(decode_media_batch, schema=DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("out_width", T.IntegerType(), True),
+        T.StructField("out_height", T.IntegerType(), True),
+        T.StructField("thumbnail", T.BinaryType(), True),
+    ]
+)
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("frame_no", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_media(media: DataFrame, max_side: int = 64) -> DataFrame:
+    """Aspect-preserving thumbnail pass for visual media (image/video):
+    integer-exact target dims (``w*max_side DIV max(w,h)``, floor, min
+    1) and a stubbed pixel buffer of the real output size
+    (``out_w*out_h*3`` zero bytes -- swap in PIL/pyav for real pixels).
+    1->1 Arrow-batched map, audio rows pass through with NULL dims.
+
+    The dimension math is pure integer arithmetic so the plumbing is
+    oracle-checkable without a codec."""
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, mtype, payload in zip(
+                pdf["media_id"], pdf["media_type"], pdf["payload"]
+            ):
+                if mtype == "audio":
+                    rows.append((mid, mtype, None, None, None))
+                    continue
+                d = _fake_decode(mtype, payload)
+                w, h = d["width"], d["height"]
+                side = max(w, h)
+                if side <= max_side:
+                    ow, oh = w, h
+                else:
+                    ow = max(1, (w * max_side) // side)
+                    oh = max(1, (h * max_side) // side)
+                rows.append((mid, mtype, ow, oh, b"\x00" * (ow * oh * 3)))
+            if not rows:
+                continue
+            out = pd.DataFrame(
+                rows,
+                columns=["media_id", "media_type", "out_width", "out_height", "thumbnail"],
+            )
+            out["out_width"] = pd.array(out["out_width"], dtype="Int32")
+            out["out_height"] = pd.array(out["out_height"], dtype="Int32")
+            yield out
+
+    return media.mapInPandas(body, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, max_frames: int = 4) -> DataFrame:
+    """Frame sampling for video rows: up to ``max_frames`` evenly-
+    strided frame indices per video (stride = ceil(n/max)), one output
+    row per sampled frame -- the 1->N mapInPandas shape a video
+    pipeline needs. Frame content is a deterministic stub (sha256 of
+    "media_id:frame_no" as bytes; swap in pyav for real frames)."""
+    import hashlib
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, mtype, payload in zip(
+                pdf["media_id"], pdf["media_type"], pdf["payload"]
+            ):
+                if mtype != "video":
+                    continue
+                n = _fake_decode(mtype, payload)["n_frames"]
+                stride = -(-n // max_frames)  # ceil
+                for frame_no in range(0, n, stride):
+                    frame = hashlib.sha256(f"{mid}:{frame_no}".encode()).digest()
+                    rows.append((mid, n, frame_no, frame))
+            if not rows:
+                continue
+            out = pd.DataFrame(rows, columns=["media_id", "n_frames", "frame_no", "frame"])
+            out["n_frames"] = pd.array(out["n_frames"], dtype="Int32")
+            out["frame_no"] = pd.array(out["frame_no"], dtype="Int32")
+            yield out
+
+    return media.mapInPandas(body, schema=FRAMES_SCHEMA)

@@ -1474,6 +1474,80 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(media).drop("feature")
 
 
+@register(
+    "multimodal_resize",
+    """
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               ['image', 'audio', 'video'][(doc_id % 3) + 1] AS media_type,
+               length(text) AS n
+        FROM documents),
+    d AS (
+        SELECT media_id, media_type,
+               CASE WHEN media_type <> 'audio' THEN CAST(16 + n % 624 AS INT) END AS w,
+               CASE WHEN media_type <> 'audio' THEN CAST(16 + (n * 7) % 464 AS INT) END AS h
+        FROM m),
+    r AS (
+        SELECT media_id, media_type, w, h,
+               CASE WHEN w IS NULL THEN NULL
+                    WHEN greatest(w, h) <= 64 THEN w
+                    ELSE greatest(1, CAST(w * 64 // greatest(w, h) AS INT)) END AS out_width,
+               CASE WHEN h IS NULL THEN NULL
+                    WHEN greatest(w, h) <= 64 THEN h
+                    ELSE greatest(1, CAST(h * 64 // greatest(w, h) AS INT)) END AS out_height
+        FROM d)
+    SELECT media_id, media_type, out_width, out_height,
+           CAST(out_width * out_height * 3 AS INT) AS thumb_len
+    FROM r
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving thumbnail pass (resize stubbed, integer target
+    dims exact): 1->1 mapInPandas; audio rows pass with NULL dims. The
+    oracle recomputes the integer dimension math; the thumbnail buffer
+    is checked by its real length."""
+    from .functions.multimodal import resize_media, synth_media_df
+
+    media = synth_media_df(load_table(spark, sf_dir, "documents"))
+    return resize_media(media).select(
+        "media_id",
+        "media_type",
+        "out_width",
+        "out_height",
+        F.length("thumbnail").cast("int").alias("thumb_len"),
+    )
+
+
+@register(
+    "multimodal_frame_samples",
+    """
+    WITH v AS (
+        SELECT doc_id AS media_id, CAST(1 + length(text) % 120 AS INT) AS n_frames
+        FROM documents WHERE doc_id % 3 = 2),
+    s AS (
+        SELECT media_id, n_frames, CAST((n_frames + 3) // 4 AS INT) AS stride FROM v)
+    SELECT media_id, n_frames, CAST(r.range * stride AS INT) AS frame_no,
+           sha256(CAST(media_id AS VARCHAR) || ':' ||
+                  CAST(CAST(r.range * stride AS INT) AS VARCHAR)) AS frame_hex
+    FROM s CROSS JOIN range(4) r
+    WHERE r.range * stride < n_frames
+    """,
+)
+def multimodal_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evenly-strided frame sampling for video rows (<= 4 frames each):
+    the 1->N mapInPandas shape. Frame bytes are the deterministic stub
+    digest, compared by hex against the oracle's sha256."""
+    from .functions.multimodal import sample_frames, synth_media_df
+
+    media = synth_media_df(load_table(spark, sf_dir, "documents"))
+    return sample_frames(media).select(
+        "media_id",
+        "n_frames",
+        "frame_no",
+        F.lower(F.hex("frame")).alias("frame_hex"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Pending-work detection + prompt payload (SURVEY A1/P8/A5/F8/F13)
 # ---------------------------------------------------------------------------

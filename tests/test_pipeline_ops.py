@@ -416,3 +416,30 @@ def test_token_budget_sample_respects_budget(spark, sf_dir):
     small_ids = {r["doc_id"] for r in small.collect()}
     bigger_ids = {r["doc_id"] for r in bigger.collect()}
     assert small_ids <= bigger_ids
+
+
+def test_multimodal_resize_and_frame_sampling(spark, sf_dir):
+    from pg_auto_dw_spark.functions.multimodal import (
+        resize_media,
+        sample_frames,
+        synth_media_df,
+    )
+
+    media = synth_media_df(load_table(spark, sf_dir, "documents").limit(30))
+    resized = resize_media(media).collect()
+    assert len(resized) == 30
+    for r in resized:
+        if r["media_type"] == "audio":
+            assert r["out_width"] is None and r["thumbnail"] is None
+        else:
+            assert 1 <= max(r["out_width"], r["out_height"]) <= 64
+            assert len(r["thumbnail"]) == r["out_width"] * r["out_height"] * 3
+    frames = sample_frames(media).collect()
+    assert frames and all(r["media_id"] % 3 == 2 for r in frames)  # video only
+    per_media = {}
+    for r in frames:
+        per_media.setdefault(r["media_id"], []).append(r["frame_no"])
+    for mid, nos in per_media.items():
+        assert 1 <= len(nos) <= 4
+        assert sorted(nos) == nos or set(nos) == set(sorted(nos))
+        assert 0 in nos  # first frame always sampled
