@@ -291,6 +291,7 @@ def ivf_kmeans_codebook(
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_modulus: int = 1,
 ) -> DataFrame:
     """K-means-refined IVF codebook: Lloyd iterations as DataFrame jobs.
 
@@ -310,9 +311,15 @@ def ivf_kmeans_codebook(
 
     Mirrors the codebook-refinement role the reference delegates to its
     index build; here it is a short chain of narrow shuffles over the
-    corpus (iters x [broadcast-score + 1 groupBy]), trainable on a
-    sample at 100 TB and applied to the full corpus via ivf_assign."""
-    base = with_quantized(corpus, vec_col).select(
+    corpus (iters x [broadcast-score + 1 groupBy]). At 100 TB set
+    ``train_modulus`` > 1: Lloyd refinement then reads only the
+    deterministic ``id % train_modulus == 0`` subsample (k-means
+    centroids converge on a sample), and the full corpus only ever
+    pays the one ivf_assign pass against the finished codebook."""
+    train = corpus if train_modulus <= 1 else corpus.filter(
+        (F.col(id_col) % train_modulus) == 0
+    )
+    base = with_quantized(train, vec_col).select(
         F.col(id_col), "qvec", "qnorm"
     ).localCheckpoint(eager=False)  # iters+1 passes read one computed scan
     codebook = ivf_centroids(corpus, stride, id_col, vec_col)

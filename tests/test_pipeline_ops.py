@@ -443,3 +443,17 @@ def test_multimodal_resize_and_frame_sampling(spark, sf_dir):
         assert 1 <= len(nos) <= 4
         assert sorted(nos) == nos or set(nos) == set(sorted(nos))
         assert 0 in nos  # first frame always sampled
+
+
+def test_ivf_kmeans_sample_training(spark, sf_dir):
+    """Subsample-trained codebook (train_modulus=2): still a valid
+    index -- every vector assigns, every cell from the seed labels,
+    and the full-corpus assignment works against it."""
+    from pg_auto_dw_spark.functions.similarity import ivf_assign, ivf_kmeans_codebook
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = ivf_kmeans_codebook(emb, stride=50, iters=1, train_modulus=2)
+    assert 1 <= cb.count() <= emb.count() // 50 + 1
+    assigned = ivf_assign(emb, codebook=cb)
+    assert assigned.count() == emb.count()
+    assert assigned.filter(F.col("cell") % 50 != 0).count() == 0
