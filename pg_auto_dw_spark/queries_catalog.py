@@ -668,6 +668,39 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_rollup_hierarchy",
+    """
+    SELECT COALESCE(event_type, 'ALL') AS event_type,
+           COALESCE(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL') AS day,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY ROLLUP (event_type, date_trunc('day', ts))
+    """,
+)
+def events_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS / ROLLUP hierarchy (type -> type+day -> grand
+    total) in one aggregation pass -- Catalyst expands the sets and
+    keeps map-side partial aggregation; the fixture has no NULL keys,
+    so COALESCE marks the rolled-up levels unambiguously."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    return (
+        ev.rollup(F.col("event_type"), day.alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("day"), F.lit("ALL")).alias("day"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
     "events_sessionize",
     """
     WITH o AS (
