@@ -148,6 +148,64 @@ def events_stream_sessions(
     )
 
 
+def events_stream_user_stats(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    output_dir: str,
+):
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (count, sum, mean) over the event stream -- semantics the
+    built-in streaming aggregations can't express as a per-key running
+    emission. State is one (cnt, sum) pair per user (bounded by
+    distinct users, hash-partitioned on user_id); each micro-batch
+    emits the refreshed totals for users it touched.
+
+    Update-mode emissions land via ``foreachBatch`` as an append-only
+    changelog in parquet (latest row per user = current totals) -- the
+    CDC shape a warehouse sink consumes, and checkpoint-recoverable so
+    state survives restarts. availableNow gives catch-up semantics."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = read_events_stream(spark, events_dir).select("user_id", "value")
+
+    def fn(key, pdfs, state: GroupState):
+        cnt, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            cnt += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((cnt, float(total)))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [cnt],
+                "total_value": [total],
+                "mean_value": [total / cnt if cnt else None],
+            }
+        )
+
+    staged = ev.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id bigint, n_events bigint, total_value double, mean_value double",
+        stateStructType="cnt bigint, s double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            output_dir
+        )
+
+    return (
+        staged.writeStream.outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+        .start()
+    )
+
+
 def _hash_cols(schema: T.StructType, cols: list[str]):
     """PG-text-rendered hash over the named columns -- the SAME
     hash_key/hash_diff rendering the batch loaders use, so batch and

@@ -290,3 +290,56 @@ def test_events_stream_sessions_match_batch(spark, sf_dir, tmp_path):
         (F.col("s_n") != F.col("n_events"))
         | (F.abs(F.col("s_v") - F.col("total_value")) > 1e-9)
     ).count() == 0
+
+
+def test_events_stream_user_stats_stateful(spark, sf_dir, tmp_path):
+    """applyInPandasWithState running per-user stats: totals after a
+    catch-up run equal the batch aggregation, and state persists across
+    a second run over appended data (running totals keep growing)."""
+    import shutil
+
+    from pg_auto_dw_spark.streaming.jobs import events_stream_user_stats
+
+    events_dir = tmp_path / "events_in"
+    events_dir.mkdir()
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), events_dir / "part-0.parquet")
+    out_dir = str(tmp_path / "stats_out")
+    q = events_stream_user_stats(
+        spark, str(events_dir), str(tmp_path / "ckpt"), out_dir
+    )
+    q.awaitTermination(120)
+
+    def latest(df):
+        w = {}
+        for r in df.collect():
+            cur = w.get(r["user_id"])
+            if cur is None or r["n_events"] > cur[0]:
+                w[r["user_id"]] = (r["n_events"], r["total_value"])
+        return w
+
+    got = latest(spark.read.parquet(out_dir))
+    batch = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(got) == set(batch)
+    for u in batch:
+        assert got[u][0] == batch[u][0]
+        assert abs(got[u][1] - batch[u][1]) < 1e-6  # float-sum tolerance
+
+    # second run over one appended user's worth of re-delivered events:
+    # state accumulates (running totals grow by the appended rows)
+    extra = load_table(spark, sf_dir, "events").filter(F.col("user_id") == 1).limit(10)
+    n_extra = extra.count()
+    extra.select("event_id", F.unix_micros("ts").alias("us"), "user_id", "event_type", "value", "props").selectExpr(
+        "event_id", "us * 1000 as ts", "user_id", "event_type", "value", "props"
+    ).write.mode("append").parquet(str(events_dir))
+    q2 = events_stream_user_stats(
+        spark, str(events_dir), str(tmp_path / "ckpt"), out_dir
+    )
+    q2.awaitTermination(120)
+    got2 = latest(spark.read.parquet(out_dir))
+    assert got2[1][0] == batch[1][0] + n_extra
