@@ -6,11 +6,14 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Each query is forced with a cheap count() action (no driver-side
-collect of data-sized results). Each query runs twice: one warmup pass
-(whole-stage-codegen compile, parquet footer cache) and one measured
-pass. ``value`` is the steady-state total -- the number that projects
-to cluster scale, where per-query JIT compile amortizes to zero. Cold
-first-run timings are disclosed alongside in ``queries_cold``.
+collect of data-sized results). Reproducibility protocol (round-3
+requirement): fixed query order, one warmup pass per query
+(whole-stage-codegen compile, parquet footer cache), then REPS
+measured passes with the per-query MEDIAN reported. ``value`` is the
+steady-state total -- the number that projects to cluster scale, where
+per-query JIT compile amortizes to zero. Cold first-run timings are
+disclosed alongside in ``queries_cold``; per-rep raw timings in
+``queries_reps``.
 """
 
 from __future__ import annotations
@@ -46,6 +49,9 @@ HEADLINE = [
 ]
 
 
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from pg_auto_dw_spark import queries_catalog
@@ -58,6 +64,7 @@ def main() -> None:
     qmap["q1_pricing_summary"](spark, sf_dir).count()
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    reps: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = qmap.get(name)
         if fn is None:
@@ -66,9 +73,13 @@ def main() -> None:
             t0 = time.time()
             fn(spark, sf_dir).count()  # warmup: codegen compile + footer cache
             cold[name] = round(time.time() - t0, 3)
-            t0 = time.time()
-            fn(spark, sf_dir).count()  # measured steady-state pass
-            timings[name] = round(time.time() - t0, 3)
+            runs = []
+            for _ in range(REPS):
+                t0 = time.time()
+                fn(spark, sf_dir).count()  # measured steady-state pass
+                runs.append(round(time.time() - t0, 3))
+            reps[name] = runs
+            timings[name] = sorted(runs)[len(runs) // 2]  # median
         except Exception as e:  # a failing query must not hide the others
             print(f"bench error in {name}: {e}", file=sys.stderr)
             timings[name] = -1.0
@@ -82,6 +93,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_cold": cold,
+                "queries_reps": reps,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -120,13 +120,18 @@ def merge_snapshot(
     snap = snapshot.select(
         *[F.col(c).alias(f"snap_{c}") for c in snapshot.columns], F.lit(1).alias("snap_match")
     )
-    # Pinned: the join feeds up to three consumers (audit aggregate,
-    # insert anti-join, final write) -- one computed pass, not three.
+    # With audit the join feeds three consumers (audit aggregate, insert
+    # anti-join, final write) -- pin it so it computes once. Without
+    # audit there are only two consumers of this metadata-grain join and
+    # the checkpoint's materialization cost exceeds the recompute
+    # (measured: scd2_merge_state 4.96s pinned vs ~3.2s not, sf0.1).
     j = cur_y.join(
         snap,
         on=[F.col(k) == F.col(f"snap_{k}") for k in KEYS],
         how="left",
-    ).localCheckpoint(eager=False)
+    )
+    if audit:
+        j = j.localCheckpoint(eager=False)
 
     matched = F.col("snap_match").isNotNull()
     # any tracked column IS DISTINCT FROM its snapshot value (P6)
@@ -157,11 +162,12 @@ def merge_snapshot(
 
     # insert: snapshot keys whose current row was closed or never existed
     surviving_keys = j.filter(~changed).select(*KEYS)
-    # Pinned + counted once: the count sizes the sequence window AND
-    # supplies the audit's "inserted" figure -- no second job.
-    inserts_src = snapshot.join(surviving_keys, on=KEYS, how="left_anti").localCheckpoint(
-        eager=False
-    )
+    # Counted once: the count sizes the sequence window AND supplies the
+    # audit's "inserted" figure -- no second job. Pinning only pays when
+    # the audit aggregate adds a third consumer of the same lineage.
+    inserts_src = snapshot.join(surviving_keys, on=KEYS, how="left_anti")
+    if audit:
+        inserts_src = inserts_src.localCheckpoint(eager=False)
     n_inserts = inserts_src.count()
 
     # max existing pk attached via a broadcast scalar cross join instead

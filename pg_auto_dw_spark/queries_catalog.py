@@ -34,12 +34,46 @@ def register(name: str, sql: str | None):
     return deco
 
 
+# The driver verifies queries in dict order and may cap how many it runs
+# (r2 ran 50 of 54; the last four registered got no CORRECTNESS row).
+# _PRIORITY runs first: queries with no driver row yet (multimodal_features
+# was round 1's only red cell; the other three were green in r1 but dropped
+# in r2) plus this round's new operators. _DEPRIORITIZED runs last: r2-green
+# queries whose operator coverage is redundant with another green row
+# (orders_json_payload~F8~source_table_prompt_payload,
+# hub_new_keys_anti_join~J5~orders_without_lineitems_anti,
+# dedup_simhash_hamming extends dedup_simhash,
+# ann_ivf_multiprobe_topk extends ann_ivf_topk,
+# text_repetition extends text_quality_scores).
+_PRIORITY = [
+    "multimodal_features",
+    "dv_round_trip_customer",
+    "events_props_json_extract",
+    "sat_current_view",
+    "scd2_partitioned_merge",
+]
+_DEPRIORITIZED = [
+    "orders_json_payload",
+    "hub_new_keys_anti_join",
+    "dedup_simhash_hamming",
+    "ann_ivf_multiprobe_topk",
+    "text_repetition",
+]
+
+
+def _ordered(names: list[str]) -> list[str]:
+    head = [n for n in _PRIORITY if n in names]
+    tail = [n for n in _DEPRIORITIZED if n in names]
+    mid = [n for n in names if n not in head and n not in tail]
+    return head + mid + tail
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(_QUERIES)
+    return {n: _QUERIES[n] for n in _ordered(list(_QUERIES))}
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_ORACLE)
+    return {n: _ORACLE[n] for n in _ordered(list(_ORACLE))}
 
 
 def _scratch_dir(prefix: str) -> str:
@@ -534,7 +568,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-style: selective dim filter -> 3-way join -> agg -> top-n.
-    customer is broadcast (small side); lineitem never shuffles twice."""
+
+    customer SCALES with SF (hundreds of GB at 100 TB), so no forced
+    broadcast hint -- AQE's size-based planning picks broadcast when the
+    filtered side actually fits and shuffle-hash/sort-merge when it
+    doesn't. lineitem never shuffles twice either way."""
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
@@ -544,7 +582,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dec = lambda c_: F.col(c_).cast("decimal(18,4)")  # noqa: E731
     j = li.join(
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]),
+        o.join(c, o["o_custkey"] == c["c_custkey"]),
         li["l_orderkey"] == o["o_orderkey"],
     )
     return (
@@ -580,8 +618,13 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5-style 6-way star join (SURVEY J4 at data scale): all
-    dimension sides broadcast; only the orders-lineitem join shuffles."""
+    """TPC-H Q5-style 6-way star join (SURVEY J4 at data scale).
+
+    Broadcast hints only on the CONSTANT-size dims (nation: 25 rows,
+    region: 5 rows -- fixed at every SF). customer and supplier scale
+    linearly with SF, so they carry no hint: forcing them would override
+    AQE's size check and OOM at the 100 TB target. AQE still broadcasts
+    them at small SF where they genuinely fit."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -594,9 +637,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = lambda c_: F.col(c_).cast("decimal(18,4)")  # noqa: E731
     j = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(
-            F.broadcast(s),
+            s,
             (li["l_suppkey"] == s["s_suppkey"]) & (c["c_nationkey"] == s["s_nationkey"]),
         )
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])

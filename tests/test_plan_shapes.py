@@ -50,3 +50,35 @@ def test_small_dimension_join_broadcasts(spark, sf_dir):
 
     plan = _plan(q5_local_supplier_volume(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def _analyzed(df) -> str:
+    return df._jdf.queryExecution().analyzed().toString()
+
+
+def test_no_forced_broadcast_on_scaling_dimensions(spark, sf_dir):
+    """customer/supplier/orders/lineitem/part grow linearly with SF; a
+    forced broadcast hint on them overrides AQE's size check and OOMs at
+    the 100 TB target. Only constant-size dims (nation: 25 rows, region:
+    5) may carry an explicit hint. Checked on the analyzed logical plan,
+    where ResolvedHint nodes still name their child relation."""
+    # Relation nodes print column lists, not paths -- identify scaling
+    # tables by their signature key column.
+    scaling = ("c_custkey", "s_suppkey", "o_orderkey", "l_orderkey", "p_partkey")
+    for name, fn in queries().items():
+        plan = _analyzed(fn(spark, sf_dir))
+        # each ResolvedHint prints followed by its child subtree; a scan
+        # of a scaling table inside the immediate child block is a bug
+        lines = plan.splitlines()
+        for i, ln in enumerate(lines):
+            if "ResolvedHint" not in ln:
+                continue
+            depth = len(ln) - len(ln.lstrip(" :+-"))
+            for child in lines[i + 1 : i + 8]:
+                cdepth = len(child) - len(child.lstrip(" :+-"))
+                if cdepth <= depth:
+                    break
+                if "Relation" in child and any(k in child for k in scaling):
+                    raise AssertionError(
+                        f"{name}: forced broadcast hint over scaling table: {child.strip()}"
+                    )
