@@ -8,10 +8,11 @@ module centralizes the session tuning we rely on everywhere:
   'UTC', utility/sql/info_tables.sql:22).
 - AQE on: runtime broadcast/skew handling is our answer to "Postgres
   picks the plan" (SURVEY.md section 4).
-- ``spark.sql.legacy.parquet.nanosAsLong``: the driver test data's
-  ``events.parquet`` carries TIMESTAMP(NANOS), which Spark 4 refuses
-  by default. We read it as nanosecond longs and normalize with
-  ``timestamp_micros(ns div 1000)`` (same truncation DuckDB applies).
+- ``spark.sql.legacy.parquet.nanosAsLong``: kept for older test-data
+  vintages whose ``events.parquet`` carried TIMESTAMP(NANOS) (read as
+  long nanos + ``timestamp_micros(ns div 1000)``). Current testdata
+  ships TIMESTAMP(MICROS) NTZ; sources.py casts NTZ -> session-UTC
+  TIMESTAMP so both vintages land on identical values.
 
 At 100 TB these settings matter more than at test scale: AQE coalesces
 post-shuffle partitions, converts sort-merge joins to broadcast when a
@@ -32,7 +33,7 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    # events.parquet ships TIMESTAMP(NANOS); read as long nanos.
+    # legacy testdata vintage: TIMESTAMP(NANOS) read as long nanos.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Arrow for any pandas-UDF path (dedup/multimodal operators).
     "spark.sql.execution.arrow.pyspark.enabled": "true",

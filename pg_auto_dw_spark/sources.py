@@ -3,10 +3,11 @@
 Centralizes reading the driver's parquet tables so every query sees the
 same normalized schema:
 
-- ``events.ts`` arrives as TIMESTAMP(NANOS) parquet, which we read as
-  long nanos (see session.py) and normalize to a microsecond timestamp
-  with integer floor-division -- byte-identical to what DuckDB produces
-  when it reads the same file, so oracle hashes line up.
+- Timestamp columns are normalized to session-UTC TIMESTAMP whatever
+  the file vintage: TIMESTAMP(NANOS) (read as long nanos, floor-divided
+  to micros -- the truncation DuckDB applies) or TIMESTAMP(MICROS) NTZ
+  (cast, value-preserving under the UTC session timezone). Oracle
+  hashes line up either way.
 
 Scale posture: these are plain ``spark.read.parquet`` scans, so column
 pruning and predicate pushdown reach the file scan (verify with
@@ -46,6 +47,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # would lose precision: epoch-nanos exceed 2^53), truncating the
         # same way DuckDB does when it reads the same file.
         df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    # Depending on the Spark build, parquet TIMESTAMP columns (and
+    # TIMESTAMP(NANOS) under truncating readers) surface as
+    # TIMESTAMP_NTZ. Every oracle and timestamp function here assumes
+    # session-local (UTC) TIMESTAMP, so normalize; the cast is
+    # value-preserving under the UTC session timezone.
+    ntz = [c for c, d in df.dtypes if d == "timestamp_ntz"]
+    if ntz:
+        df = df.select(
+            *[
+                F.col(c).cast("timestamp").alias(c) if c in ntz else F.col(c)
+                for c in df.columns
+            ]
+        )
     return df
 
 

@@ -35,7 +35,7 @@ from pyspark.sql import types as T
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos (see sources.py)
+        T.StructField("ts", T.TimestampType()),  # micros, UTC (see sources.py)
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -64,14 +64,14 @@ def run_polling_worker(
 
 
 def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
-    """File-source stream of events parquet; normalizes the nanosecond
-    timestamp exactly like the batch reader (sources.py)."""
-    stream = (
+    """File-source stream of events parquet; the explicit TIMESTAMP
+    schema normalizes the file's NTZ micros to session-UTC timestamps
+    exactly like the batch reader (sources.py)."""
+    return (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 4)
         .parquet(events_dir)
     )
-    return stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
 
 
 def events_stream_rollup(
