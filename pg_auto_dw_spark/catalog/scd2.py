@@ -112,109 +112,114 @@ def merge_snapshot(
     (``audit=False`` skips the counting jobs -- the merge itself is one
     write either way)."""
     ensure_table(wh)
-    now = F.lit(as_of).cast("timestamp") if as_of else F.current_timestamp()
-    cur = wh.read(TABLE)
-    cur_y = cur.filter(F.col("current_flag") == "Y")
-    cur_n = cur.filter(F.col("current_flag") != "Y")
+    # Postgres-transaction parity: the whole read-compute-write cycle
+    # holds the table lock, so two concurrent merges serialize instead
+    # of losing an update (reference: dv_loader.rs:59-64 runs the full
+    # script in one SPI transaction).
+    with wh.lock(TABLE):
+        now = F.lit(as_of).cast("timestamp") if as_of else F.current_timestamp()
+        cur = wh.read(TABLE)
+        cur_y = cur.filter(F.col("current_flag") == "Y")
+        cur_n = cur.filter(F.col("current_flag") != "Y")
 
-    snap = snapshot.select(
-        *[F.col(c).alias(f"snap_{c}") for c in snapshot.columns], F.lit(1).alias("snap_match")
-    )
-    # With audit the join feeds three consumers (audit aggregate, insert
-    # anti-join, final write) -- pin it so it computes once. Without
-    # audit there are only two consumers of this metadata-grain join and
-    # the checkpoint's materialization cost exceeds the recompute
-    # (measured: scd2_merge_state 4.96s pinned vs ~3.2s not, sf0.1).
-    j = cur_y.join(
-        snap,
-        on=[F.col(k) == F.col(f"snap_{k}") for k in KEYS],
-        how="left",
-    )
-    if audit:
-        j = j.localCheckpoint(eager=False)
-
-    matched = F.col("snap_match").isNotNull()
-    # any tracked column IS DISTINCT FROM its snapshot value (P6)
-    changed_pred = F.lit(False)
-    for c in TRACKED:
-        changed_pred = changed_pred | ~F.col(c).eqNullSafe(F.col(f"snap_{c}"))
-    changed = matched & changed_pred
-    # resurrect: deleted row reappears with any plainly-equal column (P7;
-    # null-unsafe equality chain as in queries.rs:263-276)
-    equal_pred = F.lit(False)
-    for c in TRACKED:
-        equal_pred = equal_pred | (F.col(c) == F.col(f"snap_{c}"))
-    resurrect = matched & ~changed & (F.col("deleted_flag") == "Y") & equal_pred
-
-    updated_y = j.select(
-        *[
-            F.col(c)
-            for c in cur.columns
-            if c not in ("deleted_flag", "current_flag", "valid_to")
-        ],
-        F.when(~matched, F.lit("Y"))
-        .when(resurrect, F.lit("N"))
-        .otherwise(F.col("deleted_flag"))
-        .alias("deleted_flag"),
-        F.when(changed, F.lit("N")).otherwise(F.col("current_flag")).alias("current_flag"),
-        F.when(changed, now).otherwise(F.col("valid_to")).alias("valid_to"),
-    ).select(*cur.columns)
-
-    # insert: snapshot keys whose current row was closed or never existed
-    surviving_keys = j.filter(~changed).select(*KEYS)
-    # Counted once: the count sizes the sequence window AND supplies the
-    # audit's "inserted" figure -- no second job. Pinning only pays when
-    # the audit aggregate adds a third consumer of the same lineage.
-    inserts_src = snapshot.join(surviving_keys, on=KEYS, how="left_anti")
-    if audit:
-        inserts_src = inserts_src.localCheckpoint(eager=False)
-    n_inserts = inserts_src.count()
-
-    # max existing pk attached via a broadcast scalar cross join instead
-    # of a driver collect -- keeps the merge a single job at write time
-    max_pk_df = cur.agg(
-        F.coalesce(F.max("pk_source_objects"), F.lit(0)).alias("__max_pk")
-    )
-    from ..functions.sequence import global_row_number
-
-    # contiguous pk sequence without a single-partition window
-    # (Postgres-sequence analog, utility/sql/info_tables.sql)
-    inserts = (
-        global_row_number(
-            inserts_src,
-            ["schema_name", "table_name", "column_ordinal_position"],
-            "__rn",
-            n_rows=n_inserts,
+        snap = snapshot.select(
+            *[F.col(c).alias(f"snap_{c}") for c in snapshot.columns], F.lit(1).alias("snap_match")
         )
-        .crossJoin(F.broadcast(max_pk_df))
-        .withColumn("pk_source_objects", F.col("__rn") + F.col("__max_pk"))
-        .drop("__max_pk", "__rn")
-        .withColumn("column_dw_flag", F.lit("N"))
-        .withColumn("valid_from", now)
-        .withColumn("valid_to", F.lit(None).cast("timestamp"))
-        .withColumn("current_flag", F.lit("Y"))
-        .withColumn("deleted_flag", F.lit("N"))
-        .select(*cur.columns)
-    )
+        # With audit the join feeds three consumers (audit aggregate, insert
+        # anti-join, final write) -- pin it so it computes once. Without
+        # audit there are only two consumers of this metadata-grain join and
+        # the checkpoint's materialization cost exceeds the recompute
+        # (measured: scd2_merge_state 4.96s pinned vs ~3.2s not, sf0.1).
+        j = cur_y.join(
+            snap,
+            on=[F.col(k) == F.col(f"snap_{k}") for k in KEYS],
+            how="left",
+        )
+        if audit:
+            j = j.localCheckpoint(eager=False)
 
-    counts = {"deleted": 0, "closed": 0, "resurrected": 0, "inserted": n_inserts}
-    if audit:
-        # One aggregation pass for the audit counts (four separate
-        # count() jobs would re-run the join each time).
-        stats = j.agg(
-            F.sum((~matched & (F.col("deleted_flag") == "N")).cast("int")).alias("deleted"),
-            F.sum(changed.cast("int")).alias("closed"),
-            F.sum(resurrect.cast("int")).alias("resurrected"),
-        ).collect()[0]
-        counts = {
-            "deleted": stats["deleted"] or 0,
-            "closed": stats["closed"] or 0,
-            "resurrected": stats["resurrected"] or 0,
-            "inserted": n_inserts,
-        }
-    final = cur_n.unionByName(updated_y).unionByName(inserts)
-    wh.overwrite(TABLE, final)
-    return counts
+        matched = F.col("snap_match").isNotNull()
+        # any tracked column IS DISTINCT FROM its snapshot value (P6)
+        changed_pred = F.lit(False)
+        for c in TRACKED:
+            changed_pred = changed_pred | ~F.col(c).eqNullSafe(F.col(f"snap_{c}"))
+        changed = matched & changed_pred
+        # resurrect: deleted row reappears with any plainly-equal column (P7;
+        # null-unsafe equality chain as in queries.rs:263-276)
+        equal_pred = F.lit(False)
+        for c in TRACKED:
+            equal_pred = equal_pred | (F.col(c) == F.col(f"snap_{c}"))
+        resurrect = matched & ~changed & (F.col("deleted_flag") == "Y") & equal_pred
+
+        updated_y = j.select(
+            *[
+                F.col(c)
+                for c in cur.columns
+                if c not in ("deleted_flag", "current_flag", "valid_to")
+            ],
+            F.when(~matched, F.lit("Y"))
+            .when(resurrect, F.lit("N"))
+            .otherwise(F.col("deleted_flag"))
+            .alias("deleted_flag"),
+            F.when(changed, F.lit("N")).otherwise(F.col("current_flag")).alias("current_flag"),
+            F.when(changed, now).otherwise(F.col("valid_to")).alias("valid_to"),
+        ).select(*cur.columns)
+
+        # insert: snapshot keys whose current row was closed or never existed
+        surviving_keys = j.filter(~changed).select(*KEYS)
+        # Counted once: the count sizes the sequence window AND supplies the
+        # audit's "inserted" figure -- no second job. Pinning only pays when
+        # the audit aggregate adds a third consumer of the same lineage.
+        inserts_src = snapshot.join(surviving_keys, on=KEYS, how="left_anti")
+        if audit:
+            inserts_src = inserts_src.localCheckpoint(eager=False)
+        n_inserts = inserts_src.count()
+
+        # max existing pk attached via a broadcast scalar cross join instead
+        # of a driver collect -- keeps the merge a single job at write time
+        max_pk_df = cur.agg(
+            F.coalesce(F.max("pk_source_objects"), F.lit(0)).alias("__max_pk")
+        )
+        from ..functions.sequence import global_row_number
+
+        # contiguous pk sequence without a single-partition window
+        # (Postgres-sequence analog, utility/sql/info_tables.sql)
+        inserts = (
+            global_row_number(
+                inserts_src,
+                ["schema_name", "table_name", "column_ordinal_position"],
+                "__rn",
+                n_rows=n_inserts,
+            )
+            .crossJoin(F.broadcast(max_pk_df))
+            .withColumn("pk_source_objects", F.col("__rn") + F.col("__max_pk"))
+            .drop("__max_pk", "__rn")
+            .withColumn("column_dw_flag", F.lit("N"))
+            .withColumn("valid_from", now)
+            .withColumn("valid_to", F.lit(None).cast("timestamp"))
+            .withColumn("current_flag", F.lit("Y"))
+            .withColumn("deleted_flag", F.lit("N"))
+            .select(*cur.columns)
+        )
+
+        counts = {"deleted": 0, "closed": 0, "resurrected": 0, "inserted": n_inserts}
+        if audit:
+            # One aggregation pass for the audit counts (four separate
+            # count() jobs would re-run the join each time).
+            stats = j.agg(
+                F.sum((~matched & (F.col("deleted_flag") == "N")).cast("int")).alias("deleted"),
+                F.sum(changed.cast("int")).alias("closed"),
+                F.sum(resurrect.cast("int")).alias("resurrected"),
+            ).collect()[0]
+            counts = {
+                "deleted": stats["deleted"] or 0,
+                "closed": stats["closed"] or 0,
+                "resurrected": stats["resurrected"] or 0,
+                "inserted": n_inserts,
+            }
+        final = cur_n.unionByName(updated_y).unionByName(inserts)
+        wh.overwrite(TABLE, final)
+        return counts
 
 
 def crawl(

@@ -11,8 +11,13 @@ module centralizes the session tuning we rely on everywhere:
 - ``spark.sql.legacy.parquet.nanosAsLong``: kept for older test-data
   vintages whose ``events.parquet`` carried TIMESTAMP(NANOS) (read as
   long nanos + ``timestamp_micros(ns div 1000)``). Current testdata
-  ships TIMESTAMP(MICROS) NTZ; sources.py casts NTZ -> session-UTC
-  TIMESTAMP so both vintages land on identical values.
+  ships TIMESTAMP(MICROS) NTZ; the *batch* reader (sources.load_table)
+  branches on the surfaced dtype and lands both vintages on identical
+  session-UTC TIMESTAMP values. The streaming reader declares a
+  TimestampType schema and therefore reads only the MICROS vintage (a
+  NANOS file under nanosAsLong surfaces as bigint and fails the schema
+  loudly -- SchemaColumnConvertNotSupportedException, not silent
+  corruption).
 
 At 100 TB these settings matter more than at test scale: AQE coalesces
 post-shuffle partitions, converts sort-merge joins to broadcast when a

@@ -280,8 +280,9 @@ def incremental_satellite_stream(
     where it doubles as the satellite's applied timestamp) but always
     EXCLUDED from the hash-diff -- hashing it would make every
     re-delivery a "new version" and defeat dedup entirely. A LongType
-    watermark column is interpreted as epoch nanoseconds (the events
-    table convention) and converted to a timestamp.
+    watermark column is interpreted as epoch nanoseconds and converted
+    to a timestamp -- a legacy/synthetic-feed convention (the events
+    table itself now ships TimestampType micros).
     """
     reserved = {"hub_hk", "sat_hd", "load_ts", "record_source"}
     clash = reserved & set(descriptor_cols)

@@ -35,6 +35,8 @@ and never rewrite. Metadata tables stay tiny by construction.
 
 from __future__ import annotations
 
+import contextlib
+import fcntl
 import os
 import shutil
 import uuid
@@ -52,8 +54,52 @@ class Warehouse:
         os.makedirs(root, exist_ok=True)
         self._schemas: dict[str, T.StructType] = {}
         self._partitioning: dict[str, list[str]] = {}
+        # reentrancy bookkeeping for per-table locks: path -> [fd, depth]
+        self._held_locks: dict[str, list] = {}
         self._load_meta()
         self._gc_stale_dirs()
+
+    # -- concurrency ----------------------------------------------------
+    # The reference gets writer serialization for free from Postgres
+    # transactions (reference: controller/dv_loader.rs:59-64 -- SPI runs
+    # the whole load script in one transaction). Our stand-in is a
+    # per-table advisory flock: ``overwrite`` holds it across
+    # write+commit, and a merge can hold it across its whole
+    # read-compute-write cycle so two concurrent merges serialize
+    # instead of losing an update. Locks are reentrant within one
+    # Warehouse instance (merge -> overwrite nests); two instances --
+    # same or different process -- exclude each other.
+    def _lock_path(self, name: str) -> str:
+        return self._base(name) + ".lock"
+
+    @contextlib.contextmanager
+    def lock(self, name: str, blocking: bool = True):
+        """Exclusive per-table lock. ``blocking=False`` yields False
+        instead of waiting (used by GC to skip tables with an active
+        writer)."""
+        path = self._lock_path(name)
+        held = self._held_locks.get(path)
+        if held is not None:
+            held[1] += 1
+            try:
+                yield True
+            finally:
+                held[1] -= 1
+            return
+        fd = os.open(path, os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX | (0 if blocking else fcntl.LOCK_NB))
+        except OSError:
+            os.close(fd)
+            yield False
+            return
+        self._held_locks[path] = [fd, 1]
+        try:
+            yield True
+        finally:
+            del self._held_locks[path]
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
 
     # -- durable table metadata ------------------------------------------
     # Schemas and partition specs must survive the process: a fresh
@@ -128,32 +174,41 @@ class Warehouse:
     def _gc_stale_dirs(self) -> None:
         """Remove uncommitted/orphaned data dirs: generations not named
         by their pointer, superseded base dirs, legacy staging/backup
-        dirs, and stale pointer tmp files."""
+        dirs, and stale pointer tmp files.
+
+        Concurrent-writer safe: a ``__gen-`` dir is reaped only after
+        taking the owning table's lock *non-blocking* (an active writer
+        holds it while its generation is uncommitted -- skip) and
+        re-reading the pointer under the lock (the generation may have
+        been committed between our directory listing and the lock)."""
         try:
             entries = os.listdir(self.root)
         except FileNotFoundError:
             return
-        live = set()
-        for e in entries:
-            if e.endswith(".live"):
-                try:
-                    with open(os.path.join(self.root, e)) as f:
-                        live.add(f.read().strip())
-                except OSError:
-                    continue
         for e in entries:
             p = os.path.join(self.root, e)
             if ".live.tmp-" in e:
-                os.unlink(p)
+                # An active writer's commit is mid-flight between writing
+                # this tmp file and os.replace-ing it -- only reap when no
+                # writer holds the table lock.
+                name = e.split(".live.tmp-")[0].replace("__", ".")
+                with self.lock(name, blocking=False) as acquired:
+                    if acquired:
+                        with contextlib.suppress(OSError):
+                            os.unlink(p)
             elif os.path.isdir(p) and (".staging-" in e or ".old-" in e):
                 shutil.rmtree(p, ignore_errors=True)
-            elif os.path.isdir(p) and "__gen-" in e and e not in live:
-                shutil.rmtree(p, ignore_errors=True)
+            elif os.path.isdir(p) and "__gen-" in e:
+                name = e.split("__gen-")[0].replace("__", ".")
+                with self.lock(name, blocking=False) as acquired:
+                    if acquired and os.path.abspath(self.path(name)) != os.path.abspath(p):
+                        shutil.rmtree(p, ignore_errors=True)
             elif os.path.isdir(p) and "__gen-" not in e and e + ".live" in entries:
                 # base dir superseded by a committed generation
                 name = e.replace("__", ".")
-                if os.path.abspath(self.path(name)) != os.path.abspath(p):
-                    shutil.rmtree(p, ignore_errors=True)
+                with self.lock(name, blocking=False) as acquired:
+                    if acquired and os.path.abspath(self.path(name)) != os.path.abspath(p):
+                        shutil.rmtree(p, ignore_errors=True)
 
     def exists(self, name: str) -> bool:
         p = self.path(name)
@@ -192,7 +247,7 @@ class Warehouse:
     def drop_table(self, name: str) -> None:
         if os.path.isdir(self.path(name)):
             shutil.rmtree(self.path(name))
-        for p in (self._pointer_path(name), self._base(name)):
+        for p in (self._pointer_path(name), self._lock_path(name), self._base(name)):
             if os.path.isfile(p):
                 os.unlink(p)
             elif os.path.isdir(p):
@@ -221,6 +276,36 @@ class Warehouse:
             writer = writer.partitionBy(*self._partitioning[name])
         writer.parquet(self.path(name))
 
+    def overwrite_partitions(self, name: str, df: DataFrame) -> None:
+        """Partition-pruned rewrite: replace ONLY the partitions whose
+        values appear in ``df`` (Spark dynamic partition overwrite);
+        every other partition directory is left byte-identical -- the
+        write path for data-scale incremental merges, where a full
+        generation rewrite (``overwrite``) would rewrite 100 TB to
+        change one load date.
+
+        Requires a registered partition spec. Callers whose ``df``
+        derives from this same table (read-modify-write merges) must
+        pin it first (eager ``localCheckpoint``): the file source
+        refuses to overwrite a path present in its own input lineage.
+        Commit granularity is per-partition (Spark's file commit
+        protocol); on a real deployment this maps onto an ACID table
+        format's MERGE INTO (see SCALE.md) -- the merge itself is
+        deterministic and idempotently re-runnable after a crash.
+        """
+        if name not in self._partitioning:
+            raise ValueError(
+                f"table {name} has no partition spec; overwrite_partitions "
+                "requires one (register it via create_table(partition_by=...))"
+            )
+        with self.lock(name):
+            (
+                df.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(*self._partitioning[name])
+                .parquet(self.path(name))
+            )
+
     def overwrite(self, name: str, df: DataFrame) -> None:
         """Crash-safe full rewrite: write a new generation dir, then
         commit it with one atomic pointer replace.
@@ -229,10 +314,17 @@ class Warehouse:
         self-referential merges (read current -> compute -> rewrite), so
         the new generation is always written beside the live one; the
         table is readable (old or new, never neither) at every instant.
+
+        The per-table lock spans write+commit, so concurrent writers
+        serialize (and init-time GC in another process can never reap
+        this generation mid-write). Callers that read-modify-write
+        should hold ``wh.lock(name)`` around the whole cycle -- the
+        nested acquisition here is reentrant.
         """
-        gen = self._base(name) + "__gen-" + uuid.uuid4().hex[:8]
-        writer = df.write.mode("overwrite")
-        if name in self._partitioning:
-            writer = writer.partitionBy(*self._partitioning[name])
-        writer.parquet(gen)
-        self._commit_generation(name, gen)
+        with self.lock(name):
+            gen = self._base(name) + "__gen-" + uuid.uuid4().hex[:8]
+            writer = df.write.mode("overwrite")
+            if name in self._partitioning:
+                writer = writer.partitionBy(*self._partitioning[name])
+            writer.parquet(gen)
+            self._commit_generation(name, gen)

@@ -334,9 +334,10 @@ def test_events_stream_user_stats_stateful(spark, sf_dir, tmp_path):
     # state accumulates (running totals grow by the appended rows)
     extra = load_table(spark, sf_dir, "events").filter(F.col("user_id") == 1).limit(10)
     n_extra = extra.count()
-    extra.select("event_id", F.unix_micros("ts").alias("us"), "user_id", "event_type", "value", "props").selectExpr(
-        "event_id", "us * 1000 as ts", "user_id", "event_type", "value", "props"
-    ).write.mode("append").parquet(str(events_dir))
+    # ts stays a real timestamp column: the appended file must remain
+    # readable by any ts-consuming stream (rollup/sessions) over the
+    # same directory, whose TimestampType schema can't read epoch-long.
+    extra.write.mode("append").parquet(str(events_dir))
     q2 = events_stream_user_stats(
         spark, str(events_dir), str(tmp_path / "ckpt"), out_dir
     )

@@ -80,6 +80,136 @@ def test_legacy_staging_and_backup_dirs_gcd(spark, warehouse_dir):
     assert _vals(wh2) == {f"a{i}" for i in range(5)}
 
 
+# ---------------------------------------------------------------------------
+# Concurrent writers (reference parity: Postgres serializes the whole
+# load script in one transaction, dv_loader.rs:59-64; our stand-in is
+# the per-table flock held across write+commit).
+#
+# Workers exercise the commit protocol directly -- generation dir +
+# marker file + _commit_generation -- because the protocol is pure
+# filesystem; Spark only ever produces the generation's contents.
+# ---------------------------------------------------------------------------
+
+import multiprocessing as mp
+import time
+import uuid
+
+
+def _ptr(root, name="m.t"):
+    p = os.path.join(root, name.replace(".", "__") + ".live")
+    if not os.path.isfile(p):
+        return None
+    with open(p) as f:
+        return f.read().strip()
+
+
+def _stress_writer(root, writer_id, n_commits, log):
+    wh = Warehouse(None, root)  # commit path never touches spark
+    for seq in range(n_commits):
+        with wh.lock("m.t"):
+            gen = wh._base("m.t") + "__gen-" + uuid.uuid4().hex[:8]
+            os.makedirs(gen)
+            # two-step marker write simulates a slow Spark job: a GC
+            # that reaped mid-write would leave a truncated marker
+            with open(os.path.join(gen, "marker"), "w") as f:
+                f.write(f"{writer_id}:{seq}:")
+                f.flush()
+                time.sleep(0.005)
+                f.write("done")
+            wh._commit_generation("m.t", gen)
+        log.put((writer_id, seq, os.path.basename(gen)))
+
+
+def _stress_reader(root, stop, failures):
+    while not stop.is_set():
+        Warehouse(None, root)  # init-time GC under contention
+        for _ in range(3):
+            ptr = _ptr(root)
+            if ptr is None:
+                break  # nothing committed yet
+            try:
+                with open(os.path.join(root, ptr, "marker")) as f:
+                    if not f.read().endswith("done"):
+                        failures.put(f"torn marker in live generation {ptr}")
+                break
+            except FileNotFoundError:
+                if _ptr(root) == ptr:
+                    failures.put(f"committed generation {ptr} lost")
+                    break
+                # superseded between pointer read and dir read -- retry
+
+
+def test_two_process_writers_never_lose_committed_generation(tmp_path):
+    """Two concurrent writer processes + a GC-hammering reader process:
+    at every instant the pointer names an existing, fully-written
+    generation, and no committed generation is ever orphaned."""
+    root = str(tmp_path / "wh_stress")
+    os.makedirs(root)
+    ctx = mp.get_context("spawn")
+    log, failures = ctx.Queue(), ctx.Queue()
+    stop = ctx.Event()
+    n_commits = 12
+    writers = [
+        ctx.Process(target=_stress_writer, args=(root, w, n_commits, log), daemon=True)
+        for w in range(2)
+    ]
+    reader = ctx.Process(target=_stress_reader, args=(root, stop, failures), daemon=True)
+    commits, fails = [], []
+    try:
+        reader.start()
+        for p in writers:
+            p.start()
+        for p in writers:
+            p.join(timeout=120)
+        stop.set()
+        reader.join(timeout=30)
+        while not log.empty():
+            commits.append(log.get())
+        while not failures.empty():
+            fails.append(failures.get())
+        assert [p.exitcode for p in writers] == [0, 0]
+        assert reader.exitcode == 0
+    finally:
+        stop.set()
+        for p in writers + [reader]:
+            if p.is_alive():
+                p.terminate()
+    assert fails == []
+    assert len(commits) == 2 * n_commits  # every commit succeeded
+    # the surviving pointer names one of the committed generations,
+    # fully written, and it is some writer's final commit (the lock
+    # serializes, so the last committer system-wide wins)
+    final = _ptr(root)
+    by_gen = {gen: (w, seq) for w, seq, gen in commits}
+    assert final in by_gen
+    with open(os.path.join(root, final, "marker")) as f:
+        assert f.read().endswith("done")
+    w, seq = by_gen[final]
+    assert seq == n_commits - 1
+
+
+def test_gc_skips_inflight_generation_of_active_writer(tmp_path):
+    """A fresh Warehouse's GC must not reap an uncommitted generation
+    while its writer holds the table lock (the VERDICT r3 hazard)."""
+    root = str(tmp_path / "wh_inflight")
+    os.makedirs(root)
+    wh = Warehouse(None, root)
+    with wh.lock("m.t"):
+        gen = wh._base("m.t") + "__gen-" + uuid.uuid4().hex[:8]
+        os.makedirs(gen)
+        with open(os.path.join(gen, "marker"), "w") as f:
+            f.write("w:0:")  # mid-write: not yet "done"
+        Warehouse(None, root)  # concurrent init-time GC
+        assert os.path.isdir(gen)  # survived: writer holds the lock
+        with open(os.path.join(gen, "marker"), "a") as f:
+            f.write("done")
+        wh._commit_generation("m.t", gen)
+    # once committed and unlocked, GC keeps it because it is live
+    Warehouse(None, root)
+    assert os.path.isdir(gen)
+    assert _ptr(root) == os.path.basename(gen)
+
+
 def test_append_lands_in_live_generation(spark, warehouse_dir):
     wh = Warehouse(spark, warehouse_dir)
     wh.create_table("m.t", SCHEMA)
