@@ -1,0 +1,190 @@
+"""Data-scale SCD2 dimension merge: keyed, partition-pruned
+(SURVEY S8/P6/P7/J5; reference: extension/src/model/queries.rs:221-321).
+
+``catalog/scd2.py`` applies the reference's change/resurrect/insert
+semantics at *metadata* grain, where a full-table rewrite per merge is
+cheap by construction. This module applies the identical semantics to a
+*data-scale* dimension (10^9+ rows), where a full rewrite is the exact
+thing you cannot do. The shape that survives 100x:
+
+- The target table is partitioned by a caller-supplied bucket column
+  (hash/modulus of the business key, or a load date). Both sides of the
+  merge carry it, so a key's history always lives in one partition.
+- One driver-side ``distinct().collect()`` of the batch's bucket values
+  (metadata-grain: <= n_buckets rows) determines the touched set; the
+  target scan filters on it, so Catalyst prunes every untouched
+  partition from the file listing.
+- The merge joins current rows to the batch *within touched buckets
+  only* and computes all actions in one pass (same single-joined-pass
+  equivalence argument as catalog/scd2.py).
+- The write is a dynamic partition overwrite
+  (``Warehouse.overwrite_partitions``): only touched partitions are
+  rewritten; untouched partition files stay byte-identical. With an
+  ACID table format available this write is a ``MERGE INTO`` (see
+  SCALE.md); semantics here are identical and the merge is
+  deterministic, so a crash mid-write is repaired by re-running it.
+
+Action semantics (queries.rs:221-321, minus full-snapshot deletion):
+
+1. close changed  -- key present in batch, any tracked col IS DISTINCT
+                     FROM the batch value: current row gets
+                     valid_to=now, current_flag='N'; the batch row is
+                     inserted as the new current version.
+2. resurrect      -- batch re-presents a key whose current row is
+                     deleted, values not distinct and at least one
+                     plainly equal (the reference's null-unsafe
+                     OR-equality chain): deleted_flag flips to 'N'.
+3. insert new     -- batch key with no surviving current row.
+4. mark deleted   -- ONLY with ``full_snapshot=True``: a current row
+                     whose key is absent from the batch is flagged
+                     deleted. Correct iff the batch carries the
+                     complete key population of every bucket it
+                     touches (per-bucket completeness is enough --
+                     keys cannot move buckets). The default (False) is
+                     CDC-batch semantics: absent keys are untouched.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..warehouse import Warehouse
+
+SCD2_META = ("valid_from", "valid_to", "current_flag", "deleted_flag")
+
+
+def dim_schema(
+    key_fields: list[T.StructField],
+    tracked_fields: list[T.StructField],
+    bucket_col: str = "key_bucket",
+) -> T.StructType:
+    """Target-table schema: keys + tracked descriptors + bucket +
+    SCD2 metadata columns."""
+    return T.StructType(
+        list(key_fields)
+        + list(tracked_fields)
+        + [
+            T.StructField(bucket_col, T.LongType(), False),
+            T.StructField("valid_from", T.TimestampType(), True),
+            T.StructField("valid_to", T.TimestampType(), True),
+            T.StructField("current_flag", T.StringType(), False),
+            T.StructField("deleted_flag", T.StringType(), False),
+        ]
+    )
+
+
+def initial_load(
+    wh: Warehouse,
+    table: str,
+    batch: DataFrame,
+    key_cols: list[str],
+    tracked_cols: list[str],
+    bucket_col: str = "key_bucket",
+    as_of: datetime.datetime | None = None,
+) -> None:
+    """Seed an empty dimension: every batch row becomes a current,
+    not-deleted version. ``batch`` must already carry ``bucket_col``."""
+    now = F.lit(as_of).cast("timestamp") if as_of else F.current_timestamp()
+    rows = batch.select(
+        *key_cols,
+        *tracked_cols,
+        F.col(bucket_col).cast("long").alias(bucket_col),
+        now.alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit("Y").alias("current_flag"),
+        F.lit("N").alias("deleted_flag"),
+    )
+    wh.create_table(table, rows.schema, partition_by=[bucket_col])
+    wh.append(table, rows)
+
+
+def merge_batch(
+    wh: Warehouse,
+    table: str,
+    batch: DataFrame,
+    key_cols: list[str],
+    tracked_cols: list[str],
+    bucket_col: str = "key_bucket",
+    as_of: datetime.datetime | None = None,
+    full_snapshot: bool = False,
+) -> dict[str, int]:
+    """Partition-pruned SCD2 merge of ``batch`` into ``table``.
+
+    Returns per-action row counts plus the touched-bucket count. The
+    whole read-compute-write cycle holds the table lock (Postgres-
+    transaction parity, dv_loader.rs:59-64)."""
+    now = F.lit(as_of).cast("timestamp") if as_of else F.current_timestamp()
+    with wh.lock(table):
+        touched = [
+            r[0] for r in batch.select(F.col(bucket_col).cast("long")).distinct().collect()
+        ]
+        cur = wh.read(table).filter(F.col(bucket_col).isin(touched))
+        cur_y = cur.filter(F.col("current_flag") == "Y")
+        cur_n = cur.filter(F.col("current_flag") != "Y")
+
+        b = batch.select(
+            *[F.col(c).alias(f"b_{c}") for c in (*key_cols, *tracked_cols)],
+            F.col(bucket_col).cast("long").alias(f"b_{bucket_col}"),
+            F.lit(1).alias("b_match"),
+        )
+        j = cur_y.join(
+            b, on=[F.col(k) == F.col(f"b_{k}") for k in key_cols], how="left"
+        )
+
+        matched = F.col("b_match").isNotNull()
+        changed_pred = F.lit(False)
+        equal_pred = F.lit(False)
+        for c in tracked_cols:
+            changed_pred = changed_pred | ~F.col(c).eqNullSafe(F.col(f"b_{c}"))
+            equal_pred = equal_pred | (F.col(c) == F.col(f"b_{c}"))
+        changed = matched & changed_pred
+        resurrect = matched & ~changed & (F.col("deleted_flag") == "Y") & equal_pred
+
+        deleted_expr = (
+            F.when(~matched, F.lit("Y")) if full_snapshot else F.when(F.lit(False), F.lit("Y"))
+        )
+        updated_y = j.select(
+            *[F.col(c) for c in cur.columns if c not in ("deleted_flag", "current_flag", "valid_to")],
+            deleted_expr.when(resurrect, F.lit("N"))
+            .otherwise(F.col("deleted_flag"))
+            .alias("deleted_flag"),
+            F.when(changed, F.lit("N")).otherwise(F.col("current_flag")).alias("current_flag"),
+            F.when(changed, now).otherwise(F.col("valid_to")).alias("valid_to"),
+        ).select(*cur.columns)
+
+        # insert: batch keys whose current row was closed or never existed
+        surviving_keys = j.filter(~changed).select(*key_cols)
+        inserts = (
+            batch.join(surviving_keys, on=key_cols, how="left_anti")
+            .select(
+                *key_cols,
+                *tracked_cols,
+                F.col(bucket_col).cast("long").alias(bucket_col),
+                now.alias("valid_from"),
+                F.lit(None).cast("timestamp").alias("valid_to"),
+                F.lit("Y").alias("current_flag"),
+                F.lit("N").alias("deleted_flag"),
+            )
+            .select(*cur.columns)
+        )
+
+        final_touched = cur_n.unionByName(updated_y).unionByName(inserts)
+        # Pin before the write: the plan reads the same partitions it
+        # overwrites, and the file source refuses a self-referential
+        # overwrite. The materialization is bounded by the touched
+        # partitions (batch footprint), never the whole table.
+        final_touched = final_touched.localCheckpoint(eager=True)
+        counts_row = final_touched.agg(
+            F.sum((F.col("current_flag") == "N").cast("long")).alias("closed_total"),
+            F.count(F.lit(1)).alias("rows_written"),
+        ).collect()[0]
+        wh.overwrite_partitions(table, final_touched)
+        return {
+            "touched_buckets": len(touched),
+            "rows_written": counts_row["rows_written"] or 0,
+            "closed_total": counts_row["closed_total"] or 0,
+        }

