@@ -20,13 +20,39 @@ from pyspark.sql import functions as F
 from .dedup import connected_components, minhash_lsh_candidates
 from .text import language_expr
 
-# Canonical-id sets keyed by (applicationId, caller key): the
+# Cluster assignments keyed by (applicationId, caller key): the
 # MinHash+LSH+connected-components subtree is the most expensive plan
-# in the whole corpus pipeline, and both clean_corpus and
-# clean_corpus_summary consume the identical set -- computing it per
-# consumer runs the costliest job twice (r3 VERDICT directive 3).
-_CANON_CACHE: dict[tuple, DataFrame] = {}
+# in the whole corpus pipeline, and clean_corpus, clean_corpus_summary,
+# and the dedup_clusters query all consume the identical assignment --
+# computing it per consumer runs the costliest job N times (r3 VERDICT
+# directive 3). At warehouse scale the same role is a persisted table
+# written by the dedup job and read by every downstream consumer.
+_CLUSTER_CACHE: dict[tuple, DataFrame] = {}
 _CANON_BUILDS = 0  # observability/test hook: number of actual LSH passes
+
+
+def cluster_assignments(
+    docs: DataFrame, id_col: str = "doc_id", cache_key: str | None = None
+) -> DataFrame:
+    """(id, cluster_id) for every document: connected components over
+    the MinHash-LSH candidate pairs. With ``cache_key`` set, the
+    assignment is materialized once per session (eager
+    ``localCheckpoint``) and shared by every consumer."""
+    global _CANON_BUILDS
+    key = None
+    if cache_key is not None:
+        key = (docs.sparkSession.sparkContext.applicationId, cache_key, id_col)
+        hit = _CLUSTER_CACHE.get(key)
+        if hit is not None:
+            return hit
+    _CANON_BUILDS += 1
+    clusters = connected_components(
+        minhash_lsh_candidates(docs, id_col=id_col), nodes=docs, id_col=id_col
+    )
+    if key is not None:
+        clusters = clusters.localCheckpoint(eager=True)
+        _CLUSTER_CACHE[key] = clusters
+    return clusters
 
 
 def canonical_ids(
@@ -34,29 +60,13 @@ def canonical_ids(
 ) -> DataFrame:
     """One-column DataFrame of canonical document ids (cluster_id ==
     doc_id keeps exactly one representative per near-dup cluster).
-
-    With ``cache_key`` set, the set is materialized once per session
-    (eager ``localCheckpoint`` -- at warehouse scale the same role is a
-    persisted table written by the dedup job and read by every
-    downstream consumer) and reused: N consumers cost one LSH pass.
-    Without it, behavior is the old per-consumer recompute."""
-    global _CANON_BUILDS
-    key = None
-    if cache_key is not None:
-        key = (docs.sparkSession.sparkContext.applicationId, cache_key, id_col)
-        hit = _CANON_CACHE.get(key)
-        if hit is not None:
-            return hit
-    _CANON_BUILDS += 1
-    canon = (
-        connected_components(minhash_lsh_candidates(docs, id_col=id_col), nodes=docs, id_col=id_col)
+    Derives from the shared cluster assignment, so N consumers cost
+    one LSH pass."""
+    return (
+        cluster_assignments(docs, id_col=id_col, cache_key=cache_key)
         .filter(F.col(id_col) == F.col("cluster_id"))
         .select(id_col)
     )
-    if key is not None:
-        canon = canon.localCheckpoint(eager=True)
-        _CANON_CACHE[key] = canon
-    return canon
 
 
 def clean_corpus(

@@ -1234,11 +1234,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the MinHash-LSH candidate pairs:
     cluster_id = min doc_id per component (singletons keep their own
     id). Pairwise dedup output becomes keep/drop sets -- the step a
-    training-data pipeline actually acts on."""
-    from .functions.dedup import connected_components, minhash_lsh_candidates
+    training-data pipeline actually acts on. Shares the pinned cluster
+    assignment with the corpus_clean_* queries (one LSH pass for all
+    three consumers)."""
+    from .functions.corpus import cluster_assignments
 
     docs = load_table(spark, sf_dir, "documents")
-    return connected_components(minhash_lsh_candidates(docs), nodes=docs)
+    return cluster_assignments(docs, cache_key=sf_dir)
 
 
 _CLEAN_FEATS_SQL = f"""(

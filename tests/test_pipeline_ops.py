@@ -378,7 +378,7 @@ def test_corpus_canonical_set_single_lsh_pass(spark, sf_dir):
         for r in clean_corpus_summary(docs).collect()
     }
 
-    corpus_mod._CANON_CACHE.clear()
+    corpus_mod._CLUSTER_CACHE.clear()
     before = corpus_mod._CANON_BUILDS
     key = "shared-test-key"
     shared_docs = sorted(
@@ -391,6 +391,11 @@ def test_corpus_canonical_set_single_lsh_pass(spark, sf_dir):
     assert corpus_mod._CANON_BUILDS == before + 1  # one LSH pass, two consumers
     assert shared_docs == base_docs
     assert shared_sum == base_sum
+    # the full cluster assignment (dedup_clusters consumer) shares it too
+    from pg_auto_dw_spark.functions.corpus import cluster_assignments
+
+    assert cluster_assignments(docs, cache_key=key).count() > 0
+    assert corpus_mod._CANON_BUILDS == before + 1
 
 
 def test_simhash_chunk_pairs_complete_vs_blocked(spark, sf_dir):
