@@ -59,6 +59,30 @@ def _values_clause(rows) -> str:
     return ",\n".join("(" + ", ".join(_sql_lit(v) for v in r) + ")" for r in rows)
 
 
+def local_relation_df(spark, rows, schema):
+    """Build a DataFrame from inline rows as a VALUES scan (Catalyst
+    LocalRelation) with every column cast to ``schema``'s type.
+
+    Drop-in for ``spark.createDataFrame(rows, schema)`` on small
+    metadata fixtures: a parallelized RDD schedules <cores> near-empty
+    tasks for every downstream stage, a LocalRelation schedules none.
+    Supports the types our metadata schemas use (ints, strings,
+    decimals, timestamps); None maps to typed NULL."""
+    import datetime as _dt
+
+    def lit(v):
+        if isinstance(v, _dt.datetime):
+            return "'" + v.strftime("%Y-%m-%d %H:%M:%S") + "'"
+        return _sql_lit(v)
+
+    values = ",\n".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
+    cols = ", ".join(
+        f"CAST(col{i + 1} AS {f.dataType.simpleString()}) AS {f.name}"
+        for i, f in enumerate(schema.fields)
+    )
+    return spark.sql(f"SELECT {cols} FROM VALUES {values}")
+
+
 def source_objects_df(spark):
     return spark.sql(
         "SELECT CAST(col1 AS BIGINT) AS pk_source_objects, col2 AS schema_name, "

@@ -468,14 +468,16 @@ def scd2_merge_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
 
     from .catalog.introspect import SNAPSHOT_SCHEMA
+    from .fixtures import local_relation_df
 
     wh = Warehouse(spark, _scratch_dir("autodw_scd2_"))
     ensure_table(wh)
     wh.append(
-        "auto_dw.source_objects", spark.createDataFrame(cur_rows, SOURCE_OBJECTS_SCHEMA)
+        "auto_dw.source_objects",
+        local_relation_df(spark, cur_rows, SOURCE_OBJECTS_SCHEMA),
     )
     merge_snapshot(
-        wh, spark.createDataFrame(snap_rows, SNAPSHOT_SCHEMA), as_of=as_of, audit=False
+        wh, local_relation_df(spark, snap_rows, SNAPSHOT_SCHEMA), as_of=as_of, audit=False
     )
     final = wh.read("auto_dw.source_objects")
     return final.select(
