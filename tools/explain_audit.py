@@ -23,6 +23,8 @@ AUDIT = [
     "q5_local_supplier_volume",
     "dedup_minhash_lsh_pairs",
     "ann_cosine_topk",
+    "scd2_partitioned_merge",  # returns the merged table scan; the merge
+    # itself already ran -- audit checks the final-state read prunes
 ]
 
 
