@@ -57,6 +57,22 @@ from ..warehouse import Warehouse
 SCD2_META = ("valid_from", "valid_to", "current_flag", "deleted_flag")
 
 
+def with_bucket(
+    df: DataFrame,
+    key_cols: list[str],
+    n_buckets: int = 64,
+    bucket_col: str = "key_bucket",
+) -> DataFrame:
+    """Attach the partition bucket: ``pmod(xxhash64(keys), n)``.
+    Uniform regardless of key distribution (the same property sha2
+    gives the hub loads), so bucket partitions stay balanced at any
+    scale. Every producer for one dimension -- initial load, batch
+    merges, streaming merges -- must use the same bucketing."""
+    return df.withColumn(
+        bucket_col, F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets))
+    )
+
+
 def dim_schema(
     key_fields: list[T.StructField],
     tracked_fields: list[T.StructField],

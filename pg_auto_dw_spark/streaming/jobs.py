@@ -206,6 +206,65 @@ def events_stream_user_stats(
     )
 
 
+def scd2_dim_stream(
+    spark: SparkSession,
+    wh,
+    table: str,
+    source_dir: str,
+    source_schema: T.StructType,
+    key_cols: list[str],
+    tracked_cols: list[str],
+    checkpoint_dir: str,
+    bucket_col: str = "key_bucket",
+    n_buckets: int = 64,
+    as_of=None,
+):
+    """Streaming SCD2 dimension maintenance: a CDC file feed merged
+    into the key-bucket-partitioned dimension per micro-batch through
+    the batch merge (build/scd2_dim.merge_batch) inside foreachBatch --
+    the streaming twin of scd2_partitioned_merge, the way a 100 TB
+    pipeline keeps a dimension current without full-snapshot crawls.
+
+    Exactly-once *effects* under Structured Streaming's at-least-once
+    foreachBatch contract come from the merge semantics themselves:
+    re-applying an already-applied batch finds every tracked column
+    equal to the current version, so no row closes, resurrects, or
+    inserts (the same structural idempotency the batch loaders get
+    from anti-joins, dv_loader.rs:177-181). Micro-batches apply
+    serially in arrival order, and each merge rewrites only the
+    partitions its batch touches.
+
+    ``as_of`` pins the SCD2 timestamps for deterministic tests;
+    production leaves it None (merge time)."""
+    from ..build.scd2_dim import merge_batch, with_bucket
+
+    stream = spark.readStream.schema(source_schema).parquet(source_dir)
+    staged = with_bucket(
+        stream.select(*key_cols, *tracked_cols), key_cols, n_buckets, bucket_col
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merge_batch(
+            wh,
+            table,
+            batch_df,
+            key_cols=key_cols,
+            tracked_cols=tracked_cols,
+            bucket_col=bucket_col,
+            as_of=as_of,
+        )
+
+    return (
+        staged.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+        .start()
+    )
+
+
 def _hash_cols(schema: T.StructType, cols: list[str]):
     """PG-text-rendered hash over the named columns -- the SAME
     hash_key/hash_diff rendering the batch loaders use, so batch and

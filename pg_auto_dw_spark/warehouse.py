@@ -54,8 +54,8 @@ class Warehouse:
         os.makedirs(root, exist_ok=True)
         self._schemas: dict[str, T.StructType] = {}
         self._partitioning: dict[str, list[str]] = {}
-        # reentrancy bookkeeping for per-table locks: path -> [fd, depth]
-        self._held_locks: dict[str, list] = {}
+        # reentrancy bookkeeping: (lock path, thread id) -> [fd, depth]
+        self._held_locks: dict[tuple, list] = {}
         self._load_meta()
         self._gc_stale_dirs()
 
@@ -66,9 +66,9 @@ class Warehouse:
     # per-table advisory flock: ``overwrite`` holds it across
     # write+commit, and a merge can hold it across its whole
     # read-compute-write cycle so two concurrent merges serialize
-    # instead of losing an update. Locks are reentrant within one
-    # Warehouse instance (merge -> overwrite nests); two instances --
-    # same or different process -- exclude each other.
+    # instead of losing an update. Locks are reentrant per
+    # (Warehouse instance, thread) -- merge -> overwrite nests; any
+    # other thread, instance, or process excludes.
     def _lock_path(self, name: str) -> str:
         return self._base(name) + ".lock"
 
@@ -76,9 +76,14 @@ class Warehouse:
     def lock(self, name: str, blocking: bool = True):
         """Exclusive per-table lock. ``blocking=False`` yields False
         instead of waiting (used by GC to skip tables with an active
-        writer)."""
+        writer). Reentrancy is per (table, thread): a second thread on
+        the same Warehouse takes the flock path and blocks until the
+        holder releases (flock conflicts across fds of one process)."""
+        import threading
+
         path = self._lock_path(name)
-        held = self._held_locks.get(path)
+        key = (path, threading.get_ident())
+        held = self._held_locks.get(key)
         if held is not None:
             held[1] += 1
             try:
@@ -93,11 +98,11 @@ class Warehouse:
             os.close(fd)
             yield False
             return
-        self._held_locks[path] = [fd, 1]
+        self._held_locks[key] = [fd, 1]
         try:
             yield True
         finally:
-            del self._held_locks[path]
+            del self._held_locks[key]
             fcntl.flock(fd, fcntl.LOCK_UN)
             os.close(fd)
 

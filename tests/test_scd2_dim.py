@@ -120,6 +120,90 @@ def test_merge_idempotent_and_unchanged_noop(spark, sf_dir, tmp_path):
     assert wh.read("dim.customer").count() == n2  # second identical merge: no-op
 
 
+def _dim_state(wh, table="dim.customer"):
+    return sorted(
+        (
+            r["c_custkey"],
+            r["c_name"],
+            r["c_acctbal"],
+            r["c_mktsegment"],
+            r["current_flag"],
+            r["deleted_flag"],
+            r["valid_to"] is not None,
+        )
+        for r in wh.read(table).collect()
+    )
+
+
+def test_scd2_dim_stream_matches_batch_and_replays_noop(spark, sf_dir, tmp_path):
+    """The streaming CDC merge (foreachBatch -> merge_batch) must land
+    the identical dimension state as driving the batch merge directly,
+    apply each micro-batch exactly once across restarts, and be a
+    no-op under full re-delivery (at-least-once -> exactly-once
+    effects)."""
+    from pg_auto_dw_spark.build.scd2_dim import initial_load, merge_batch, with_bucket
+    from pg_auto_dw_spark.streaming.jobs import scd2_dim_stream
+
+    raw = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("c_custkey"), *TRACKED
+    )
+    src = with_bucket(raw, ["c_custkey"], 16)
+    wh_stream = Warehouse(spark, str(tmp_path / "wh_stream"))
+    wh_batch = Warehouse(spark, str(tmp_path / "wh_batch"))
+    for wh in (wh_stream, wh_batch):
+        initial_load(wh, "dim.customer", src, ["c_custkey"], TRACKED, as_of=EARLIER)
+
+    feed = tmp_path / "cdc_feed"
+    feed.mkdir()
+    batch1 = raw.filter(F.col("c_custkey") % 3 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 5.0
+    )
+    batch1.write.mode("append").parquet(str(feed))
+
+    ckpt = str(tmp_path / "ckpt")
+    kwargs = dict(
+        source_schema=raw.schema,
+        key_cols=["c_custkey"],
+        tracked_cols=TRACKED,
+        n_buckets=16,
+        as_of=AS_OF,
+    )
+    q = scd2_dim_stream(
+        spark, wh_stream, "dim.customer", str(feed), checkpoint_dir=ckpt, **kwargs
+    )
+    q.awaitTermination(120)
+    merge_batch(
+        wh_batch, "dim.customer", with_bucket(batch1, ["c_custkey"], 16),
+        ["c_custkey"], TRACKED, as_of=AS_OF,
+    )
+    assert _dim_state(wh_stream) == _dim_state(wh_batch)
+
+    # second delivery: brand-new keys; restart from the same checkpoint
+    # applies ONLY the new file
+    batch2 = raw.filter(F.col("c_custkey") % 7 == 1).withColumn(
+        "c_custkey", F.col("c_custkey") + 5_000_000
+    )
+    batch2.write.mode("append").parquet(str(feed))
+    q2 = scd2_dim_stream(
+        spark, wh_stream, "dim.customer", str(feed), checkpoint_dir=ckpt, **kwargs
+    )
+    q2.awaitTermination(120)
+    merge_batch(
+        wh_batch, "dim.customer", with_bucket(batch2, ["c_custkey"], 16),
+        ["c_custkey"], TRACKED, as_of=AS_OF,
+    )
+    assert _dim_state(wh_stream) == _dim_state(wh_batch)
+
+    # full re-delivery: a FRESH checkpoint replays every file; the merge
+    # semantics make re-application a structural no-op
+    q3 = scd2_dim_stream(
+        spark, wh_stream, "dim.customer", str(feed),
+        checkpoint_dir=str(tmp_path / "ckpt_replay"), **kwargs
+    )
+    q3.awaitTermination(120)
+    assert _dim_state(wh_stream) == _dim_state(wh_batch)
+
+
 def test_merge_resurrect_and_full_snapshot_delete(spark, sf_dir, tmp_path):
     """Deleted keys re-presented unchanged resurrect (P7); with
     full_snapshot=True, keys absent from a touched bucket's batch are

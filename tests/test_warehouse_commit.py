@@ -210,6 +210,44 @@ def test_gc_skips_inflight_generation_of_active_writer(tmp_path):
     assert _ptr(root) == os.path.basename(gen)
 
 
+def test_two_threads_on_one_warehouse_serialize(tmp_path):
+    """Reentrancy is per-thread: a second thread on the SAME Warehouse
+    instance must block on the table lock, not piggyback on the first
+    thread's hold."""
+    import threading
+
+    root = str(tmp_path / "wh_threads")
+    os.makedirs(root)
+    wh = Warehouse(None, root)
+    order = []
+    a_holds = threading.Event()
+    release_a = threading.Event()
+
+    def thread_a():
+        with wh.lock("m.t"):
+            order.append("a-acquired")
+            a_holds.set()
+            release_a.wait(timeout=30)
+            order.append("a-released")
+
+    def thread_b():
+        a_holds.wait(timeout=30)
+        with wh.lock("m.t"):
+            order.append("b-acquired")
+
+    ta = threading.Thread(target=thread_a)
+    tb = threading.Thread(target=thread_b)
+    ta.start()
+    tb.start()
+    a_holds.wait(timeout=30)
+    time.sleep(0.2)  # give B a chance to (incorrectly) slip in
+    assert order == ["a-acquired"]  # B is blocked while A holds
+    release_a.set()
+    ta.join(timeout=30)
+    tb.join(timeout=30)
+    assert order == ["a-acquired", "a-released", "b-acquired"]
+
+
 def test_append_lands_in_live_generation(spark, warehouse_dir):
     wh = Warehouse(spark, warehouse_dir)
     wh.create_table("m.t", SCHEMA)
