@@ -125,3 +125,89 @@ def test_scd2_invariants_random_sequences(spark, tmp_path_factory, steps):
     assert live == last
     # closed rows carry valid_to
     assert all(r["valid_to"] is not None for r in final if r["current_flag"] == "N")
+
+
+# --- data-scale partitioned SCD2 dim merge invariants -------------------
+
+
+@st.composite
+def dim_batches(draw):
+    """Random CDC batch sequence over an 8-key dimension: each batch
+    presents a subset of keys with a value version 0-3."""
+    n_steps = draw(st.integers(min_value=1, max_value=3))
+    return [
+        {
+            k: draw(st.integers(min_value=0, max_value=3))
+            for k in sorted(draw(st.sets(st.sampled_from(range(8)), min_size=1, max_size=8)))
+        }
+        for _ in range(n_steps)
+    ]
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(steps=dim_batches())
+def test_scd2_dim_invariants_random_batches(spark, tmp_path_factory, steps):
+    """After any CDC batch sequence through the partitioned merge:
+    - exactly one current row per key, valued as the last batch that
+      presented it (reference model simulated in Python);
+    - closed-history row count == number of actual value changes;
+    - every closed row carries valid_to;
+    - re-merging the final batch is a no-op."""
+    import datetime
+
+    from pg_auto_dw_spark.build.scd2_dim import initial_load, merge_batch, with_bucket
+    from pg_auto_dw_spark.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path_factory.mktemp("dimprop")))
+    init = with_bucket(
+        spark.createDataFrame([(k, 0) for k in range(8)], "c_custkey long, v long"),
+        ["c_custkey"],
+        4,
+    )
+    initial_load(
+        wh, "dim.t", init, ["c_custkey"], ["v"],
+        as_of=datetime.datetime(2024, 1, 1),
+    )
+
+    cur_val = {k: 0 for k in range(8)}
+    n_changes = 0
+    for step_no, batch in enumerate(steps):
+        bdf = with_bucket(
+            spark.createDataFrame(list(batch.items()), "c_custkey long, v long"),
+            ["c_custkey"],
+            4,
+        )
+        merge_batch(
+            wh, "dim.t", bdf, ["c_custkey"], ["v"],
+            as_of=datetime.datetime(2024, 2, 1 + step_no),
+        )
+        for k, v in batch.items():
+            if v != cur_val[k]:
+                n_changes += 1
+                cur_val[k] = v
+
+    def state():
+        rows = wh.read("dim.t").collect()
+        cur = {r["c_custkey"]: r["v"] for r in rows if r["current_flag"] == "Y"}
+        closed = [r for r in rows if r["current_flag"] == "N"]
+        return rows, cur, closed
+
+    rows, cur, closed = state()
+    assert cur == cur_val  # one current row per key, correctly valued
+    assert len([r for r in rows if r["current_flag"] == "Y"]) == 8
+    assert len(closed) == n_changes
+    assert all(r["valid_to"] is not None for r in closed)
+
+    # idempotency: re-merging the final batch changes nothing
+    last = steps[-1]
+    bdf = with_bucket(
+        spark.createDataFrame(list(last.items()), "c_custkey long, v long"),
+        ["c_custkey"],
+        4,
+    )
+    merge_batch(
+        wh, "dim.t", bdf, ["c_custkey"], ["v"],
+        as_of=datetime.datetime(2024, 3, 1),
+    )
+    rows2, cur2, closed2 = state()
+    assert cur2 == cur and len(closed2) == len(closed) and len(rows2) == len(rows)
