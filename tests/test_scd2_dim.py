@@ -204,6 +204,57 @@ def test_scd2_dim_stream_matches_batch_and_replays_noop(spark, sf_dir, tmp_path)
     assert _dim_state(wh_stream) == _dim_state(wh_batch)
 
 
+def test_merge_composite_key_dimension(spark, sf_dir, tmp_path):
+    """Multi-column business keys: the merge joins, buckets, and
+    anti-joins on the full key tuple (lineitem-style composite grain)."""
+    from pg_auto_dw_spark.build.scd2_dim import initial_load, merge_batch, with_bucket
+
+    # (l_orderkey, l_linenumber) is not unique in the synthetic lineitem;
+    # a dimension is key-grain, so aggregate to one deterministic row per
+    # composite key (MAX is order-independent).
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 2000)
+        .groupBy(
+            F.col("l_orderkey").cast("long").alias("l_orderkey"),
+            F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        )
+        .agg(
+            F.max(F.col("l_quantity").cast("double")).alias("l_quantity"),
+            F.max("l_returnflag").alias("l_returnflag"),
+        )
+    )
+    keys = ["l_orderkey", "l_linenumber"]
+    tracked = ["l_quantity", "l_returnflag"]
+    src = with_bucket(li, keys, 8)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    initial_load(wh, "dim.li", src, keys, tracked, as_of=EARLIER)
+    n0 = wh.read("dim.li").count()
+
+    # change quantity for linenumber 1 rows; re-present linenumber 2 unchanged
+    batch = src.filter(F.col("l_linenumber").isin(1, 2)).withColumn(
+        "l_quantity",
+        F.when(F.col("l_linenumber") == 1, F.col("l_quantity") + 1).otherwise(
+            F.col("l_quantity")
+        ),
+    )
+    counts = merge_batch(wh, "dim.li", batch, keys, tracked, as_of=AS_OF)
+    final = wh.read("dim.li")
+    n_changed = batch.filter(F.col("l_linenumber") == 1).count()
+    assert final.count() == n0 + n_changed  # one new version per changed key
+    assert final.filter(F.col("current_flag") == "N").count() == n_changed
+    # composite key integrity: exactly one current row per (orderkey, line)
+    dup = (
+        final.filter(F.col("current_flag") == "Y")
+        .groupBy(*keys)
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0
+    assert counts["closed_total"] == n_changed
+
+
 def test_merge_resurrect_and_full_snapshot_delete(spark, sf_dir, tmp_path):
     """Deleted keys re-presented unchanged resurrect (P7); with
     full_snapshot=True, keys absent from a touched bucket's batch are
