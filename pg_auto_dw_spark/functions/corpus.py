@@ -103,6 +103,87 @@ def clean_corpus(
     )
 
 
+def word_ngrams(text, n: int = 8):
+    """Distinct ordered word n-grams of lowercased alnum-tokenized text
+    (the GPT-3-style decontamination unit). Pure built-ins -- the
+    transform/slice chain stays inside whole-stage codegen. Docs
+    shorter than ``n`` words yield an empty array."""
+    cleaned = F.regexp_replace(F.lower(text), r"[^a-z0-9]+", " ")
+    toks = F.filter(F.split(F.trim(cleaned), r"\s+"), lambda t: t != F.lit(""))
+    cnt = F.size(toks) - F.lit(n - 1)
+    return F.when(
+        cnt >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), cnt),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def contamination_pairs(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+    max_gram_docs: int = 1000,
+) -> DataFrame:
+    """(doc_id, bench_id, n_shared_grams): word-n-gram overlap between
+    corpus docs and a held-out benchmark set -- the train/test
+    decontamination check every pretraining pipeline runs before
+    training.
+
+    Scale shape: both sides explode to narrow (id, gram) tables of
+    DISTINCT grams, and the join shuffles on the gram key only.
+    Stop-grams -- grams occurring in more than ``max_gram_docs``
+    benchmark documents (boilerplate, templating) -- are dropped
+    before the join: one ubiquitous gram would otherwise be a
+    quadratic hot key, the same failure mode as an LSH hot bucket."""
+    d = docs.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
+    )
+    b = benchmark.select(
+        F.col(id_col).alias(bench_id_col),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
+    )
+    allowed = (
+        b.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("__n_docs"))
+        .filter(F.col("__n_docs") <= max_gram_docs)
+        .select("gram")
+    )
+    b = b.join(allowed, "gram")
+    return (
+        d.join(b, "gram")
+        .groupBy(id_col, bench_id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    min_shared: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Documents with fewer than ``min_shared`` shared word-n-grams
+    against the benchmark: the training corpus that survives
+    decontamination (anti-join altitude, like every other removal in
+    this package)."""
+    flagged = (
+        contamination_pairs(docs, benchmark, n, text_col, id_col)
+        .filter(F.col("n_shared_grams") >= min_shared)
+        .select(id_col)
+        .distinct()
+    )
+    return docs.join(flagged, id_col, "left_anti")
+
+
 def token_budget_sample(
     docs: DataFrame,
     budget_tokens: int = 20_000,

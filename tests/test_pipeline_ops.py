@@ -517,3 +517,30 @@ def test_ivf_kmeans_sample_training(spark, sf_dir):
     assigned = ivf_assign(emb, codebook=cb)
     assert assigned.count() == emb.count()
     assert assigned.filter(F.col("cell") % 50 != 0).count() == 0
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """A doc embedding a benchmark sentence shares its word-8-grams and
+    is flagged; clean docs survive; the stop-gram cap suppresses the
+    join entirely at max_gram_docs=0."""
+    from pg_auto_dw_spark.functions.corpus import contamination_pairs, decontaminate
+
+    bench = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog tonight")],
+        ["doc_id", "text"],
+    )
+    docs = spark.createDataFrame(
+        [
+            (10, "clean document with completely different words and content here okay"),
+            (11, "prefix words first then the quick brown fox jumps over the lazy dog tonight embedded"),
+            (12, "too short for any gram"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = contamination_pairs(docs, bench, n=8).collect()
+    assert {(r["doc_id"], r["bench_id"]) for r in pairs} == {(11, 1)}
+    # 10 bench words -> 3 distinct 8-grams, all embedded in doc 11
+    assert pairs[0]["n_shared_grams"] == 3
+    kept = {r["doc_id"] for r in decontaminate(docs, bench, n=8).collect()}
+    assert kept == {10, 12}
+    assert contamination_pairs(docs, bench, n=8, max_gram_docs=0).count() == 0
