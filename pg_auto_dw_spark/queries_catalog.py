@@ -55,6 +55,7 @@ _PRIORITY = [
     "scd2_partitioned_merge",
     "corpus_contamination_pairs",
     "corpus_decontaminate",
+    "source_profile_customer",
     "hub_new_keys_anti_join",
     "text_repetition",
     "dedup_simhash_hamming",
@@ -1316,6 +1317,40 @@ def corpus_clean_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return clean_corpus_summary(
         load_table(spark, sf_dir, "documents"), dedup_cache_key=sf_dir
+    )
+
+
+def _profile_col_sql(c: str, double: bool = False) -> str:
+    mn, mx = f"MIN({c})", f"MAX({c})"
+    if double:
+        mn = f"CAST({mn} AS DECIMAL(38,2))"
+        mx = f"CAST({mx} AS DECIMAL(38,2))"
+    return f"""
+    SELECT '{c}' AS column_name, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT({c}) AS n_nulls,
+           COUNT(DISTINCT {c}) AS n_distinct,
+           CAST({mn} AS VARCHAR) AS min_value,
+           CAST({mx} AS VARCHAR) AS max_value
+    FROM customer"""
+
+
+_PROFILE_ORACLE = " UNION ALL ".join(
+    _profile_col_sql(c, double=(c == "c_acctbal"))
+    for c in ("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+)
+
+
+@register("source_profile_customer", _PROFILE_ORACLE)
+def source_profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling of a source table (count/nulls/distinct/min/max
+    per column in ONE aggregation pass + plan-level unpivot) -- the
+    data-side enrichment for the catalog crawl's classification
+    context (queries.rs:71-135 carries only catalog metadata)."""
+    from .catalog.profile import profile_table
+
+    return profile_table(
+        load_table(spark, sf_dir, "customer"),
+        ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
     )
 
 

@@ -544,3 +544,27 @@ def test_decontaminate_flags_planted_overlap(spark):
     kept = {r["doc_id"] for r in decontaminate(docs, bench, n=8).collect()}
     assert kept == {10, 12}
     assert contamination_pairs(docs, bench, n=8, max_gram_docs=0).count() == 0
+
+
+def test_profile_table_nulls_and_approx_path(spark):
+    """profile_table counts nulls per column, renders doubles through
+    DECIMAL(38,2), and the approx-distinct scale path stays close to
+    exact."""
+    from pg_auto_dw_spark.catalog.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, 2.25), (3, "b", None), (4, "a", 2.25)],
+        "k long, s string, v double",
+    )
+    prof = {r["column_name"]: r for r in profile_table(df).collect()}
+    assert prof["k"]["n_rows"] == 4 and prof["k"]["n_nulls"] == 0
+    assert prof["s"]["n_nulls"] == 1 and prof["s"]["n_distinct"] == 2
+    assert prof["v"]["n_nulls"] == 1 and prof["v"]["n_distinct"] == 2
+    assert prof["v"]["min_value"] == "1.50" and prof["v"]["max_value"] == "2.25"
+    assert prof["s"]["min_value"] == "a" and prof["s"]["max_value"] == "b"
+    approx = {
+        r["column_name"]: r["n_distinct"]
+        for r in profile_table(df, exact_distinct=False).collect()
+    }
+    for c, exact in (("k", 4), ("s", 2), ("v", 2)):
+        assert abs(approx[c] - exact) <= 1  # HLL exact at tiny cardinality
