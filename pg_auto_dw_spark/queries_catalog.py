@@ -35,23 +35,26 @@ def register(name: str, sql: str | None):
 
 
 # The driver verifies queries in dict order and may cap how many it runs
-# (r2 and r3 each ran 50; the last registered got no CORRECTNESS row).
+# (r2-r4 each ran 50; later registrations got no CORRECTNESS row).
 # Rotation policy: no query goes two rounds unverified. _PRIORITY runs
-# first: the four queries whose newest green row is r2
-# (deprioritized in r3) plus this round's new operator. _DEPRIORITIZED
-# runs last: queries green in BOTH r2 and r3 whose operator coverage is
-# redundant with another green row
-# (orders_json_payload~F8~source_table_prompt_payload,
-# status_window_flags W1/W2 + latest_transformer_responses A2 are both
-# exercised inside status_source_column,
-# multimodal_resize shares the Arrow 1->1 mapInPandas shape with
-# multimodal_decode_stats/_features).
-# NOTE for round 5: with 57 registered and a ~50-query driver cap, the
-# registration tail (multimodal_features, sat_current_view,
-# dv_round_trip_customer) may get no r4 row; they were green in r3, so
-# rotate them into _PRIORITY next round to keep every query verified
-# within two rounds.
+# first: the eight queries with no green r4 row (the r4 rotation tail
+# plus the three never-capped stragglers) — each was last green in r3.
+# _DEPRIORITIZED runs last: queries green in r4 whose operator coverage
+# is redundant with another recent green row (the r4 _PRIORITY set plus
+# queries exercised inside status_source_column / the composite loads).
+# NOTE for round 6: whatever sits in the registration tail past the
+# ~50-query cap this round must rotate into _PRIORITY next round.
 _PRIORITY = [
+    "status_window_flags",
+    "latest_transformer_responses",
+    "orders_json_payload",
+    "multimodal_resize",
+    "events_props_json_extract",
+    "multimodal_features",
+    "sat_current_view",
+    "dv_round_trip_customer",
+]
+_DEPRIORITIZED = [
     "scd2_partitioned_merge",
     "corpus_contamination_pairs",
     "corpus_decontaminate",
@@ -60,12 +63,6 @@ _PRIORITY = [
     "text_repetition",
     "dedup_simhash_hamming",
     "ann_ivf_multiprobe_topk",
-]
-_DEPRIORITIZED = [
-    "orders_json_payload",
-    "status_window_flags",
-    "latest_transformer_responses",
-    "multimodal_resize",
 ]
 
 
