@@ -19,10 +19,13 @@ thing you cannot do. The shape that survives 100x:
   equivalence argument as catalog/scd2.py).
 - The write is a dynamic partition overwrite
   (``Warehouse.overwrite_partitions``): only touched partitions are
-  rewritten; untouched partition files stay byte-identical. With an
-  ACID table format available this write is a ``MERGE INTO`` (see
-  SCALE.md); semantics here are identical and the merge is
-  deterministic, so a crash mid-write is repaired by re-running it.
+  rewritten; untouched partition files stay byte-identical (shared
+  into the new generation by hardlink). The overwrite runs against a
+  copy-on-write generation committed by one atomic pointer replace,
+  so a crash at any instant leaves the previous or the next table
+  state fully live -- never a half-replaced partition. With an ACID
+  table format available this write is a ``MERGE INTO`` (see
+  SCALE.md); semantics are identical.
 
 Action semantics (queries.rs:221-321, minus full-snapshot deletion):
 
@@ -170,7 +173,10 @@ def merge_batch(
             .alias("deleted_flag"),
             F.when(changed, F.lit("N")).otherwise(F.col("current_flag")).alias("current_flag"),
             F.when(changed, now).otherwise(F.col("valid_to")).alias("valid_to"),
-        ).select(*cur.columns)
+            # closures *by this merge* -- distinguishes rows closed now
+            # from pre-existing history carried through via cur_n
+            F.when(changed, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("_closed_now"),
+        ).select(*cur.columns, "_closed_now")
 
         # insert: batch keys whose current row was closed or never existed
         surviving_keys = j.filter(~changed).select(*key_cols)
@@ -188,17 +194,22 @@ def merge_batch(
             .select(*cur.columns)
         )
 
-        final_touched = cur_n.unionByName(updated_y).unionByName(inserts)
-        # Pin before the write: the plan reads the same partitions it
-        # overwrites, and the file source refuses a self-referential
-        # overwrite. The materialization is bounded by the touched
-        # partitions (batch footprint), never the whole table.
+        zero = F.lit(0).cast("long")
+        final_touched = (
+            cur_n.withColumn("_closed_now", zero)
+            .unionByName(updated_y)
+            .unionByName(inserts.withColumn("_closed_now", zero))
+        )
+        # Pin before the write: avoids recomputing the merge for the
+        # counts and the write, and keeps the write independent of the
+        # partitions it replaces. The materialization is bounded by the
+        # touched partitions (batch footprint), never the whole table.
         final_touched = final_touched.localCheckpoint(eager=True)
         counts_row = final_touched.agg(
-            F.sum((F.col("current_flag") == "N").cast("long")).alias("closed_total"),
+            F.sum("_closed_now").alias("closed_total"),
             F.count(F.lit(1)).alias("rows_written"),
         ).collect()[0]
-        wh.overwrite_partitions(table, final_touched)
+        wh.overwrite_partitions(table, final_touched.drop("_closed_now"))
         return {
             "touched_buckets": len(touched),
             "rows_written": counts_row["rows_written"] or 0,

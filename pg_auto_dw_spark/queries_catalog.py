@@ -1363,7 +1363,14 @@ _CONTAM_GRAMS_SQL = r"""
                               for i in generate_series(1, len(ts) - 7)]) AS gs
         FROM toks WHERE len(ts) >= 8),
     dg AS (SELECT doc_id, unnest(gs) AS gram FROM grams),
-    bg AS (SELECT doc_id AS bench_id, gram FROM dg WHERE doc_id % 97 = 0)
+    bg_all AS (SELECT doc_id AS bench_id, gram FROM dg WHERE doc_id % 97 = 0),
+    -- stop-gram cap mirrors contamination_pairs(max_gram_docs=1000):
+    -- grams present in >1000 benchmark docs are dropped on BOTH sides
+    -- of the comparison, so implementation and oracle stay the same
+    -- function at every scale factor (ADVICE r4).
+    bg AS (SELECT bench_id, gram FROM bg_all WHERE gram IN (
+               SELECT gram FROM bg_all
+               GROUP BY gram HAVING COUNT(DISTINCT bench_id) <= 1000))
 """
 
 _CONTAM_PAIRS_ORACLE = f"""

@@ -218,12 +218,23 @@ def scd2_dim_stream(
     bucket_col: str = "key_bucket",
     n_buckets: int = 64,
     as_of=None,
+    order_col: str | None = None,
 ):
     """Streaming SCD2 dimension maintenance: a CDC file feed merged
     into the key-bucket-partitioned dimension per micro-batch through
     the batch merge (build/scd2_dim.merge_batch) inside foreachBatch --
     the streaming twin of scd2_partitioned_merge, the way a 100 TB
     pipeline keeps a dimension current without full-snapshot crawls.
+
+    The merge assumes at most one row per business key per batch; a
+    CDC micro-batch routinely carries several versions of one key (two
+    updates within a trigger interval), so the sink first reduces each
+    batch to the LATEST row per key: ordered by ``order_col`` when
+    given (an explicit CDC sequence column -- the reliable choice),
+    with file modification time / path / in-file row index as the
+    arrival-order tiebreak (the file feed's native ordering).
+    Intermediate versions within one micro-batch are not recorded as
+    history -- the same collapse a MERGE-based CDC apply performs.
 
     Exactly-once *effects* under Structured Streaming's at-least-once
     foreachBatch contract come from the merge semantics themselves:
@@ -236,20 +247,43 @@ def scd2_dim_stream(
 
     ``as_of`` pins the SCD2 timestamps for deterministic tests;
     production leaves it None (merge time)."""
+    from pyspark.sql import Window
+
     from ..build.scd2_dim import merge_batch, with_bucket
 
+    meta_cols = ["_cdc_mtime", "_cdc_path", "_cdc_idx"]
     stream = spark.readStream.schema(source_schema).parquet(source_dir)
+    picked = [*key_cols, *tracked_cols] + ([order_col] if order_col else [])
     staged = with_bucket(
-        stream.select(*key_cols, *tracked_cols), key_cols, n_buckets, bucket_col
+        stream.select(
+            *picked,
+            F.col("_metadata.file_modification_time").alias("_cdc_mtime"),
+            F.col("_metadata.file_path").alias("_cdc_path"),
+            F.col("_metadata.row_index").alias("_cdc_idx"),
+        ),
+        key_cols,
+        n_buckets,
+        bucket_col,
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        order = [F.col(c).desc() for c in ([order_col] if order_col else [])] + [
+            F.col(c).desc() for c in meta_cols
+        ]
+        latest = (
+            batch_df.withColumn(
+                "_rn",
+                F.row_number().over(Window.partitionBy(*key_cols).orderBy(*order)),
+            )
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", *meta_cols)
+        )
         merge_batch(
             wh,
             table,
-            batch_df,
+            latest,
             key_cols=key_cols,
             tracked_cols=tracked_cols,
             bucket_col=bucket_col,

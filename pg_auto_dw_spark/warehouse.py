@@ -94,10 +94,20 @@ class Warehouse:
         fd = os.open(path, os.O_CREAT | os.O_RDWR, 0o644)
         try:
             fcntl.flock(fd, fcntl.LOCK_EX | (0 if blocking else fcntl.LOCK_NB))
-        except OSError:
+        except BlockingIOError:
+            # Only a non-blocking probe may treat "lock busy" as False; a
+            # blocking acquisition that fails must raise, or the caller's
+            # ``with wh.lock(name):`` would proceed unserialized.
             os.close(fd)
+            if blocking:
+                raise
             yield False
             return
+        except OSError:
+            # ENOLCK/EIO etc.: the lock could not be taken at all. Never
+            # degrade to an unlocked write -- surface it.
+            os.close(fd)
+            raise
         self._held_locks[key] = [fd, 1]
         try:
             yield True
@@ -281,22 +291,48 @@ class Warehouse:
             writer = writer.partitionBy(*self._partitioning[name])
         writer.parquet(self.path(name))
 
+    def _link_tree(self, src: str, dst: str) -> None:
+        """Hardlink every file under ``src`` into ``dst`` preserving the
+        directory layout. Parquet files are immutable once written, so
+        sharing inodes between generations is safe; linking is O(file
+        count) metadata ops, never a data copy. Falls back to copy2 on
+        filesystems without hardlinks (cross-device, some network FS)."""
+        for walk_root, _dirs, files in os.walk(src):
+            rel = os.path.relpath(walk_root, src)
+            target = dst if rel == "." else os.path.join(dst, rel)
+            os.makedirs(target, exist_ok=True)
+            for fn in files:
+                s = os.path.join(walk_root, fn)
+                d = os.path.join(target, fn)
+                try:
+                    os.link(s, d)
+                except OSError:
+                    shutil.copy2(s, d)
+
     def overwrite_partitions(self, name: str, df: DataFrame) -> None:
         """Partition-pruned rewrite: replace ONLY the partitions whose
         values appear in ``df`` (Spark dynamic partition overwrite);
-        every other partition directory is left byte-identical -- the
+        every other partition keeps its existing parquet files (shared
+        by hardlink, so untouched files stay byte-identical) -- the
         write path for data-scale incremental merges, where a full
         generation rewrite (``overwrite``) would rewrite 100 TB to
         change one load date.
 
-        Requires a registered partition spec. Callers whose ``df``
-        derives from this same table (read-modify-write merges) must
-        pin it first (eager ``localCheckpoint``): the file source
-        refuses to overwrite a path present in its own input lineage.
-        Commit granularity is per-partition (Spark's file commit
-        protocol); on a real deployment this maps onto an ACID table
-        format's MERGE INTO (see SCALE.md) -- the merge itself is
-        deterministic and idempotently re-runnable after a crash.
+        Crash safety matches ``overwrite``: the dynamic overwrite runs
+        against a copy-on-write generation dir (untouched partitions
+        hardlinked in, O(file count) metadata ops, no data copied), and
+        the atomic pointer replace is the commit point. A crash at any
+        instant leaves either the old or the new generation fully live
+        -- never a half-replaced partition -- so rows of keys absent
+        from the batch can never be lost.
+
+        Requires a registered partition spec. Because the write lands
+        in a fresh generation dir, ``df`` may freely derive from this
+        same table (no self-overwrite lineage conflict), though callers
+        typically still pin with ``localCheckpoint`` to avoid
+        recomputing the merge. At extreme file counts the per-merge
+        linking cost is the knob an ACID table format (MERGE INTO over
+        Delta/Iceberg manifests) replaces -- see SCALE.md.
         """
         if name not in self._partitioning:
             raise ValueError(
@@ -304,12 +340,19 @@ class Warehouse:
                 "requires one (register it via create_table(partition_by=...))"
             )
         with self.lock(name):
+            live = self.path(name)
+            gen = self._base(name) + "__gen-" + uuid.uuid4().hex[:8]
+            if os.path.isdir(live):
+                self._link_tree(live, gen)
+            else:
+                os.makedirs(gen, exist_ok=True)
             (
                 df.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy(*self._partitioning[name])
-                .parquet(self.path(name))
+                .parquet(gen)
             )
+            self._commit_generation(name, gen)
 
     def overwrite(self, name: str, df: DataFrame) -> None:
         """Crash-safe full rewrite: write a new generation dir, then

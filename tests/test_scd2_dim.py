@@ -50,8 +50,7 @@ def test_merge_rewrites_only_touched_partitions(spark, sf_dir, tmp_path):
     wh = Warehouse(spark, str(tmp_path / "wh"))
     src = _dim_source(spark, sf_dir)
     initial_load(wh, "dim.customer", src, ["c_custkey"], TRACKED, as_of=EARLIER)
-    table_dir = wh.path("dim.customer")
-    before = _partition_state(table_dir)
+    before = _partition_state(wh.path("dim.customer"))
     assert len(before) == 8  # all buckets populated
 
     batch = src.filter(F.col("key_bucket").isin(1, 5)).withColumn(
@@ -62,7 +61,8 @@ def test_merge_rewrites_only_touched_partitions(spark, sf_dir, tmp_path):
     )
     assert counts["touched_buckets"] == 2
 
-    after = _partition_state(table_dir)
+    # the merge committed a new copy-on-write generation: re-resolve
+    after = _partition_state(wh.path("dim.customer"))
     assert set(after) == set(before)
     for bucket, files in before.items():
         if bucket in ("key_bucket=1", "key_bucket=5"):
@@ -293,3 +293,102 @@ def test_merge_resurrect_and_full_snapshot_delete(spark, sf_dir, tmp_path):
         as_of=AS_OF,
     )
     assert wh.read("dim.customer").filter(F.col("deleted_flag") == "Y").count() == 0
+
+
+def test_scd2_dim_stream_collapses_multi_version_batch(spark, sf_dir, tmp_path):
+    """A CDC micro-batch carrying TWO versions of one key (the normal
+    two-updates-within-one-trigger case) must merge as ONE latest
+    version: exactly one current row per key afterwards, valued at the
+    later version; the intermediate version is collapsed (ADVICE r4)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pg_auto_dw_spark.build.scd2_dim import initial_load, with_bucket
+    from pg_auto_dw_spark.streaming.jobs import scd2_dim_stream
+
+    raw = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("c_custkey"), *TRACKED
+    )
+    src = with_bucket(raw, ["c_custkey"], 8)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    initial_load(wh, "dim.customer", src, ["c_custkey"], TRACKED, as_of=EARLIER)
+
+    base = raw.filter(F.col("c_custkey").isin(11, 12)).collect()
+    by_key = {r["c_custkey"]: r for r in base}
+    rows = []
+    for k in (11, 12):
+        r = by_key[k]
+        # version A then version B, in row order within ONE file:
+        # row_index is the arrival-order tiebreak, so B must win
+        rows.append((k, r["c_name"], r["c_acctbal"] + 1.0, r["c_mktsegment"]))
+        rows.append((k, r["c_name"], r["c_acctbal"] + 2.0, r["c_mktsegment"]))
+    feed = tmp_path / "cdc_feed"
+    feed.mkdir()
+    table = pa.table(
+        {
+            "c_custkey": pa.array([r[0] for r in rows], pa.int64()),
+            "c_name": pa.array([r[1] for r in rows], pa.string()),
+            "c_acctbal": pa.array([r[2] for r in rows], pa.float64()),
+            "c_mktsegment": pa.array([r[3] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(table, str(feed / "batch-0.parquet"))
+
+    q = scd2_dim_stream(
+        spark,
+        wh,
+        "dim.customer",
+        str(feed),
+        source_schema=raw.schema,
+        key_cols=["c_custkey"],
+        tracked_cols=TRACKED,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        n_buckets=8,
+        as_of=AS_OF,
+    )
+    q.awaitTermination(120)
+
+    for k in (11, 12):
+        versions = wh.read("dim.customer").filter(F.col("c_custkey") == k).collect()
+        cur = [r for r in versions if r["current_flag"] == "Y"]
+        assert len(cur) == 1, f"key {k}: single-current-row invariant broken"
+        assert cur[0]["c_acctbal"] == by_key[k]["c_acctbal"] + 2.0  # latest wins
+        # exactly one closure (the initial version); intermediate +1.0
+        # version never recorded
+        assert len(versions) == 2
+        bals = {r["c_acctbal"] for r in versions}
+        assert by_key[k]["c_acctbal"] + 1.0 not in bals
+
+
+def test_closed_total_counts_only_this_merge(spark, sf_dir, tmp_path):
+    """closed_total must count rows closed BY THIS merge, not all
+    noncurrent rows carried through the rewritten partitions
+    (ADVICE r4: after the first merge into a table with history the
+    old figure was wrong)."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    src = _dim_source(spark, sf_dir)
+    initial_load(wh, "dim.customer", src, ["c_custkey"], TRACKED, as_of=EARLIER)
+    batch = src.filter(F.col("key_bucket") == 2)
+    n_keys = batch.count()
+
+    c1 = merge_batch(
+        wh, "dim.customer",
+        batch.withColumn("c_acctbal", F.col("c_acctbal") + 1.0),
+        ["c_custkey"], TRACKED, as_of=AS_OF,
+    )
+    assert c1["closed_total"] == n_keys
+    # second merge over the same keys: history now exists in the
+    # touched partitions; closed_total must still be n_keys, not 2x
+    c2 = merge_batch(
+        wh, "dim.customer",
+        batch.withColumn("c_acctbal", F.col("c_acctbal") + 2.0),
+        ["c_custkey"], TRACKED, as_of=datetime.datetime(2024, 7, 1),
+    )
+    assert c2["closed_total"] == n_keys
+    # and an unchanged re-present closes nothing
+    c3 = merge_batch(
+        wh, "dim.customer",
+        batch.withColumn("c_acctbal", F.col("c_acctbal") + 2.0),
+        ["c_custkey"], TRACKED, as_of=datetime.datetime(2024, 8, 1),
+    )
+    assert c3["closed_total"] == 0

@@ -256,3 +256,90 @@ def test_append_lands_in_live_generation(spark, warehouse_dir):
     assert _vals(wh) == {f"a{i}" for i in range(5)} | {"x0", "x1"}
     # and a reopened warehouse sees the same rows
     assert _vals(Warehouse(spark, warehouse_dir)) == _vals(wh)
+
+
+def test_blocking_lock_failure_raises_not_unserialized(spark, warehouse_dir, monkeypatch):
+    """A failed BLOCKING flock acquisition must raise -- never silently
+    yield and let the caller write unserialized (ADVICE r4: callers
+    ignore the yielded value)."""
+    import errno
+    import fcntl as fcntl_mod
+
+    import pytest
+
+    wh = Warehouse(spark, warehouse_dir)
+
+    def broken_flock(fd, op):
+        raise OSError(errno.ENOLCK, "No locks available")
+
+    monkeypatch.setattr(whmod.fcntl, "flock", broken_flock)
+    with pytest.raises(OSError):
+        with wh.lock("m.t"):
+            raise AssertionError("must not enter the critical section")
+
+    # a busy NON-blocking probe still yields False (GC's skip path)...
+    def busy_flock(fd, op):
+        if op & fcntl_mod.LOCK_NB:
+            raise BlockingIOError(errno.EWOULDBLOCK, "busy")
+        return None
+
+    monkeypatch.setattr(whmod.fcntl, "flock", busy_flock)
+    with wh.lock("m.t", blocking=False) as acquired:
+        assert acquired is False
+    # ...but a non-EWOULDBLOCK failure of a non-blocking probe raises too
+    monkeypatch.setattr(whmod.fcntl, "flock", broken_flock)
+    with pytest.raises(OSError):
+        with wh.lock("m.t", blocking=False):
+            pass
+
+
+def test_overwrite_partitions_crash_keeps_old_state(spark, warehouse_dir, monkeypatch):
+    """overwrite_partitions is copy-on-write: a crash before the pointer
+    commit leaves the PREVIOUS table state fully live -- including
+    current/history rows of keys absent from the batch (ADVICE r4: the
+    old in-place dynamic overwrite could lose them permanently)."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    pschema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("b", T.LongType()),
+        ]
+    )
+    wh = Warehouse(spark, warehouse_dir)
+    wh.create_table("m.p", pschema, partition_by=["b"])
+    full = spark.createDataFrame([(i, f"v{i}", i % 2) for i in range(10)], pschema)
+    wh.append("m.p", full)
+    before = {(r["k"], r["v"], r["b"]) for r in wh.read("m.p").collect()}
+
+    # batch touches partition b=0 only, and carries only keys 0 and 2:
+    # under in-place dynamic overwrite a crash mid-write could drop
+    # keys 4, 6, 8 forever
+    batch = spark.createDataFrame([(0, "NEW0", 0), (2, "NEW2", 0)], pschema)
+
+    def crash(self, name, gen_dir):
+        raise RuntimeError("simulated crash before pointer commit")
+
+    monkeypatch.setattr(Warehouse, "_commit_generation", crash)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        wh.overwrite_partitions("m.p", batch)
+    monkeypatch.undo()
+
+    # the table reads back EXACTLY the pre-merge state
+    assert {(r["k"], r["v"], r["b"]) for r in wh.read("m.p").collect()} == before
+    # a fresh Warehouse GCs the orphaned generation and the re-run lands
+    wh2 = Warehouse(spark, warehouse_dir)
+    orphans = [e for e in os.listdir(warehouse_dir) if "__gen-" in e]
+    live = os.path.basename(wh2.path("m.p"))
+    assert all(e == live for e in orphans)
+    wh2.overwrite_partitions("m.p", batch)
+    after = {(r["k"], r["v"], r["b"]) for r in wh2.read("m.p").collect()}
+    # partition-granular semantics: touched partition b=0 is replaced by
+    # the batch; UNTOUCHED partition b=1 survives byte-identical (it is
+    # merge_batch's job to carry non-batch rows of touched partitions)
+    assert after == {(0, "NEW0", 0), (2, "NEW2", 0)} | {
+        t for t in before if t[2] == 1
+    }
