@@ -11,13 +11,12 @@ module centralizes the session tuning we rely on everywhere:
 - ``spark.sql.legacy.parquet.nanosAsLong``: kept for older test-data
   vintages whose ``events.parquet`` carried TIMESTAMP(NANOS) (read as
   long nanos + ``timestamp_micros(ns div 1000)``). Current testdata
-  ships TIMESTAMP(MICROS) NTZ; the *batch* reader (sources.load_table)
-  branches on the surfaced dtype and lands both vintages on identical
-  session-UTC TIMESTAMP values. The streaming reader declares a
-  TimestampType schema and therefore reads only the MICROS vintage (a
-  NANOS file under nanosAsLong surfaces as bigint and fails the schema
-  loudly -- SchemaColumnConvertNotSupportedException, not silent
-  corruption).
+  ships TIMESTAMP(MICROS) NTZ; the batch reader (sources.load_table)
+  branches on the surfaced dtype, and the streaming reader
+  (streaming/jobs.read_events_stream) splits a directory into
+  per-vintage views by footer inspection and unions the normalized
+  streams -- both land every vintage on identical session-UTC
+  TIMESTAMP values.
 
 At 100 TB these settings matter more than at test scale: AQE coalesces
 post-shuffle partitions, converts sort-merge joins to broadcast when a

@@ -25,6 +25,7 @@ streaming hub dedup keys on the uniform hash -> no skew.
 
 from __future__ import annotations
 
+import os
 import time
 from collections.abc import Callable
 
@@ -40,6 +41,15 @@ EVENTS_SCHEMA = T.StructType(
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
         T.StructField("props", T.StringType()),
+    ]
+)
+
+# Legacy testdata vintage: ts stored as parquet TIMESTAMP(NANOS), which
+# surfaces as long nanos under spark.sql.legacy.parquet.nanosAsLong.
+_EVENTS_SCHEMA_NANOS = T.StructType(
+    [
+        T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType)
+        for f in EVENTS_SCHEMA.fields
     ]
 )
 
@@ -63,15 +73,114 @@ def run_polling_worker(
     return out
 
 
+def _ts_vintage_split(events_dir: str) -> tuple[list[str], list[str]]:
+    """Partition a directory's parquet files into (legacy NANOS,
+    MICROS) vintages by inspecting only footers -- metadata-sized
+    work (one small read per file), no data scan. Files without a
+    ``ts`` column count as modern (the declared schema will surface
+    any real mismatch loudly)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    nanos: list[str] = []
+    micros: list[str] = []
+    for p in sorted(glob.glob(os.path.join(events_dir, "*.parquet"))):
+        try:
+            t = pq.ParquetFile(p).schema_arrow.field("ts").type
+        except (KeyError, OSError):
+            micros.append(p)
+            continue
+        (nanos if getattr(t, "unit", None) == "ns" else micros).append(p)
+    return nanos, micros
+
+
+def _vintage_view_root(events_dir: str) -> str:
+    """Deterministic location for the per-vintage symlink views, so a
+    checkpointed stream restarted over the same source dir re-finds
+    its files under identical paths (the file source tracks seen files
+    by path). Prefer a ``_vintage_views`` dir INSIDE the source dir
+    (the leading underscore hides it from every Spark listing); fall
+    back to a source-keyed path under the system temp dir when the
+    source is read-only."""
+    import hashlib
+    import tempfile
+
+    inside = os.path.join(events_dir, "_vintage_views")
+    try:
+        os.makedirs(inside, exist_ok=True)
+        return inside
+    except OSError:
+        key = hashlib.md5(os.path.abspath(events_dir).encode()).hexdigest()[:16]
+        fallback = os.path.join(tempfile.gettempdir(), f"events_vintage_{key}")
+        os.makedirs(fallback, exist_ok=True)
+        return fallback
+
+
+def _refresh_vintage_view(view_dir: str, files: list[str]) -> None:
+    """Symlink ``files`` into ``view_dir`` (idempotent) and drop
+    dangling links left by deleted source files."""
+    os.makedirs(view_dir, exist_ok=True)
+    for entry in os.listdir(view_dir):
+        p = os.path.join(view_dir, entry)
+        if os.path.islink(p) and not os.path.exists(p):
+            os.unlink(p)
+    for f in files:
+        link = os.path.join(view_dir, os.path.basename(f))
+        if not os.path.lexists(link):
+            os.symlink(os.path.abspath(f), link)
+
+
 def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
-    """File-source stream of events parquet; the explicit TIMESTAMP
-    schema normalizes the file's NTZ micros to session-UTC timestamps
-    exactly like the batch reader (sources.py)."""
-    return (
+    """File-source stream of events parquet, vintage-aware exactly like
+    the batch reader (sources.load_table):
+
+    - An all-MICROS directory (current testdata) streams directly: the
+      explicit TIMESTAMP schema normalizes NTZ micros to session-UTC
+      timestamps, and files arriving later are picked up per trigger.
+    - A directory containing legacy TIMESTAMP(NANOS) files is split by
+      footer inspection into per-vintage symlink views, each streamed
+      with its native schema (NANOS surfaces as long under
+      ``nanosAsLong``; converted via ``timestamp_micros(ts DIV 1000)``,
+      the same truncation DuckDB applies), then unioned -- both
+      vintages land on identical session-UTC TIMESTAMP values.
+
+    The vintage split is computed at stream construction: complete
+    under the availableNow/catch-up trigger every job in this module
+    uses (and re-computed on every restart, so newly landed files are
+    re-discovered then). Under a continuous trigger, files appearing
+    in a MIXED directory after construction are not discovered until
+    the next restart -- legacy files are a backfill concern, not a
+    live-feed one."""
+    from ..session import prepare
+
+    prepare(spark)  # nanosAsLong + UTC session tz for the legacy leg
+    nanos, micros = _ts_vintage_split(events_dir)
+    if not nanos:
+        return (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 4)
+            .parquet(events_dir)
+        )
+    root = _vintage_view_root(events_dir)
+    nanos_dir = os.path.join(root, "nanos")
+    _refresh_vintage_view(nanos_dir, nanos)
+    legacy = (
+        spark.readStream.schema(_EVENTS_SCHEMA_NANOS)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(nanos_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    )
+    if not micros:
+        return legacy
+    micros_dir = os.path.join(root, "micros")
+    _refresh_vintage_view(micros_dir, micros)
+    modern = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 4)
-        .parquet(events_dir)
+        .parquet(micros_dir)
     )
+    return legacy.unionByName(modern)
 
 
 def events_stream_rollup(

