@@ -68,16 +68,25 @@ def brute_force_topk(
 
     Output: (query_id, neighbor_id, cosine) with deterministic ranking
     (cosine desc, neighbor id asc); self-matches excluded.
+
+    Single-scan shape (r4 VERDICT directive 6): the corpus is quantized
+    ONCE and pinned (lazy localCheckpoint, same pattern as
+    lsh_bucket_topk); both the broadcast query side and the neighbor
+    side derive from the pinned frame, so the plan scans the corpus
+    parquet once instead of twice -- at 100 TB the second full
+    neighbor-side scan was the avoidable cost.
     """
-    q = with_quantized(corpus, vec_col).filter(F.col(id_col).isin(query_ids))
-    qs = q.select(
+    base = (
+        with_quantized(corpus, vec_col)
+        .select(F.col(id_col), "qvec", "qnorm")
+        .localCheckpoint(eager=False)
+    )
+    qs = base.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"),
         F.col("qvec").alias("qv"),
         F.col("qnorm").alias("qn"),
     )
-    c = with_quantized(corpus, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), "qvec", "qnorm"
-    )
+    c = base.select(F.col(id_col).alias("neighbor_id"), "qvec", "qnorm")
     joined = c.join(F.broadcast(qs), F.col("neighbor_id") != F.col("query_id"))
     sim = joined.select(
         "query_id",

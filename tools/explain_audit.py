@@ -22,7 +22,9 @@ AUDIT = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "dedup_minhash_lsh_pairs",
-    "ann_cosine_topk",
+    "ann_cosine_topk",  # scans=0 in the final plan: the corpus is read
+    # once at (lazy) checkpoint materialization and both join sides
+    # consume the pin -- previously 4 scans (2 logical x AQE reuse)
     "scd2_partitioned_merge",  # returns the merged table scan; the merge
     # itself already ran -- audit checks the final-state read prunes
 ]
