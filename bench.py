@@ -46,6 +46,11 @@ HEADLINE = [
     "text_quality_scores",
     "ann_cosine_topk",
     "ann_ivf_topk",
+    # round-4 operators (r4 VERDICT directive 3: correctness-green but
+    # previously perf-untracked)
+    "scd2_partitioned_merge",
+    "corpus_decontaminate",
+    "source_profile_customer",
 ]
 
 

@@ -103,13 +103,19 @@ def clean_corpus(
     )
 
 
-def word_ngrams(text, n: int = 8):
-    """Distinct ordered word n-grams of lowercased alnum-tokenized text
-    (the GPT-3-style decontamination unit). Pure built-ins -- the
-    transform/slice chain stays inside whole-stage codegen. Docs
-    shorter than ``n`` words yield an empty array."""
+def word_tokens(text):
+    """Lowercased alnum word tokens of ``text`` (the decontamination
+    tokenization). Kept as its own expression so callers can bind it
+    to a column ONCE per row before gram expansion -- inlining it into
+    the per-gram lambda re-evaluates the regex/split chain once per
+    gram element, a measured 6x slowdown at sf0.1."""
     cleaned = F.regexp_replace(F.lower(text), r"[^a-z0-9]+", " ")
-    toks = F.filter(F.split(F.trim(cleaned), r"\s+"), lambda t: t != F.lit(""))
+    return F.filter(F.split(F.trim(cleaned), r"\s+"), lambda t: t != F.lit(""))
+
+
+def ngrams_of(toks, n: int = 8):
+    """Distinct ordered word n-grams from a bound token-array column.
+    Docs shorter than ``n`` tokens yield an empty array."""
     cnt = F.size(toks) - F.lit(n - 1)
     return F.when(
         cnt >= 1,
@@ -122,6 +128,22 @@ def word_ngrams(text, n: int = 8):
     ).otherwise(F.array().cast("array<string>"))
 
 
+def word_ngrams(text, n: int = 8):
+    """Distinct ordered word n-grams of lowercased alnum-tokenized text
+    (the GPT-3-style decontamination unit). Pure built-ins. NOTE: this
+    single-expression form re-tokenizes per gram element; hot paths
+    should bind ``word_tokens`` to a column first and call
+    ``ngrams_of`` (see contamination_pairs)."""
+    return ngrams_of(word_tokens(text), n)
+
+
+def _gram_table(df: DataFrame, id_col: str, out_id: str, text_col: str, n: int) -> DataFrame:
+    """(out_id, gram) rows with the tokenization bound once per row."""
+    return df.select(
+        F.col(id_col).alias(out_id), word_tokens(F.col(text_col)).alias("__toks")
+    ).select(out_id, F.explode(ngrams_of(F.col("__toks"), n)).alias("gram"))
+
+
 def contamination_pairs(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -130,6 +152,7 @@ def contamination_pairs(
     id_col: str = "doc_id",
     bench_id_col: str = "bench_id",
     max_gram_docs: int = 1000,
+    broadcast_benchmark: bool = True,
 ) -> DataFrame:
     """(doc_id, bench_id, n_shared_grams): word-n-gram overlap between
     corpus docs and a held-out benchmark set -- the train/test
@@ -137,18 +160,19 @@ def contamination_pairs(
     training.
 
     Scale shape: both sides explode to narrow (id, gram) tables of
-    DISTINCT grams, and the join shuffles on the gram key only.
+    DISTINCT grams. The benchmark side is bounded by construction
+    (eval sets are ~10^5 docs x ~10^3 grams, megabytes against a
+    100 TB corpus), so with ``broadcast_benchmark`` (default) the
+    overlap join BROADCASTS the filtered benchmark grams -- the
+    exploded corpus-side gram table, the one that scales with the
+    corpus, never shuffles at all. Set it False only for a benchmark
+    too large to broadcast (the join then shuffles on the gram key).
     Stop-grams -- grams occurring in more than ``max_gram_docs``
     benchmark documents (boilerplate, templating) -- are dropped
     before the join: one ubiquitous gram would otherwise be a
     quadratic hot key, the same failure mode as an LSH hot bucket."""
-    d = docs.select(
-        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
-    )
-    b = benchmark.select(
-        F.col(id_col).alias(bench_id_col),
-        F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
-    )
+    d = _gram_table(docs, id_col, id_col, text_col, n)
+    b = _gram_table(benchmark, id_col, bench_id_col, text_col, n)
     allowed = (
         b.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("__n_docs"))
@@ -156,6 +180,8 @@ def contamination_pairs(
         .select("gram")
     )
     b = b.join(allowed, "gram")
+    if broadcast_benchmark:
+        b = F.broadcast(b)
     return (
         d.join(b, "gram")
         .groupBy(id_col, bench_id_col)
@@ -181,7 +207,9 @@ def decontaminate(
         .select(id_col)
         .distinct()
     )
-    return docs.join(flagged, id_col, "left_anti")
+    # flagged is bounded by the benchmark's reach -- broadcast the
+    # anti-join so the corpus never shuffles to remove a few ids
+    return docs.join(F.broadcast(flagged), id_col, "left_anti")
 
 
 def token_budget_sample(

@@ -28,13 +28,22 @@ from pyspark.sql import functions as F
 from .text import normalized_text
 
 
-def char_shingles(text: Column, k: int = 5) -> Column:
-    """Distinct k-character shingles of the normalized text."""
-    norm = F.regexp_replace(F.lower(text), r"\s+", " ")
+def shingles_of(norm: Column, k: int = 5) -> Column:
+    """Distinct k-character shingles of an already-bound normalized-text
+    column. Callers must bind the normalization to a column first --
+    inlining it here re-runs the regex once per shingle position (the
+    lambda body re-evaluates every subtree it references)."""
     n = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
     return F.array_distinct(
         F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(norm, i, k))
     )
+
+
+def char_shingles(text: Column, k: int = 5) -> Column:
+    """Distinct k-character shingles of the normalized text. NOTE:
+    single-expression form; hot paths bind the normalization first and
+    call ``shingles_of`` (see minhash_signatures_wide)."""
+    return shingles_of(F.regexp_replace(F.lower(text), r"\s+", " "), k)
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -70,8 +79,15 @@ def minhash_signatures_wide(
     # cores BEFORE the explode so the hash work parallelizes (cheap: the
     # shuffle moves docs, not shingles).
     par = df.sparkSession.sparkContext.defaultParallelism
-    shingled = df.repartition(par, id_col).select(
-        F.col(id_col), F.explode(char_shingles(F.col(text_col), shingle_k)).alias("sh")
+    shingled = (
+        df.repartition(par, id_col)
+        .select(
+            F.col(id_col),
+            # bind the normalization ONCE per row; inlined it would be
+            # re-evaluated per shingle position (measured 6x at sf0.1)
+            F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ").alias("__norm"),
+        )
+        .select(F.col(id_col), F.explode(shingles_of(F.col("__norm"), shingle_k)).alias("sh"))
     )
     # Kirsch-Mitzenmacher: ONE md5 per shingle -> two 32-bit halves
     # (h1, h2); hash family g_i = (h1 + i*h2) mod 2^32. 16x less hashing
@@ -458,11 +474,20 @@ def ngram_jaccard_pairs(
     doubles. Verifier stage: run on candidates, not the full corpus.
     """
     # Pin: the shingle arrays feed both sides of the blocking self-join.
-    sh = df.select(
-        F.col(id_col),
-        F.col(blocking_col).alias("blk"),
-        char_shingles(F.col(text_col), shingle_k).alias("sh"),
-    ).localCheckpoint(eager=False)
+    # Normalization bound to a column first (see shingles_of).
+    sh = (
+        df.select(
+            F.col(id_col),
+            F.col(blocking_col).alias("blk"),
+            F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ").alias("__norm"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("blk"),
+            shingles_of(F.col("__norm"), shingle_k).alias("sh"),
+        )
+        .localCheckpoint(eager=False)
+    )
     a = sh.select(
         F.col(id_col).alias("id_a"), F.col("blk").alias("blk_a"), F.col("sh").alias("sh_a")
     )

@@ -115,21 +115,33 @@ def repetition_scores(
     words within each document. Pure array expressions (size vs
     size(array_distinct)) -- narrow per-row map, integer-exact ratios."""
     t = F.col(text_col)
+    # Bind normalization and gram array to columns before the ratio
+    # projection: the gram lambda re-evaluates every referenced subtree
+    # per element, and the ratios reference the gram array three times.
     norm = F.regexp_replace(F.lower(t), r"\s+", " ")
-    n = F.greatest(F.length(norm) - F.lit(shingle_k - 1), F.lit(1))
-    grams = F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(norm, i, shingle_k))
-    words = F.split(F.trim(norm), " ")
-    return df.select(
-        F.col(id_col),
-        F.size(grams).cast("long").alias("n_grams"),
-        (
-            F.lit(1.0)
-            - F.size(F.array_distinct(grams)).cast("double") / F.size(grams)
-        ).alias("dup_gram_ratio"),
-        (
-            F.lit(1.0)
-            - F.size(F.array_distinct(words)).cast("double") / F.size(words)
-        ).alias("dup_word_ratio"),
+    n = F.greatest(F.length(F.col("__norm")) - F.lit(shingle_k - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), n), lambda i: F.substring(F.col("__norm"), i, shingle_k)
+    )
+    return (
+        df.select(F.col(id_col), norm.alias("__norm"))
+        .select(
+            F.col(id_col),
+            grams.alias("__grams"),
+            F.split(F.trim(F.col("__norm")), " ").alias("__words"),
+        )
+        .select(
+            F.col(id_col),
+            F.size("__grams").cast("long").alias("n_grams"),
+            (
+                F.lit(1.0)
+                - F.size(F.array_distinct("__grams")).cast("double") / F.size("__grams")
+            ).alias("dup_gram_ratio"),
+            (
+                F.lit(1.0)
+                - F.size(F.array_distinct("__words")).cast("double") / F.size("__words")
+            ).alias("dup_word_ratio"),
+        )
     )
 
 
