@@ -1,13 +1,13 @@
 """Multimodal column plumbing: opaque binary media columns with typed
 metadata, processed via Arrow-batched ``mapInPandas``.
 
-The image/audio decode libraries are not available in this
-environment, so the actual decode is STUBBED -- ``decode_media_batch``
-dispatches to a deterministic fake decoder and raises
-``NotImplementedError`` for real codecs. Everything Spark-side is
-real and tested: the binary schema, the mapInPandas signature, Arrow
-batch iteration, output schema enforcement, and partition-preserving
-execution.
+Decode dispatch: real encoded IMAGE payloads (magic-sniffed) decode
+through PIL when it is installed (optional import) and raise the
+documented ``NotImplementedError`` boundary when it is not; synthetic
+payloads and audio/video take a deterministic stub decoder. Everything
+Spark-side is real and tested either way: the binary schema, the
+mapInPandas signature, Arrow batch iteration, output schema
+enforcement, and partition-preserving execution.
 
 Scale notes: media blobs ride in parquet binary columns; decode is a
 narrow per-partition map (no shuffle), and Arrow batching keeps the
@@ -62,9 +62,36 @@ def synth_media_df(documents: DataFrame) -> DataFrame:
     )
 
 
+try:  # optional real image codec -- everything works without it
+    from PIL import Image as _PILImage
+
+    _HAVE_PIL = True
+except ImportError:
+    _PILImage = None
+    _HAVE_PIL = False
+
+# Magic prefixes of real encoded images (PNG/JPEG/GIF/BMP/WEBP-RIFF)
+_IMAGE_MAGIC = (b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff", b"GIF87a", b"GIF89a", b"BM", b"RIFF")
+
+
+def _is_encoded_image(payload: bytes | None) -> bool:
+    return bool(payload) and payload.startswith(_IMAGE_MAGIC)
+
+
+def _pil_decode(payload: bytes) -> dict:
+    import io
+
+    with _PILImage.open(io.BytesIO(payload)) as img:
+        return {
+            "width": int(img.width),
+            "height": int(img.height),
+            "n_frames": int(getattr(img, "n_frames", 1)),
+        }
+
+
 def _fake_decode(media_type: str, payload: bytes) -> dict:
-    """Deterministic stand-in decoder: derives dimensions from payload
-    length only. Replace with PIL/librosa/pyav when available."""
+    """Deterministic stand-in decoder for synthetic payloads: derives
+    dimensions from payload length only."""
     n = len(payload or b"")
     if media_type == "image":
         return {"width": 16 + n % 624, "height": 16 + (n * 7) % 464, "n_frames": 1}
@@ -73,6 +100,22 @@ def _fake_decode(media_type: str, payload: bytes) -> dict:
     if media_type == "video":
         return {"width": 16 + n % 624, "height": 16 + (n * 7) % 464, "n_frames": 1 + n % 120}
     raise NotImplementedError(f"real decoder for media_type={media_type!r} not available")
+
+
+def _decode(media_type: str, payload: bytes) -> dict:
+    """Decode dispatch: a REAL encoded image payload (magic-sniffed)
+    goes through PIL when installed and raises the documented
+    real-codec boundary error when not; synthetic payloads (and
+    audio/video, whose codecs are not optional-importable here) take
+    the deterministic stub. Same mapInPandas contract either way."""
+    if media_type == "image" and _is_encoded_image(payload):
+        if _HAVE_PIL:
+            return _pil_decode(payload)
+        raise NotImplementedError(
+            "payload is a real encoded image but no codec is available "
+            "(install Pillow to enable the real decode path)"
+        )
+    return _fake_decode(media_type, payload)
 
 
 def decode_media_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -85,7 +128,7 @@ def decode_media_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
             "n_bytes": pdf["payload"].map(lambda b: len(b or b"")).astype("int32"),
         }
         decoded = [
-            _fake_decode(t, p) for t, p in zip(pdf["media_type"], pdf["payload"])
+            _decode(t, p) for t, p in zip(pdf["media_type"], pdf["payload"])
         ]
         out["width"] = pd.array([d["width"] for d in decoded], dtype="Int32")
         out["height"] = pd.array([d["height"] for d in decoded], dtype="Int32")
@@ -147,7 +190,7 @@ def resize_media(media: DataFrame, max_side: int = 64) -> DataFrame:
                 if mtype == "audio":
                     rows.append((mid, mtype, None, None, None))
                     continue
-                d = _fake_decode(mtype, payload)
+                d = _decode(mtype, payload)
                 w, h = d["width"], d["height"]
                 side = max(w, h)
                 if side <= max_side:
@@ -155,7 +198,15 @@ def resize_media(media: DataFrame, max_side: int = 64) -> DataFrame:
                 else:
                     ow = max(1, (w * max_side) // side)
                     oh = max(1, (h * max_side) // side)
-                rows.append((mid, mtype, ow, oh, b"\x00" * (ow * oh * 3)))
+                if mtype == "image" and _is_encoded_image(payload) and _HAVE_PIL:
+                    # real pixels through the same contract
+                    import io
+
+                    with _PILImage.open(io.BytesIO(payload)) as img:
+                        thumb = img.convert("RGB").resize((ow, oh)).tobytes()
+                else:
+                    thumb = b"\x00" * (ow * oh * 3)
+                rows.append((mid, mtype, ow, oh, thumb))
             if not rows:
                 continue
             out = pd.DataFrame(
@@ -185,7 +236,7 @@ def sample_frames(media: DataFrame, max_frames: int = 4) -> DataFrame:
             ):
                 if mtype != "video":
                     continue
-                n = _fake_decode(mtype, payload)["n_frames"]
+                n = _decode(mtype, payload)["n_frames"]
                 stride = -(-n // max_frames)  # ceil
                 for frame_no in range(0, n, stride):
                     frame = hashlib.sha256(f"{mid}:{frame_no}".encode()).digest()
