@@ -50,6 +50,7 @@ Action semantics (queries.rs:221-321, minus full-snapshot deletion):
 from __future__ import annotations
 
 import datetime
+import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -58,6 +59,44 @@ from pyspark.sql import types as T
 from ..warehouse import Warehouse
 
 SCD2_META = ("valid_from", "valid_to", "current_flag", "deleted_flag")
+
+
+def _file_key_ranges(live_dir: str, bucket_dirs: list[str], key_col: str):
+    """Per-file (min, max) of ``key_col`` from parquet footer stats for
+    every data file under the given partition dirs -- metadata-sized
+    work (one footer read per file). Returns
+    ``{rel_path: (min, max) | None}``; None = stats unavailable
+    (never prune that file)."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, tuple | None] = {}
+    for bd in bucket_dirs:
+        pdir = os.path.join(live_dir, bd)
+        if not os.path.isdir(pdir):
+            continue
+        for fn in sorted(os.listdir(pdir)):
+            if not fn.endswith(".parquet") or fn.startswith(("_", ".")):
+                continue
+            rel = os.path.join(bd, fn)
+            try:
+                md = pq.ParquetFile(os.path.join(pdir, fn)).metadata
+                names = md.schema.names
+                j = names.index(key_col)
+                lo = hi = None
+                for i in range(md.num_row_groups):
+                    st = md.row_group(i).column(j).statistics
+                    if st is None or not st.has_min_max:
+                        lo = hi = None
+                        break
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                # only numeric stats are safe to compare (string footer
+                # stats may be truncated bounds)
+                ok = isinstance(lo, (int, float)) and isinstance(hi, (int, float))
+                out[rel] = (lo, hi) if ok else None
+            except (OSError, ValueError, KeyError):
+                out[rel] = None
+    return out
 
 
 def with_bucket(
@@ -121,6 +160,37 @@ def initial_load(
     wh.append(table, rows)
 
 
+def _plan_file_pruning(
+    wh: Warehouse,
+    table: str,
+    branges: dict,
+    key_col: str,
+    bucket_col: str,
+) -> tuple[list[str], int] | None:
+    """File-granularity pruning plan: intersect each touched-partition
+    file's footer key range with the batch's per-bucket key range
+    (``branges``, already collected alongside the touched-bucket set --
+    driver-side state bounded by n_buckets + file count of touched
+    partitions). Returns (files_to_read_and_rewrite, n_files_seen), or
+    None when the key isn't numeric-orderable (string footer stats can
+    be truncated bounds -- never prune on them)."""
+    for lo, hi in branges.values():
+        if not isinstance(lo, (int, float)) or not isinstance(hi, (int, float)):
+            return None
+    live = wh.path(table)
+    bucket_dirs = [f"{bucket_col}={int(b)}" for b in branges]
+    franges = _file_key_ranges(live, bucket_dirs, key_col)
+    kept = []
+    for rel, rng in franges.items():
+        b = int(rel.split("=", 1)[1].split(os.sep, 1)[0])
+        lo_hi = branges.get(b)
+        if rng is None or lo_hi is None:
+            kept.append(rel)  # no stats / stray file: must read it
+        elif not (rng[1] < lo_hi[0] or rng[0] > lo_hi[1]):
+            kept.append(rel)  # key range intersects the batch
+    return kept, len(franges)
+
+
 def merge_batch(
     wh: Warehouse,
     table: str,
@@ -130,18 +200,52 @@ def merge_batch(
     bucket_col: str = "key_bucket",
     as_of: datetime.datetime | None = None,
     full_snapshot: bool = False,
+    file_prune: bool = True,
 ) -> dict[str, int]:
     """Partition-pruned SCD2 merge of ``batch`` into ``table``.
 
-    Returns per-action row counts plus the touched-bucket count. The
-    whole read-compute-write cycle holds the table lock (Postgres-
-    transaction parity, dv_loader.rs:59-64)."""
+    With ``file_prune`` (default), the merge goes one level finer than
+    partition pruning: per-file key min/max from parquet footers
+    restricts the read AND the rewrite to files whose key range
+    intersects the batch (first key column; requires numeric keys and
+    CDC batches -- ``full_snapshot`` needs every current row of a
+    touched bucket, so it always reads whole partitions). Files of a
+    touched bucket that hold no batch key stay byte-identical in the
+    committed generation -- the write-amplification knob when buckets
+    are large. Engages only when the footer stats actually exclude
+    something; falls back to the partition-granular dynamic overwrite
+    otherwise.
+
+    Returns per-action row counts plus touched-bucket and file-prune
+    counters. The whole read-compute-write cycle holds the table lock
+    (Postgres-transaction parity, dv_loader.rs:59-64)."""
     now = F.lit(as_of).cast("timestamp") if as_of else F.current_timestamp()
     with wh.lock(table):
-        touched = [
-            r[0] for r in batch.select(F.col(bucket_col).cast("long")).distinct().collect()
-        ]
-        cur = wh.read(table).filter(F.col(bucket_col).isin(touched))
+        # One metadata-grain job yields both the touched-bucket set and
+        # the per-bucket key range the file-pruning plan needs.
+        bstats = (
+            batch.groupBy(F.col(bucket_col).cast("long").alias("b"))
+            .agg(F.min(key_cols[0]).alias("lo"), F.max(key_cols[0]).alias("hi"))
+            .collect()
+        )
+        touched = [r["b"] for r in bstats]
+        branges = {r["b"]: (r["lo"], r["hi"]) for r in bstats}
+        prune_plan = None
+        if file_prune and not full_snapshot and touched:
+            plan = _plan_file_pruning(wh, table, branges, key_cols[0], bucket_col)
+            # engage only when pruning excludes at least one file;
+            # otherwise the partition-granular path writes the same
+            # bytes with less bookkeeping
+            if plan is not None and len(plan[0]) < plan[1]:
+                prune_plan = plan
+        if prune_plan is None:
+            cur = wh.read(table).filter(F.col(bucket_col).isin(touched))
+        else:
+            cur = (
+                wh.read_files(table, prune_plan[0])
+                if prune_plan[0]
+                else wh.read(table).where(F.lit(False))
+            )
         cur_y = cur.filter(F.col("current_flag") == "Y")
         cur_n = cur.filter(F.col("current_flag") != "Y")
 
@@ -209,9 +313,17 @@ def merge_batch(
             F.sum("_closed_now").alias("closed_total"),
             F.count(F.lit(1)).alias("rows_written"),
         ).collect()[0]
-        wh.overwrite_partitions(table, final_touched.drop("_closed_now"))
+        if prune_plan is None:
+            wh.overwrite_partitions(table, final_touched.drop("_closed_now"))
+            files_rewritten = files_preserved = -1  # partition-granular
+        else:
+            wh.replace_files(table, final_touched.drop("_closed_now"), prune_plan[0])
+            files_rewritten = len(prune_plan[0])
+            files_preserved = prune_plan[1] - files_rewritten
         return {
             "touched_buckets": len(touched),
             "rows_written": counts_row["rows_written"] or 0,
             "closed_total": counts_row["closed_total"] or 0,
+            "files_rewritten": files_rewritten,
+            "files_preserved_in_touched": files_preserved,
         }

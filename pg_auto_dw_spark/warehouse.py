@@ -284,6 +284,17 @@ class Warehouse:
         # the full schema keeps types stable even for an empty table.
         return self._schemas[name]
 
+    def read_files(self, name: str, rel_paths: list[str]) -> DataFrame:
+        """Read a specific subset of a partitioned table's data files
+        (paths relative to the live dir). ``basePath`` keeps partition
+        columns derived from the directory names, so the frame has the
+        same schema as ``read`` -- the scan just lists fewer files."""
+        live = self.path(name)
+        reader = self.spark.read.option("basePath", live)
+        if name in self._schemas:
+            reader = reader.schema(self._add_partition_fields(name))
+        return reader.parquet(*[os.path.join(live, p) for p in rel_paths])
+
     # -- writes ---------------------------------------------------------
     def append(self, name: str, df: DataFrame) -> None:
         writer = df.write.mode("append")
@@ -352,6 +363,66 @@ class Warehouse:
                 .partitionBy(*self._partitioning[name])
                 .parquet(gen)
             )
+            self._commit_generation(name, gen)
+
+    def replace_files(self, name: str, df: DataFrame, drop_files: list[str]) -> None:
+        """File-granular copy-on-write replacement: build a new
+        generation hardlinking every live file EXCEPT ``drop_files``
+        (paths relative to the live dir), land ``df`` (written with the
+        table's partition spec) into the generation, then pointer-
+        commit. Commit semantics are identical to ``overwrite``/
+        ``overwrite_partitions`` -- one atomic pointer replace, either
+        the old or the new state fully live -- but the rewrite
+        granularity is FILES, not partitions: when a bucket partition
+        is large, a merge that read only the files whose key range
+        intersects its batch rewrites only those (the write-
+        amplification knob at 100 TB; an ACID table format's MERGE
+        INTO replaces exactly this, see SCALE.md).
+
+        ``df`` is written through a ``_staging`` subdir inside the
+        generation (underscore-hidden from every scan) and its data
+        files are then moved into their partition dirs -- a crash at
+        any point before the pointer swap leaves an orphan generation
+        that init-time GC reaps."""
+        if name not in self._partitioning:
+            raise ValueError(
+                f"table {name} has no partition spec; replace_files requires one"
+            )
+        with self.lock(name):
+            live = self.path(name)
+            gen = self._base(name) + "__gen-" + uuid.uuid4().hex[:8]
+            drop = {os.path.normpath(p) for p in drop_files}
+            for walk_root, _dirs, files in os.walk(live):
+                rel_dir = os.path.relpath(walk_root, live)
+                target = gen if rel_dir == "." else os.path.join(gen, rel_dir)
+                os.makedirs(target, exist_ok=True)
+                for fn in files:
+                    rel = os.path.normpath(fn if rel_dir == "." else os.path.join(rel_dir, fn))
+                    if rel in drop:
+                        continue
+                    s = os.path.join(walk_root, fn)
+                    d = os.path.join(target, fn)
+                    try:
+                        os.link(s, d)
+                    except OSError:
+                        shutil.copy2(s, d)
+            staging = os.path.join(gen, "_staging")
+            (
+                df.write.mode("overwrite")
+                .partitionBy(*self._partitioning[name])
+                .parquet(staging)
+            )
+            for walk_root, _dirs, files in os.walk(staging):
+                rel_dir = os.path.relpath(walk_root, staging)
+                if rel_dir == ".":
+                    continue  # root holds only _SUCCESS
+                target = os.path.join(gen, rel_dir)
+                os.makedirs(target, exist_ok=True)
+                for fn in files:
+                    if fn.startswith(("_", ".")):
+                        continue
+                    os.replace(os.path.join(walk_root, fn), os.path.join(target, fn))
+            shutil.rmtree(staging, ignore_errors=True)
             self._commit_generation(name, gen)
 
     def overwrite(self, name: str, df: DataFrame) -> None:
