@@ -189,6 +189,26 @@ def contamination_pairs(
     )
 
 
+def stop_gram_stats(
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_gram_docs: int = 1000,
+) -> DataFrame:
+    """Monitoring companion to ``contamination_pairs``: the grams the
+    stop-gram cap drops, with their benchmark-doc counts and the join
+    rows each would have produced per corpus occurrence. One row per
+    dropped gram (empty when nothing exceeds the cap) -- the hot-key
+    observability for the decontamination join."""
+    b = _gram_table(benchmark, id_col, "bench_id", text_col, n)
+    return (
+        b.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_bench_docs"))
+        .filter(F.col("n_bench_docs") > max_gram_docs)
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

@@ -244,6 +244,46 @@ def minhash_lsh_candidates(
     return small_pairs.union(big_pairs).distinct()
 
 
+def lsh_hot_bucket_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    band_size: int = 4,
+    shingle_k: int = 5,
+    max_bucket_size: int = 256,
+) -> DataFrame:
+    """Monitoring companion to ``minhash_lsh_candidates``: one row per
+    OVER-CAP bucket with its member count, the pair count an uncapped
+    all-pairs join would have emitted, and the star-fallback count the
+    capped pipeline actually emits. Run it alongside the candidate job
+    (same band-table plan) and alert on ``n``/``pairs_suppressed`` --
+    the skew observability a 100 TB dedup run needs before a hot
+    bucket becomes a straggler task.
+
+    Output: (band, band_key, n, pairs_exact, pairs_emitted,
+    pairs_suppressed); empty when no bucket exceeds the cap."""
+    bands = lsh_band_keys_wide(
+        minhash_signatures_wide(df, text_col, id_col, num_hashes, shingle_k),
+        id_col,
+        band_size,
+    )
+    n = F.col("n")
+    return (
+        bands.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(n > max_bucket_size)
+        .select(
+            "band",
+            "band_key",
+            n,
+            (n * (n - 1) / 2).cast("long").alias("pairs_exact"),
+            (n - 1).cast("long").alias("pairs_emitted"),
+            ((n * (n - 1) / 2) - (n - 1)).cast("long").alias("pairs_suppressed"),
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     nodes: DataFrame | None = None,

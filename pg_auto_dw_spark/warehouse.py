@@ -69,6 +69,15 @@ class Warehouse:
     # instead of losing an update. Locks are reentrant per
     # (Warehouse instance, thread) -- merge -> overwrite nests; any
     # other thread, instance, or process excludes.
+    #
+    # SCOPE BOUNDARY (see SCALE.md "Writer serialization scope"):
+    # flock is a per-MACHINE primitive. Writers on one host serialize;
+    # two drivers on different hosts sharing a network filesystem do
+    # NOT see each other's locks. Deployments are single-writer-per-
+    # table (the reference's own posture), or they swap the Warehouse
+    # for an ACID table format whose optimistic commit replaces this
+    # lock -- the contract surface pinned by test_warehouse_contract.py
+    # is what a Delta/Iceberg-backed implementation re-implements.
     def _lock_path(self, name: str) -> str:
         return self._base(name) + ".lock"
 

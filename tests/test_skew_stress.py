@@ -1,0 +1,153 @@
+"""Skew stress proof (r4 VERDICT directive 5): a planted zipfian
+corpus -- one boilerplate document duplicated 10^4 times -- driven
+through the three bucketed pair generators. Asserts the cap shapes
+actually engage: output stays O(b) where an uncapped all-pairs join
+would be O(b^2) ~ 5x10^7 rows, and the monitoring hooks surface the
+hot buckets. Measured numbers are recorded in SCALE.md."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pg_auto_dw_spark.sources import load_table
+
+N_CLONES = 10_000
+BOILERPLATE = (
+    "click here to accept cookies and subscribe to our newsletter "
+    "for the latest updates terms of service privacy policy all "
+    "rights reserved copyright twenty twenty four contact us today"
+)
+
+
+@pytest.fixture(scope="module")
+def zipf_docs(spark, sf_dir):
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = spark.range(N_CLONES).select(
+        (F.col("id") + 1_000_000).alias("doc_id"), F.lit(BOILERPLATE).alias("text")
+    )
+    return base.unionByName(clones).localCheckpoint(eager=True)
+
+
+def test_minhash_lsh_hot_bucket_bounded(spark, zipf_docs):
+    """10^4 identical docs share every band key; the star fallback
+    must emit O(b) pairs, not b^2/2 ~ 5x10^7, and keep the clone set
+    one connected component."""
+    from pg_auto_dw_spark.functions.dedup import (
+        connected_components,
+        lsh_hot_bucket_stats,
+        minhash_lsh_candidates,
+    )
+
+    pairs = minhash_lsh_candidates(zipf_docs, max_bucket_size=256).localCheckpoint(
+        eager=True
+    )
+    n_pairs = pairs.count()
+    # bounded: clones contribute ~N-1 star pairs (per band, deduped),
+    # natural docs a handful; nowhere near the 5x10^7 all-pairs blowup
+    assert n_pairs < 3 * N_CLONES
+    clone_pairs = pairs.filter(
+        (F.col("id_a") >= 1_000_000) | (F.col("id_b") >= 1_000_000)
+    )
+    assert clone_pairs.count() == N_CLONES - 1  # exactly the star
+
+    # every clone lands in ONE cluster despite the cap
+    clusters = connected_components(pairs, nodes=zipf_docs)
+    n_clone_clusters = (
+        clusters.filter(F.col("doc_id") >= 1_000_000)
+        .select("cluster_id")
+        .distinct()
+        .count()
+    )
+    assert n_clone_clusters == 1
+
+    # monitoring hook: the hot bucket is visible with its suppression
+    stats = lsh_hot_bucket_stats(zipf_docs, max_bucket_size=256).collect()
+    assert stats, "hot bucket must surface in the stats"
+    top = max(stats, key=lambda r: r["n"])
+    assert top["n"] >= N_CLONES
+    assert top["pairs_emitted"] == top["n"] - 1
+    assert top["pairs_suppressed"] == top["pairs_exact"] - top["pairs_emitted"]
+    print(
+        f"SCALE_ROW minhash: clones={N_CLONES} pairs_out={n_pairs} "
+        f"hot_buckets={len(stats)} top_n={top['n']} "
+        f"suppressed={top['pairs_suppressed']}"
+    )
+
+
+def test_embedding_near_dup_hot_bucket_bounded(spark, sf_dir):
+    """10^4 identical embeddings form one degenerate LSH bucket: the
+    star fallback emits O(b) pairs with the bucket still fully
+    connected through its representative."""
+    from pg_auto_dw_spark.functions.similarity import (
+        bucket_sizes,
+        embedding_near_dup_pairs,
+        hyperplane_bucket,
+    )
+
+    base = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    one = base.limit(1).select("embedding").first()["embedding"]
+    clones = spark.range(N_CLONES).select(
+        (F.col("id") + 1_000_000).alias("vec_id"),
+        F.lit(one).cast(T.ArrayType(T.FloatType())).alias("embedding"),
+    )
+    corpus = base.unionByName(clones).localCheckpoint(eager=True)
+
+    pairs = embedding_near_dup_pairs(corpus, max_bucket_size=1024).localCheckpoint(
+        eager=True
+    )
+    n_pairs = pairs.count()
+    assert n_pairs < 3 * N_CLONES  # not b^2/2
+    clone_pairs = pairs.filter(
+        (F.col("id_a") >= 1_000_000) | (F.col("id_b") >= 1_000_000)
+    ).count()
+    # star: rep <-> every clone (cosine 1), plus rep <-> near members
+    assert N_CLONES - 1 <= clone_pairs <= N_CLONES + 100
+
+    sizes = (
+        corpus.select(
+            "vec_id", hyperplane_bucket(F.col("embedding"), 64).alias("bucket")
+        )
+        .groupBy("bucket")
+        .count()
+        .filter(F.col("count") > 1024)
+        .collect()
+    )
+    assert sizes and max(r["count"] for r in sizes) >= N_CLONES
+    print(
+        f"SCALE_ROW embedding: clones={N_CLONES} pairs_out={n_pairs} "
+        f"hot_bucket_n={max(r['count'] for r in sizes)}"
+    )
+
+
+def test_contamination_stop_grams_engage(spark, zipf_docs):
+    """A boilerplate gram present in >max_gram_docs benchmark docs is
+    a stop-gram: dropped on both sides, so the join output stays
+    bounded instead of |clones| x |bench| ~ 10^7 rows."""
+    from pg_auto_dw_spark.functions.corpus import contamination_pairs, stop_gram_stats
+
+    # benchmark = a 2000-doc slice of the clones plus a few natural
+    # docs: every boilerplate gram appears in 2000 > 1000 bench docs
+    bench = zipf_docs.filter(
+        ((F.col("doc_id") >= 1_000_000) & (F.col("doc_id") < 1_002_000))
+        | (F.col("doc_id") % 7 == 0)
+    )
+    pairs = contamination_pairs(zipf_docs, bench, n=8, max_gram_docs=1000)
+    n_pairs = pairs.count()
+    # without the cap: ~10^4 clone docs x 2000 bench clones = 2x10^7
+    # pair rows from boilerplate alone; with it, only natural-doc
+    # overlaps survive
+    assert n_pairs < 100_000
+    assert (
+        pairs.filter(
+            (F.col("doc_id") >= 1_000_000) & (F.col("bench_id") >= 1_000_000)
+        ).count()
+        == 0
+    )
+
+    stats = stop_gram_stats(bench, n=8, max_gram_docs=1000).collect()
+    assert stats, "boilerplate grams must surface as stop-grams"
+    assert max(r["n_bench_docs"] for r in stats) >= 2000
+    print(
+        f"SCALE_ROW contamination: bench_docs=2000+ stop_grams={len(stats)} "
+        f"pairs_out={n_pairs}"
+    )
