@@ -16,7 +16,15 @@ from pyspark.sql import functions as F
 # Distinctive stopwords per language for the n-gram/stopword-count
 # language heuristic. Deliberately tiny: the point is the operator
 # shape (vectorized regex counting + deterministic argmax), not model
-# quality.
+# quality -- do NOT ship this 4-language table as a production
+# classifier. The production swap-in keeps the same call sites:
+# either widen this table (more languages x more stopwords -- stays
+# pure-JVM, the cheap tier), or replace language_expr's consumer with
+# an Arrow-batched mapInPandas stage loading a real model (e.g. a
+# fastText lid.176 binary broadcast to executors, batched predict per
+# Arrow chunk) emitting the same (id, detected_lang) shape the
+# pipeline joins on. The composed corpus pipeline only depends on
+# that column contract, not on how the language was inferred.
 LANG_STOPWORDS: dict[str, list[str]] = {
     "de": ["der", "die", "und", "ist", "nicht"],
     "en": ["the", "and", "of", "is", "not"],

@@ -43,8 +43,13 @@ def register(name: str, sql: str | None):
 # is redundant with another recent green row (the r4 _PRIORITY set plus
 # queries exercised inside status_source_column / the composite loads).
 # NOTE for round 6: whatever sits in the registration tail past the
-# ~50-query cap this round must rotate into _PRIORITY next round.
+# ~50-query cap this round must rotate into _PRIORITY next round --
+# with 60 registered and a 50 cap, that is the 8 _DEPRIORITIZED (all
+# green r4) plus the last two mids (sat_load_lineitem_composite,
+# link_load_order_part_supplier, both green r4).
 _PRIORITY = [
+    "events_asof_last_purchase",  # new round-5 operator
+    "pit_user_daily",  # new round-5 operator
     "status_window_flags",
     "latest_transformer_responses",
     "orders_json_payload",
@@ -2321,3 +2326,126 @@ def dv_round_trip_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_hub(wh, src, bk, load_ts=LOAD_TS)
     load_satellite(wh, src, bk, "customer", load_ts=LOAD_TS)
     return business_view(wh, bk)
+
+
+# ---------------------------------------------------------------------------
+# As-of joins / point-in-time tables (functions/asof.py): the DV 2.0
+# query accelerator over the vault the reference automates. Spark has
+# no native as-of operator; ours is the one-shuffle union+carry-forward
+# plan; the oracle is DuckDB's native ASOF JOIN -- two independent
+# implementations of the same semantics.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_asof_last_purchase",
+    """
+    WITH p AS (
+        SELECT user_id, ts, MAX(event_id) AS purchase_event_id,
+               arg_max(value, event_id) AS purchase_value
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+    c AS (
+        SELECT event_id AS click_event_id, user_id, ts AS click_ts
+        FROM events WHERE event_type = 'click')
+    SELECT c.click_event_id, c.user_id, c.click_ts,
+           p.ts AS purchase_ts, p.purchase_event_id,
+           p.purchase_value
+    FROM c ASOF LEFT JOIN p
+      ON c.user_id = p.user_id AND c.click_ts >= p.ts
+    """,
+)
+def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click event joined as-of to the same user's latest
+    purchase at or before it (clicks before any purchase keep NULLs).
+    The attribution-style query every event warehouse runs; purchases
+    are pre-deduplicated per (user, instant) so 'latest' is
+    deterministic."""
+    from .functions.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("purchase_ts"))
+        .agg(F.max(F.struct("event_id", "value")).alias("s"))
+        .select(
+            "user_id",
+            "purchase_ts",
+            F.col("s.event_id").alias("purchase_event_id"),
+            F.col("s.value").alias("purchase_value"),
+        )
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="click_ts",
+        right_ts="purchase_ts",
+        payload=["purchase_event_id", "purchase_value"],
+        suffix="",
+    )
+    return out.select(
+        "click_event_id",
+        "user_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_event_id",
+        "purchase_value",
+    )
+
+
+@register(
+    "pit_user_daily",
+    """
+    WITH v AS (
+        SELECT user_id, ts AS load_ts, MAX(event_id) AS event_id,
+               arg_max(value, event_id) AS value
+        FROM events GROUP BY user_id, ts),
+    probes AS (
+        SELECT u.user_id, s.snapshot_ts
+        FROM (SELECT DISTINCT user_id FROM events) u
+        CROSS JOIN (VALUES (TIMESTAMP '2024-01-01 00:00:00'),
+                           (TIMESTAMP '2024-01-08 00:00:00'),
+                           (TIMESTAMP '2024-01-15 00:00:00'),
+                           (TIMESTAMP '2024-01-22 00:00:00'),
+                           (TIMESTAMP '2024-02-01 00:00:00')) AS s(snapshot_ts))
+    SELECT p.user_id, p.snapshot_ts, v.load_ts, v.event_id, v.value
+    FROM probes p ASOF LEFT JOIN v
+      ON p.user_id = v.user_id AND p.snapshot_ts >= v.load_ts
+    """,
+)
+def pit_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time table over the per-user event stream (satellite
+    stand-in): for each (user, weekly snapshot) the latest version at
+    or before the snapshot; the 2024-01-01 snapshot predates every
+    event, pinning the NULL 'not yet loaded' PIT rows."""
+    import datetime as _dt
+
+    from .functions.asof import pit_snapshot
+
+    ev = load_table(spark, sf_dir, "events")
+    versions = (
+        ev.groupBy("user_id", F.col("ts").alias("load_ts"))
+        .agg(F.max(F.struct("event_id", "value")).alias("s"))
+        .select(
+            "user_id",
+            "load_ts",
+            F.col("s.event_id").alias("event_id"),
+            F.col("s.value").alias("value"),
+        )
+    )
+    snaps = [
+        _dt.datetime(2024, 1, 1),
+        _dt.datetime(2024, 1, 8),
+        _dt.datetime(2024, 1, 15),
+        _dt.datetime(2024, 1, 22),
+        _dt.datetime(2024, 2, 1),
+    ]
+    return pit_snapshot(
+        versions, snaps, on=["user_id"], ts_col="load_ts",
+        payload=["event_id", "value"],
+    )

@@ -74,11 +74,17 @@ def run_polling_worker(
 
 
 def _ts_vintage_split(events_dir: str) -> tuple[list[str], list[str]]:
-    """Partition a directory's parquet files into (legacy NANOS,
-    MICROS) vintages by inspecting only footers -- metadata-sized
-    work (one small read per file), no data scan. Files without a
-    ``ts`` column count as modern (the declared schema will surface
-    any real mismatch loudly)."""
+    """Partition a directory's parquet files into (legacy
+    TIMESTAMP(NANOS), everything else) by inspecting only footers --
+    metadata-sized work (one small read per file), no data scan.
+
+    The check is on the PARQUET schema, not the Arrow view of it:
+    Spark's default INT96 timestamps surface as ``timestamp[ns]`` in
+    Arrow but read natively under a TimestampType schema -- only
+    physical INT64 annotated TIMESTAMP(NANOS) (the legacy testdata
+    vintage) needs the long-nanos leg. Files without a ``ts`` column
+    count as modern (the declared schema surfaces any real mismatch
+    loudly)."""
     import glob
 
     import pyarrow.parquet as pq
@@ -87,11 +93,15 @@ def _ts_vintage_split(events_dir: str) -> tuple[list[str], list[str]]:
     micros: list[str] = []
     for p in sorted(glob.glob(os.path.join(events_dir, "*.parquet"))):
         try:
-            t = pq.ParquetFile(p).schema_arrow.field("ts").type
-        except (KeyError, OSError):
-            micros.append(p)
-            continue
-        (nanos if getattr(t, "unit", None) == "ns" else micros).append(p)
+            schema = pq.ParquetFile(p).metadata.schema
+            idx = schema.names.index("ts")
+            col = schema.column(idx)
+            legacy = col.physical_type == "INT64" and "nano" in str(
+                col.logical_type
+            ).lower()
+        except (ValueError, OSError):
+            legacy = False
+        (nanos if legacy else micros).append(p)
     return nanos, micros
 
 

@@ -440,3 +440,19 @@ def test_events_stream_all_legacy_vintage(spark, sf_dir, tmp_path):
     # values identical to the batch-normalized read (same truncation)
     exp = {(r["event_id"], r["ts"]) for r in events.select("event_id", "ts").collect()}
     assert {(r["event_id"], r["ts"]) for r in got.select("event_id", "ts").collect()} == exp
+
+
+def test_vintage_split_treats_int96_as_modern(spark, sf_dir, tmp_path):
+    """Spark's default INT96 timestamp output surfaces as
+    timestamp[ns] in Arrow but reads natively under a TimestampType
+    schema: the vintage sniffer must classify it as modern, or a
+    Spark-written append would flip a checkpointed single-source
+    stream into a two-source union (source-count mismatch)."""
+    from pg_auto_dw_spark.streaming.jobs import _ts_vintage_split
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    load_table(spark, sf_dir, "events").limit(5).write.mode("append").parquet(str(d))
+    nanos, micros = _ts_vintage_split(str(d))
+    assert nanos == []
+    assert len(micros) >= 1
