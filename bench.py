@@ -51,6 +51,9 @@ HEADLINE = [
     "scd2_partitioned_merge",
     "corpus_decontaminate",
     "source_profile_customer",
+    # round-5 operators
+    "events_asof_last_purchase",
+    "pit_user_daily",
 ]
 
 

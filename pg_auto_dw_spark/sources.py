@@ -78,9 +78,11 @@ def read_source(
 ) -> DataFrame:
     """Generic source reader (the S4 scan for non-parquet feeds): the
     reference reads Postgres heap tables; external sources here are
-    parquet/csv/json files or directories. CSV defaults to header +
-    no inference unless a schema is given (inference = an extra full
-    scan -- unacceptable at 100 TB, so pass a schema in production)."""
+    parquet/orc/csv/json files or directories. CSV defaults to header
+    + no inference unless a schema is given (inference = an extra full
+    scan -- unacceptable at 100 TB, so pass a schema in production).
+    Parquet and ORC are the columnar paths (pushdown + pruning reach
+    the scan); csv/json exist for landing feeds, not analytics."""
     prepare(spark)
     reader = spark.read
     if schema is not None:
@@ -94,4 +96,6 @@ def read_source(
         return reader.options(**options).json(path)
     if fmt == "parquet":
         return reader.options(**options).parquet(path)
+    if fmt == "orc":
+        return reader.options(**options).orc(path)
     raise ValueError(f"unsupported source format: {fmt!r}")

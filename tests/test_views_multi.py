@@ -119,21 +119,26 @@ def test_multi_source_hub(spark, warehouse_dir, sf_dir):
 
 
 def test_read_source_formats(spark, sf_dir, tmp_path):
-    """CSV and JSON feeds load through read_source and drive the same
-    hub loader as parquet."""
+    """CSV, JSON, and ORC feeds load through read_source and drive the
+    same hub loader as parquet."""
     from pg_auto_dw_spark.sources import read_source
 
     src = load_table(spark, sf_dir, "customer").limit(50)
-    csv_dir, json_dir = str(tmp_path / "c"), str(tmp_path / "j")
+    csv_dir, json_dir, orc_dir = (
+        str(tmp_path / "c"), str(tmp_path / "j"), str(tmp_path / "o")
+    )
     src.write.option("header", True).csv(csv_dir)
     src.write.json(json_dir)
+    src.write.orc(orc_dir)
 
     csv_df = read_source(spark, csv_dir, "csv", schema=src.schema)
     json_df = read_source(spark, json_dir, "json", schema=src.schema)
-    assert csv_df.count() == 50 and json_df.count() == 50
+    orc_df = read_source(spark, orc_dir, "orc", schema=src.schema)
+    assert csv_df.count() == 50 and json_df.count() == 50 and orc_df.count() == 50
 
     wh = Warehouse(spark, str(tmp_path / "wh"))
     bk = customer_bk()
     wh.create_table("dw.hub_customer", hub_schema(bk))
     assert load_hub(wh, csv_df, bk, load_ts=TS1) == 52
     assert load_hub(wh, json_df, bk, load_ts=TS1) == 0  # same keys -> no-op
+    assert load_hub(wh, orc_df, bk, load_ts=TS1) == 0  # same keys -> no-op
