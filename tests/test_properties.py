@@ -211,3 +211,50 @@ def test_scd2_dim_invariants_random_batches(spark, tmp_path_factory, steps):
     )
     rows2, cur2, closed2 = state()
     assert cur2 == cur and len(closed2) == len(closed) and len(rows2) == len(rows)
+
+
+# -- as-of join: random version/probe sequences vs a Python model ----------
+
+_asof_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=4),      # key
+        st.integers(min_value=0, max_value=5000),   # seconds offset
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rights=_asof_rows, lefts=_asof_rows)
+def test_asof_join_matches_model(spark, rights, lefts):
+    """asof_join (union + carry-forward window) must agree with the
+    obvious O(n*m) reference model on arbitrary key/timestamp
+    sequences, including duplicate probe instants and probes at
+    exactly a version instant (inclusive semantics)."""
+    import datetime
+
+    from pg_auto_dw_spark.functions.asof import asof_join
+
+    base = datetime.datetime(2024, 1, 1)
+    ts = lambda s: base + datetime.timedelta(seconds=s)  # noqa: E731
+    # dedupe right per (key, instant): the operator's documented precondition
+    rmap = {}
+    for k, s in rights:
+        rmap[(k, s)] = max(rmap.get((k, s), -1), s)
+    right_rows = [(k, ts(s), f"v{k}_{s}") for (k, s) in sorted(rmap)]
+    left_rows = [(k, i, ts(s)) for i, (k, s) in enumerate(lefts)]
+
+    right = spark.createDataFrame(right_rows, ["k", "rts", "val"])
+    left = spark.createDataFrame(left_rows, ["k", "pid", "lts"])
+    got = {
+        r["pid"]: r["val"]
+        for r in asof_join(
+            left, right, on=["k"], left_ts="lts", right_ts="rts", suffix=""
+        ).collect()
+    }
+
+    for k, pid, lt in left_rows:
+        cands = [(rt, v) for (rk, rt, v) in right_rows if rk == k and rt <= lt]
+        expected = max(cands)[1] if cands else None
+        assert got[pid] == expected, (k, pid, lt)
