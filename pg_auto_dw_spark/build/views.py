@@ -66,7 +66,16 @@ def pit_table(
     dw_schema: str = "dw",
 ) -> DataFrame:
     """Point-in-time table: for each (hub key, as-of date), the
-    effective load_ts of each satellite (max load_ts <= as-of)."""
+    effective load_ts of each satellite (max load_ts <= as-of).
+
+    Each satellite's effective timestamp is resolved with the
+    one-shuffle as-of join (functions/asof.py union + carry-forward)
+    instead of a join-filter-max over every (key, version, snapshot)
+    combination -- per key the cost is O(versions + snapshots), not
+    O(versions x snapshots), which is what keeps a PIT build viable
+    over a satellite with deep history."""
+    from ..functions.asof import asof_join
+
     hk = f"hub_{business_key.name}_hk"
     spark = wh.spark
     spine = spark.createDataFrame([(d,) for d in as_of_dates], ["as_of"]).select(
@@ -78,17 +87,21 @@ def pit_table(
     base = hub.select(hk).crossJoin(F.broadcast(spine))
     out = base
     for key in business_key.satellites():
-        sat = wh.read(f"{dw_schema}.sat_{key}").select(
-            hk, F.col("load_ts").alias(f"__ts_{key}")
+        # distinct (key, ts): several hash-diff versions may share one
+        # load instant; the effective ts is the instant either way
+        sat = (
+            wh.read(f"{dw_schema}.sat_{key}").select(hk, "load_ts").distinct()
         )
-        # compute each satellite's effective ts from the slim spine, not
-        # the progressively widened result (otherwise every previously
-        # attached column rides through every later shuffle)
-        eff = (
-            base.join(sat, on=hk, how="left")
-            .filter((F.col(f"__ts_{key}") <= F.col("as_of")) | F.col(f"__ts_{key}").isNull())
-            .groupBy(hk, "as_of")
-            .agg(F.max(f"__ts_{key}").alias(f"sat_{key}_load_ts"))
+        eff = asof_join(
+            base,
+            sat,
+            on=[hk],
+            left_ts="as_of",
+            right_ts="load_ts",
+            payload=[],
+            suffix=f"__{key}",
+        ).select(
+            hk, "as_of", F.col(f"load_ts__{key}").alias(f"sat_{key}_load_ts")
         )
         out = out.join(eff, on=[hk, "as_of"], how="left")
     return out
