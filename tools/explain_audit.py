@@ -27,6 +27,8 @@ AUDIT = [
     # consume the pin -- previously 4 scans (2 logical x AQE reuse)
     "scd2_partitioned_merge",  # returns the merged table scan; the merge
     # itself already ran -- audit checks the final-state read prunes
+    "events_asof_last_purchase",  # as-of join: expect ZERO join operators
+    "corpus_decontaminate",
 ]
 
 
