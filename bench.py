@@ -54,6 +54,7 @@ HEADLINE = [
     # round-5 operators
     "events_asof_last_purchase",
     "pit_user_daily",
+    "events_range_click_attribution",
 ]
 
 

@@ -1,0 +1,79 @@
+"""Deterministic stratified sampling.
+
+Training-data pipelines sample per stratum (language, source, quality
+band) with per-stratum rates -- e.g. downsample English to rebalance a
+multilingual corpus. The operators here are *deterministic*: the keep
+decision is a pure function of the row key, so a re-run (or a re-run
+on a 100x bigger cluster with different partitioning) selects the same
+rows -- the property `df.sample()` cannot give you, and the one that
+makes sampled corpora reproducible and auditable.
+
+The mechanism is a multiplicative-hash rank: ``rank(key) = (key *
+2654435761) % 1_000_003`` (Knuth's 2^32/phi multiplier, prime
+modulus). It is plain 64-bit integer arithmetic, so any engine
+computes the identical rank -- which is exactly how the DuckDB oracles
+verify these operators bit-for-bit. For string keys, hash first
+(sha2 -> bigint) upstream.
+
+Scale shape:
+- ``stratified_sample`` (rate per stratum) is a pure narrow filter --
+  zero shuffles, pushes into the scan's whole-stage codegen, perfectly
+  parallel at any size. This is THE form for 100 TB sampling.
+- ``stratified_fixed_n`` (exact n per stratum) needs a per-stratum
+  top-n: rank + row_number over (stratum) -- one shuffle; a huge
+  stratum concentrates in one task's sort. Spark's window TopK pushdown
+  (rank<=n filter) keeps the sort bounded, but for pathological strata
+  sizes prefer rate-based sampling with a rate that lands near n.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+MULTIPLIER = 2654435761  # Knuth multiplicative hash (2^32 / phi)
+MODULUS = 1_000_003  # prime; rank in [0, MODULUS)
+
+
+def sample_rank(key: Column) -> Column:
+    """Deterministic pseudo-uniform rank in [0, MODULUS) -- exact
+    integer arithmetic, reproducible across engines/partitionings."""
+    return (key.cast("long") * F.lit(MULTIPLIER)) % F.lit(MODULUS)
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    rates: dict[str, float],
+    strata_col: str,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Keep each row iff ``rank(key) < rate(stratum) * MODULUS``.
+    Rates are per-stratum keep probabilities; unlisted strata use
+    ``default_rate``. Zero-shuffle, deterministic, order-independent."""
+    threshold = F.lit(int(default_rate * MODULUS))
+    for value, rate in sorted(rates.items()):
+        threshold = F.when(
+            F.col(strata_col) == value, F.lit(int(rate * MODULUS))
+        ).otherwise(threshold)
+    return df.filter(sample_rank(F.col(key_col)) < threshold)
+
+
+def stratified_fixed_n(
+    df: DataFrame,
+    key_col: str,
+    n: int,
+    strata_col: str,
+) -> DataFrame:
+    """Exactly min(n, |stratum|) rows per stratum: the n smallest
+    ranks, ties broken by key (ranks collide only for keys congruent
+    mod MODULUS, so the key tiebreak makes selection total and
+    deterministic). One shuffle on the stratum."""
+    w = Window.partitionBy(strata_col).orderBy(
+        sample_rank(F.col(key_col)), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )

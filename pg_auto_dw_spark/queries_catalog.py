@@ -50,6 +50,7 @@ def register(name: str, sql: str | None):
 _PRIORITY = [
     "events_asof_last_purchase",  # new round-5 operator
     "pit_user_daily",  # new round-5 operator
+    "events_range_click_attribution",  # new round-5 operator
     "status_window_flags",
     "latest_transformer_responses",
     "orders_json_payload",
@@ -2449,3 +2450,117 @@ def pit_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         versions, snaps, on=["user_id"], ts_col="load_ts",
         payload=["event_id", "value"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Binned range join (functions/rangejoin.py): interval join with NO
+# equi key -- the shape Catalyst would plan as a BroadcastNestedLoop.
+# Ours shuffles both sides on a time-bucket key; the oracle is DuckDB's
+# native IEJoin over the same inequality -- independent implementations.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_range_click_attribution",
+    """
+    WITH p AS (SELECT event_id, ts, user_id FROM events
+               WHERE event_type = 'purchase'),
+         c AS (SELECT ts AS click_ts, value AS click_value FROM events
+               WHERE event_type = 'click')
+    SELECT p.event_id, p.ts, p.user_id,
+           COUNT(c.click_ts) AS n_clicks,
+           COALESCE(SUM(c.click_value), 0.0) AS click_value_sum
+    FROM p LEFT JOIN c
+      ON c.click_ts BETWEEN p.ts - INTERVAL 600 SECOND AND p.ts
+    GROUP BY p.event_id, p.ts, p.user_id
+    """,
+)
+def events_range_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per purchase: how many clicks (any user -- cross-traffic
+    attribution) landed in the 10 minutes up to it, and their value
+    sum. No equi key, so this exercises the pure-inequality path the
+    binned plan exists for; purchases with no nearby click keep 0."""
+    from .functions.rangejoin import range_join_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("ts").alias("click_ts"), F.col("value").alias("click_value")
+    )
+    return range_join_agg(
+        purchases,
+        clicks,
+        left_ts="ts",
+        right_ts="click_ts",
+        lower_s=-600,
+        upper_s=0,
+        aggs=[
+            F.count("click_ts").alias("n_clicks"),
+            F.coalesce(F.sum("click_value"), F.lit(0.0)).alias(
+                "click_value_sum"
+            ),
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling (functions/sampling.py): the keep
+# decision is pure integer arithmetic on the row key, so the DuckDB
+# oracle reproduces the selection bit-for-bit -- the reproducibility
+# property the operator exists for.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "documents_stratified_sample",
+    """
+    -- thresholds = int(rate * 1000003): en 0.25, zh 0.8, default 0.5
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE (doc_id * 2654435761) % 1000003 <
+          (CASE lang WHEN 'en' THEN 250000 WHEN 'zh' THEN 800002
+                     ELSE 500001 END)
+    """,
+)
+def documents_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rebalancing: downsample English to 25%, keep 80% of
+    Chinese, 50% of everything else -- deterministic multiplicative-
+    hash ranks, zero shuffles (a pure pushed filter)."""
+    from .functions.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return stratified_sample(
+        docs,
+        key_col="doc_id",
+        rates={"en": 0.25, "zh": 0.8},
+        strata_col="lang",
+        default_rate=0.5,
+    )
+
+
+@register(
+    "documents_sample_fixed_n",
+    """
+    WITH r AS (
+        SELECT doc_id, lang, source, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY (doc_id * 2654435761) % 1000003, doc_id
+               ) AS rn
+        FROM documents)
+    SELECT doc_id, lang, source, n_chars FROM r WHERE rn <= 20
+    """,
+)
+def documents_sample_fixed_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 20 docs per language (deterministic n-smallest-rank
+    selection) -- the eval-set carve-out shape."""
+    from .functions.sampling import stratified_fixed_n
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return stratified_fixed_n(docs, key_col="doc_id", n=20, strata_col="lang")

@@ -1,0 +1,90 @@
+"""Deterministic stratified sampling: reproducibility across
+partitionings, per-stratum rate behavior, exact-n selection, and the
+zero-shuffle plan claim for the rate-based form."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from pg_auto_dw_spark.functions.sampling import (
+    MODULUS,
+    stratified_fixed_n,
+    stratified_sample,
+)
+
+
+def _corpus(spark, n=2000):
+    rows = [
+        Row(doc_id=i, lang=["en", "de", "zh"][i % 3])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_selection_is_partitioning_invariant(spark):
+    df = _corpus(spark)
+    a = stratified_sample(df, "doc_id", {"en": 0.3}, "lang", 0.6)
+    b = stratified_sample(
+        df.repartition(13, "lang"), "doc_id", {"en": 0.3}, "lang", 0.6
+    )
+    assert sorted(r.doc_id for r in a.collect()) == sorted(
+        r.doc_id for r in b.collect()
+    )
+
+
+def test_rates_apply_per_stratum(spark):
+    df = _corpus(spark, 3000)
+    out = stratified_sample(
+        df, "doc_id", {"en": 0.2, "zh": 0.9}, "lang", 0.5
+    ).groupBy("lang").count().collect()
+    got = {r.lang: r["count"] for r in out}
+    # each stratum has 1000 rows; multiplicative-hash ranks are
+    # near-uniform, allow +-8% absolute
+    assert abs(got["en"] - 200) < 80
+    assert abs(got["zh"] - 900) < 80
+    assert abs(got["de"] - 500) < 80
+
+
+def test_zero_rate_and_full_rate(spark):
+    df = _corpus(spark, 300)
+    none = stratified_sample(df, "doc_id", {}, "lang", 0.0)
+    assert none.count() == 0
+    # rank < MODULUS always holds at rate 1.0
+    every = stratified_sample(
+        df, "doc_id", {"en": 1.0, "de": 1.0, "zh": 1.0}, "lang"
+    )
+    assert every.count() == 300
+
+
+def test_fixed_n_exact_counts_and_determinism(spark):
+    df = _corpus(spark, 1500)  # 500 per lang
+    out = stratified_fixed_n(df, "doc_id", 40, "lang")
+    counts = {r.lang: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert counts == {"en": 40, "de": 40, "zh": 40}
+    again = stratified_fixed_n(df.repartition(7), "doc_id", 40, "lang")
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
+    # small stratum: returns the whole stratum
+    tiny = spark.createDataFrame([Row(doc_id=i, lang="fr") for i in range(5)])
+    assert stratified_fixed_n(tiny, "doc_id", 40, "lang").count() == 5
+
+
+def test_rate_sample_plan_has_no_exchange(spark, sf_dir):
+    from pg_auto_dw_spark.queries_catalog import documents_stratified_sample
+
+    df = documents_stratified_sample(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert df.count() > 0
+
+
+def test_rank_matches_plain_python(spark):
+    df = _corpus(spark, 50)
+    from pg_auto_dw_spark.functions.sampling import sample_rank
+
+    got = {
+        r.doc_id: r.rk
+        for r in df.select("doc_id", sample_rank(F.col("doc_id")).alias("rk")).collect()
+    }
+    for i in range(50):
+        assert got[i] == (i * 2654435761) % MODULUS
