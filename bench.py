@@ -55,6 +55,8 @@ HEADLINE = [
     "events_asof_last_purchase",
     "pit_user_daily",
     "events_range_click_attribution",
+    "documents_stratified_sample",
+    "events_salted_type_stats",
 ]
 
 

@@ -1,0 +1,50 @@
+"""Approximate sketches: cardinality, quantiles, frequent items.
+
+At 100 TB the exact forms of these are shuffle-bound (exact distinct
+shuffles the distinct set; exact quantiles sort); the sketch forms are
+single-pass, mergeable, and bounded-memory -- each partition builds a
+fixed-size summary and the driver merges summaries, so cost is
+O(partitions * sketch_size) regardless of data size. We use Spark's
+built-in JVM sketch aggregates (HyperLogLog++ for distinct,
+Greenwald-Khanna/KLL-style for percentile_approx, a count-based
+frequent-items sketch in df.stat) rather than reimplementing them in
+Python -- whole-stage codegen, zero Python in the plan.
+
+Approximation means no bit-exact SQL oracle; correctness is checked by
+error-bound tests against the exact answers (tests/test_sketch.py) and
+the registered queries are rows-only driver checks, declared as such.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def approx_distinct(
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    rsd: float = 0.02,
+    alias: str = "approx_n_distinct",
+) -> DataFrame:
+    """Per-group HyperLogLog++ cardinality; ``rsd`` is the target
+    relative standard deviation (sketch size ~ 1/rsd^2 bytes/group)."""
+    return df.groupBy(*keys).agg(
+        F.approx_count_distinct(col, rsd=rsd).alias(alias)
+    )
+
+
+def approx_quantiles(
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    probs: list[float],
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-group approximate quantiles (one array column ``quantiles``
+    aligned with ``probs``); rank error <= 1/accuracy of the group
+    size. Single pass, mergeable summaries."""
+    return df.groupBy(*keys).agg(
+        F.percentile_approx(col, probs, accuracy).alias("quantiles")
+    )

@@ -1,0 +1,110 @@
+"""Skew-safe exact aggregation: salting and two-phase distinct.
+
+A groupBy on a low-cardinality or zipfian key funnels every row of a
+hot group through one reducer task -- the classic straggler at 100 TB.
+Spark's partial (map-side) aggregation already bounds the shuffle for
+algebraic aggregates, and AQE can split skewed *joins*, but two shapes
+still need explicit structure:
+
+- ``salted_agg``: when the partial-agg hash table thrashes (huge
+  per-task group churn) or the final shuffle must spread a handful of
+  mega-groups across reducers, aggregate in two phases: (keys, salt)
+  then keys. Exact for any algebraic aggregate (sum/count/min/max, and
+  avg derived as sum/count at the end -- never avg-of-avgs).
+- ``distinct_count_skewsafe``: exact COUNT(DISTINCT col) via
+  dedup-on-(keys, col) then count. The heavy shuffle spreads over the
+  *value* dimension, so a group with 10^9 distinct values fans out
+  across the cluster instead of hitting one task. (This is the
+  expansion Catalyst itself performs for one countDistinct; having it
+  as an explicit operator composes with salting and documents the
+  plan.)
+
+Both are verified exact against plain-SQL oracles -- salting is a
+physical rewrite, never a semantic one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# (phase-1 partial, phase-2 merge) per algebraic aggregate
+_MERGE = {
+    "sum": (F.sum, F.sum),
+    "count": (F.count, F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    metrics: list[tuple[str, str, str]],
+    n_salts: int = 32,
+    avg_of: list[tuple[str, str, str]] | None = None,
+) -> DataFrame:
+    """Two-phase exact aggregation: ``metrics`` is [(fn, col, alias)]
+    with fn in {sum, count, min, max}; ``avg_of`` adds exact averages
+    as [(sum_alias, count_alias, alias)] computed sum/count AFTER the
+    merge. The salt is a deterministic hash of the whole row's
+    partition (spark_partition_id is NOT used -- pmod(hash) keeps the
+    result independent of physical layout)."""
+    for fn, _, _ in metrics:
+        if fn not in _MERGE:
+            raise ValueError(f"non-algebraic aggregate {fn!r}")
+    salt = F.pmod(
+        F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salts)
+    ).alias("__salt")
+    partial = df.select("*", salt).groupBy(*keys, "__salt").agg(
+        *[
+            _MERGE[fn][0](col).alias(f"__p_{alias}")
+            for fn, col, alias in metrics
+        ]
+    )
+    out = partial.groupBy(*keys).agg(
+        *[
+            _MERGE[fn][1](f"__p_{alias}").alias(alias)
+            for fn, col, alias in metrics
+        ]
+    )
+    for sum_alias, count_alias, alias in avg_of or []:
+        out = out.withColumn(
+            alias, F.col(sum_alias) / F.col(count_alias)
+        )
+    return out
+
+
+def distinct_count_skewsafe(
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    alias: str = "n_distinct",
+) -> DataFrame:
+    """Exact per-group COUNT(DISTINCT col): dedup on (keys, col) --
+    the wide, well-spread shuffle -- then a count whose input is
+    already collapsed to the distinct set."""
+    return (
+        df.select(*keys, col)
+        .distinct()
+        .groupBy(*keys)
+        .agg(F.count(col).alias(alias))
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    min_share: float,
+) -> DataFrame:
+    """Exact frequent items: values of ``col`` holding at least
+    ``min_share`` of all rows. One groupBy (count), then a broadcast
+    scalar total -- the filter output is by construction at most
+    1/min_share rows, so downstream consumers can broadcast it."""
+    counts = df.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+    total = df.agg(F.count(F.lit(1)).alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") >= F.lit(min_share) * F.col("__total"))
+        .select(col, "cnt", (F.col("cnt") / F.col("__total")).alias("share"))
+    )

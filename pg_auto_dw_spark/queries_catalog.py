@@ -51,6 +51,12 @@ _PRIORITY = [
     "events_asof_last_purchase",  # new round-5 operator
     "pit_user_daily",  # new round-5 operator
     "events_range_click_attribution",  # new round-5 operator
+    "documents_stratified_sample",  # new round-5 operator
+    "documents_sample_fixed_n",  # new round-5 operator
+    "events_salted_type_stats",  # new round-5 operator
+    "events_distinct_users_by_type",  # new round-5 operator
+    "events_heavy_hitter_users",  # new round-5 operator
+    "events_value_quantile_sketch",  # new round-5 operator (rows-only)
     "status_window_flags",
     "latest_transformer_responses",
     "orders_json_payload",
@@ -2564,3 +2570,97 @@ def documents_sample_fixed_n(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "source", "n_chars"
     )
     return stratified_fixed_n(docs, key_col="doc_id", n=20, strata_col="lang")
+
+
+# ---------------------------------------------------------------------------
+# Skew-safe exact aggregation (functions/skew.py): salting is a
+# physical rewrite, so the oracle is the PLAIN GROUP BY -- exactness
+# under the rewrite is the property being verified.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_salted_type_stats",
+    """
+    SELECT event_type,
+           COUNT(value) AS n_events,
+           SUM(value) AS value_sum,
+           MIN(value) AS value_min,
+           MAX(value) AS value_max,
+           SUM(value) / COUNT(value) AS value_avg
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_salted_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type stats through the salted two-phase plan: 5
+    groups x 10k+ rows is exactly the low-cardinality shape where the
+    final shuffle funnels everything into 5 tasks -- the salt spreads
+    phase 1 over 32x more reducers, and the merge is exact."""
+    from .functions.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_agg(
+        ev.select("event_type", "value"),
+        keys=["event_type"],
+        metrics=[
+            ("count", "value", "n_events"),
+            ("sum", "value", "value_sum"),
+            ("min", "value", "value_min"),
+            ("max", "value", "value_max"),
+        ],
+        n_salts=32,
+        avg_of=[("value_sum", "n_events", "value_avg")],
+    )
+
+
+@register(
+    "events_distinct_users_by_type",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def events_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type distinct users via the two-phase dedup plan (the
+    wide shuffle runs on (type, user), not type)."""
+    from .functions.skew import distinct_count_skewsafe
+
+    ev = load_table(spark, sf_dir, "events")
+    return distinct_count_skewsafe(
+        ev, keys=["event_type"], col="user_id", alias="n_users"
+    )
+
+
+@register(
+    "events_heavy_hitter_users",
+    """
+    WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id),
+         t AS (SELECT COUNT(*) AS total FROM events)
+    SELECT c.user_id, c.cnt, c.cnt / (1.0 * t.total) AS share
+    FROM c, t WHERE c.cnt >= 0.0072 * t.total
+    """,
+)
+def events_heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frequent items: users generating >= 0.72% of all events.
+    Output is bounded at 1/min_share rows regardless of input size, so
+    the result is always broadcastable to downstream joins."""
+    from .functions.skew import heavy_hitters
+
+    ev = load_table(spark, sf_dir, "events")
+    return heavy_hitters(ev, "user_id", min_share=0.0072)
+
+
+@register("events_value_quantile_sketch", None)
+def events_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate per-type value quantiles + HLL user cardinality --
+    single-pass mergeable sketches (no SQL oracle by nature; rank /
+    relative-error bounds are pytest-verified in test_sketch.py)."""
+    from .functions.sketch import approx_distinct, approx_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    q = approx_quantiles(
+        ev, ["event_type"], "value", [0.1, 0.5, 0.9, 0.99]
+    )
+    d = approx_distinct(ev, ["event_type"], "user_id", rsd=0.02)
+    return q.join(d, "event_type")
