@@ -456,3 +456,36 @@ def test_vintage_split_treats_int96_as_modern(spark, sf_dir, tmp_path):
     nanos, micros = _ts_vintage_split(str(d))
     assert nanos == []
     assert len(micros) >= 1
+
+
+def test_events_stream_dedup_drops_redelivered(spark, sf_dir, tmp_path):
+    """Re-delivered events (same event_id, second file) are emitted
+    exactly once; output matches batch dropDuplicates on event_id."""
+    from pg_auto_dw_spark.streaming.jobs import events_stream_dedup
+
+    events_dir = tmp_path / "events_in"
+    events_dir.mkdir()
+    ev = load_table(spark, sf_dir, "events").limit(400).cache()
+    ev.write.mode("overwrite").parquet(str(events_dir))
+    # re-deliver half of them verbatim plus some brand-new rows
+    redelivered = ev.limit(200)
+    fresh = (
+        load_table(spark, sf_dir, "events")
+        .join(ev.select("event_id"), "event_id", "left_anti")
+        .limit(100)
+    )
+    redelivered.unionByName(fresh).write.mode("append").parquet(str(events_dir))
+
+    q = events_stream_dedup(
+        spark, str(events_dir), str(tmp_path / "ckpt"), str(tmp_path / "out")
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == 500  # 400 originals + 100 fresh, no re-deliveries
+    assert out.select("event_id").distinct().count() == 500
+    # a restart over the same directory emits nothing new
+    q2 = events_stream_dedup(
+        spark, str(events_dir), str(tmp_path / "ckpt"), str(tmp_path / "out")
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 500
