@@ -92,6 +92,38 @@ def distinct_count_skewsafe(
     )
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-spread equi-join: the fact side gets a deterministic salt
+    in [0, n_salts) (hash of the whole row, so layout-independent) and
+    the dim side is replicated once per salt value; the join runs on
+    (on..., salt), spreading a hot key's rows over ``n_salts``
+    reducers. Exact for inner/left joins -- each fact row still meets
+    each matching dim row exactly once (dim rows are unique per salt).
+
+    Use when the dim is too big to broadcast but small enough to
+    replicate n_salts times through the shuffle, and AQE's skew-join
+    split isn't available (it splits partitions, not single keys, and
+    only for sort-merge). For broadcastable dims just broadcast() --
+    no salt needed; for fact-fact skewed joins, isolate the hot keys
+    (heavy_hitters) and union a broadcast plan for them."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    fact_s = fact.withColumn(
+        "__salt",
+        F.pmod(F.hash(*[F.col(c) for c in fact.columns]), F.lit(n_salts)),
+    )
+    dim_s = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return fact_s.join(dim_s, on=[*on, "__salt"], how=how).drop("__salt")
+
+
 def heavy_hitters(
     df: DataFrame,
     col: str,

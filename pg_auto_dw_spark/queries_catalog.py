@@ -44,9 +44,10 @@ def register(name: str, sql: str | None):
 # queries exercised inside status_source_column / the composite loads).
 # NOTE for round 6: whatever sits in the registration tail past the
 # ~50-query cap this round must rotate into _PRIORITY next round --
-# with 60 registered and a 50 cap, that is the 8 _DEPRIORITIZED (all
-# green r4) plus the last two mids (sat_load_lineitem_composite,
-# link_load_order_part_supplier, both green r4).
+# with 69 registered and a 50 cap, that is the 8 _DEPRIORITIZED (all
+# green r4) plus the last ~11 mids (run
+# `python -c "from pg_auto_dw_spark import queries_catalog as q;
+# print(list(q.queries())[50:])"` to list the exact tail).
 _PRIORITY = [
     "events_asof_last_purchase",  # new round-5 operator
     "pit_user_daily",  # new round-5 operator
@@ -57,6 +58,7 @@ _PRIORITY = [
     "events_distinct_users_by_type",  # new round-5 operator
     "events_heavy_hitter_users",  # new round-5 operator
     "events_value_quantile_sketch",  # new round-5 operator (rows-only)
+    "events_customer_salted_join",  # new round-5 operator
     "status_window_flags",
     "latest_transformer_responses",
     "orders_json_payload",
@@ -2649,6 +2651,35 @@ def events_heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return heavy_hitters(ev, "user_id", min_share=0.0072)
+
+
+@register(
+    "events_customer_salted_join",
+    """
+    SELECT c.c_mktsegment, COUNT(*) AS n_events, SUM(e.value) AS value_sum
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def events_customer_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-side-skewed join through the salted (replicated-dim) plan:
+    150 distinct users over 10k+ events is the hot-key shape; the salt
+    spreads each user over 16 reducers and the plain-SQL oracle proves
+    the rewrite exact (unmatched fact rows survive once, NULL-grouped)."""
+    from .functions.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        salted_join(ev, cust, on=["user_id"], n_salts=16, how="left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("value_sum"),
+        )
+    )
 
 
 @register("events_value_quantile_sketch", None)

@@ -131,3 +131,34 @@ def test_quantile_sketch_rank_error(spark):
 
         rank = bisect.bisect_left(vals, q)
         assert abs(rank - p * n) <= 0.01 * n + 2, (p, q, rank)
+
+
+def test_salted_join_matches_plain_join(spark):
+    df = _zipf(spark)
+    dim = spark.createDataFrame(
+        [Row(k=f"k{i}", grp=i % 3) for i in range(50)] + [Row(k="hot", grp=9)]
+    )
+    from pg_auto_dw_spark.functions.skew import salted_join
+
+    for how in ("inner", "left"):
+        got = (
+            salted_join(df, dim, on=["k"], n_salts=8, how=how)
+            .groupBy("k", "grp")
+            .count()
+            .collect()
+        )
+        want = (
+            df.join(dim, on=["k"], how=how).groupBy("k", "grp").count().collect()
+        )
+        assert sorted((r.k, r.grp, r["count"]) for r in got) == sorted(
+            (r.k, r.grp, r["count"]) for r in want
+        ), how
+
+
+def test_salted_join_left_keeps_unmatched_once(spark):
+    fact = spark.createDataFrame([Row(k="nope", v=1.0), Row(k="hot", v=2.0)])
+    dim = spark.createDataFrame([Row(k="hot", grp=1)])
+    from pg_auto_dw_spark.functions.skew import salted_join
+
+    rows = salted_join(fact, dim, on=["k"], n_salts=8, how="left").collect()
+    assert sorted((r.k, r.grp) for r in rows) == [("hot", 1), ("nope", None)]
