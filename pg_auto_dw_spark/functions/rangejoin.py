@@ -114,7 +114,35 @@ def range_join_agg(
     only partially -- Catalyst re-shuffles on the left key -- but both
     shuffles carry pair rows already filtered to the interval, not the
     raw cartesian."""
-    pairs = range_join(
-        left, right, left_ts, right_ts, lower_s, upper_s, on=on, how="left"
+    on = on or []
+    width = float(upper_s - lower_s)
+    if width <= 0:
+        raise ValueError("upper_s must be > lower_s")
+    r_bin = F.floor(F.col(right_ts).cast("double") / F.lit(width))
+    lo = F.col(left_ts).cast("double") + F.lit(float(lower_s))
+    hi = F.col(left_ts).cast("double") + F.lit(float(upper_s))
+    probe_bins = F.sequence(
+        F.floor(lo / F.lit(width)).cast("long"),
+        F.floor(hi / F.lit(width)).cast("long"),
     )
-    return pairs.groupBy(*left.columns).agg(*aggs)
+    l = left.withColumn("__bin", F.explode(probe_bins))
+    r = right.withColumn("__bin", r_bin.cast("long"))
+    # ONE left join on the bin key; out-of-interval candidates are
+    # masked to NULL right columns instead of being re-derived via an
+    # anti-join -- each exploded left copy survives the left join, the
+    # groupBy merges the copies, and a right row matches at most one
+    # bin so nothing double-counts. Plan: 1 join, 1 agg, 2 scans.
+    valid = (
+        F.col(right_ts).isNotNull()
+        & (F.col(right_ts) >= F.col(left_ts) + F.expr(f"INTERVAL {lower_s} SECOND"))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {upper_s} SECOND"))
+    )
+    right_only = [c for c in right.columns if c not in on]
+    joined = l.join(r, on=[*on, "__bin"], how="left").select(
+        *left.columns,
+        *[
+            F.when(valid, F.col(c)).alias(c)
+            for c in right_only
+        ],
+    )
+    return joined.groupBy(*left.columns).agg(*aggs)

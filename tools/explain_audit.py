@@ -29,6 +29,10 @@ AUDIT = [
     # itself already ran -- audit checks the final-state read prunes
     "events_asof_last_purchase",  # as-of join: expect ZERO join operators
     "corpus_decontaminate",
+    "events_range_click_attribution",  # range join: expect NO nested loop
+    "documents_stratified_sample",  # expect 1 scan, 0 exchanges
+    "events_salted_type_stats",  # expect 2 exchange phases, 0 python
+    "events_customer_salted_join",
 ]
 
 
