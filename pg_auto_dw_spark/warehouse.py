@@ -456,3 +456,73 @@ class Warehouse:
                 writer = writer.partitionBy(*self._partitioning[name])
             writer.parquet(gen)
             self._commit_generation(name, gen)
+
+    def data_files(self, name: str) -> dict[str, int]:
+        """Live data files (path relative to the live dir -> bytes);
+        metadata (`_*`, `.*`) excluded. O(file count) listing."""
+        live = self.path(name)
+        out: dict[str, int] = {}
+        for walk_root, _dirs, files in os.walk(live):
+            rel_dir = os.path.relpath(walk_root, live)
+            for fn in files:
+                if fn.startswith(("_", ".")):
+                    continue
+                rel = fn if rel_dir == "." else os.path.join(rel_dir, fn)
+                out[rel] = os.path.getsize(os.path.join(walk_root, fn))
+        return out
+
+    def compact(self, name: str, target_file_mb: int = 256) -> dict:
+        """Small-file compaction: rewrite the table so data files
+        approach ``target_file_mb``. Incremental appends and streaming
+        sinks accrete files; at 100 TB a scan's task count (and the
+        NameNode/listing load) is file-bound, so compaction is a
+        first-class maintenance op -- the analog of Delta OPTIMIZE /
+        Iceberg rewrite_data_files, here over the generation+pointer
+        layout (same crash-safe commit as ``overwrite``: the compacted
+        generation goes live in one atomic pointer swap; a crash leaves
+        the old files live).
+
+        Partitioned tables keep their partition spec; per-partition
+        output file counts are sized from the partition's current byte
+        share (rows-proportional salt, computed distributedly -- no
+        driver loop over partitions). Returns {files_before,
+        files_after, bytes}."""
+        from pyspark.sql import functions as F
+
+        sizes = self.data_files(name)
+        files_before = len(sizes)
+        total = sum(sizes.values()) or 1
+        target = max(1, target_file_mb) * 1024 * 1024
+        df = self.read(name)
+        pcols = self._partitioning.get(name)
+        if not pcols:
+            n = max(1, -(-total // target))
+            self.overwrite(name, df.repartition(n))
+        else:
+            counts = df.groupBy(*pcols).agg(F.count(F.lit(1)).alias("__rows"))
+            total_rows = df.count() or 1
+            data_cols = [c for c in df.columns if c not in pcols]
+            per_part = counts.withColumn(
+                "__nf",
+                F.greatest(
+                    F.lit(1),
+                    F.ceil(
+                        F.col("__rows") / F.lit(total_rows) * F.lit(total) / F.lit(target)
+                    ),
+                ).cast("int"),
+            ).drop("__rows")
+            salted = (
+                df.join(F.broadcast(per_part), on=list(pcols))
+                .withColumn(
+                    "__salt",
+                    F.pmod(F.hash(*[F.col(c) for c in data_cols]), F.col("__nf")),
+                )
+                .repartition(*pcols, "__salt")
+                .drop("__nf", "__salt")
+            )
+            self.overwrite(name, salted)
+        return {
+            "files_before": files_before,
+            "files_after": len(self.data_files(name)),
+            "bytes": total,
+        }

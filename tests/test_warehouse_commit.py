@@ -9,6 +9,7 @@ the leftovers."""
 import os
 import shutil
 
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 import pg_auto_dw_spark.warehouse as whmod
@@ -343,3 +344,58 @@ def test_overwrite_partitions_crash_keeps_old_state(spark, warehouse_dir, monkey
     assert after == {(0, "NEW0", 0), (2, "NEW2", 0)} | {
         t for t in before if t[2] == 1
     }
+
+
+def test_compact_reduces_files_preserves_rows(spark, warehouse_dir, sf_dir):
+    from pg_auto_dw_spark.sources import load_table
+    from pg_auto_dw_spark.warehouse import Warehouse
+
+    wh = Warehouse(spark, warehouse_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    # accrete many small files via repeated appends
+    for i in range(6):
+        wh.append("cust_c", cust.repartition(8))
+    before_rows = wh.read("cust_c").count()
+    before_hash = (
+        wh.read("cust_c").groupBy().agg(F.sum(F.hash("c_custkey", "c_name")).alias("h")).collect()[0].h
+    )
+    stats = wh.compact("cust_c", target_file_mb=256)
+    assert stats["files_before"] >= 48
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["files_after"] <= 2
+    after = wh.read("cust_c")
+    assert after.count() == before_rows
+    got = after.groupBy().agg(F.sum(F.hash("c_custkey", "c_name")).alias("h")).collect()[0].h
+    assert got == before_hash
+
+
+def test_compact_partitioned_keeps_spec_and_data(spark, warehouse_dir, sf_dir):
+    from pyspark.sql import types as T
+
+    from pg_auto_dw_spark.sources import load_table
+    from pg_auto_dw_spark.warehouse import Warehouse
+
+    wh = Warehouse(spark, warehouse_dir)
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    wh.create_table("ev_p", T.StructType(ev.schema.fields), partition_by=["day"])
+    for _ in range(4):
+        wh.append("ev_p", ev.repartition(6))
+    before = wh.read("ev_p").count()
+    stats = wh.compact("ev_p", target_file_mb=256)
+    assert stats["files_after"] < stats["files_before"]
+    after = wh.read("ev_p")
+    assert after.count() == before
+    # partition layout preserved: day= dirs still present
+    import os as _os
+
+    live = wh.path("ev_p")
+    assert any(d.startswith("day=") for d in _os.listdir(live))
+    # at 256MB target each tiny partition compacts to one file
+    from collections import Counter
+
+    per_dir = Counter(
+        _os.path.dirname(p) for p in wh.data_files("ev_p")
+    )
+    assert max(per_dir.values()) == 1
