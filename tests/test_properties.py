@@ -258,3 +258,52 @@ def test_asof_join_matches_model(spark, rights, lefts):
         cands = [(rt, v) for (rk, rt, v) in right_rows if rk == k and rt <= lt]
         expected = max(cands)[1] if cands else None
         assert got[pid] == expected, (k, pid, lt)
+
+
+# -- binned range join: random interval/timestamp sequences vs model -------
+
+_range_secs = st.lists(
+    st.floats(min_value=0, max_value=3000, allow_nan=False, allow_infinity=False),
+    min_size=1,
+    max_size=20,
+)
+_bounds = st.tuples(
+    st.integers(min_value=-600, max_value=600),
+    st.integers(min_value=-600, max_value=600),
+).filter(lambda b: b[1] > b[0])
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(lsecs=_range_secs, rsecs=_range_secs, bounds=_bounds)
+def test_range_join_matches_model(spark, lsecs, rsecs, bounds):
+    """range_join (binned equi-join + residual filter) must agree with
+    the O(n*m) model for arbitrary offsets and interval bounds,
+    including negative-only and straddling-zero intervals."""
+    import datetime
+
+    from pg_auto_dw_spark.functions.rangejoin import range_join
+
+    lo, hi = bounds
+    base = datetime.datetime(2024, 1, 1)
+    ts = lambda s: base + datetime.timedelta(seconds=s)  # noqa: E731
+    # microsecond-quantize the model exactly as timestamps will be
+    q = lambda s: round(s * 1e6) / 1e6  # noqa: E731
+    lsecs = [q(s) for s in lsecs]
+    rsecs = [q(s) for s in rsecs]
+    left = spark.createDataFrame(
+        [(i, ts(s)) for i, s in enumerate(lsecs)], ["lid", "lts"]
+    )
+    right = spark.createDataFrame(
+        [(i, ts(s)) for i, s in enumerate(rsecs)], ["rid", "rts"]
+    )
+    got = sorted(
+        (r.lid, r.rid)
+        for r in range_join(left, right, "lts", "rts", lo, hi).collect()
+    )
+    want = sorted(
+        (li, ri)
+        for li, ls in enumerate(lsecs)
+        for ri, rs in enumerate(rsecs)
+        if ls + lo <= rs <= ls + hi
+    )
+    assert got == want
