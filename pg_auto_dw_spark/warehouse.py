@@ -471,7 +471,13 @@ class Warehouse:
                 out[rel] = os.path.getsize(os.path.join(walk_root, fn))
         return out
 
-    def compact(self, name: str, target_file_mb: int = 256) -> dict:
+    def compact(
+        self,
+        name: str,
+        target_file_mb: int = 256,
+        cluster_by: list[str] | None = None,
+        zorder_bits: int = 16,
+    ) -> dict:
         """Small-file compaction: rewrite the table so data files
         approach ``target_file_mb``. Incremental appends and streaming
         sinks accrete files; at 100 TB a scan's task count (and the
@@ -485,9 +491,15 @@ class Warehouse:
         Partitioned tables keep their partition spec; per-partition
         output file counts are sized from the partition's current byte
         share (rows-proportional salt, computed distributedly -- no
-        driver loop over partitions). Returns {files_before,
-        files_after, bytes}."""
+        driver loop over partitions). ``cluster_by`` z-orders the
+        rewrite on those columns (Delta OPTIMIZE ZORDER BY analog):
+        unpartitioned tables range-partition on the z-value so each
+        file holds a tight min-max box in every clustered dimension;
+        partitioned tables sort within their output files. Returns
+        {files_before, files_after, bytes}."""
         from pyspark.sql import functions as F
+
+        from .functions.zorder import zorder_frame, zvalue
 
         sizes = self.data_files(name)
         files_before = len(sizes)
@@ -497,7 +509,10 @@ class Warehouse:
         pcols = self._partitioning.get(name)
         if not pcols:
             n = max(1, -(-total // target))
-            self.overwrite(name, df.repartition(n))
+            if cluster_by:
+                self.overwrite(name, zorder_frame(df, cluster_by, n, zorder_bits))
+            else:
+                self.overwrite(name, df.repartition(n))
         else:
             counts = df.groupBy(*pcols).agg(F.count(F.lit(1)).alias("__rows"))
             total_rows = df.count() or 1
@@ -520,6 +535,10 @@ class Warehouse:
                 .repartition(*pcols, "__salt")
                 .drop("__nf", "__salt")
             )
+            if cluster_by:
+                salted = salted.sortWithinPartitions(
+                    zvalue(df, cluster_by, zorder_bits).alias("__z")
+                )
             self.overwrite(name, salted)
         return {
             "files_before": files_before,
