@@ -59,6 +59,9 @@ _PRIORITY = [
     "events_heavy_hitter_users",  # new round-5 operator
     "events_value_quantile_sketch",  # new round-5 operator (rows-only)
     "events_customer_salted_join",  # new round-5 operator
+    "events_type_pivot",  # new round-5 operator
+    "events_cube_type_day",  # new round-5 operator
+    "events_interarrival_stats",  # new round-5 operator
     "status_window_flags",
     "latest_transformer_responses",
     "orders_json_payload",
@@ -2679,6 +2682,92 @@ def events_customer_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.sum("value").alias("value_sum"),
         )
+    )
+
+
+@register(
+    "events_type_pivot",
+    """
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+           COUNT(*) FILTER (WHERE event_type = 'error')    AS error,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide): per-user event counts, one column per
+    type. Explicit pivot values keep the plan a single-pass pivoted
+    hash aggregate -- no second distinct-values job, and stable output
+    schema at any SF (the requirement for 100 TB: never let pivot
+    infer columns from a full scan)."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = ev.groupBy("user_id").pivot("event_type", types).count()
+    return out.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+    )
+
+
+@register(
+    "events_cube_type_day",
+    """
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           COUNT(*) AS n_events, SUM(value) AS value_sum
+    FROM events
+    GROUP BY CUBE (event_type, CAST(ts AS DATE))
+    """,
+)
+def events_cube_type_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (type, day): all four grouping combinations in one
+    Catalyst Expand pass -- one shuffle carrying 4x rows, not four
+    jobs (the same single-pass property as the ROLLUP hierarchy
+    query)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "value"
+    )
+    return ev.cube("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("value_sum"),
+    )
+
+
+@register(
+    "events_interarrival_stats",
+    """
+    WITH g AS (
+        SELECT user_id,
+               epoch_us(ts) - LAG(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        FROM events)
+    SELECT user_id,
+           COUNT(gap_us) AS n_gaps,
+           SUM(gap_us) / COUNT(gap_us) AS avg_gap_us,
+           MAX(gap_us) AS max_gap_us
+    FROM g GROUP BY user_id
+    """,
+)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival gaps via LAG over (user, ts, event_id)
+    -- exact integer microseconds so the window arithmetic is
+    engine-portable; one shuffle on user_id shared by the window and
+    the aggregate."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+        ).alias("gap_us"),
+    )
+    return g.groupBy("user_id").agg(
+        F.count("gap_us").alias("n_gaps"),
+        (F.sum("gap_us") / F.count("gap_us")).alias("avg_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
     )
 
 
