@@ -44,10 +44,12 @@ def register(name: str, sql: str | None):
 # queries exercised inside status_source_column / the composite loads).
 # NOTE for round 6: whatever sits in the registration tail past the
 # ~50-query cap this round must rotate into _PRIORITY next round --
-# with 69 registered and a 50 cap, that is the 8 _DEPRIORITIZED (all
-# green r4) plus the last ~11 mids (run
-# `python -c "from pg_auto_dw_spark import queries_catalog as q;
-# print(list(q.queries())[50:])"` to list the exact tail).
+# with 71 registered and a 50 cap that is 21 queries, every one green
+# in r4 (so a one-round gap, within policy). Round 6 must swap them
+# into _PRIORITY and demote this round's 20 _PRIORITY entries; list
+# the exact tail with:
+# python -c "from pg_auto_dw_spark import queries_catalog as q; \
+#            print(list(q.queries())[50:])"
 _PRIORITY = [
     "events_asof_last_purchase",  # new round-5 operator
     "pit_user_daily",  # new round-5 operator

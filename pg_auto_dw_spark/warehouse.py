@@ -471,6 +471,60 @@ class Warehouse:
                 out[rel] = os.path.getsize(os.path.join(walk_root, fn))
         return out
 
+    def prune_files(self, name: str, ranges: dict[str, tuple]) -> list[str]:
+        """Data-skipping file list: the live files whose parquet footer
+        min/max for EVERY column in ``ranges`` intersects the given
+        [lo, hi] (inclusive). Files without usable numeric stats are
+        kept (never prune blind). Metadata-sized work -- one footer
+        read per file; this is the manifest-stats pruning an ACID
+        format does from its metadata layer, and it composes with
+        ``compact(cluster_by=...)``: a z-ordered table yields tight
+        per-file boxes, so multi-column predicates skip most files."""
+        import pyarrow.parquet as pq
+
+        live = self.path(name)
+        keep: list[str] = []
+        for rel in self.data_files(name):
+            ok = True
+            try:
+                md = pq.ParquetFile(os.path.join(live, rel)).metadata
+                names = md.schema.names
+                for col, (lo, hi) in ranges.items():
+                    j = names.index(col)
+                    fmn = fmx = None
+                    for i in range(md.num_row_groups):
+                        st = md.row_group(i).column(j).statistics
+                        if st is None or not st.has_min_max:
+                            fmn = fmx = None
+                            break
+                        fmn = st.min if fmn is None else min(fmn, st.min)
+                        fmx = st.max if fmx is None else max(fmx, st.max)
+                    if not isinstance(fmn, (int, float)) or not isinstance(
+                        fmx, (int, float)
+                    ):
+                        continue  # no stats -> cannot prune on this column
+                    if fmx < lo or fmn > hi:
+                        ok = False
+                        break
+            except (OSError, ValueError, KeyError):
+                ok = True
+            if ok:
+                keep.append(rel)
+        return keep
+
+    def read_pruned(self, name: str, ranges: dict[str, tuple]) -> DataFrame:
+        """Read only the files ``prune_files`` keeps, then apply the
+        exact BETWEEN predicates -- result identical to filtering a
+        full scan, scan cost proportional to the files actually
+        intersecting the query box."""
+        from pyspark.sql import functions as F
+
+        keep = self.prune_files(name, ranges)
+        df = self.read_files(name, keep) if keep else self.read(name)
+        for col, (lo, hi) in ranges.items():
+            df = df.filter(F.col(col).between(lo, hi))
+        return df
+
     def compact(
         self,
         name: str,

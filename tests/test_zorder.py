@@ -88,3 +88,34 @@ def test_compact_cluster_by_preserves_data(spark, tmp_path, sf_dir):
     assert after.agg(F.sum("event_id")).collect()[0][0] == ev.agg(
         F.sum("event_id")
     ).collect()[0][0] * 3
+
+
+def test_read_pruned_skips_files_on_zordered_table(spark, tmp_path):
+    import random
+
+    from pg_auto_dw_spark.warehouse import Warehouse
+
+    rng = random.Random(11)
+    rows = [Row(u=rng.randrange(10000), v=rng.randrange(10000)) for _ in range(30000)]
+    df = spark.createDataFrame(rows)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.append("pts", df.repartition(16))
+    # data is < 1 MB so compact() would rightly make ONE file; force a
+    # 16-file z-ordered layout to exercise pruning
+    from pg_auto_dw_spark.functions.zorder import zorder_frame
+
+    wh.overwrite("pts", zorder_frame(wh.read("pts"), ["u", "v"], 16))
+    n_files = len(wh.data_files("pts"))
+    assert n_files >= 8
+
+    box = {"u": (1000, 2000), "v": (7000, 8000)}
+    kept = wh.prune_files("pts", box)
+    # the query box is ~1% of the plane; a z-ordered layout must skip
+    # most files
+    assert len(kept) < n_files / 2, (len(kept), n_files)
+    got = sorted((r.u, r.v) for r in wh.read_pruned("pts", box).collect())
+    want = sorted(
+        (u, v) for u, v in ((r.u, r.v) for r in rows)
+        if 1000 <= u <= 2000 and 7000 <= v <= 8000
+    )
+    assert got == want
