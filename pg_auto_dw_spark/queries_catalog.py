@@ -54,6 +54,7 @@ _PRIORITY = [
     "events_asof_last_purchase",  # new round-5 operator
     "pit_user_daily",  # new round-5 operator
     "events_range_click_attribution",  # new round-5 operator
+    "events_range_same_user_attribution",  # new round-5 operator
     "documents_stratified_sample",  # new round-5 operator
     "documents_sample_fixed_n",  # new round-5 operator
     "events_salted_type_stats",  # new round-5 operator
@@ -2515,6 +2516,45 @@ def events_range_click_attribution(spark: SparkSession, sf_dir: str) -> DataFram
                 "click_value_sum"
             ),
         ],
+    )
+
+
+@register(
+    "events_range_same_user_attribution",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts AS click_ts FROM events
+               WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, p.ts, COUNT(c.click_ts) AS n_clicks
+    FROM p LEFT JOIN c
+      ON c.user_id = p.user_id
+     AND c.click_ts BETWEEN p.ts - INTERVAL 3600 SECOND AND p.ts
+    GROUP BY p.event_id, p.user_id, p.ts
+    """,
+)
+def events_range_same_user_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed range join: same-user clicks in the hour before each
+    purchase. The shuffle key is (user_id, bin) -- equi keys tighten
+    candidates AND spread hot time buckets across users."""
+    from .functions.rangejoin import range_join_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    return range_join_agg(
+        purchases,
+        clicks,
+        left_ts="ts",
+        right_ts="click_ts",
+        lower_s=-3600,
+        upper_s=0,
+        on=["user_id"],
+        aggs=[F.count("click_ts").alias("n_clicks")],
     )
 
 

@@ -151,3 +151,39 @@ def test_contamination_stop_grams_engage(spark, zipf_docs):
         f"SCALE_ROW contamination: bench_docs=2000+ stop_grams={len(stats)} "
         f"pairs_out={n_pairs}"
     )
+
+
+def test_range_join_time_skew_bounded(spark):
+    """Time skew: 20k right rows landing in ONE interval-width bucket.
+    The binned plan concentrates them on one shuffle key (like any
+    keyed operator under skew -- AQE splits it at scale); correctness
+    must hold and the aggregated form must return one row per left row
+    regardless of the hot bin."""
+    import datetime as dt
+
+    from pg_auto_dw_spark.functions.rangejoin import range_join_agg
+
+    base = dt.datetime(2024, 1, 1)
+    hot = spark.range(20_000).select(
+        F.col("id").alias("rid"),
+        # all inside one 600s bucket
+        (F.lit(base) + F.make_interval(secs=F.col("id") % 600)).alias("rts"),
+    )
+    probes = spark.range(50).select(
+        F.col("id").alias("lid"),
+        (F.lit(base) + F.make_interval(secs=F.col("id") * 20)).alias("lts"),
+    )
+    out = range_join_agg(
+        probes, hot, "lts", "rts", -600, 0,
+        aggs=[F.count("rid").alias("n")],
+    ).collect()
+    assert len(out) == 50
+    got = {r.lid: r.n for r in out}
+    # exact model: right second = id % 600, left second = lid * 20
+    per_sec = [sum(1 for i in range(20_000) if i % 600 == s) for s in range(600)]
+    for lid, n in got.items():
+        ls = lid * 20
+        want = sum(
+            per_sec[s] for s in range(600) if ls - 600 <= s <= ls
+        )
+        assert n == want, (lid, n, want)
