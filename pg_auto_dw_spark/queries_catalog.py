@@ -62,6 +62,8 @@ _PRIORITY = [
     "events_heavy_hitter_users",  # new round-5 operator
     "events_value_quantile_sketch",  # new round-5 operator (rows-only)
     "events_customer_salted_join",  # new round-5 operator
+    "part_fuzzy_name_pairs",  # new round-5 operator
+    "documents_keyword_tfidf",  # new round-5 operator
     "events_type_pivot",  # new round-5 operator
     "events_cube_type_day",  # new round-5 operator
     "events_interarrival_stats",  # new round-5 operator
@@ -2811,6 +2813,66 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("gap_us") / F.count("gap_us")).alias("avg_gap_us"),
         F.max("gap_us").alias("max_gap_us"),
     )
+
+
+@register(
+    "part_fuzzy_name_pairs",
+    """
+    WITH p AS (SELECT p_partkey, p_name, p_brand,
+                      split_part(p_name, ' ', 2) AS noun FROM part)
+    SELECT a.noun, a.p_brand, a.p_partkey AS id_a, b.p_partkey AS id_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS distance
+    FROM p a JOIN p b ON a.noun = b.noun AND a.p_brand = b.p_brand
+                     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def part_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: near-identical part names within a
+    (noun, brand) block, edit distance <= 3 -- the blocked
+    never-all-pairs fuzzy join."""
+    from .functions.match import blocked_levenshtein_pairs
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        F.split("p_name", " ").getItem(1).alias("noun"),
+    )
+    return blocked_levenshtein_pairs(
+        part,
+        id_col="p_partkey",
+        text_col="p_name",
+        block_cols=["noun", "p_brand"],
+        max_distance=3,
+    )
+
+
+@register(
+    "documents_keyword_tfidf",
+    """
+    WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+               FROM documents),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w
+                WHERE term IN ('spark', 'merge', 'window')
+                GROUP BY doc_id, term),
+         dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM w
+                   WHERE term IN ('spark', 'merge', 'window')
+                   GROUP BY term),
+         n AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT tf.doc_id, SUM(tf.tf * n.n / dfreq.df) AS score
+    FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+    GROUP BY tf.doc_id
+    """,
+)
+def documents_keyword_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword relevance over the corpus: tf * N/df summed over the
+    query terms (log-free idf keeps the arithmetic engine-exact)."""
+    from .functions.match import keyword_tfidf_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return keyword_tfidf_scores(docs, ["spark", "merge", "window"])
 
 
 @register("events_value_quantile_sketch", None)
