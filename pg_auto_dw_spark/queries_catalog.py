@@ -67,6 +67,8 @@ _PRIORITY = [
     "events_type_pivot",  # new round-5 operator
     "events_cube_type_day",  # new round-5 operator
     "events_interarrival_stats",  # new round-5 operator
+    "events_value_median_by_type",  # new round-5 operator
+    "events_click_purchase_funnel",  # new round-5 operator
     "status_window_flags",
     "latest_transformer_responses",
     "orders_json_payload",
@@ -2873,6 +2875,65 @@ def documents_keyword_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return keyword_tfidf_scores(docs, ["spark", "merge", "window"])
+
+
+@register(
+    "events_value_median_by_type",
+    """
+    SELECT event_type, MEDIAN(value) AS value_median
+    FROM events GROUP BY event_type
+    """,
+)
+def events_value_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group median (linear interpolation at even counts,
+    identical in both engines) -- the exact twin of the
+    percentile_approx sketch; needs a per-group sort, so at 100 TB
+    prefer the sketch unless exactness is contractual."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.median("value").alias("value_median")
+    )
+
+
+@register(
+    "events_click_purchase_funnel",
+    """
+    WITH f AS (SELECT user_id,
+                      MIN(ts) FILTER (WHERE event_type = 'click') AS first_click
+               FROM events GROUP BY user_id),
+         p AS (SELECT e.user_id, MIN(e.ts) AS first_purchase_after
+               FROM events e JOIN f ON e.user_id = f.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > f.first_click
+               GROUP BY e.user_id)
+    SELECT f.user_id, f.first_click, p.first_purchase_after,
+           (p.first_purchase_after IS NOT NULL) AS converted
+    FROM f LEFT JOIN p ON f.user_id = p.user_id
+    """,
+)
+def events_click_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel: per user, first click and first purchase
+    strictly after it. Conditional MIN + one broadcast-joined second
+    pass -- the standard two-stage funnel shape (stage N+1 needs stage
+    N's anchor)."""
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "first_click"
+        )
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(f, "user_id")
+        .filter(F.col("ts") > F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase_after"))
+    )
+    return f.join(p, "user_id", "left").select(
+        "user_id",
+        "first_click",
+        "first_purchase_after",
+        F.col("first_purchase_after").isNotNull().alias("converted"),
+    )
 
 
 @register("events_value_quantile_sketch", None)
