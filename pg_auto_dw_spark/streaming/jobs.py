@@ -359,6 +359,37 @@ def events_stream_dedup(
     )
 
 
+def rollup_stream(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    rollup,
+    prepare: "Callable[[DataFrame], DataFrame] | None" = None,
+):
+    """Incremental materialized-rollup maintenance from the event
+    stream: each micro-batch folds into the rollup via
+    IncrementalRollup.apply_batch (partial-space merge, touched
+    partitions only). foreachBatch + the checkpoint give the
+    exactly-once batch application the additive merge requires --
+    a restart re-reads no delivered file, so no batch double-folds
+    (same contract as scd2_dim_stream). ``prepare`` maps the raw
+    stream frame to the rollup's input columns."""
+    ev = read_events_stream(spark, events_dir)
+    if prepare is not None:
+        ev = prepare(ev)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        rollup.apply_batch(batch_df)
+
+    return (
+        ev.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+        .start()
+    )
+
+
 def scd2_dim_stream(
     spark: SparkSession,
     wh,
