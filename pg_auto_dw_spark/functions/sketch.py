@@ -5,10 +5,11 @@ shuffles the distinct set; exact quantiles sort); the sketch forms are
 single-pass, mergeable, and bounded-memory -- each partition builds a
 fixed-size summary and the driver merges summaries, so cost is
 O(partitions * sketch_size) regardless of data size. We use Spark's
-built-in JVM sketch aggregates (HyperLogLog++ for distinct,
-Greenwald-Khanna/KLL-style for percentile_approx, a count-based
-frequent-items sketch in df.stat) rather than reimplementing them in
-Python -- whole-stage codegen, zero Python in the plan.
+built-in JVM sketch aggregates (HyperLogLog++ for distinct, a
+Greenwald-Khanna-style summary for percentile_approx) rather than
+reimplementing them in Python -- whole-stage codegen, zero Python in
+the plan. For exact frequent items see `skew.heavy_hitters` (bounded
+output by construction, no sketch needed).
 
 Approximation means no bit-exact SQL oracle; correctness is checked by
 error-bound tests against the exact answers (tests/test_sketch.py) and
