@@ -546,3 +546,57 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    blocking_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Asymmetric near-dup: containment |A intersect B| / |A| catches a
+    document EMBEDDED in a larger one, where Jaccard (normalized by the
+    union) stays low. Emits both directions per blocked pair
+    (containment_ab = how much of a is inside b, and _ba), keeping
+    pairs where either direction clears ``threshold`` -- the
+    subset-duplicate detector (quote farms, concatenated corpora).
+    Same blocked-verifier contract as ngram_jaccard_pairs: run on
+    candidates/blocks, never globally."""
+    sh = (
+        df.select(
+            F.col(id_col),
+            F.col(blocking_col).alias("blk"),
+            F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ").alias("__norm"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("blk"),
+            shingles_of(F.col("__norm"), shingle_k).alias("sh"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = sh.select(
+        F.col(id_col).alias("id_a"), F.col("blk").alias("blk_a"), F.col("sh").alias("sh_a")
+    )
+    b = sh.select(
+        F.col(id_col).alias("id_b"), F.col("blk").alias("blk_b"), F.col("sh").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    c_ab = inter.cast("double") / F.size(F.col("sh_a")).cast("double")
+    c_ba = inter.cast("double") / F.size(F.col("sh_b")).cast("double")
+    return (
+        a.join(b, F.col("blk_a") == F.col("blk_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            c_ab.alias("containment_ab"),
+            c_ba.alias("containment_ba"),
+        )
+        .filter(
+            (F.col("containment_ab") >= threshold)
+            | (F.col("containment_ba") >= threshold)
+        )
+    )

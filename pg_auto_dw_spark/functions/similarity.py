@@ -63,6 +63,7 @@ def brute_force_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    neighbor_filter: Column | None = None,
 ) -> DataFrame:
     """Exact cosine top-k for a small query set against the corpus.
 
@@ -76,9 +77,10 @@ def brute_force_topk(
     parquet once instead of twice -- at 100 TB the second full
     neighbor-side scan was the avoidable cost.
     """
+    meta = [c for c in corpus.columns if c != vec_col]
     base = (
         with_quantized(corpus, vec_col)
-        .select(F.col(id_col), "qvec", "qnorm")
+        .select(*meta, "qvec", "qnorm")
         .localCheckpoint(eager=False)
     )
     qs = base.filter(F.col(id_col).isin(query_ids)).select(
@@ -86,7 +88,11 @@ def brute_force_topk(
         F.col("qvec").alias("qv"),
         F.col("qnorm").alias("qn"),
     )
-    c = base.select(F.col(id_col).alias("neighbor_id"), "qvec", "qnorm")
+    # metadata-filtered search (`neighbor_filter` over the corpus'
+    # non-vector columns) restricts the candidate side only -- queries
+    # outside the filter still search
+    cand = base if neighbor_filter is None else base.filter(neighbor_filter)
+    c = cand.select(F.col(id_col).alias("neighbor_id"), "qvec", "qnorm")
     joined = c.join(F.broadcast(qs), F.col("neighbor_id") != F.col("query_id"))
     sim = joined.select(
         "query_id",

@@ -171,3 +171,50 @@ def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         F.sha2(t, 256).alias("exact_hash"),
         F.md5(normalized_text(t)).alias("fingerprint"),
     )
+
+
+def chunk_documents(
+    df,
+    chunk_words: int,
+    stride: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Context-window chunking for LLM training: split each document
+    into word-windows of ``chunk_words`` advancing by ``stride``
+    (overlap = chunk_words - stride). Output grain: (doc, chunk_id)
+    with the chunk text and its word count; every word is covered, the
+    last window may be short, and a doc shorter than one window yields
+    exactly one chunk.
+
+    Pure built-ins (split / sequence / slice / array_join) -- the
+    explode multiplies rows by ~n_words/stride with zero Python and no
+    shuffle; at 100 TB this is scan-bound, exactly like the shingle
+    builders. Token-exact chunking (BPE) swaps the word split for a
+    tokenizer via mapInPandas with the same output contract."""
+    from pyspark.sql import functions as F
+
+    if stride <= 0 or chunk_words <= 0:
+        raise ValueError("chunk_words and stride must be positive")
+    words = F.split(F.col(text_col), " ")
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil(
+            (F.size(words) - F.lit(chunk_words)) / F.lit(stride)
+        ).cast("long")
+        + F.lit(1),
+    )
+    chunked = df.select(
+        F.col(id_col),
+        words.alias("__w"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    piece = F.slice(
+        F.col("__w"), F.col("chunk_id") * stride + 1, chunk_words
+    )
+    return chunked.select(
+        id_col,
+        "chunk_id",
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).alias("n_words"),
+    )

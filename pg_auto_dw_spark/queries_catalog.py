@@ -71,6 +71,9 @@ _PRIORITY = [
     "events_interarrival_stats",  # new round-5 operator
     "events_value_median_by_type",  # new round-5 operator
     "events_click_purchase_funnel",  # new round-5 operator
+    "dedup_ngram_containment",  # new round-5 operator
+    "ann_cosine_topk_filtered",  # new round-5 operator
+    "documents_chunked_windows",  # new round-5 operator
     "status_window_flags",
     "latest_transformer_responses",
     "orders_json_payload",
@@ -2936,6 +2939,101 @@ def events_click_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_purchase_after",
         F.col("first_purchase_after").isNotNull().alias("converted"),
     )
+
+
+@register(
+    "dedup_ngram_containment",
+    """
+    WITH sh AS (
+        SELECT doc_id, lang,
+               list_distinct([substr(norm, i, 3)
+                   for i in range(1, greatest(length(norm) - 2, 1) + 1)]) AS sh
+        FROM (SELECT doc_id, lang,
+                     regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm
+              FROM documents))
+    SELECT id_a, id_b, containment_ab, containment_ba FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh)
+                   AS containment_ab,
+               CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(b.sh)
+                   AS containment_ba
+        FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+    WHERE containment_ab >= 0.5 OR containment_ba >= 0.5
+    """,
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup verifier: shingle containment catches a doc
+    embedded in a larger one where union-normalized Jaccard stays low
+    (concatenated corpora / quote farms)."""
+    from .functions.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        load_table(spark, sf_dir, "documents"),
+        blocking_col="lang",
+        shingle_k=3,
+        threshold=0.5,
+    )
+
+
+_ANN_FILTERED_ORACLE = f"""
+WITH q AS (
+    SELECT vec_id, label, {_QVEC_SQL} AS qvec FROM embeddings),
+n AS (
+    SELECT vec_id, label, qvec,
+           CAST(list_sum([qvec[i] * qvec[i] for i in range(1, 65)]) AS BIGINT) AS qnorm
+    FROM q),
+sims AS (
+    SELECT qa.vec_id AS query_id, qb.vec_id AS neighbor_id,
+           CAST({_DOT_SQL} AS DOUBLE) /
+               (sqrt(CAST(qa.qnorm AS DOUBLE)) * sqrt(CAST(qb.qnorm AS DOUBLE))) AS cosine
+    FROM n qa JOIN n qb ON qa.vec_id <> qb.vec_id
+    WHERE qa.vec_id < 10 AND qb.label = 3),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rn
+    FROM sims)
+SELECT query_id, neighbor_id, cosine FROM ranked WHERE rn <= 5
+"""
+
+
+@register("ann_cosine_topk_filtered", _ANN_FILTERED_ORACLE)
+def ann_cosine_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered vector search: exact top-5 among neighbors
+    with label = 3 only (the filter restricts candidates, not
+    queries) -- the filtered-ANN shape every retrieval stack needs."""
+    from .functions.similarity import brute_force_topk
+
+    return brute_force_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        query_ids=list(range(10)),
+        k=5,
+        neighbor_filter=F.col("label") == 3,
+    )
+
+
+@register(
+    "documents_chunked_windows",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         c AS (SELECT doc_id, w,
+                      unnest(generate_series(0,
+                          greatest(1, CAST(ceil((len(w) - 40) / 20.0) AS BIGINT)
+                                      + 1) - 1)) AS chunk_id
+               FROM w)
+    SELECT doc_id, chunk_id,
+           array_to_string(list_slice(w, chunk_id * 20 + 1,
+                                      chunk_id * 20 + 40), ' ') AS chunk_text,
+           len(list_slice(w, chunk_id * 20 + 1, chunk_id * 20 + 40)) AS n_words
+    FROM c
+    """,
+)
+def documents_chunked_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 40-word windows advancing by 20
+    (50% overlap), every word covered, short final window kept."""
+    from .functions.text import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_words=40, stride=20)
 
 
 @register("events_value_quantile_sketch", None)

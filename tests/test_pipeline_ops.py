@@ -568,3 +568,64 @@ def test_profile_table_nulls_and_approx_path(spark):
     }
     for c, exact in (("k", 4), ("s", 2), ("v", 2)):
         assert abs(approx[c] - exact) <= 1  # HLL exact at tiny cardinality
+
+
+def test_chunk_documents_covers_all_words(spark):
+    from pyspark.sql import Row
+
+    from pg_auto_dw_spark.functions.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=" ".join(f"w{i}" for i in range(100))),  # exact windows
+            Row(doc_id=2, text=" ".join(f"w{i}" for i in range(50))),   # ragged tail
+            Row(doc_id=3, text="only three words"),                      # shorter than one
+        ]
+    )
+    out = chunk_documents(docs, chunk_words=40, stride=20)
+    rows = {(r.doc_id, r.chunk_id): r for r in out.collect()}
+    # doc 1: starts 0,20,40,60 -> 4 chunks, all 40 words
+    assert sorted(c for (d, c) in rows if d == 1) == [0, 1, 2, 3]
+    assert all(rows[(1, c)].n_words == 40 for c in range(3))
+    # every word appears in some chunk of its doc
+    covered = set()
+    for (d, c), r in rows.items():
+        if d == 1:
+            covered.update(r.chunk_text.split(" "))
+    assert covered == {f"w{i}" for i in range(100)}
+    # doc 2 (50 words): starts 0,20 -> second chunk holds words 21-50
+    assert sorted(c for (d, c) in rows if d == 2) == [0, 1]
+    assert rows[(2, 1)].n_words == 30
+    # doc 3: one short chunk
+    assert rows[(3, 0)].n_words == 3 and rows[(3, 0)].chunk_text == "only three words"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_words=0, stride=5)
+
+
+def test_containment_catches_embedded_doc(spark):
+    from pyspark.sql import Row
+
+    from pg_auto_dw_spark.functions.dedup import ngram_containment_pairs
+
+    small = "alpha beta gamma delta epsilon"
+    big = "intro words here " + small + " plus a very long unrelated tail " * 5
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=small, lang="en"),
+            Row(doc_id=2, text=big, lang="en"),
+            Row(doc_id=3, text="completely different content", lang="en"),
+        ]
+    )
+    out = {
+        (r.id_a, r.id_b): (r.containment_ab, r.containment_ba)
+        for r in ngram_containment_pairs(
+            docs, blocking_col="lang", threshold=0.9
+        ).collect()
+    }
+    # small is embedded in big: containment of 1-in-2 ~ 1.0
+    assert (1, 2) in out
+    ab, ba = out[(1, 2)]
+    assert ab > 0.9 and ba < 0.6
+    assert (1, 3) not in out and (2, 3) not in out
