@@ -62,18 +62,32 @@ def stratified_sample(
 def stratified_fixed_n(
     df: DataFrame,
     key_col: str,
-    n: int,
+    n: int | dict[str, int],
     strata_col: str,
 ) -> DataFrame:
     """Exactly min(n, |stratum|) rows per stratum: the n smallest
     ranks, ties broken by key (ranks collide only for keys congruent
     mod MODULUS, so the key tiebreak makes selection total and
-    deterministic). One shuffle on the stratum."""
+    deterministic). One shuffle on the stratum.
+
+    ``n`` may be a per-stratum dict -- the dataset-mixture form:
+    target counts per source/language (unlisted strata get 0). For
+    proportional targets compute the dict from a counts aggregation
+    first (mixture design stays driver-side where it belongs; the
+    selection stays distributed and deterministic)."""
     w = Window.partitionBy(strata_col).orderBy(
         sample_rank(F.col(key_col)), F.col(key_col)
     )
+    if isinstance(n, dict):
+        limit = F.lit(0)
+        for value, cnt in sorted(n.items()):
+            limit = F.when(
+                F.col(strata_col) == value, F.lit(int(cnt))
+            ).otherwise(limit)
+    else:
+        limit = F.lit(int(n))
     return (
         df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= n)
+        .filter(F.col("__rn") <= limit)
         .drop("__rn")
     )

@@ -59,6 +59,7 @@ _PRIORITY = [
     "events_range_same_user_attribution",  # new round-5 operator
     "documents_stratified_sample",  # new round-5 operator
     "documents_sample_fixed_n",  # new round-5 operator
+    "documents_mixture_sample",  # new round-5 operator
     "events_salted_type_stats",  # new round-5 operator
     "events_distinct_users_by_type",  # new round-5 operator
     "events_heavy_hitter_users",  # new round-5 operator
@@ -2633,6 +2634,40 @@ def documents_sample_fixed_n(spark: SparkSession, sf_dir: str) -> DataFrame:
 # physical rewrite, so the oracle is the PLAIN GROUP BY -- exactness
 # under the rewrite is the property being verified.
 # ---------------------------------------------------------------------------
+
+
+@register(
+    "documents_mixture_sample",
+    """
+    -- per-language target counts (dataset mixture): en 30, zh 60,
+    -- de 40, fr/es unlisted -> 0
+    WITH r AS (
+        SELECT doc_id, lang, source, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY (doc_id * 2654435761) % 1000003, doc_id
+               ) AS rn
+        FROM documents)
+    SELECT doc_id, lang, source, n_chars FROM r
+    WHERE rn <= (CASE lang WHEN 'en' THEN 30 WHEN 'zh' THEN 60
+                           WHEN 'de' THEN 40 ELSE 0 END)
+    """,
+)
+def documents_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-mixture carve-out: per-language TARGET COUNTS (rebalance
+    toward zh/de, drop fr/es) selected deterministically -- the
+    training-mixture knob, reproducible at any scale/partitioning."""
+    from .functions.sampling import stratified_fixed_n
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return stratified_fixed_n(
+        docs,
+        key_col="doc_id",
+        n={"en": 30, "zh": 60, "de": 40},
+        strata_col="lang",
+    )
 
 
 @register(
