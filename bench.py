@@ -57,6 +57,8 @@ HEADLINE = [
     "events_range_click_attribution",
     "documents_stratified_sample",
     "events_salted_type_stats",
+    "documents_chunked_windows",
+    "documents_keyword_tfidf",
 ]
 
 
