@@ -51,6 +51,8 @@ def blocked_levenshtein_pairs(
             )
             .drop("__bs")
         )
+    # Pin: both self-join sides read one scan of the blocked frame
+    base = base.localCheckpoint(eager=False)
     a = base.select(
         *block_cols,
         F.col(id_col).alias("id_a"),
@@ -81,9 +83,17 @@ def keyword_tfidf_scores(
     log-idf for production ranking). Documents matching no term are
     absent. One explode + two narrow aggregations; df table
     broadcasts."""
-    words = docs.select(
-        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
-    ).filter(F.col("term").isin(terms))
+    # Pin the matched (id, term) rows: tf and df both derive from one
+    # corpus scan + explode instead of two (the explode over 100 TB of
+    # text is the dominant cost; the pinned frame holds only matching
+    # terms, so it is tiny)
+    words = (
+        docs.select(
+            F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+        )
+        .filter(F.col("term").isin(terms))
+        .localCheckpoint(eager=False)
+    )
     tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = words.groupBy("term").agg(
         F.count_distinct(F.col(id_col)).alias("df")
