@@ -72,6 +72,7 @@ _PRIORITY = [
     "events_interarrival_stats",  # new round-5 operator
     "events_value_median_by_type",  # new round-5 operator
     "events_click_purchase_funnel",  # new round-5 operator
+    "events_value_winsorized_stats",  # new round-5 operator
     "dedup_ngram_containment",  # new round-5 operator
     "ann_cosine_topk_filtered",  # new round-5 operator
     "documents_chunked_windows",  # new round-5 operator
@@ -2932,6 +2933,43 @@ def events_value_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.median("value").alias("value_median")
+    )
+
+
+@register(
+    "events_value_winsorized_stats",
+    """
+    WITH b AS (SELECT event_type,
+                      quantile_cont(value, 0.05) AS p05,
+                      quantile_cont(value, 0.95) AS p95
+               FROM events GROUP BY event_type)
+    SELECT e.event_type, b.p05, b.p95,
+           SUM(LEAST(GREATEST(e.value, b.p05), b.p95))
+               / COUNT(e.value) AS winsorized_mean
+    FROM events e JOIN b ON e.event_type = b.event_type
+    GROUP BY e.event_type, b.p05, b.p95
+    """,
+)
+def events_value_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (winsorized) mean: clip at the exact interpolated
+    p05/p95 per group, then average -- outlier-resistant feature
+    stats. Percentile bounds broadcast back onto the fact side; exact
+    percentile needs the per-group sort, so at 100 TB swap in the
+    percentile_approx sketch bounds (same clip step)."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.05).alias("p05"),
+        F.percentile("value", 0.95).alias("p95"),
+    )
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type", "p05", "p95")
+        .agg(
+            (
+                F.sum(F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95")))
+                / F.count("value")
+            ).alias("winsorized_mean")
+        )
     )
 
 
