@@ -44,12 +44,12 @@ def register(name: str, sql: str | None):
 # queries exercised inside status_source_column / the composite loads).
 # NOTE for round 6: whatever sits in the registration tail past the
 # ~50-query cap this round must rotate into _PRIORITY next round --
-# with 80 registered and a 50 cap that is 30 queries, every one green
-# in r4 (so a one-round gap, within policy). Round 6 must swap them
-# into _PRIORITY and demote this round's 30 _PRIORITY entries; from
-# round 6 on the cap forces a strict two-round rotation (50 verified
-# per round, 30 resting) -- keep the resting set always = the set
-# verified in the immediately-preceding round. List the exact tail:
+# with 81 registered and a 50 cap that is 31 queries, every one green
+# in r4 (so a one-round gap, within policy). Round 6 must swap the
+# tail into _PRIORITY and demote this round's _PRIORITY entries; from
+# round 6 on, the cap forces a strict two-round rotation (50 verified
+# per round, the rest resting) -- keep the resting set always = the
+# set verified in the immediately-preceding round. Exact tail:
 # python -c "from pg_auto_dw_spark import queries_catalog as q; \
 #            print(list(q.queries())[50:])"
 _PRIORITY = [
