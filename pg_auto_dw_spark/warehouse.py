@@ -48,9 +48,20 @@ from pyspark.sql import types as T
 class Warehouse:
     """A directory of named parquet tables with a recorded schema."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, retain_generations: int = 1):
+        """``retain_generations`` is the snapshot-retention knob (Delta
+        ``delta.logRetentionDuration`` analog, counted in versions not
+        days): every pointer commit appends to a per-table commit log,
+        and the last N committed generations' directories are kept on
+        disk, enabling ``history``/``read_version``/``rollback``.
+        The default (1) keeps only the live generation -- exactly the
+        pre-time-travel behavior and disk footprint. Old generations
+        share unchanged parquet files with the live one by hardlink, so
+        retention costs only the delta between versions, not N full
+        copies."""
         self.spark = spark
         self.root = root
+        self.retain_generations = max(1, retain_generations)
         os.makedirs(root, exist_ok=True)
         self._schemas: dict[str, T.StructType] = {}
         self._partitioning: dict[str, list[str]] = {}
@@ -181,19 +192,91 @@ class Warehouse:
                 return resolved
         return self._base(name)
 
-    def _commit_generation(self, name: str, gen_dir: str) -> None:
-        """Atomically make ``gen_dir`` the live generation, then GC the
-        previous one. The os.replace IS the commit point."""
+    # -- commit log / time travel --------------------------------------
+    # Each pointer commit appends one JSONL entry {version, dir, action,
+    # ts} to ``<base>.commits``. The log is the (single-file, append-
+    # only) stand-in for a Delta/Iceberg transaction log: ``history``
+    # reads it, ``read_version`` resolves a version to its retained
+    # generation dir, ``rollback`` commits an OLD generation as the new
+    # live one (copy-on-write -- no data moves, one pointer swap).
+    def _log_path(self, name: str) -> str:
+        return self._base(name) + ".commits"
+
+    def _read_log(self, name: str) -> list[dict]:
+        import json
+
+        try:
+            with open(self._log_path(name)) as f:
+                return [json.loads(ln) for ln in f if ln.strip()]
+        except FileNotFoundError:
+            return []
+
+    def _append_log(self, name: str, entry: dict) -> None:
+        import json
+
+        with open(self._log_path(name), "a") as f:
+            f.write(json.dumps(entry) + "\n")
+
+    def _retained_dirs(self, name: str, log: list[dict] | None = None) -> set[str]:
+        """Absolute paths of generation dirs the retention policy keeps:
+        the dirs of the last ``retain_generations`` log entries (a dir
+        may back several versions after a rollback), plus whatever the
+        pointer currently names."""
+        log = self._read_log(name) if log is None else log
+        keep = {os.path.abspath(self.path(name))}
+        seen: list[str] = []
+        for e in reversed(log):
+            d = os.path.abspath(os.path.join(self.root, e["dir"]))
+            if d not in seen:
+                seen.append(d)
+            if len(seen) >= self.retain_generations:
+                break
+        keep.update(seen)
+        return keep
+
+    def _commit_generation(self, name: str, gen_dir: str, action: str = "overwrite") -> None:
+        """Atomically make ``gen_dir`` the live generation, append the
+        commit-log entry, then GC generations past the retention
+        horizon. The os.replace IS the commit point."""
+        import time
+
         old = self.path(name)
+        log = self._read_log(name)
+        if not log and os.path.isdir(old) and os.path.abspath(old) != os.path.abspath(gen_dir):
+            # First pointer commit over a pre-log table: record the
+            # existing live dir as version 0 so it is itself retained /
+            # rollback-able under a retention window > 1.
+            base_entry = {
+                "version": 0,
+                "dir": os.path.relpath(old, self.root),
+                "action": "base",
+                "ts": round(time.time(), 3),
+            }
+            self._append_log(name, base_entry)
+            log = [base_entry]
         ptr = self._pointer_path(name)
         tmp = ptr + ".tmp-" + uuid.uuid4().hex[:8]
         with open(tmp, "w") as f:
             f.write(os.path.basename(gen_dir))
         os.replace(tmp, ptr)  # commit
+        entry = {
+            "version": (log[-1]["version"] + 1) if log else 0,
+            "dir": os.path.basename(gen_dir),
+            "action": action,
+            "ts": round(time.time(), 3),
+        }
+        self._append_log(name, entry)
+        log.append(entry)
         # Post-commit cleanup is best-effort: a failure here leaves an
-        # orphan generation that init-time GC removes.
-        if os.path.isdir(old) and os.path.abspath(old) != os.path.abspath(gen_dir):
-            shutil.rmtree(old, ignore_errors=True)
+        # orphan generation that init-time GC removes. Only dirs past
+        # the retention horizon are reaped.
+        keep = self._retained_dirs(name, log)
+        drop = {
+            os.path.abspath(os.path.join(self.root, e["dir"])) for e in log
+        } - keep
+        for d in drop:
+            if os.path.isdir(d):
+                shutil.rmtree(d, ignore_errors=True)
 
     def _gc_stale_dirs(self) -> None:
         """Remove uncommitted/orphaned data dirs: generations not named
@@ -225,13 +308,14 @@ class Warehouse:
             elif os.path.isdir(p) and "__gen-" in e:
                 name = e.split("__gen-")[0].replace("__", ".")
                 with self.lock(name, blocking=False) as acquired:
-                    if acquired and os.path.abspath(self.path(name)) != os.path.abspath(p):
+                    if acquired and os.path.abspath(p) not in self._retained_dirs(name):
                         shutil.rmtree(p, ignore_errors=True)
             elif os.path.isdir(p) and "__gen-" not in e and e + ".live" in entries:
-                # base dir superseded by a committed generation
+                # base dir superseded by a committed generation (but kept
+                # while the retention window still covers version 0)
                 name = e.replace("__", ".")
                 with self.lock(name, blocking=False) as acquired:
-                    if acquired and os.path.abspath(self.path(name)) != os.path.abspath(p):
+                    if acquired and os.path.abspath(p) not in self._retained_dirs(name):
                         shutil.rmtree(p, ignore_errors=True)
 
     def exists(self, name: str) -> bool:
@@ -269,9 +353,18 @@ class Warehouse:
         writer.parquet(self.path(name))
 
     def drop_table(self, name: str) -> None:
+        import glob
+
         if os.path.isdir(self.path(name)):
             shutil.rmtree(self.path(name))
-        for p in (self._pointer_path(name), self._lock_path(name), self._base(name)):
+        for g in glob.glob(self._base(name) + "__gen-*"):
+            shutil.rmtree(g, ignore_errors=True)
+        for p in (
+            self._pointer_path(name),
+            self._lock_path(name),
+            self._log_path(name),
+            self._base(name),
+        ):
             if os.path.isfile(p):
                 os.unlink(p)
             elif os.path.isdir(p):
@@ -304,8 +397,86 @@ class Warehouse:
             reader = reader.schema(self._add_partition_fields(name))
         return reader.parquet(*[os.path.join(live, p) for p in rel_paths])
 
+    # -- time travel ----------------------------------------------------
+    def history(self, name: str) -> list[dict]:
+        """Commit history, oldest first: one dict per committed version
+        with ``version``, ``action``, ``ts``, ``live`` (is this the
+        pointer's current target) and ``available`` (is the generation
+        dir still on disk, i.e. within the retention window). Tables
+        written only in place (created + appended, never pointer-
+        committed) have an empty history."""
+        live = os.path.abspath(self.path(name))
+        out = []
+        for e in self._read_log(name):
+            d = os.path.abspath(os.path.join(self.root, e["dir"]))
+            out.append(
+                {
+                    "version": e["version"],
+                    "action": e["action"],
+                    "ts": e["ts"],
+                    "live": d == live,
+                    "available": os.path.isdir(d),
+                }
+            )
+        return out
+
+    def _version_dir(self, name: str, version: int) -> str:
+        log = self._read_log(name)
+        match = [e for e in log if e["version"] == version]
+        if not match:
+            have = [e["version"] for e in log]
+            raise ValueError(f"table {name} has no version {version}; history has {have}")
+        d = os.path.join(self.root, match[-1]["dir"])
+        if not os.path.isdir(d):
+            raise ValueError(
+                f"table {name} version {version} is past the retention window "
+                f"(retain_generations={self.retain_generations}); its files were GCed"
+            )
+        return d
+
+    def read_version(self, name: str, version: int) -> DataFrame:
+        """Snapshot read (``VERSION AS OF`` analog): the table exactly as
+        committed at ``version``. The generation dir must still be
+        retained -- raise (never silently read the wrong data) if the
+        retention window has GCed it."""
+        d = self._version_dir(name, version)
+        if name in self._schemas:
+            return self.spark.read.schema(self._add_partition_fields(name)).parquet(d)
+        return self.spark.read.parquet(d)
+
+    def rollback(self, name: str, version: int) -> None:
+        """RESTORE TABLE ... TO VERSION analog: make ``version`` the live
+        state again via a NEW commit whose generation dir is the old
+        one -- copy-on-write, no data rewritten, one pointer swap. The
+        rollback itself appears in ``history`` (auditable, and itself
+        rollback-able)."""
+        with self.lock(name):
+            d = self._version_dir(name, version)
+            self._commit_generation(name, d, action=f"rollback(to={version})")
+
     # -- writes ---------------------------------------------------------
     def append(self, name: str, df: DataFrame) -> None:
+        """INSERT...SELECT sink. With the default retention (1) this is
+        an in-place parquet append -- the cheap hot path for hub/sat
+        loads. Under ``retain_generations > 1`` the append becomes a
+        copy-on-write commit (hardlink live files into a fresh
+        generation, append there, pointer-swap) so that every retained
+        snapshot stays immutable -- an in-place append would leak new
+        files into the generation dir an older version still names."""
+        if self.retain_generations > 1:
+            with self.lock(name):
+                live = self.path(name)
+                gen = self._base(name) + "__gen-" + uuid.uuid4().hex[:8]
+                if os.path.isdir(live):
+                    self._link_tree(live, gen)
+                else:
+                    os.makedirs(gen, exist_ok=True)
+                writer = df.write.mode("append")
+                if name in self._partitioning:
+                    writer = writer.partitionBy(*self._partitioning[name])
+                writer.parquet(gen)
+                self._commit_generation(name, gen, action="append")
+            return
         writer = df.write.mode("append")
         if name in self._partitioning:
             writer = writer.partitionBy(*self._partitioning[name])
@@ -372,7 +543,7 @@ class Warehouse:
                 .partitionBy(*self._partitioning[name])
                 .parquet(gen)
             )
-            self._commit_generation(name, gen)
+            self._commit_generation(name, gen, action="overwrite_partitions")
 
     def replace_files(self, name: str, df: DataFrame, drop_files: list[str]) -> None:
         """File-granular copy-on-write replacement: build a new
@@ -432,7 +603,7 @@ class Warehouse:
                         continue
                     os.replace(os.path.join(walk_root, fn), os.path.join(target, fn))
             shutil.rmtree(staging, ignore_errors=True)
-            self._commit_generation(name, gen)
+            self._commit_generation(name, gen, action="replace_files")
 
     def overwrite(self, name: str, df: DataFrame) -> None:
         """Crash-safe full rewrite: write a new generation dir, then

@@ -321,7 +321,7 @@ def test_overwrite_partitions_crash_keeps_old_state(spark, warehouse_dir, monkey
     # keys 4, 6, 8 forever
     batch = spark.createDataFrame([(0, "NEW0", 0), (2, "NEW2", 0)], pschema)
 
-    def crash(self, name, gen_dir):
+    def crash(self, name, gen_dir, action="overwrite"):
         raise RuntimeError("simulated crash before pointer commit")
 
     monkeypatch.setattr(Warehouse, "_commit_generation", crash)
