@@ -1,0 +1,214 @@
+"""Generic warehouse mutation verbs: Type-1 upsert and targeted delete.
+
+``build/scd2_dim.py`` implements the reference's *versioned* merge
+(close/resurrect/insert, queries.rs:221-321). This module adds the two
+un-versioned verbs every warehouse user also needs, expressed the same
+Spark-first way (no MERGE INTO available over plain parquet, so both
+compile to declarative DataFrame plans + the Warehouse's copy-on-write
+commit):
+
+- ``merge_upsert``  -- MERGE WHEN MATCHED UPDATE / WHEN NOT MATCHED
+  INSERT, at Type-1 grain (overwrite in place, no history). The write
+  is partition-pruned: only partitions with batch rows are rewritten.
+- ``delete_keys``   -- targeted row deletion (the GDPR /
+  right-to-be-forgotten shape): given a small key set, rewrite ONLY
+  the files whose parquet footer key range can contain a requested
+  key; every other file is carried into the new generation by
+  hardlink, byte-identical.
+
+Scale posture (100 TB): an upsert batch shuffles once on the join key
+within touched partitions only; the delete's footer scan is metadata-
+sized (one footer read per live file) and the rewrite is file-granular,
+so cost tracks the number of files actually containing victims -- on a
+z-ordered / key-clustered table (Warehouse.compact(cluster_by=...))
+deletion keys cluster into few files. Scattered keys on an unclustered
+table degrade to rewriting most files; that is intrinsic to the
+operation (an ACID format's DELETE does the identical file rewrite),
+not to this implementation -- merge-on-read deletion vectors are the
+format-level answer, see SCALE.md.
+"""
+
+from __future__ import annotations
+
+import bisect
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..warehouse import Warehouse
+
+
+def _latest_per_key(batch: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
+    """Reduce a CDC-style batch to its newest row per key (the ADVICE-r4
+    lesson: two updates to one key in one batch must not both apply)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+    return (
+        batch.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def merge_upsert(
+    wh: Warehouse,
+    table: str,
+    batch: DataFrame,
+    key_cols: list[str],
+    order_col: str | None = None,
+) -> dict:
+    """Type-1 MERGE: rows whose key matches are replaced by the batch
+    row, new keys are inserted, everything else is untouched. The
+    target must be partitioned and the partition column(s) must be
+    functionally determined by the key (the scd2_dim contract), so a
+    key's old and new row land in the same partition and the write can
+    be a partition-pruned dynamic overwrite.
+
+    ``order_col``: with a CDC batch that can carry several versions of
+    one key, names the column whose max wins. Without it the batch
+    must be key-unique -- verified (one cheap agg), not assumed.
+
+    Returns {"matched": n, "inserted": n, "carried": n,
+    "touched_partitions": [...]}.
+    """
+    pcols = wh._partitioning.get(table)
+    if not pcols:
+        raise ValueError(f"merge_upsert requires a partitioned table; {table} has no spec")
+    if order_col is not None:
+        batch = _latest_per_key(batch, key_cols, order_col)
+    else:
+        dup = (
+            batch.groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                "merge_upsert batch has duplicate keys; pass order_col to "
+                "pick the newest version per key"
+            )
+    with wh.lock(table):
+        batch = batch.localCheckpoint(eager=True)  # pin: read before we overwrite
+        touched = [
+            tuple(r) for r in batch.select(*pcols).distinct().collect()
+        ]  # metadata-sized: one row per touched partition
+        cur = wh.read(table)
+        if len(pcols) == 1:
+            cur = cur.filter(F.col(pcols[0]).isin([t[0] for t in touched]))
+        else:
+            cond = F.lit(False)
+            for t in touched:
+                m = F.lit(True)
+                for c, v in zip(pcols, t):
+                    m = m & (F.col(c) == F.lit(v))
+                cond = cond | m
+            cur = cur.filter(cond)
+        carried = cur.join(batch.select(*key_cols), on=key_cols, how="left_anti")
+        out = carried.unionByName(batch.select(*cur.columns)).localCheckpoint(eager=True)
+        n_cur = cur.count()
+        n_carried = carried.count()
+        n_batch = batch.count()
+        wh.overwrite_partitions(table, out)
+    return {
+        "matched": n_cur - n_carried,
+        "inserted": n_batch - (n_cur - n_carried),
+        "carried": n_carried,
+        "touched_partitions": sorted(touched),
+    }
+
+
+def _files_containing_keys(
+    wh: Warehouse, table: str, key_col: str, keys: list
+) -> tuple[list[str], list[str]]:
+    """Split live files into (maybe-affected, provably-clean) using
+    parquet footer min/max on ``key_col`` against the sorted key list.
+    Files without usable numeric stats count as affected (never skip
+    blind). One footer read per file -- metadata-sized."""
+    import pyarrow.parquet as pq
+
+    live = wh.path(table)
+    affected: list[str] = []
+    clean: list[str] = []
+    for rel in wh.data_files(table):
+        hit = True
+        try:
+            md = pq.ParquetFile(os.path.join(live, rel)).metadata
+            j = md.schema.names.index(key_col)
+            fmn = fmx = None
+            for i in range(md.num_row_groups):
+                st = md.row_group(i).column(j).statistics
+                if st is None or not st.has_min_max:
+                    fmn = fmx = None
+                    break
+                fmn = st.min if fmn is None else min(fmn, st.min)
+                fmx = st.max if fmx is None else max(fmx, st.max)
+            if isinstance(fmn, (int, float)) and isinstance(fmx, (int, float)):
+                # any requested key inside [fmn, fmx]?
+                i = bisect.bisect_left(keys, fmn)
+                hit = i < len(keys) and keys[i] <= fmx
+        except (OSError, ValueError, KeyError):
+            hit = True
+        (affected if hit else clean).append(rel)
+    return affected, clean
+
+
+def delete_keys(
+    wh: Warehouse,
+    table: str,
+    keys_df: DataFrame,
+    key_col: str,
+    max_driver_keys: int = 1_000_000,
+) -> dict:
+    """Targeted deletion of every row whose ``key_col`` appears in
+    ``keys_df`` -- the GDPR erasure shape: the key set is
+    request-sized (users asking to be forgotten), the table is 100 TB.
+
+    The key set is collected to the driver (bounded by
+    ``max_driver_keys`` -- erasure batches are small by nature; raise
+    rather than silently collecting a huge frame) and matched against
+    per-file footer stats: only files that can contain a victim are
+    rewritten (anti-join against the broadcast key set); all others
+    hardlink into the new generation untouched, and the swap is the
+    usual single atomic pointer commit. On an unpartitioned table the
+    file-granular path is unavailable and the whole table is rewritten
+    (documented degradation -- partition your big tables).
+
+    Returns {"rows_deleted": n, "files_rewritten": n, "files_carried": n}.
+    """
+    keys_rows = keys_df.select(F.col(key_col)).distinct().limit(max_driver_keys + 1).collect()
+    if len(keys_rows) > max_driver_keys:
+        raise ValueError(
+            f"delete_keys got more than {max_driver_keys} keys; for bulk deletes "
+            "use an anti-join rewrite (overwrite) instead of the targeted path"
+        )
+    keys = sorted(r[0] for r in keys_rows if r[0] is not None)
+    if not keys:
+        return {"rows_deleted": 0, "files_rewritten": 0, "files_carried": len(wh.data_files(table))}
+    key_lit = wh.spark.createDataFrame([(k,) for k in keys], f"{key_col} {'long' if isinstance(keys[0], int) else 'double'}")
+    if table not in wh._partitioning:
+        n_files = len(wh.data_files(table))
+        cur = wh.read(table).localCheckpoint(eager=True)
+        kept = cur.join(F.broadcast(key_lit), on=key_col, how="left_anti").localCheckpoint(eager=True)
+        n_del = cur.count() - kept.count()
+        with wh.lock(table):
+            wh.overwrite(table, kept)
+        return {"rows_deleted": n_del, "files_rewritten": n_files, "files_carried": 0}
+    with wh.lock(table):
+        affected, clean = _files_containing_keys(wh, table, key_col, keys)
+        if not affected:
+            return {"rows_deleted": 0, "files_rewritten": 0, "files_carried": len(clean)}
+        sub = wh.read_files(table, affected).localCheckpoint(eager=True)
+        kept = sub.join(F.broadcast(key_lit), on=key_col, how="left_anti").localCheckpoint(
+            eager=True
+        )
+        n_del = sub.count() - kept.count()
+        wh.replace_files(table, kept, drop_files=affected)
+    return {
+        "rows_deleted": n_del,
+        "files_rewritten": len(affected),
+        "files_carried": len(clean),
+    }

@@ -44,7 +44,7 @@ def register(name: str, sql: str | None):
 # queries exercised inside status_source_column / the composite loads).
 # NOTE for round 6: whatever sits in the registration tail past the
 # ~50-query cap this round must rotate into _PRIORITY next round --
-# with 81 registered and a 50 cap that is 31 queries, every one green
+# with 83 registered and a 50 cap that is 33 queries, every one green
 # in r4 (so a one-round gap, within policy). Round 6 must swap the
 # tail into _PRIORITY and demote this round's _PRIORITY entries; from
 # round 6 on, the cap forces a strict two-round rotation (50 verified
@@ -53,6 +53,8 @@ def register(name: str, sql: str | None):
 # python -c "from pg_auto_dw_spark import queries_catalog as q; \
 #            print(list(q.queries())[50:])"
 _PRIORITY = [
+    "dim_upsert_customer",  # new round-5 operator (merge verbs)
+    "gdpr_delete_customer",  # new round-5 operator (merge verbs)
     "events_asof_last_purchase",  # new round-5 operator
     "pit_user_daily",  # new round-5 operator
     "events_range_click_attribution",  # new round-5 operator
@@ -3122,3 +3124,104 @@ def events_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = approx_distinct(ev, ["event_type"], "user_id", rsd=0.02)
     return q.join(d, "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Generic warehouse mutation verbs (build/merge.py): Type-1 upsert and
+# targeted GDPR-shape deletion -- the un-versioned MERGE/DELETE twins of
+# scd2_partitioned_merge, same partition-pruned CoW write path.
+# ---------------------------------------------------------------------------
+
+_UPSERT_ORACLE = """
+WITH cust AS (
+    SELECT CAST(c_custkey AS BIGINT) AS k, c_name, c_acctbal, c_mktsegment,
+           CAST(c_custkey % 8 AS BIGINT) AS b
+    FROM customer),
+batch AS (
+    SELECT k, c_name, c_acctbal + 50 AS c_acctbal, c_mktsegment, b
+    FROM cust WHERE b IN (2, 6) AND k % 3 = 0
+    UNION ALL
+    SELECT k + 16000000 AS k, c_name, c_acctbal, c_mktsegment, b
+    FROM cust WHERE b IN (2, 6) AND k % 3 = 1)
+SELECT c.k AS c_custkey, c.b AS key_bucket, c.c_name, c.c_acctbal, c.c_mktsegment
+FROM cust c WHERE c.k NOT IN (SELECT k FROM batch)
+UNION ALL
+SELECT k AS c_custkey, b AS key_bucket, c_name, c_acctbal, c_mktsegment FROM batch
+"""
+
+
+@register("dim_upsert_customer", _UPSERT_ORACLE)
+def dim_upsert_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-1 MERGE (WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT) into
+    a key-bucket-partitioned customer dimension: a batch touching 2 of
+    8 buckets updates every key%3==0 and inserts shifted new keys; the
+    write rewrites ONLY the touched partitions (build/merge.py
+    merge_upsert). Oracle recomputes the merged state set-wise."""
+    from .build.merge import merge_upsert
+    from .warehouse import Warehouse
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        "c_name",
+        "c_acctbal",
+        "c_mktsegment",
+        F.pmod(F.col("c_custkey").cast("long"), F.lit(8)).cast("long").alias("key_bucket"),
+    )
+    wh = Warehouse(spark, _scratch_dir("autodw_upsert_"))
+    wh.create_table("dim.cust", cust.schema, partition_by=["key_bucket"])
+    wh.append("dim.cust", cust)
+    base = cust.filter(F.col("key_bucket").isin(2, 6))
+    updates = base.filter(F.col("c_custkey") % 3 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 50
+    )
+    inserts = base.filter(F.col("c_custkey") % 3 == 1).withColumn(
+        "c_custkey", F.col("c_custkey") + 16_000_000  # 16M % 8 == 0: bucket-stable
+    )
+    merge_upsert(wh, "dim.cust", updates.unionByName(inserts), key_cols=["c_custkey"])
+    return wh.read("dim.cust").select(
+        "c_custkey",
+        F.col("key_bucket").cast("long").alias("key_bucket"),
+        "c_name",
+        "c_acctbal",
+        "c_mktsegment",
+    )
+
+
+_GDPR_DELETE_ORACLE = """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+       CAST(c_custkey % 8 AS BIGINT) AS key_bucket,
+       c_name, c_acctbal, c_mktsegment
+FROM customer
+WHERE c_custkey % 131 <> 7
+"""
+
+
+@register("gdpr_delete_customer", _GDPR_DELETE_ORACLE)
+def gdpr_delete_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten deletion: a request-sized victim key set is
+    erased from a partitioned customer dimension by rewriting ONLY the
+    files whose parquet footer key range can contain a victim
+    (build/merge.py delete_keys); clean files hardlink through
+    byte-identical. Oracle is the complementary filter."""
+    from .build.merge import delete_keys
+    from .warehouse import Warehouse
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        "c_name",
+        "c_acctbal",
+        "c_mktsegment",
+        F.pmod(F.col("c_custkey").cast("long"), F.lit(8)).cast("long").alias("key_bucket"),
+    )
+    wh = Warehouse(spark, _scratch_dir("autodw_gdpr_"))
+    wh.create_table("dim.cust", cust.schema, partition_by=["key_bucket"])
+    wh.append("dim.cust", cust)
+    victims = cust.filter(F.col("c_custkey") % 131 == 7).select("c_custkey")
+    delete_keys(wh, "dim.cust", victims, "c_custkey")
+    return wh.read("dim.cust").select(
+        "c_custkey",
+        F.col("key_bucket").cast("long").alias("key_bucket"),
+        "c_name",
+        "c_acctbal",
+        "c_mktsegment",
+    )
