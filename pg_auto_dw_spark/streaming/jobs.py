@@ -359,6 +359,62 @@ def events_stream_dedup(
     )
 
 
+def events_stream_click_attribution(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    output_dir: str,
+    window_sec: int = 600,
+    watermark: str = "1 hour",
+    join_type: str = "inner",
+):
+    """Stream-stream interval join: each purchase joined to the same
+    user's clicks in the ``window_sec`` seconds leading up to it -- the
+    streaming twin of the batch keyed range join
+    (functions/rangejoin.py / events_range_same_user_attribution).
+
+    Both sides carry a watermark and the join condition combines an
+    equi key (user_id) with a time-range bound, which is exactly the
+    shape Structured Streaming needs to BOUND the join state: a
+    buffered click can be dropped once the watermark passes
+    ``click_ts + window_sec`` (no purchase can still match it), and a
+    buffered purchase once the watermark passes its ts. Without the
+    time bound the state would grow with stream lifetime -- the reason
+    this operator insists on the range condition rather than exposing
+    a free-form stream join.
+
+    ``join_type='left_outer'`` additionally emits purchases with no
+    preceding click (click columns null) once the watermark proves no
+    match can arrive -- supported because the range condition gives
+    the engine that proof. State shuffles on user_id on both sides
+    (co-partitioned by the join), so at cluster scale the state store
+    scales horizontally with user cardinality.
+    """
+    ev = read_events_stream(spark, events_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("event_id", "ts", "user_id")
+        .withWatermark("ts", watermark)
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("value").alias("click_value"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("ts") - F.expr(f"INTERVAL {int(window_sec)} SECONDS"))
+        & (F.col("click_ts") <= F.col("ts")),
+        join_type,
+    ).select("event_id", "ts", "user_id", "click_ts", "click_value")
+    return _start_stream_sink(joined, checkpoint_dir, output_dir)
+
+
 def rollup_stream(
     spark: SparkSession,
     events_dir: str,

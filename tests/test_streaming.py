@@ -489,3 +489,83 @@ def test_events_stream_dedup_drops_redelivered(spark, sf_dir, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(str(tmp_path / "out")).count() == 500
+
+
+def test_stream_stream_click_attribution_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-stream interval join (purchase x same-user clicks in the
+    preceding 10 min) must emit exactly the batch join's pairs."""
+    import shutil
+
+    from pg_auto_dw_spark.streaming.jobs import events_stream_click_attribution
+
+    events_dir = tmp_path / "events_in"
+    events_dir.mkdir()
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), events_dir / "part-0.parquet")
+    q = events_stream_click_attribution(
+        spark, str(events_dir), str(tmp_path / "ckpt"), str(tmp_path / "out")
+    )
+    q.awaitTermination(180)
+    out = spark.read.parquet(str(tmp_path / "out"))
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("event_id", "ts", "user_id")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    batch = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("ts") - F.expr("INTERVAL 600 SECONDS"))
+        & (F.col("click_ts") <= F.col("ts")),
+        "inner",
+    ).select("event_id", "ts", "user_id", "click_ts", "click_value")
+    n_batch = batch.count()
+    assert n_batch > 0
+    assert out.count() == n_batch
+    # pair-level equality, not just counts
+    assert out.join(batch, ["event_id", "click_ts", "click_value"], "inner").count() == n_batch
+
+
+def test_stream_stream_left_outer_keeps_clickless_purchases(spark, sf_dir, tmp_path):
+    """left_outer emits every purchase exactly once-or-more (once per
+    matching click; once with nulls when no click precedes it)."""
+    import shutil
+
+    from pg_auto_dw_spark.streaming.jobs import events_stream_click_attribution
+
+    events_dir = tmp_path / "events_in"
+    events_dir.mkdir()
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), events_dir / "part-0.parquet")
+    q = events_stream_click_attribution(
+        spark,
+        str(events_dir),
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "out"),
+        join_type="left_outer",
+    )
+    q.awaitTermination(180)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "ts")
+    # Null rows for a purchase are emitted only once the watermark PROVES
+    # no click can still arrive -- purchases inside the final watermark
+    # window (last 1 h of the bounded input) are legitimately withheld.
+    # Everything older must appear; null rows must exist and be exactly
+    # the clickless purchases among the emitted ids.
+    # the global watermark is the MIN of the two sides' watermarks, each
+    # max(event time) - 1 h over that side's events
+    wm_ts = min(
+        ev.filter(F.col("event_type") == "click").agg(F.max("ts")).collect()[0][0],
+        ev.filter(F.col("event_type") == "purchase").agg(F.max("ts")).collect()[0][0],
+    )
+    settled = purchases.filter(
+        F.col("ts") < F.lit(wm_ts) - F.expr("INTERVAL 1 HOUR") - F.expr("INTERVAL 600 SECONDS")
+    )
+    emitted_ids = out.select("event_id").distinct()
+    assert settled.join(emitted_ids, "event_id", "left_anti").count() == 0
+    nulls = out.filter(F.col("click_ts").isNull())
+    assert nulls.count() > 0
+    # a null row never coexists with a matched row for the same purchase
+    assert nulls.join(out.filter(F.col("click_ts").isNotNull()), "event_id", "inner").count() == 0
