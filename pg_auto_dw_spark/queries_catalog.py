@@ -44,7 +44,7 @@ def register(name: str, sql: str | None):
 # queries exercised inside status_source_column / the composite loads).
 # NOTE for round 6: whatever sits in the registration tail past the
 # ~50-query cap this round must rotate into _PRIORITY next round --
-# with 83 registered and a 50 cap that is 33 queries, every one green
+# with 88 registered and a 50 cap that is 38 queries, every one green
 # in r4 (so a one-round gap, within policy). Round 6 must swap the
 # tail into _PRIORITY and demote this round's _PRIORITY entries; from
 # round 6 on, the cap forces a strict two-round rotation (50 verified
@@ -55,6 +55,11 @@ def register(name: str, sql: str | None):
 _PRIORITY = [
     "dim_upsert_customer",  # new round-5 operator (merge verbs)
     "gdpr_delete_customer",  # new round-5 operator (merge verbs)
+    "q4_late_shipment_priority",  # new round-5 shape (EXISTS semi)
+    "q13_order_count_distribution",  # new round-5 shape (LEFT JOIN distribution)
+    "q18_large_volume_orders",  # new round-5 shape (HAVING + join back)
+    "q22_inactive_rich_customers",  # new round-5 shape (scalar subquery + anti)
+    "orders_rolling_revenue",  # new round-5 shape (ROWS BETWEEN window)
     "events_asof_last_purchase",  # new round-5 operator
     "pit_user_daily",  # new round-5 operator
     "events_range_click_attribution",  # new round-5 operator
@@ -3224,4 +3229,178 @@ def gdpr_delete_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_name",
         "c_acctbal",
         "c_mktsegment",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Classic analytical shape coverage, batch 2 (EXISTS semi, LEFT JOIN
+# distribution, HAVING on agg, scalar-subquery + anti join, rolling
+# ROWS-BETWEEN window) -- the remaining TPC-H query silhouettes a
+# reference user would expect an analytics engine to run.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q4_late_shipment_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 silhouette (EXISTS -> left-semi join): orders with at
+    least one line shipped >30 days after order date, counted per
+    priority. Semi join shuffles once on the uniform orderkey; the
+    aggregate is 5 groups (map-side partials)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@register(
+    "q13_order_count_distribution",
+    """
+    WITH per_cust AS (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey)
+    SELECT c_count, COUNT(*) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    """,
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 silhouette: LEFT JOIN preserving order-less customers,
+    then the distribution of per-customer order counts. Two shuffles
+    (custkey join+agg, then the tiny distribution agg)."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q18_large_volume_orders",
+    """
+    WITH big AS (
+        SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 150)
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS o_orderdate_day,
+           o.o_totalprice, b.sum_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 silhouette (HAVING over an aggregate, then join back):
+    orders whose total quantity exceeds 150, with their customer. The
+    HAVING output is small, so both joins broadcast it -- no fact-fact
+    shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("dq"))
+        .filter(F.col("dq") > 150)
+        .select("l_orderkey", F.col("dq").cast("double").alias("sum_qty"))
+    )
+    return (
+        o.join(F.broadcast(big), o["o_orderkey"] == big["l_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate_day"),
+            "o_totalprice",
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "q22_inactive_rich_customers",
+    """
+    SELECT c_nationkey,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c_nationkey
+    """,
+)
+def q22_inactive_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 silhouette: scalar-subquery threshold (global avg of
+    positive balances) + NOT EXISTS anti join (no order since 2000),
+    grouped per nation. The scalar aggregates map-side to one row and
+    broadcasts into the filter; the anti join shuffles on custkey with
+    the date filter pushed to the orders scan."""
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("t"))
+    rich = c.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("t"))
+    inactive = rich.join(o, rich["c_custkey"] == o["o_custkey"], "left_anti")
+    return inactive.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double").alias("totacctbal"),
+    )
+
+
+@register(
+    "orders_rolling_revenue",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS o_orderdate_day,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS rolling_3_revenue,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+               AS order_seq
+    FROM orders
+    """,
+)
+def orders_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling ROWS-BETWEEN window: per customer, revenue of the last 3
+    orders (frame, not unbounded) plus the order sequence number --
+    the moving-aggregate window shape. One shuffle on o_custkey serves
+    both window functions (same partitioning + ordering)."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("o_orderdate_day"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .over(w.rowsBetween(-2, 0))
+        .cast("double")
+        .alias("rolling_3_revenue"),
+        F.row_number().over(w).alias("order_seq"),
     )
