@@ -44,7 +44,7 @@ def register(name: str, sql: str | None):
 # queries exercised inside status_source_column / the composite loads).
 # NOTE for round 6: whatever sits in the registration tail past the
 # ~50-query cap this round must rotate into _PRIORITY next round --
-# with 88 registered and a 50 cap that is 38 queries, every one green
+# with 89 registered and a 50 cap that is 39 queries, every one green
 # in r4 (so a one-round gap, within policy). Round 6 must swap the
 # tail into _PRIORITY and demote this round's _PRIORITY entries; from
 # round 6 on, the cap forces a strict two-round rotation (50 verified
@@ -60,6 +60,7 @@ _PRIORITY = [
     "q18_large_volume_orders",  # new round-5 shape (HAVING + join back)
     "q22_inactive_rich_customers",  # new round-5 shape (scalar subquery + anti)
     "orders_rolling_revenue",  # new round-5 shape (ROWS BETWEEN window)
+    "schema_evolution_customer",  # new round-5 operator (zero-rewrite ADD COLUMN)
     "events_asof_last_purchase",  # new round-5 operator
     "pit_user_daily",  # new round-5 operator
     "events_range_click_attribution",  # new round-5 operator
@@ -3404,3 +3405,42 @@ def orders_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rolling_3_revenue"),
         F.row_number().over(w).alias("order_seq"),
     )
+
+
+_SCHEMA_EVO_ORACLE = """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+       CAST(NULL AS DOUBLE) AS c_acctbal
+FROM customer WHERE c_custkey % 2 = 0
+UNION ALL
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, c_acctbal
+FROM customer WHERE c_custkey % 2 = 1
+"""
+
+
+@register("schema_evolution_customer", _SCHEMA_EVO_ORACLE)
+def schema_evolution_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-rewrite ADD COLUMN: rows loaded before the evolution read
+    back with NULL in the new column, rows after carry values --
+    pre-evolution files untouched (warehouse.py evolve_schema; the
+    Delta mergeSchema / ALTER TABLE ADD COLUMN analog)."""
+    from pyspark.sql import types as T
+
+    from .warehouse import Warehouse
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("c_custkey"), "c_name", "c_acctbal"
+    )
+    wh = Warehouse(spark, _scratch_dir("autodw_evo_"))
+    v1 = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+        ]
+    )
+    wh.create_table("dim.cust", v1)
+    wh.append("dim.cust", cust.filter(F.col("c_custkey") % 2 == 0).drop("c_acctbal"))
+    v2 = wh.evolve_schema("dim.cust", add=[T.StructField("c_acctbal", T.DoubleType())])
+    wh.append("dim.cust", cust.filter(F.col("c_custkey") % 2 == 1).select(
+        *[f.name for f in v2.fields]
+    ))
+    return wh.read("dim.cust")

@@ -352,6 +352,51 @@ class Warehouse:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(self.path(name))
 
+    def evolve_schema(
+        self,
+        name: str,
+        add: list[T.StructField] | None = None,
+        drop: list[str] | None = None,
+    ) -> T.StructType:
+        """Metadata-only schema evolution (the Delta `mergeSchema` /
+        column-mapping analog): ADD appends nullable columns to the
+        registered schema -- existing parquet files are untouched and
+        read back with NULLs in the new columns (the explicit-schema
+        reader fills missing columns); DROP removes columns from the
+        registered schema -- the bytes stay in the files but every
+        scan prunes them (zero-rewrite drop, exactly how column
+        mapping drops work). Type changes are rejected: parquet's
+        vectorized reader does not widen physical types, so a type
+        change is a rewrite (``overwrite`` with a cast), never a
+        metadata edit. Partition columns cannot be dropped. Returns
+        the new schema; persisted, so fresh sessions see it."""
+        if name not in self._schemas:
+            raise ValueError(f"table {name} has no registered schema to evolve")
+        schema = self._schemas[name]
+        have = {f.name for f in schema.fields}
+        pcols = set(self._partitioning.get(name, []))
+        fields = list(schema.fields)
+        for f in add or []:
+            if f.name in have:
+                raise ValueError(f"column {f.name} already exists in {name}")
+            if not f.nullable:
+                raise ValueError(
+                    f"new column {f.name} must be nullable: existing files "
+                    "have no values for it"
+                )
+            fields.append(f)
+            have.add(f.name)
+        for c in drop or []:
+            if c not in have:
+                raise ValueError(f"column {c} does not exist in {name}")
+            if c in pcols:
+                raise ValueError(f"cannot drop partition column {c}")
+            fields = [f for f in fields if f.name != c]
+            have.discard(c)
+        self._schemas[name] = T.StructType(fields)
+        self._save_meta()
+        return self._schemas[name]
+
     def drop_table(self, name: str) -> None:
         import glob
 
