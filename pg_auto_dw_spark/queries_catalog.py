@@ -44,7 +44,7 @@ def register(name: str, sql: str | None):
 # queries exercised inside status_source_column / the composite loads).
 # NOTE for round 6: whatever sits in the registration tail past the
 # ~50-query cap this round must rotate into _PRIORITY next round --
-# with 89 registered and a 50 cap that is 39 queries, every one green
+# with 91 registered and a 50 cap that is 41 queries, every one green
 # in r4 (so a one-round gap, within policy). Round 6 must swap the
 # tail into _PRIORITY and demote this round's _PRIORITY entries; from
 # round 6 on, the cap forces a strict two-round rotation (50 verified
@@ -61,6 +61,8 @@ _PRIORITY = [
     "q22_inactive_rich_customers",  # new round-5 shape (scalar subquery + anti)
     "orders_rolling_revenue",  # new round-5 shape (ROWS BETWEEN window)
     "schema_evolution_customer",  # new round-5 operator (zero-rewrite ADD COLUMN)
+    "time_travel_versions",  # new round-5 operator (snapshot reads)
+    "lineitem_stats_by_flag",  # new round-5 shape (moment aggregates)
     "events_asof_last_purchase",  # new round-5 operator
     "pit_user_daily",  # new round-5 operator
     "events_range_click_attribution",  # new round-5 operator
@@ -3444,3 +3446,84 @@ def schema_evolution_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[f.name for f in v2.fields]
     ))
     return wh.read("dim.cust")
+
+
+_TIME_TRAVEL_ORACLE = """
+SELECT 'v1' AS version_tag, CAST(c_custkey AS BIGINT) AS c_custkey, c_acctbal
+FROM customer
+UNION ALL
+SELECT 'v2' AS version_tag, CAST(c_custkey AS BIGINT) AS c_custkey,
+       CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal
+FROM customer
+"""
+
+
+@register("time_travel_versions", _TIME_TRAVEL_ORACLE)
+def time_travel_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reads across the commit log (VERSION AS OF analog):
+    overwrite a table twice under retain_generations=3, then read BOTH
+    versions back -- the superseded snapshot must still be exactly the
+    pre-overwrite state (warehouse.py history/read_version). Oracle
+    recomputes both states from the source."""
+    from pyspark.sql import types as T
+
+    from .warehouse import Warehouse
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("c_custkey"), "c_acctbal"
+    )
+    wh = Warehouse(spark, _scratch_dir("autodw_tt_"), retain_generations=3)
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+        ]
+    )
+    wh.create_table("dim.bal", schema)
+    wh.overwrite("dim.bal", cust)
+    wh.overwrite(
+        "dim.bal",
+        cust.withColumn(
+            "c_acctbal",
+            F.when(F.col("c_custkey") % 10 == 0, F.col("c_acctbal") + 100).otherwise(
+                F.col("c_acctbal")
+            ),
+        ),
+    )
+    versions = [h["version"] for h in wh.history("dim.bal") if h["action"] != "base"]
+    old = wh.read_version("dim.bal", versions[-2]).select(
+        F.lit("v1").alias("version_tag"), "c_custkey", "c_acctbal"
+    )
+    new = wh.read_version("dim.bal", versions[-1]).select(
+        F.lit("v2").alias("version_tag"), "c_custkey", "c_acctbal"
+    )
+    return old.unionByName(new)
+
+
+@register(
+    "lineitem_stats_by_flag",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           ROUND(STDDEV_SAMP(l_quantity), 6) AS qty_stddev,
+           ROUND(VAR_SAMP(l_discount), 6) AS disc_var,
+           ROUND(CORR(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 6) AS qty_price_covar
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def lineitem_stats_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate shapes (stddev/variance/correlation/
+    covariance) per return flag -- single-pass moment aggregation,
+    map-side partials, 3 output groups. Rounded to 6 decimals on both
+    engines: moment merges are FP-order-dependent at the 1e-12 level,
+    far below the comparison precision."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
+        F.round(F.var_samp("l_discount"), 6).alias("disc_var"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias("qty_price_covar"),
+    )
