@@ -59,6 +59,11 @@ HEADLINE = [
     "events_salted_type_stats",
     "documents_chunked_windows",
     "documents_keyword_tfidf",
+    # round-5 session additions (merge verbs, classic shapes, window)
+    "dim_upsert_customer",
+    "gdpr_delete_customer",
+    "q18_large_volume_orders",
+    "orders_rolling_revenue",
 ]
 
 

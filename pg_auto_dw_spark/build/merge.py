@@ -121,19 +121,51 @@ def merge_upsert(
     }
 
 
+def _partition_value(rel: str, pcol: str):
+    """Parse ``pcol``'s value from a hive-layout relative path
+    (``pcol=V/...``); None when the path carries no such dir."""
+    for seg in rel.split(os.sep)[:-1]:
+        if seg.startswith(pcol + "="):
+            v = seg[len(pcol) + 1 :]
+            try:
+                return int(v)
+            except ValueError:
+                return v
+    return None
+
+
 def _files_containing_keys(
-    wh: Warehouse, table: str, key_col: str, keys: list
+    wh: Warehouse, table: str, key_col: str, keys: list, bucket_of=None
 ) -> tuple[list[str], list[str]]:
     """Split live files into (maybe-affected, provably-clean) using
     parquet footer min/max on ``key_col`` against the sorted key list.
     Files without usable numeric stats count as affected (never skip
-    blind). One footer read per file -- metadata-sized."""
+    blind). One footer read per file -- metadata-sized.
+
+    ``bucket_of``: when the table's (single) partition column is a
+    function of the key (the scd2_dim bucket contract), maps a key to
+    its partition value; each file is then checked only against the
+    keys that can live in ITS partition -- range stats alone cannot
+    express "key 17 is in bucket 1", so without this every partition's
+    low-range file matches every small key."""
     import pyarrow.parquet as pq
 
     live = wh.path(table)
+    pcols = wh._partitioning.get(table, [])
+    by_bucket: dict | None = None
+    if bucket_of is not None and len(pcols) == 1:
+        by_bucket = {}
+        for k in keys:
+            by_bucket.setdefault(bucket_of(k), []).append(k)
     affected: list[str] = []
     clean: list[str] = []
     for rel in wh.data_files(table):
+        cand = keys
+        if by_bucket is not None:
+            cand = by_bucket.get(_partition_value(rel, pcols[0]), [])
+            if not cand:
+                clean.append(rel)
+                continue
         hit = True
         try:
             md = pq.ParquetFile(os.path.join(live, rel)).metadata
@@ -147,9 +179,9 @@ def _files_containing_keys(
                 fmn = st.min if fmn is None else min(fmn, st.min)
                 fmx = st.max if fmx is None else max(fmx, st.max)
             if isinstance(fmn, (int, float)) and isinstance(fmx, (int, float)):
-                # any requested key inside [fmn, fmx]?
-                i = bisect.bisect_left(keys, fmn)
-                hit = i < len(keys) and keys[i] <= fmx
+                # any candidate key inside [fmn, fmx]?
+                i = bisect.bisect_left(cand, fmn)
+                hit = i < len(cand) and cand[i] <= fmx
         except (OSError, ValueError, KeyError):
             hit = True
         (affected if hit else clean).append(rel)
@@ -162,6 +194,7 @@ def delete_keys(
     keys_df: DataFrame,
     key_col: str,
     max_driver_keys: int = 1_000_000,
+    bucket_of=None,
 ) -> dict:
     """Targeted deletion of every row whose ``key_col`` appears in
     ``keys_df`` -- the GDPR erasure shape: the key set is
@@ -198,7 +231,7 @@ def delete_keys(
             wh.overwrite(table, kept)
         return {"rows_deleted": n_del, "files_rewritten": n_files, "files_carried": 0}
     with wh.lock(table):
-        affected, clean = _files_containing_keys(wh, table, key_col, keys)
+        affected, clean = _files_containing_keys(wh, table, key_col, keys, bucket_of)
         if not affected:
             return {"rows_deleted": 0, "files_rewritten": 0, "files_carried": len(clean)}
         sub = wh.read_files(table, affected).localCheckpoint(eager=True)

@@ -3225,7 +3225,7 @@ def gdpr_delete_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     wh.create_table("dim.cust", cust.schema, partition_by=["key_bucket"])
     wh.append("dim.cust", cust)
     victims = cust.filter(F.col("c_custkey") % 131 == 7).select("c_custkey")
-    delete_keys(wh, "dim.cust", victims, "c_custkey")
+    delete_keys(wh, "dim.cust", victims, "c_custkey", bucket_of=lambda k: k % 8)
     return wh.read("dim.cust").select(
         "c_custkey",
         F.col("key_bucket").cast("long").alias("key_bucket"),

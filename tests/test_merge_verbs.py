@@ -132,3 +132,26 @@ def test_delete_keys_oversized_keyset_rejected(spark, warehouse_dir):
     many = spark.range(10).select(F.col("id").alias("k"))
     with pytest.raises(ValueError, match="more than"):
         delete_keys(wh, "m.t", many, "k", max_driver_keys=5)
+
+
+def test_delete_keys_bucket_fn_prunes_other_partitions(spark, warehouse_dir):
+    """Range stats alone cannot place key 17 in bucket 1; with the
+    bucket mapping, files in other partitions are provably clean even
+    when their key RANGE covers the victim."""
+    wh = Warehouse(spark, warehouse_dir)
+    wh.create_table("m.t", SCHEMA, partition_by=["b"])
+    # every partition holds keys spanning the full range (k%4 buckets)
+    wh.append("m.t", _mk(spark, [(i, f"x{i}") for i in range(400)]).repartition(4))
+    victims = spark.createDataFrame([(17,)], "k long")  # 17 % 4 == 1
+    blind = delete_keys(wh, "m.t", victims, "k")
+    # without the mapping, every partition's covering file is suspect
+    assert blind["files_rewritten"] >= 1
+    wh2 = Warehouse(spark, warehouse_dir + "_2")
+    wh2.create_table("m.t", SCHEMA, partition_by=["b"])
+    wh2.append("m.t", _mk(spark, [(i, f"x{i}") for i in range(400)]).repartition(4))
+    n_b1 = len([r for r in wh2.data_files("m.t") if r.startswith("b=1")])
+    stats = delete_keys(wh2, "m.t", victims, "k", bucket_of=lambda k: k % 4)
+    assert stats["rows_deleted"] == 1
+    # only b=1 files can be affected under the mapping
+    assert stats["files_rewritten"] <= n_b1
+    assert {r["k"] for r in wh2.read("m.t").collect()} == set(range(400)) - {17}
