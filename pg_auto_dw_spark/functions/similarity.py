@@ -71,18 +71,18 @@ def brute_force_topk(
     (cosine desc, neighbor id asc); self-matches excluded.
 
     Single-scan shape (r4 VERDICT directive 6): the corpus is quantized
-    ONCE and pinned (lazy localCheckpoint, same pattern as
-    lsh_bucket_topk); both the broadcast query side and the neighbor
+    ONCE and pinned; both the broadcast query side and the neighbor
     side derive from the pinned frame, so the plan scans the corpus
     parquet once instead of twice -- at 100 TB the second full
-    neighbor-side scan was the avoidable cost.
+    neighbor-side scan was the avoidable cost. The pin is ``persist``
+    (MEMORY_AND_DISK), not localCheckpoint: Spark's CacheManager keys
+    cache entries by canonicalized plan, so REPEATED top-k calls over
+    the same corpus reuse one materialization (the per-session
+    amortization the IVF codebook already has) instead of re-writing a
+    checkpoint per call.
     """
     meta = [c for c in corpus.columns if c != vec_col]
-    base = (
-        with_quantized(corpus, vec_col)
-        .select(*meta, "qvec", "qnorm")
-        .localCheckpoint(eager=False)
-    )
+    base = with_quantized(corpus, vec_col).select(*meta, "qvec", "qnorm").persist()
     qs = base.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"),
         F.col("qvec").alias("qv"),
