@@ -209,8 +209,10 @@ def minhash_lsh_candidates(
         id_col,
         band_size,
     # Pin the band table: it is read 2x below (sizes + join); without a
-    # checkpoint each read would recompute the md5-per-shingle lineage.
-    ).localCheckpoint(eager=False)
+    # pin each read would recompute the md5-per-shingle lineage. persist
+    # (plan-keyed cache) rather than checkpoint: repeated candidate runs
+    # over the same immutable corpus reuse one materialization.
+    ).persist()
     sizes = bands.groupBy("band", "band_key").agg(
         F.count(F.lit(1)).alias("n"), F.min(id_col).alias("rep")
     )

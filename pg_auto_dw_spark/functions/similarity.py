@@ -216,10 +216,11 @@ def lsh_bucket_topk(
         else sign_bucket(F.col(vec_col), n_planes)
     )
     # Pin: both sides of the bucket self-join read the one computed
-    # quantize+bucket pass instead of re-running it per side.
+    # quantize+bucket pass instead of re-running it per side. persist
+    # (plan-keyed) so repeated runs over the same corpus reuse it.
     base = with_quantized(corpus, vec_col).select(
         F.col(id_col), bucket.alias("bucket"), "qvec", "qnorm"
-    ).localCheckpoint(eager=False)
+    ).persist()
     sizes = bucket_sizes(base, ["bucket"], id_col)
     a = base.select(
         F.col(id_col).alias("query_id"),
@@ -516,7 +517,7 @@ def embedding_near_dup_pairs(
     )
     base = with_quantized(corpus, vec_col).select(
         F.col(id_col), bucket.alias("bucket"), "qvec", "qnorm"
-    ).localCheckpoint(eager=False)  # one quantize pass feeds both join sides
+    ).persist()  # one quantize pass feeds both join sides, cached across runs
     sizes = bucket_sizes(base, ["bucket"], id_col)
     small = base.join(
         F.broadcast(sizes.filter(F.col("n") <= max_bucket_size).select("bucket")), "bucket"
