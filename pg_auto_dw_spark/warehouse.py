@@ -68,6 +68,7 @@ class Warehouse:
         # reentrancy bookkeeping: (lock path, thread id) -> [fd, depth]
         self._held_locks: dict[tuple, list] = {}
         self._load_meta()
+        self._recover_transactions()
         self._gc_stale_dirs()
 
     # -- concurrency ----------------------------------------------------
@@ -278,6 +279,118 @@ class Warehouse:
             if os.path.isdir(d):
                 shutil.rmtree(d, ignore_errors=True)
 
+    # -- multi-table atomic commit --------------------------------------
+    # The reference runs each whole load script in ONE Postgres
+    # transaction (controller/dv_loader.rs:59-64): hub+sat+link either
+    # all land or none do. The Warehouse analog: stage every table's
+    # generation first, then write a commit JOURNAL (atomic rename)
+    # naming all (table -> generation) pairs, then swap the pointers.
+    # The journal write is the transaction's commit point:
+    #   crash BEFORE it  -> no pointer moved; staged generations are
+    #                       orphans, reaped by init GC         (abort)
+    #   crash AFTER it   -> init-time recovery rolls FORWARD, swapping
+    #                       every remaining pointer             (commit)
+    # This gives all-or-nothing DURABILITY across tables. It does NOT
+    # give cross-table read isolation: a reader racing the swap loop can
+    # see table A new and table B old for a moment (read-committed per
+    # table) -- the documented gap an ACID format with multi-table
+    # transactions (or a catalog-level snapshot) would close.
+    def _txn_lock_path(self) -> str:
+        return os.path.join(self.root, "_txn.lock")
+
+    @contextlib.contextmanager
+    def _txn_guard(self):
+        """Global flock serializing journal write/recovery (same
+        single-host scope as the per-table locks)."""
+        fd = os.open(self._txn_lock_path(), os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
+
+    def _journal_tables(self) -> dict[str, str]:
+        """(table -> generation basename) union over live journals --
+        generations a pending transaction has committed-but-not-swapped;
+        GC must never reap these."""
+        import json
+
+        out: dict[str, str] = {}
+        try:
+            entries = os.listdir(self.root)
+        except FileNotFoundError:
+            return out
+        for e in entries:
+            if e.startswith("_txn-") and e.endswith(".journal"):
+                try:
+                    with open(os.path.join(self.root, e)) as f:
+                        out.update(json.load(f)["tables"])
+                except (OSError, ValueError, KeyError):
+                    continue
+        return out
+
+    def _recover_transactions(self) -> None:
+        """Roll forward journaled transactions left by a crash: the
+        journal exists only once every staged generation is fully on
+        disk, so completion (not rollback) is always the correct
+        direction. Idempotent -- a pointer already naming its journaled
+        generation is skipped -- so a crash during recovery just
+        re-runs it."""
+        with self._txn_guard():
+            try:
+                entries = os.listdir(self.root)
+            except FileNotFoundError:
+                return
+            for e in sorted(entries):
+                if not (e.startswith("_txn-") and e.endswith(".journal")):
+                    continue
+                jpath = os.path.join(self.root, e)
+                import json
+
+                try:
+                    with open(jpath) as f:
+                        tables = json.load(f)["tables"]
+                except (OSError, ValueError, KeyError):
+                    continue
+                for name, gen_base in tables.items():
+                    gen = os.path.join(self.root, gen_base)
+                    with self.lock(name):
+                        if os.path.abspath(self.path(name)) == os.path.abspath(gen):
+                            continue  # already swapped (pre-crash or re-run)
+                        if os.path.isdir(gen):
+                            self._commit_generation(name, gen, action="txn-recovery")
+                with contextlib.suppress(OSError):
+                    os.unlink(jpath)
+
+    @contextlib.contextmanager
+    def transaction(self, names: list[str]):
+        """All-or-nothing write across ``names`` (see block comment
+        above). Usage::
+
+            with wh.transaction(["dv.hub", "dv.sat"]) as txn:
+                txn.overwrite("dv.hub", hub_df)
+                txn.overwrite_partitions("dv.sat", sat_batch)
+
+        Writes stage into fresh generations while the block runs (live
+        tables untouched); a clean exit commits them atomically via the
+        journal; an exception aborts -- staged generations become
+        orphans for init GC, and no pointer moves. The global txn guard
+        is taken FIRST and held for the duration, then every named
+        table's lock (sorted) -- the same guard-then-table order
+        recovery uses, so transactions, recovery, and single-table
+        writers can never deadlock; the cost is that two transactions
+        serialize even on disjoint tables (the reference's posture:
+        one loader process, controller/dv_loader.rs:59-64)."""
+        names = sorted(set(names))
+        with contextlib.ExitStack() as stack:
+            stack.enter_context(self._txn_guard())
+            for n in names:
+                stack.enter_context(self.lock(n))
+            txn = _Transaction(self, names)
+            yield txn
+            txn._commit()
+
     def _gc_stale_dirs(self) -> None:
         """Remove uncommitted/orphaned data dirs: generations not named
         by their pointer, superseded base dirs, legacy staging/backup
@@ -292,7 +405,10 @@ class Warehouse:
             entries = os.listdir(self.root)
         except FileNotFoundError:
             return
+        journaled = set(self._journal_tables().values())
         for e in entries:
+            if e in journaled:
+                continue  # pending-transaction generation: recovery owns it
             p = os.path.join(self.root, e)
             if ".live.tmp-" in e:
                 # An active writer's commit is mid-flight between writing
@@ -815,3 +931,82 @@ class Warehouse:
             "files_after": len(self.data_files(name)),
             "bytes": total,
         }
+
+
+class _Transaction:
+    """Write surface inside ``Warehouse.transaction``: stages each
+    table's new generation without touching the live pointer; the
+    owning context manager journals + swaps on clean exit."""
+
+    def __init__(self, wh: Warehouse, names: list[str]):
+        self._wh = wh
+        self._names = set(names)
+        self._staged: dict[str, str] = {}
+
+    def _check(self, name: str) -> None:
+        if name not in self._names:
+            raise ValueError(
+                f"table {name} was not declared in transaction({sorted(self._names)})"
+            )
+
+    def _fresh_gen(self, name: str) -> str:
+        old = self._staged.pop(name, None)
+        if old is not None:
+            shutil.rmtree(old, ignore_errors=True)  # re-staged within the txn
+        return self._wh._base(name) + "__gen-" + uuid.uuid4().hex[:8]
+
+    def overwrite(self, name: str, df) -> None:
+        """Stage a full rewrite of ``name`` (commits on txn exit)."""
+        self._check(name)
+        gen = self._fresh_gen(name)
+        writer = df.write.mode("overwrite")
+        if name in self._wh._partitioning:
+            writer = writer.partitionBy(*self._wh._partitioning[name])
+        writer.parquet(gen)
+        self._staged[name] = gen
+
+    def overwrite_partitions(self, name: str, df) -> None:
+        """Stage a partition-pruned rewrite (CoW hardlink + dynamic
+        overwrite, same shape as Warehouse.overwrite_partitions)."""
+        self._check(name)
+        if name not in self._wh._partitioning:
+            raise ValueError(f"table {name} has no partition spec")
+        gen = self._fresh_gen(name)
+        live = self._wh.path(name)
+        if os.path.isdir(live):
+            self._wh._link_tree(live, gen)
+        else:
+            os.makedirs(gen, exist_ok=True)
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*self._wh._partitioning[name])
+            .parquet(gen)
+        )
+        self._staged[name] = gen
+
+    def _commit(self) -> None:
+        import json
+
+        if not self._staged:
+            return
+        # the caller (Warehouse.transaction) already holds the global
+        # txn guard and every table lock -- flock is not reentrant
+        # across fds, so do NOT re-acquire here
+        wh = self._wh
+        jpath = os.path.join(wh.root, "_txn-" + uuid.uuid4().hex[:8] + ".journal")
+        tmp = jpath + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(
+                json.dumps(
+                    {"tables": {n: os.path.basename(g) for n, g in self._staged.items()}}
+                )
+            )
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, jpath)  # THE commit point for the whole txn
+        for name, gen in sorted(self._staged.items()):
+            wh._commit_generation(name, gen, action="txn-overwrite")
+        with contextlib.suppress(OSError):
+            os.unlink(jpath)
+        self._staged = {}

@@ -1,0 +1,127 @@
+"""Multi-table atomic commit (the reference's one-transaction load
+script, controller/dv_loader.rs:59-64, over the generation+pointer
+layout): journal-then-swap with roll-forward recovery.
+
+Crash windows proven here:
+  before the journal  -> abort: no pointer moves, staged gens GCed
+  after the journal   -> commit: init recovery swaps every pointer
+  mid-swap            -> recovery completes the rest (idempotent)
+"""
+
+import json
+import os
+import uuid
+
+import pytest
+from pyspark.sql import types as T
+
+from pg_auto_dw_spark.warehouse import Warehouse
+
+SCHEMA = T.StructType(
+    [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+)
+
+
+def _df(spark, tag, n=4):
+    return spark.createDataFrame([(i, f"{tag}{i}") for i in range(n)], SCHEMA)
+
+
+def _vals(wh, name):
+    return {r["v"] for r in wh.read(name).collect()}
+
+
+def _setup(spark, root):
+    wh = Warehouse(spark, root)
+    for t in ("dv.hub", "dv.sat"):
+        wh.create_table(t, SCHEMA)
+        wh.overwrite(t, _df(spark, "old_" + t[3:]))
+    return wh
+
+
+def test_transaction_commits_all_tables(spark, warehouse_dir):
+    wh = _setup(spark, warehouse_dir)
+    with wh.transaction(["dv.hub", "dv.sat"]) as txn:
+        txn.overwrite("dv.hub", _df(spark, "new_hub"))
+        txn.overwrite("dv.sat", _df(spark, "new_sat"))
+        # live tables untouched while the block runs
+        assert _vals(wh, "dv.hub") == {f"old_hub{i}" for i in range(4)}
+    assert _vals(wh, "dv.hub") == {f"new_hub{i}" for i in range(4)}
+    assert _vals(wh, "dv.sat") == {f"new_sat{i}" for i in range(4)}
+    assert wh.history("dv.hub")[-1]["action"] == "txn-overwrite"
+    assert not [e for e in os.listdir(warehouse_dir) if e.endswith(".journal")]
+
+
+def test_transaction_abort_leaves_both_tables_untouched(spark, warehouse_dir):
+    wh = _setup(spark, warehouse_dir)
+    with pytest.raises(RuntimeError, match="boom"):
+        with wh.transaction(["dv.hub", "dv.sat"]) as txn:
+            txn.overwrite("dv.hub", _df(spark, "new_hub"))
+            raise RuntimeError("boom")
+    assert _vals(wh, "dv.hub") == {f"old_hub{i}" for i in range(4)}
+    assert _vals(wh, "dv.sat") == {f"old_sat{i}" for i in range(4)}
+    # the staged generation is an orphan; a fresh init reaps it
+    wh2 = Warehouse(spark, warehouse_dir)
+    live = {os.path.basename(wh2.path(t)) for t in ("dv.hub", "dv.sat")}
+    gens = {e for e in os.listdir(warehouse_dir) if "__gen-" in e}
+    assert gens == {g for g in gens if g in live} | (gens & live)
+    assert all(g in live for g in gens)
+
+
+def test_crash_after_journal_rolls_forward_on_init(spark, warehouse_dir):
+    wh = _setup(spark, warehouse_dir)
+    # stage two fully-written generations by hand (what _Transaction
+    # does), then "crash" after the journal write, before any swap
+    staged = {}
+    for t, tag in (("dv.hub", "j_hub"), ("dv.sat", "j_sat")):
+        gen = wh._base(t) + "__gen-" + uuid.uuid4().hex[:8]
+        _df(spark, tag).write.mode("overwrite").parquet(gen)
+        staged[t] = os.path.basename(gen)
+    jpath = os.path.join(warehouse_dir, "_txn-deadbeef.journal")
+    with open(jpath, "w") as f:
+        json.dump({"tables": staged}, f)
+
+    wh2 = Warehouse(spark, warehouse_dir)  # recovery runs at init
+    assert _vals(wh2, "dv.hub") == {f"j_hub{i}" for i in range(4)}
+    assert _vals(wh2, "dv.sat") == {f"j_sat{i}" for i in range(4)}
+    assert not os.path.isfile(jpath)
+    assert wh2.history("dv.hub")[-1]["action"] == "txn-recovery"
+
+
+def test_crash_mid_swap_completes_remaining_tables(spark, warehouse_dir):
+    wh = _setup(spark, warehouse_dir)
+    staged = {}
+    for t, tag in (("dv.hub", "j_hub"), ("dv.sat", "j_sat")):
+        gen = wh._base(t) + "__gen-" + uuid.uuid4().hex[:8]
+        _df(spark, tag).write.mode("overwrite").parquet(gen)
+        staged[t] = os.path.basename(gen)
+    jpath = os.path.join(warehouse_dir, "_txn-cafebabe.journal")
+    with open(jpath, "w") as f:
+        json.dump({"tables": staged}, f)
+    # one table already swapped before the crash
+    wh._commit_generation("dv.hub", os.path.join(warehouse_dir, staged["dv.hub"]))
+
+    wh2 = Warehouse(spark, warehouse_dir)
+    assert _vals(wh2, "dv.hub") == {f"j_hub{i}" for i in range(4)}  # idempotent
+    assert _vals(wh2, "dv.sat") == {f"j_sat{i}" for i in range(4)}  # completed
+    assert not os.path.isfile(jpath)
+
+
+def test_transaction_partitioned_merge_and_undeclared_guard(spark, warehouse_dir):
+    pschema = T.StructType(SCHEMA.fields + [T.StructField("b", T.LongType())])
+    wh = Warehouse(spark, warehouse_dir)
+    wh.create_table("dv.dim", pschema, partition_by=["b"])
+    wh.append(
+        "dv.dim",
+        spark.createDataFrame([(i, f"a{i}", i % 2) for i in range(6)], pschema),
+    )
+    wh.create_table("dv.hub", SCHEMA)
+    with wh.transaction(["dv.dim", "dv.hub"]) as txn:
+        txn.overwrite_partitions(
+            "dv.dim", spark.createDataFrame([(0, "B0", 0)], pschema)
+        )
+        txn.overwrite("dv.hub", _df(spark, "h"))
+        with pytest.raises(ValueError, match="not declared"):
+            txn.overwrite("dv.other", _df(spark, "x"))
+    got = {r["v"] for r in wh.read("dv.dim").collect()}
+    assert got == {"B0", "a1", "a3", "a5"}  # partition b=0 replaced, b=1 kept
+    assert _vals(wh, "dv.hub") == {f"h{i}" for i in range(4)}
