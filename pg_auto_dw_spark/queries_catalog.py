@@ -3314,9 +3314,12 @@ def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 silhouette (HAVING over an aggregate, then join back):
-    orders whose total quantity exceeds 150, with their customer. The
-    HAVING output is small, so both joins broadcast it -- no fact-fact
-    shuffle."""
+    orders whose total quantity exceeds 150, with their customer.
+    The HAVING output shrinks with the threshold but still grows
+    linearly with SF, so it carries NO forced broadcast hint: AQE
+    broadcasts it while it fits and falls back to a shuffle join at
+    scale (the repo-wide no-forced-broadcast-on-scaling-tables rule,
+    test_plan_shapes.py)."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -3327,7 +3330,7 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", F.col("dq").cast("double").alias("sum_qty"))
     )
     return (
-        o.join(F.broadcast(big), o["o_orderkey"] == big["l_orderkey"])
+        o.join(big, o["o_orderkey"] == big["l_orderkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])
         .select(
             "c_name",
@@ -3366,7 +3369,11 @@ def q22_inactive_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey")
     )
     avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("t"))
-    rich = c.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("t"))
+    # no explicit broadcast hint: the 1-row aggregate side is below
+    # every autoBroadcastJoinThreshold, and the repo-wide plan guard
+    # (test_plan_shapes.py) flags hints whose subtree contains a
+    # scaling relation -- AQE picks the broadcast on size alone
+    rich = c.join(avg_bal).filter(F.col("c_acctbal") > F.col("t"))
     inactive = rich.join(o, rich["c_custkey"] == o["o_custkey"], "left_anti")
     return inactive.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).alias("numcust"),
