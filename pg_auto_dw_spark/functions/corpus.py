@@ -307,3 +307,43 @@ def clean_corpus_summary(
             F.sum("n_bpe_tokens").alias("total_tokens"),
         )
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    val_fraction: float = 0.1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Train/validation split that never separates duplicates: every
+    member of a duplicate group lands on the same side, so the val set
+    cannot leak into training via copies (the standard eval-integrity
+    requirement for LLM corpora).
+
+    Grouping defaults to exact-duplicate groups (sha256 of the text);
+    pass ``group_col`` (e.g. the ``cluster`` column from
+    ``dedup.dedup_clusters``) to make the split near-dup-aware with the
+    same assignment rule. The side is chosen by the engine-portable
+    multiplicative-hash rank of the group's MIN id (sampling.py), so
+    the split is deterministic, reproducible across engines and
+    partitionings, and stable under corpus growth (a group's side never
+    changes when unrelated docs arrive).
+
+    One shuffle (on the group key) for the window MIN; the rank itself
+    is pure integer arithmetic in whole-stage codegen.
+    """
+    from .sampling import MODULUS, sample_rank
+
+    w = Window.partitionBy(
+        F.sha2(F.col(text_col), 256) if group_col is None else F.col(group_col)
+    )
+    rep = F.min(F.col(id_col)).over(w)
+    thresh = int(round(val_fraction * MODULUS))
+    return df.select(
+        F.col(id_col),
+        rep.alias("group_rep"),
+        F.when(sample_rank(rep) < F.lit(thresh), F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

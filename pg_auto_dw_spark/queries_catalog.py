@@ -44,7 +44,7 @@ def register(name: str, sql: str | None):
 # queries exercised inside status_source_column / the composite loads).
 # NOTE for round 6: whatever sits in the registration tail past the
 # ~50-query cap this round must rotate into _PRIORITY next round --
-# with 91 registered and a 50 cap that is 41 queries, every one green
+# with 93 registered and a 50 cap that is 43 queries, every one green
 # in r4 (so a one-round gap, within policy). Round 6 must swap the
 # tail into _PRIORITY and demote this round's _PRIORITY entries; from
 # round 6 on, the cap forces a strict two-round rotation (50 verified
@@ -63,6 +63,8 @@ _PRIORITY = [
     "schema_evolution_customer",  # new round-5 operator (zero-rewrite ADD COLUMN)
     "time_travel_versions",  # new round-5 operator (snapshot reads)
     "lineitem_stats_by_flag",  # new round-5 shape (moment aggregates)
+    "documents_pii_redaction",  # new round-5 operator (PII scrubbing)
+    "documents_leakfree_split",  # new round-5 operator (leak-safe split)
     "events_asof_last_purchase",  # new round-5 operator
     "pit_user_daily",  # new round-5 operator
     "events_range_click_attribution",  # new round-5 operator
@@ -3533,4 +3535,97 @@ def lineitem_stats_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.var_samp("l_discount"), 6).alias("disc_var"),
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias("qty_price_covar"),
+    )
+
+
+@register(
+    "documents_pii_redaction",
+    """
+    WITH synth AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or 555-' || CAST(100 + doc_id % 900 AS VARCHAR)
+                    || '-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                    || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' AS text
+        FROM documents)
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+             '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g')
+               AS redacted_text,
+           len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phones,
+           len(regexp_extract_all(
+               regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+               '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS n_ips
+    FROM synth
+    """,
+)
+def documents_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (functions/text.py redact_pii): emails, phones and
+    IPv4 literals replaced by typed placeholders with per-category
+    counts. The synthetic corpus carries no natural PII, so the query
+    plants a deterministic contact line per doc first -- both engines
+    synthesize and redact identically (regex subset common to Java
+    regex and RE2)."""
+    from .functions.text import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            (F.lit(100) + F.col("doc_id") % 900).cast("string"),
+            F.lit("-"),
+            (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+            F.lit(" from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1"),
+        ).alias("text"),
+    )
+    out = redact_pii(docs)
+    return out.select(
+        "doc_id",
+        "redacted_text",
+        F.col("n_emails").cast("long").alias("n_emails"),
+        F.col("n_phones").cast("long").alias("n_phones"),
+        F.col("n_ips").cast("long").alias("n_ips"),
+    )
+
+
+@register(
+    "documents_leakfree_split",
+    """
+    WITH g AS (
+        SELECT doc_id,
+               MIN(doc_id) OVER (PARTITION BY sha256(text)) AS group_rep
+        FROM documents)
+    SELECT doc_id, group_rep,
+           CASE WHEN (group_rep * 2654435761) % 1000003 < 100000
+                THEN 'val' ELSE 'train' END AS split
+    FROM g
+    """,
+)
+def documents_leakfree_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val split (functions/corpus.py
+    leakage_safe_split): exact-duplicate groups always land on one
+    side, assignment by the engine-portable multiplicative-hash rank
+    of the group's MIN doc_id (10% validation)."""
+    from .functions.corpus import leakage_safe_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return leakage_safe_split(docs, val_fraction=0.1).select(
+        "doc_id", F.col("group_rep").cast("long").alias("group_rep"), "split"
     )

@@ -629,3 +629,70 @@ def test_containment_catches_embedded_doc(spark):
     ab, ba = out[(1, 2)]
     assert ab > 0.9 and ba < 0.6
     assert (1, 3) not in out and (2, 3) not in out
+
+
+def test_redact_pii_counts_and_placeholders(spark):
+    from pg_auto_dw_spark.functions.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.co and c.d+x@e-f.org, call 415-555-1234, host 10.0.0.1"),
+            (2, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert out[1]["n_emails"] == 2 and out[1]["n_phones"] == 1 and out[1]["n_ips"] == 1
+    assert "<EMAIL>" in out[1]["redacted_text"]
+    assert "<PHONE>" in out[1]["redacted_text"]
+    assert "<IP>" in out[1]["redacted_text"]
+    assert "a@b.co" not in out[1]["redacted_text"]
+    assert "415-555-1234" not in out[1]["redacted_text"]
+    assert out[2]["redacted_text"] == "nothing sensitive here"
+    assert out[2]["n_emails"] == out[2]["n_phones"] == out[2]["n_ips"] == 0
+
+
+def test_leakage_safe_split_never_separates_duplicates(spark, sf_dir):
+    from pg_auto_dw_spark.functions.corpus import leakage_safe_split
+    from pg_auto_dw_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = leakage_safe_split(docs, val_fraction=0.2)
+    j = docs.select("doc_id", "text").join(split, "doc_id")
+    # every exact-duplicate group is single-sided
+    mixed = (
+        j.groupBy(F.sha2("text", 256))
+        .agg(F.countDistinct("split").alias("sides"))
+        .filter(F.col("sides") > 1)
+        .count()
+    )
+    assert mixed == 0
+    sides = {r["split"] for r in split.select("split").distinct().collect()}
+    assert sides == {"train", "val"}
+
+
+def test_leakage_safe_split_cluster_aware(spark, sf_dir):
+    """Near-dup-aware variant: pass dedup cluster ids as the group --
+    whole clusters land on one side."""
+    from pg_auto_dw_spark.functions.corpus import leakage_safe_split
+    from pg_auto_dw_spark.functions.dedup import (
+        connected_components,
+        minhash_lsh_candidates,
+    )
+    from pg_auto_dw_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(docs)
+    clusters = connected_components(pairs, nodes=docs.select("doc_id"), id_col="doc_id")
+    tagged = docs.join(clusters, "doc_id").withColumn(
+        "cluster", F.col("cluster_id").cast("long")
+    )
+    split = leakage_safe_split(tagged, val_fraction=0.2, group_col="cluster")
+    j = tagged.select("doc_id", "cluster").join(split, "doc_id")
+    mixed = (
+        j.groupBy("cluster")
+        .agg(F.countDistinct("split").alias("sides"))
+        .filter(F.col("sides") > 1)
+        .count()
+    )
+    assert mixed == 0
