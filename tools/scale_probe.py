@@ -111,12 +111,23 @@ def main() -> None:
     def op_tfidf(scale):
         return keyword_tfidf_scores(docs(scale), ["spark", "merge", "window"])
 
+    from pg_auto_dw_spark.functions.corpus import leakage_safe_split
+    from pg_auto_dw_spark.functions.text import redact_pii
+
+    def op_pii(scale):
+        return redact_pii(docs(scale))
+
+    def op_split(scale):
+        return leakage_safe_split(docs(scale), val_fraction=0.1)
+
     ops = {
         "range_join_agg": op_range,
         "stratified_sample": op_sample,
         "salted_agg": op_salted,
         "chunk_documents": op_chunk,
         "keyword_tfidf": op_tfidf,
+        "redact_pii": op_pii,
+        "leakage_safe_split": op_split,
     }
     names = sys.argv[1:] or list(ops)
     print(f"{'op':20s} {'1x(s)':>8s} {'10x(s)':>8s} {'ratio':>6s} {'rows1x':>10s} {'rows10x':>10s}")
