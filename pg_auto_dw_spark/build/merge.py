@@ -221,13 +221,17 @@ def delete_keys(
     keys = sorted(r[0] for r in keys_rows if r[0] is not None)
     if not keys:
         return {"rows_deleted": 0, "files_rewritten": 0, "files_carried": len(wh.data_files(table))}
-    key_lit = wh.spark.createDataFrame([(k,) for k in keys], f"{key_col} {'long' if isinstance(keys[0], int) else 'double'}")
+    ktype = "long" if isinstance(keys[0], int) else ("string" if isinstance(keys[0], str) else "double")
+    key_lit = wh.spark.createDataFrame([(k,) for k in keys], f"{key_col} {ktype}")
     if table not in wh._partitioning:
-        n_files = len(wh.data_files(table))
-        cur = wh.read(table).localCheckpoint(eager=True)
-        kept = cur.join(F.broadcast(key_lit), on=key_col, how="left_anti").localCheckpoint(eager=True)
-        n_del = cur.count() - kept.count()
+        # read-modify-write inside the lock, like the partitioned path:
+        # a concurrent merge committing between our read and overwrite
+        # would otherwise be silently rolled back
         with wh.lock(table):
+            n_files = len(wh.data_files(table))
+            cur = wh.read(table).localCheckpoint(eager=True)
+            kept = cur.join(F.broadcast(key_lit), on=key_col, how="left_anti").localCheckpoint(eager=True)
+            n_del = cur.count() - kept.count()
             wh.overwrite(table, kept)
         return {"rows_deleted": n_del, "files_rewritten": n_files, "files_carried": 0}
     with wh.lock(table):

@@ -125,3 +125,106 @@ def test_transaction_partitioned_merge_and_undeclared_guard(spark, warehouse_dir
     got = {r["v"] for r in wh.read("dv.dim").collect()}
     assert got == {"B0", "a1", "a3", "a5"}  # partition b=0 replaced, b=1 kept
     assert _vals(wh, "dv.hub") == {f"h{i}" for i in range(4)}
+
+
+# ---------------------------------------------------------------------------
+# Two-process transaction stress: concurrent transactions each commit a
+# MATCHED (writer, seq) marker pair across two tables; at every commit
+# point the pair must be from ONE transaction (the global guard
+# serializes), journals must all drain, and a GC-hammering reader must
+# never observe a torn generation.
+# ---------------------------------------------------------------------------
+
+import multiprocessing as mp
+
+
+def _txn_writer(root, writer_id, n_commits, log):
+    wh = Warehouse(None, root)  # commit protocol is pure filesystem
+    for seq in range(n_commits):
+        with wh.transaction(["t.a", "t.b"]) as txn:
+            staged = {}
+            for t in ("t.a", "t.b"):
+                gen = wh._base(t) + "__gen-" + uuid.uuid4().hex[:8]
+                os.makedirs(gen)
+                with open(os.path.join(gen, "marker"), "w") as f:
+                    f.write(f"{writer_id}:{seq}")
+                staged[t] = gen
+            txn._staged = staged  # stage by hand: no Spark in workers
+        log.put((writer_id, seq))
+
+
+def _read_pair(root):
+    out = {}
+    for t in ("t.a", "t.b"):
+        ptr = os.path.join(root, t.replace(".", "__") + ".live")
+        try:
+            with open(ptr) as f:
+                gen = f.read().strip()
+            with open(os.path.join(root, gen, "marker")) as f:
+                out[t] = f.read()
+        except FileNotFoundError:
+            return None  # mid-swap or pre-first-commit: retry
+    return out
+
+
+def _txn_reader(root, stop, failures):
+    import time as _time
+
+    while not stop.is_set():
+        Warehouse(None, root)  # init GC + recovery under contention
+        pair = _read_pair(root)
+        if pair is not None and len(set(pair.values())) > 1:
+            # both pointers resolved but markers differ: the reader saw
+            # a half-applied transaction OUTLIVE the swap loop. A brief
+            # mismatch during the loop is documented; re-read to verify
+            # it settles within the writer's commit window.
+            _time.sleep(0.2)
+            again = _read_pair(root)
+            if again is not None and len(set(again.values())) > 1 and again == pair:
+                failures.put(f"persistent mixed transaction state: {pair}")
+        _time.sleep(0.01)
+
+
+def test_two_process_transactions_stay_atomic(tmp_path):
+    root = str(tmp_path / "wh_txn_stress")
+    os.makedirs(root)
+    ctx = mp.get_context("spawn")
+    log, failures = ctx.Queue(), ctx.Queue()
+    stop = ctx.Event()
+    n_commits = 8
+    writers = [
+        ctx.Process(target=_txn_writer, args=(root, w, n_commits, log), daemon=True)
+        for w in range(2)
+    ]
+    reader = ctx.Process(target=_txn_reader, args=(root, stop, failures), daemon=True)
+    try:
+        reader.start()
+        for p in writers:
+            p.start()
+        for p in writers:
+            p.join(timeout=120)
+        stop.set()
+        reader.join(timeout=30)
+        assert [p.exitcode for p in writers] == [0, 0]
+        assert reader.exitcode == 0
+    finally:
+        stop.set()
+        for p in writers + [reader]:
+            if p.is_alive():
+                p.terminate()
+    fails = []
+    while not failures.empty():
+        fails.append(failures.get())
+    assert fails == []
+    commits = []
+    while not log.empty():
+        commits.append(log.get())
+    assert len(commits) == 2 * n_commits
+    # final state: both tables carry the SAME (writer, seq) marker, and
+    # it is some writer's final transaction
+    final = _read_pair(root)
+    assert final is not None and len(set(final.values())) == 1
+    w, seq = map(int, final["t.a"].split(":"))
+    assert seq == n_commits - 1
+    # no journal survives a clean run
+    assert not [e for e in os.listdir(root) if e.endswith(".journal")]
