@@ -44,12 +44,14 @@ def register(name: str, sql: str | None):
 # queries exercised inside status_source_column / the composite loads).
 # NOTE for round 6: whatever sits in the registration tail past the
 # ~50-query cap this round must rotate into _PRIORITY next round --
-# with 93 registered and a 50 cap that is 43 queries, every one green
-# in r4 (so a one-round gap, within policy). Round 6 must swap the
-# tail into _PRIORITY and demote this round's _PRIORITY entries; from
-# round 6 on, the cap forces a strict two-round rotation (50 verified
-# per round, the rest resting) -- keep the resting set always = the
-# set verified in the immediately-preceding round. Exact tail:
+# with 93 registered and a 50 cap that is exactly 43 resting queries,
+# every one green in r4 or earlier this round (one-round gap, within
+# policy). Round 6 MUST set _PRIORITY = that 43-query tail (filling
+# the remaining 7 slots from this round's list), demoting this
+# round's entries; from round 6 on the cap forces a strict two-round
+# rotation -- keep the resting set always = the set verified in the
+# immediately-preceding round, and REGISTER NO QUERIES BEYOND 100
+# (two-round rotation saturates there). Exact tail:
 # python -c "from pg_auto_dw_spark import queries_catalog as q; \
 #            print(list(q.queries())[50:])"
 _PRIORITY = [
