@@ -605,6 +605,40 @@ class Warehouse:
             return self.spark.read.schema(self._add_partition_fields(name)).parquet(d)
         return self.spark.read.parquet(d)
 
+    def vacuum(self, name: str, retain: int | None = None) -> dict:
+        """Delta VACUUM analog: reap retained generations beyond
+        ``retain`` (default: this warehouse's ``retain_generations``),
+        keeping the live one unconditionally. Bytes are only truly
+        freed when the last hardlink to a file goes away, so the
+        returned ``bytes_unlinked`` is an upper bound on reclaim.
+        Versions whose dirs are vacuumed stay in ``history`` as
+        ``available: False`` (auditable, no longer readable)."""
+        keep_n = self.retain_generations if retain is None else max(1, retain)
+        with self.lock(name):
+            log = self._read_log(name)
+            keep = {os.path.abspath(self.path(name))}
+            seen: list[str] = []
+            for e in reversed(log):
+                d = os.path.abspath(os.path.join(self.root, e["dir"]))
+                if d not in seen:
+                    seen.append(d)
+                if len(seen) >= keep_n:
+                    break
+            keep.update(seen)
+            removed = 0
+            freed = 0
+            for e in log:
+                d = os.path.abspath(os.path.join(self.root, e["dir"]))
+                if d in keep or not os.path.isdir(d):
+                    continue
+                for walk_root, _dirs, files in os.walk(d):
+                    for fn in files:
+                        with contextlib.suppress(OSError):
+                            freed += os.path.getsize(os.path.join(walk_root, fn))
+                shutil.rmtree(d, ignore_errors=True)
+                removed += 1
+        return {"generations_removed": removed, "bytes_unlinked": freed}
+
     def rollback(self, name: str, version: int) -> None:
         """RESTORE TABLE ... TO VERSION analog: make ``version`` the live
         state again via a NEW commit whose generation dir is the old
@@ -960,6 +994,26 @@ class _Transaction:
         self._check(name)
         gen = self._fresh_gen(name)
         writer = df.write.mode("overwrite")
+        if name in self._wh._partitioning:
+            writer = writer.partitionBy(*self._wh._partitioning[name])
+        writer.parquet(gen)
+        self._staged[name] = gen
+
+    def append(self, name: str, df) -> None:
+        """Stage an append (commits with the transaction): live files
+        hardlink into the staged generation, new rows append there --
+        the INSERT...SELECT leg of a whole-load transaction, so
+        hub+sat appends and a dimension merge can land atomically
+        together (reference parity: the entire load script in one
+        transaction, dv_loader.rs:59-64)."""
+        self._check(name)
+        gen = self._fresh_gen(name)
+        live = self._wh.path(name)
+        if os.path.isdir(live):
+            self._wh._link_tree(live, gen)
+        else:
+            os.makedirs(gen, exist_ok=True)
+        writer = df.write.mode("append")
         if name in self._wh._partitioning:
             writer = writer.partitionBy(*self._wh._partitioning[name])
         writer.parquet(gen)

@@ -150,3 +150,22 @@ def test_stray_uncommitted_generation_still_gced(spark, warehouse_dir):
     Warehouse(spark, warehouse_dir, retain_generations=3)
     assert not os.path.isdir(stray)
     assert _vals(wh.read("m.t")) == {f"a{i}" for i in range(5)}
+
+
+def test_vacuum_reaps_beyond_retention(spark, warehouse_dir):
+    wh = Warehouse(spark, warehouse_dir, retain_generations=4)
+    wh.create_table("m.t", SCHEMA)
+    for tag in "abcd":
+        wh.overwrite("m.t", _df(spark, tag))
+    assert sum(1 for h in wh.history("m.t") if h["available"]) >= 4
+    stats = wh.vacuum("m.t", retain=1)
+    assert stats["generations_removed"] >= 2 and stats["bytes_unlinked"] > 0
+    hist = wh.history("m.t")
+    assert hist[-1]["available"] and hist[-1]["live"]
+    assert not hist[1]["available"]  # vacuumed but still in history
+    assert _vals(wh.read("m.t")) == {f"d{i}" for i in range(5)}
+    try:
+        wh.read_version("m.t", hist[1]["version"])
+        raise AssertionError("expected retention error")
+    except ValueError as e:
+        assert "retention window" in str(e)

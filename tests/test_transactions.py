@@ -228,3 +228,20 @@ def test_two_process_transactions_stay_atomic(tmp_path):
     assert seq == n_commits - 1
     # no journal survives a clean run
     assert not [e for e in os.listdir(root) if e.endswith(".journal")]
+
+
+def test_transaction_staged_append_is_atomic_with_overwrite(spark, warehouse_dir):
+    """The whole-load shape: an append to the hub and a rewrite of the
+    sat land together; on abort neither is visible."""
+    wh = _setup(spark, warehouse_dir)
+    with pytest.raises(RuntimeError):
+        with wh.transaction(["dv.hub", "dv.sat"]) as txn:
+            txn.append("dv.hub", _df(spark, "x", n=2))
+            txn.overwrite("dv.sat", _df(spark, "y", n=2))
+            raise RuntimeError("abort")
+    assert _vals(wh, "dv.hub") == {f"old_hub{i}" for i in range(4)}
+    with wh.transaction(["dv.hub", "dv.sat"]) as txn:
+        txn.append("dv.hub", _df(spark, "x", n=2))
+        txn.overwrite("dv.sat", _df(spark, "y", n=2))
+    assert _vals(wh, "dv.hub") == {f"old_hub{i}" for i in range(4)} | {"x0", "x1"}
+    assert _vals(wh, "dv.sat") == {"y0", "y1"}
