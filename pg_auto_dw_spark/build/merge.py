@@ -58,6 +58,7 @@ def merge_upsert(
     batch: DataFrame,
     key_cols: list[str],
     order_col: str | None = None,
+    verify_partition_contract: bool = False,
 ) -> dict:
     """Type-1 MERGE: rows whose key matches are replaced by the batch
     row, new keys are inserted, everything else is untouched. The
@@ -69,6 +70,15 @@ def merge_upsert(
     ``order_col``: with a CDC batch that can carry several versions of
     one key, names the column whose max wins. Without it the batch
     must be key-unique -- verified (one cheap agg), not assumed.
+
+    The key->partition contract itself (a batch row for key k carries
+    the SAME partition value as k's current row) is assumed by
+    default: checking it requires scanning the UN-touched partitions,
+    the exact cost partition pruning exists to avoid. Pass
+    ``verify_partition_contract=True`` to pay that scan and fail fast
+    if a batch key's current row lives outside the touched set (a
+    violation would otherwise leave the key duplicated across two
+    partitions).
 
     Returns {"matched": n, "inserted": n, "carried": n,
     "touched_partitions": [...]}.
@@ -93,6 +103,7 @@ def merge_upsert(
             )
     with wh.lock(table):
         batch = batch.localCheckpoint(eager=True)  # pin: read before we overwrite
+        n_batch = batch.count()  # against the pinned blocks -- no recompute
         touched = [
             tuple(r) for r in batch.select(*pcols).distinct().collect()
         ]  # metadata-sized: one row per touched partition
@@ -107,31 +118,78 @@ def merge_upsert(
                     m = m & (F.col(c) == F.lit(v))
                 cond = cond | m
             cur = cur.filter(cond)
-        carried = cur.join(batch.select(*key_cols), on=key_cols, how="left_anti")
-        out = carried.unionByName(batch.select(*cur.columns)).localCheckpoint(eager=True)
-        n_cur = cur.count()
-        n_carried = carried.count()
-        n_batch = batch.count()
+        if verify_partition_contract:
+            outside = wh.read(table)
+            if len(pcols) == 1:
+                outside = outside.filter(
+                    ~F.col(pcols[0]).isin([t[0] for t in touched])
+                )
+            else:
+                cond = F.lit(False)
+                for t in touched:
+                    m = F.lit(True)
+                    for c, v in zip(pcols, t):
+                        m = m & (F.col(c) == F.lit(v))
+                    cond = cond | m
+                outside = outside.filter(~cond)
+            stray = (
+                outside.select(*key_cols)
+                .join(batch.select(*key_cols), on=key_cols, how="left_semi")
+                .limit(1)
+                .count()
+            )
+            if stray:
+                raise ValueError(
+                    "merge_upsert partition contract violated: a batch key's "
+                    "current row lives outside the batch's partitions -- the "
+                    "partition column must be a function of the key"
+                )
+        # ONE materialization of the touched partitions carries a match
+        # flag; carried rows, the rewrite input, and the stats all
+        # derive from the pinned frame (no second scan, no re-run of
+        # the join for counting). No broadcast hint on the batch side:
+        # incremental batches usually fit, and AQE decides on size.
+        ann = cur.join(
+            batch.select(*key_cols).withColumn("__m", F.lit(1)),
+            on=key_cols,
+            how="left",
+        ).localCheckpoint(eager=True)
+        counts = ann.agg(
+            F.count(F.lit(1)).alias("n_cur"), F.sum("__m").alias("n_matched")
+        ).collect()[0]
+        n_cur, n_matched = counts["n_cur"], counts["n_matched"] or 0
+        carried = ann.filter(F.col("__m").isNull()).drop("__m")
+        out = carried.unionByName(batch.select(*carried.columns))
         wh.overwrite_partitions(table, out)
     return {
-        "matched": n_cur - n_carried,
-        "inserted": n_batch - (n_cur - n_carried),
-        "carried": n_carried,
+        "matched": n_matched,
+        "inserted": n_batch - n_matched,
+        "carried": n_cur - n_matched,
         "touched_partitions": sorted(touched),
     }
 
 
-def _partition_value(rel: str, pcol: str):
+def _partition_value(rel: str, pcol: str) -> str | None:
     """Parse ``pcol``'s value from a hive-layout relative path
-    (``pcol=V/...``); None when the path carries no such dir."""
+    (``pcol=V/...``) as its RAW directory string; None when the path
+    carries no such dir. String form on purpose: bucket values are
+    compared via ``_bucket_key`` on both sides, so an int bucket
+    function and an int-valued dir ('b=3' vs 3) meet on '3' instead of
+    silently missing on type."""
     for seg in rel.split(os.sep)[:-1]:
         if seg.startswith(pcol + "="):
-            v = seg[len(pcol) + 1 :]
-            try:
-                return int(v)
-            except ValueError:
-                return v
+            return seg[len(pcol) + 1 :]
     return None
+
+
+def _bucket_key(v) -> str:
+    """Canonical string for a partition value, matching hive dir
+    rendering for ints/strings (floats: str(float) matches Spark's
+    default rendering for simple values; exotic float dirs fall back
+    to the conservative no-prune path via the mismatch guard)."""
+    if isinstance(v, bool):
+        return str(v).lower()
+    return str(v)
 
 
 def _files_containing_keys(
@@ -147,22 +205,47 @@ def _files_containing_keys(
     its partition value; each file is then checked only against the
     keys that can live in ITS partition -- range stats alone cannot
     express "key 17 is in bucket 1", so without this every partition's
-    low-range file matches every small key."""
+    low-range file matches every small key. Bucket values compare via
+    canonical strings (int 3 meets dir 'b=3'), and the pruning is
+    FAIL-SAFE: if any victim's bucket value never matches a partition
+    dir (a bucket_of/layout mismatch), pruning for those keys is
+    abandoned and they are range-checked against every file -- a
+    deletion must never silently skip a victim."""
     import pyarrow.parquet as pq
 
     live = wh.path(table)
     pcols = wh._partitioning.get(table, [])
-    by_bucket: dict | None = None
+    by_bucket: dict[str, list] | None = None
     if bucket_of is not None and len(pcols) == 1:
         by_bucket = {}
         for k in keys:
-            by_bucket.setdefault(bucket_of(k), []).append(k)
+            by_bucket.setdefault(_bucket_key(bucket_of(k)), []).append(k)
+        seen_dirs = {
+            d
+            for rel in wh.data_files(table)
+            if (d := _partition_value(rel, pcols[0])) is not None
+        }
+        orphans = sorted(
+            {k for b, ks in by_bucket.items() if b not in seen_dirs for k in ks}
+        )
+        if orphans:
+            # victims whose bucket matches no partition dir: either the
+            # key genuinely isn't in the table, or bucket_of disagrees
+            # with the layout. Range-check them against EVERY file --
+            # a deletion must never silently skip a victim.
+            by_bucket = {
+                d: sorted(set(by_bucket.get(d, [])) | set(orphans))
+                for d in seen_dirs
+            }
     affected: list[str] = []
     clean: list[str] = []
     for rel in wh.data_files(table):
         cand = keys
         if by_bucket is not None:
-            cand = by_bucket.get(_partition_value(rel, pcols[0]), [])
+            d = _partition_value(rel, pcols[0])
+            # a data file outside any partition dir is checked against
+            # every key (never prune on absent layout information)
+            cand = keys if d is None else by_bucket.get(d, [])
             if not cand:
                 clean.append(rel)
                 continue

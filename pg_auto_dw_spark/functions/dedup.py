@@ -211,7 +211,9 @@ def minhash_lsh_candidates(
     # Pin the band table: it is read 2x below (sizes + join); without a
     # pin each read would recompute the md5-per-shingle lineage. persist
     # (plan-keyed cache) rather than checkpoint: repeated candidate runs
-    # over the same immutable corpus reuse one materialization.
+    # over the same immutable corpus reuse one materialization. Cache
+    # contract (see similarity.brute_force_topk): corpora are session-
+    # immutable; after an in-place same-directory append, clearCache().
     ).persist()
     sizes = bands.groupBy("band", "band_key").agg(
         F.count(F.lit(1)).alias("n"), F.min(id_col).alias("rep")

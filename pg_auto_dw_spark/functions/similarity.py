@@ -80,6 +80,16 @@ def brute_force_topk(
     the same corpus reuse one materialization (the per-session
     amortization the IVF codebook already has) instead of re-writing a
     checkpoint per call.
+
+    Cache contract: the corpus is treated as IMMUTABLE for the session
+    (parquet snapshots, or Warehouse reads -- whose overwrites land in
+    a new generation dir and therefore a new plan, never a stale hit).
+    The one mutation that aliases a cached plan is an IN-PLACE append
+    to the same directory (default-retention ``Warehouse.append``):
+    after one, call ``spark.catalog.clearCache()`` (or read through a
+    retention-enabled warehouse, where appends are CoW commits) before
+    re-querying. Entries are never explicitly unpersisted; they spill
+    to disk under memory pressure and die with the session.
     """
     meta = [c for c in corpus.columns if c != vec_col]
     base = with_quantized(corpus, vec_col).select(*meta, "qvec", "qnorm").persist()
@@ -217,7 +227,8 @@ def lsh_bucket_topk(
     )
     # Pin: both sides of the bucket self-join read the one computed
     # quantize+bucket pass instead of re-running it per side. persist
-    # (plan-keyed) so repeated runs over the same corpus reuse it.
+    # (plan-keyed) so repeated runs over the same corpus reuse it --
+    # same immutable-corpus cache contract as brute_force_topk.
     base = with_quantized(corpus, vec_col).select(
         F.col(id_col), bucket.alias("bucket"), "qvec", "qnorm"
     ).persist()
@@ -517,7 +528,8 @@ def embedding_near_dup_pairs(
     )
     base = with_quantized(corpus, vec_col).select(
         F.col(id_col), bucket.alias("bucket"), "qvec", "qnorm"
-    ).persist()  # one quantize pass feeds both join sides, cached across runs
+    ).persist()  # one quantize pass feeds both join sides, cached across
+    # runs -- same immutable-corpus cache contract as brute_force_topk
     sizes = bucket_sizes(base, ["bucket"], id_col)
     small = base.join(
         F.broadcast(sizes.filter(F.col("n") <= max_bucket_size).select("bucket")), "bucket"

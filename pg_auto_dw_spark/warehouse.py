@@ -48,26 +48,40 @@ from pyspark.sql import types as T
 class Warehouse:
     """A directory of named parquet tables with a recorded schema."""
 
-    def __init__(self, spark: SparkSession, root: str, retain_generations: int = 1):
+    def __init__(
+        self, spark: SparkSession, root: str, retain_generations: int | None = None
+    ):
         """``retain_generations`` is the snapshot-retention knob (Delta
         ``delta.logRetentionDuration`` analog, counted in versions not
         days): every pointer commit appends to a per-table commit log,
         and the last N committed generations' directories are kept on
         disk, enabling ``history``/``read_version``/``rollback``.
-        The default (1) keeps only the live generation -- exactly the
+        The default keeps only the live generation -- exactly the
         pre-time-travel behavior and disk footprint. Old generations
         share unchanged parquet files with the live one by hardlink, so
         retention costs only the delta between versions, not N full
-        copies."""
+        copies.
+
+        The knob is a WAREHOUSE property, persisted in the sidecar
+        meta: pass it once when establishing the warehouse; every later
+        open (including read-only monitoring opens that pass nothing)
+        inherits the persisted value, so an open with the default can
+        never GC snapshots a previous owner configured to keep."""
         self.spark = spark
         self.root = root
-        self.retain_generations = max(1, retain_generations)
         os.makedirs(root, exist_ok=True)
         self._schemas: dict[str, T.StructType] = {}
         self._partitioning: dict[str, list[str]] = {}
+        # dropped-column ledger: table -> {column -> simpleString type};
+        # guards drop-then-re-add-with-new-type (see evolve_schema)
+        self._dropped: dict[str, dict[str, str]] = {}
+        self.retain_generations = 1
         # reentrancy bookkeeping: (lock path, thread id) -> [fd, depth]
         self._held_locks: dict[tuple, list] = {}
         self._load_meta()
+        if retain_generations is not None and max(1, retain_generations) != self.retain_generations:
+            self.retain_generations = max(1, retain_generations)
+            self._save_meta()
         self._recover_transactions()
         self._gc_stale_dirs()
 
@@ -151,11 +165,14 @@ class Warehouse:
             return
         with open(self._meta_path()) as f:
             meta = json.load(f)
+        self.retain_generations = max(1, int(meta.get("retain_generations", 1)))
         for name, entry in meta.get("tables", {}).items():
             if entry.get("schema"):
                 self._schemas[name] = T.StructType.fromJson(entry["schema"])
             if entry.get("partition_by"):
                 self._partitioning[name] = list(entry["partition_by"])
+            if entry.get("dropped"):
+                self._dropped[name] = dict(entry["dropped"])
 
     def _save_meta(self) -> None:
         import json
@@ -165,10 +182,16 @@ class Warehouse:
             tables[name] = {
                 "schema": self._schemas[name].jsonValue() if name in self._schemas else None,
                 "partition_by": self._partitioning.get(name),
+                "dropped": self._dropped.get(name) or None,
             }
         tmp = self._meta_path() + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"tables": tables}, f, indent=1, sort_keys=True)
+            json.dump(
+                {"tables": tables, "retain_generations": self.retain_generations},
+                f,
+                indent=1,
+                sort_keys=True,
+            )
         os.replace(tmp, self._meta_path())
 
     # -- paths ----------------------------------------------------------
@@ -218,11 +241,14 @@ class Warehouse:
         with open(self._log_path(name), "a") as f:
             f.write(json.dumps(entry) + "\n")
 
-    def _retained_dirs(self, name: str, log: list[dict] | None = None) -> set[str]:
+    def _retained_dirs(
+        self, name: str, log: list[dict] | None = None, n: int | None = None
+    ) -> set[str]:
         """Absolute paths of generation dirs the retention policy keeps:
-        the dirs of the last ``retain_generations`` log entries (a dir
-        may back several versions after a rollback), plus whatever the
-        pointer currently names."""
+        the dirs of the last ``n`` (default ``retain_generations``) log
+        entries (a dir may back several versions after a rollback),
+        plus whatever the pointer currently names."""
+        n = self.retain_generations if n is None else max(1, n)
         log = self._read_log(name) if log is None else log
         keep = {os.path.abspath(self.path(name))}
         seen: list[str] = []
@@ -230,7 +256,7 @@ class Warehouse:
             d = os.path.abspath(os.path.join(self.root, e["dir"]))
             if d not in seen:
                 seen.append(d)
-            if len(seen) >= self.retain_generations:
+            if len(seen) >= n:
                 break
         keep.update(seen)
         return keep
@@ -255,11 +281,11 @@ class Warehouse:
             }
             self._append_log(name, base_entry)
             log = [base_entry]
-        ptr = self._pointer_path(name)
-        tmp = ptr + ".tmp-" + uuid.uuid4().hex[:8]
-        with open(tmp, "w") as f:
-            f.write(os.path.basename(gen_dir))
-        os.replace(tmp, ptr)  # commit
+        # Log BEFORE the pointer swap: a crash in between leaves a
+        # logged-but-not-live version (harmless -- retained, readable,
+        # superseded by the next commit's version number) rather than a
+        # live-but-unlogged generation that history can never address
+        # and retention GC would mistake for an orphan.
         entry = {
             "version": (log[-1]["version"] + 1) if log else 0,
             "dir": os.path.basename(gen_dir),
@@ -268,6 +294,11 @@ class Warehouse:
         }
         self._append_log(name, entry)
         log.append(entry)
+        ptr = self._pointer_path(name)
+        tmp = ptr + ".tmp-" + uuid.uuid4().hex[:8]
+        with open(tmp, "w") as f:
+            f.write(os.path.basename(gen_dir))
+        os.replace(tmp, ptr)  # commit
         # Post-commit cleanup is best-effort: a failure here leaves an
         # orphan generation that init-time GC removes. Only dirs past
         # the retention horizon are reaped.
@@ -491,6 +522,7 @@ class Warehouse:
         schema = self._schemas[name]
         have = {f.name for f in schema.fields}
         pcols = set(self._partitioning.get(name, []))
+        dropped = self._dropped.setdefault(name, {})
         fields = list(schema.fields)
         for f in add or []:
             if f.name in have:
@@ -500,6 +532,23 @@ class Warehouse:
                     f"new column {f.name} must be nullable: existing files "
                     "have no values for it"
                 )
+            old_type = dropped.get(f.name)
+            if old_type is not None and old_type != f.dataType.simpleString():
+                # the bytes of the dropped column are still in old files
+                # under the old physical type; re-adding under a new type
+                # would make every pre-drop file unreadable (parquet
+                # readers do not convert physical types)
+                raise ValueError(
+                    f"column {f.name} was previously dropped with type "
+                    f"{old_type}; re-adding it as {f.dataType.simpleString()} "
+                    "requires a rewrite (overwrite with a cast), not a "
+                    "metadata edit"
+                )
+            if old_type is not None:
+                # same-type re-add: pre-drop files expose their old values
+                # again (column-mapping-free layout has no way to hide
+                # them) -- intentional and now visible in `dropped` no more
+                del dropped[f.name]
             fields.append(f)
             have.add(f.name)
         for c in drop or []:
@@ -507,6 +556,8 @@ class Warehouse:
                 raise ValueError(f"column {c} does not exist in {name}")
             if c in pcols:
                 raise ValueError(f"cannot drop partition column {c}")
+            fld = next(f for f in fields if f.name == c)
+            dropped[c] = fld.dataType.simpleString()
             fields = [f for f in fields if f.name != c]
             have.discard(c)
         self._schemas[name] = T.StructType(fields)
@@ -532,6 +583,7 @@ class Warehouse:
                 shutil.rmtree(p, ignore_errors=True)
         self._schemas.pop(name, None)
         self._partitioning.pop(name, None)
+        self._dropped.pop(name, None)
         self._save_meta()
 
     # -- reads ----------------------------------------------------------
@@ -567,15 +619,26 @@ class Warehouse:
         written only in place (created + appended, never pointer-
         committed) have an empty history."""
         live = os.path.abspath(self.path(name))
+        log = self._read_log(name)
+        # after a rollback, several versions share the live dir -- only
+        # the LATEST of them is "the" live version
+        live_idx = max(
+            (
+                i
+                for i, e in enumerate(log)
+                if os.path.abspath(os.path.join(self.root, e["dir"])) == live
+            ),
+            default=-1,
+        )
         out = []
-        for e in self._read_log(name):
+        for i, e in enumerate(log):
             d = os.path.abspath(os.path.join(self.root, e["dir"]))
             out.append(
                 {
                     "version": e["version"],
                     "action": e["action"],
                     "ts": e["ts"],
-                    "live": d == live,
+                    "live": i == live_idx,
                     "available": os.path.isdir(d),
                 }
             )
@@ -613,18 +676,9 @@ class Warehouse:
         returned ``bytes_unlinked`` is an upper bound on reclaim.
         Versions whose dirs are vacuumed stay in ``history`` as
         ``available: False`` (auditable, no longer readable)."""
-        keep_n = self.retain_generations if retain is None else max(1, retain)
         with self.lock(name):
             log = self._read_log(name)
-            keep = {os.path.abspath(self.path(name))}
-            seen: list[str] = []
-            for e in reversed(log):
-                d = os.path.abspath(os.path.join(self.root, e["dir"]))
-                if d not in seen:
-                    seen.append(d)
-                if len(seen) >= keep_n:
-                    break
-            keep.update(seen)
+            keep = self._retained_dirs(name, log, n=retain)
             removed = 0
             freed = 0
             for e in log:
@@ -984,51 +1038,64 @@ class _Transaction:
             )
 
     def _fresh_gen(self, name: str) -> str:
-        old = self._staged.pop(name, None)
-        if old is not None:
-            shutil.rmtree(old, ignore_errors=True)  # re-staged within the txn
         return self._wh._base(name) + "__gen-" + uuid.uuid4().hex[:8]
 
+    def _base_dir(self, name: str) -> str:
+        """Writes within one transaction COMPOSE: a second write to the
+        same table builds on the already-staged state, not the
+        pre-transaction live dir (append-after-append must keep both
+        batches; merge-after-append must see the appended rows)."""
+        return self._staged.get(name) or self._wh.path(name)
+
+    def _swap_staged(self, name: str, gen: str) -> None:
+        old = self._staged.get(name)
+        if old is not None and old != gen:
+            shutil.rmtree(old, ignore_errors=True)
+        self._staged[name] = gen
+
     def overwrite(self, name: str, df) -> None:
-        """Stage a full rewrite of ``name`` (commits on txn exit)."""
+        """Stage a full rewrite of ``name`` (commits on txn exit); any
+        earlier staged state of this table is replaced, as a full
+        overwrite semantically must."""
         self._check(name)
         gen = self._fresh_gen(name)
         writer = df.write.mode("overwrite")
         if name in self._wh._partitioning:
             writer = writer.partitionBy(*self._wh._partitioning[name])
         writer.parquet(gen)
-        self._staged[name] = gen
+        self._swap_staged(name, gen)
 
     def append(self, name: str, df) -> None:
-        """Stage an append (commits with the transaction): live files
-        hardlink into the staged generation, new rows append there --
-        the INSERT...SELECT leg of a whole-load transaction, so
-        hub+sat appends and a dimension merge can land atomically
-        together (reference parity: the entire load script in one
-        transaction, dv_loader.rs:59-64)."""
+        """Stage an append (commits with the transaction): the current
+        staged-or-live files hardlink into a fresh generation, new rows
+        append there -- the INSERT...SELECT leg of a whole-load
+        transaction, so hub+sat appends and a dimension merge can land
+        atomically together (reference parity: the entire load script
+        in one transaction, dv_loader.rs:59-64)."""
         self._check(name)
         gen = self._fresh_gen(name)
-        live = self._wh.path(name)
-        if os.path.isdir(live):
-            self._wh._link_tree(live, gen)
+        base = self._base_dir(name)
+        if os.path.isdir(base):
+            self._wh._link_tree(base, gen)
         else:
             os.makedirs(gen, exist_ok=True)
         writer = df.write.mode("append")
         if name in self._wh._partitioning:
             writer = writer.partitionBy(*self._wh._partitioning[name])
         writer.parquet(gen)
-        self._staged[name] = gen
+        self._swap_staged(name, gen)
 
     def overwrite_partitions(self, name: str, df) -> None:
         """Stage a partition-pruned rewrite (CoW hardlink + dynamic
-        overwrite, same shape as Warehouse.overwrite_partitions)."""
+        overwrite, same shape as Warehouse.overwrite_partitions),
+        layered over any earlier staged state of this table."""
         self._check(name)
         if name not in self._wh._partitioning:
             raise ValueError(f"table {name} has no partition spec")
         gen = self._fresh_gen(name)
-        live = self._wh.path(name)
-        if os.path.isdir(live):
-            self._wh._link_tree(live, gen)
+        base = self._base_dir(name)
+        if os.path.isdir(base):
+            self._wh._link_tree(base, gen)
         else:
             os.makedirs(gen, exist_ok=True)
         (
@@ -1037,7 +1104,7 @@ class _Transaction:
             .partitionBy(*self._wh._partitioning[name])
             .parquet(gen)
         )
-        self._staged[name] = gen
+        self._swap_staged(name, gen)
 
     def _commit(self) -> None:
         import json
