@@ -170,16 +170,22 @@ def load_hub(
     business_key: BusinessKey,
     dw_schema: str = "dw",
     load_ts: datetime.datetime | None = None,
+    writer=None,
 ) -> int:
-    """Ghost-init + anti-join insert of new hub keys. Returns rows appended."""
+    """Ghost-init + anti-join insert of new hub keys. Returns rows
+    appended. ``writer`` overrides the append sink (a transaction's
+    ``txn.append`` for atomic whole-load commits); anti-joins always
+    read the LIVE table -- correct inside a transaction because hub
+    appends are key-novel by construction."""
     table = f"{dw_schema}.hub_{business_key.name}"
+    sink = writer or wh.append
     hk = f"hub_{business_key.name}_hk"
     existing = wh.read(table)
     appended = 0
     # Ghost init only when the hub is empty (dv_loader.rs:111-118 A4).
     if existing.limit(1).count() == 0:
         ghosts = _with_partition_cols(wh, table, ghost_records_df(source, business_key))
-        wh.append(table, ghosts)
+        sink(table, ghosts)
         appended += 2
     staged = _with_partition_cols(
         wh, table, hub_stage_df(source, business_key, load_ts=load_ts)
@@ -189,7 +195,7 @@ def load_hub(
         # persist so count + append execute the scan/hash/anti-join once
         n = new_rows.count()
         if n:
-            wh.append(
+            sink(
                 table, new_rows.select(*[f.name for f in wh.read(table).schema.fields])
             )
     finally:
@@ -204,10 +210,13 @@ def load_satellite(
     satellite_key: str,
     dw_schema: str = "dw",
     load_ts: datetime.datetime | None = None,
+    writer=None,
 ) -> int:
     """Anti-join (hk, hd) insert of new/changed satellite rows
-    (dv_loader.rs:339-346). Returns rows appended."""
+    (dv_loader.rs:339-346). Returns rows appended. ``writer`` as in
+    ``load_hub``."""
     table = f"{dw_schema}.sat_{satellite_key}"
+    sink = writer or wh.append
     hk = f"hub_{business_key.name}_hk"
     hd = f"sat_{satellite_key}_hd"
     staged = _with_partition_cols(
@@ -219,12 +228,43 @@ def load_satellite(
     try:
         n = new_rows.count()
         if n:
-            wh.append(
+            sink(
                 table, new_rows.select(*[f.name for f in wh.read(table).schema.fields])
             )
     finally:
         new_rows.unpersist()
     return n
+
+
+def load_dv_atomic(
+    wh: Warehouse,
+    source: DataFrame,
+    business_key: BusinessKey,
+    dw_schema: str = "dw",
+    load_ts: datetime.datetime | None = None,
+) -> dict[str, int]:
+    """The reference's one-transaction load script over the Warehouse
+    (controller/dv_loader.rs:59-64 runs hub+satellite inserts in ONE
+    Postgres transaction): the hub and every satellite land in one
+    multi-table commit. Per-table idempotency (anti-join) already makes
+    a crashed load re-runnable; the transaction additionally removes
+    the WINDOW where the hub shows keys whose satellite rows are not
+    yet visible -- readers see the batch entirely or not at all (at
+    pointer-swap granularity; see SCALE.md on cross-table read
+    isolation)."""
+    tables = [f"{dw_schema}.hub_{business_key.name}"] + [
+        f"{dw_schema}.sat_{key}" for key in business_key.satellites()
+    ]
+    counts: dict[str, int] = {}
+    with wh.transaction(tables) as txn:
+        counts[f"hub_{business_key.name}"] = load_hub(
+            wh, source, business_key, dw_schema, load_ts, writer=txn.append
+        )
+        for key in business_key.satellites():
+            counts[f"sat_{key}"] = load_satellite(
+                wh, source, business_key, key, dw_schema, load_ts, writer=txn.append
+            )
+    return counts
 
 
 def load_hub_multi(

@@ -245,3 +245,46 @@ def test_transaction_staged_append_is_atomic_with_overwrite(spark, warehouse_dir
         txn.overwrite("dv.sat", _df(spark, "y", n=2))
     assert _vals(wh, "dv.hub") == {f"old_hub{i}" for i in range(4)} | {"x0", "x1"}
     assert _vals(wh, "dv.sat") == {"y0", "y1"}
+
+
+def test_atomic_dv_load_all_or_nothing(spark, warehouse_dir, monkeypatch):
+    """load_dv_atomic: hub + satellites land in one commit; a failure
+    mid-load leaves NOTHING visible; the re-run completes everything
+    and matches the non-atomic loaders' final state."""
+    import pg_auto_dw_spark.build.loader as loader_mod
+    from pg_auto_dw_spark.build.ddl import hub_schema, satellite_schemas
+    from pg_auto_dw_spark.build.loader import load_dv_atomic
+    from pg_auto_dw_spark.queries_catalog import customer_business_key
+    from pg_auto_dw_spark.sources import load_table
+
+    bk = customer_business_key()
+    wh = Warehouse(spark, warehouse_dir)
+    wh.create_table(f"dw.hub_{bk.name}", hub_schema(bk))
+    for name, schema in satellite_schemas(bk).items():
+        wh.create_table(f"dw.{name}", schema)  # names come pre-prefixed
+    cust = load_table(spark, "/root/testdata/sf0.001", "customer")
+
+    # sabotage the satellite leg on the first attempt
+    real_load_satellite = loader_mod.load_satellite
+
+    def boom(*a, **k):
+        raise RuntimeError("satellite leg failed")
+
+    monkeypatch.setattr(loader_mod, "load_satellite", boom)
+    with pytest.raises(RuntimeError, match="satellite leg failed"):
+        load_dv_atomic(wh, cust, bk)
+    monkeypatch.setattr(loader_mod, "load_satellite", real_load_satellite)
+    # the hub leg ran before the crash, but NOTHING is visible
+    assert wh.read(f"dw.hub_{bk.name}").count() == 0
+
+    counts = load_dv_atomic(wh, cust, bk)
+    n_cust = cust.count()
+    assert counts[f"hub_{bk.name}"] == n_cust + 2  # ghosts + every key
+    hub_n = wh.read(f"dw.hub_{bk.name}").count()
+    assert hub_n == n_cust + 2
+    for key in bk.satellites():
+        assert wh.read(f"dw.sat_{key}").count() > 0
+    # idempotent: a second atomic run appends nothing
+    counts2 = load_dv_atomic(wh, cust, bk)
+    assert all(v == 0 for v in counts2.values())
+    assert wh.read(f"dw.hub_{bk.name}").count() == hub_n
