@@ -347,3 +347,65 @@ def leakage_safe_split(
         .otherwise(F.lit("train"))
         .alias("split"),
     )
+
+
+def remove_repeated_segments(
+    df: DataFrame,
+    seg_words: int = 10,
+    max_docs: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Boilerplate removal at segment grain (the C4/RefinedWeb
+    line-dedup step, adapted to newline-free corpora): split each doc
+    into non-overlapping ``seg_words``-word segments, drop every
+    segment that occurs in more than ``max_docs`` distinct documents
+    (navigation chrome, license banners, templated headers), and
+    reassemble the survivors in order.
+
+    Scale shape: the explode is scan-bound; one shuffle counts
+    distinct docs per segment (map-side partial); the boilerplate set
+    is by construction the corpus-FREQUENT segments (small), so the
+    removal anti-join broadcasts it; one final shuffle reassembles per
+    doc. No all-pairs anything.
+
+    Output: (id, clean_text, n_segments, n_removed) -- docs whose
+    every segment was boilerplate survive with empty clean_text.
+    """
+    words = F.split(F.col(text_col), " ")
+    n_segs = F.greatest(F.lit(1), F.ceil(F.size(words) / F.lit(seg_words)).cast("long"))
+    segs = df.select(
+        F.col(id_col),
+        words.alias("__w"),
+        F.explode(F.sequence(F.lit(0), n_segs - 1)).alias("seg_id"),
+    ).select(
+        id_col,
+        "seg_id",
+        F.array_join(
+            F.slice(F.col("__w"), F.col("seg_id") * seg_words + 1, seg_words), " "
+        ).alias("seg"),
+    )
+    boiler = (
+        segs.groupBy("seg")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .filter(F.col("__nd") > max_docs)
+        .select("seg")
+    )
+    kept = segs.join(F.broadcast(boiler), "seg", "left_anti")
+    clean = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_id", "seg"))),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("__kept"),
+    )
+    base = df.select(F.col(id_col), n_segs.alias("n_segments"))
+    return base.join(clean, id_col, "left").select(
+        id_col,
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        "n_segments",
+        (F.col("n_segments") - F.coalesce(F.col("__kept"), F.lit(0))).alias("n_removed"),
+    )

@@ -44,9 +44,9 @@ def register(name: str, sql: str | None):
 # queries exercised inside status_source_column / the composite loads).
 # NOTE for round 6: whatever sits in the registration tail past the
 # ~50-query cap this round must rotate into _PRIORITY next round --
-# with 93 registered and a 50 cap that is exactly 43 resting queries,
+# with 95 registered and a 50 cap that is exactly 45 resting queries,
 # every one green in r4 or earlier this round (one-round gap, within
-# policy). Round 6 MUST set _PRIORITY = that 43-query tail (filling
+# policy). Round 6 MUST set _PRIORITY = that 45-query tail (filling
 # the remaining 7 slots from this round's list), demoting this
 # round's entries; from round 6 on the cap forces a strict two-round
 # rotation -- keep the resting set always = the set verified in the
@@ -67,6 +67,8 @@ _PRIORITY = [
     "lineitem_stats_by_flag",  # new round-5 shape (moment aggregates)
     "documents_pii_redaction",  # new round-5 operator (PII scrubbing)
     "documents_leakfree_split",  # new round-5 operator (leak-safe split)
+    "documents_boilerplate_removal",  # new round-5 operator (segment dedup)
+    "customer_balance_ranks",  # new round-5 shape (ranking family)
     "events_asof_last_purchase",  # new round-5 operator
     "pit_user_daily",  # new round-5 operator
     "events_range_click_attribution",  # new round-5 operator
@@ -3630,4 +3632,75 @@ def documents_leakfree_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return leakage_safe_split(docs, val_fraction=0.1).select(
         "doc_id", F.col("group_rep").cast("long").alias("group_rep"), "split"
+    )
+
+
+@register(
+    "documents_boilerplate_removal",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    c AS (SELECT doc_id,
+                 UNNEST(range(GREATEST(1, CAST(ceil(len(w) / 10.0) AS BIGINT)))) AS seg_id,
+                 w
+          FROM w),
+    seg AS (SELECT doc_id, seg_id,
+                   array_to_string(list_slice(w, seg_id * 10 + 1, seg_id * 10 + 10), ' ') AS seg
+            FROM c),
+    boiler AS (SELECT seg FROM seg GROUP BY seg HAVING COUNT(DISTINCT doc_id) > 1),
+    kept AS (SELECT s.* FROM seg s WHERE s.seg NOT IN (SELECT seg FROM boiler)),
+    clean AS (SELECT doc_id,
+                     string_agg(seg, ' ' ORDER BY seg_id) AS clean_text,
+                     COUNT(*) AS kept_n
+              FROM kept GROUP BY doc_id),
+    base AS (SELECT doc_id, GREATEST(1, CAST(ceil(len(w) / 10.0) AS BIGINT)) AS n_segments
+             FROM w)
+    SELECT b.doc_id,
+           COALESCE(c2.clean_text, '') AS clean_text,
+           b.n_segments,
+           b.n_segments - COALESCE(c2.kept_n, 0) AS n_removed
+    FROM base b LEFT JOIN clean c2 ON b.doc_id = c2.doc_id
+    """,
+)
+def documents_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate removal (functions/corpus.py
+    remove_repeated_segments): 10-word segments occurring in more than
+    one document are struck from every doc; segments unique to their
+    doc reassemble in order. The boilerplate set is corpus-frequent
+    (small -> broadcast anti-join)."""
+    from .functions.corpus import remove_repeated_segments
+
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_repeated_segments(docs, seg_words=10, max_docs=1)
+
+
+@register(
+    "customer_balance_ranks",
+    """
+    SELECT c_custkey, c_mktsegment,
+           DENSE_RANK()   OVER w AS bal_dense_rank,
+           NTILE(4)       OVER w AS bal_quartile,
+           ROUND(PERCENT_RANK() OVER w, 9) AS bal_pct_rank,
+           ROUND(CUME_DIST()    OVER w, 9) AS bal_cume_dist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def customer_balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function family (dense_rank / ntile / percent_rank /
+    cume_dist) per market segment -- one shuffle on the segment key
+    serves all four windows (shared partitioning + ordering);
+    deterministic tiebreak on the key column."""
+    from pyspark.sql.window import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), "c_custkey"
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.dense_rank().over(w).alias("bal_dense_rank"),
+        F.ntile(4).over(w).alias("bal_quartile"),
+        F.round(F.percent_rank().over(w), 9).alias("bal_pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("bal_cume_dist"),
     )

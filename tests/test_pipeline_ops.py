@@ -696,3 +696,24 @@ def test_leakage_safe_split_cluster_aware(spark, sf_dir):
         .count()
     )
     assert mixed == 0
+
+
+def test_remove_repeated_segments_strikes_cross_doc_boilerplate(spark):
+    from pg_auto_dw_spark.functions.corpus import remove_repeated_segments
+
+    banner = "all rights reserved please click here to subscribe now today"  # 10 words
+    u1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    u2 = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [
+            (1, f"{banner} {u1}"),
+            (2, f"{banner} {u2}"),
+            (3, banner),  # pure boilerplate
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in remove_repeated_segments(df).collect()}
+    assert out[1]["clean_text"] == u1 and out[1]["n_removed"] == 1
+    assert out[2]["clean_text"] == u2 and out[2]["n_removed"] == 1
+    assert out[3]["clean_text"] == "" and out[3]["n_removed"] == 1
+    assert out[3]["n_segments"] == 1
