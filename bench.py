@@ -64,6 +64,9 @@ HEADLINE = [
     "gdpr_delete_customer",
     "q18_large_volume_orders",
     "orders_rolling_revenue",
+    "documents_pii_redaction",
+    "documents_leakfree_split",
+    "documents_boilerplate_removal",
 ]
 
 
