@@ -384,7 +384,10 @@ def remove_repeated_segments(
         F.array_join(
             F.slice(F.col("__w"), F.col("seg_id") * seg_words + 1, seg_words), " "
         ).alias("seg"),
-    )
+        # pin: the segment explode feeds both the frequency count and the
+        # removal anti-join -- one materialization, plan-keyed cache
+        # (same immutable-corpus contract as similarity.brute_force_topk)
+    ).persist()
     boiler = (
         segs.groupBy("seg")
         .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
