@@ -388,13 +388,20 @@ def remove_repeated_segments(
         # removal anti-join -- one materialization, plan-keyed cache
         # (same immutable-corpus contract as similarity.brute_force_topk)
     ).persist()
+    # Frequency count and removal join key on the segment's 64-bit hash,
+    # not the segment text: the shuffle moves 8 bytes per row instead of
+    # the ~seg_words*6-byte string (the key saving at corpus scale). A
+    # hash collision could strike an innocent segment -- at 64 bits and
+    # corpus-realistic segment counts the probability is negligible, and
+    # the failure mode is over-removal, never under-removal.
+    segs = segs.withColumn("__h", F.xxhash64("seg"))
     boiler = (
-        segs.groupBy("seg")
+        segs.groupBy("__h")
         .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
         .filter(F.col("__nd") > max_docs)
-        .select("seg")
+        .select("__h")
     )
-    kept = segs.join(F.broadcast(boiler), "seg", "left_anti")
+    kept = segs.join(F.broadcast(boiler), "__h", "left_anti")
     clean = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(
