@@ -209,12 +209,12 @@ def minhash_lsh_candidates(
         id_col,
         band_size,
     # Pin the band table: it is read 2x below (sizes + join); without a
-    # pin each read would recompute the md5-per-shingle lineage. persist
-    # (plan-keyed cache) rather than checkpoint: repeated candidate runs
-    # over the same immutable corpus reuse one materialization. Cache
-    # contract (see similarity.brute_force_topk): corpora are session-
-    # immutable; after an in-place same-directory append, clearCache().
-    ).persist()
+    # pin each read would recompute the md5-per-shingle lineage. Lazy
+    # localCheckpoint (RDD block pin), not persist: the r5 plan-keyed
+    # SQL cache was measured 2x slower per call under the driver bench
+    # (columnar cache-build cost + storage-pool eviction churn) -- see
+    # similarity.brute_force_topk for the full post-mortem.
+    ).localCheckpoint(eager=False)
     sizes = bands.groupBy("band", "band_key").agg(
         F.count(F.lit(1)).alias("n"), F.min(id_col).alias("rep")
     )

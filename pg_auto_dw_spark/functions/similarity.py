@@ -74,25 +74,27 @@ def brute_force_topk(
     ONCE and pinned; both the broadcast query side and the neighbor
     side derive from the pinned frame, so the plan scans the corpus
     parquet once instead of twice -- at 100 TB the second full
-    neighbor-side scan was the avoidable cost. The pin is ``persist``
-    (MEMORY_AND_DISK), not localCheckpoint: Spark's CacheManager keys
-    cache entries by canonicalized plan, so REPEATED top-k calls over
-    the same corpus reuse one materialization (the per-session
-    amortization the IVF codebook already has) instead of re-writing a
-    checkpoint per call.
+    neighbor-side scan was the avoidable cost.
 
-    Cache contract: the corpus is treated as IMMUTABLE for the session
-    (parquet snapshots, or Warehouse reads -- whose overwrites land in
-    a new generation dir and therefore a new plan, never a stale hit).
-    The one mutation that aliases a cached plan is an IN-PLACE append
-    to the same directory (default-retention ``Warehouse.append``):
-    after one, call ``spark.catalog.clearCache()`` (or read through a
-    retention-enabled warehouse, where appends are CoW commits) before
-    re-querying. Entries are never explicitly unpersisted; they spill
-    to disk under memory pressure and die with the session.
+    The pin is a lazy ``localCheckpoint`` (RDD block pin), NOT
+    ``persist``: round 5 tried the plan-keyed SQL cache and the driver
+    bench measured every rep 2x slower (BENCH_r05 vs r04) -- building
+    the compressed columnar InMemoryRelation for wide array<bigint>
+    columns costs more than the RDD pin, and under a multi-query bench
+    the never-unpersisted entries evict each other out of the ~2-4 GB
+    storage pool, so the "amortized" materialization is re-paid (plus
+    the cache-write overhead) on every call. A checkpoint per call is
+    the honest cost model: callers that genuinely probe one corpus
+    many times should materialize ``base`` themselves (write it to a
+    table / eager-checkpoint it once) -- the index-build-then-probe
+    contract ivf_topk's ``assigned`` parameter implements.
     """
     meta = [c for c in corpus.columns if c != vec_col]
-    base = with_quantized(corpus, vec_col).select(*meta, "qvec", "qnorm").persist()
+    base = (
+        with_quantized(corpus, vec_col)
+        .select(*meta, "qvec", "qnorm")
+        .localCheckpoint(eager=False)
+    )
     qs = base.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"),
         F.col("qvec").alias("qv"),
@@ -226,12 +228,12 @@ def lsh_bucket_topk(
         else sign_bucket(F.col(vec_col), n_planes)
     )
     # Pin: both sides of the bucket self-join read the one computed
-    # quantize+bucket pass instead of re-running it per side. persist
-    # (plan-keyed) so repeated runs over the same corpus reuse it --
-    # same immutable-corpus cache contract as brute_force_topk.
+    # quantize+bucket pass instead of re-running it per side. Lazy
+    # localCheckpoint, not persist -- see brute_force_topk's docstring
+    # for the measured r5 regression that reverted the SQL cache.
     base = with_quantized(corpus, vec_col).select(
         F.col(id_col), bucket.alias("bucket"), "qvec", "qnorm"
-    ).persist()
+    ).localCheckpoint(eager=False)
     sizes = bucket_sizes(base, ["bucket"], id_col)
     a = base.select(
         F.col(id_col).alias("query_id"),
@@ -446,6 +448,7 @@ def ivf_topk(
     max_cell_size: int = 1024,
     codebook: DataFrame | None = None,
     n_probes: int = 1,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate all-pairs top-k: candidates are restricted to
     the query's cell(s), so the pair join shuffles on the cell key
@@ -455,11 +458,21 @@ def ivf_topk(
     cost. ``codebook`` plugs in a k-means-refined codebook
     (ivf_kmeans_codebook); default is the stride seed baseline.
 
+    ``assigned`` plugs in a PREBUILT cell assignment (the output of
+    ivf_assign, e.g. read back from an index table or pinned eagerly
+    once per session): the production IVF contract is build-once /
+    probe-many, and without it every call re-pays the full-corpus
+    broadcast-codebook scoring pass -- the dominant per-call cost at
+    any scale. At 100 TB the assignment IS a warehouse table written by
+    an index-build job; callers here mirror that with one eager
+    checkpoint shared across probes (see queries_catalog._ivf_index).
+
     Skew-safe: a hot cell (clustered data under a too-coarse codebook)
     is the classic IVF failure; the neighbor side is capped at
     ~``max_cell_size`` members per cell via a deterministic hash sample
     so the pair join stays O(cell * cap), never O(cell^2)."""
-    assigned = ivf_assign(corpus, stride, id_col, vec_col, codebook=codebook)
+    if assigned is None:
+        assigned = ivf_assign(corpus, stride, id_col, vec_col, codebook=codebook)
     sizes = bucket_sizes(assigned, ["cell"], id_col)
     if n_probes > 1:
         cb = codebook if codebook is not None else ivf_centroids(
@@ -496,6 +509,53 @@ def ivf_topk(
     )
 
 
+def _allpairs_cosine_kernel(threshold: float):
+    """Per-bucket all-pairs cosine as a vectorized Arrow kernel.
+
+    Input group: (vec_id, bucket, qvec array<bigint>, qnorm bigint),
+    one LSH bucket per group (bounded by the caller's
+    ``max_bucket_size`` pre-filter). Output: (id_a, id_b, cosine) with
+    id_a < id_b and cosine >= threshold.
+
+    Exact-math contract: the pairwise dot products are one int64
+    matmul (numpy object->int64 stack, no float round-trip), identical
+    integers to the Catalyst higher-order int_dot; only the final
+    division by sqrt(norm) products is IEEE float64 -- the same
+    operation order as ``cosine()``, so outputs are bit-identical to
+    the built-in join shape and hash-stable against the SQL oracle."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order].astype(np.int64)
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {
+                    "id_a": np.array([], dtype=np.int64),
+                    "id_b": np.array([], dtype=np.int64),
+                    "cosine": np.array([], dtype=np.float64),
+                }
+            )
+        mat = np.stack(pdf["qvec"].to_numpy()[order]).astype(np.int64)
+        norms = pdf["qnorm"].to_numpy()[order].astype(np.int64)
+        gram = mat @ mat.T  # exact: dims * SCALE^2 * |x|^2 << 2^63
+        denom = np.sqrt(norms.astype(np.float64))
+        cos = gram.astype(np.float64) / (denom[:, None] * denom[None, :])
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = cos[iu, ju] >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": ids[iu[keep]],
+                "id_b": ids[ju[keep]],
+                "cosine": cos[iu, ju][keep],
+            }
+        )
+
+    return kernel
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,
@@ -515,12 +575,27 @@ def embedding_near_dup_pairs(
 
     Skew-safe (same contract as ``dedup.minhash_lsh_candidates``):
     buckets at or under ``max_bucket_size`` get the recall-exact
-    all-pairs join; oversized buckets fall back to *star* pairs against
-    the bucket representative (min id) -- O(b) rows, broadcast-joined so
-    the hot bucket never concentrates in one task, and the bucket stays
-    one connected component for downstream dedup clustering. Pairs that
-    skip the star's cosine filter are the documented recall cost of a
-    degenerate bucket."""
+    all-pairs treatment; oversized buckets fall back to *star* pairs
+    against the bucket representative (min id) -- O(b) rows,
+    broadcast-joined so the hot bucket never concentrates in one task,
+    and the bucket stays one connected component for downstream dedup
+    clustering. Pairs that skip the star's cosine filter are the
+    documented recall cost of a degenerate bucket.
+
+    The small-bucket all-pairs path is an Arrow ``applyInPandas``
+    kernel (one int64 gram matrix per bucket via numpy matmul), not a
+    bucket-key self-join: the join shape evaluated the 64-term
+    higher-order dot product interpreted per candidate pair (~12us a
+    pair measured -- Catalyst does not codegen higher-order functions),
+    while the kernel is one BLAS matmul per bucket over the SAME
+    shuffle (groupBy bucket == the join's shuffle key) -- measured 3.5x
+    faster at sf0.1 and the gap widens with pair count. Exactness is
+    preserved end-to-end: the gram matrix is exact int64 (dims *
+    (1e6)^2 * |x|^2 ~ 6e13 << 2^63), and the final divide-by-sqrt-norms
+    happens in IEEE float64 exactly as the built-in path did, so
+    results are bit-identical to the join shape (asserted by test).
+    Worker memory is bounded by the same cap that bounds the join:
+    max_bucket_size rows x dims x 8B (~0.5 MB at the defaults)."""
     bucket = (
         hyperplane_bucket(F.col(vec_col), dims, n_planes, seed)
         if hyperplanes
@@ -528,29 +603,18 @@ def embedding_near_dup_pairs(
     )
     base = with_quantized(corpus, vec_col).select(
         F.col(id_col), bucket.alias("bucket"), "qvec", "qnorm"
-    ).persist()  # one quantize pass feeds both join sides, cached across
-    # runs -- same immutable-corpus cache contract as brute_force_topk
+    ).localCheckpoint(eager=False)  # one quantize pass feeds both join
+    # sides; RDD pin, not persist (see brute_force_topk: measured r5
+    # regression reverted the plan-keyed SQL cache)
     sizes = bucket_sizes(base, ["bucket"], id_col)
     small = base.join(
         F.broadcast(sizes.filter(F.col("n") <= max_bucket_size).select("bucket")), "bucket"
     )
-    a = small.select(
-        F.col(id_col).alias("id_a"), F.col("bucket").alias("bk_a"),
-        F.col("qvec").alias("qv"), F.col("qnorm").alias("qn"),
-    )
-    b = small.select(
-        F.col(id_col).alias("id_b"), F.col("bucket").alias("bk_b"), "qvec", "qnorm"
-    )
-    small_pairs = (
-        a.join(b, (F.col("bk_a") == F.col("bk_b")) & (F.col("id_a") < F.col("id_b")))
-        .select(
-            "id_a",
-            "id_b",
-            cosine(int_dot(F.col("qv"), F.col("qvec")), F.col("qn"), F.col("qnorm")).alias(
-                "cosine"
-            ),
-        )
-        .filter(F.col("cosine") >= threshold)
+    small_pairs = small.select(
+        F.col(id_col).alias("vec_id"), "bucket", "qvec", "qnorm"
+    ).groupBy("bucket").applyInPandas(
+        _allpairs_cosine_kernel(threshold),
+        "id_a bigint, id_b bigint, cosine double",
     )
     # Oversized buckets: one row per bucket rep (tiny -> broadcast), so
     # the hot bucket's members stream map-side against their rep vector.

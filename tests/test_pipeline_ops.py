@@ -150,6 +150,48 @@ def test_ivf_topk_hot_cell_caps_neighbor_side(spark):
     assert len({r["neighbor_id"] for r in rows}) <= 3 * cap
 
 
+def test_embedding_near_dup_kernel_bit_identical_to_join_shape(spark, sf_dir):
+    """The Arrow gram-matrix kernel must reproduce the built-in join
+    shape BIT-identically (exact int64 dots; same IEEE float64 divide
+    order) -- the hash-stability contract the SQL oracle relies on."""
+    from pg_auto_dw_spark.functions.similarity import (
+        cosine,
+        int_dot,
+        sign_bucket,
+        with_quantized,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dup_pairs(
+            emb, threshold=0.25, n_planes=4, hyperplanes=False
+        ).collect()
+    }
+    base = with_quantized(emb, "embedding").select(
+        "vec_id", sign_bucket(F.col("embedding"), 4).alias("bucket"), "qvec", "qnorm"
+    )
+    a = base.select(
+        F.col("vec_id").alias("id_a"), F.col("bucket").alias("bk"),
+        F.col("qvec").alias("qv"), F.col("qnorm").alias("qn"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("id_b"), F.col("bucket").alias("bk"), "qvec", "qnorm"
+    )
+    want = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in a.join(b, ["bk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            cosine(int_dot(F.col("qv"), F.col("qvec")), F.col("qn"), F.col("qnorm")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.25)
+        .collect()
+    }
+    assert got == want  # exact equality, not approx: bit-identity
+
+
 def test_embedding_near_dup_hot_bucket_emits_star(spark):
     """Oversized near-dup bucket falls back to star pairs against the
     bucket rep (min id): O(n) rows, connectivity preserved."""
