@@ -52,6 +52,26 @@ def _latest_per_key(batch: DataFrame, key_cols: list[str], order_col: str) -> Da
     )
 
 
+def _touched_partitions_cond(pcols: list[str], touched: list[tuple]):
+    """Null-safe membership predicate for the touched-partition set.
+
+    ``isin`` / ``==`` return NULL (never true) against a NULL partition
+    value, so a batch carrying rows in the null partition would fail to
+    select that partition's current rows -- the dynamic overwrite would
+    then replace the whole null partition with the batch rows only,
+    silently deleting the unmatched current rows (r5 review finding).
+    ``eqNullSafe`` also makes the predicate total (true/false, never
+    NULL), so the negated form used by verify_partition_contract sees
+    the null partition too."""
+    cond = F.lit(False)
+    for t in touched:
+        m = F.lit(True)
+        for c, v in zip(pcols, t):
+            m = m & F.col(c).eqNullSafe(F.lit(v))
+        cond = cond | m
+    return cond
+
+
 def merge_upsert(
     wh: Warehouse,
     table: str,
@@ -107,31 +127,11 @@ def merge_upsert(
         touched = [
             tuple(r) for r in batch.select(*pcols).distinct().collect()
         ]  # metadata-sized: one row per touched partition
-        cur = wh.read(table)
-        if len(pcols) == 1:
-            cur = cur.filter(F.col(pcols[0]).isin([t[0] for t in touched]))
-        else:
-            cond = F.lit(False)
-            for t in touched:
-                m = F.lit(True)
-                for c, v in zip(pcols, t):
-                    m = m & (F.col(c) == F.lit(v))
-                cond = cond | m
-            cur = cur.filter(cond)
+        cur = wh.read(table).filter(_touched_partitions_cond(pcols, touched))
         if verify_partition_contract:
-            outside = wh.read(table)
-            if len(pcols) == 1:
-                outside = outside.filter(
-                    ~F.col(pcols[0]).isin([t[0] for t in touched])
-                )
-            else:
-                cond = F.lit(False)
-                for t in touched:
-                    m = F.lit(True)
-                    for c, v in zip(pcols, t):
-                        m = m & (F.col(c) == F.lit(v))
-                    cond = cond | m
-                outside = outside.filter(~cond)
+            outside = wh.read(table).filter(
+                ~_touched_partitions_cond(pcols, touched)
+            )
             stray = (
                 outside.select(*key_cols)
                 .join(batch.select(*key_cols), on=key_cols, how="left_semi")
@@ -304,8 +304,21 @@ def delete_keys(
     keys = sorted(r[0] for r in keys_rows if r[0] is not None)
     if not keys:
         return {"rows_deleted": 0, "files_rewritten": 0, "files_carried": len(wh.data_files(table))}
-    ktype = "long" if isinstance(keys[0], int) else ("string" if isinstance(keys[0], str) else "double")
-    key_lit = wh.spark.createDataFrame([(k,) for k in keys], f"{key_col} {ktype}")
+    # Build the key-literal frame with the TABLE's column type, not a
+    # type sniffed from the first collected value (r5 review finding:
+    # isinstance guessing mistyped date/timestamp/decimal/boolean keys,
+    # yielding a wrong schema or an opaque createDataFrame failure).
+    try:
+        key_field = next(
+            f for f in wh.read(table).schema.fields if f.name == key_col
+        )
+    except StopIteration:
+        raise ValueError(f"delete_keys: column {key_col!r} not in table {table}")
+    from pyspark.sql.types import StructField, StructType
+
+    key_lit = wh.spark.createDataFrame(
+        [(k,) for k in keys], StructType([StructField(key_col, key_field.dataType)])
+    )
     if table not in wh._partitioning:
         # read-modify-write inside the lock, like the partitioned path:
         # a concurrent merge committing between our read and overwrite

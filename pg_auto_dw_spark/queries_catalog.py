@@ -34,74 +34,62 @@ def register(name: str, sql: str | None):
     return deco
 
 
-# The driver verifies queries in dict order and may cap how many it runs
-# (r2-r4 each ran 50; later registrations got no CORRECTNESS row).
-# Rotation policy: no query goes two rounds unverified. _PRIORITY runs
-# first: the eight queries with no green r4 row (the r4 rotation tail
-# plus the three never-capped stragglers) — each was last green in r3.
-# _DEPRIORITIZED runs last: queries green in r4 whose operator coverage
-# is redundant with another recent green row (the r4 _PRIORITY set plus
-# queries exercised inside status_source_column / the composite loads).
-# NOTE for round 6: whatever sits in the registration tail past the
-# ~50-query cap this round must rotate into _PRIORITY next round --
-# with 95 registered and a 50 cap that is exactly 45 resting queries,
-# every one green in r4 or earlier this round (one-round gap, within
-# policy). Round 6 MUST set _PRIORITY = that 45-query tail (filling
-# the remaining 7 slots from this round's list), demoting this
-# round's entries; from round 6 on the cap forces a strict two-round
-# rotation -- keep the resting set always = the set verified in the
-# immediately-preceding round, and REGISTER NO QUERIES BEYOND 100
-# (two-round rotation saturates there). Exact tail:
+# The driver verifies queries in dict order and may cap how many it
+# runs (r2-r5 each ran 50; later registrations got no CORRECTNESS row).
+# Rotation policy: no query goes two rounds unverified; with a 50-slot
+# cap and <=100 registered queries the rotation is a strict two-round
+# cycle -- _PRIORITY is exactly the set that RESTED last round (plus
+# any query added or reshaped this round), _DEPRIORITIZED is the set
+# verified last round.
+# Round 6 state: _PRIORITY = the 45-query r5 registration tail (all
+# green in r4 or earlier; one-round gap, within policy) +
+# events_value_quantile_sketch (reshaped to scalar rows this round; the
+# only query never green) + this round's new registrations.
+# NOTE for round 7: set _PRIORITY = this round's resting set (the keys
+# of CORRECTNESS_r06, i.e. today's priority head that actually ran) --
+# swap the two lists and fold any r7 additions into priority. REGISTER
+# NO QUERIES BEYOND 100 (two-round rotation saturates there). Resting
+# set snapshot:
 # python -c "from pg_auto_dw_spark import queries_catalog as q; \
 #            print(list(q.queries())[50:])"
 _PRIORITY = [
-    "dim_upsert_customer",  # new round-5 operator (merge verbs)
-    "gdpr_delete_customer",  # new round-5 operator (merge verbs)
-    "q4_late_shipment_priority",  # new round-5 shape (EXISTS semi)
-    "q13_order_count_distribution",  # new round-5 shape (LEFT JOIN distribution)
-    "q18_large_volume_orders",  # new round-5 shape (HAVING + join back)
-    "q22_inactive_rich_customers",  # new round-5 shape (scalar subquery + anti)
-    "orders_rolling_revenue",  # new round-5 shape (ROWS BETWEEN window)
-    "schema_evolution_customer",  # new round-5 operator (zero-rewrite ADD COLUMN)
-    "time_travel_versions",  # new round-5 operator (snapshot reads)
-    "lineitem_stats_by_flag",  # new round-5 shape (moment aggregates)
-    "documents_pii_redaction",  # new round-5 operator (PII scrubbing)
-    "documents_leakfree_split",  # new round-5 operator (leak-safe split)
-    "documents_boilerplate_removal",  # new round-5 operator (segment dedup)
-    "customer_balance_ranks",  # new round-5 shape (ranking family)
-    "events_asof_last_purchase",  # new round-5 operator
-    "pit_user_daily",  # new round-5 operator
-    "events_range_click_attribution",  # new round-5 operator
-    "events_range_same_user_attribution",  # new round-5 operator
-    "documents_stratified_sample",  # new round-5 operator
-    "documents_sample_fixed_n",  # new round-5 operator
-    "documents_mixture_sample",  # new round-5 operator
-    "events_salted_type_stats",  # new round-5 operator
-    "events_distinct_users_by_type",  # new round-5 operator
-    "events_heavy_hitter_users",  # new round-5 operator
-    "events_value_quantile_sketch",  # new round-5 operator (rows-only)
-    "events_customer_salted_join",  # new round-5 operator
-    "part_fuzzy_name_pairs",  # new round-5 operator
-    "documents_keyword_tfidf",  # new round-5 operator
-    "events_type_pivot",  # new round-5 operator
-    "events_cube_type_day",  # new round-5 operator
-    "events_interarrival_stats",  # new round-5 operator
-    "events_value_median_by_type",  # new round-5 operator
-    "events_click_purchase_funnel",  # new round-5 operator
-    "events_value_winsorized_stats",  # new round-5 operator
-    "dedup_ngram_containment",  # new round-5 operator
-    "ann_cosine_topk_filtered",  # new round-5 operator
-    "documents_chunked_windows",  # new round-5 operator
-    "status_window_flags",
-    "latest_transformer_responses",
-    "orders_json_payload",
-    "multimodal_resize",
-    "events_props_json_extract",
-    "multimodal_features",
-    "sat_current_view",
-    "dv_round_trip_customer",
-]
-_DEPRIORITIZED = [
+    "scd2_merge_state",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "top_orders_per_customer",
+    "events_hourly_rollup",
+    "events_rollup_hierarchy",
+    "events_sessionize",
+    "part_name_tokens_explode",
+    "orders_without_lineitems_anti",
+    "customer_order_coalesce_outer",
+    "text_language_id",
+    "text_quality_scores",
+    "text_token_counts",
+    "corpus_token_budget_sample",
+    "text_fingerprints",
+    "dedup_exact_documents",
+    "dedup_minhash_lsh_pairs",
+    "dedup_clusters",
+    "corpus_clean_docs",
+    "corpus_clean_summary",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "ann_cosine_topk",
+    "ann_lsh_bucket_topk",
+    "ann_ivf_topk",
+    "ann_ivf_kmeans_assign",
+    "dedup_embedding_cosine",
+    "multimodal_decode_stats",
+    "multimodal_frame_samples",
+    "pending_tables_cutoff",
+    "source_table_prompt_payload",
+    "auto_dw_hash_parity",
+    "source_table_demo_values",
+    "hub_load_lineitem_composite",
+    "sat_load_lineitem_composite",
+    "link_load_order_part_supplier",
     "scd2_partitioned_merge",
     "corpus_contamination_pairs",
     "corpus_decontaminate",
@@ -110,6 +98,58 @@ _DEPRIORITIZED = [
     "text_repetition",
     "dedup_simhash_hamming",
     "ann_ivf_multiprobe_topk",
+    "events_value_quantile_sketch",  # RESHAPED this round: only-ever-red row, must re-verify
+]
+_DEPRIORITIZED = [
+    "dim_upsert_customer",
+    "gdpr_delete_customer",
+    "q4_late_shipment_priority",
+    "q13_order_count_distribution",
+    "q18_large_volume_orders",
+    "q22_inactive_rich_customers",
+    "orders_rolling_revenue",
+    "schema_evolution_customer",
+    "time_travel_versions",
+    "lineitem_stats_by_flag",
+    "documents_pii_redaction",
+    "documents_leakfree_split",
+    "documents_boilerplate_removal",
+    "customer_balance_ranks",
+    "events_asof_last_purchase",
+    "pit_user_daily",
+    "events_range_click_attribution",
+    "events_range_same_user_attribution",
+    "documents_stratified_sample",
+    "documents_sample_fixed_n",
+    "documents_mixture_sample",
+    "events_salted_type_stats",
+    "events_distinct_users_by_type",
+    "events_heavy_hitter_users",
+    "events_customer_salted_join",
+    "part_fuzzy_name_pairs",
+    "documents_keyword_tfidf",
+    "events_type_pivot",
+    "events_cube_type_day",
+    "events_interarrival_stats",
+    "events_value_median_by_type",
+    "events_click_purchase_funnel",
+    "events_value_winsorized_stats",
+    "dedup_ngram_containment",
+    "ann_cosine_topk_filtered",
+    "documents_chunked_windows",
+    "status_window_flags",
+    "latest_transformer_responses",
+    "orders_json_payload",
+    "multimodal_resize",
+    "events_props_json_extract",
+    "multimodal_features",
+    "sat_current_view",
+    "dv_round_trip_customer",
+    "hub_load_customer",
+    "sat_load_customer",
+    "ghost_records_customer",
+    "status_source_column",
+    "tracking_union_except",
 ]
 
 
@@ -3152,15 +3192,33 @@ def documents_chunked_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate per-type value quantiles + HLL user cardinality --
     single-pass mergeable sketches (no SQL oracle by nature; rank /
-    relative-error bounds are pytest-verified in test_sketch.py)."""
+    relative-error bounds are pytest-verified in test_skew_sketch.py).
+
+    Shape contract (r5 VERDICT directive 1): scalar rows only --
+    (event_type, p, q_value, approx_users), the quantile array exploded
+    against its probability list -- because the driver's rows-only
+    canonicalizer sorts values and cannot hash array cells."""
     from .functions.sketch import approx_distinct, approx_quantiles
 
+    probs = [0.1, 0.5, 0.9, 0.99]
     ev = load_table(spark, sf_dir, "events")
-    q = approx_quantiles(
-        ev, ["event_type"], "value", [0.1, 0.5, 0.9, 0.99]
-    )
+    q = approx_quantiles(ev, ["event_type"], "value", probs)
     d = approx_distinct(ev, ["event_type"], "user_id", rsd=0.02)
-    return q.join(d, "event_type")
+    probs_col = F.array(*[F.lit(p) for p in probs])
+    return (
+        q.join(d, "event_type")
+        .select(
+            "event_type",
+            F.explode(F.arrays_zip(probs_col.alias("p"), F.col("quantiles").alias("q"))).alias("z"),
+            F.col("approx_n_distinct").alias("approx_users"),
+        )
+        .select(
+            "event_type",
+            F.col("z.p").alias("p"),
+            F.col("z.q").alias("q_value"),
+            "approx_users",
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

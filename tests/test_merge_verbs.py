@@ -50,6 +50,78 @@ def test_upsert_updates_matched_inserts_new_carries_rest(spark, wh):
     assert (1, "old1", 1) in got  # untouched partition
 
 
+def test_upsert_null_partition_carries_unmatched_rows(spark, wh):
+    """A batch row landing in the NULL partition must not wipe the
+    partition's unmatched current rows: the touched-partition filter
+    has to be null-safe (r5 review finding -- isin/== never match NULL,
+    so the carry set silently excluded the null partition while the
+    dynamic overwrite still replaced it)."""
+    wh.append(
+        "m.d",
+        spark.createDataFrame(
+            [(200, "n200", None), (201, "n201", None), (202, "n202", None)],
+            SCHEMA,
+        ),
+    )
+    batch = spark.createDataFrame([(200, "NEW200", None)], SCHEMA)
+    stats = merge_upsert(wh, "m.d", batch, key_cols=["k"])
+    assert stats["matched"] == 1 and stats["inserted"] == 0
+    assert stats["carried"] == 2
+    got = _rows(wh, "m.d")
+    assert (200, "NEW200", None) in got
+    assert (201, "n201", None) in got and (202, "n202", None) in got
+    assert (0, "old0", 0) in got  # non-null partitions untouched
+
+
+def test_upsert_null_partition_contract_check_sees_null_rows(spark, wh):
+    """verify_partition_contract must catch a batch key whose current
+    row lives in the NULL partition while the batch places it
+    elsewhere (the negated filter was null-blind pre-fix)."""
+    wh.append(
+        "m.d",
+        spark.createDataFrame([(300, "n300", None)], SCHEMA),
+    )
+    moved = spark.createDataFrame([(300, "MOVED", 2)], SCHEMA)
+    with pytest.raises(ValueError, match="partition contract"):
+        merge_upsert(
+            wh, "m.d", moved, key_cols=["k"], verify_partition_contract=True
+        )
+
+
+def test_delete_keys_typed_from_table_schema(spark, warehouse_dir):
+    """Key literals must take the TABLE's column type: a date key used
+    to be sniffed as double (isinstance fallthrough) and die or
+    mismatch inside createDataFrame (r5 review finding)."""
+    import datetime
+
+    schema = T.StructType(
+        [T.StructField("d", T.DateType()), T.StructField("v", T.StringType())]
+    )
+    wh = Warehouse(spark, warehouse_dir)
+    wh.create_table("m.dates", schema)
+    rows = [
+        (datetime.date(2024, 1, i + 1), f"v{i}") for i in range(6)
+    ]
+    wh.append("m.dates", spark.createDataFrame(rows, schema))
+    victims = spark.createDataFrame(
+        [(datetime.date(2024, 1, 2),), (datetime.date(2024, 1, 5),)],
+        T.StructType([T.StructField("d", T.DateType())]),
+    )
+    stats = delete_keys(wh, "m.dates", victims, key_col="d")
+    assert stats["rows_deleted"] == 2
+    left = {r["d"] for r in wh.read("m.dates").collect()}
+    assert datetime.date(2024, 1, 2) not in left and len(left) == 4
+
+
+def test_delete_keys_unknown_column_raises(spark, warehouse_dir):
+    wh = Warehouse(spark, warehouse_dir)
+    wh.create_table("m.k", SCHEMA)
+    wh.append("m.k", _mk(spark, [(1, "a")]))
+    victims = spark.createDataFrame([(1,)], "nope bigint")
+    with pytest.raises(ValueError, match="not in table"):
+        delete_keys(wh, "m.k", victims, key_col="nope")
+
+
 def test_upsert_untouched_partition_files_not_rewritten(spark, wh):
     before = {
         rel: os.stat(os.path.join(wh.path("m.d"), rel)).st_ino
