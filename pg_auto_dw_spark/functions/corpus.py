@@ -355,6 +355,7 @@ def remove_repeated_segments(
     max_docs: int = 1,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_broadcast_segments: int = 2_000_000,
 ) -> DataFrame:
     """Boilerplate removal at segment grain (the C4/RefinedWeb
     line-dedup step, adapted to newline-free corpora): split each doc
@@ -364,10 +365,19 @@ def remove_repeated_segments(
     reassemble the survivors in order.
 
     Scale shape: the explode is scan-bound; one shuffle counts
-    distinct docs per segment (map-side partial); the boilerplate set
-    is by construction the corpus-FREQUENT segments (small), so the
-    removal anti-join broadcasts it; one final shuffle reassembles per
-    doc. No all-pairs anything.
+    distinct docs per segment (map-side partial); one final shuffle
+    reassembles per doc. No all-pairs anything.
+
+    The removal anti-join's strategy is GUARDED, not assumed (r5
+    review finding): the frequent-segment set is usually small, but
+    with a low ``max_docs`` on a boilerplate-heavy crawl it scales
+    with the corpus -- "appears in >1 document" can be most of a
+    mirrored dataset. The set is therefore counted first (one job over
+    the pinned segment table, so no recompute) and broadcast only at
+    or under ``max_broadcast_segments`` 8-byte hashes (~16 MB at the
+    default); above that the anti-join falls back to a shuffle
+    hash-join on the segment hash -- bounded memory at any corpus
+    size. Same escape-hatch contract as the LSH hot-bucket caps.
 
     Output: (id, clean_text, n_segments, n_removed) -- docs whose
     every segment was boilerplate survive with empty clean_text.
@@ -384,10 +394,12 @@ def remove_repeated_segments(
         F.array_join(
             F.slice(F.col("__w"), F.col("seg_id") * seg_words + 1, seg_words), " "
         ).alias("seg"),
-        # pin: the segment explode feeds both the frequency count and the
-        # removal anti-join -- one materialization, plan-keyed cache
-        # (same immutable-corpus contract as similarity.brute_force_topk)
-    ).persist()
+        # pin: the segment explode feeds the frequency count, the
+        # boiler-set count, and the removal anti-join -- one
+        # materialization. Lazy localCheckpoint (RDD pin), not persist:
+        # see similarity.brute_force_topk for the measured r5 regression
+        # that reverted the plan-keyed SQL cache.
+    ).localCheckpoint(eager=False)
     # Frequency count and removal join key on the segment's 64-bit hash,
     # not the segment text: the shuffle moves 8 bytes per row instead of
     # the ~seg_words*6-byte string (the key saving at corpus scale). A
@@ -400,8 +412,13 @@ def remove_repeated_segments(
         .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
         .filter(F.col("__nd") > max_docs)
         .select("__h")
+        .localCheckpoint(eager=True)  # counted below, then joined: one build
     )
-    kept = segs.join(F.broadcast(boiler), "__h", "left_anti")
+    n_boiler = boiler.count()
+    if n_boiler <= max_broadcast_segments:
+        kept = segs.join(F.broadcast(boiler), "__h", "left_anti")
+    else:
+        kept = segs.join(boiler, "__h", "left_anti")
     clean = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(

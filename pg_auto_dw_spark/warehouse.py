@@ -367,7 +367,19 @@ class Warehouse:
         disk, so completion (not rollback) is always the correct
         direction. Idempotent -- a pointer already naming its journaled
         generation is skipped -- so a crash during recovery just
-        re-runs it."""
+        re-runs it.
+
+        FENCED (r5 review): the journal records each table's
+        pre-commit pointer target; a table whose pointer names neither
+        that dir nor the journaled generation was advanced by a LATER
+        writer (one still initialized across the crash window) and is
+        left alone -- roll-forward must complete the crashed
+        transaction, never undo a newer commit. Journals from before
+        the fence (no "expect" key) keep the old always-swap behavior.
+        A fenced skip trades cross-table atomicity for the newer data:
+        tables swapped pre-crash keep the transaction's generations,
+        the fenced table keeps the newer writer's -- the same
+        last-writer-wins outcome the newer commit already created."""
         with self._txn_guard():
             try:
                 entries = os.listdir(self.root)
@@ -381,14 +393,20 @@ class Warehouse:
 
                 try:
                     with open(jpath) as f:
-                        tables = json.load(f)["tables"]
+                        j = json.load(f)
+                    tables = j["tables"]
                 except (OSError, ValueError, KeyError):
                     continue
+                expect = j.get("expect", {})
                 for name, gen_base in tables.items():
                     gen = os.path.join(self.root, gen_base)
                     with self.lock(name):
-                        if os.path.abspath(self.path(name)) == os.path.abspath(gen):
+                        cur = os.path.basename(os.path.abspath(self.path(name)))
+                        if cur == gen_base:
                             continue  # already swapped (pre-crash or re-run)
+                        if name in expect and cur != expect[name]:
+                            continue  # fenced: pointer advanced past the
+                            # journaled txn -- a newer commit owns it
                         if os.path.isdir(gen):
                             self._commit_generation(name, gen, action="txn-recovery")
                 with contextlib.suppress(OSError):
@@ -1120,7 +1138,20 @@ class _Transaction:
         with open(tmp, "w") as f:
             f.write(
                 json.dumps(
-                    {"tables": {n: os.path.basename(g) for n, g in self._staged.items()}}
+                    {
+                        "tables": {
+                            n: os.path.basename(g) for n, g in self._staged.items()
+                        },
+                        # Fencing (r5 review): each table's pre-commit
+                        # pointer target. Recovery rolls forward only if
+                        # the pointer still names this dir -- a pointer
+                        # that advanced past it means a later writer
+                        # committed after the crash, and swapping back
+                        # would silently undo that newer commit.
+                        "expect": {
+                            n: os.path.basename(wh.path(n)) for n in self._staged
+                        },
+                    }
                 )
             )
             f.flush()

@@ -106,6 +106,48 @@ def test_crash_mid_swap_completes_remaining_tables(spark, warehouse_dir):
     assert not os.path.isfile(jpath)
 
 
+def test_recovery_fenced_by_newer_commit(spark, warehouse_dir):
+    """A table whose pointer advanced PAST the journaled pre-commit
+    target (a still-initialized writer committed between the crash and
+    init) must NOT be rolled back to the stale staged generation; the
+    untouched table still rolls forward (r5 review: journal fencing)."""
+    wh = _setup(spark, warehouse_dir)
+    staged, expect = {}, {}
+    for t, tag in (("dv.hub", "j_hub"), ("dv.sat", "j_sat")):
+        gen = wh._base(t) + "__gen-" + uuid.uuid4().hex[:8]
+        _df(spark, tag).write.mode("overwrite").parquet(gen)
+        staged[t] = os.path.basename(gen)
+        expect[t] = os.path.basename(os.path.abspath(wh.path(t)))
+    jpath = os.path.join(warehouse_dir, "_txn-feedface.journal")
+    with open(jpath, "w") as f:
+        json.dump({"tables": staged, "expect": expect}, f)
+    # a newer writer (initialized before the "crash") commits dv.hub
+    wh.overwrite("dv.hub", _df(spark, "newer"))
+
+    wh2 = Warehouse(spark, warehouse_dir)  # recovery runs at init
+    # fenced: the newer commit survives, the stale txn gen does not win
+    assert _vals(wh2, "dv.hub") == {f"newer{i}" for i in range(4)}
+    # the untouched table still rolls forward
+    assert _vals(wh2, "dv.sat") == {f"j_sat{i}" for i in range(4)}
+    assert not os.path.isfile(jpath)
+
+
+def test_recovery_legacy_journal_without_expect_still_rolls_forward(
+    spark, warehouse_dir
+):
+    """Journals written before the fence carry no 'expect' key; they
+    must keep the old always-roll-forward behavior."""
+    wh = _setup(spark, warehouse_dir)
+    gen = wh._base("dv.hub") + "__gen-" + uuid.uuid4().hex[:8]
+    _df(spark, "legacy").write.mode("overwrite").parquet(gen)
+    jpath = os.path.join(warehouse_dir, "_txn-0ddba11.journal")
+    with open(jpath, "w") as f:
+        json.dump({"tables": {"dv.hub": os.path.basename(gen)}}, f)
+    wh2 = Warehouse(spark, warehouse_dir)
+    assert _vals(wh2, "dv.hub") == {f"legacy{i}" for i in range(4)}
+    assert not os.path.isfile(jpath)
+
+
 def test_transaction_partitioned_merge_and_undeclared_guard(spark, warehouse_dir):
     pschema = T.StructType(SCHEMA.fields + [T.StructField("b", T.LongType())])
     wh = Warehouse(spark, warehouse_dir)
