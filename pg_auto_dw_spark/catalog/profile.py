@@ -71,3 +71,90 @@ def profile_table(
         "min_value",
         "max_value",
     )
+
+
+def pii_scan(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """Data-side PII bait detection: for every string column x PII
+    pattern, the number of rows whose VALUE matches -- the check that
+    catches sensitive data hiding in innocently-named columns, which a
+    name/type-driven classifier is structurally blind to. The
+    reference's demo data plants exactly this bait: an email address
+    in ``seller.city`` (reference:
+    extension/src/utility/sql/sample_source_tables/seller.sql:28) that
+    its LLM prompt (catalog metadata only, no sample values,
+    prompt_template.rs) can never see.
+
+    One aggregation pass over the table (every count is a conditional
+    agg in a single job, map-side combined, one exchange with one
+    row), then a plan-level ``stack`` unpivot -- same scale shape as
+    ``profile_table``. Patterns default to ``text.PII_PATTERNS`` (the
+    Java-regex/RE2-common subset, shared with the DuckDB oracle).
+
+    Output: (column_name, pattern, n_rows, n_matching_rows), only
+    string columns, every (column, pattern) pair present (zero counts
+    included -- the all-clear is information too)."""
+    from ..functions.text import PII_PATTERNS
+
+    pats = patterns or PII_PATTERNS
+    str_cols = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, T.StringType)
+    ]
+    cols = [c for c in (columns or str_cols) if c in str_cols]
+    if not cols or not pats:
+        raise ValueError("pii_scan needs at least one string column and one pattern")
+    aggs = [F.count(F.lit(1)).alias("__n_rows")]
+    for i, c in enumerate(cols):
+        for j, p in enumerate(pats.values()):
+            aggs.append(
+                F.count(F.when(F.col(c).rlike(p), F.lit(1))).alias(f"__m_{i}_{j}")
+            )
+    one = df.agg(*aggs)
+    names = list(pats)
+    stack_args = ", ".join(
+        f"'{c}', '{names[j]}', __m_{i}_{j}"
+        for i, c in enumerate(cols)
+        for j in range(len(names))
+    )
+    return one.selectExpr(
+        "__n_rows",
+        f"stack({len(cols) * len(names)}, {stack_args}) AS "
+        "(column_name, pattern, n_matching_rows)",
+    ).select(
+        "column_name",
+        "pattern",
+        F.col("__n_rows").alias("n_rows"),
+        "n_matching_rows",
+    )
+
+
+def format_violations(
+    df: DataFrame,
+    column: str,
+    regex: str,
+    max_values: int = 100,
+) -> DataFrame:
+    """Distinct values of ``column`` that do NOT fully match ``regex``,
+    with occurrence counts -- the root-cause drill-down after a
+    ``pii_scan`` or classifier flag (the reference's planted malformed
+    zip, seller.sql last row '01026d', is the canonical hit). NULLs
+    are absence, not violation.
+
+    Aggregated before it leaves the cluster: one groupBy over the
+    violating rows only (filter pushes to the scan), ordered by count
+    desc then value, capped at ``max_values`` rows -- bounded output
+    even when a column is pervasively malformed at 100 TB.
+
+    Output: (value, n_rows), at most max_values rows."""
+    return (
+        df.filter(
+            F.col(column).isNotNull() & ~F.col(column).rlike(f"^(?:{regex})$")
+        )
+        .groupBy(F.col(column).alias("value"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy(F.col("n_rows").desc(), "value")
+        .limit(max_values)
+    )

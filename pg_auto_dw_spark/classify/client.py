@@ -223,7 +223,11 @@ class DeterministicStub:
     """Rule-based fake LLM for correctness runs (FIXTURES.md section 4):
     PK-flagged or ``*_id``/``*key``-named columns -> BK component
     (conf 0.95), BK name = table name stripped of prefixes; columns
-    named like name/email/address/phone -> PII (conf 0.90)."""
+    named like name/email/address/phone -> PII (conf 0.90); zip
+    columns mirror the reference's Act-2 demo (README.md:104-133):
+    an unconstrained type -> maybe-extended-zip PII at conf 0.72
+    (below the 0.8 gate -> Requires Attention), a <=5-char type ->
+    confidently not PII."""
 
     PII_HINTS = ("name", "email", "address", "phone", "ssn", "zip")
 
@@ -257,6 +261,40 @@ class DeterministicStub:
                     "Name": table,
                     "Confidence Value": 0.95,
                     "Reason": f"Single-column key of table {table}.",
+                }
+            }
+        if "zip" in name.lower() and re.search(r"\((?:[1-5])\)", typ):
+            # Governance fix applied (README.md:126-133): a zip column
+            # whose type admits at most 5 characters cannot carry an
+            # extended zip -- confidently not PII.
+            return {
+                "Descriptor - Sensitive": {
+                    "Is PII": False,
+                    "Confidence Value": 0.95,
+                    "Reason": (
+                        f"Column {name} is restricted to 5 characters; a "
+                        "5-digit zip alone is not PII."
+                    ),
+                }
+            }
+        if "zip" in name.lower():
+            # Reference Act-2 parity (README.md:104-121, prompt examples
+            # prompt_template.rs:334-345): a zip column whose type can
+            # hold MORE than 5 characters might carry extended zips --
+            # PII -- and the model can't be sure either way, so the
+            # confidence lands BELOW the default 0.8 acceptance
+            # threshold and the column surfaces as Requires Attention.
+            # A type constrained to <=5 chars (the user's governance
+            # fix: ALTER ... TYPE VARCHAR(5)) resolves the ambiguity.
+            return {
+                "Descriptor - Sensitive": {
+                    "Is PII": True,
+                    "Confidence Value": 0.72,
+                    "Reason": (
+                        "Column cannot be appropriately categorized as it "
+                        "may contain sensitive data. Specifically, if the "
+                        "zip is an extended zip it may be considered PII."
+                    ),
                 }
             }
         is_pii = any(h in name.lower() for h in self.PII_HINTS)

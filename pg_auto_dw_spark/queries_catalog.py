@@ -99,6 +99,8 @@ _PRIORITY = [
     "dedup_simhash_hamming",
     "ann_ivf_multiprobe_topk",
     "events_value_quantile_sketch",  # RESHAPED this round: only-ever-red row, must re-verify
+    "documents_pii_scan",  # NEW this round (governance value scan)
+    "documents_zip_format_violations",  # NEW this round (governance drill-down)
 ]
 _DEPRIORITIZED = [
     "dim_upsert_customer",
@@ -1436,6 +1438,119 @@ def source_profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "customer"),
         ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
     )
+
+
+_PII_SCAN_COLS = ("lang", "source", "contact_note", "support_line")
+_PII_SCAN_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone", r"[0-9]{3}-[0-9]{3}-[0-9]{4}"),
+    ("ip", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"),
+)
+
+# The synthetic corpus carries no natural PII, so the scan target
+# plants the seller.sql bait shape deterministically on BOTH sides:
+# an email in every 7th doc's innocently-named contact_note, a phone
+# in every 11th doc's support_line.
+_PII_SCAN_SYNTH = """
+    synth AS (
+        SELECT lang, source,
+               CASE WHEN doc_id % 7 = 0
+                    THEN 'reach user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                    ELSE 'no contact on file' END AS contact_note,
+               CASE WHEN doc_id % 11 = 0
+                    THEN 'call 555-' || CAST(100 + doc_id % 900 AS VARCHAR)
+                         || '-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                    ELSE '-' END AS support_line
+        FROM documents)
+"""
+
+_PII_SCAN_ORACLE = "WITH " + _PII_SCAN_SYNTH + " UNION ALL ".join(
+    f"""
+    SELECT '{c}' AS column_name, '{p}' AS pattern, COUNT(*) AS n_rows,
+           CAST(count_if(regexp_matches({c}, '{rx}')) AS BIGINT)
+               AS n_matching_rows
+    FROM synth"""
+    for c in _PII_SCAN_COLS
+    for p, rx in _PII_SCAN_PATTERNS
+)
+
+
+@register("documents_pii_scan", _PII_SCAN_ORACLE)
+def documents_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-side PII bait detection (catalog/profile.py pii_scan): rows
+    matching each PII value pattern, per (column, pattern) -- the
+    governance check that catches sensitive values in innocently-named
+    columns, which the reference's metadata-only prompts are
+    structurally blind to (its demo data plants exactly that bait: an
+    email in seller.city, seller.sql:28). One aggregation pass for all
+    column x pattern counts + a plan-level unpivot; zero counts are
+    reported too (the all-clear is information)."""
+    from .catalog.profile import pii_scan
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit("reach user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        )
+        .otherwise(F.lit("no contact on file"))
+        .alias("contact_note"),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit("call 555-"),
+                (F.lit(100) + F.col("doc_id") % 900).cast("string"),
+                F.lit("-"),
+                (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+            ),
+        )
+        .otherwise(F.lit("-"))
+        .alias("support_line"),
+    )
+    return pii_scan(docs, list(_PII_SCAN_COLS))
+
+
+_ZIP_VIOLATIONS_ORACLE = """
+WITH synth AS (
+    SELECT CASE WHEN doc_id % 13 = 0
+                THEN CAST(10000 + doc_id % 90000 AS VARCHAR) || 'd'
+                ELSE CAST(10000 + doc_id % 90000 AS VARCHAR) END AS zip
+    FROM documents),
+viol AS (
+    SELECT zip AS value, COUNT(*) AS n_rows
+    FROM synth
+    WHERE zip IS NOT NULL AND NOT regexp_full_match(zip, '(?:[0-9]{5})')
+    GROUP BY zip)
+SELECT value, n_rows FROM viol
+ORDER BY n_rows DESC, value LIMIT 100
+"""
+
+
+@register("documents_zip_format_violations", _ZIP_VIOLATIONS_ORACLE)
+def documents_zip_format_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-violation drill-down (catalog/profile.py
+    format_violations): distinct values of a column that do not fully
+    match the declared format, with counts, bounded at 100 rows -- the
+    root-cause step after a classifier or pii_scan flag. Mirrors the
+    reference's planted malformed zip ('01026d', seller.sql last row):
+    every 13th synthesized zip carries a trailing letter, and exactly
+    those surface."""
+    from .catalog.profile import format_violations
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat((F.lit(10000) + F.col("doc_id") % 90000).cast("string"), F.lit("d")),
+        )
+        .otherwise((F.lit(10000) + F.col("doc_id") % 90000).cast("string"))
+        .alias("zip")
+    )
+    return format_violations(docs, "zip", "[0-9]{5}")
 
 
 _CONTAM_GRAMS_SQL = r"""
