@@ -67,6 +67,14 @@ HEADLINE = [
     "documents_pii_redaction",
     "documents_leakfree_split",
     "documents_boilerplate_removal",
+    # round-6 additions (r5 VERDICT directive 7: every operator family
+    # gets a perf regression canary)
+    "time_travel_versions",
+    "schema_evolution_customer",
+    "events_range_same_user_attribution",  # stream-stream attribution batch twin
+    "events_value_quantile_sketch",
+    "documents_pii_scan",
+    "dedup_clusters",
 ]
 
 
