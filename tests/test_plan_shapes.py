@@ -82,3 +82,36 @@ def test_no_forced_broadcast_on_scaling_dimensions(spark, sf_dir):
                     raise AssertionError(
                         f"{name}: forced broadcast hint over scaling table: {child.strip()}"
                     )
+
+
+def test_no_unbounded_sql_cache_in_package():
+    """Policy guard (r6, from the measured r5 regression): ``persist()``
+    on a DataFrame builds a compressed columnar InMemoryRelation and
+    lives until unpersisted -- under a multi-query session the entries
+    evict each other out of the storage pool and every call re-pays the
+    cache build (BENCH_r05: 2-2.7x slowdowns on the pinned ANN paths).
+    Allowed form: a persist() paired with an unpersist() in the same
+    file (bounded lifetime, as the hub/sat/link loaders do). Everything
+    else must use localCheckpoint (RDD block pin) or an explicit
+    eager-checkpointed per-session index (queries_catalog._ivf_index).
+    """
+    import os
+    import re
+
+    pkg = os.path.join(os.path.dirname(__file__), "..", "pg_auto_dw_spark")
+    for root, _dirs, files in os.walk(pkg):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(root, fn)
+            with open(path) as f:
+                src = f.read()
+            # strip comments so prose mentions don't count
+            code = "\n".join(ln.split("#")[0] for ln in src.splitlines())
+            n_persist = len(re.findall(r"\.persist\(", code))
+            n_unpersist = len(re.findall(r"\.unpersist\(", code))
+            assert n_persist == n_unpersist, (
+                f"{path}: {n_persist} persist() vs {n_unpersist} unpersist() -- "
+                "unbounded SQL cache entries regress the bench (see r5 post-mortem "
+                "in similarity.brute_force_topk)"
+            )
