@@ -515,41 +515,48 @@ def ivf_assign(
 
 def _assign_top_p(base: DataFrame, codebook: DataFrame, id_col: str, p: int) -> DataFrame:
     """(id, cell, qvec, qnorm) with each vector assigned to its top-``p``
-    cells (multi-probe query expansion): one groupBy(id) collecting the
-    per-centroid scores, sorted and sliced to p, then exploded.
+    cells (multi-probe query expansion): the same Arrow argmax kernel
+    as ``_assign_against``, taking the p best columns per row instead
+    of one. The stable argsort over centroids pre-sorted by cent_id
+    ascending reproduces the expression shape's tie-break exactly
+    (csim desc, then cent_id asc). Replaced a crossJoin + collect_list
+    shape (r6) that materialized one struct per (vector, centroid) --
+    O(n * cells) shuffle rows, the same interpreted-HOF scale cliff as
+    the old single-probe assignment."""
+    import numpy as np
+    import pandas as pd
 
-    The collected list is O(#cells) per vector pre-slice -- fine for
-    codebooks up to ~10k cells (IVF codebooks are O(sqrt n)); beyond
-    that, probe selection should move to p iterated MAX passes."""
-    scored = base.crossJoin(F.broadcast(codebook)).select(
-        F.col(id_col),
-        F.col("qvec"),
-        F.col("qnorm"),
-        F.struct(
-            cosine(int_dot(F.col("qvec"), F.col("cv")), F.col("qnorm"), F.col("cn")).alias(
-                "csim"
-            ),
-            (-F.col("cent_id")).alias("neg_cent"),
-        ).alias("cand"),
+    rows = codebook.select("cent_id", "cv", "cn").orderBy("cent_id").collect()
+    if not rows:
+        raise ValueError("empty IVF codebook")
+    cent_ids = np.array([r["cent_id"] for r in rows], dtype=np.int64)
+    cents = np.stack([np.asarray(r["cv"], dtype=np.int64) for r in rows])
+    cent_den = np.sqrt(
+        np.array([r["cn"] for r in rows], dtype=np.int64).astype(np.float64)
     )
-    top = scored.groupBy(id_col).agg(
-        # reverse(array_sort) = csim desc, then neg_cent desc == cent_id
-        # asc: identical tie-break to the single-probe struct MAX
-        F.slice(F.reverse(F.array_sort(F.collect_list("cand"))), 1, p).alias("probes"),
-        F.first("qvec").alias("qvec"),   # identical per id
-        F.first("qnorm").alias("qnorm"),
-    )
-    return top.select(
-        F.col(id_col),
-        F.explode("probes").alias("pr"),
-        "qvec",
-        "qnorm",
-    ).select(
-        F.col(id_col),
-        (-F.col("pr.neg_cent")).cast("bigint").alias("cell"),
-        "qvec",
-        "qnorm",
-    )
+    out_schema = f"{id_col} bigint, cell bigint, qvec array<bigint>, qnorm bigint"
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf["qvec"].to_numpy()).astype(np.int64)
+            qn = pdf["qnorm"].to_numpy().astype(np.int64)
+            cos = (mat @ cents.T).astype(np.float64) / (
+                np.sqrt(qn.astype(np.float64))[:, None] * cent_den[None, :]
+            )
+            top = np.argsort(-cos, axis=1, kind="stable")[:, :p]
+            n_take = top.shape[1]
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy().astype(np.int64), n_take),
+                    "cell": cent_ids[top].reshape(-1),
+                    "qvec": pdf["qvec"].to_numpy().repeat(n_take),
+                    "qnorm": qn.repeat(n_take),
+                }
+            )
+
+    return base.select(F.col(id_col), "qvec", "qnorm").mapInPandas(kernel, out_schema)
 
 
 def ivf_topk(
@@ -758,3 +765,146 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
     )
     return small_pairs.unionByName(big_pairs)
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index: the build-once / probe-many contract as warehouse
+# tables (the per-session _ivf_index cache in queries_catalog is the
+# in-process shadow of this). The assignment table is PARTITIONED BY
+# cell, so a probe reads only its probed cells' partitions -- at 100 TB
+# a k-NN search touches O(n_probes * cell_cap) rows of storage, not the
+# corpus.
+# ---------------------------------------------------------------------------
+
+
+def build_ivf_index(
+    wh,
+    corpus: DataFrame,
+    name: str,
+    stride: int = 50,
+    iters: int = 1,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_modulus: int = 1,
+) -> dict:
+    """Train the k-means codebook and materialize the full cell
+    assignment as two warehouse tables: ``<name>.codebook``
+    (cent_id, cv, cn) and ``<name>.assignment`` (id, cell, qvec,
+    qnorm), the latter partitioned by cell for probe-side partition
+    pruning. Returns {"cells": n, "vectors": n}.
+
+    Re-running the build overwrites both tables atomically (warehouse
+    generation commit), so index refresh is crash-safe and readers
+    never see a half-built index."""
+    codebook = ivf_kmeans_codebook(
+        corpus, stride, iters, dims, id_col, vec_col, train_modulus
+    ).localCheckpoint(eager=True)
+    assigned = _assign_against(
+        with_quantized(corpus, vec_col).select(F.col(id_col), "qvec", "qnorm"),
+        codebook,
+        id_col,
+    )
+    cb_name, as_name = f"{name}.codebook", f"{name}.assignment"
+    if not wh.exists(cb_name):
+        wh.create_table(cb_name, codebook.schema)
+    if not wh.exists(as_name):
+        wh.create_table(as_name, assigned.schema, partition_by=["cell"])
+    wh.overwrite(cb_name, codebook)
+    wh.overwrite(as_name, assigned)
+    return {
+        "cells": wh.read(cb_name).count(),
+        "vectors": wh.read(as_name).count(),
+    }
+
+
+def ivf_topk_from_index(
+    wh,
+    name: str,
+    k: int = 5,
+    max_cell_size: int = 1024,
+    n_probes: int = 1,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """All-pairs top-k probing a PERSISTED index: reads the assignment
+    table (no scoring pass, no codebook broadcast for single-probe)
+    and runs the capped cell-key kernel only -- the steady-state cost
+    a production deployment pays per query wave."""
+    assigned = wh.read(f"{name}.assignment")
+    cb = wh.read(f"{name}.codebook") if n_probes > 1 else None
+    return ivf_topk(
+        assigned,
+        k=k,
+        max_cell_size=max_cell_size,
+        codebook=cb,
+        n_probes=n_probes,
+        id_col=id_col,
+        assigned=assigned,
+    )
+
+
+def ivf_search_index(
+    wh,
+    name: str,
+    queries: list[tuple[int, list[float]]],
+    k: int = 5,
+    n_probes: int = 1,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """k-NN search for EXTERNAL query vectors against a persisted
+    index: quantize the queries driver-side (HALF_UP, matching
+    F.round's rule exactly), score them against the collected codebook
+    (O(queries x cells) numpy), then read ONLY the probed cells from
+    the partitioned assignment table -- the scan partition-prunes to
+    n_probes cells per query, which is what makes a single search
+    cheap at any corpus size.
+
+    ``queries``: [(query_id, vector)] with driver-resident vectors
+    (request-sized by contract). Output: (query_id, neighbor_id,
+    cosine), exact within the probed cells."""
+    import numpy as np
+
+    rows = wh.read(f"{name}.codebook").select("cent_id", "cv", "cn").orderBy("cent_id").collect()
+    if not rows:
+        raise ValueError(f"index {name} has an empty codebook")
+    cent_ids = np.array([r["cent_id"] for r in rows], dtype=np.int64)
+    cents = np.stack([np.asarray(r["cv"], dtype=np.int64) for r in rows])
+    cent_den = np.sqrt(np.array([r["cn"] for r in rows], dtype=np.int64).astype(np.float64))
+
+    vecs = np.array([v for _, v in queries], dtype=np.float64)
+    # HALF_UP quantization == F.round: floor(|x|*S + 0.5) with sign
+    qm = (np.sign(vecs) * np.floor(np.abs(vecs) * SCALE + 0.5)).astype(np.int64)
+    qn = (qm * qm).sum(axis=1)
+    cos = (qm @ cents.T).astype(np.float64) / (
+        np.sqrt(qn.astype(np.float64))[:, None] * cent_den[None, :]
+    )
+    top = np.argsort(-cos, axis=1, kind="stable")[:, : max(1, n_probes)]
+    probe_cells = sorted({int(c) for c in cent_ids[top].reshape(-1)})
+
+    spark = wh.spark
+    q_rows = [
+        (int(qid), [int(x) for x in qm[i]], int(qn[i]), [int(c) for c in cent_ids[top[i]]])
+        for i, (qid, _) in enumerate(queries)
+    ]
+    qdf = spark.createDataFrame(
+        q_rows, "query_id bigint, qv array<bigint>, qn bigint, cells array<bigint>"
+    ).select(
+        F.explode("cells").alias("cell_q"), "query_id", "qv", "qn"
+    )
+    # partition-pruned read: only the probed cells' directories scan
+    db = (
+        wh.read(f"{name}.assignment")
+        .filter(F.col("cell").isin(probe_cells))
+        .select(
+            F.col("cell").alias("cell_d"),
+            F.col(id_col).alias("neighbor_id"),
+            "qvec",
+            "qnorm",
+        )
+    )
+    sim = (
+        qdf.groupBy("cell_q")
+        .cogroup(db.groupBy("cell_d"))
+        .applyInPandas(lambda q, d: _cogroup_topk_kernel(k)(q, d), _PAIR_TOPK_SCHEMA)
+    )
+    return _global_topk(sim, k)

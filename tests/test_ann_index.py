@@ -1,0 +1,86 @@
+"""Persisted IVF index: build-once/probe-many as warehouse tables.
+
+The per-session eager-checkpoint cache (queries_catalog._ivf_index) is
+the in-process shadow of this; these tests pin the durable form: a
+codebook + cell-partitioned assignment table, probed without any
+re-scoring, and searched by external query vectors with a
+partition-pruned read.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg_auto_dw_spark.functions.similarity import (
+    build_ivf_index,
+    ivf_kmeans_codebook,
+    ivf_search_index,
+    ivf_topk,
+    ivf_topk_from_index,
+)
+from pg_auto_dw_spark.sources import load_table
+from pg_auto_dw_spark.warehouse import Warehouse
+
+
+@pytest.fixture(scope="module")
+def indexed(spark, sf_dir, tmp_path_factory):
+    wh = Warehouse(spark, str(tmp_path_factory.mktemp("annwh")))
+    emb = load_table(spark, sf_dir, "embeddings")
+    stats = build_ivf_index(wh, emb, "ann.emb", stride=50, iters=1)
+    return wh, emb, stats
+
+
+def test_build_writes_both_tables(indexed):
+    wh, emb, stats = indexed
+    assert stats["vectors"] == emb.count()
+    assert stats["cells"] > 0
+    assert wh.exists("ann.emb.codebook") and wh.exists("ann.emb.assignment")
+    # assignment is partitioned by cell (the probe-pruning contract)
+    assert wh._partitioning["ann.emb.assignment"] == ["cell"]
+
+
+def test_probe_from_index_matches_in_session_probe(indexed, spark, sf_dir):
+    wh, emb, _ = indexed
+    cb = ivf_kmeans_codebook(emb, stride=50, iters=1).localCheckpoint(eager=True)
+    want = {
+        (r["query_id"], r["neighbor_id"], r["cosine"])
+        for r in ivf_topk(emb, k=3, stride=50, codebook=cb).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"], r["cosine"])
+        for r in ivf_topk_from_index(wh, "ann.emb", k=3).collect()
+    }
+    assert got == want  # bit-identical, not approx
+
+
+def test_rebuild_overwrites_atomically(indexed, spark, sf_dir):
+    wh, emb, _ = indexed
+    stats2 = build_ivf_index(wh, emb, "ann.emb", stride=50, iters=1)
+    assert stats2["vectors"] == emb.count()
+    # still exactly one consistent assignment per vector
+    a = wh.read("ann.emb.assignment")
+    assert a.count() == a.select("vec_id").distinct().count()
+
+
+def test_search_external_query_finds_planted_neighbor(indexed):
+    wh, emb, _ = indexed
+    planted = emb.filter(F.col("vec_id") == 5).collect()[0]
+    rows = ivf_search_index(
+        wh, "ann.emb", [(999_999, list(planted["embedding"]))], k=3
+    ).collect()
+    assert rows, "search returned nothing"
+    assert all(r["query_id"] == 999_999 for r in rows)
+    best = rows[0]
+    # the planted vector's own corpus copy is the (near-)exact match
+    assert best["neighbor_id"] == 5
+    assert abs(best["cosine"] - 1.0) < 1e-9
+
+
+def test_search_reads_only_probed_cells(indexed):
+    wh, emb, _ = indexed
+    planted = emb.filter(F.col("vec_id") == 7).collect()[0]
+    df = ivf_search_index(wh, "ann.emb", [(1, list(planted["embedding"]))], k=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the assignment scan must carry a partition filter on cell --
+    # that is the entire point of the cell-partitioned layout
+    assert "PartitionFilters: [" in plan
+    assert "cell" in plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
