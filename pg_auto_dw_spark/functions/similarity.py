@@ -908,3 +908,34 @@ def ivf_search_index(
         .applyInPandas(lambda q, d: _cogroup_topk_kernel(k)(q, d), _PAIR_TOPK_SCHEMA)
     )
     return _global_topk(sim, k)
+
+
+def append_to_ivf_index(
+    wh,
+    new_vectors: DataFrame,
+    name: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Incremental index maintenance: assign ONLY the new vectors
+    against the stored codebook and append them to the assignment
+    table -- the steady-state ingest path (assigning a batch is one
+    kernel pass over the batch; the existing assignment is untouched,
+    and the append lands in the batch's cell partitions only).
+
+    The codebook is NOT retrained: IVF recall degrades gracefully as
+    the data distribution drifts from the trained centroids, and the
+    production contract is periodic full rebuilds (build_ivf_index,
+    atomic overwrite) on a schedule or a drift trigger -- the same
+    posture as every warehouse-side secondary structure here (z-order,
+    compaction). Returns the number of vectors appended."""
+    codebook = wh.read(f"{name}.codebook")
+    assigned = _assign_against(
+        with_quantized(new_vectors, vec_col).select(F.col(id_col), "qvec", "qnorm"),
+        codebook,
+        id_col,
+    ).localCheckpoint(eager=True)  # pin: counted, then written
+    n = assigned.count()
+    if n:
+        wh.append(f"{name}.assignment", assigned)
+    return n

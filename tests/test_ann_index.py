@@ -84,3 +84,28 @@ def test_search_reads_only_probed_cells(indexed):
     # that is the entire point of the cell-partitioned layout
     assert "PartitionFilters: [" in plan
     assert "cell" in plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+
+
+def test_incremental_append_searchable(indexed, spark):
+    wh, emb, _ = indexed
+    planted = emb.filter(F.col("vec_id") == 11).collect()[0]
+    newv = spark.createDataFrame(
+        [(5_000_000, planted["embedding"], planted["label"])], emb.schema
+    )
+    from pg_auto_dw_spark.functions.similarity import append_to_ivf_index
+
+    assert append_to_ivf_index(wh, newv, "ann.emb") == 1
+    # the appended vector is immediately searchable...
+    rows = ivf_search_index(
+        wh, "ann.emb", [(1, list(planted["embedding"]))], k=3
+    ).collect()
+    found = {r["neighbor_id"] for r in rows}
+    assert 5_000_000 in found and 11 in found
+    # ...and lands in the same cell as its planted twin
+    cells = {
+        r["cell"]
+        for r in wh.read("ann.emb.assignment")
+        .filter(F.col("vec_id").isin([11, 5_000_000]))
+        .collect()
+    }
+    assert len(cells) == 1
