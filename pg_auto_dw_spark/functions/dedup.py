@@ -22,7 +22,7 @@ MIN(md5(...)) a valid uniform minhash without any hex->int conversion.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import normalized_text
@@ -602,5 +602,49 @@ def ngram_containment_pairs(
         .filter(
             (F.col("containment_ab") >= threshold)
             | (F.col("containment_ba") >= threshold)
+        )
+    )
+
+
+def keep_best_per_cluster(
+    docs: DataFrame,
+    clusters: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware canonical selection: per near-dup cluster, the
+    member with the highest ``score_col`` (ties -> lowest id) plus the
+    member count -- the keep-rule real pipelines use instead of
+    min-id-wins (keep the longest / highest-quality copy, drop the
+    rest). ``clusters`` is connected_components' (id, cluster_id)
+    output.
+
+    Scale shape: one broadcast-or-shuffle join on the id (AQE decides;
+    both sides are id-partitioned row tables) and one window keyed by
+    cluster_id. Cluster sizes are corpus-dependent but the window is a
+    streaming rank over each cluster's rows, never a materialized
+    cross product; a pathological mega-cluster concentrates on one
+    key, the same regime as any keyed operator under skew (AQE splits
+    it).
+
+    Output: (cluster_id, keep_id, keep_score, n_members)."""
+    scored = clusters.join(
+        docs.select(F.col(id_col), F.col(score_col)), id_col
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "n_members",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
+        )
+        .filter(F.col("__rn") == 1)
+        .select(
+            "cluster_id",
+            F.col(id_col).alias("keep_id"),
+            F.col(score_col).alias("keep_score"),
+            "n_members",
         )
     )

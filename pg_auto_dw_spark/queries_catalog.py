@@ -101,6 +101,7 @@ _PRIORITY = [
     "events_value_quantile_sketch",  # RESHAPED this round: only-ever-red row, must re-verify
     "documents_pii_scan",  # NEW this round (governance value scan)
     "documents_zip_format_violations",  # NEW this round (governance drill-down)
+    "dedup_keep_best_documents",  # NEW this round (quality-aware canonical)
 ]
 _DEPRIORITIZED = [
     "dim_upsert_customer",
@@ -1337,6 +1338,35 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return cluster_assignments(docs, cache_key=sf_dir)
+
+
+_KEEP_BEST_ORACLE = f"""
+WITH clusters AS ({_CLUSTERS_ORACLE}),
+scored AS (
+    SELECT c.cluster_id, d.doc_id, d.n_chars,
+           ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                              ORDER BY d.n_chars DESC, d.doc_id) AS rn,
+           COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members
+    FROM clusters c JOIN documents d ON d.doc_id = c.doc_id)
+SELECT cluster_id, doc_id AS keep_id, n_chars AS keep_score, n_members
+FROM scored WHERE rn = 1
+"""
+
+
+@register("dedup_keep_best_documents", _KEEP_BEST_ORACLE)
+def dedup_keep_best_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection per near-dup cluster: keep the
+    longest member (ties -> lowest id) with the member count -- the
+    keep-rule real pipelines apply instead of min-id-wins. Rides the
+    shared per-session cluster assignment (one LSH pass for all
+    dedup/corpus consumers)."""
+    from .functions.corpus import cluster_assignments
+    from .functions.dedup import keep_best_per_cluster
+
+    docs = load_table(spark, sf_dir, "documents")
+    return keep_best_per_cluster(
+        docs, cluster_assignments(docs, cache_key=sf_dir), "n_chars"
+    )
 
 
 _CLEAN_FEATS_SQL = f"""(

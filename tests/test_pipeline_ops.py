@@ -759,3 +759,21 @@ def test_remove_repeated_segments_strikes_cross_doc_boilerplate(spark):
     assert out[2]["clean_text"] == u2 and out[2]["n_removed"] == 1
     assert out[3]["clean_text"] == "" and out[3]["n_removed"] == 1
     assert out[3]["n_segments"] == 1
+
+
+def test_keep_best_per_cluster_ties_and_singletons(spark):
+    from pg_auto_dw_spark.functions.dedup import keep_best_per_cluster
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 40), (3, 40), (9, 7)], "doc_id bigint, n_chars bigint"
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (9, 9)], "doc_id bigint, cluster_id bigint"
+    )
+    rows = {
+        r["cluster_id"]: r
+        for r in keep_best_per_cluster(docs, clusters, "n_chars").collect()
+    }
+    assert rows[1]["keep_id"] == 2  # tie on score 40 -> lowest id wins
+    assert rows[1]["keep_score"] == 40 and rows[1]["n_members"] == 3
+    assert rows[9]["keep_id"] == 9 and rows[9]["n_members"] == 1  # singleton
