@@ -268,3 +268,45 @@ def redact_pii(
         "n_phones",
         "n_ips",
     )
+
+
+def word_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", decimals: int = 6
+) -> DataFrame:
+    """Per-document unigram Shannon entropy (bits): the standard cheap
+    gibberish/repetition signal -- near-zero for a doc that repeats one
+    token, high for diverse text; quality pipelines band-pass it.
+
+    Shape: explode words -> one (id, word) count shuffle (map-side
+    combined) -> one (id) rollup computing H = log2(N) - sum(c*log2(c))/N
+    (algebraically -sum(p log2 p), but summing integer-count terms
+    avoids a join against the doc-length relation). Rounded to
+    ``decimals`` because transcendental libm results may differ in the
+    last ulp across engines (the moment-aggregates precedent).
+
+    Output: (id, n_words, n_distinct_words, entropy_bits)."""
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    wc = words.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        wc.groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.count(F.lit(1)).alias("n_distinct_words"),
+            F.sum(F.col("c").cast("double") * F.log2(F.col("c").cast("double"))).alias(
+                "__clogc"
+            ),
+        )
+        .select(
+            id_col,
+            "n_words",
+            "n_distinct_words",
+            F.round(
+                F.log2(F.col("n_words").cast("double"))
+                - F.col("__clogc") / F.col("n_words").cast("double"),
+                decimals,
+            ).alias("entropy_bits"),
+        )
+    )

@@ -102,6 +102,7 @@ _PRIORITY = [
     "documents_pii_scan",  # NEW this round (governance value scan)
     "documents_zip_format_violations",  # NEW this round (governance drill-down)
     "dedup_keep_best_documents",  # NEW this round (quality-aware canonical)
+    "text_word_entropy",  # NEW this round (quality signal)
 ]
 _DEPRIORITIZED = [
     "dim_upsert_customer",
@@ -1249,6 +1250,33 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text import fingerprints
 
     return fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_word_entropy",
+    """
+    WITH w AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+        FROM documents),
+    wc AS (
+        SELECT doc_id, w, COUNT(*) AS c FROM w WHERE w <> '' GROUP BY 1, 2)
+    SELECT doc_id,
+           SUM(c) AS n_words,
+           COUNT(*) AS n_distinct_words,
+           ROUND(log2(CAST(SUM(c) AS DOUBLE))
+                 - SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
+                   / CAST(SUM(c) AS DOUBLE), 6) AS entropy_bits
+    FROM wc GROUP BY doc_id
+    """,
+)
+def text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc unigram Shannon entropy (bits) -- the cheap gibberish /
+    repetition quality signal (functions/text.py word_entropy). Two
+    map-side-combined shuffles, 6-decimal rounding for cross-engine
+    libm parity (the moment-aggregates precedent)."""
+    from .functions.text import word_entropy
+
+    return word_entropy(load_table(spark, sf_dir, "documents"))
 
 
 @register(

@@ -777,3 +777,20 @@ def test_keep_best_per_cluster_ties_and_singletons(spark):
     assert rows[1]["keep_id"] == 2  # tie on score 40 -> lowest id wins
     assert rows[1]["keep_score"] == 40 and rows[1]["n_members"] == 3
     assert rows[9]["keep_id"] == 9 and rows[9]["n_members"] == 1  # singleton
+
+
+def test_word_entropy_bounds(spark):
+    from pg_auto_dw_spark.functions.text import word_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (1, "same same same same"),          # zero entropy
+            (2, "a b c d"),                       # uniform -> log2(4) = 2 bits
+            (3, "  padded   whitespace  doc  "),  # split noise handled
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in word_entropy(docs).collect()}
+    assert rows[1]["entropy_bits"] == 0.0 and rows[1]["n_distinct_words"] == 1
+    assert rows[2]["entropy_bits"] == 2.0 and rows[2]["n_words"] == 4
+    assert rows[3]["n_words"] == 3  # empty tokens from padding dropped
