@@ -648,3 +648,48 @@ def incremental_satellite_stream(
     else:
         staged = staged.dropDuplicates(["hub_hk", "sat_hd"])
     return _start_stream_sink(staged, checkpoint_dir, output_dir)
+
+
+def vector_index_ingest_stream(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema: T.StructType,
+    wh,
+    index_name: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Streaming ingest into a persisted IVF index
+    (similarity.build_ivf_index): new embedding files are assigned
+    against the STORED codebook and appended into their cell
+    partitions via foreachBatch -- the vector-pipeline twin of the
+    incremental hub load. Exactly-once per vector id across restarts
+    via stateful dropDuplicates (the checkpoint replays an interrupted
+    batch; the dedup state suppresses its vectors on the retry only if
+    the append committed -- and the Warehouse append is a single
+    atomic pointer commit, so a replayed half batch cannot exist).
+
+    Codebook staleness is the documented posture (periodic full
+    rebuilds, similarity.append_to_ivf_index); the stream only ever
+    reads the codebook current at each batch."""
+    from ..functions.similarity import append_to_ivf_index
+
+    stream = (
+        spark.readStream.schema(source_schema)
+        .parquet(source_dir)
+        .dropDuplicates([id_col])
+    )
+
+    def sink(batch_df, _batch_id):
+        if batch_df.isEmpty():
+            return
+        append_to_ivf_index(wh, batch_df, index_name, id_col, vec_col)
+
+    return (
+        stream.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+        .start()
+    )

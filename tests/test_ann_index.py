@@ -109,3 +109,52 @@ def test_incremental_append_searchable(indexed, spark):
         .collect()
     }
     assert len(cells) == 1
+
+
+def test_streaming_ingest_appends_and_is_searchable(indexed, spark, tmp_path):
+    """Streaming leg of the index lifecycle: files of new vectors are
+    assigned against the stored codebook and appended per micro-batch;
+    re-running with the same checkpoint appends nothing (exactly-once),
+    and the appended vectors are immediately searchable."""
+    from pg_auto_dw_spark.streaming.jobs import vector_index_ingest_stream
+
+    wh, emb, _ = indexed
+    planted = emb.filter(F.col("vec_id") == 3).collect()[0]
+    src = tmp_path / "vecs"
+    src.mkdir()
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    vec = [float(x) for x in planted["embedding"]]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([6_000_000, 6_000_001], pa.int64()),
+                "embedding": pa.array([vec, vec], pa.list_(pa.float32())),
+                "label": pa.array(
+                    [planted["label"], planted["label"]], pa.int32()
+                ),
+            }
+        ),
+        str(src / "batch-0.parquet"),
+    )
+    before = wh.read("ann.emb.assignment").count()
+
+    q = vector_index_ingest_stream(
+        spark, str(src), emb.schema, wh, "ann.emb", str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    assert wh.read("ann.emb.assignment").count() == before + 2
+
+    # restart with the same checkpoint: no new files -> no growth
+    q2 = vector_index_ingest_stream(
+        spark, str(src), emb.schema, wh, "ann.emb", str(tmp_path / "ckpt")
+    )
+    q2.awaitTermination(120)
+    assert wh.read("ann.emb.assignment").count() == before + 2
+
+    rows = ivf_search_index(
+        wh, "ann.emb", [(1, list(planted["embedding"]))], k=4
+    ).collect()
+    found = {r["neighbor_id"] for r in rows}
+    assert {6_000_000, 6_000_001} <= found
