@@ -91,6 +91,19 @@ def main() -> None:
     # JVM/codegen warmup so the first measured query isn't charged for it
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     qmap["q1_pricing_summary"](spark, sf_dir).count()
+    # Machine calibration: the median latency of a trivial 1-task job.
+    # Every Spark job pays this scheduler floor, so a query launching J
+    # jobs (AQE stages, metadata counts, writes) has a hard lower bound
+    # of J * floor regardless of plan quality. Recorded in the output so
+    # cross-round comparisons can normalize for VM-vintage drift (a
+    # measured 4x spread in this floor across otherwise-identical
+    # driver VMs dominated round-over-round deltas before this existed).
+    floor_runs = []
+    for _ in range(15):
+        t0 = time.time()
+        spark.range(10, numPartitions=1).count()
+        floor_runs.append((time.time() - t0) * 1000.0)
+    job_overhead_ms = round(sorted(floor_runs)[len(floor_runs) // 2], 1)
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     reps: dict[str, list[float]] = {}
@@ -112,6 +125,20 @@ def main() -> None:
         except Exception as e:  # a failing query must not hide the others
             print(f"bench error in {name}: {e}", file=sys.stderr)
             timings[name] = -1.0
+        # Release this query's dead pins before the next one: per-call
+        # lazy localCheckpoints become unreachable after each rep, but
+        # their RDD blocks survive until ContextCleaner sees the Python
+        # wrappers collected. In a 40-query x 4-pass session the orphans
+        # accumulate into storage-eviction + GC churn that contaminates
+        # LATER queries' timings (measured: monotonically rising reps on
+        # the dedup family mid-bench, stable when run in isolation).
+        import gc
+
+        gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -123,6 +150,7 @@ def main() -> None:
                 "queries": timings,
                 "queries_cold": cold,
                 "queries_reps": reps,
+                "job_overhead_ms": job_overhead_ms,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -70,6 +70,9 @@ def get_spark(app_name: str = "pg_auto_dw_spark", master: str | None = None) -> 
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local[32] runs driver+executor in one JVM; checkpoint/shuffle
+        # blocks from long sessions evict under 8g (measured: ~20% slower
+        # steady-state + multi-second GC variance on the dedup family).
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
     )
     return prepare(builder.getOrCreate())
