@@ -75,6 +75,7 @@ HEADLINE = [
     "events_value_quantile_sketch",
     "documents_pii_scan",
     "dedup_clusters",
+    "text_unigram_logprob",
 ]
 
 

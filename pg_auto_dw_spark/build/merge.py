@@ -108,25 +108,28 @@ def merge_upsert(
         raise ValueError(f"merge_upsert requires a partitioned table; {table} has no spec")
     if order_col is not None:
         batch = _latest_per_key(batch, key_cols, order_col)
-    else:
-        dup = (
-            batch.groupBy(*key_cols)
-            .agg(F.count(F.lit(1)).alias("n"))
-            .filter(F.col("n") > 1)
-            .limit(1)
-            .count()
-        )
-        if dup:
+    with wh.lock(table):
+        batch = batch.localCheckpoint(eager=True)  # pin: read before we overwrite
+        # ONE metadata pass over the pinned batch: total rows, distinct
+        # keys (struct-wise, so NULL key fields compare like groupBy
+        # equality), and the touched-partition set (bounded: one struct
+        # per partition). Replaces three separate jobs (dup-check
+        # count, batch count, distinct-partitions collect) -- each job
+        # pays the scheduler floor, which dominates metadata-sized
+        # merges on high-latency schedulers and costs a full barrier
+        # round-trip on a busy cluster.
+        stats = batch.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.struct(*key_cols)).alias("nk"),
+            F.collect_set(F.struct(*pcols)).alias("parts"),
+        ).collect()[0]
+        n_batch = stats["n"]
+        if order_col is None and stats["nk"] != n_batch:
             raise ValueError(
                 "merge_upsert batch has duplicate keys; pass order_col to "
                 "pick the newest version per key"
             )
-    with wh.lock(table):
-        batch = batch.localCheckpoint(eager=True)  # pin: read before we overwrite
-        n_batch = batch.count()  # against the pinned blocks -- no recompute
-        touched = [
-            tuple(r) for r in batch.select(*pcols).distinct().collect()
-        ]  # metadata-sized: one row per touched partition
+        touched = [tuple(r) for r in stats["parts"]]
         cur = wh.read(table).filter(_touched_partitions_cond(pcols, touched))
         if verify_partition_contract:
             outside = wh.read(table).filter(
@@ -271,6 +274,22 @@ def _files_containing_keys(
     return affected, clean
 
 
+def _annotate_victims(cur: DataFrame, key_lit: DataFrame, key_col: str):
+    """Pin ONE victim-flag join over the rows under rewrite and derive
+    both the survivor frame and the deletion count from it -- two jobs
+    (pin + agg) where the pin-both-sides-and-count-each shape cost
+    four. ``key_lit`` is distinct, so the left join never fans out."""
+    ann = cur.join(
+        F.broadcast(key_lit.withColumn("__victim", F.lit(1))),
+        on=key_col,
+        how="left",
+    ).localCheckpoint(eager=True)
+    n_del = ann.agg(F.sum("__victim")).collect()[0][0] or 0
+    # the join moved key_col to position 0 -- restore the table's order
+    kept = ann.filter(F.col("__victim").isNull()).select(*cur.columns)
+    return kept, int(n_del)
+
+
 def delete_keys(
     wh: Warehouse,
     table: str,
@@ -325,20 +344,14 @@ def delete_keys(
         # would otherwise be silently rolled back
         with wh.lock(table):
             n_files = len(wh.data_files(table))
-            cur = wh.read(table).localCheckpoint(eager=True)
-            kept = cur.join(F.broadcast(key_lit), on=key_col, how="left_anti").localCheckpoint(eager=True)
-            n_del = cur.count() - kept.count()
+            kept, n_del = _annotate_victims(wh.read(table), key_lit, key_col)
             wh.overwrite(table, kept)
         return {"rows_deleted": n_del, "files_rewritten": n_files, "files_carried": 0}
     with wh.lock(table):
         affected, clean = _files_containing_keys(wh, table, key_col, keys, bucket_of)
         if not affected:
             return {"rows_deleted": 0, "files_rewritten": 0, "files_carried": len(clean)}
-        sub = wh.read_files(table, affected).localCheckpoint(eager=True)
-        kept = sub.join(F.broadcast(key_lit), on=key_col, how="left_anti").localCheckpoint(
-            eager=True
-        )
-        n_del = sub.count() - kept.count()
+        kept, n_del = _annotate_victims(wh.read_files(table, affected), key_lit, key_col)
         wh.replace_files(table, kept, drop_files=affected)
     return {
         "rows_deleted": n_del,

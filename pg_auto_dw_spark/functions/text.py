@@ -310,3 +310,49 @@ def word_entropy(
             ).alias("entropy_bits"),
         )
     )
+
+
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", decimals: int = 6
+) -> DataFrame:
+    """Per-document mean unigram log10-probability under the corpus's
+    OWN unigram language model -- the CCNet-style perplexity-filter
+    signal: documents made of globally rare tokens score low
+    (gibberish/noise tail), template/boilerplate text scores high;
+    pretraining pipelines band-pass or bucket on it. (A KenLM-backed
+    score plugs into the same shape; the corpus-self LM needs no
+    external model artifact.)
+
+    Shape: explode words -> one (word) corpus-count shuffle (map-side
+    combined; the model-build pass) -> scalar token total carried as a
+    broadcast one-row frame (no driver round-trip) -> words-to-freq
+    join (vocabulary-sized build side; AQE chooses broadcast when it
+    fits -- NOT forced, Zipf vocabularies grow with corpus size) ->
+    one (id) rollup. The words lineage is computed twice (model build
+    + scoring); at warehouse scale persist the frequency table as its
+    own model artifact and reuse it across corpora snapshots.
+
+    Output: (id, n_tokens, avg_logprob), avg rounded to ``decimals``
+    for cross-engine libm/summation-order parity."""
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    total = freq.agg(F.sum("n").alias("total"))
+    return (
+        words.join(freq, on="w")
+        .crossJoin(F.broadcast(total))  # one row, by construction
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(
+                    F.log10(
+                        F.col("n").cast("double") / F.col("total").cast("double")
+                    )
+                ),
+                decimals,
+            ).alias("avg_logprob"),
+        )
+    )

@@ -794,3 +794,27 @@ def test_word_entropy_bounds(spark):
     assert rows[1]["entropy_bits"] == 0.0 and rows[1]["n_distinct_words"] == 1
     assert rows[2]["entropy_bits"] == 2.0 and rows[2]["n_words"] == 4
     assert rows[3]["n_words"] == 3  # empty tokens from padding dropped
+
+
+def test_unigram_logprob_model_semantics(spark):
+    from pg_auto_dw_spark.functions.text import unigram_logprob
+
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the"),   # 'the' freq 3 of 6 tokens
+            (2, "the rare"),      # mixes common + singleton
+            (3, "odd"),           # singleton-only doc scores lowest
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+    # corpus LM: p(the)=4/6, p(rare)=1/6, p(odd)=1/6
+    assert rows[1]["n_tokens"] == 3
+    assert rows[1]["avg_logprob"] == round(math.log10(4 / 6), 6)
+    assert rows[2]["avg_logprob"] == round(
+        (math.log10(4 / 6) + math.log10(1 / 6)) / 2, 6
+    )
+    # rare-token docs score strictly lower: the perplexity-filter order
+    assert rows[3]["avg_logprob"] < rows[2]["avg_logprob"] < rows[1]["avg_logprob"]
