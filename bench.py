@@ -99,15 +99,43 @@ def main() -> None:
     # cross-round comparisons can normalize for VM-vintage drift (a
     # measured 4x spread in this floor across otherwise-identical
     # driver VMs dominated round-over-round deltas before this existed).
-    floor_runs = []
-    for _ in range(15):
-        t0 = time.time()
+    def measure_floor() -> float:
+        floor_runs = []
+        for _ in range(15):
+            t0 = time.time()
+            spark.range(10, numPartitions=1).count()
+            floor_runs.append((time.time() - t0) * 1000.0)
+        return round(sorted(floor_runs)[len(floor_runs) // 2], 1)
+
+    # Scheduler warmup to steady state: the DAGScheduler/JIT path runs
+    # interpreted for the first few hundred jobs of a JVM (measured:
+    # 1-task job latency decaying 180ms -> 31ms across one bench run,
+    # front-loading noise onto whichever queries ran first). Spin
+    # trivial jobs until the floor stops improving; queries are then
+    # measured against the steady-state scheduler -- the regime a
+    # long-lived cluster driver actually runs in.
+    for _ in range(600):  # ~25s once; the decay spans hundreds of jobs
         spark.range(10, numPartitions=1).count()
-        floor_runs.append((time.time() - t0) * 1000.0)
-    job_overhead_ms = round(sorted(floor_runs)[len(floor_runs) // 2], 1)
+    job_overhead_ms = measure_floor()
+    # Second calibration axis: JVM whole-stage-codegen throughput (a
+    # fixed 200M-row sum). Together with job_overhead_ms this separates
+    # "the plan got slower" from "the VM got slower" across rounds.
+    jvm_runs = []
+    for _ in range(5):
+        t0 = time.time()
+        spark.range(200_000_000).selectExpr("sum(id * 2 + 1)").collect()
+        jvm_runs.append((time.time() - t0) * 1000.0)
+    jvm_compute_ms = round(sorted(jvm_runs)[len(jvm_runs) // 2], 1)
+    def next_job_id() -> int:
+        try:
+            return spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+        except Exception:
+            return 0
+
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     reps: dict[str, list[float]] = {}
+    jobs: dict[str, int] = {}
     for name in HEADLINE:
         fn = qmap.get(name)
         if fn is None:
@@ -117,10 +145,17 @@ def main() -> None:
             fn(spark, sf_dir).count()  # warmup: codegen compile + footer cache
             cold[name] = round(time.time() - t0, 3)
             runs = []
-            for _ in range(REPS):
+            for i in range(REPS):
+                j0 = next_job_id() if i == 0 else 0
                 t0 = time.time()
                 fn(spark, sf_dir).count()  # measured steady-state pass
                 runs.append(round(time.time() - t0, 3))
+                if i == 0:
+                    # Spark jobs launched by one steady-state pass: with
+                    # job_overhead_ms this decomposes each timing into
+                    # plan cost + jobs * scheduler floor, making numbers
+                    # comparable across VMs whose floor differs.
+                    jobs[name] = next_job_id() - j0
             reps[name] = runs
             timings[name] = sorted(runs)[len(runs) // 2]  # median
         except Exception as e:  # a failing query must not hide the others
@@ -140,6 +175,7 @@ def main() -> None:
             spark.sparkContext._jvm.System.gc()
         except Exception:
             pass
+    job_overhead_ms_post = measure_floor()  # the floor drifts; record both ends
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -151,7 +187,10 @@ def main() -> None:
                 "queries": timings,
                 "queries_cold": cold,
                 "queries_reps": reps,
+                "queries_jobs": jobs,
                 "job_overhead_ms": job_overhead_ms,
+                "job_overhead_ms_post": job_overhead_ms_post,
+                "jvm_compute_ms": jvm_compute_ms,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
