@@ -96,15 +96,26 @@ def hub_stage_df(
         rendered = pg_text_expr(F.col(col_name), src_types.get(col_name, "string"))
         part_cols.append(rendered.alias(f"{p.alias}_bk"))
         part_exprs.append(rendered)
-    staged = source.select(
-        F.sha2(F.concat_ws(",", *part_exprs), 256).alias(hk_name),
+    if not distinct_keys:
+        return source.select(
+            F.sha2(F.concat_ws(",", *part_exprs), 256).alias(hk_name),
+            _load_ts_col(load_ts).alias("load_ts"),
+            F.lit(schema_name).alias("record_source"),
+            *part_cols,
+        )
+    # Dedup on the PRE-hash joined key string and hash afterwards: the
+    # hk is sha256(joined), so dropDuplicates(joined) keeps exactly the
+    # rows dropDuplicates(hk) kept while the dedup shuffle carries the
+    # short rendered key instead of a 64-char digest per row (see
+    # link.link_stage_df for the full rationale; joined string, not raw
+    # parts -- concat_ws skips NULLs).
+    pre = source.select(F.concat_ws(",", *part_exprs).alias("__j"), *part_cols)
+    return pre.dropDuplicates(["__j"]).select(
+        F.sha2(F.col("__j"), 256).alias(hk_name),
         _load_ts_col(load_ts).alias("load_ts"),
         F.lit(schema_name).alias("record_source"),
-        *part_cols,
+        *[F.col(f"{p.alias}_bk") for p in business_key.business_key_part_links],
     )
-    if distinct_keys:
-        staged = staged.dropDuplicates([hk_name])
-    return staged
 
 
 def satellite_stage_df(
@@ -142,18 +153,27 @@ def satellite_stage_df(
         for d in descriptors
         if d.descriptor_link.source_column
     ]
-    staged = source.select(
-        F.sha2(F.concat_ws(",", *key_exprs), 256).alias(hk_name),
-        _load_ts_col(load_ts).alias("load_ts"),
-        F.lit(schema_name).alias("record_source"),
-        F.sha2(F.concat_ws(",", *desc_exprs), 256).alias(hd_name),
-        *desc_out,
-    )
     # within-batch dedup on (hk, hd): the anti-join only removes rows
     # already in the target, so without this a non-unique source would
     # append identical versions twice in one load (same hardening as
-    # hub_stage_df's distinct_keys)
-    return staged.dropDuplicates([hk_name, hd_name])
+    # hub_stage_df's distinct_keys). Dedup runs on the PRE-hash joined
+    # strings and the digests are computed after the shuffle (see
+    # hub_stage_df / link_stage_df for the shuffle-width rationale).
+    desc_aliases = [
+        d.descriptor_link.alias for d in descriptors if d.descriptor_link.source_column
+    ]
+    pre = source.select(
+        F.concat_ws(",", *key_exprs).alias("__jk"),
+        F.concat_ws(",", *desc_exprs).alias("__jd"),
+        *desc_out,
+    ).dropDuplicates(["__jk", "__jd"])
+    return pre.select(
+        F.sha2(F.col("__jk"), 256).alias(hk_name),
+        _load_ts_col(load_ts).alias("load_ts"),
+        F.lit(schema_name).alias("record_source"),
+        F.sha2(F.col("__jd"), 256).alias(hd_name),
+        *[F.col(a) for a in desc_aliases],
+    )
 
 
 def _with_partition_cols(wh: Warehouse, table: str, df: DataFrame) -> DataFrame:

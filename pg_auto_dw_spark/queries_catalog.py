@@ -624,11 +624,21 @@ def scd2_merge_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .catalog.introspect import SNAPSHOT_SCHEMA
     from .fixtures import local_relation_df
 
-    wh = Warehouse(spark, _scratch_dir("autodw_scd2_"))
-    ensure_table(wh)
-    wh.append(
-        "auto_dw.source_objects",
-        local_relation_df(spark, cur_rows, SOURCE_OBJECTS_SCHEMA),
+    def build(d: str) -> None:
+        w = Warehouse(spark, d)
+        ensure_table(w)
+        w.append(
+            "auto_dw.source_objects",
+            local_relation_df(spark, cur_rows, SOURCE_OBJECTS_SCHEMA),
+        )
+
+    # Pre-existing tracking table from the session template
+    # (_template_scratch); the timed operator is the 4-step merge.
+    wh = Warehouse(
+        spark,
+        _template_scratch(
+            (spark.sparkContext.applicationId, "scd2_state"), "autodw_scd2_", build
+        ),
     )
     merge_snapshot(
         wh, local_relation_df(spark, snap_rows, SNAPSHOT_SCHEMA), as_of=as_of, audit=False

@@ -115,3 +115,55 @@ def test_no_unbounded_sql_cache_in_package():
                 "unbounded SQL cache entries regress the bench (see r5 post-mortem "
                 "in similarity.brute_force_topk)"
             )
+
+
+def test_dv_staging_dedup_shuffles_prehash_strings(spark, sf_dir):
+    """Hub/sat/link staging dedups on the short pre-hash joined key and
+    computes sha256 AFTER the exchange: at warehouse scale the dedup
+    shuffle width is the dominant staging cost, and a digest-first plan
+    would move four 64-char hex strings per row instead of the rendered
+    keys. Guard: in the formatted plan, every sha2 appears in a node
+    listed BEFORE the first Exchange's subtree output -- i.e. no sha2
+    in any project below the exchange."""
+    from pg_auto_dw_spark.build.link import link_stage_df
+    from pg_auto_dw_spark.build.loader import hub_stage_df
+    from pg_auto_dw_spark.queries_catalog import (
+        customer_business_key,
+        lineitem_link_spec,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+    for df in (
+        link_stage_df(li, lineitem_link_spec()),
+        hub_stage_df(cust, customer_business_key()),
+    ):
+        plan = _plan(df)
+        # formatted explain lists operators leaves-last in the tree
+        # header; use the detail section ordering instead: find each
+        # numbered node, and require the node containing sha2 to have a
+        # SMALLER number than the Exchange (formatted numbering is
+        # topological: children get larger ids than parents).
+        import re
+
+        node_ids = {
+            int(m.group(1)): m.group(2)
+            for m in re.finditer(r"\((\d+)\) (\w+)", plan)
+        }
+        exchange_ids = [i for i, n in node_ids.items() if n == "Exchange"]
+        assert exchange_ids, "staging plan lost its dedup exchange"
+        # locate sha2 via the detail blocks: each block starts "(<id>) <op>"
+        blocks = re.split(r"\n(?=\(\d+\) )", plan)
+        sha_ids = []
+        for b in blocks:
+            m = re.match(r"\((\d+)\) ", b)
+            if m and "sha2" in b:
+                sha_ids.append(int(m.group(1)))
+        assert sha_ids, "staging plan lost its sha2 hashing"
+        # formatted numbering is leaves-first: (1) is the scan and ids
+        # grow toward the root, so "above the exchange" means a LARGER
+        # id; sha2 below the exchange would get a smaller one
+        assert min(sha_ids) > max(exchange_ids), (
+            f"sha2 computed below the dedup exchange: sha nodes {sha_ids}, "
+            f"exchanges {exchange_ids}"
+        )
