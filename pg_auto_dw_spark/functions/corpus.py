@@ -172,7 +172,13 @@ def contamination_pairs(
     before the join: one ubiquitous gram would otherwise be a
     quadratic hot key, the same failure mode as an LSH hot bucket."""
     d = _gram_table(docs, id_col, id_col, text_col, n)
-    b = _gram_table(benchmark, id_col, bench_id_col, text_col, n)
+    # Pin the benchmark gram table: it feeds the stop-gram count AND
+    # the overlap join (and the regex gram explode is the expensive
+    # part of the benchmark side). Bounded by construction -- eval
+    # sets, not the corpus.
+    b = _gram_table(benchmark, id_col, bench_id_col, text_col, n).localCheckpoint(
+        eager=False
+    )
     allowed = (
         b.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("__n_docs"))

@@ -227,3 +227,32 @@ def test_delete_keys_bucket_fn_prunes_other_partitions(spark, warehouse_dir):
     # only b=1 files can be affected under the mapping
     assert stats["files_rewritten"] <= n_b1
     assert {r["k"] for r in wh2.read("m.t").collect()} == set(range(400)) - {17}
+
+
+def test_template_scratch_clones_are_isolated(spark):
+    """Mutating a clone must never leak into the template or a sibling
+    clone: parquet files are hardlink-shared (immutable), but sidecar
+    meta/pointers are copied, and rewrites create new inodes."""
+    from pyspark.sql import types as T
+
+    from pg_auto_dw_spark.queries_catalog import _template_scratch
+    from pg_auto_dw_spark.warehouse import Warehouse
+
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    init = spark.createDataFrame([(1, "a"), (2, "b")], schema)
+
+    def build(d):
+        w = Warehouse(spark, d)
+        w.create_table("t.x", schema)
+        w.append("t.x", init)
+
+    key = (spark.sparkContext.applicationId, "tmpl-isolation-test")
+    c1 = Warehouse(spark, _template_scratch(key, "autodw_tmpltest_", build))
+    c2 = Warehouse(spark, _template_scratch(key, "autodw_tmpltest_", build))
+    c1.overwrite("t.x", spark.createDataFrame([(9, "z")], schema))
+    assert {r["k"] for r in c1.read("t.x").collect()} == {9}
+    assert {r["k"] for r in c2.read("t.x").collect()} == {1, 2}  # sibling intact
+    c3 = Warehouse(spark, _template_scratch(key, "autodw_tmpltest_", build))
+    assert {r["k"] for r in c3.read("t.x").collect()} == {1, 2}  # template intact
