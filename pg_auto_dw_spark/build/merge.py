@@ -117,7 +117,13 @@ def merge_upsert(
         # count, batch count, distinct-partitions collect) -- each job
         # pays the scheduler floor, which dominates metadata-sized
         # merges on high-latency schedulers and costs a full barrier
-        # round-trip on a busy cluster.
+        # round-trip on a busy cluster. Trade-off: a duplicate-key
+        # batch is now detected AFTER the pin (it used to fail on a
+        # cheap pre-lock pass), so the error path pays one batch
+        # materialization whose blocks free on the next periodic GC
+        # (session.py spark.cleaner.periodicGC.interval) -- accepted:
+        # the dup batch is the bug path, the clean batch is the hot
+        # path, and the combined agg removes two jobs from every merge.
         stats = batch.agg(
             F.count(F.lit(1)).alias("n"),
             F.count_distinct(F.struct(*key_cols)).alias("nk"),

@@ -73,6 +73,29 @@ def get_spark(app_name: str = "pg_auto_dw_spark", master: str | None = None) -> 
         # local[32] runs driver+executor in one JVM; checkpoint/shuffle
         # blocks from long sessions evict under 8g (measured: ~20% slower
         # steady-state + multi-second GC variance on the dedup family).
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        # Sized to the HOST, not a constant: a 24g heap on a 16 GB
+        # laptop fails to launch under strict overcommit.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY") or _default_heap())
+        # Dead localCheckpoint pins (per-call pins in the merge verbs /
+        # dedup family) are freed by ContextCleaner only after a JVM
+        # GC notices the RDD is unreachable; on a large mostly-idle
+        # heap that can take arbitrarily long, so long sessions
+        # accumulate dead blocks into storage-eviction churn. Spark's
+        # own periodic-GC hook bounds that (default is 30min).
+        .config("spark.cleaner.periodicGC.interval", "2min")
     )
     return prepare(builder.getOrCreate())
+
+
+def _default_heap() -> str:
+    """Driver heap default: 24g when the host comfortably has it,
+    otherwise ~40% of MemAvailable clamped to [2g, 24g]."""
+    try:
+        with open("/proc/meminfo") as f:
+            kb = {l.split(":")[0]: int(l.split()[1]) for l in f if ":" in l}
+        avail_g = kb.get("MemAvailable", kb.get("MemTotal", 0)) / (1024 * 1024)
+    except Exception:
+        return "8g"
+    if avail_g >= 60:
+        return "24g"
+    return f"{max(2, min(24, int(avail_g * 0.4)))}g"
