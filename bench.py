@@ -191,23 +191,37 @@ def main() -> None:
     job_overhead_ms_post = measure_floor()  # the floor drifts; record both ends
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_clock_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_cold": cold,
-                "queries_reps": reps,
-                "queries_jobs": jobs,
-                "job_overhead_ms": job_overhead_ms,
-                "job_overhead_ms_post": job_overhead_ms_post,
-                "jvm_compute_ms": jvm_compute_ms,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_query_wall_clock_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_cold": cold,
+        "queries_reps": reps,
+        "queries_jobs": jobs,
+        "job_overhead_ms": job_overhead_ms,
+        "job_overhead_ms_post": job_overhead_ms_post,
+        "jvm_compute_ms": jvm_compute_ms,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # Full artifact (reps, cold, per-query job counts) goes to a side
+    # file; the stdout contract line stays under ~2kB because the
+    # recording harness keeps only the LAST 2000 bytes of stdout -- the
+    # r5 artifact lost its headline fields to exactly this truncation
+    # once the line outgrew the window (BENCH_r05.json "parsed": null).
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(result, f)
+    compact = {
+        k: v for k, v in result.items() if k not in ("queries_cold", "queries_reps", "queries_jobs")
+    }
+    compact["jobs_total"] = sum(jobs.values())
+    compact["detail"] = "BENCH_DETAIL.json"
+    line = json.dumps(compact)
+    if len(line) > 1900:  # degrade gracefully: headline fields survive
+        compact.pop("queries", None)
+        line = json.dumps(compact)
+    print(line)
     spark.stop()
 
 

@@ -1,0 +1,87 @@
+"""Floor-normalized comparison of two bench artifacts.
+
+Usage: python tools/bench_compare.py OLD.json NEW.json
+
+Each per-query delta is decomposed using the artifacts' own
+calibration fields (job_overhead_ms, queries_jobs): the scheduler-floor
+share of a timing is jobs * floor, the remainder is plan cost. When an
+artifact predates the calibration fields (r1-r5), raw timings are
+compared and flagged as such -- the tool never invents a floor.
+
+The driver records BENCH_r{N}.json with a "tail"/"parsed" wrapper;
+bare bench.py output lines are accepted too.
+"""
+
+from __future__ import annotations
+
+import json
+import signal
+import sys
+
+signal.signal(signal.SIGPIPE, signal.SIG_DFL)  # clean exit under `| head`
+
+
+def load(path: str) -> dict:
+    with open(path) as f:
+        d = json.load(f)
+    if "parsed" in d and d["parsed"]:
+        return d["parsed"]
+    if "tail" in d:  # driver wrapper whose parse failed: last JSON line
+        for line in reversed(d["tail"].strip().splitlines()):
+            line = line[line.find("{") :] if "{" in line else ""
+            if line:
+                try:
+                    return json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+        raise SystemExit(f"{path}: no parsable bench line in tail")
+    return d
+
+
+def plan_cost(art: dict, q: str) -> tuple[float, bool]:
+    """(seconds attributable to the plan, calibrated?) for query q."""
+    t = art["queries"][q]
+    floor = art.get("job_overhead_ms")
+    jobs = (art.get("queries_jobs") or {}).get(q)
+    if floor is None or jobs is None:
+        return t, False
+    return max(0.0, t - jobs * floor / 1000.0), True
+
+
+def main() -> None:
+    if len(sys.argv) != 3:
+        raise SystemExit(__doc__)
+    old, new = load(sys.argv[1]), load(sys.argv[2])
+    shared = [q for q in new["queries"] if q in old["queries"]]
+    print(
+        f"old: floor={old.get('job_overhead_ms', '?')}ms jvm={old.get('jvm_compute_ms', '?')}ms | "
+        f"new: floor={new.get('job_overhead_ms', '?')}ms jvm={new.get('jvm_compute_ms', '?')}ms"
+    )
+    print(f"{'query':44s} {'old':>7s} {'new':>7s} {'raw':>7s} {'plan-norm':>9s}")
+    tot_o = tot_n = 0.0
+    rows = []
+    for q in shared:
+        o, n = old["queries"][q], new["queries"][q]
+        if o < 0 or n < 0:
+            continue
+        po, co = plan_cost(old, q)
+        pn, cn = plan_cost(new, q)
+        norm = f"{pn / po:9.2f}" if co and cn and po > 0.05 else "      n/a"
+        rows.append((n - o, f"{q:44s} {o:7.2f} {n:7.2f} {n / o if o else 0:7.2f} {norm}"))
+        tot_o += o
+        tot_n += n
+    for _, line in sorted(rows, reverse=True):
+        print(line)
+    print(
+        f"{'TOTAL (' + str(len(rows)) + ' shared)':44s} {tot_o:7.2f} {tot_n:7.2f} "
+        f"{tot_n / tot_o if tot_o else 0:7.2f}"
+    )
+    if not (old.get("queries_jobs") and new.get("queries_jobs")):
+        print(
+            "note: at least one artifact predates the calibration fields; "
+            "'plan-norm' unavailable there -- raw ratios include VM drift."
+        )
+
+
+if __name__ == "__main__":
+    main()
