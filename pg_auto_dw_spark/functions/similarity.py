@@ -63,15 +63,32 @@ def cosine(dot: Column, norm_a: Column, norm_b: Column) -> Column:
     )
 
 
-def _cogroup_topk_kernel(k: int):
+def _cogroup_topk_kernel(k: int, strike_self: bool = True, q_chunk: int = 1024):
     """Per-group (bucket/cell) query-vs-db top-k as one Arrow kernel:
     int64 gram matmul, IEEE float64 cosine in ``cosine()``'s operation
-    order, self-match struck, per-query top-k under the total order
-    (cosine desc, neighbor_id asc) via a stable argsort over the
-    id-ascending db side -- bit-identical rows to the join +
-    row_number shape it replaced (the per-pair higher-order int_dot is
-    interpreted in Catalyst, ~12us/pair; the kernel is a BLAS matmul).
-    Group work is bounded by the callers' bucket/cell caps.
+    order, per-query top-k under the total order (cosine desc,
+    neighbor_id asc) via a stable argsort over the id-ascending db
+    side -- bit-identical rows to the join + row_number shape it
+    replaced (the per-pair higher-order int_dot is interpreted in
+    Catalyst, ~12us/pair; the kernel is a BLAS matmul).
+
+    ``strike_self``: drop (q, db) pairs with equal ids -- correct for
+    self-join searches where both sides share one id space; MUST be
+    False for external queries (ivf_search_index), whose caller-chosen
+    query ids are unrelated to corpus ids and may collide with them.
+
+    Memory contract: the db side is bounded by the callers' cell/
+    bucket caps; the QUERY side is not (in self-search every cell
+    member is a query), so queries are processed in ``q_chunk`` blocks
+    -- the score matrix is at most q_chunk x cap floats regardless of
+    how hot the group is.
+
+    Zero-norm contract: a zero-quantizing vector (every |coord| <
+    0.5/SCALE -> qnorm 0) has undefined cosine (0/0). The kernel
+    DROPS such pairs -- the DuckDB-oracle behavior (0/0 is NULL there
+    and fails every comparison). The ANSI expression shape would
+    instead raise DIVIDE_BY_ZERO; dropping is the deliberate,
+    oracle-consistent choice.
 
     Emits at most k rows per (group, query); callers that place one
     query in several groups (multi-probe) re-rank globally with the
@@ -93,23 +110,40 @@ def _cogroup_topk_kernel(k: int):
         d_ids = dpdf["neighbor_id"].to_numpy()[d_order].astype(np.int64)
         d_mat = np.stack(dpdf["qvec"].to_numpy()[d_order]).astype(np.int64)
         d_den = np.sqrt(dpdf["qnorm"].to_numpy()[d_order].astype(np.int64).astype(np.float64))
-        q_ids = qpdf["query_id"].to_numpy().astype(np.int64)
-        q_mat = np.stack(qpdf["qv"].to_numpy()).astype(np.int64)
-        q_den = np.sqrt(qpdf["qn"].to_numpy().astype(np.int64).astype(np.float64))
-        cos = (q_mat @ d_mat.T).astype(np.float64) / (q_den[:, None] * d_den[None, :])
-        # strike self-matches (db side sorted by id -> searchsorted)
-        pos = np.searchsorted(d_ids, q_ids)
-        hit = (pos < len(d_ids)) & (d_ids[np.minimum(pos, len(d_ids) - 1)] == q_ids)
-        cos[np.where(hit)[0], pos[hit]] = -np.inf
-        # stable argsort on -cos keeps the id-ascending tie order
-        top = np.argsort(-cos, axis=1, kind="stable")[:, :k]
-        n_take = min(k, cos.shape[1])
-        rows_q = np.repeat(q_ids, n_take)
-        rows_n = d_ids[top].reshape(-1)
-        rows_c = np.take_along_axis(cos, top, axis=1).reshape(-1)
-        keep = rows_c > -np.inf  # drop struck self-matches that slid in
+        all_q_ids = qpdf["query_id"].to_numpy().astype(np.int64)
+        all_q_mat = np.stack(qpdf["qv"].to_numpy()).astype(np.int64)
+        all_q_den = np.sqrt(qpdf["qn"].to_numpy().astype(np.int64).astype(np.float64))
+        outs = []
+        for s in range(0, len(all_q_ids), q_chunk):
+            q_ids = all_q_ids[s : s + q_chunk]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = (all_q_mat[s : s + q_chunk] @ d_mat.T).astype(np.float64) / (
+                    all_q_den[s : s + q_chunk, None] * d_den[None, :]
+                )
+            # rank key: -cos; struck self-matches and undefined
+            # (zero-norm NaN) entries rank LAST and are masked out
+            key = -cos
+            drop = np.isnan(cos)
+            if strike_self:
+                pos = np.searchsorted(d_ids, q_ids)
+                hit = (pos < len(d_ids)) & (
+                    d_ids[np.minimum(pos, len(d_ids) - 1)] == q_ids
+                )
+                drop[np.where(hit)[0], pos[hit]] = True
+            key[drop] = np.inf
+            # stable argsort on the key keeps the id-ascending tie order
+            top = np.argsort(key, axis=1, kind="stable")[:, :k]
+            n_take = min(k, cos.shape[1])
+            keep = ~np.take_along_axis(drop, top, axis=1).reshape(-1)
+            outs.append(
+                {
+                    "query_id": np.repeat(q_ids, n_take)[keep],
+                    "neighbor_id": d_ids[top].reshape(-1)[keep],
+                    "cosine": np.take_along_axis(cos, top, axis=1).reshape(-1)[keep],
+                }
+            )
         return pd.DataFrame(
-            {"query_id": rows_q[keep], "neighbor_id": rows_n[keep], "cosine": rows_c[keep]}
+            {c: np.concatenate([o[c] for o in outs]) for c in empty}
         )
 
     return kernel
@@ -154,7 +188,21 @@ def brute_force_topk(
     checkpoint materialization, and no interpreted per-pair
     higher-order dot (~12us/pair in the join shape this replaced --
     measured 26s for 10 queries x 200k vectors; the kernel runs the
-    same in ~2s, scan-bound)."""
+    same in ~2s, scan-bound).
+
+    Caching post-mortem (r5, referenced by the localCheckpoint
+    comments across this module, dedup.py, and corpus.py): the r5
+    build pinned shared subtrees with plan-keyed ``persist()`` (SQL
+    cache). Under the full 34-query driver bench the never-unpersisted
+    columnar entries (wide array<bigint> columns, expensive
+    InMemoryRelation builds) overflowed the 8g driver's storage pool
+    and evicted each other, so every call re-paid the cache BUILD and
+    got no reuse: ann_ivf_topk 1.85->4.90s, dedup_embedding_cosine
+    1.97->4.53s (BENCH_r05). Policy since: immutable intra-query pins
+    use ``localCheckpoint`` (RDD block pin, no columnar rebuild),
+    cross-query reuse goes through explicit per-session structures
+    (queries_catalog._ivf_index, cluster cache) -- enforced by
+    test_plan_shapes.test_no_unbounded_sql_cache_in_package."""
     import numpy as np
     import pandas as pd
 
@@ -661,9 +709,14 @@ def _allpairs_cosine_kernel(threshold: float):
         norms = pdf["qnorm"].to_numpy()[order].astype(np.int64)
         gram = mat @ mat.T  # exact: dims * SCALE^2 * |x|^2 << 2^63
         denom = np.sqrt(norms.astype(np.float64))
-        cos = gram.astype(np.float64) / (denom[:, None] * denom[None, :])
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = gram.astype(np.float64) / (denom[:, None] * denom[None, :])
         iu, ju = np.triu_indices(len(ids), k=1)
-        keep = cos[iu, ju] >= threshold
+        up = cos[iu, ju]
+        # zero-norm (qnorm 0) pairs have undefined cosine (NaN here,
+        # NULL in the DuckDB oracle) and fail the threshold in both --
+        # dropped, deliberately (the ANSI expression shape would throw)
+        keep = up >= threshold
         return pd.DataFrame(
             {
                 "id_a": ids[iu[keep]],
@@ -810,8 +863,15 @@ def build_ivf_index(
         wh.create_table(cb_name, codebook.schema)
     if not wh.exists(as_name):
         wh.create_table(as_name, assigned.schema, partition_by=["cell"])
-    wh.overwrite(cb_name, codebook)
-    wh.overwrite(as_name, assigned)
+    # ONE transaction for both tables: two independent commits could
+    # crash in between and leave the new codebook paired with the old
+    # assignment -- probes would then pick cells against centroids the
+    # stored cells were never assigned to (wrong/empty neighbors, no
+    # error). The journal roll-forward makes the pair land together or
+    # not at all.
+    with wh.transaction([cb_name, as_name]) as txn:
+        txn.overwrite(cb_name, codebook)
+        txn.overwrite(as_name, assigned)
     return {
         "cells": wh.read(cb_name).count(),
         "vectors": wh.read(as_name).count(),
@@ -861,9 +921,13 @@ def ivf_search_index(
 
     ``queries``: [(query_id, vector)] with driver-resident vectors
     (request-sized by contract). Output: (query_id, neighbor_id,
-    cosine), exact within the probed cells."""
+    cosine), exact within the probed cells. Query ids live in the
+    CALLER's id space: a corpus vector with the same numeric id is a
+    legitimate neighbor (strike_self=False in the kernel)."""
     import numpy as np
 
+    if not queries:  # empty request: empty result, not a numpy AxisError
+        return wh.spark.createDataFrame([], _PAIR_TOPK_SCHEMA)
     rows = wh.read(f"{name}.codebook").select("cent_id", "cv", "cn").orderBy("cent_id").collect()
     if not rows:
         raise ValueError(f"index {name} has an empty codebook")
@@ -905,7 +969,10 @@ def ivf_search_index(
     sim = (
         qdf.groupBy("cell_q")
         .cogroup(db.groupBy("cell_d"))
-        .applyInPandas(lambda q, d: _cogroup_topk_kernel(k)(q, d), _PAIR_TOPK_SCHEMA)
+        .applyInPandas(
+            lambda q, d: _cogroup_topk_kernel(k, strike_self=False)(q, d),
+            _PAIR_TOPK_SCHEMA,
+        )
     )
     return _global_topk(sim, k)
 
@@ -934,8 +1001,25 @@ def append_to_ivf_index(
         with_quantized(new_vectors, vec_col).select(F.col(id_col), "qvec", "qnorm"),
         codebook,
         id_col,
-    ).localCheckpoint(eager=True)  # pin: counted, then written
-    n = assigned.count()
+    ).localCheckpoint(eager=True)  # pin: read below, then written
+    # Idempotent append: drop ids already present in the index. The
+    # existing-id probe reads ONLY the batch's touched cells (the
+    # assignment table is cell-partitioned, so the filter prunes to
+    # the batch footprint, never a full index scan). This is what
+    # makes the streaming ingest's foreachBatch replay-safe: Structured
+    # Streaming's sink contract is at-least-once, and a batch replayed
+    # after a commit-then-crash must find its vectors present and
+    # append nothing (the scd2_dim_stream idempotent-merge posture).
+    touched = [r["cell"] for r in assigned.select("cell").distinct().collect()]
+    existing = (
+        wh.read(f"{name}.assignment")
+        .filter(F.col("cell").isin(touched))
+        .select(F.col(id_col))
+    )
+    fresh = assigned.join(existing, on=id_col, how="left_anti").localCheckpoint(
+        eager=True
+    )
+    n = fresh.count()
     if n:
-        wh.append(f"{name}.assignment", assigned)
+        wh.append(f"{name}.assignment", fresh.select(*assigned.columns))
     return n

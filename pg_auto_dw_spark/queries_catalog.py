@@ -2047,9 +2047,11 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         from .functions.similarity import ivf_assign
 
         emb = load_table(spark, sf_dir, "embeddings")
-        idx = ivf_assign(
-            emb, codebook=_ivf_codebook(spark, sf_dir)
-        ).localCheckpoint(eager=True)
+        # ivf_assign already ends in a (lazy) localCheckpoint; force it
+        # with one count instead of stacking a second pin on top, which
+        # would hold the full assignment in block storage TWICE.
+        idx = ivf_assign(emb, codebook=_ivf_codebook(spark, sf_dir))
+        idx.count()
         _IVF_INDEX_CACHE[key] = idx
     return idx
 

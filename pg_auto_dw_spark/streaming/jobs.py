@@ -665,10 +665,14 @@ def vector_index_ingest_stream(
     against the STORED codebook and appended into their cell
     partitions via foreachBatch -- the vector-pipeline twin of the
     incremental hub load. Exactly-once per vector id across restarts
-    via stateful dropDuplicates (the checkpoint replays an interrupted
-    batch; the dedup state suppresses its vectors on the retry only if
-    the append committed -- and the Warehouse append is a single
-    atomic pointer commit, so a replayed half batch cannot exist).
+    comes from the SINK, not the stream state: foreachBatch is
+    at-least-once (a crash between the warehouse commit and the
+    checkpoint commit log replays the batch with stale dedup state),
+    so append_to_ivf_index anti-joins the batch against the ids
+    already present in its touched cells (partition-pruned) and a
+    replayed batch appends nothing -- the scd2_dim_stream
+    idempotent-merge posture. The in-stream dropDuplicates only
+    collapses same-id rows within the feed.
 
     Codebook staleness is the documented posture (periodic full
     rebuilds, similarity.append_to_ivf_index); the stream only ever

@@ -158,3 +158,44 @@ def test_streaming_ingest_appends_and_is_searchable(indexed, spark, tmp_path):
     ).collect()
     found = {r["neighbor_id"] for r in rows}
     assert {6_000_000, 6_000_001} <= found
+
+
+def test_append_replay_is_idempotent(spark, sf_dir, tmp_path_factory):
+    """The at-least-once sink contract: re-applying the same batch
+    (foreachBatch replay after a commit-then-crash) must append
+    nothing the second time."""
+    from pg_auto_dw_spark.functions.similarity import append_to_ivf_index
+
+    wh = Warehouse(spark, str(tmp_path_factory.mktemp("annwh_replay")))
+    emb = load_table(spark, sf_dir, "embeddings")
+    build_ivf_index(wh, emb.filter(F.col("vec_id") < 400), "ix.emb", stride=50)
+    batch = emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 420))
+    n1 = append_to_ivf_index(wh, batch, "ix.emb")
+    n2 = append_to_ivf_index(wh, batch, "ix.emb")  # the replay
+    assert n1 == batch.count() and n2 == 0
+    one_row_per_id = (
+        wh.read("ix.emb.assignment")
+        .groupBy("vec_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert one_row_per_id == 0
+
+
+def test_external_query_id_colliding_with_corpus_id_keeps_neighbor(indexed):
+    """ivf_search_index queries live in the CALLER's id space: a corpus
+    vector with the same numeric id must still be returned (the
+    self-strike is for self-joins only)."""
+    wh, emb, _ = indexed
+    probe = emb.filter(F.col("vec_id") == 7).select("embedding").first()["embedding"]
+    rows = ivf_search_index(wh, "ann.emb", [(7, list(probe))], k=3, n_probes=2).collect()
+    assert rows, "no neighbors returned"
+    best = max(rows, key=lambda r: r["cosine"])
+    # the identical corpus vector (vec_id 7) is the nearest neighbor
+    assert best["neighbor_id"] == 7 and abs(best["cosine"] - 1.0) < 1e-9
+
+
+def test_search_index_empty_queries_returns_empty(indexed):
+    wh, _, _ = indexed
+    assert ivf_search_index(wh, "ann.emb", [], k=3).count() == 0
