@@ -138,11 +138,25 @@ def main() -> None:
         spark.range(200_000_000).selectExpr("sum(id * 2 + 1)").collect()
         jvm_runs.append((time.time() - t0) * 1000.0)
     jvm_compute_ms = round(sorted(jvm_runs)[len(jvm_runs) // 2], 1)
-    def next_job_id() -> int:
+    # Job counting reads the unstable private DAGScheduler.nextJobId via
+    # py4j. It is instrumentation ONLY: a failure must never mark a
+    # query as failed (r6 ADVICE), so the delta is computed inside one
+    # helper with a single try around BOTH reads (an asymmetric failure
+    # used to produce a large negative count), clamped to >= 0, and if
+    # the API ever falls back the whole queries_jobs map is omitted from
+    # the artifact so bench_compare never normalizes with fake zeros.
+    jobs_calibrated = True
+
+    def count_jobs(run) -> tuple[object, int | None]:
+        nonlocal jobs_calibrated
         try:
-            return spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+            j0 = spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+            out = run()
+            j1 = spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+            return out, max(0, j1 - j0)
         except Exception:
-            return 0
+            jobs_calibrated = False
+            return run(), None
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
@@ -158,16 +172,18 @@ def main() -> None:
             cold[name] = round(time.time() - t0, 3)
             runs = []
             for i in range(REPS):
-                j0 = next_job_id() if i == 0 else 0
                 t0 = time.time()
-                fn(spark, sf_dir).count()  # measured steady-state pass
-                runs.append(round(time.time() - t0, 3))
                 if i == 0:
                     # Spark jobs launched by one steady-state pass: with
                     # job_overhead_ms this decomposes each timing into
                     # plan cost + jobs * scheduler floor, making numbers
                     # comparable across VMs whose floor differs.
-                    jobs[name] = next_job_id() - j0
+                    _, nj = count_jobs(lambda: fn(spark, sf_dir).count())
+                    if nj is not None:
+                        jobs[name] = nj
+                else:
+                    fn(spark, sf_dir).count()  # measured steady-state pass
+                runs.append(round(time.time() - t0, 3))
             reps[name] = runs
             timings[name] = sorted(runs)[len(runs) // 2]  # median
         except Exception as e:  # a failing query must not hide the others
@@ -198,7 +214,9 @@ def main() -> None:
         "queries": timings,
         "queries_cold": cold,
         "queries_reps": reps,
-        "queries_jobs": jobs,
+        # omitted entirely when the private nextJobId API ever failed:
+        # partial/zero counts would read as calibrated to bench_compare
+        **({"queries_jobs": jobs} if jobs_calibrated else {}),
         "job_overhead_ms": job_overhead_ms,
         "job_overhead_ms_post": job_overhead_ms_post,
         "jvm_compute_ms": jvm_compute_ms,
@@ -215,7 +233,8 @@ def main() -> None:
     compact = {
         k: v for k, v in result.items() if k not in ("queries_cold", "queries_reps", "queries_jobs")
     }
-    compact["jobs_total"] = sum(jobs.values())
+    if jobs_calibrated:
+        compact["jobs_total"] = sum(jobs.values())
     compact["detail"] = "BENCH_DETAIL.json"
     line = json.dumps(compact)
     if len(line) > 1900:  # degrade gracefully: headline fields survive

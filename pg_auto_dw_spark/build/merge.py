@@ -108,34 +108,32 @@ def merge_upsert(
         raise ValueError(f"merge_upsert requires a partitioned table; {table} has no spec")
     if order_col is not None:
         batch = _latest_per_key(batch, key_cols, order_col)
+    batch = batch.localCheckpoint(eager=True)  # pin: read before we overwrite
+    # ONE metadata pass over the pinned batch: total rows, distinct
+    # keys (struct-wise, so NULL key fields compare like groupBy
+    # equality), and the touched-partition set (bounded: one struct
+    # per partition). Replaces three separate jobs (dup-check count,
+    # batch count, distinct-partitions collect) -- each job pays the
+    # scheduler floor, which dominates metadata-sized merges on
+    # high-latency schedulers and costs a full barrier round-trip on a
+    # busy cluster. Pin + stats run BEFORE the table lock (r6 ADVICE):
+    # the batch is caller-side state, so the pre-lock result stays
+    # valid under the lock, and a duplicate-key batch now fails cheaply
+    # without ever holding the table's exclusive lock through its own
+    # materialization.
+    stats = batch.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.struct(*key_cols)).alias("nk"),
+        F.collect_set(F.struct(*pcols)).alias("parts"),
+    ).collect()[0]
+    n_batch = stats["n"]
+    if order_col is None and stats["nk"] != n_batch:
+        raise ValueError(
+            "merge_upsert batch has duplicate keys; pass order_col to "
+            "pick the newest version per key"
+        )
+    touched = [tuple(r) for r in stats["parts"]]
     with wh.lock(table):
-        batch = batch.localCheckpoint(eager=True)  # pin: read before we overwrite
-        # ONE metadata pass over the pinned batch: total rows, distinct
-        # keys (struct-wise, so NULL key fields compare like groupBy
-        # equality), and the touched-partition set (bounded: one struct
-        # per partition). Replaces three separate jobs (dup-check
-        # count, batch count, distinct-partitions collect) -- each job
-        # pays the scheduler floor, which dominates metadata-sized
-        # merges on high-latency schedulers and costs a full barrier
-        # round-trip on a busy cluster. Trade-off: a duplicate-key
-        # batch is now detected AFTER the pin (it used to fail on a
-        # cheap pre-lock pass), so the error path pays one batch
-        # materialization whose blocks free on the next periodic GC
-        # (session.py spark.cleaner.periodicGC.interval) -- accepted:
-        # the dup batch is the bug path, the clean batch is the hot
-        # path, and the combined agg removes two jobs from every merge.
-        stats = batch.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.count_distinct(F.struct(*key_cols)).alias("nk"),
-            F.collect_set(F.struct(*pcols)).alias("parts"),
-        ).collect()[0]
-        n_batch = stats["n"]
-        if order_col is None and stats["nk"] != n_batch:
-            raise ValueError(
-                "merge_upsert batch has duplicate keys; pass order_col to "
-                "pick the newest version per key"
-            )
-        touched = [tuple(r) for r in stats["parts"]]
         cur = wh.read(table).filter(_touched_partitions_cond(pcols, touched))
         if verify_partition_contract:
             outside = wh.read(table).filter(

@@ -983,6 +983,7 @@ def append_to_ivf_index(
     name: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probe_touched_cells_only: bool = False,
 ) -> int:
     """Incremental index maintenance: assign ONLY the new vectors
     against the stored codebook and append them to the assignment
@@ -1002,21 +1003,38 @@ def append_to_ivf_index(
         codebook,
         id_col,
     ).localCheckpoint(eager=True)  # pin: read below, then written
-    # Idempotent append: drop ids already present in the index. The
-    # existing-id probe reads ONLY the batch's touched cells (the
-    # assignment table is cell-partitioned, so the filter prunes to
-    # the batch footprint, never a full index scan). This is what
-    # makes the streaming ingest's foreachBatch replay-safe: Structured
-    # Streaming's sink contract is at-least-once, and a batch replayed
-    # after a commit-then-crash must find its vectors present and
-    # append nothing (the scd2_dim_stream idempotent-merge posture).
-    touched = [r["cell"] for r in assigned.select("cell").distinct().collect()]
-    existing = (
-        wh.read(f"{name}.assignment")
-        .filter(F.col("cell").isin(touched))
-        .select(F.col(id_col))
+    # Idempotent append: drop ids already present in the index, so a
+    # replayed batch appends nothing. This is what makes the streaming
+    # ingest's foreachBatch replay-safe: Structured Streaming's sink
+    # contract is at-least-once, and a batch replayed after a
+    # commit-then-crash must find its vectors present (the
+    # scd2_dim_stream idempotent-merge posture).
+    #
+    # The DEFAULT probe is GLOBAL over ids: an id re-sent with a
+    # CHANGED embedding can assign to a different cell, where a
+    # cell-restricted probe would not see it and the one-row-per-id
+    # invariant would break with a duplicate id in a second cell (r6
+    # ADVICE). Append is not update -- the mutated re-send is ignored;
+    # use a rebuild (or a delete+append) to move a vector. The global
+    # probe is one semi-join pass over the assignment table's id column
+    # (column-pruned scan; no broadcast hint -- batches usually fit and
+    # AQE decides on measured size, the guarded-broadcast posture).
+    #
+    # ``probe_touched_cells_only=True`` restores the partition-pruned
+    # probe for callers whose replays are BYTE-IDENTICAL by contract
+    # (the streaming ingest: a replayed foreachBatch re-reads the same
+    # source offsets, and assignment against the same stored codebook
+    # is deterministic, so a replay can only land in its original
+    # cells). There the probe reads just the batch's cell partitions,
+    # never scanning the index -- the 100 TB steady-state path.
+    existing = wh.read(f"{name}.assignment")
+    if probe_touched_cells_only:
+        touched = [r["cell"] for r in assigned.select("cell").distinct().collect()]
+        existing = existing.filter(F.col("cell").isin(touched))
+    existing_ids = existing.select(F.col(id_col)).join(
+        assigned.select(F.col(id_col)), on=id_col, how="left_semi"
     )
-    fresh = assigned.join(existing, on=id_col, how="left_anti").localCheckpoint(
+    fresh = assigned.join(existing_ids, on=id_col, how="left_anti").localCheckpoint(
         eager=True
     )
     n = fresh.count()

@@ -41,20 +41,85 @@ def register(name: str, sql: str | None):
 # cycle -- _PRIORITY is exactly the set that RESTED last round (plus
 # any query added or reshaped this round), _DEPRIORITIZED is the set
 # verified last round.
-# Round 6 state: _PRIORITY = the 45-query r5 registration tail (all
-# green in r4 or earlier; one-round gap, within policy) +
-# events_value_quantile_sketch (reshaped to scalar rows this round; the
-# only query never green) + this round's new registrations.
-# NOTE for round 7: set _PRIORITY = this round's RESTING set (the 49
-# r5-verified tail + text_unigram_logprob, which was registered at the
-# tail head in r6 and has no driver row yet) -- exactly 50; demote
-# today's 50-query head to _DEPRIORITIZED. The catalog is now at the
-# 100-query cap: REGISTER NOTHING NEW (two-round rotation saturates at
-# 100); new operators get pytest + bench coverage instead, or replace a
-# retired query. Resting set snapshot:
+# Round 7 state (per r6 VERDICT directives 1-4): _PRIORITY = the r6
+# resting tail (r5-verified; one-round gap, within policy) MINUS three
+# retired-redundant rows, PLUS the three rows that must re-run this
+# round: text_word_entropy (r6 hash-match failure, output hardened to
+# DECIMAL(18,6)), events_value_quantile_sketch (oracle upgraded from
+# None to the bounds-check shape -- first verifiable row), and
+# ann_ivf_index_search (NEW: the persisted-IVF-index family's first
+# driver row, registered via the replace-a-retired-query path).
+# Retired this round (coverage held elsewhere, none in bench HEADLINE):
+#   source_table_demo_values  (S1/U3 demo VALUES row; S1 held by
+#                              source_table_prompt_payload + fixtures)
+#   orders_json_payload       (F8 held by source_table_prompt_payload
+#                              + events_props_json_extract)
+#   events_cube_type_day      (grouping-set Expand held by
+#                              events_rollup_hierarchy + events_type_pivot)
+#   events_value_median_by_type (exact per-type quantiles now computed
+#                              INSIDE the sketch bounds-check row;
+#                              percentile shapes also in winsorized stats)
+# Catalog is now 97 of the 100 cap; _DEPRIORITIZED = the 47 remaining
+# r6-verified rows.
+# NOTE for round 8: set _PRIORITY = this round's RESTING set (the 47
+# r6-verified rows) -- under the 50-slot cap, so up to 3 new or
+# re-verify rows fit; demote today's 50-query head to _DEPRIORITIZED.
+# Resting set snapshot:
 # python -c "from pg_auto_dw_spark import queries_catalog as q; \
 #            print(list(q.queries())[50:])"
 _PRIORITY = [
+    "text_word_entropy",  # r6 hash-match failure; output now DECIMAL(18,6)
+    "events_value_quantile_sketch",  # first round with a real (bounds-check) oracle
+    "ann_ivf_index_search",  # NEW: persisted IVF index family's first driver row
+    "text_unigram_logprob",  # registered r6, first driver row; output hardened too
+    "dim_upsert_customer",
+    "gdpr_delete_customer",
+    "q4_late_shipment_priority",
+    "q13_order_count_distribution",
+    "q18_large_volume_orders",
+    "q22_inactive_rich_customers",
+    "orders_rolling_revenue",
+    "schema_evolution_customer",
+    "time_travel_versions",
+    "lineitem_stats_by_flag",
+    "documents_pii_redaction",
+    "documents_leakfree_split",
+    "documents_boilerplate_removal",
+    "customer_balance_ranks",
+    "events_asof_last_purchase",
+    "pit_user_daily",
+    "events_range_click_attribution",
+    "events_range_same_user_attribution",
+    "documents_stratified_sample",
+    "documents_sample_fixed_n",
+    "documents_mixture_sample",
+    "events_salted_type_stats",
+    "events_distinct_users_by_type",
+    "events_heavy_hitter_users",
+    "events_customer_salted_join",
+    "part_fuzzy_name_pairs",
+    "documents_keyword_tfidf",
+    "events_type_pivot",
+    "events_interarrival_stats",
+    "events_click_purchase_funnel",
+    "events_value_winsorized_stats",
+    "dedup_ngram_containment",
+    "ann_cosine_topk_filtered",
+    "documents_chunked_windows",
+    "status_window_flags",
+    "latest_transformer_responses",
+    "multimodal_resize",
+    "events_props_json_extract",
+    "multimodal_features",
+    "sat_current_view",
+    "dv_round_trip_customer",
+    "hub_load_customer",
+    "sat_load_customer",
+    "ghost_records_customer",
+    "status_source_column",
+    "tracking_union_except",
+]
+_DEPRIORITIZED = [
     "scd2_merge_state",
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -88,7 +153,6 @@ _PRIORITY = [
     "pending_tables_cutoff",
     "source_table_prompt_payload",
     "auto_dw_hash_parity",
-    "source_table_demo_values",
     "hub_load_lineitem_composite",
     "sat_load_lineitem_composite",
     "link_load_order_part_supplier",
@@ -100,68 +164,9 @@ _PRIORITY = [
     "text_repetition",
     "dedup_simhash_hamming",
     "ann_ivf_multiprobe_topk",
-    "events_value_quantile_sketch",  # RESHAPED this round: only-ever-red row, must re-verify
-    "documents_pii_scan",  # NEW this round (governance value scan)
-    "documents_zip_format_violations",  # NEW this round (governance drill-down)
-    "dedup_keep_best_documents",  # NEW this round (quality-aware canonical)
-    "text_word_entropy",  # NEW this round (quality signal)
-]
-_DEPRIORITIZED = [
-    # NEW this round, registered at the head of the RESTING set: the
-    # 50-slot priority head was already full of queries that must run
-    # in r6 under the two-round rotation. Locally oracle-verified at
-    # registration; its first driver row lands in r7, where it completes
-    # the 49-query resting tail to exactly 50.
-    "text_unigram_logprob",
-    "dim_upsert_customer",
-    "gdpr_delete_customer",
-    "q4_late_shipment_priority",
-    "q13_order_count_distribution",
-    "q18_large_volume_orders",
-    "q22_inactive_rich_customers",
-    "orders_rolling_revenue",
-    "schema_evolution_customer",
-    "time_travel_versions",
-    "lineitem_stats_by_flag",
-    "documents_pii_redaction",
-    "documents_leakfree_split",
-    "documents_boilerplate_removal",
-    "customer_balance_ranks",
-    "events_asof_last_purchase",
-    "pit_user_daily",
-    "events_range_click_attribution",
-    "events_range_same_user_attribution",
-    "documents_stratified_sample",
-    "documents_sample_fixed_n",
-    "documents_mixture_sample",
-    "events_salted_type_stats",
-    "events_distinct_users_by_type",
-    "events_heavy_hitter_users",
-    "events_customer_salted_join",
-    "part_fuzzy_name_pairs",
-    "documents_keyword_tfidf",
-    "events_type_pivot",
-    "events_cube_type_day",
-    "events_interarrival_stats",
-    "events_value_median_by_type",
-    "events_click_purchase_funnel",
-    "events_value_winsorized_stats",
-    "dedup_ngram_containment",
-    "ann_cosine_topk_filtered",
-    "documents_chunked_windows",
-    "status_window_flags",
-    "latest_transformer_responses",
-    "orders_json_payload",
-    "multimodal_resize",
-    "events_props_json_extract",
-    "multimodal_features",
-    "sat_current_view",
-    "dv_round_trip_customer",
-    "hub_load_customer",
-    "sat_load_customer",
-    "ghost_records_customer",
-    "status_source_column",
-    "tracking_union_except",
+    "documents_pii_scan",
+    "documents_zip_format_violations",
+    "dedup_keep_best_documents",
 ]
 
 
@@ -1093,31 +1098,9 @@ def part_name_tokens_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select("p_partkey", F.explode(F.split("p_name", " ")).alias("token"))
 
 
-@register(
-    "orders_json_payload",
-    """
-    SELECT o_orderkey,
-           CAST(to_json(struct_pack(
-               "Order Key" := o_orderkey,
-               "Status" := o_orderstatus,
-               "Priority" := o_orderpriority)) AS VARCHAR) AS payload
-    FROM orders
-    """,
-)
-def orders_json_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """json_build_object analog (SURVEY F8): to_json(named_struct(...))
-    produces byte-identical compact JSON in both engines."""
-    o = load_table(spark, sf_dir, "orders")
-    return o.select(
-        "o_orderkey",
-        F.to_json(
-            F.struct(
-                F.col("o_orderkey").alias("Order Key"),
-                F.col("o_orderstatus").alias("Status"),
-                F.col("o_orderpriority").alias("Priority"),
-            )
-        ).alias("payload"),
-    )
+# (orders_json_payload retired r7: F8 to_json(named_struct) stays
+# driver-covered by source_table_prompt_payload, json extraction by
+# events_props_json_extract.)
 
 
 @register(
@@ -1344,9 +1327,9 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            SUM(c) AS n_words,
            COUNT(*) AS n_distinct_words,
-           ROUND(log2(CAST(SUM(c) AS DOUBLE))
+           CAST(ROUND(log2(CAST(SUM(c) AS DOUBLE))
                  - SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
-                   / CAST(SUM(c) AS DOUBLE), 6) AS entropy_bits
+                   / CAST(SUM(c) AS DOUBLE), 6) AS DECIMAL(18,6)) AS entropy_bits
     FROM wc GROUP BY doc_id
     """,
 )
@@ -1354,10 +1337,16 @@ def text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc unigram Shannon entropy (bits) -- the cheap gibberish /
     repetition quality signal (functions/text.py word_entropy). Two
     map-side-combined shuffles, 6-decimal rounding for cross-engine
-    libm parity (the moment-aggregates precedent)."""
+    libm parity (the moment-aggregates precedent). Hashed bytes are
+    DECIMAL(18,6) on BOTH sides (r6 VERDICT directive 1): the r6 driver
+    row failed hash-match on a value this round could not reproduce
+    locally, and decimal bytes remove engine float-formatting skew from
+    the compare entirely."""
     from .functions.text import word_entropy
 
-    return word_entropy(load_table(spark, sf_dir, "documents"))
+    return word_entropy(load_table(spark, sf_dir, "documents")).withColumn(
+        "entropy_bits", F.col("entropy_bits").cast("decimal(18,6)")
+    )
 
 
 @register(
@@ -1371,8 +1360,8 @@ def text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT SUM(n) AS total FROM freq)
     SELECT doc_id,
            COUNT(*) AS n_tokens,
-           ROUND(AVG(log10(CAST(n AS DOUBLE) / CAST(total AS DOUBLE))), 6)
-               AS avg_logprob
+           CAST(ROUND(AVG(log10(CAST(n AS DOUBLE) / CAST(total AS DOUBLE))), 6)
+                AS DECIMAL(18,6)) AS avg_logprob
     FROM words JOIN freq USING (w) CROSS JOIN tot
     GROUP BY doc_id
     """,
@@ -1382,10 +1371,14 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigram LM -- the CCNet-style perplexity-filter quality signal
     (functions/text.py unigram_logprob): rare-token gibberish scores
     low, boilerplate high. One model-build shuffle + one scoring join
-    + one rollup; 6-decimal rounding for cross-engine parity."""
+    + one rollup; 6-decimal rounding for cross-engine parity, hashed as
+    DECIMAL(18,6) bytes on both sides (the text_word_entropy hardening
+    applied preemptively -- same transcendental-rounding surface)."""
     from .functions.text import unigram_logprob
 
-    return unigram_logprob(load_table(spark, sf_dir, "documents"))
+    return unigram_logprob(load_table(spark, sf_dir, "documents")).withColumn(
+        "avg_logprob", F.col("avg_logprob").cast("decimal(18,6)")
+    )
 
 
 @register(
@@ -2172,6 +2165,81 @@ def ann_ivf_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_index(spark, sf_dir).select("vec_id", "cell")
 
 
+_IVF_WH_CACHE: dict[tuple, object] = {}
+
+
+def _ivf_wh(spark: SparkSession, sf_dir: str):
+    """The PERSISTED IVF index (similarity.build_ivf_index): codebook +
+    cell-partitioned assignment as warehouse tables, built once per
+    (session, dataset) into a scratch warehouse -- the durable twin of
+    the in-process _ivf_index cache, same build-once/probe-many
+    accounting (the one-time build lands in the bench cold pass)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    wh = _IVF_WH_CACHE.get(key)
+    if wh is None:
+        from .functions.similarity import build_ivf_index
+        from .warehouse import Warehouse
+
+        wh = Warehouse(spark, _scratch_dir("ivfix_"))
+        build_ivf_index(
+            wh, load_table(spark, sf_dir, "embeddings"), "annix.emb", stride=50, iters=1
+        )
+        _IVF_WH_CACHE[key] = wh
+    return wh
+
+
+_IVF_INDEX_SEARCH_ORACLE = f"""
+WITH q AS (
+    SELECT vec_id, {_QVEC_SQL} AS qvec FROM embeddings),
+n AS (
+    SELECT vec_id, qvec,
+           CAST(list_sum([qvec[i] * qvec[i] for i in range(1, 65)]) AS BIGINT) AS qnorm
+    FROM q),
+sims AS (
+    SELECT qa.vec_id AS query_id, qb.vec_id AS neighbor_id,
+           CAST({_DOT_SQL} AS DOUBLE) /
+               (sqrt(CAST(qa.qnorm AS DOUBLE)) * sqrt(CAST(qb.qnorm AS DOUBLE))) AS cosine
+    FROM n qa CROSS JOIN n qb
+    WHERE qa.vec_id < 10),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rn
+    FROM sims)
+SELECT query_id, neighbor_id, cosine FROM ranked WHERE rn <= 5
+"""
+
+
+@register("ann_ivf_index_search", _IVF_INDEX_SEARCH_ORACLE)
+def ann_ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External-query k-NN against the PERSISTED IVF index (r6 VERDICT
+    directive 4 -- the index family's first driver row): build the
+    warehouse index once per session (_ivf_wh), then ivf_search_index
+    quantizes 10 external query vectors driver-side, scores them
+    against the stored codebook, and reads the probed cells from the
+    cell-partitioned assignment table.
+
+    n_probes exceeds the cell count, so EVERY cell is probed and the
+    result is exactly brute force -- which is what pins the simple
+    brute-force DuckDB oracle (external queries are in the caller's id
+    space: strike_self=False, so each query's own corpus twin tops its
+    list at cosine 1.0). The pruned single/multi-probe paths keep their
+    own oracle rows (ann_ivf_topk, ann_ivf_multiprobe_topk) and the
+    partition-pruning scan contract is pytest-pinned in
+    tests/test_ann_index.py. The 10-row query collect is request-sized
+    by contract (functions/similarity.py ivf_search_index)."""
+    from .functions.similarity import ivf_search_index
+
+    wh = _ivf_wh(spark, sf_dir)
+    qrows = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 10)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    queries_ext = [(int(r["vec_id"]), list(r["embedding"])) for r in qrows]
+    return ivf_search_index(wh, "annix.emb", queries_ext, k=5, n_probes=1 << 20)
+
+
 _EMB_NEAR_DUP_ORACLE = f"""
 WITH base AS (
     SELECT vec_id,
@@ -2435,21 +2503,10 @@ def auto_dw_hash_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select("c_custkey", F.sha2(F.col("c_name"), 256).alias("name_hash"))
 
 
-@register(
-    "source_table_demo_values",
-    """
-    SELECT 'PUBLIC' AS "schema", 'CUSTOMER' AS "table", 'Skipped' AS status,
-           'SKIP' AS status_code
-    """,
-)
-def source_table_demo_values(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U3/S1: the reference's source_table() demo VALUES row
-    (queries.rs:1-7) -- kept verbatim for surface parity; the real
-    table-grain rollup lives in AutoDW.source_table()."""
-    return spark.createDataFrame(
-        [("PUBLIC", "CUSTOMER", "Skipped", "SKIP")],
-        ["schema", "table", "status", "status_code"],
-    )
+# (source_table_demo_values retired r7 per r6 VERDICT directive 4: the
+# S1/U3 demo VALUES row duplicated coverage held by
+# source_table_prompt_payload and fixtures.py; its catalog slot went to
+# ann_ivf_index_search.)
 
 
 # ---------------------------------------------------------------------------
@@ -3161,27 +3218,9 @@ def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "events_cube_type_day",
-    """
-    SELECT event_type, CAST(ts AS DATE) AS day,
-           COUNT(*) AS n_events, SUM(value) AS value_sum
-    FROM events
-    GROUP BY CUBE (event_type, CAST(ts AS DATE))
-    """,
-)
-def events_cube_type_day(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over (type, day): all four grouping combinations in one
-    Catalyst Expand pass -- one shuffle carrying 4x rows, not four
-    jobs (the same single-pass property as the ROLLUP hierarchy
-    query)."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type", F.to_date("ts").alias("day"), "value"
-    )
-    return ev.cube("event_type", "day").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum("value").alias("value_sum"),
-    )
+# (events_cube_type_day retired r7: the Catalyst Expand grouping-set
+# pass stays driver-covered by events_rollup_hierarchy, the wide-shape
+# variant by events_type_pivot.)
 
 
 @register(
@@ -3281,22 +3320,9 @@ def documents_keyword_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyword_tfidf_scores(docs, ["spark", "merge", "window"])
 
 
-@register(
-    "events_value_median_by_type",
-    """
-    SELECT event_type, MEDIAN(value) AS value_median
-    FROM events GROUP BY event_type
-    """,
-)
-def events_value_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT per-group median (linear interpolation at even counts,
-    identical in both engines) -- the exact twin of the
-    percentile_approx sketch; needs a per-group sort, so at 100 TB
-    prefer the sketch unless exactness is contractual."""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.median("value").alias("value_median")
-    )
+# (events_value_median_by_type retired r7: the sketch bounds-check row
+# now computes exact per-type quantiles inside its verifier, and the
+# winsorized-stats row keeps the exact-percentile shape driver-covered.)
 
 
 @register(
@@ -3472,28 +3498,52 @@ def documents_chunked_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(docs, chunk_words=40, stride=20)
 
 
-@register("events_value_quantile_sketch", None)
+_SKETCH_BOUNDS_ORACLE = """
+SELECT t.event_type, CAST(p.p AS DOUBLE) AS p,
+       TRUE AS within_bounds, TRUE AS users_within_3rsd
+FROM (SELECT DISTINCT event_type FROM events) t
+CROSS JOIN (VALUES (0.1), (0.5), (0.9), (0.99)) AS p(p)
+"""
+
+
+@register("events_value_quantile_sketch", _SKETCH_BOUNDS_ORACLE)
 def events_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate per-type value quantiles + HLL user cardinality --
-    single-pass mergeable sketches (no SQL oracle by nature; rank /
-    relative-error bounds are pytest-verified in test_skew_sketch.py).
+    """Approximate per-type value quantiles (GK summary) + HLL user
+    cardinality, verified against their published error bounds (r6
+    VERDICT directive 2 -- the bounds-check oracle): DuckDB cannot
+    reproduce Spark's sketch VALUES, but it can state the CONTRACT --
+    every (event_type, p) row must be within bounds -- and hash-match
+    proves Spark's sketches honor it.
+
+    The Spark side computes, in one query, (a) the sketches and (b) the
+    EXACT rank window each sketch value must fall in: percentile_approx
+    with accuracy A guarantees the returned sample's exact rank r(x)
+    satisfies floor((p - 1/A) * N) <= r(x) <= ceil((p + 1/A) * N)
+    (Greenwald-Khanna bound; an element's rank is any position in
+    [count(<x)+1, count(<=x)]), and approx_count_distinct(rsd=0.02) is
+    checked against the exact distinct count at 3 standard deviations.
+    The exact sides (rank counts, exact distinct) live ONLY in this
+    verifier -- production callers use functions/sketch.py, which never
+    pays them; error-bound pytest coverage stays in test_skew_sketch.py.
 
     Shape contract (r5 VERDICT directive 1): scalar rows only --
-    (event_type, p, q_value, approx_users), the quantile array exploded
-    against its probability list -- because the driver's rows-only
-    canonicalizer sorts values and cannot hash array cells."""
+    (event_type, p, within_bounds, users_within_3rsd)."""
     from .functions.sketch import approx_distinct, approx_quantiles
 
     probs = [0.1, 0.5, 0.9, 0.99]
+    accuracy = 10000
+    rsd = 0.02
     ev = load_table(spark, sf_dir, "events")
-    q = approx_quantiles(ev, ["event_type"], "value", probs)
-    d = approx_distinct(ev, ["event_type"], "user_id", rsd=0.02)
+    q = approx_quantiles(ev, ["event_type"], "value", probs, accuracy=accuracy)
+    d = approx_distinct(ev, ["event_type"], "user_id", rsd=rsd)
     probs_col = F.array(*[F.lit(p) for p in probs])
-    return (
+    sk = (
         q.join(d, "event_type")
         .select(
             "event_type",
-            F.explode(F.arrays_zip(probs_col.alias("p"), F.col("quantiles").alias("q"))).alias("z"),
+            F.explode(
+                F.arrays_zip(probs_col.alias("p"), F.col("quantiles").alias("q"))
+            ).alias("z"),
             F.col("approx_n_distinct").alias("approx_users"),
         )
         .select(
@@ -3501,6 +3551,42 @@ def events_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("z.p").alias("p"),
             F.col("z.q").alias("q_value"),
             "approx_users",
+        )
+    )
+    # Exact verifier joins: bounded build sides (types x probs rows), so
+    # the joins broadcast; the exact aggregates are one events pass each.
+    exact = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    ranks = (
+        ev.join(F.broadcast(sk.select("event_type", "p", "q_value")), "event_type")
+        .groupBy("event_type", "p")
+        .agg(
+            F.sum(F.when(F.col("value") < F.col("q_value"), 1).otherwise(0)).alias(
+                "cnt_lt"
+            ),
+            F.sum(F.when(F.col("value") <= F.col("q_value"), 1).otherwise(0)).alias(
+                "cnt_le"
+            ),
+        )
+    )
+    eps = 1.0 / accuracy
+    lo = F.floor((F.col("p") - eps) * F.col("n"))
+    hi = F.ceil((F.col("p") + eps) * F.col("n"))
+    return (
+        sk.join(ranks, ["event_type", "p"])
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            "p",
+            # rank interval [cnt_lt+1, cnt_le] intersects the GK window
+            ((F.col("cnt_lt") + 1 <= hi) & (F.col("cnt_le") >= F.greatest(lo, F.lit(1))))
+            .alias("within_bounds"),
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= 3 * rsd * F.col("exact_users")
+            ).alias("users_within_3rsd"),
         )
     )
 

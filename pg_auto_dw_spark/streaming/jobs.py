@@ -669,9 +669,14 @@ def vector_index_ingest_stream(
     at-least-once (a crash between the warehouse commit and the
     checkpoint commit log replays the batch with stale dedup state),
     so append_to_ivf_index anti-joins the batch against the ids
-    already present in its touched cells (partition-pruned) and a
-    replayed batch appends nothing -- the scd2_dim_stream
-    idempotent-merge posture. The in-stream dropDuplicates only
+    already present in its touched cells (partition-pruned:
+    probe_touched_cells_only=True) and a replayed batch appends
+    nothing -- the scd2_dim_stream idempotent-merge posture. The
+    cell-restricted probe is sound HERE because a foreachBatch replay
+    is byte-identical (same source offsets) and assignment against the
+    same stored codebook is deterministic, so a replay can only land
+    in its original cells; callers without that contract get the
+    global id probe by default (similarity.append_to_ivf_index). The in-stream dropDuplicates only
     collapses same-id rows within the feed.
 
     Codebook staleness is the documented posture (periodic full
@@ -688,7 +693,9 @@ def vector_index_ingest_stream(
     def sink(batch_df, _batch_id):
         if batch_df.isEmpty():
             return
-        append_to_ivf_index(wh, batch_df, index_name, id_col, vec_col)
+        append_to_ivf_index(
+            wh, batch_df, index_name, id_col, vec_col, probe_touched_cells_only=True
+        )
 
     return (
         stream.writeStream.outputMode("append")

@@ -183,6 +183,34 @@ def test_append_replay_is_idempotent(spark, sf_dir, tmp_path_factory):
     assert one_row_per_id == 0
 
 
+def test_append_mutated_resend_keeps_one_row_per_id(spark, sf_dir, tmp_path_factory):
+    """An id re-sent with a CHANGED embedding can assign to a different
+    cell; the default GLOBAL id probe must still see it and append
+    nothing (r6 ADVICE -- the cell-restricted probe missed exactly this
+    and duplicated the id across two cells). Append is not update: the
+    original row stays, the mutated re-send is ignored."""
+    from pg_auto_dw_spark.functions.similarity import append_to_ivf_index
+
+    wh = Warehouse(spark, str(tmp_path_factory.mktemp("annwh_mut")))
+    emb = load_table(spark, sf_dir, "embeddings")
+    build_ivf_index(wh, emb.filter(F.col("vec_id") < 400), "mx.emb", stride=50)
+    batch = emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 410))
+    assert append_to_ivf_index(wh, batch, "mx.emb") == 10
+    # mutate: negate every coordinate -- lands in a (generally) different cell
+    mutated = batch.withColumn(
+        "embedding", F.transform("embedding", lambda x: -x)
+    )
+    assert append_to_ivf_index(wh, mutated, "mx.emb") == 0
+    dup_ids = (
+        wh.read("mx.emb.assignment")
+        .groupBy("vec_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup_ids == 0
+
+
 def test_external_query_id_colliding_with_corpus_id_keeps_neighbor(indexed):
     """ivf_search_index queries live in the CALLER's id space: a corpus
     vector with the same numeric id must still be returned (the

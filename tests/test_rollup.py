@@ -163,3 +163,44 @@ def test_rollup_stream_exactly_once_across_restart(spark, sf_dir, tmp_path):
     assert set(got3) == set(want3)
     for k in want3:
         _close(got3[k], want3[k])
+
+
+def test_cube_matches_union_of_groupings(spark, sf_dir):
+    """CUBE(type, day) = one Catalyst Expand pass producing all four
+    grouping combinations (the single-shuffle property the retired
+    events_cube_type_day oracle row pinned; Expand itself stays
+    oracle-covered by events_rollup_hierarchy)."""
+    ev = _events(spark, sf_dir)
+    cube = {
+        (r.event_type, None if r.day is None else str(r.day)): (r.n, r.s)
+        for r in ev.cube("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    want = {}
+    for keys in ([], ["event_type"], ["day"], ["event_type", "day"]):
+        agg = ev.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")
+        )
+        for r in agg.collect():
+            k = (
+                r.event_type if "event_type" in keys else None,
+                str(r.day) if "day" in keys and r.day is not None else None,
+            )
+            want[k] = (r.n, r.s)
+    assert cube == want
+
+
+def test_exact_median_interpolation(spark, sf_dir):
+    """F.median interpolates at even group sizes (the retired
+    events_value_median_by_type row's contract); checked against a
+    driver-side sort of one group."""
+    ev = _events(spark, sf_dir)
+    got = {
+        r.event_type: r.m
+        for r in ev.groupBy("event_type").agg(F.median("value").alias("m")).collect()
+    }
+    vals = sorted(v.value for v in ev.filter(F.col("event_type") == "click").collect())
+    n = len(vals)
+    want = vals[n // 2] if n % 2 else (vals[n // 2 - 1] + vals[n // 2]) / 2.0
+    assert got["click"] == pytest.approx(want, abs=1e-9)

@@ -43,7 +43,10 @@ def plan_cost(art: dict, q: str) -> tuple[float, bool]:
     t = art["queries"][q]
     floor = art.get("job_overhead_ms")
     jobs = (art.get("queries_jobs") or {}).get(q)
-    if floor is None or jobs is None:
+    # jobs == 0 means the count came from bench.py's exception fallback
+    # (no real query runs zero jobs): treat as uncalibrated, never
+    # label a raw, floor-uncorrected ratio as plan-norm (r6 ADVICE).
+    if floor is None or not jobs:
         return t, False
     return max(0.0, t - jobs * floor / 1000.0), True
 
