@@ -73,10 +73,15 @@ HEADLINE = [
     "time_travel_versions",
     "schema_evolution_customer",
     "events_range_same_user_attribution",  # stream-stream attribution batch twin
-    "events_value_quantile_sketch",
+    "events_value_quantile_sketch",  # r7: now times sketch + bounds VERIFIER
+    # (the exact-rank check), not the bare sketch -- same definition
+    # round-over-round from r7 on, regression canary intact
     "documents_pii_scan",
     "dedup_clusters",
     "text_unigram_logprob",
+    # round-7 addition: persisted-IVF-index external search (index build
+    # itself is charged to the session cold pass, like _ivf_index)
+    "ann_ivf_index_search",
 ]
 
 

@@ -458,3 +458,104 @@ def remove_repeated_segments(
         "n_segments",
         (F.col("n_segments") - F.coalesce(F.col("__kept"), F.lit(0))).alias("n_removed"),
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_tokens: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Deterministic pack-then-chunk sequence packing (the GPT-style
+    pretraining batch-construction step): documents are laid end-to-end
+    in a deterministic hash order and the concatenated token stream is
+    cut into fixed ``seq_tokens`` windows; a document may span a
+    sequence boundary. Output is the PLACEMENT map a packing writer
+    consumes: one row per doc with its global token offset and the
+    sequence/offset coordinates of its first token.
+
+    Scale shape: the global order is *bucket-coarse*, exactly the
+    token_budget_sample construction -- docs hash into ``n_buckets``
+    buckets; per-bucket token sums (map-side combined, <= n_buckets
+    rows) get a cumulative offset over a tiny window; each doc then
+    needs only an intra-bucket cumulative sum over bounded partitions.
+    No unbounded sort, no single-partition window, deterministic
+    across partitionings and engines.
+
+    Output: (id, n_bpe_tokens, global_offset, seq_id, seq_offset) --
+    seq_id = global_offset DIV seq_tokens, seq_offset = the remainder;
+    a doc spills into following sequences when seq_offset +
+    n_bpe_tokens > seq_tokens (readers slice; this map is the source
+    of truth)."""
+    t = F.col(text_col)
+    h = F.md5(F.col(id_col).cast("string"))
+    feats = docs.select(
+        F.col(id_col),
+        F.size(
+            F.regexp_extract_all(t, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0)
+        ).cast("long").alias("n_bpe_tokens"),
+        h.alias("h"),
+        F.pmod(F.conv(F.substring(h, 1, 4), 16, 10).cast("bigint"), F.lit(n_buckets)).alias(
+            "bucket"
+        ),
+    )
+    bsum = feats.groupBy("bucket").agg(F.sum("n_bpe_tokens").alias("btok"))
+    wb = Window.orderBy("bucket")  # <= n_buckets rows: bounded by construction
+    bcum = bsum.withColumn(
+        "bucket_offset",
+        F.coalesce(
+            F.sum("btok").over(wb.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+        ),
+    ).select("bucket", "bucket_offset")
+    wd = Window.partitionBy("bucket").orderBy("h", id_col)
+    out = (
+        feats.join(F.broadcast(bcum), "bucket")
+        .withColumn(
+            "__before",
+            F.coalesce(
+                F.sum("n_bpe_tokens").over(
+                    wd.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select(
+            id_col,
+            "n_bpe_tokens",
+            (F.col("bucket_offset") + F.col("__before")).alias("global_offset"),
+        )
+    )
+    return out.select(
+        id_col,
+        "n_bpe_tokens",
+        "global_offset",
+        (F.col("global_offset") / seq_tokens).cast("long").alias("seq_id"),
+        F.pmod(F.col("global_offset"), F.lit(seq_tokens)).cast("long").alias("seq_offset"),
+    )
+
+
+def packing_stats(
+    docs: DataFrame,
+    seq_tokens: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """One-row packing report for ``pack_sequences``: total tokens,
+    docs, sequences, docs that straddle a sequence boundary, and the
+    last sequence's fill -- the what-did-packing-cost dashboard row
+    (every non-final sequence is exactly full by construction)."""
+    placed = pack_sequences(docs, seq_tokens, text_col, id_col, n_buckets)
+    total = F.max(F.col("global_offset") + F.col("n_bpe_tokens"))
+    return placed.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        total.alias("total_tokens"),
+        F.ceil(total / F.lit(seq_tokens)).cast("long").alias("n_sequences"),
+        F.sum(
+            (
+                (F.col("seq_offset") + F.col("n_bpe_tokens")) > F.lit(seq_tokens)
+            ).cast("long")
+        ).alias("n_straddling_docs"),
+        F.pmod(total, F.lit(seq_tokens)).cast("long").alias("last_seq_fill"),
+    )

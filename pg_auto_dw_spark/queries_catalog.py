@@ -64,6 +64,10 @@ def register(name: str, sql: str | None):
 # NOTE for round 8: set _PRIORITY = this round's RESTING set (the 47
 # r6-verified rows) -- under the 50-slot cap, so up to 3 new or
 # re-verify rows fit; demote today's 50-query head to _DEPRIORITIZED.
+# Registration candidates for those slots: pack_sequences /
+# packing_stats (functions/corpus.py, r7, pytest-covered, oracle
+# expressible as an md5-bucket-ordered window cumsum like
+# _TOKEN_BUDGET_ORACLE).
 # Resting set snapshot:
 # python -c "from pg_auto_dw_spark import queries_catalog as q; \
 #            print(list(q.queries())[50:])"

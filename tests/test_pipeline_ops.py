@@ -818,3 +818,43 @@ def test_unigram_logprob_model_semantics(spark):
     )
     # rare-token docs score strictly lower: the perplexity-filter order
     assert rows[3]["avg_logprob"] < rows[2]["avg_logprob"] < rows[1]["avg_logprob"]
+
+
+def test_pack_sequences_contiguous_and_deterministic(spark, sf_dir):
+    """pack_sequences lays docs end-to-end with no gaps or overlaps
+    (sorted global offsets form an exact prefix-sum of token counts),
+    seq coordinates derive from the offset, and the placement is
+    bit-identical across input partitionings (the bucket-coarse order
+    is data-determined, not partition-determined)."""
+    from pg_auto_dw_spark.functions.corpus import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    placed = pack_sequences(docs, seq_tokens=512).collect()
+    assert len(placed) == docs.count()
+    rows = sorted(placed, key=lambda r: r["global_offset"])
+    cum = 0
+    for r in rows:
+        assert r["global_offset"] == cum  # contiguous, no gap/overlap
+        assert r["seq_id"] == cum // 512
+        assert r["seq_offset"] == cum % 512
+        assert r["n_bpe_tokens"] > 0
+        cum += r["n_bpe_tokens"]
+    again = pack_sequences(docs.repartition(7), seq_tokens=512).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, placed))
+
+
+def test_packing_stats_accounts_every_token(spark, sf_dir):
+    from pg_auto_dw_spark.functions.corpus import pack_sequences, packing_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = packing_stats(docs, seq_tokens=512).collect()[0]
+    placed = pack_sequences(docs, seq_tokens=512)
+    total = placed.agg(F.sum("n_bpe_tokens")).collect()[0][0]
+    assert s["total_tokens"] == total
+    assert s["n_docs"] == docs.count()
+    assert s["n_sequences"] == -(-total // 512)
+    assert 0 <= s["last_seq_fill"] < 512
+    straddle = placed.filter(
+        (F.col("seq_offset") + F.col("n_bpe_tokens")) > 512
+    ).count()
+    assert s["n_straddling_docs"] == straddle
