@@ -559,3 +559,69 @@ def packing_stats(
         ).alias("n_straddling_docs"),
         F.pmod(total, F.lit(seq_tokens)).cast("long").alias("last_seq_fill"),
     )
+
+
+def ngram_instances_of(toks, n: int = 8):
+    """ALL ordered word n-grams of a bound token-array column, one per
+    occurrence (the non-distinct twin of ``ngrams_of`` -- span-level
+    statistics need instance counts, dedup candidate generation wants
+    the distinct set). Docs shorter than ``n`` tokens yield empty."""
+    cnt = F.size(toks) - F.lit(n - 1)
+    return F.when(
+        cnt >= 1,
+        F.transform(
+            F.sequence(F.lit(1), cnt),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def duplicated_span_stats(
+    docs: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-document cross-corpus duplicated-span exposure: the fraction
+    of a doc's word ``n``-gram occurrences that also appear in at least
+    ``min_docs`` distinct documents -- the exact-substring-duplication
+    signal (memorization/boilerplate risk) pipelines threshold on to
+    drop or trim docs dominated by text repeated elsewhere. Finer grain
+    than ``remove_repeated_segments`` (which strikes whole frequent
+    segments): this scores arbitrary-position repeated word windows.
+
+    Shape: one scan binds the token array and expands gram INSTANCES
+    (pure array expression, no window); the distinct per-doc gram set
+    (``_gram_table``) feeds one map-side-combined (gram -> doc
+    frequency) shuffle -- the span "model"; instances join the
+    vocabulary-sized frequency table on gram (big-big, AQE handles the
+    Zipf-head skew -- a universal stop gram concentrates its instances
+    on one key, exactly the skew-join split case) and one (id) rollup
+    emits the stats. Docs shorter than ``n`` tokens have no grams and
+    emit no row, matching the oracle convention.
+
+    Output: (id, n_grams, n_dup_grams, dup_frac) with dup_frac rounded
+    to ``decimals`` for engine parity."""
+    inst = docs.select(
+        F.col(id_col), word_tokens(F.col(text_col)).alias("__toks")
+    ).select(id_col, F.explode(ngram_instances_of(F.col("__toks"), n)).alias("gram"))
+    docfreq = (
+        _gram_table(docs, id_col, id_col, text_col, n)
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("__n_docs"))
+    )
+    return (
+        inst.join(docfreq, on="gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("__n_docs") >= min_docs).cast("long")).alias("n_dup_grams"),
+            F.round(
+                F.sum((F.col("__n_docs") >= min_docs).cast("double"))
+                / F.count(F.lit(1)),
+                decimals,
+            ).alias("dup_frac"),
+        )
+    )

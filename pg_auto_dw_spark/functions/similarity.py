@@ -1041,3 +1041,68 @@ def append_to_ivf_index(
     if n:
         wh.append(f"{name}.assignment", fresh.select(*assigned.columns))
     return n
+
+
+def ann_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-query recall@k of an approximate top-k result against its
+    brute-force ground truth -- the eval harness that closes the ANN
+    loop: IVF/LSH parameter sweeps (nprobe, bands, codebook size) are
+    tuned by re-running this against a fixed exact result, exactly how
+    recall curves are produced offline. Both inputs are
+    (query_id, neighbor_id, ...) frames, e.g. ``ivf_topk`` vs
+    ``brute_force_topk`` over the same queries.
+
+    Shape: one inner join on (query, neighbor) counts hits, one
+    (query) count of truth rows, a left join preserves queries the
+    approximate index missed entirely (recall 0.0, not absent). All
+    three shuffles hash on the query key; ground truth is k rows per
+    query so every side is bounded by k x n_queries -- orders smaller
+    than the corpus the top-k scanned.
+
+    Output: (query_id, n_true, n_hit, recall)."""
+    hits = (
+        approx.select(query_col, neighbor_col)
+        .join(exact.select(query_col, neighbor_col), on=[query_col, neighbor_col])
+        .groupBy(query_col)
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    truth = exact.groupBy(query_col).agg(F.count(F.lit(1)).alias("n_true"))
+    return (
+        truth.join(hits, on=query_col, how="left")
+        .select(
+            query_col,
+            "n_true",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double") / F.col("n_true"),
+                decimals,
+            ).alias("recall"),
+        )
+    )
+
+
+def ann_recall_summary(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+    decimals: int = 6,
+) -> DataFrame:
+    """One-row macro recall report over ``ann_recall``: mean per-query
+    recall, worst query, and the fraction of queries at perfect
+    recall -- the dashboard row an index-tuning sweep ranks on."""
+    r = ann_recall(approx, exact, query_col, neighbor_col, decimals=9)
+    return r.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(F.avg("recall"), decimals).alias("macro_recall"),
+        F.round(F.min("recall"), decimals).alias("min_recall"),
+        F.round(
+            F.avg((F.col("recall") >= 1.0).cast("double")), decimals
+        ).alias("frac_perfect"),
+    )

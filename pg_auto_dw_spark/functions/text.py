@@ -356,3 +356,70 @@ def unigram_logprob(
             ).alias("avg_logprob"),
         )
     )
+
+
+def bigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", decimals: int = 6
+) -> DataFrame:
+    """Per-document mean conditional bigram log10-probability under the
+    corpus's OWN bigram language model -- the next quality tier above
+    ``unigram_logprob``: a doc of common words in an incoherent ORDER
+    scores low here while scoring fine on unigrams, so the pair
+    band-passes word-salad spam that a unigram perplexity filter
+    passes. P(w2|w1) = c(w1,w2) / sum_w c(w1,w) with both counts taken
+    over bigram OCCURRENCES, so the model is exactly normalized over
+    observed continuations (no out-of-vocabulary smoothing needed for
+    corpus-self scoring; an external-corpus scorer would add stupid
+    backoff to the unigram model at the same join).
+
+    Shape: one scan binds the lowercase-alnum token array per row
+    (``word_tokens``) and expands adjacent pairs positionally -- no
+    window, no posexplode shuffle; the pair list is a pure array
+    expression. Then one (w1,w2) count shuffle and one (w1) count
+    shuffle (both map-side combined; together they ARE the model), a
+    scoring join back on (w1,w2) and a broadcast-eligible join on (w1)
+    (AQE decides -- Zipf head is small but the w1 vocabulary grows
+    with the corpus, so the hint is NOT forced), and one (id) rollup.
+    The pair lineage is computed twice (model build + scoring); at
+    warehouse scale persist the two count tables as the model artifact
+    and reuse across snapshots, exactly the unigram_logprob contract.
+
+    Docs with fewer than two tokens have no bigrams and emit no row
+    (same convention as the DuckDB oracle).
+
+    Output: (id, n_bigrams, avg_logprob), rounded to ``decimals`` and
+    intended to be hashed as DECIMAL(18,6) for engine parity."""
+    from .corpus import word_tokens
+
+    toks = df.select(
+        F.col(id_col), word_tokens(F.col(text_col)).alias("__toks")
+    )
+    pairs = toks.select(
+        id_col,
+        F.explode(
+            F.when(
+                F.size("__toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__toks") - 1),
+                    lambda i: F.struct(
+                        F.element_at("__toks", i).alias("w1"),
+                        F.element_at("__toks", i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("bg"),
+    ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    cnt12 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    cnt1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    return (
+        pairs.join(cnt12, on=["w1", "w2"])
+        .join(cnt1, on="w1")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(F.log10(F.col("c12").cast("double") / F.col("c1").cast("double"))),
+                decimals,
+            ).alias("avg_logprob"),
+        )
+    )

@@ -59,15 +59,15 @@ def register(name: str, sql: str | None):
 #   events_value_median_by_type (exact per-type quantiles now computed
 #                              INSIDE the sketch bounds-check row;
 #                              percentile shapes also in winsorized stats)
-# Catalog is now 97 of the 100 cap; _DEPRIORITIZED = the 47 remaining
-# r6-verified rows.
-# NOTE for round 8: set _PRIORITY = this round's RESTING set (the 47
-# r6-verified rows) -- under the 50-slot cap, so up to 3 new or
-# re-verify rows fit; demote today's 50-query head to _DEPRIORITIZED.
-# Registration candidates for those slots: pack_sequences /
-# packing_stats (functions/corpus.py, r7, pytest-covered, oracle
-# expressible as an md5-bucket-ordered window cumsum like
-# _TOKEN_BUDGET_ORACLE).
+# Catalog is now at the 100 cap: 50 _PRIORITY + 47 _DEPRIORITIZED
+# (r6-verified, resting) + 3 registered-this-round rows sitting in the
+# MID of _ordered (positions 51-53, outside the driver's 50-row cap):
+# documents_pack_sequences, text_bigram_logprob,
+# documents_duplicated_spans -- oracles locally verified at sf0.01,
+# first driver rows due r8.
+# NOTE for round 8: set _PRIORITY = the 47 resting r6-verified rows
+# PLUS the 3 mid rows above (exactly 50); demote today's 50-query head
+# to _DEPRIORITIZED; register nothing new into the head.
 # Resting set snapshot:
 # python -c "from pg_auto_dw_spark import queries_catalog as q; \
 #            print(list(q.queries())[50:])"
@@ -4167,4 +4167,129 @@ def customer_balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).alias("bal_quartile"),
         F.round(F.percent_rank().over(w), 9).alias("bal_pct_rank"),
         F.round(F.cume_dist().over(w), 9).alias("bal_cume_dist"),
+    )
+
+
+# ---- round-7 registrations (mid-order: first driver rows due r8) ----
+
+_PACK_SEQUENCES_ORACLE = """
+WITH f AS (
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))
+               AS n_bpe_tokens,
+           md5(CAST(doc_id AS VARCHAR)) AS h,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 256
+               AS bucket
+    FROM documents),
+b AS (SELECT bucket, SUM(n_bpe_tokens) AS btok FROM f GROUP BY 1),
+c AS (
+    SELECT bucket,
+           COALESCE(SUM(btok) OVER (ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS bucket_offset
+    FROM b),
+d AS (
+    SELECT f.doc_id, f.n_bpe_tokens,
+           c.bucket_offset
+           + COALESCE(SUM(f.n_bpe_tokens) OVER (PARTITION BY f.bucket
+                      ORDER BY f.h, f.doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS global_offset
+    FROM f JOIN c USING (bucket))
+SELECT doc_id,
+       CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
+       CAST(global_offset AS BIGINT) AS global_offset,
+       CAST(global_offset // 2048 AS BIGINT) AS seq_id,
+       CAST(global_offset % 2048 AS BIGINT) AS seq_offset
+FROM d
+"""
+
+
+@register("documents_pack_sequences", _PACK_SEQUENCES_ORACLE)
+def documents_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing placement map (functions/corpus.py
+    pack_sequences): every doc's global token offset and first-token
+    (seq_id, seq_offset) under 2048-token pack-then-chunk -- the
+    batch-construction step a pretraining writer consumes. The global
+    order is the bucket-coarse md5 construction shared with
+    token_budget_sample: a <=256-row bucket window plus bounded
+    intra-bucket windows, no unbounded sort on either engine."""
+    from .functions.corpus import pack_sequences
+
+    return pack_sequences(load_table(spark, sf_dir, "documents"), seq_tokens=2048)
+
+
+_BIGRAM_LOGPROB_ORACLE = """
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(regexp_replace(lower(text),
+                       '[^a-z0-9]+', ' ', 'g')), '\\s+'), x -> x <> '') AS a
+    FROM documents),
+bg0 AS (
+    SELECT doc_id,
+           unnest([ {'w1': a[i], 'w2': a[i+1]} for i in range(1, len(a)) ]) AS s
+    FROM toks),
+bg AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM bg0),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       CAST(ROUND(AVG(log10(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE))), 6)
+            AS DECIMAL(18,6)) AS avg_logprob
+FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+GROUP BY doc_id
+"""
+
+
+@register("text_bigram_logprob", _BIGRAM_LOGPROB_ORACLE)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean conditional bigram log10-probability under the
+    corpus's own bigram LM (functions/text.py bigram_logprob) -- the
+    order-sensitive quality tier above text_unigram_logprob: word
+    salad scores low even when its unigrams are common. Two
+    map-side-combined count shuffles build the model, one scoring join
+    and one rollup apply it; hashed as DECIMAL(18,6) bytes on both
+    engines (the text_word_entropy hardening)."""
+    from .functions.text import bigram_logprob
+
+    return bigram_logprob(load_table(spark, sf_dir, "documents")).withColumn(
+        "avg_logprob", F.col("avg_logprob").cast("decimal(18,6)")
+    )
+
+
+_DUP_SPANS_ORACLE = """
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(regexp_replace(lower(text),
+                       '[^a-z0-9]+', ' ', 'g')), '\\s+'), x -> x <> '') AS a
+    FROM documents),
+inst AS (
+    SELECT doc_id,
+           unnest([ array_to_string(a[i:i+7], ' ')
+                    for i in range(1, len(a) - 8 + 2) ]) AS gram
+    FROM toks),
+df AS (
+    SELECT gram, COUNT(*) AS n_docs
+    FROM (SELECT DISTINCT doc_id, gram FROM inst) GROUP BY 1)
+SELECT doc_id, COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_grams,
+       CAST(ROUND(SUM(CASE WHEN n_docs >= 2 THEN 1.0 ELSE 0.0 END) / COUNT(*), 6)
+            AS DECIMAL(18,6)) AS dup_frac
+FROM inst JOIN df USING (gram)
+GROUP BY doc_id
+"""
+
+
+@register("documents_duplicated_spans", _DUP_SPANS_ORACLE)
+def documents_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc cross-corpus duplicated-span exposure (functions/
+    corpus.py duplicated_span_stats): fraction of a doc's word 8-gram
+    occurrences repeated in >=2 distinct docs -- the exact-substring
+    duplication signal pipelines threshold on. One gram doc-frequency
+    shuffle + one instance-to-frequency join (AQE skew-split on Zipf
+    head grams) + one per-doc rollup; DECIMAL(18,6) hash parity."""
+    from .functions.corpus import duplicated_span_stats
+
+    return duplicated_span_stats(load_table(spark, sf_dir, "documents")).withColumn(
+        "dup_frac", F.col("dup_frac").cast("decimal(18,6)")
     )

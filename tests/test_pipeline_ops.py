@@ -858,3 +858,89 @@ def test_packing_stats_accounts_every_token(spark, sf_dir):
         (F.col("seq_offset") + F.col("n_bpe_tokens")) > 512
     ).count()
     assert s["n_straddling_docs"] == straddle
+
+
+def test_bigram_logprob_order_sensitivity(spark):
+    """Word-salad (same unigrams, scrambled order) scores strictly
+    lower than the coherent template it was scrambled from -- the
+    signal bigram perplexity adds over unigram; sub-2-token docs emit
+    no row; n_bigrams = n_tokens - 1."""
+    from pg_auto_dw_spark.functions.text import bigram_logprob, unigram_logprob
+
+    coherent = "the cat sat on the mat"
+    rows = [(i, coherent) for i in range(10)]
+    rows.append((10, "mat the on sat cat the"))  # same words, salad order
+    rows.append((11, "cat"))  # 1 token: no bigram, no row
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bigram_logprob(docs).collect()}
+    assert 11 not in out
+    assert out[0]["n_bigrams"] == 5 and out[10]["n_bigrams"] == 5
+    assert out[10]["avg_logprob"] < out[0]["avg_logprob"]
+    # unigram model cannot tell them apart (same multiset minus 1 'the')
+    uni = {r["doc_id"]: r["avg_logprob"] for r in unigram_logprob(docs).collect()}
+    assert abs(uni[10] - uni[0]) < 0.2  # near-identical under unigrams
+    # deterministic across partitionings
+    again = {
+        r["doc_id"]: r for r in bigram_logprob(docs.repartition(7)).collect()
+    }
+    assert {k: (v["n_bigrams"], v["avg_logprob"]) for k, v in out.items()} == {
+        k: (v["n_bigrams"], v["avg_logprob"]) for k, v in again.items()
+    }
+
+
+def test_duplicated_span_stats_planted_banner(spark):
+    """A 10-word banner shared by two docs yields exactly the banner's
+    interior 8-grams as duplicated instances in each; a unique doc
+    scores 0.0; sub-n docs emit no row."""
+    from pg_auto_dw_spark.functions.corpus import duplicated_span_stats
+
+    banner = "please subscribe to our newsletter for updates every single day"
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta " + banner + " epsilon zeta"),
+            (2, "one two three four five " + banner + " six seven"),
+            (3, "totally unique words nine ten eleven twelve thirteen fourteen"),
+            (4, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in duplicated_span_stats(docs, n=8).collect()}
+    assert 4 not in out  # 2 tokens < n
+    # banner has 10 words -> 3 fully-interior 8-grams; boundary grams
+    # mix in per-doc context so only those 3 repeat across docs
+    assert out[1]["n_dup_grams"] == 3 and out[2]["n_dup_grams"] == 3
+    assert out[3]["n_dup_grams"] == 0 and out[3]["dup_frac"] == 0.0
+    for r in out.values():
+        assert r["n_grams"] >= r["n_dup_grams"]
+    # n_grams = n_tokens - 7
+    assert out[1]["n_grams"] == 16 - 7
+    assert float(out[1]["dup_frac"]) == round(3 / 9, 6)
+
+
+def test_ann_recall_harness(spark, sf_dir):
+    """recall(exact, exact) is 1.0 everywhere; dropping one query from
+    the approximate side surfaces as a preserved 0.0 row (not absent);
+    IVF recall against brute force lands in (0, 1] with the macro
+    summary consistent."""
+    from pg_auto_dw_spark.functions.similarity import (
+        ann_recall,
+        ann_recall_summary,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = list(range(10))
+    exact = brute_force_topk(emb, query_ids=qids, k=3)
+    perfect = ann_recall(exact, exact).collect()
+    assert len(perfect) == 10 and all(r["recall"] == 1.0 for r in perfect)
+    s = ann_recall_summary(exact, exact).collect()[0]
+    assert s["n_queries"] == 10 and s["macro_recall"] == 1.0
+    assert s["min_recall"] == 1.0 and s["frac_perfect"] == 1.0
+    # a query missing entirely from the approximate result -> recall 0.0
+    dropped = ann_recall(exact.filter(F.col("query_id") != 0), exact).collect()
+    by_q = {r["query_id"]: r for r in dropped}
+    assert by_q[0]["recall"] == 0.0 and by_q[0]["n_true"] == 3
+    # IVF vs brute force: bounded, non-trivial
+    approx = ivf_topk(emb, k=3, stride=50).filter(F.col("query_id") < 10)
+    s2 = ann_recall_summary(approx, exact).collect()[0]
+    assert s2["n_queries"] == 10 and 0.0 < s2["macro_recall"] <= 1.0
