@@ -67,7 +67,11 @@ def register(name: str, sql: str | None):
 # first driver rows due r8.
 # NOTE for round 8: set _PRIORITY = the 47 resting r6-verified rows
 # PLUS the 3 mid rows above (exactly 50); demote today's 50-query head
-# to _DEPRIORITIZED; register nothing new into the head.
+# to _DEPRIORITIZED; register nothing new into the head. If a slot is
+# wanted for the PQ family (functions/pq.py, r7, pytest-only), use the
+# documented retire-and-replace path with a sketch-style bounds-check
+# oracle (ann_pq_recall_bounds: Spark emits its measured recall-ladder
+# booleans, DuckDB pins the all-TRUE contract).
 # Resting set snapshot:
 # python -c "from pg_auto_dw_spark import queries_catalog as q; \
 #            print(list(q.queries())[50:])"
