@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from .similarity import (
     _PAIR_TOPK_SCHEMA,
+    SCALE,
     _global_topk,
     cosine,
     int_dot,
@@ -360,6 +361,246 @@ def pq_topk(
     exact = (
         adc.select("query_id", "neighbor_id")
         .join(F.broadcast(qside), "query_id")
+        .join(nside, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(
+                int_dot(F.col("q_qvec"), F.col("n_qvec")),
+                F.col("q_qnorm"),
+                F.col("n_qnorm"),
+            ).alias("cosine"),
+        )
+    )
+    return _global_topk(exact, k)
+
+
+def build_ivf_pq_index(
+    wh,
+    corpus: DataFrame,
+    name: str,
+    stride: int = 50,
+    iters: int = 1,
+    m: int = 8,
+    ksub: int = 16,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_modulus: int = 1,
+) -> dict:
+    """The composed 100 TB serving index: IVF cells prune WHICH codes a
+    search scans, PQ compresses WHAT each scan reads. Materializes
+    three warehouse tables -- ``<name>.codebook`` (IVF centroids),
+    ``<name>.pq_codebook`` (sub, code, cv, cn), and ``<name>.codes``
+    (id, cell, codes, qnorm) partitioned by cell -- in ONE transaction,
+    so a crash can never pair a new codebook with old codes (the same
+    torn-index hazard build_ivf_index documents).
+
+    Both assignments (cell + m sub-codes) are computed in ONE Arrow
+    pass with both codebooks in the kernel closure: the corpus is
+    scanned once and never shuffled; the only wide op is the
+    partitioned write. The codes table stores m ints + a norm per
+    vector -- no float vectors in the index; the raw corpus table
+    remains the re-rank side's only vector source."""
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import _assign_against, ivf_kmeans_codebook  # noqa: F401
+
+    dsub = dims // m
+    ivf_cb = ivf_kmeans_codebook(
+        corpus, stride, iters, dims, id_col, vec_col, train_modulus
+    ).localCheckpoint(eager=True)
+    pq_cb = pq_train(
+        corpus, m=m, ksub=ksub, iters=iters, dims=dims,
+        id_col=id_col, vec_col=vec_col, train_modulus=train_modulus,
+    ).localCheckpoint(eager=True)
+
+    rows = ivf_cb.select("cent_id", "cv", "cn").orderBy("cent_id").collect()
+    cent_ids = np.array([r["cent_id"] for r in rows], dtype=np.int64)
+    cents = np.stack([np.asarray(r["cv"], dtype=np.int64) for r in rows])
+    cent_den = np.sqrt(
+        np.array([r["cn"] for r in rows], dtype=np.int64).astype(np.float64)
+    )
+    pq_cent, pq_valid = _collect_codebook(pq_cb, m, ksub, dsub)
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf["qvec"].to_numpy()).astype(np.int64)
+            qn = pdf["qnorm"].to_numpy().astype(np.int64)
+            # IVF cell: same math/tie-rule as _assign_against
+            cos = (mat @ cents.T).astype(np.float64) / (
+                np.sqrt(qn.astype(np.float64))[:, None] * cent_den[None, :]
+            )
+            cell = cent_ids[np.argmax(cos, axis=1)]
+            # PQ codes: exact int64 L2 argmin per subspace
+            codes = np.empty((mat.shape[0], m), dtype=np.int32)
+            for s in range(m):
+                x = mat[:, s * dsub : (s + 1) * dsub]
+                d = (
+                    (x * x).sum(axis=1)[:, None]
+                    - 2 * (x @ pq_cent[s].T)
+                    + (pq_cent[s] * pq_cent[s]).sum(axis=1)[None, :]
+                )
+                d[:, ~pq_valid[s]] = np.iinfo(np.int64).max
+                codes[:, s] = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(),
+                    "cell": cell,
+                    "codes": list(codes),
+                    "qnorm": qn,
+                }
+            )
+
+    coded = (
+        with_quantized(corpus, vec_col)
+        .select(F.col(id_col).alias("id"), "qvec", "qnorm")
+        .mapInPandas(kernel, "id bigint, cell bigint, codes array<int>, qnorm bigint")
+    )
+    cb_name = f"{name}.codebook"
+    pq_name = f"{name}.pq_codebook"
+    co_name = f"{name}.codes"
+    if not wh.exists(cb_name):
+        wh.create_table(cb_name, ivf_cb.schema)
+    if not wh.exists(pq_name):
+        wh.create_table(pq_name, pq_cb.schema)
+    if not wh.exists(co_name):
+        wh.create_table(co_name, coded.schema, partition_by=["cell"])
+    with wh.transaction([cb_name, pq_name, co_name]) as txn:
+        txn.overwrite(cb_name, ivf_cb)
+        txn.overwrite(pq_name, pq_cb)
+        txn.overwrite(co_name, coded)
+    return {
+        "cells": wh.read(cb_name).count(),
+        "pq_cells": wh.read(pq_name).count(),
+        "vectors": wh.read(co_name).count(),
+    }
+
+
+def ivf_pq_search_index(
+    wh,
+    name: str,
+    queries: list[tuple[int, list[float]]],
+    k: int = 5,
+    n_probes: int = 1,
+    rerank: int = 0,
+    corpus: DataFrame | None = None,
+    m: int = 8,
+    ksub: int = 16,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """k-NN search for EXTERNAL query vectors against a persisted
+    IVF-PQ index: pick each query's ``n_probes`` cells against the IVF
+    codebook (driver-side, O(queries x cells)); read ONLY those cells'
+    partitions of the codes table; ADC-score the codes through each
+    query's exact int64 LUT with a per-query cell mask (a candidate
+    only scores for queries that probed its cell); optionally re-rank
+    the bounded shortlist with exact dots against ``corpus`` via an
+    id-pushdown fetch. This is the full compressed serving path: the
+    scan partition-prunes to probed cells AND reads m ints per vector
+    instead of the float embedding.
+
+    ``queries``: [(query_id, vector)], driver-resident by contract.
+    Query ids live in the caller's id space (no self-striking). With
+    ``rerank`` = 0 the returned cosine is the ADC approximation;
+    ``rerank`` > 0 requires ``corpus`` (the raw-vector source) and
+    returns exact cosines. A ``rerank`` at least the probed cells'
+    population makes the result identical to the uncompressed
+    ivf_search_index (the shortlist is then every candidate)."""
+    import numpy as np
+    import pandas as pd
+
+    if not queries:
+        return wh.spark.createDataFrame([], _PAIR_TOPK_SCHEMA)
+    dsub = dims // m
+    rows = (
+        wh.read(f"{name}.codebook").select("cent_id", "cv", "cn").orderBy("cent_id").collect()
+    )
+    if not rows:
+        raise ValueError(f"index {name} has an empty codebook")
+    cent_ids = np.array([r["cent_id"] for r in rows], dtype=np.int64)
+    cents = np.stack([np.asarray(r["cv"], dtype=np.int64) for r in rows])
+    cent_den = np.sqrt(
+        np.array([r["cn"] for r in rows], dtype=np.int64).astype(np.float64)
+    )
+    pq_cent, _ = _collect_codebook(wh.read(f"{name}.pq_codebook"), m, ksub, dsub)
+    pq_cnorm = (pq_cent.astype(np.int64) ** 2).sum(axis=2)
+
+    vecs = np.array([v for _, v in queries], dtype=np.float64)
+    # HALF_UP quantization == F.round (shared with ivf_search_index)
+    qm = (np.sign(vecs) * np.floor(np.abs(vecs) * SCALE + 0.5)).astype(np.int64)
+    qn = (qm * qm).sum(axis=1)
+    q_ids = np.array([qid for qid, _ in queries], dtype=np.int64)
+    q_den = np.sqrt(qn.astype(np.float64))
+    cos = (qm @ cents.T).astype(np.float64) / (q_den[:, None] * cent_den[None, :])
+    top = np.argsort(-cos, axis=1, kind="stable")[:, : max(1, n_probes)]
+    probe_sets = [set(int(c) for c in cent_ids[t]) for t in top]
+    probe_cells = sorted(set().union(*probe_sets))
+    lut = np.einsum(
+        "qsd,skd->qsk", qm.reshape(len(q_ids), m, dsub), pq_cent, dtype=np.int64
+    )
+    shortlist = max(k, rerank)
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            d_ids = pdf["id"].to_numpy().astype(np.int64)
+            d_cells = pdf["cell"].to_numpy().astype(np.int64)
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            n = codes.shape[0]
+            dots = np.zeros((len(q_ids), n), dtype=np.int64)
+            rnorm = np.zeros(n, dtype=np.int64)
+            for s in range(m):
+                dots += lut[:, s, codes[:, s]]
+                rnorm += pq_cnorm[s, codes[:, s]]
+            den = q_den[:, None] * np.sqrt(rnorm.astype(np.float64))[None, :]
+            sc = np.where(den > 0, dots.astype(np.float64) / den, -np.inf)
+            for i, cells_i in enumerate(probe_sets):  # per-query cell mask
+                sc[i, ~np.isin(d_cells, list(cells_i))] = -np.inf
+            t = np.argsort(-sc, axis=1, kind="stable")[:, :shortlist]
+            n_take = t.shape[1]
+            rows_c = np.take_along_axis(sc, t, axis=1).reshape(-1)
+            keep = rows_c > -np.inf
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids, n_take)[keep],
+                    "neighbor_id": d_ids[t].reshape(-1)[keep],
+                    "cosine": rows_c[keep],
+                }
+            )
+
+    db = wh.read(f"{name}.codes").filter(F.col("cell").isin(probe_cells))
+    adc = _global_topk(db.mapInPandas(kernel, _PAIR_TOPK_SCHEMA), shortlist)
+    if rerank <= 0:
+        return _global_topk(adc, k)
+    if corpus is None:
+        raise ValueError("rerank > 0 needs the raw-vector corpus")
+    adc = adc.localCheckpoint()  # scored once; read by collect + join
+    cand_ids = [
+        r["neighbor_id"] for r in adc.select("neighbor_id").distinct().collect()
+    ]
+    spark = wh.spark
+    qdf = spark.createDataFrame(
+        [
+            (int(q_ids[i]), [int(x) for x in qm[i]], int(qn[i]))
+            for i in range(len(q_ids))
+        ],
+        "query_id bigint, q_qvec array<bigint>, q_qnorm bigint",
+    )
+    nside = with_quantized(corpus.filter(F.col(id_col).isin(cand_ids)), vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("qvec").alias("n_qvec"),
+        F.col("qnorm").alias("n_qnorm"),
+    )
+    exact = (
+        adc.select("query_id", "neighbor_id")
+        .join(F.broadcast(qdf), "query_id")
         .join(nside, "neighbor_id")
         .select(
             "query_id",
