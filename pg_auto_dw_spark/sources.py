@@ -99,3 +99,57 @@ def read_source(
     if fmt == "orc":
         return reader.options(**options).orc(path)
     raise ValueError(f"unsupported source format: {fmt!r}")
+
+
+def read_jsonl_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """Landing-zone JSONL ingestion with corrupt-record quarantine --
+    the standard shape of a raw LLM training feed (one JSON doc per
+    line, a tail of malformed lines from upstream crawlers that must
+    be kept for audit, never silently dropped).
+
+    Returns ``(clean, quarantined)``: ``clean`` has exactly the
+    caller's schema (malformed rows excluded); ``quarantined`` is
+    (raw_line) -- the verbatim bad lines for a dead-letter sink.
+
+    Shape: ``spark.read.text`` + ``from_json`` with a corrupt-record
+    column, NOT the PERMISSIVE json reader. The reader path hits
+    SPARK-21610 / UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN
+    the moment the quarantine output prunes to just the corrupt column
+    (the parser needs the data columns to decide corruption), and the
+    stock workaround -- cache the raw frame -- is exactly the
+    unbounded-SQL-cache pattern this package bans. Parsing lines as a
+    column expression has no such restriction: each output is ONE text
+    scan + a codegen'd from_json, no cache, any corpus size. A line
+    that parses but mismatches the schema types is also corrupt
+    (schema drift lands in quarantine, not as silent nulls)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    prepare(spark)
+    if not isinstance(schema, StructType):
+        raise TypeError("read_jsonl_quarantine needs an explicit StructType "
+                        "(inference would re-scan the corpus)")
+    if corrupt_col in schema.fieldNames():
+        raise ValueError(f"schema must not already contain {corrupt_col!r}")
+    # a fresh StructType: StructType.add mutates self, and the caller's
+    # schema object must come back unchanged
+    full = StructType(
+        list(schema.fields) + [StructField(corrupt_col, StringType(), True)]
+    )
+    parsed = spark.read.text(path).select(
+        F.col("value"),
+        F.from_json(
+            "value", full, {"mode": "PERMISSIVE",
+                            "columnNameOfCorruptRecord": corrupt_col}
+        ).alias("__j"),
+    )
+    bad = F.col("__j").getField(corrupt_col).isNotNull() | F.col("__j").isNull()
+    clean = parsed.filter(~bad).select(
+        *[F.col("__j").getField(f.name).alias(f.name) for f in schema.fields]
+    )
+    quarantined = parsed.filter(bad).select(F.col("value").alias("raw_line"))
+    return clean, quarantined

@@ -704,3 +704,112 @@ def vector_index_ingest_stream(
         .foreachBatch(sink)
         .start()
     )
+
+
+def jsonl_ingest_apply(
+    wh,
+    clean_table: str,
+    quarantine_table: str,
+    schema: T.StructType,
+    batch_df,
+    batch_id: int,
+    corrupt_col: str = "_corrupt_record",
+) -> dict:
+    """Apply one micro-batch of raw JSONL lines transactionally:
+    parse/split with the same from_json contract as
+    ``sources.read_jsonl_quarantine``, then append the clean rows, the
+    quarantined lines, AND the batch-id ledger row in ONE warehouse
+    transaction. Exactly-once across foreachBatch replays comes from
+    the ledger living INSIDE the transaction: a replayed batch finds
+    its id already committed and no-ops, while a crash before the
+    commit left no partial append to collide with (the journal
+    roll-forward lands all three tables or none).
+
+    The ledger (``<clean_table>.ingest_log``) and the stream checkpoint
+    must live and die together: wiping the checkpoint restarts batch
+    numbering at 0, which the surviving ledger would treat as already
+    ingested. That is the standard transactional-foreachBatch contract,
+    stated here so operators don't discover it in production.
+
+    Returns {"clean": n, "quarantined": n, "replay": bool}."""
+    from pyspark.sql import functions as F
+
+    ledger = f"{clean_table}.ingest_log"
+    if not wh.exists(ledger):
+        wh.create_table(ledger, T.StructType([T.StructField("batch_id", T.LongType())]))
+    if wh.read(ledger).filter(F.col("batch_id") == batch_id).count() > 0:
+        return {"clean": 0, "quarantined": 0, "replay": True}
+
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType(), True)]
+    )
+    parsed = batch_df.select(
+        F.col("value"),
+        F.from_json(
+            "value", full, {"mode": "PERMISSIVE",
+                            "columnNameOfCorruptRecord": corrupt_col}
+        ).alias("__j"),
+    ).localCheckpoint()  # scored once, read by two appends + counts
+    bad = F.col("__j").getField(corrupt_col).isNotNull() | F.col("__j").isNull()
+    clean = parsed.filter(~bad).select(
+        *[F.col("__j").getField(f.name).alias(f.name) for f in schema.fields]
+    )
+    quarantined = parsed.filter(bad).select(F.col("value").alias("raw_line"))
+
+    if not wh.exists(clean_table):
+        wh.create_table(clean_table, schema)
+    if not wh.exists(quarantine_table):
+        wh.create_table(
+            quarantine_table,
+            T.StructType([T.StructField("raw_line", T.StringType())]),
+        )
+    spark = wh.spark
+    with wh.transaction([clean_table, quarantine_table, ledger]) as txn:
+        txn.append(clean_table, clean)
+        txn.append(quarantine_table, quarantined)
+        txn.append(
+            ledger,
+            spark.createDataFrame([(int(batch_id),)], "batch_id bigint"),
+        )
+    return {
+        "clean": clean.count(),
+        "quarantined": quarantined.count(),
+        "replay": False,
+    }
+
+
+def jsonl_ingest_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    wh,
+    clean_table: str,
+    quarantine_table: str,
+    checkpoint_dir: str,
+    corrupt_col: str = "_corrupt_record",
+):
+    """Streaming landing-zone JSONL ingestion: new files under
+    ``source_dir`` stream in as raw lines, split into typed clean rows
+    vs verbatim quarantined lines (schema drift included), and land in
+    two warehouse tables through the transactional batch applier --
+    the streaming twin of ``sources.read_jsonl_quarantine`` and the
+    front door a continuously-crawling corpus feed needs. State is
+    only the file-source log; the parse is stateless, so the stream
+    scales with file arrival rate, not corpus size."""
+
+    def sink(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        jsonl_ingest_apply(
+            wh, clean_table, quarantine_table, schema, batch_df, batch_id,
+            corrupt_col,
+        )
+
+    return (
+        spark.readStream.text(source_dir)
+        .writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+        .start()
+    )

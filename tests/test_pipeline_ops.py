@@ -944,3 +944,61 @@ def test_ann_recall_harness(spark, sf_dir):
     approx = ivf_topk(emb, k=3, stride=50).filter(F.col("query_id") < 10)
     s2 = ann_recall_summary(approx, exact).collect()[0]
     assert s2["n_queries"] == 10 and 0.0 < s2["macro_recall"] <= 1.0
+
+
+def test_read_jsonl_quarantine(spark, tmp_path):
+    """Malformed lines land verbatim in the quarantine, schema-drift
+    lines too; clean output carries exactly the caller's schema; the
+    caller's StructType comes back unmutated."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from pg_auto_dw_spark.sources import read_jsonl_quarantine
+
+    p = tmp_path / "feed.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world"}\n'
+        '{"doc_id": 2, "text": "second doc"}\n'
+        "{broken json!!\n"
+        '{"doc_id": "not-a-number", "text": "drifted types"}\n'
+        '{"doc_id": 3, "text": "third doc"}\n'
+    )
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    n_fields_before = len(schema.fields)
+    clean, quarantined = read_jsonl_quarantine(spark, str(p), schema)
+    assert len(schema.fields) == n_fields_before  # not mutated
+    rows = {r["doc_id"]: r["text"] for r in clean.collect()}
+    assert rows == {1: "hello world", 2: "second doc", 3: "third doc"}
+    assert clean.columns == ["doc_id", "text"]
+    bad = sorted(r["raw_line"] for r in quarantined.collect())
+    assert bad == sorted(
+        ["{broken json!!", '{"doc_id": "not-a-number", "text": "drifted types"}']
+    )
+
+
+def test_compression_ratio_signal(spark):
+    """Repetitive text compresses below prose, random-ish hex above;
+    empty doc -> NULL ratio; counts are exact byte counts."""
+    import random
+
+    from pg_auto_dw_spark.functions.text import compression_ratio
+
+    rng = random.Random(42)
+    noisy = "".join(rng.choice("0123456789abcdef") for _ in range(2000))
+    docs = spark.createDataFrame(
+        [
+            (1, "spam " * 400),
+            (2, "The quick brown fox jumps over the lazy dog. " * 40
+                + "It was the best of times, it was the worst of times. " * 10),
+            (3, noisy),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in compression_ratio(docs).collect()}
+    assert out[1]["n_bytes"] == 2000
+    assert out[1]["compression_ratio"] < out[2]["compression_ratio"] < out[3]["compression_ratio"]
+    assert out[1]["compression_ratio"] < 0.05  # pure repetition collapses
+    assert out[3]["compression_ratio"] > 0.5  # high-entropy text barely compresses
+    assert out[4]["compression_ratio"] is None and out[4]["n_compressed"] == 0

@@ -569,3 +569,61 @@ def test_stream_stream_left_outer_keeps_clickless_purchases(spark, sf_dir, tmp_p
     assert nulls.count() > 0
     # a null row never coexists with a matched row for the same purchase
     assert nulls.join(out.filter(F.col("click_ts").isNotNull()), "event_id", "inner").count() == 0
+
+
+def test_jsonl_ingest_stream_end_to_end(spark, tmp_path):
+    """New JSONL files stream into clean + quarantine tables; a restart
+    over the same directory ingests nothing; a new file ingests only
+    its own lines."""
+    from pg_auto_dw_spark.streaming.jobs import jsonl_ingest_stream
+    from pg_auto_dw_spark.warehouse import Warehouse
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    src = tmp_path / "feed"
+    src.mkdir()
+    (src / "a.jsonl").write_text(
+        '{"doc_id": 1, "text": "one"}\n{broken\n{"doc_id": 2, "text": "two"}\n'
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    kwargs = dict(
+        schema=schema, wh=wh, clean_table="docs.clean",
+        quarantine_table="docs.quarantine",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    jsonl_ingest_stream(spark, str(src), **kwargs).awaitTermination(120)
+    assert {r["doc_id"] for r in wh.read("docs.clean").collect()} == {1, 2}
+    assert [r["raw_line"] for r in wh.read("docs.quarantine").collect()] == ["{broken"]
+
+    # restart, nothing new
+    jsonl_ingest_stream(spark, str(src), **kwargs).awaitTermination(120)
+    assert wh.read("docs.clean").count() == 2
+    assert wh.read("docs.quarantine").count() == 1
+
+    # a late file lands incrementally
+    (src / "b.jsonl").write_text('{"doc_id": 3, "text": "three"}\n!!!\n')
+    jsonl_ingest_stream(spark, str(src), **kwargs).awaitTermination(120)
+    assert {r["doc_id"] for r in wh.read("docs.clean").collect()} == {1, 2, 3}
+    assert wh.read("docs.quarantine").count() == 2
+
+
+def test_jsonl_ingest_apply_replay_is_idempotent(spark, tmp_path):
+    """The transactional batch applier: re-applying the same batch id
+    (foreachBatch replay after a commit-then-crash) appends nothing."""
+    from pg_auto_dw_spark.streaming.jobs import jsonl_ingest_apply
+    from pg_auto_dw_spark.warehouse import Warehouse
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh2"))
+    batch = spark.createDataFrame(
+        [('{"doc_id": 9, "text": "nine"}',), ("junk",)], "value string"
+    )
+    r1 = jsonl_ingest_apply(wh, "d.clean", "d.quar", schema, batch, 0)
+    r2 = jsonl_ingest_apply(wh, "d.clean", "d.quar", schema, batch, 0)
+    assert r1 == {"clean": 1, "quarantined": 1, "replay": False}
+    assert r2 == {"clean": 0, "quarantined": 0, "replay": True}
+    assert wh.read("d.clean").count() == 1
+    assert wh.read("d.quar").count() == 1
