@@ -91,3 +91,60 @@ def stratified_fixed_n(
         .filter(F.col("__rn") <= limit)
         .drop("__rn")
     )
+
+
+def temperature_mixture_plan(
+    df: DataFrame,
+    strata_col: str,
+    alpha: float = 0.5,
+    budget_rows: int | None = None,
+) -> list[dict]:
+    """Temperature-based mixture design over a stratum column (source,
+    language, quality band): stratum weights proportional to
+    ``count^alpha`` -- the multilingual/multi-source rebalancing rule
+    (alpha=1 keeps natural proportions, alpha->0 approaches uniform,
+    0.3-0.7 is the usual up-weight-the-tail band for training mixes).
+
+    Returns the driver-side plan -- one dict per stratum with
+    ``n_rows``, normalized ``weight``, and (when ``budget_rows`` is
+    set) the ``target_n`` and keep ``rate`` that realize the mix within
+    the budget. Rates cap at 1.0 (a stratum cannot be up-sampled past
+    its population; the shortfall stays visible in the plan rather
+    than being silently redistributed -- repeat-sampling is a separate,
+    deliberate step). One map-side-combined count shuffle; the plan is
+    strata-sized, which is what makes mixture DESIGN a driver concern
+    and row SELECTION a distributed one."""
+    counts = sorted(
+        (r[strata_col], r["n"])
+        for r in df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    total_w = sum(n ** alpha for _, n in counts)
+    plan = []
+    for value, n in counts:
+        w = (n ** alpha) / total_w
+        row = {"stratum": value, "n_rows": n, "weight": w}
+        if budget_rows is not None:
+            target = w * budget_rows
+            row["target_n"] = int(target)
+            row["rate"] = min(1.0, target / n) if n else 0.0
+        plan.append(row)
+    return plan
+
+
+def temperature_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    alpha: float = 0.5,
+    budget_rows: int = 0,
+) -> DataFrame:
+    """Deterministic temperature-mixture sample: design the per-stratum
+    rates with ``temperature_mixture_plan`` (driver-side, strata-sized)
+    and apply them as the zero-shuffle ``stratified_sample`` filter --
+    the reproducible form of 'sample a training mix at temperature
+    alpha within a row budget'. Same determinism contract as every
+    sampler here: the keep decision is a pure function of the row key,
+    so re-runs and re-partitionings select identical rows."""
+    plan = temperature_mixture_plan(df, strata_col, alpha, budget_rows)
+    rates = {row["stratum"]: row["rate"] for row in plan}
+    return stratified_sample(df, key_col, rates, strata_col)

@@ -88,3 +88,42 @@ def test_rank_matches_plain_python(spark):
     }
     for i in range(50):
         assert got[i] == (i * 2654435761) % MODULUS
+
+
+def test_temperature_mixture_plan_and_sample(spark, sf_dir):
+    """alpha=1 reproduces natural proportions; alpha=0 weights strata
+    uniformly; rates cap at 1.0; the sample is deterministic across
+    partitionings and respects the per-stratum rate thresholds."""
+    from pg_auto_dw_spark.functions.sampling import (
+        temperature_mixture_plan,
+        temperature_sample,
+    )
+    from pg_auto_dw_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    plan1 = temperature_mixture_plan(docs, "source", alpha=1.0)
+    for row in plan1:
+        assert abs(row["weight"] - row["n_rows"] / n) < 1e-12
+    plan0 = temperature_mixture_plan(docs, "source", alpha=0.0)
+    u = 1.0 / len(plan0)
+    assert all(abs(r["weight"] - u) < 1e-12 for r in plan0)
+    # alpha between: tail strata gain weight vs natural
+    planh = {r["stratum"]: r for r in temperature_mixture_plan(docs, "source", 0.5)}
+    nat = {r["stratum"]: r for r in plan1}
+    smallest = min(nat, key=lambda s: nat[s]["n_rows"])
+    largest = max(nat, key=lambda s: nat[s]["n_rows"])
+    if nat[smallest]["n_rows"] < nat[largest]["n_rows"]:
+        assert planh[smallest]["weight"] > nat[smallest]["weight"]
+        assert planh[largest]["weight"] < nat[largest]["weight"]
+    # budgeted plan: rates in [0, 1], targets sum ~ budget (cap-truncated)
+    budget = n // 3
+    planb = temperature_mixture_plan(docs, "source", 0.5, budget_rows=budget)
+    assert all(0.0 <= r["rate"] <= 1.0 for r in planb)
+    assert sum(r["target_n"] for r in planb) <= budget
+    s = temperature_sample(docs, "doc_id", "source", 0.5, budget)
+    got = s.count()
+    assert 0 < got < n
+    # deterministic across partitionings
+    s2 = temperature_sample(docs.repartition(7), "doc_id", "source", 0.5, budget)
+    assert {r["doc_id"] for r in s.collect()} == {r["doc_id"] for r in s2.collect()}
