@@ -82,6 +82,11 @@ HEADLINE = [
     # round-7 addition: persisted-IVF-index external search (index build
     # itself is charged to the session cold pass, like _ivf_index)
     "ann_ivf_index_search",
+    # round-7 registrations (driver rows due r8; tracked here from day 1
+    # so r8 has a builder baseline to compare against)
+    "documents_pack_sequences",
+    "text_bigram_logprob",
+    "documents_duplicated_spans",
 ]
 
 
