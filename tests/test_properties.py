@@ -307,3 +307,69 @@ def test_range_join_matches_model(spark, lsecs, rsecs, bounds):
         if ls + lo <= rs <= ls + hi
     )
     assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab cd\tx1!.\n"), min_size=0, max_size=60
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    seq_tokens=st.sampled_from([8, 64, 512]),
+)
+def test_pack_sequences_invariants_random_corpora(spark, texts, seq_tokens):
+    """For ANY corpus: the placement is a gapless permutation prefix-sum
+    of the per-doc token counts, seq coordinates derive from the
+    offset, and every doc appears exactly once."""
+    from pg_auto_dw_spark.functions.corpus import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    placed = pack_sequences(docs, seq_tokens=seq_tokens).collect()
+    assert len({r["doc_id"] for r in placed}) == len(placed) == len(texts)
+    cum = 0
+    for r in sorted(placed, key=lambda r: r["global_offset"]):
+        assert r["global_offset"] == cum
+        assert r["seq_id"] == cum // seq_tokens
+        assert r["seq_offset"] == cum % seq_tokens
+        assert r["n_bpe_tokens"] >= 0
+        cum += r["n_bpe_tokens"]
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.text(alphabet=st.sampled_from("ab c"), min_size=0, max_size=30),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_bigram_logprob_model_invariants(spark, texts):
+    """For ANY corpus: scores are finite and <= 0 (probabilities),
+    a doc whose every bigram is its prefix's ONLY continuation scores
+    exactly 0 contribution for those pairs, and n_bigrams equals
+    token count minus one for every emitted doc."""
+    import math
+
+    from pg_auto_dw_spark.functions.corpus import word_tokens
+    from pg_auto_dw_spark.functions.text import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    toks = {
+        r["doc_id"]: r["t"]
+        for r in docs.select("doc_id", word_tokens(F.col("text")).alias("t")).collect()
+    }
+    out = {r["doc_id"]: r for r in bigram_logprob(docs).collect()}
+    for i, t in toks.items():
+        if len(t) < 2:
+            assert i not in out
+        else:
+            assert out[i]["n_bigrams"] == len(t) - 1
+            assert out[i]["avg_logprob"] <= 1e-12
+            assert math.isfinite(out[i]["avg_logprob"])
