@@ -149,24 +149,26 @@ def main() -> None:
         jvm_runs.append((time.time() - t0) * 1000.0)
     jvm_compute_ms = round(sorted(jvm_runs)[len(jvm_runs) // 2], 1)
     # Job counting reads the unstable private DAGScheduler.nextJobId via
-    # py4j. It is instrumentation ONLY: a failure must never mark a
-    # query as failed (r6 ADVICE), so the delta is computed inside one
-    # helper with a single try around BOTH reads (an asymmetric failure
-    # used to produce a large negative count), clamped to >= 0, and if
-    # the API ever falls back the whole queries_jobs map is omitted from
-    # the artifact so bench_compare never normalizes with fake zeros.
+    # py4j. It is instrumentation ONLY: an instrumentation failure must
+    # never mark a query as failed (r6 ADVICE) and must never re-run the
+    # query, and a QUERY failure must never be mistaken for an
+    # instrumentation one (r7 review: the old combined try caught both,
+    # silently dropping the whole calibrated queries_jobs map and
+    # re-executing the failing query). The id reads therefore live in
+    # their own guarded helper OUTSIDE the timed window -- rep-0 timings
+    # carry zero py4j round-trips, same as reps 1-2 -- and query
+    # exceptions propagate to the per-query handler as real failures.
+    # If the private API ever falls back the whole queries_jobs map is
+    # omitted so bench_compare never normalizes with fake zeros.
     jobs_calibrated = True
 
-    def count_jobs(run) -> tuple[object, int | None]:
+    def read_next_job_id() -> int | None:
         nonlocal jobs_calibrated
         try:
-            j0 = spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
-            out = run()
-            j1 = spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
-            return out, max(0, j1 - j0)
+            return spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
         except Exception:
             jobs_calibrated = False
-            return run(), None
+            return None
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
@@ -182,18 +184,19 @@ def main() -> None:
             cold[name] = round(time.time() - t0, 3)
             runs = []
             for i in range(REPS):
+                # Spark jobs launched by one steady-state pass: with
+                # job_overhead_ms this decomposes each timing into plan
+                # cost + jobs * scheduler floor, making numbers
+                # comparable across VMs whose floor differs.
+                j0 = read_next_job_id() if i == 0 else None
                 t0 = time.time()
-                if i == 0:
-                    # Spark jobs launched by one steady-state pass: with
-                    # job_overhead_ms this decomposes each timing into
-                    # plan cost + jobs * scheduler floor, making numbers
-                    # comparable across VMs whose floor differs.
-                    _, nj = count_jobs(lambda: fn(spark, sf_dir).count())
-                    if nj is not None:
-                        jobs[name] = nj
-                else:
-                    fn(spark, sf_dir).count()  # measured steady-state pass
-                runs.append(round(time.time() - t0, 3))
+                fn(spark, sf_dir).count()  # measured steady-state pass
+                elapsed = round(time.time() - t0, 3)
+                if i == 0 and j0 is not None:
+                    j1 = read_next_job_id()
+                    if j1 is not None:
+                        jobs[name] = max(0, j1 - j0)
+                runs.append(elapsed)
             reps[name] = runs
             timings[name] = sorted(runs)[len(runs) // 2]  # median
         except Exception as e:  # a failing query must not hide the others

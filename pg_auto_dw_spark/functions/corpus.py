@@ -183,8 +183,6 @@ def contamination_pairs(
     # per-gram document count. A ubiquitous gram is one window
     # partition of at most n_benchmark rows -- bounded by construction,
     # eval sets are not the corpus.
-    from pyspark.sql.window import Window
-
     b = (
         b.withColumn(
             "__n_docs", F.count(F.lit(1)).over(Window.partitionBy("gram"))
@@ -545,9 +543,15 @@ def packing_stats(
     """One-row packing report for ``pack_sequences``: total tokens,
     docs, sequences, docs that straddle a sequence boundary, and the
     last sequence's fill -- the what-did-packing-cost dashboard row
-    (every non-final sequence is exactly full by construction)."""
+    (every non-final sequence is exactly full by construction).
+    ``last_seq_fill`` is in (0, seq_tokens]: a corpus totalling an
+    exact multiple of ``seq_tokens`` reports a FULL last sequence
+    (seq_tokens), not 0 -- a padding-waste consumer computing
+    ``seq_tokens - last_seq_fill`` must see 0 there, not a phantom
+    all-padding sequence (r7 review finding)."""
     placed = pack_sequences(docs, seq_tokens, text_col, id_col, n_buckets)
     total = F.max(F.col("global_offset") + F.col("n_bpe_tokens"))
+    fill = F.pmod(total, F.lit(seq_tokens))
     return placed.agg(
         F.count(F.lit(1)).alias("n_docs"),
         total.alias("total_tokens"),
@@ -557,7 +561,10 @@ def packing_stats(
                 (F.col("seq_offset") + F.col("n_bpe_tokens")) > F.lit(seq_tokens)
             ).cast("long")
         ).alias("n_straddling_docs"),
-        F.pmod(total, F.lit(seq_tokens)).cast("long").alias("last_seq_fill"),
+        F.when((fill == 0) & (total > 0), F.lit(seq_tokens))
+        .otherwise(fill)
+        .cast("long")
+        .alias("last_seq_fill"),
     )
 
 

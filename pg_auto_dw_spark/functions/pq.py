@@ -55,6 +55,86 @@ def _collect_codebook(codebook: DataFrame, m: int, ksub: int, dsub: int):
     return cent, valid
 
 
+def _pq_assign_codes(mat, cent, valid, m: int, dsub: int):
+    """(n, m) int32 sub-codes for an int64 vector batch: per subspace,
+    exact int64 L2 argmin against the centroid tensor (|x|^2 - 2 x.c +
+    |c|^2; dropped Lloyd cells masked to +inf; ties -> lowest code via
+    first-min). THE single assignment definition -- pq_train's Lloyd
+    rounds, pq_encode, and the composed index build all call this, so
+    the bit-identical-codes contract cannot diverge between build
+    paths (r7 review)."""
+    import numpy as np
+
+    codes = np.empty((mat.shape[0], m), dtype=np.int32)
+    for s in range(m):
+        x = mat[:, s * dsub : (s + 1) * dsub]
+        d = (
+            (x * x).sum(axis=1)[:, None]
+            - 2 * (x @ cent[s].T)
+            + (cent[s] * cent[s]).sum(axis=1)[None, :]
+        )
+        d[:, ~valid[s]] = np.iinfo(np.int64).max
+        codes[:, s] = d.argmin(axis=1)
+    return codes
+
+
+def _adc_cosines(lut, cnorm, codes, q_den, m: int):
+    """(n_q, n) ADC cosine matrix for a codes batch: exact int64 LUT
+    gather-sums for the reconstructed dot and norm, one IEEE float64
+    division. Shared by pq_topk and ivf_pq_search_index so the score
+    definition has exactly one home."""
+    import numpy as np
+
+    dots = np.zeros((lut.shape[0], codes.shape[0]), dtype=np.int64)
+    rnorm = np.zeros(codes.shape[0], dtype=np.int64)
+    for s in range(m):
+        dots += lut[:, s, codes[:, s]]
+        rnorm += cnorm[s, codes[:, s]]
+    den = q_den[:, None] * np.sqrt(rnorm.astype(np.float64))[None, :]
+    return np.where(den > 0, dots.astype(np.float64) / den, -np.inf)
+
+
+def _exact_rerank(
+    adc: DataFrame,
+    qside: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Exact-cosine re-rank of an ADC shortlist: pin the shortlist
+    (scored once, read by the id collect + the join), push its ids down
+    into the corpus re-scan as an IN filter (the raw vectors live on
+    disk; ADC decided which few to fetch), score the bounded pair set
+    with exact int64 dots, take the global top-k. ``qside`` carries
+    (query_id, q_qvec, q_qnorm) however the caller sourced its queries
+    (corpus rows or driver-resident vectors)."""
+    adc = adc.localCheckpoint()
+    cand_ids = [
+        r["neighbor_id"] for r in adc.select("neighbor_id").distinct().collect()
+    ]
+    nside = with_quantized(corpus.filter(F.col(id_col).isin(cand_ids)), vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("qvec").alias("n_qvec"),
+        F.col("qnorm").alias("n_qnorm"),
+    )
+    exact = (
+        adc.select("query_id", "neighbor_id")
+        .join(F.broadcast(qside), "query_id")
+        .join(nside, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(
+                int_dot(F.col("q_qvec"), F.col("n_qvec")),
+                F.col("q_qnorm"),
+                F.col("n_qnorm"),
+            ).alias("cosine"),
+        )
+    )
+    return _global_topk(exact, k)
+
+
 def pq_train(
     corpus: DataFrame,
     m: int = 8,
@@ -122,28 +202,17 @@ def pq_train(
                     continue
                 mat = np.stack(pdf["qvec"].to_numpy()).astype(np.int64)
                 n = mat.shape[0]
-                out = {"sub": [], "code": []}
-                vals = [[] for _ in range(dsub)]
-                for s in range(m):
-                    x = mat[:, s * dsub : (s + 1) * dsub]
-                    # exact int64 L2: |x|^2 - 2 x.c + |c|^2 per centroid
-                    d = (
-                        (x * x).sum(axis=1)[:, None]
-                        - 2 * (x @ cent_b[s].T)
-                        + (cent_b[s] * cent_b[s]).sum(axis=1)[None, :]
-                    )
-                    d[:, ~valid_b[s]] = np.iinfo(np.int64).max
-                    code = d.argmin(axis=1)  # first min = lowest code on ties
-                    out["sub"].append(np.full(n, s, dtype=np.int32))
-                    out["code"].append(code.astype(np.int32))
-                    for i in range(dsub):
-                        vals[i].append(x[:, i])
+                codes = _pq_assign_codes(mat, cent_b, valid_b, m, dsub)
                 yield pd.DataFrame(
                     {
-                        "sub": np.concatenate(out["sub"]),
-                        "code": np.concatenate(out["code"]),
+                        "sub": np.repeat(
+                            np.arange(m, dtype=np.int32), n
+                        ),
+                        "code": codes.T.reshape(-1),
                         **{
-                            f"v{i}": np.concatenate(vals[i])
+                            f"v{i}": np.concatenate(
+                                [mat[:, s * dsub + i] for s in range(m)]
+                            )
                             for i in range(dsub)
                         },
                     }
@@ -209,16 +278,7 @@ def pq_encode(
             if not len(pdf):
                 continue
             mat = np.stack(pdf["qvec"].to_numpy()).astype(np.int64)
-            codes = np.empty((mat.shape[0], m), dtype=np.int32)
-            for s in range(m):
-                x = mat[:, s * dsub : (s + 1) * dsub]
-                d = (
-                    (x * x).sum(axis=1)[:, None]
-                    - 2 * (x @ cent[s].T)
-                    + (cent[s] * cent[s]).sum(axis=1)[None, :]
-                )
-                d[:, ~valid[s]] = np.iinfo(np.int64).max
-                codes[:, s] = d.argmin(axis=1)
+            codes = _pq_assign_codes(mat, cent, valid, m, dsub)
             yield pd.DataFrame(
                 {
                     "id": pdf["id"].to_numpy(),
@@ -313,15 +373,7 @@ def pq_topk(
                 continue
             d_ids = pdf["id"].to_numpy().astype(np.int64)
             codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # (n, m)
-            n = codes.shape[0]
-            # gather-sum: exact reconstructed dot per (query, candidate)
-            dots = np.zeros((len(q_ids), n), dtype=np.int64)
-            rnorm = np.zeros(n, dtype=np.int64)
-            for s in range(m):
-                dots += lut[:, s, codes[:, s]]
-                rnorm += cnorm[s, codes[:, s]]
-            den = q_den[:, None] * np.sqrt(rnorm.astype(np.float64))[None, :]
-            cos = np.where(den > 0, dots.astype(np.float64) / den, -np.inf)
+            cos = _adc_cosines(lut, cnorm, codes, q_den, m)
             # strike self-matches (query set is drawn from the corpus)
             cos[np.equal.outer(q_ids, d_ids)] = -np.inf
             top = np.argsort(-cos, axis=1, kind="stable")[:, :shortlist]
@@ -339,12 +391,6 @@ def pq_topk(
     adc = _global_topk(encoded.mapInPandas(kernel, _PAIR_TOPK_SCHEMA), shortlist)
     if rerank <= 0:
         return _global_topk(adc, k)
-    # exact re-rank: the shortlist is queries x rerank rows -- bounded
-    # by contract -- so collecting its ids and pushing them down as an
-    # IN filter prunes the corpus re-scan to shortlist rows only (the
-    # raw vectors live on disk; ADC decided which few to fetch)
-    adc = adc.localCheckpoint()  # scored once; read by collect + join
-    cand_ids = [r["neighbor_id"] for r in adc.select("neighbor_id").distinct().collect()]
     qside = (
         with_quantized(corpus.filter(F.col(id_col).isin(query_ids)), vec_col)
         .select(
@@ -353,26 +399,7 @@ def pq_topk(
             F.col("qnorm").alias("q_qnorm"),
         )
     )
-    nside = with_quantized(corpus.filter(F.col(id_col).isin(cand_ids)), vec_col).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col("qvec").alias("n_qvec"),
-        F.col("qnorm").alias("n_qnorm"),
-    )
-    exact = (
-        adc.select("query_id", "neighbor_id")
-        .join(F.broadcast(qside), "query_id")
-        .join(nside, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine(
-                int_dot(F.col("q_qvec"), F.col("n_qvec")),
-                F.col("q_qnorm"),
-                F.col("n_qnorm"),
-            ).alias("cosine"),
-        )
-    )
-    return _global_topk(exact, k)
+    return _exact_rerank(adc, qside, corpus, k, id_col, vec_col)
 
 
 def build_ivf_pq_index(
@@ -435,17 +462,7 @@ def build_ivf_pq_index(
                 np.sqrt(qn.astype(np.float64))[:, None] * cent_den[None, :]
             )
             cell = cent_ids[np.argmax(cos, axis=1)]
-            # PQ codes: exact int64 L2 argmin per subspace
-            codes = np.empty((mat.shape[0], m), dtype=np.int32)
-            for s in range(m):
-                x = mat[:, s * dsub : (s + 1) * dsub]
-                d = (
-                    (x * x).sum(axis=1)[:, None]
-                    - 2 * (x @ pq_cent[s].T)
-                    + (pq_cent[s] * pq_cent[s]).sum(axis=1)[None, :]
-                )
-                d[:, ~pq_valid[s]] = np.iinfo(np.int64).max
-                codes[:, s] = d.argmin(axis=1)
+            codes = _pq_assign_codes(mat, pq_cent, pq_valid, m, dsub)
             yield pd.DataFrame(
                 {
                     "id": pdf["id"].to_numpy(),
@@ -553,14 +570,7 @@ def ivf_pq_search_index(
             d_ids = pdf["id"].to_numpy().astype(np.int64)
             d_cells = pdf["cell"].to_numpy().astype(np.int64)
             codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
-            n = codes.shape[0]
-            dots = np.zeros((len(q_ids), n), dtype=np.int64)
-            rnorm = np.zeros(n, dtype=np.int64)
-            for s in range(m):
-                dots += lut[:, s, codes[:, s]]
-                rnorm += pq_cnorm[s, codes[:, s]]
-            den = q_den[:, None] * np.sqrt(rnorm.astype(np.float64))[None, :]
-            sc = np.where(den > 0, dots.astype(np.float64) / den, -np.inf)
+            sc = _adc_cosines(lut, pq_cnorm, codes, q_den, m)
             for i, cells_i in enumerate(probe_sets):  # per-query cell mask
                 sc[i, ~np.isin(d_cells, list(cells_i))] = -np.inf
             t = np.argsort(-sc, axis=1, kind="stable")[:, :shortlist]
@@ -581,35 +591,11 @@ def ivf_pq_search_index(
         return _global_topk(adc, k)
     if corpus is None:
         raise ValueError("rerank > 0 needs the raw-vector corpus")
-    adc = adc.localCheckpoint()  # scored once; read by collect + join
-    cand_ids = [
-        r["neighbor_id"] for r in adc.select("neighbor_id").distinct().collect()
-    ]
-    spark = wh.spark
-    qdf = spark.createDataFrame(
+    qside = wh.spark.createDataFrame(
         [
             (int(q_ids[i]), [int(x) for x in qm[i]], int(qn[i]))
             for i in range(len(q_ids))
         ],
         "query_id bigint, q_qvec array<bigint>, q_qnorm bigint",
     )
-    nside = with_quantized(corpus.filter(F.col(id_col).isin(cand_ids)), vec_col).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col("qvec").alias("n_qvec"),
-        F.col("qnorm").alias("n_qnorm"),
-    )
-    exact = (
-        adc.select("query_id", "neighbor_id")
-        .join(F.broadcast(qdf), "query_id")
-        .join(nside, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine(
-                int_dot(F.col("q_qvec"), F.col("n_qvec")),
-                F.col("q_qnorm"),
-                F.col("n_qnorm"),
-            ).alias("cosine"),
-        )
-    )
-    return _global_topk(exact, k)
+    return _exact_rerank(adc, qside, corpus, k, id_col, vec_col)

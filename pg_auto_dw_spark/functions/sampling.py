@@ -113,10 +113,21 @@ def temperature_mixture_plan(
     than being silently redistributed -- repeat-sampling is a separate,
     deliberate step). One map-side-combined count shuffle; the plan is
     strata-sized, which is what makes mixture DESIGN a driver concern
-    and row SELECTION a distributed one."""
+    and row SELECTION a distributed one.
+
+    A NULL stratum (rows missing the source/language tag) is a real
+    stratum here: it appears in the plan as ``stratum=None`` (sorted
+    first) and gets its own weight/rate like any other -- dropping
+    untagged rows is a cleaning decision, not a sampling side
+    effect."""
     counts = sorted(
-        (r[strata_col], r["n"])
-        for r in df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n")).collect()
+        (
+            (r[strata_col], r["n"])
+            for r in df.groupBy(strata_col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ),
+        key=lambda kv: (kv[0] is not None, kv[0]),
     )
     total_w = sum(n ** alpha for _, n in counts)
     plan = []
@@ -136,15 +147,28 @@ def temperature_sample(
     key_col: str,
     strata_col: str,
     alpha: float = 0.5,
-    budget_rows: int = 0,
+    budget_rows: int | None = None,
 ) -> DataFrame:
     """Deterministic temperature-mixture sample: design the per-stratum
     rates with ``temperature_mixture_plan`` (driver-side, strata-sized)
     and apply them as the zero-shuffle ``stratified_sample`` filter --
     the reproducible form of 'sample a training mix at temperature
-    alpha within a row budget'. Same determinism contract as every
-    sampler here: the keep decision is a pure function of the row key,
-    so re-runs and re-partitionings select identical rows."""
+    alpha within a row budget'. ``budget_rows`` is required and must be
+    positive: without a budget every rate is 0 and the "sample" would
+    be silently empty (r7 review finding). Rows with a NULL stratum are
+    sampled at the NULL stratum's own planned rate (stratified_sample's
+    CASE ladder can never equality-match NULL, so that rate rides the
+    default slot -- safe because every non-null stratum is explicitly
+    enumerated). Same determinism contract as every sampler here: the
+    keep decision is a pure function of the row key, so re-runs and
+    re-partitionings select identical rows."""
+    if not budget_rows or budget_rows <= 0:
+        raise ValueError("temperature_sample needs budget_rows >= 1")
     plan = temperature_mixture_plan(df, strata_col, alpha, budget_rows)
-    rates = {row["stratum"]: row["rate"] for row in plan}
-    return stratified_sample(df, key_col, rates, strata_col)
+    rates = {
+        row["stratum"]: row["rate"] for row in plan if row["stratum"] is not None
+    }
+    null_rate = next(
+        (row["rate"] for row in plan if row["stratum"] is None), 0.0
+    )
+    return stratified_sample(df, key_col, rates, strata_col, default_rate=null_rate)

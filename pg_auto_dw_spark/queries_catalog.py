@@ -3560,6 +3560,11 @@ def events_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("z.q").alias("q_value"),
             "approx_users",
         )
+        # types x probs rows, consumed TWICE (broadcast into the rank
+        # verifier + the final join): pin so the sketch aggregations run
+        # once, and so both consumers describe the SAME sketch values
+        # rather than leaning on re-evaluation stability (r7 review)
+        .localCheckpoint()
     )
     # Exact verifier joins: bounded build sides (types x probs rows), so
     # the joins broadcast; the exact aggregates are one events pass each.

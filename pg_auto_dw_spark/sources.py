@@ -101,6 +101,54 @@ def read_source(
     raise ValueError(f"unsupported source format: {fmt!r}")
 
 
+def split_jsonl_lines(
+    lines: DataFrame,
+    schema,
+    corrupt_col: str = "_corrupt_record",
+    line_col: str = "value",
+) -> tuple[DataFrame, DataFrame]:
+    """Frame-level JSONL split shared by the batch reader and the
+    streaming ingest sink: raw lines in, ``(clean, quarantined)`` out.
+    ``clean`` has exactly ``schema``; ``quarantined`` is (raw_line),
+    the verbatim bad lines -- malformed JSON AND schema-drift rows
+    (a line that parses but mismatches the declared types is corrupt
+    under from_json's PERMISSIVE corrupt-record contract, so drift
+    lands in quarantine, never as silent nulls).
+
+    Built on ``from_json`` with a corrupt-record column rather than
+    the PERMISSIVE json READER: the reader path raises SPARK-21610 /
+    UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN the moment
+    the quarantine output prunes to just the corrupt column, and the
+    stock cache workaround is exactly the unbounded-SQL-cache pattern
+    this package bans. As a column expression each output is ONE scan
+    of the lines + a codegen'd parse, any corpus size."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    if not isinstance(schema, StructType):
+        raise TypeError("split_jsonl_lines needs an explicit StructType "
+                        "(inference would re-scan the corpus)")
+    if corrupt_col in schema.fieldNames():
+        raise ValueError(f"schema must not already contain {corrupt_col!r}")
+    # a fresh StructType: StructType.add mutates self, and the caller's
+    # schema object must come back unchanged
+    full = StructType(
+        list(schema.fields) + [StructField(corrupt_col, StringType(), True)]
+    )
+    parsed = lines.select(
+        F.col(line_col).alias("__line"),
+        F.from_json(
+            line_col, full, {"mode": "PERMISSIVE",
+                             "columnNameOfCorruptRecord": corrupt_col}
+        ).alias("__j"),
+    )
+    bad = F.col("__j").getField(corrupt_col).isNotNull() | F.col("__j").isNull()
+    clean = parsed.filter(~bad).select(
+        *[F.col("__j").getField(f.name).alias(f.name) for f in schema.fields]
+    )
+    quarantined = parsed.filter(bad).select(F.col("__line").alias("raw_line"))
+    return clean, quarantined
+
+
 def read_jsonl_quarantine(
     spark: SparkSession,
     path: str,
@@ -110,46 +158,9 @@ def read_jsonl_quarantine(
     """Landing-zone JSONL ingestion with corrupt-record quarantine --
     the standard shape of a raw LLM training feed (one JSON doc per
     line, a tail of malformed lines from upstream crawlers that must
-    be kept for audit, never silently dropped).
-
-    Returns ``(clean, quarantined)``: ``clean`` has exactly the
-    caller's schema (malformed rows excluded); ``quarantined`` is
-    (raw_line) -- the verbatim bad lines for a dead-letter sink.
-
-    Shape: ``spark.read.text`` + ``from_json`` with a corrupt-record
-    column, NOT the PERMISSIVE json reader. The reader path hits
-    SPARK-21610 / UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN
-    the moment the quarantine output prunes to just the corrupt column
-    (the parser needs the data columns to decide corruption), and the
-    stock workaround -- cache the raw frame -- is exactly the
-    unbounded-SQL-cache pattern this package bans. Parsing lines as a
-    column expression has no such restriction: each output is ONE text
-    scan + a codegen'd from_json, no cache, any corpus size. A line
-    that parses but mismatches the schema types is also corrupt
-    (schema drift lands in quarantine, not as silent nulls)."""
-    from pyspark.sql.types import StringType, StructField, StructType
-
+    be kept for audit, never silently dropped). ``spark.read.text``
+    over the path + ``split_jsonl_lines`` (see its docstring for the
+    SPARK-21610 rationale); the streaming twin is
+    ``streaming.jobs.jsonl_ingest_stream`` over the same splitter."""
     prepare(spark)
-    if not isinstance(schema, StructType):
-        raise TypeError("read_jsonl_quarantine needs an explicit StructType "
-                        "(inference would re-scan the corpus)")
-    if corrupt_col in schema.fieldNames():
-        raise ValueError(f"schema must not already contain {corrupt_col!r}")
-    # a fresh StructType: StructType.add mutates self, and the caller's
-    # schema object must come back unchanged
-    full = StructType(
-        list(schema.fields) + [StructField(corrupt_col, StringType(), True)]
-    )
-    parsed = spark.read.text(path).select(
-        F.col("value"),
-        F.from_json(
-            "value", full, {"mode": "PERMISSIVE",
-                            "columnNameOfCorruptRecord": corrupt_col}
-        ).alias("__j"),
-    )
-    bad = F.col("__j").getField(corrupt_col).isNotNull() | F.col("__j").isNull()
-    clean = parsed.filter(~bad).select(
-        *[F.col("__j").getField(f.name).alias(f.name) for f in schema.fields]
-    )
-    quarantined = parsed.filter(bad).select(F.col("value").alias("raw_line"))
-    return clean, quarantined
+    return split_jsonl_lines(spark.read.text(path), schema, corrupt_col)

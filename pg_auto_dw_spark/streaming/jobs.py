@@ -740,21 +740,13 @@ def jsonl_ingest_apply(
     if wh.read(ledger).filter(F.col("batch_id") == batch_id).count() > 0:
         return {"clean": 0, "quarantined": 0, "replay": True}
 
-    full = T.StructType(
-        list(schema.fields) + [T.StructField(corrupt_col, T.StringType(), True)]
+    from ..sources import split_jsonl_lines
+
+    clean, quarantined = split_jsonl_lines(
+        batch_df.localCheckpoint(),  # parsed once, read by 2 appends + counts
+        schema,
+        corrupt_col,
     )
-    parsed = batch_df.select(
-        F.col("value"),
-        F.from_json(
-            "value", full, {"mode": "PERMISSIVE",
-                            "columnNameOfCorruptRecord": corrupt_col}
-        ).alias("__j"),
-    ).localCheckpoint()  # scored once, read by two appends + counts
-    bad = F.col("__j").getField(corrupt_col).isNotNull() | F.col("__j").isNull()
-    clean = parsed.filter(~bad).select(
-        *[F.col("__j").getField(f.name).alias(f.name) for f in schema.fields]
-    )
-    quarantined = parsed.filter(bad).select(F.col("value").alias("raw_line"))
 
     if not wh.exists(clean_table):
         wh.create_table(clean_table, schema)

@@ -853,7 +853,13 @@ def test_packing_stats_accounts_every_token(spark, sf_dir):
     assert s["total_tokens"] == total
     assert s["n_docs"] == docs.count()
     assert s["n_sequences"] == -(-total // 512)
-    assert 0 <= s["last_seq_fill"] < 512
+    assert 0 < s["last_seq_fill"] <= 512
+    # exact-multiple corpus: the last sequence reports FULL, not 0
+    two = spark.createDataFrame([(1, "a " * 512), (2, "b " * 512)],
+                                "doc_id long, text string")
+    s2 = packing_stats(two, seq_tokens=512).collect()[0]
+    assert s2["total_tokens"] == 1024
+    assert s2["n_sequences"] == 2 and s2["last_seq_fill"] == 512
     straddle = placed.filter(
         (F.col("seq_offset") + F.col("n_bpe_tokens")) > 512
     ).count()
