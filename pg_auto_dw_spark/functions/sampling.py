@@ -172,3 +172,53 @@ def temperature_sample(
         (row["rate"] for row in plan if row["stratum"] is None), 0.0
     )
     return stratified_sample(df, key_col, rates, strata_col, default_rate=null_rate)
+
+
+def repeat_sample(
+    df: DataFrame,
+    key_col: str,
+    factors: dict[str, float],
+    strata_col: str,
+    default_factor: float = 1.0,
+) -> DataFrame:
+    """Deterministic repeat-sampling (epoch up-weighting): each row of
+    stratum ``d`` appears ``floor(f_d)`` times, plus one more iff
+    ``rank(key) < frac(f_d) * MODULUS`` -- so a stratum's realized row
+    count is its population times ~f_d, exactly reproducible across
+    runs and partitionings. This is the deliberate second step the
+    ``temperature_mixture_plan`` rate cap points at: rates handle
+    down-sampling; repeating past 1.0 (seeing a small high-value
+    stratum for multiple "epochs", the standard up-weighting move for
+    curated corpora) is THIS operator, kept separate so duplication is
+    never a silent sampling side effect.
+
+    Output adds ``copy_id`` (1..n for a row's copies) so downstream
+    keys can stay unique (e.g. packing or shuffling the repeated
+    corpus). Factor 0 drops the stratum; factors must be >= 0. A NULL
+    stratum follows ``default_factor`` (the CASE ladder can never
+    equality-match NULL). Zero shuffles: explode of a per-row bounded
+    sequence, fused into the scan."""
+    for value, f in factors.items():
+        if f < 0:
+            raise ValueError(f"negative repeat factor for {value!r}: {f}")
+    if default_factor < 0:
+        raise ValueError(f"negative default_factor: {default_factor}")
+
+    def parts(f: float) -> tuple[int, int]:
+        base = int(f)
+        return base, int(round((f - base) * MODULUS))
+
+    base_d, frac_d = parts(default_factor)
+    base_col, frac_col = F.lit(base_d), F.lit(frac_d)
+    for value, f in sorted(factors.items()):
+        b, fr = parts(f)
+        cond = F.col(strata_col) == value
+        base_col = F.when(cond, F.lit(b)).otherwise(base_col)
+        frac_col = F.when(cond, F.lit(fr)).otherwise(frac_col)
+    n_copies = base_col + (sample_rank(F.col(key_col)) < frac_col).cast("int")
+    return (
+        df.withColumn("__n", n_copies)
+        .filter(F.col("__n") >= 1)
+        .withColumn("copy_id", F.explode(F.sequence(F.lit(1), F.col("__n"))))
+        .drop("__n")
+    )

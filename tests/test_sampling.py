@@ -127,3 +127,39 @@ def test_temperature_mixture_plan_and_sample(spark, sf_dir):
     # deterministic across partitionings
     s2 = temperature_sample(docs.repartition(7), "doc_id", "source", 0.5, budget)
     assert {r["doc_id"] for r in s.collect()} == {r["doc_id"] for r in s2.collect()}
+
+
+def test_repeat_sample_deterministic_upweighting(spark, sf_dir):
+    """Integer factors repeat exactly; fractional factors add the extra
+    copy for exactly the rank-threshold subset (deterministic, not
+    probabilistic); factor 0 drops; copy_id keeps keys unique."""
+    from pg_auto_dw_spark.functions.sampling import (
+        MODULUS,
+        repeat_sample,
+        sample_rank,
+    )
+    from pg_auto_dw_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    a, b = sorted(langs)[0], sorted(langs)[1]
+    n_a = docs.filter(F.col("lang") == a).count()
+    n_b = docs.filter(F.col("lang") == b).count()
+    out = repeat_sample(docs, "doc_id", {a: 2.0, b: 2.5}, "lang", default_factor=0.0)
+    assert out.filter(F.col("lang") == a).count() == 2 * n_a
+    # the fractional extra is exactly the rank < 0.5*MODULUS subset
+    extra = docs.filter(
+        (F.col("lang") == b) & (sample_rank(F.col("doc_id")) < int(0.5 * MODULUS))
+    ).count()
+    assert out.filter(F.col("lang") == b).count() == 2 * n_b + extra
+    assert out.filter(~F.col("lang").isin([a, b])).count() == 0  # default 0 drops
+    # (key, copy_id) unique; deterministic across partitionings
+    assert out.select("doc_id", "copy_id").distinct().count() == out.count()
+    again = repeat_sample(
+        docs.repartition(9), "doc_id", {a: 2.0, b: 2.5}, "lang", default_factor=0.0
+    )
+    assert sorted(
+        (r["doc_id"], r["copy_id"]) for r in again.select("doc_id", "copy_id").collect()
+    ) == sorted(
+        (r["doc_id"], r["copy_id"]) for r in out.select("doc_id", "copy_id").collect()
+    )
