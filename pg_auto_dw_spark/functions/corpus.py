@@ -589,7 +589,7 @@ def duplicated_span_stats(
     min_docs: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
-    decimals: int = 6,
+    decimals: int | None = 6,
 ) -> DataFrame:
     """Per-document cross-corpus duplicated-span exposure: the fraction
     of a doc's word ``n``-gram occurrences that also appear in at least
@@ -625,10 +625,15 @@ def duplicated_span_stats(
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
             F.sum((F.col("__n_docs") >= min_docs).cast("long")).alias("n_dup_grams"),
-            F.round(
+            (
                 F.sum((F.col("__n_docs") >= min_docs).cast("double"))
-                / F.count(F.lit(1)),
-                decimals,
+                / F.count(F.lit(1))
+                if decimals is None
+                else F.round(
+                    F.sum((F.col("__n_docs") >= min_docs).cast("double"))
+                    / F.count(F.lit(1)),
+                    decimals,
+                )
             ).alias("dup_frac"),
         )
     )

@@ -270,8 +270,33 @@ def redact_pii(
     )
 
 
+def _tokens_exploded(df: DataFrame, text_col: str, id_col: str, normalized: bool):
+    """(id, w) token stream: raw whitespace split by default, or the
+    ``word_tokens`` lowercase-alnum normalization shared with the corpus
+    operators (``normalized=True``). The normalized path is what the
+    oracle-hashed catalog rows use -- it is the tokenization already
+    proven to hash-match across engines (corpus_decontaminate,
+    text_fingerprints), unlike raw '\\s+' splitting whose engine-side
+    regex/trim edge cases diverged in the driver environment."""
+    if normalized:
+        from .corpus import word_tokens
+
+        return df.select(
+            F.col(id_col),
+            F.explode(word_tokens(F.col(text_col))).alias("w"),
+        )
+    return df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+
+
 def word_entropy(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", decimals: int = 6
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    decimals: int | None = 6,
+    normalized: bool = False,
 ) -> DataFrame:
     """Per-document unigram Shannon entropy (bits): the standard cheap
     gibberish/repetition signal -- near-zero for a doc that repeats one
@@ -282,13 +307,12 @@ def word_entropy(
     (algebraically -sum(p log2 p), but summing integer-count terms
     avoids a join against the doc-length relation). Rounded to
     ``decimals`` because transcendental libm results may differ in the
-    last ulp across engines (the moment-aggregates precedent).
+    last ulp across engines (the moment-aggregates precedent);
+    ``decimals=None`` returns the raw double for callers that do their
+    own grid quantization (the scaled-BIGINT oracle rows).
 
     Output: (id, n_words, n_distinct_words, entropy_bits)."""
-    words = df.select(
-        F.col(id_col),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"),
-    ).filter(F.col("w") != "")
+    words = _tokens_exploded(df, text_col, id_col, normalized)
     wc = words.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("c"))
     return (
         wc.groupBy(id_col)
@@ -303,7 +327,7 @@ def word_entropy(
             id_col,
             "n_words",
             "n_distinct_words",
-            F.round(
+            _maybe_round(
                 F.log2(F.col("n_words").cast("double"))
                 - F.col("__clogc") / F.col("n_words").cast("double"),
                 decimals,
@@ -312,8 +336,16 @@ def word_entropy(
     )
 
 
+def _maybe_round(col, decimals: int | None):
+    return col if decimals is None else F.round(col, decimals)
+
+
 def unigram_logprob(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", decimals: int = 6
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    decimals: int | None = 6,
+    normalized: bool = False,
 ) -> DataFrame:
     """Per-document mean unigram log10-probability under the corpus's
     OWN unigram language model -- the CCNet-style perplexity-filter
@@ -333,11 +365,9 @@ def unigram_logprob(
     own model artifact and reuse it across corpora snapshots.
 
     Output: (id, n_tokens, avg_logprob), avg rounded to ``decimals``
-    for cross-engine libm/summation-order parity."""
-    words = df.select(
-        F.col(id_col),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"),
-    ).filter(F.col("w") != "")
+    for cross-engine libm/summation-order parity (``decimals=None``
+    leaves the raw double for caller-side grid quantization)."""
+    words = _tokens_exploded(df, text_col, id_col, normalized)
     freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
     total = freq.agg(F.sum("n").alias("total"))
     return (
@@ -346,7 +376,7 @@ def unigram_logprob(
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(
+            _maybe_round(
                 F.avg(
                     F.log10(
                         F.col("n").cast("double") / F.col("total").cast("double")
@@ -359,7 +389,10 @@ def unigram_logprob(
 
 
 def bigram_logprob(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", decimals: int = 6
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    decimals: int | None = 6,
 ) -> DataFrame:
     """Per-document mean conditional bigram log10-probability under the
     corpus's OWN bigram language model -- the next quality tier above
@@ -417,7 +450,7 @@ def bigram_logprob(
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(
+            _maybe_round(
                 F.avg(F.log10(F.col("c12").cast("double") / F.col("c1").cast("double"))),
                 decimals,
             ).alias("avg_logprob"),
