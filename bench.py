@@ -87,6 +87,13 @@ HEADLINE = [
     "documents_pack_sequences",
     "text_bigram_logprob",
     "documents_duplicated_spans",
+    # round-8 registrations (tracked from day 1): PQ recall-ladder
+    # bounds row (trains/encodes + three ladder legs incl. the
+    # verifier-only full-shortlist rerank) and the JSONL landing-zone
+    # round-trip (write-once fixture in the cold pass; measured reps
+    # time read.text + from_json split only)
+    "ann_pq_recall_bounds",
+    "documents_jsonl_roundtrip",
 ]
 
 

@@ -41,45 +41,92 @@ def register(name: str, sql: str | None):
 # cycle -- _PRIORITY is exactly the set that RESTED last round (plus
 # any query added or reshaped this round), _DEPRIORITIZED is the set
 # verified last round.
-# Round 7 state (per r6 VERDICT directives 1-4): _PRIORITY = the r6
-# resting tail (r5-verified; one-round gap, within policy) MINUS three
-# retired-redundant rows, PLUS the three rows that must re-run this
-# round: text_word_entropy (r6 hash-match failure, output hardened to
-# DECIMAL(18,6)), events_value_quantile_sketch (oracle upgraded from
-# None to the bounds-check shape -- first verifiable row), and
-# ann_ivf_index_search (NEW: the persisted-IVF-index family's first
-# driver row, registered via the replace-a-retired-query path).
+# Round 8 state (per r7 VERDICT directives 1-3, 6): _PRIORITY = the 47
+# r6-verified resting rows MINUS four retired-redundant rows (below),
+# PLUS the three r7 mid-order registrations taking their first driver
+# rows (documents_pack_sequences, text_bigram_logprob,
+# documents_duplicated_spans -- the latter two hash-hardened to
+# integer-only output first, directive 2), PLUS the two re-runs
+# (text_word_entropy, text_unigram_logprob -- every engine-divergent
+# surface removed: word_tokens tokenization + scaled-BIGINT scores,
+# directive 1), PLUS two new rows on the retire-and-replace path:
+# ann_pq_recall_bounds (the PQ family's first driver row, sketch-style
+# bounds oracle -- directive 3) and documents_jsonl_roundtrip (the
+# JSONL landing zone's driver row -- directive 6). Exactly 50.
 # Retired this round (coverage held elsewhere, none in bench HEADLINE):
-#   source_table_demo_values  (S1/U3 demo VALUES row; S1 held by
-#                              source_table_prompt_payload + fixtures)
-#   orders_json_payload       (F8 held by source_table_prompt_payload
-#                              + events_props_json_extract)
-#   events_cube_type_day      (grouping-set Expand held by
-#                              events_rollup_hierarchy + events_type_pivot)
-#   events_value_median_by_type (exact per-type quantiles now computed
-#                              INSIDE the sketch bounds-check row;
-#                              percentile shapes also in winsorized stats)
-# Catalog is now at the 100 cap: 50 _PRIORITY + 47 _DEPRIORITIZED
-# (r6-verified, resting) + 3 registered-this-round rows sitting in the
-# MID of _ordered (positions 51-53, outside the driver's 50-row cap):
-# documents_pack_sequences, text_bigram_logprob,
-# documents_duplicated_spans -- oracles locally verified at sf0.01,
-# first driver rows due r8.
-# NOTE for round 8: set _PRIORITY = the 47 resting r6-verified rows
-# PLUS the 3 mid rows above (exactly 50); demote today's 50-query head
-# to _DEPRIORITIZED; register nothing new into the head. If a slot is
-# wanted for the PQ family (functions/pq.py, r7, pytest-only), use the
-# documented retire-and-replace path with a sketch-style bounds-check
-# oracle (ann_pq_recall_bounds: Spark emits its measured recall-ladder
-# booleans, DuckDB pins the all-TRUE contract).
+#   hub_new_keys_anti_join   (J5 held by hub_load_customer +
+#                             orders_without_lineitems_anti)
+#   dedup_simhash            (signature math embedded verbatim in
+#                             dedup_simhash_hamming's oracle)
+#   corpus_clean_summary     (pure GROUP BY over corpus_clean_docs'
+#                             verified rows; summary stays pytest-covered)
+#   ann_ivf_kmeans_assign    (the _ivf_index construction consumed and
+#                             verified by ann_ivf_topk / multiprobe /
+#                             ann_ivf_index_search)
+# Catalog: 98 registered = 50 _PRIORITY + 48 _DEPRIORITIZED
+# (r7-verified, resting; one-round gap, within policy). No mid rows.
+# NOTE for round 9: set _PRIORITY = today's 48 resting rows plus up to
+# two returning/new rows (exactly 50); demote today's head to
+# _DEPRIORITIZED; register nothing new into the head without the
+# retire-and-replace path.
 # Resting set snapshot:
 # python -c "from pg_auto_dw_spark import queries_catalog as q; \
 #            print(list(q.queries())[50:])"
 _PRIORITY = [
-    "text_word_entropy",  # r6 hash-match failure; output now DECIMAL(18,6)
-    "events_value_quantile_sketch",  # first round with a real (bounds-check) oracle
-    "ann_ivf_index_search",  # NEW: persisted IVF index family's first driver row
-    "text_unigram_logprob",  # registered r6, first driver row; output hardened too
+    "text_word_entropy",  # re-run: integer-only hashed bytes (r7 directive 1)
+    "text_unigram_logprob",  # re-run: same hardening
+    "documents_pack_sequences",  # r7 registration, first driver row
+    "text_bigram_logprob",  # r7 registration, hardened before first row
+    "documents_duplicated_spans",  # r7 registration, hardened before first row
+    "ann_pq_recall_bounds",  # NEW: PQ family's first driver row (directive 3)
+    "documents_jsonl_roundtrip",  # NEW: JSONL landing zone row (directive 6)
+    "scd2_merge_state",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "top_orders_per_customer",
+    "events_hourly_rollup",
+    "events_rollup_hierarchy",
+    "events_sessionize",
+    "part_name_tokens_explode",
+    "orders_without_lineitems_anti",
+    "customer_order_coalesce_outer",
+    "text_language_id",
+    "text_quality_scores",
+    "text_token_counts",
+    "corpus_token_budget_sample",
+    "text_fingerprints",
+    "dedup_exact_documents",
+    "dedup_minhash_lsh_pairs",
+    "dedup_clusters",
+    "corpus_clean_docs",
+    "dedup_ngram_jaccard",
+    "ann_cosine_topk",
+    "ann_lsh_bucket_topk",
+    "ann_ivf_topk",
+    "dedup_embedding_cosine",
+    "multimodal_decode_stats",
+    "multimodal_frame_samples",
+    "pending_tables_cutoff",
+    "source_table_prompt_payload",
+    "auto_dw_hash_parity",
+    "hub_load_lineitem_composite",
+    "sat_load_lineitem_composite",
+    "link_load_order_part_supplier",
+    "scd2_partitioned_merge",
+    "corpus_contamination_pairs",
+    "corpus_decontaminate",
+    "source_profile_customer",
+    "text_repetition",
+    "dedup_simhash_hamming",
+    "ann_ivf_multiprobe_topk",
+    "documents_pii_scan",
+    "documents_zip_format_violations",
+    "dedup_keep_best_documents",
+]
+_DEPRIORITIZED = [
+    "events_value_quantile_sketch",
+    "ann_ivf_index_search",
     "dim_upsert_customer",
     "gdpr_delete_customer",
     "q4_late_shipment_priority",
@@ -126,55 +173,6 @@ _PRIORITY = [
     "ghost_records_customer",
     "status_source_column",
     "tracking_union_except",
-]
-_DEPRIORITIZED = [
-    "scd2_merge_state",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "top_orders_per_customer",
-    "events_hourly_rollup",
-    "events_rollup_hierarchy",
-    "events_sessionize",
-    "part_name_tokens_explode",
-    "orders_without_lineitems_anti",
-    "customer_order_coalesce_outer",
-    "text_language_id",
-    "text_quality_scores",
-    "text_token_counts",
-    "corpus_token_budget_sample",
-    "text_fingerprints",
-    "dedup_exact_documents",
-    "dedup_minhash_lsh_pairs",
-    "dedup_clusters",
-    "corpus_clean_docs",
-    "corpus_clean_summary",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "ann_cosine_topk",
-    "ann_lsh_bucket_topk",
-    "ann_ivf_topk",
-    "ann_ivf_kmeans_assign",
-    "dedup_embedding_cosine",
-    "multimodal_decode_stats",
-    "multimodal_frame_samples",
-    "pending_tables_cutoff",
-    "source_table_prompt_payload",
-    "auto_dw_hash_parity",
-    "hub_load_lineitem_composite",
-    "sat_load_lineitem_composite",
-    "link_load_order_part_supplier",
-    "scd2_partitioned_merge",
-    "corpus_contamination_pairs",
-    "corpus_decontaminate",
-    "source_profile_customer",
-    "hub_new_keys_anti_join",
-    "text_repetition",
-    "dedup_simhash_hamming",
-    "ann_ivf_multiprobe_topk",
-    "documents_pii_scan",
-    "documents_zip_format_violations",
-    "dedup_keep_best_documents",
 ]
 
 
@@ -339,32 +337,10 @@ def ghost_records_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("load_ts", F.date_format("load_ts", "yyyy-MM-dd HH:mm:ss"))
 
 
-@register(
-    "hub_new_keys_anti_join",
-    """
-    SELECT sha256(CAST(c_custkey AS VARCHAR)) AS hub_customer_hk,
-           CAST(c_custkey AS VARCHAR) AS c_custkey_bk
-    FROM customer
-    WHERE sha256(CAST(c_custkey AS VARCHAR)) NOT IN (
-        SELECT sha256(CAST(c_custkey AS VARCHAR)) FROM customer WHERE c_custkey % 2 = 0
-    )
-    """,
-)
-def hub_new_keys_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """New-hub-keys anti-join (reference: dv_loader.rs:177-181; SURVEY J5):
-    stage anti-joined against an already-loaded hub (simulated as the
-    even-key half of customer)."""
-    from .build.loader import hub_stage_df
-
-    src = load_table(spark, sf_dir, "customer")
-    bk = customer_business_key()
-    staged = hub_stage_df(src, bk, load_ts=LOAD_TS).select(
-        "hub_customer_hk", "c_custkey_bk"
-    )
-    existing = hub_stage_df(
-        src.filter(F.col("c_custkey") % 2 == 0), bk, load_ts=LOAD_TS
-    ).select("hub_customer_hk")
-    return staged.join(existing, on="hub_customer_hk", how="left_anti")
+# hub_new_keys_anti_join retired r8 (slot freed for ann_pq_recall_bounds /
+# documents_jsonl_roundtrip): SURVEY J5 anti-join coverage held by
+# hub_load_customer (r7 green, left_anti inside build/loader.py) and
+# orders_without_lineitems_anti.
 
 
 # ---------------------------------------------------------------------------
@@ -1558,40 +1534,18 @@ SELECT f.doc_id, f.detected_lang, f.n_words, f.alpha_ratio, f.n_bpe_tokens
 FROM {_CLEAN_FEATS_SQL}
 """
 
-_CLEAN_CORPUS_ORACLE = f"""
-SELECT f.detected_lang,
-       COUNT(*) AS n_docs,
-       CAST(SUM(f.n_bpe_tokens) AS BIGINT) AS total_tokens
-FROM {_CLEAN_FEATS_SQL}
-GROUP BY f.detected_lang
-"""
-
-
 @register("corpus_clean_docs", _CLEAN_DOCS_ORACLE)
 def corpus_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Doc-level cleaned corpus: every surviving document with its
     language, word count, alpha ratio, and token count -- the
-    discriminating (per-row) check for the composed pipeline. Shares
-    one pinned canonical-id set (one LSH pass) with
-    corpus_clean_summary via the sf_dir cache key."""
+    discriminating (per-row) check for the composed pipeline
+    (functions/corpus.py clean_corpus; its per-language rollup twin
+    clean_corpus_summary stays pytest-covered -- the catalog row
+    corpus_clean_summary was retired r8, the summary being a pure
+    GROUP BY over exactly these rows)."""
     from .functions.corpus import clean_corpus
 
     return clean_corpus(load_table(spark, sf_dir, "documents"), dedup_cache_key=sf_dir)
-
-
-@register("corpus_clean_summary", _CLEAN_CORPUS_ORACLE)
-def corpus_clean_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composed training-data flow: language filter + quality gates
-    + near-dup canonicalization (one doc per MinHash-LSH cluster) +
-    token budgeting, summarized per language. All per-doc features ride
-    ONE scan; the only join is a semi-join against the canonical set,
-    computed once per session and shared with corpus_clean_docs
-    (dedup_cache_key)."""
-    from .functions.corpus import clean_corpus_summary
-
-    return clean_corpus_summary(
-        load_table(spark, sf_dir, "documents"), dedup_cache_key=sf_dir
-    )
 
 
 def _profile_col_sql(c: str, double: bool = False) -> str:
@@ -1825,12 +1779,10 @@ FROM votes GROUP BY doc_id
 """
 
 
-@register("dedup_simhash", _SIMHASH_ORACLE)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash fingerprints via bit-vote aggregation."""
-    from .functions.dedup import simhash
-
-    return simhash(load_table(spark, sf_dir, "documents"))
+# dedup_simhash (bare fingerprints) retired r8: dedup_simhash_hamming
+# composes the identical signature construction (its oracle embeds
+# _SIMHASH_ORACLE above) and then exercises the pigeonhole pair search
+# on top, so the fingerprint math stays driver-verified through it.
 
 
 _SIMHASH_CHUNK_ORACLE = f"""
@@ -2035,7 +1987,7 @@ def _ivf_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     query (functions/similarity.py ivf_assign docstring); re-running
     Lloyd per query would charge the build to each probe. The cached
     object is the *identical* DataFrame, so ann_ivf_topk and
-    ann_ivf_kmeans_assign stay bit-for-bit oracle-reproducible."""
+    ann_ivf_multiprobe_topk stay bit-for-bit oracle-reproducible."""
     key = (spark.sparkContext.applicationId, sf_dir)
     cb = _IVF_CODEBOOK_CACHE.get(key)
     if cb is None:
@@ -2135,62 +2087,10 @@ def ann_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(load_table(spark, sf_dir, "embeddings"), k=5, stride=50, n_probes=2)
 
 
-_IVF_KMEANS_ORACLE = f"""
-WITH q AS (
-    SELECT vec_id, {_QVEC_SQL} AS qvec FROM embeddings),
-n AS (
-    SELECT vec_id, qvec,
-           CAST(list_sum([qvec[i] * qvec[i] for i in range(1, 65)]) AS BIGINT) AS qnorm
-    FROM q),
-c0 AS (
-    SELECT vec_id AS cent_id, qvec AS cv, qnorm AS cn FROM n WHERE vec_id % 50 = 0),
-s0 AS (
-    SELECT n.vec_id, n.qvec, n.qnorm, c0.cent_id,
-           CAST(CAST(list_sum([n.qvec[i] * c0.cv[i] for i in range(1, 65)]) AS BIGINT)
-                AS DOUBLE) /
-               (sqrt(CAST(n.qnorm AS DOUBLE)) * sqrt(CAST(c0.cn AS DOUBLE))) AS csim
-    FROM n CROSS JOIN c0),
-a0 AS (
-    SELECT vec_id, qvec, qnorm, cent_id AS cell,
-           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
-    FROM s0),
-m0 AS (SELECT vec_id, qvec, qnorm, cell FROM a0 WHERE rn = 1),
-sums AS (
-    SELECT cell, r.range AS pos,
-           sum(qvec[CAST(r.range + 1 AS INT)]) AS s, count(*) AS cnt
-    FROM m0 CROSS JOIN range(64) r GROUP BY 1, 2),
-c1 AS (
-    SELECT cell AS cent_id,
-           list(CAST(floor(CAST(s AS DOUBLE) / cnt) AS BIGINT) ORDER BY pos) AS cv
-    FROM sums GROUP BY cell),
-c1n AS (
-    SELECT cent_id, cv,
-           CAST(list_sum([cv[i] * cv[i] for i in range(1, 65)]) AS BIGINT) AS cn
-    FROM c1),
-s1 AS (
-    SELECT n.vec_id, c1n.cent_id,
-           CAST(CAST(list_sum([n.qvec[i] * c1n.cv[i] for i in range(1, 65)]) AS BIGINT)
-                AS DOUBLE) /
-               (sqrt(CAST(n.qnorm AS DOUBLE)) * sqrt(CAST(c1n.cn AS DOUBLE))) AS csim
-    FROM n CROSS JOIN c1n),
-a1 AS (
-    SELECT vec_id, cent_id AS cell,
-           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
-    FROM s1)
-SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM a1 WHERE rn = 1
-"""
-
-
-@register("ann_ivf_kmeans_assign", _IVF_KMEANS_ORACLE)
-def ann_ivf_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One Lloyd refinement round over the stride seed codebook, then
-    the full assignment against the refined centroids. Exact integer
-    centroid math (element-wise floor(sum/n) on quantized coordinates)
-    makes k-means reproducible across engines -- the assignment-
-    stability contract for the IVF index build. Reads the shared
-    per-session built index (_ivf_index) directly -- this query IS the
-    index-build product, projected to its (id, cell) columns."""
-    return _ivf_index(spark, sf_dir).select("vec_id", "cell")
+# ann_ivf_kmeans_assign retired r8: the Lloyd-refined assignment it
+# verified is the exact construction inside the shared _ivf_index,
+# which ann_ivf_topk / ann_ivf_multiprobe_topk / ann_ivf_index_search
+# all consume and keep driver-verified end-to-end.
 
 
 _IVF_WH_CACHE: dict[tuple, object] = {}
@@ -3586,15 +3486,17 @@ def events_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         # rather than leaning on re-evaluation stability (r7 review)
         .localCheckpoint()
     )
-    # Exact verifier joins: bounded build sides (types x probs rows), so
-    # the joins broadcast; the exact aggregates are one events pass each.
-    exact = ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count_distinct("user_id").alias("exact_users"),
-    )
-    ranks = (
-        ev.join(F.broadcast(sk.select("event_type", "p", "q_value")), "event_type")
-        .groupBy("event_type", "p")
+    # Exact verifier, ONE events pass (r7 VERDICT directive 4: the
+    # previous two exact aggregations -- rank counts and exact distinct
+    # -- each rescanned events): broadcast-join the pinned sketch frame
+    # once (fan-out = len(probs) rows per event), then a single groupBy
+    # computes the rank counts, the per-type total, and the exact
+    # distinct users together. q_value/approx_users ride in the grouping
+    # key (functionally dependent on (event_type, p)), so no second join
+    # back to the sketch frame is needed either.
+    per = (
+        ev.join(F.broadcast(sk), "event_type")
+        .groupBy("event_type", "p", "q_value", "approx_users")
         .agg(
             F.sum(F.when(F.col("value") < F.col("q_value"), 1).otherwise(0)).alias(
                 "cnt_lt"
@@ -3602,25 +3504,23 @@ def events_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("value") <= F.col("q_value"), 1).otherwise(0)).alias(
                 "cnt_le"
             ),
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("user_id").alias("exact_users"),
         )
     )
     eps = 1.0 / accuracy
     lo = F.floor((F.col("p") - eps) * F.col("n"))
     hi = F.ceil((F.col("p") + eps) * F.col("n"))
-    return (
-        sk.join(ranks, ["event_type", "p"])
-        .join(exact, "event_type")
-        .select(
-            "event_type",
-            "p",
-            # rank interval [cnt_lt+1, cnt_le] intersects the GK window
-            ((F.col("cnt_lt") + 1 <= hi) & (F.col("cnt_le") >= F.greatest(lo, F.lit(1))))
-            .alias("within_bounds"),
-            (
-                F.abs(F.col("approx_users") - F.col("exact_users"))
-                <= 3 * rsd * F.col("exact_users")
-            ).alias("users_within_3rsd"),
-        )
+    return per.select(
+        "event_type",
+        "p",
+        # rank interval [cnt_lt+1, cnt_le] intersects the GK window
+        ((F.col("cnt_lt") + 1 <= hi) & (F.col("cnt_le") >= F.greatest(lo, F.lit(1))))
+        .alias("within_bounds"),
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 3 * rsd * F.col("exact_users")
+        ).alias("users_within_3rsd"),
     )
 
 
@@ -4337,3 +4237,189 @@ def documents_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_dup_grams",
         F.round(F.col("dup_frac") * 1000000, 0).cast("bigint").alias("dup_frac_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ recall-ladder bounds row (r7 VERDICT directive 3): the driver row for
+# functions/pq.py, built on the sketch-row precedent -- DuckDB cannot run
+# ADC over PQ codes, but it CAN pin the mathematical contract every stage
+# must honor, and hash-match proves Spark's measured ladder honors it.
+# ---------------------------------------------------------------------------
+
+_PQ_RECALL_BOUNDS_ORACLE = """
+SELECT CAST(vec_id AS BIGINT) AS query_id,
+       CAST(5 AS BIGINT) AS n_true,
+       TRUE AS rerank_ge_adc,
+       TRUE AS full_matches_exact
+FROM embeddings WHERE vec_id < 10
+"""
+
+
+@register("ann_pq_recall_bounds", _PQ_RECALL_BOUNDS_ORACLE)
+def ann_pq_recall_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ serving-path recall ladder (functions/pq.py), verified against
+    its guaranteed invariants per query -- the bounds-check oracle shape
+    events_value_quantile_sketch proved out in r7:
+
+    * ``rerank_ge_adc``: exact re-rank of the ADC top-32 shortlist never
+      loses recall vs ADC-only top-5. Guaranteed: every true-top-5
+      element ADC placed in its top-5 is in the shortlist, and under
+      exact-cosine order (ties: neighbor id asc, same key as brute
+      force) a global top-5 element ranks top-5 inside ANY candidate
+      subset containing it.
+    * ``full_matches_exact``: re-ranking a FULL-corpus shortlist equals
+      brute force pair-for-pair (ids exact, cosines within 1e-9).
+      Guaranteed: both paths score the identical exact int64 dot /
+      IEEE sqrt-divide cosine and share _global_topk's tie-break, so
+      PQ-with-total-rerank degrades exactly to the uncompressed search.
+
+    The full-shortlist leg (corpus-sized id collect + IN-pushdown
+    rescan) is VERIFIER-ONLY cost, same accounting as the sketch row's
+    exact rank counts: production callers bound ``rerank`` by contract
+    (pq.py pq_topk) and never pay it; error/recall pytest coverage
+    stays in tests/test_pq.py. Codebook and codes are pinned once and
+    shared by all three legs (build-once/probe-many contract)."""
+    from .functions.pq import pq_encode, pq_topk, pq_train
+    from .functions.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = list(range(10))
+    k = 5
+    cb = pq_train(emb, m=8, ksub=16, iters=1).localCheckpoint()
+    enc = pq_encode(emb, cb, m=8, ksub=16).localCheckpoint()
+    n_corpus = enc.count()  # pinned: metadata-cheap
+    # consumed by all three ladder joins + the truth counts: pin so the
+    # brute-force kernel runs once and every leg compares the SAME rows
+    exact = brute_force_topk(emb, query_ids=qids, k=k).localCheckpoint()
+    adc = pq_topk(emb, qids, k=k, codebook=cb, encoded=enc)
+    rr = pq_topk(emb, qids, k=k, rerank=32, codebook=cb, encoded=enc)
+    full = pq_topk(emb, qids, k=k, rerank=n_corpus, codebook=cb, encoded=enc)
+
+    def hits(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select("query_id", "neighbor_id")
+            .join(
+                exact.select("query_id", "neighbor_id"),
+                on=["query_id", "neighbor_id"],
+            )
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    truth = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_true"))
+    mism = (
+        full.select("query_id", "neighbor_id", F.col("cosine").alias("c_full"))
+        .join(
+            exact.select("query_id", "neighbor_id", F.col("cosine").alias("c_ex")),
+            on=["query_id", "neighbor_id"],
+            how="full",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when(F.col("c_full").isNull() | F.col("c_ex").isNull(), 1)
+                .when(F.abs(F.col("c_full") - F.col("c_ex")) > 1e-9, 1)
+                .otherwise(0)
+            ).alias("n_mismatch")
+        )
+    )
+    return (
+        truth.join(hits(adc, "h_adc"), "query_id", "left")
+        .join(hits(rr, "h_rr"), "query_id", "left")
+        .join(mism, "query_id", "left")
+        .select(
+            "query_id",
+            "n_true",
+            (
+                F.coalesce(F.col("h_rr"), F.lit(0))
+                >= F.coalesce(F.col("h_adc"), F.lit(0))
+            ).alias("rerank_ge_adc"),
+            (F.coalesce(F.col("n_mismatch"), F.lit(1)) == 0).alias(
+                "full_matches_exact"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSONL landing-zone round-trip row (r7 VERDICT directive 6): the driver row
+# for sources.read_jsonl_quarantine, whose correctness previously rested on
+# pytest alone. The landing file is DERIVED deterministically from the
+# documents table (good lines = to_json of the real rows; doc_id % 17 == 3
+# -> malformed JSON; % 17 == 5 -> schema-drift doc_id), so DuckDB never
+# reads the file -- it pins the expected clean rows and quarantine count
+# from the same documents relation, and hash-match proves the Spark path
+# (write -> read.text -> from_json PERMISSIVE split) round-trips exactly.
+# ---------------------------------------------------------------------------
+
+_JSONL_LANDING_CACHE: dict[tuple, str] = {}
+
+
+def _jsonl_landing_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Write-once-per-session landing-zone JSONL derived from documents
+    (same accounting as _ivf_index / the merge-verb scratch templates:
+    fixture construction lands in the cold pass; measured reps pay only
+    the ingest under test)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _JSONL_LANDING_CACHE.get(key)
+    if path:
+        return path
+    path = _scratch_dir("jsonl_landing_")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mod = F.col("doc_id") % 17
+    line = (
+        F.when(
+            mod == 3,
+            F.concat(
+                F.lit('{"doc_id": '),
+                F.col("doc_id").cast("string"),
+                F.lit(', "text": "truncated'),  # unterminated: malformed
+            ),
+        )
+        .when(
+            mod == 5,
+            F.concat(
+                F.lit('{"doc_id": "drift-'),
+                F.col("doc_id").cast("string"),
+                F.lit('", "text": "drifted"}'),  # parses, wrong type
+            ),
+        )
+        .otherwise(F.to_json(F.struct("doc_id", "text")))
+    )
+    docs.select(line.alias("value")).write.mode("overwrite").text(path)
+    _JSONL_LANDING_CACHE[key] = path
+    return path
+
+
+_JSONL_ROUNDTRIP_ORACLE = """
+WITH q AS (
+    SELECT COUNT(*) AS n_quarantined FROM documents WHERE doc_id % 17 IN (3, 5))
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, n_quarantined
+FROM documents CROSS JOIN q
+WHERE doc_id % 17 NOT IN (3, 5)
+"""
+
+
+@register("documents_jsonl_roundtrip", _JSONL_ROUNDTRIP_ORACLE)
+def documents_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch JSONL quarantine ingest (sources.read_jsonl_quarantine):
+    clean rows must round-trip the original documents exactly (JSON
+    escaping included -- n_chars is the per-doc character count after
+    write->parse), and the quarantine must hold exactly the planted
+    malformed + drift lines, never silently dropping or nulling them.
+    One read.text scan + codegen'd from_json split per side, the
+    quarantine count rides in as a broadcast one-row frame; hashed
+    bytes are integer-only."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from .sources import read_jsonl_quarantine
+
+    path = _jsonl_landing_fixture(spark, sf_dir)
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    clean, quarantined = read_jsonl_quarantine(spark, path, schema)
+    nq = quarantined.agg(F.count(F.lit(1)).alias("n_quarantined"))
+    return clean.select(
+        "doc_id", F.length("text").cast("bigint").alias("n_chars")
+    ).crossJoin(F.broadcast(nq))
