@@ -94,6 +94,10 @@ HEADLINE = [
     # time read.text + from_json split only)
     "ann_pq_recall_bounds",
     "documents_jsonl_roundtrip",
+    # round-8 mid-order registrations (first driver rows due r9):
+    # model-based data selection
+    "documents_dsir_weights",
+    "documents_quality_linear",
 ]
 
 

@@ -1,0 +1,199 @@
+"""Model-based data selection: DSIR importance weighting and hashed
+linear (fastText-shape) classifier inference.
+
+Two standard pretraining-corpus selection signals that are MODELS
+applied at scale rather than per-row heuristics (those live in
+functions/text.py):
+
+- ``dsir_log_weights``: Data Selection via Importance Resampling
+  (Xie et al. 2023, arXiv:2302.03169): score every source document by
+  the log-likelihood ratio of a target-domain hashed-unigram LM to the
+  source LM. Documents that "look like" the target domain get high
+  weight; ``importance_resample`` then draws a Gumbel-top-n sample
+  proportional to exp(weight).
+- ``hashed_linear_score``: inference for a linear classifier over
+  hashed bag-of-words features -- the fastText-style quality-classifier
+  serving shape (a trained weight vector applied to 100 TB of text;
+  the weights here can come from any trainer, ``synthetic_linear_weights``
+  provides the deterministic stand-in the oracle row pins).
+
+Scale contract (the reason these are one module): both operators
+reduce the corpus through a BOUNDED feature space (``buckets`` rows,
+fixed at build time), so the "model" side of every join is bounded by
+construction and is explicitly broadcast -- the corpus-sized token
+stream never shuffles for the join; the only wide exchanges are
+map-side-combined aggregations (bucket counts, per-doc rollups).
+Hashing is the md5-prefix integer construction shared with the
+SimHash/minhash oracles: plain integer arithmetic any engine
+reproduces bit-for-bit, which is how the DuckDB rows verify these.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .corpus import word_tokens
+from .sampling import MODULUS, sample_rank
+
+DSIR_BUCKETS = 8192
+CLASSIFIER_BUCKETS = 4096
+
+
+def token_bucket(col, buckets: int):
+    """Deterministic token -> [0, buckets) feature hash: first 32 bits
+    of md5 as an integer (the cross-engine-stable construction the
+    SimHash oracle established), modulo the bucket count."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint") % buckets
+    )
+
+
+def _token_stream(
+    docs: DataFrame, text_col: str, id_col: str, buckets: int, *extra_cols
+) -> DataFrame:
+    """(id, b, *extra) hashed-token stream: one scan, narrow explode."""
+    base = docs.select(
+        F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("__w"), *extra_cols
+    )
+    carried = [c for c in base.columns if c not in (id_col, "__w")]
+    return base.select(
+        id_col, token_bucket(F.col("__w"), buckets).alias("b"), *carried
+    )
+
+
+def dsir_log_weights(
+    docs: DataFrame,
+    target,
+    buckets: int = DSIR_BUCKETS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document DSIR importance log-weight: sum over the doc's
+    hashed unigram tokens of ``ln p_target(b) - ln p_source(b)``, both
+    add-1-smoothed over ``buckets`` feature buckets. ``target`` is a
+    Column predicate over ``docs`` rows selecting the target-domain
+    subset (the corpus-self form; an external target corpus plugs in
+    by unioning it in with the predicate as its marker).
+
+    Shape: ONE hashed-token pass builds BOTH models -- each token
+    carries its doc's target flag, so a single map-side-combined
+    groupBy(bucket) emits (source count, target count) together; totals
+    ride along as a broadcast one-row frame. The per-bucket log-ratio
+    table is <= ``buckets`` rows BY CONSTRUCTION, so the scoring join
+    back onto the token stream is explicitly broadcast (unlike the
+    Zipf-unbounded vocabulary joins in text.py, which stay AQE-decided)
+    and the corpus never shuffles for it; one (id) rollup ends the
+    plan. The token lineage is computed twice (model + scoring); at
+    warehouse scale persist the ratio table once per target domain and
+    reuse it across snapshots -- the LM-artifact contract shared with
+    unigram_logprob.
+
+    Output: (id, n_tokens, log_weight double, nats). Docs with no
+    tokens emit no row."""
+    toks = _token_stream(
+        docs, text_col, id_col, buckets, target.cast("int").alias("is_t")
+    )
+    cnt = toks.groupBy("b").agg(
+        F.count(F.lit(1)).alias("c_s"), F.sum("is_t").alias("c_t")
+    )
+    tot = cnt.agg(F.sum("c_s").alias("n_s"), F.sum("c_t").alias("n_t"))
+    ratio = (
+        cnt.crossJoin(F.broadcast(tot))  # one row, by construction
+        .select(
+            "b",
+            (
+                F.log((F.col("c_t") + 1).cast("double") / (F.col("n_t") + buckets))
+                - F.log((F.col("c_s") + 1).cast("double") / (F.col("n_s") + buckets))
+            ).alias("lr"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(ratio), on="b")  # <= buckets rows, by construction
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lr").alias("log_weight"),
+        )
+    )
+
+
+def importance_resample(
+    weights: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    weight_col: str = "log_weight",
+) -> DataFrame:
+    """Deterministic Gumbel-top-n importance resampling over a DSIR
+    weight frame: taking the top ``n`` rows by ``log_weight +
+    Gumbel(key)`` samples n docs without replacement with probability
+    proportional to exp(log_weight) -- the exact resampling step of
+    DSIR -- and the Gumbel noise comes from the deterministic
+    ``sample_rank`` hash (u = (rank + 0.5) / MODULUS, g = -ln(-ln u)),
+    so the draw is reproducible across runs and partitionings.
+
+    Scale: global top-n compiles to TakeOrderedAndProject (per-
+    partition heap + driver merge of n-row heads), no full sort
+    shuffle -- right for request-sized n. For selecting a large
+    FRACTION of a 100 TB corpus, threshold on ``log_weight`` directly
+    (a narrow filter) instead of materializing a global order."""
+    u = (sample_rank(F.col(id_col)) + 0.5) / F.lit(float(MODULUS))
+    key = F.col(weight_col) + (-F.log(-F.log(u)))
+    return (
+        weights.withColumn("__gumbel_key", key)
+        .orderBy(F.col("__gumbel_key").desc(), F.col(id_col))
+        .limit(n)
+        .drop("__gumbel_key")
+    )
+
+
+def synthetic_linear_weights(spark, buckets: int = CLASSIFIER_BUCKETS) -> DataFrame:
+    """Deterministic stand-in weight table (b, wt) for
+    ``hashed_linear_score``: integer micro-units in [-500000, 500003)
+    via the Knuth multiplicative hash, reproducible in any engine --
+    the oracle row pins inference against exactly this table. A real
+    deployment replaces this with trained weights (same schema)."""
+    return spark.range(buckets).select(
+        F.col("id").alias("b"),
+        ((F.col("id") + 1) * F.lit(2654435761) % MODULUS - 500000).alias("wt"),
+    )
+
+
+def hashed_linear_score(
+    docs: DataFrame,
+    weights: DataFrame | None = None,
+    buckets: int = CLASSIFIER_BUCKETS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Linear classifier inference over hashed bag-of-words features:
+    each token hashes to a bucket, the doc's raw score is the SUM of
+    its buckets' integer weights (micro-units), and ``score`` is the
+    token-mean in weight units -- the fastText serving shape
+    (w . phi(doc) / |doc|) with the embedding-lookup replaced by the
+    hash trick, which is what makes it feasible on a corpus that never
+    fits a vocabulary: the model is ``buckets`` rows, period.
+
+    Shape: one scan + narrow explode, one BROADCAST join against the
+    bounded weight table (never a corpus shuffle), one map-side-
+    combined (id) rollup. ``w_sum`` stays exact integer (micro-units)
+    -- the oracle hashes only integers.
+
+    Output: (id, n_tokens, w_sum bigint, score double)."""
+    if weights is None:
+        weights = synthetic_linear_weights(docs.sparkSession, buckets)
+    toks = _token_stream(docs, text_col, id_col, buckets)
+    return (
+        toks.join(F.broadcast(weights), on="b")  # <= buckets rows by construction
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("wt").alias("w_sum"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "w_sum",
+            (F.col("w_sum").cast("double") / (F.col("n_tokens") * 1e6)).alias("score"),
+        )
+    )
