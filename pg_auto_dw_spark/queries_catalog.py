@@ -3492,40 +3492,90 @@ def events_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .collect()
     )
-    sk = spark.createDataFrame(
-        sk_rows, "event_type string, p double, q_value double, approx_users bigint"
+    # Exact verifier, ONE events pass with NO row fan-out (r7 VERDICT
+    # directive 4, reshaped after measurement: the first fold
+    # broadcast-joined the sketch frame, multiplying every event row by
+    # len(probs) before a count_distinct -- measured SLOWER than the
+    # two-pass original at sf0.1. The sketch values are a bounded
+    # driver-side list, so they fold into LITERAL map expressions
+    # instead: each event row looks up its type's 4 quantiles in a
+    # constant map (codegen'd, no join, no fan-out), one groupBy(type)
+    # computes all 8 rank counts + total + exact distinct users over
+    # the 1x row stream, and a 20-row explode rebuilds the
+    # (type, p) grid afterwards.)
+    by_type: dict = {}
+    for r in sk_rows:
+        by_type.setdefault(r["event_type"], {})[r["p"]] = (
+            r["q_value"],
+            r["approx_users"],
+        )
+    q_map = F.create_map(
+        *[
+            x
+            for et in sorted(by_type)
+            for x in (
+                F.lit(et),
+                F.array(*[F.lit(float(by_type[et][p][0])) for p in probs]),
+            )
+        ]
     )
-    # Exact verifier, ONE events pass (r7 VERDICT directive 4: the
-    # previous two exact aggregations -- rank counts and exact distinct
-    # -- each rescanned events): broadcast-join the pinned sketch frame
-    # once (fan-out = len(probs) rows per event), then a single groupBy
-    # computes the rank counts, the per-type total, and the exact
-    # distinct users together. q_value/approx_users ride in the grouping
-    # key (functionally dependent on (event_type, p)), so no second join
-    # back to the sketch frame is needed either.
+    au_map = F.create_map(
+        *[
+            x
+            for et in sorted(by_type)
+            for x in (F.lit(et), F.lit(int(by_type[et][probs[0]][1])))
+        ]
+    )
+    qv = F.element_at(q_map, F.col("event_type"))
     per = (
-        ev.join(F.broadcast(sk), "event_type")
-        .groupBy("event_type", "p", "q_value", "approx_users")
+        ev.withColumn("__qv", qv)
+        .groupBy("event_type")
         .agg(
-            F.sum(F.when(F.col("value") < F.col("q_value"), 1).otherwise(0)).alias(
-                "cnt_lt"
-            ),
-            F.sum(F.when(F.col("value") <= F.col("q_value"), 1).otherwise(0)).alias(
-                "cnt_le"
-            ),
             F.count(F.lit(1)).alias("n"),
             F.count_distinct("user_id").alias("exact_users"),
+            *[
+                F.sum(
+                    (F.col("value") < F.col("__qv")[i]).cast("long")
+                ).alias(f"lt{i}")
+                for i in range(len(probs))
+            ],
+            *[
+                F.sum(
+                    (F.col("value") <= F.col("__qv")[i]).cast("long")
+                ).alias(f"le{i}")
+                for i in range(len(probs))
+            ],
+        )
+        .select(
+            "event_type",
+            "n",
+            "exact_users",
+            F.element_at(au_map, F.col("event_type")).alias("approx_users"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(p).alias("p"),
+                            F.col(f"lt{i}").alias("cnt_lt"),
+                            F.col(f"le{i}").alias("cnt_le"),
+                        )
+                        for i, p in enumerate(probs)
+                    ]
+                )
+            ).alias("z"),
         )
     )
     eps = 1.0 / accuracy
-    lo = F.floor((F.col("p") - eps) * F.col("n"))
-    hi = F.ceil((F.col("p") + eps) * F.col("n"))
+    lo = F.floor((F.col("z.p") - eps) * F.col("n"))
+    hi = F.ceil((F.col("z.p") + eps) * F.col("n"))
     return per.select(
         "event_type",
-        "p",
+        F.col("z.p").alias("p"),
         # rank interval [cnt_lt+1, cnt_le] intersects the GK window
-        ((F.col("cnt_lt") + 1 <= hi) & (F.col("cnt_le") >= F.greatest(lo, F.lit(1))))
-        .alias("within_bounds"),
+        (
+            (F.col("z.cnt_lt") + 1 <= hi)
+            & (F.col("z.cnt_le") >= F.greatest(lo, F.lit(1)))
+        ).alias("within_bounds"),
         (
             F.abs(F.col("approx_users") - F.col("exact_users"))
             <= 3 * rsd * F.col("exact_users")
