@@ -62,6 +62,25 @@ def _token_stream(
     )
 
 
+def _doc_bucket_counts(
+    docs: DataFrame, text_col: str, id_col: str, buckets: int, *extra_cols
+) -> DataFrame:
+    """(id, b, *extra, c) sparse document-feature matrix: per-doc
+    hashed-bucket token counts. ONE tokenize+hash pass (map-side-
+    combined groupBy); the matrix is no larger than the raw token
+    stream (within-doc repeats collapse) and every downstream consumer
+    -- model-count aggregation AND scoring join -- reads it instead of
+    re-deriving tokens, halving the tokenization work and shrinking
+    the scoring join's probe side. This is the classic bag-of-words
+    materialization; at warehouse scale it is the artifact you'd
+    persist alongside the corpus snapshot. ``extra_cols`` must be
+    functionally dependent on the doc id (they join the grouping
+    key)."""
+    base = _token_stream(docs, text_col, id_col, buckets, *extra_cols)
+    carried = [c for c in base.columns if c not in (id_col, "b")]
+    return base.groupBy(id_col, "b", *carried).agg(F.count(F.lit(1)).alias("c"))
+
+
 def dsir_log_weights(
     docs: DataFrame,
     target,
@@ -76,26 +95,27 @@ def dsir_log_weights(
     subset (the corpus-self form; an external target corpus plugs in
     by unioning it in with the predicate as its marker).
 
-    Shape: ONE hashed-token pass builds BOTH models -- each token
-    carries its doc's target flag, so a single map-side-combined
-    groupBy(bucket) emits (source count, target count) together; totals
-    ride along as a broadcast one-row frame. The per-bucket log-ratio
-    table is <= ``buckets`` rows BY CONSTRUCTION, so the scoring join
-    back onto the token stream is explicitly broadcast (unlike the
-    Zipf-unbounded vocabulary joins in text.py, which stay AQE-decided)
-    and the corpus never shuffles for it; one (id) rollup ends the
-    plan. The token lineage is computed twice (model + scoring); at
-    warehouse scale persist the ratio table once per target domain and
-    reuse it across snapshots -- the LM-artifact contract shared with
-    unigram_logprob.
+    Shape: ONE hashed-token pass materializes the (doc, bucket, count)
+    feature matrix (``_doc_bucket_counts``), which then serves BOTH
+    sides -- the model is a map-side-combined groupBy(bucket) over the
+    matrix (each matrix row carries its doc's target flag, so source
+    and target counts aggregate together; totals ride along as a
+    broadcast one-row frame), and scoring is the bounded log-ratio
+    table (<= ``buckets`` rows BY CONSTRUCTION, explicitly broadcast
+    -- unlike the Zipf-unbounded vocabulary joins in text.py, which
+    stay AQE-decided) joined back onto the SAME matrix with a
+    count-weighted (id) rollup. Tokenize/hash runs once; the matrix
+    lineage is read twice -- at warehouse scale persist the matrix
+    and/or the ratio table once per (snapshot, target domain) and
+    reuse, the LM-artifact contract shared with unigram_logprob.
 
     Output: (id, n_tokens, log_weight double, nats). Docs with no
     tokens emit no row."""
-    toks = _token_stream(
+    mat = _doc_bucket_counts(
         docs, text_col, id_col, buckets, target.cast("int").alias("is_t")
     )
-    cnt = toks.groupBy("b").agg(
-        F.count(F.lit(1)).alias("c_s"), F.sum("is_t").alias("c_t")
+    cnt = mat.groupBy("b").agg(
+        F.sum("c").alias("c_s"), F.sum(F.col("c") * F.col("is_t")).alias("c_t")
     )
     tot = cnt.agg(F.sum("c_s").alias("n_s"), F.sum("c_t").alias("n_t"))
     ratio = (
@@ -109,11 +129,11 @@ def dsir_log_weights(
         )
     )
     return (
-        toks.join(F.broadcast(ratio), on="b")  # <= buckets rows, by construction
+        mat.join(F.broadcast(ratio), on="b")  # <= buckets rows, by construction
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum("lr").alias("log_weight"),
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("lr")).alias("log_weight"),
         )
     )
 
@@ -174,21 +194,22 @@ def hashed_linear_score(
     hash trick, which is what makes it feasible on a corpus that never
     fits a vocabulary: the model is ``buckets`` rows, period.
 
-    Shape: one scan + narrow explode, one BROADCAST join against the
+    Shape: one scan + narrow explode into the (doc, bucket, count)
+    matrix (``_doc_bucket_counts``), one BROADCAST join against the
     bounded weight table (never a corpus shuffle), one map-side-
-    combined (id) rollup. ``w_sum`` stays exact integer (micro-units)
-    -- the oracle hashes only integers.
+    combined count-weighted (id) rollup. ``w_sum`` stays exact integer
+    (micro-units) -- the oracle hashes only integers.
 
     Output: (id, n_tokens, w_sum bigint, score double)."""
     if weights is None:
         weights = synthetic_linear_weights(docs.sparkSession, buckets)
-    toks = _token_stream(docs, text_col, id_col, buckets)
+    mat = _doc_bucket_counts(docs, text_col, id_col, buckets)
     return (
-        toks.join(F.broadcast(weights), on="b")  # <= buckets rows by construction
+        mat.join(F.broadcast(weights), on="b")  # <= buckets rows by construction
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum("wt").alias("w_sum"),
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("wt")).alias("w_sum"),
         )
         .select(
             id_col,

@@ -4596,15 +4596,16 @@ tok AS (
            ('0x' || substr(md5(w), 1, 8))::BIGINT % 8192 AS b,
            CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t
     FROM toks),
-cnt AS (SELECT b, COUNT(*) AS c_s, SUM(is_t) AS c_t FROM tok GROUP BY b),
+mat AS (SELECT doc_id, b, is_t, COUNT(*) AS c FROM tok GROUP BY 1, 2, 3),
+cnt AS (SELECT b, SUM(c) AS c_s, SUM(c * is_t) AS c_t FROM mat GROUP BY b),
 tot AS (SELECT SUM(c_s) AS n_s, SUM(c_t) AS n_t FROM cnt),
 ratio AS (
     SELECT b, ln(CAST(c_t + 1 AS DOUBLE) / (n_t + 8192))
              - ln(CAST(c_s + 1 AS DOUBLE) / (n_s + 8192)) AS lr
     FROM cnt CROSS JOIN tot)
-SELECT doc_id, COUNT(*) AS n_tokens,
-       CAST(ROUND(SUM(lr) * 1000, 0) AS BIGINT) AS log_weight_mnat
-FROM tok JOIN ratio USING (b) GROUP BY doc_id
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(ROUND(SUM(c * lr) * 1000, 0) AS BIGINT) AS log_weight_mnat
+FROM mat JOIN ratio USING (b) GROUP BY doc_id
 """
 
 
@@ -4612,11 +4613,12 @@ FROM tok JOIN ratio USING (b) GROUP BY doc_id
 def documents_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance log-weights against the English subset as the
     target domain (functions/selection.py dsir_log_weights; Xie et al.
-    2023): one hashed-token pass builds source AND target add-1 LMs
-    over 8192 feature buckets together (conditional aggregation), the
-    bounded log-ratio table broadcasts back onto the token stream, one
-    per-doc rollup. Score ships as scaled-BIGINT milli-nats (the
-    integer-only hash contract established r8)."""
+    2023): one hashed-token pass materializes the (doc, bucket, count)
+    feature matrix, which serves both the joint source+target add-1 LM
+    aggregation (8192 buckets, conditional sums) and the scoring join
+    (bounded log-ratio table broadcast back onto the matrix with a
+    count-weighted rollup). Score ships as scaled-BIGINT milli-nats
+    (the integer-only hash contract established r8)."""
     from .functions.selection import dsir_log_weights
 
     docs = load_table(spark, sf_dir, "documents")
@@ -4632,12 +4634,14 @@ WITH toks AS ({_TOKS_SQL}),
 tok AS (
     SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT % 4096 AS b
     FROM toks),
+mat AS (SELECT doc_id, b, COUNT(*) AS c FROM tok GROUP BY 1, 2),
 wts AS (
     SELECT r.range AS b,
            (r.range + 1) * 2654435761 % 1000003 - 500000 AS wt
     FROM range(4096) r)
-SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(wt) AS BIGINT) AS w_sum
-FROM tok JOIN wts USING (b) GROUP BY doc_id
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(SUM(c * wt) AS BIGINT) AS w_sum
+FROM mat JOIN wts USING (b) GROUP BY doc_id
 """
 
 
