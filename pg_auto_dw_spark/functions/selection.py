@@ -218,3 +218,89 @@ def hashed_linear_score(
             (F.col("w_sum").cast("double") / (F.col("n_tokens") * 1e6)).alias("score"),
         )
     )
+
+
+def hashed_embedding(
+    docs: DataFrame,
+    dims: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    use_idf: bool = True,
+) -> DataFrame:
+    """Signed feature-hashing TF-IDF document vectors (the hashing
+    vectorizer of Weinberger et al. 2009): every token hashes to a
+    dimension (md5 % dims) and an independent +-1 sign bit (unbiased
+    collisions), per-doc signed term frequencies are weighted by
+    smoothed IDF and L2-normalized into a dense array<double>[dims].
+    This closes the text -> vector loop with built-ins only: the
+    output column drops straight into the ANN stack
+    (brute_force_topk / ivf / PQ all consume any array-typed
+    ``embedding`` via with_quantized), so a corpus with no precomputed
+    embeddings still gets semantic near-dup and similarity search.
+
+    Shape: one tokenize+hash pass -> map-side-combined (id, dim)
+    signed-tf aggregation; the IDF table is <= ``dims`` rows BY
+    CONSTRUCTION (broadcast, like every model table in this module),
+    with the corpus doc count riding along as a one-row broadcast
+    frame; densification and L2 normalization are pure array
+    expressions inside one (id) aggregation. No Python, no unbounded
+    join side.
+
+    Output: (id, embedding array<double>[dims], n_tokens). Docs with
+    no tokens emit no row; an all-cancelled (zero-norm) vector stays
+    all-zero rather than dividing by zero."""
+    spark = docs.sparkSession
+    base = docs.select(
+        F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("__w")
+    )
+    h = F.conv(F.substring(F.md5("__w"), 1, 8), 16, 10).cast("bigint")
+    sign = (F.shiftright(h, 15) % 2 * 2 - 1).cast("double")
+    toks = base.select(id_col, (h % dims).alias("dim"), sign.alias("s"))
+    mat = toks.groupBy(id_col, "dim").agg(
+        F.sum("s").alias("tf_signed"), F.count(F.lit(1)).alias("tf")
+    )
+    if use_idf:
+        dfreq = mat.groupBy("dim").agg(F.count(F.lit(1)).alias("df"))
+        ndocs = mat.select(id_col).distinct().agg(F.count(F.lit(1)).alias("n_docs"))
+        idf = (
+            dfreq.crossJoin(F.broadcast(ndocs))  # one row, by construction
+            .select(
+                "dim",
+                (
+                    F.log((F.col("n_docs") + 1).cast("double") / (F.col("df") + 1))
+                    + 1.0
+                ).alias("idf"),
+            )
+        )
+        mat = mat.join(F.broadcast(idf), on="dim").withColumn(
+            "w", F.col("tf_signed") * F.col("idf")
+        )
+    else:
+        mat = mat.withColumn("w", F.col("tf_signed").cast("double"))
+    dense = (
+        mat.groupBy(id_col)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("dim").cast("int"), F.col("w")))
+            ).alias("__m"),
+            F.sum("tf").alias("n_tokens"),
+        )
+        .select(
+            id_col,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dims - 1)),
+                lambda i: F.coalesce(F.element_at("__m", i.cast("int")), F.lit(0.0)),
+            ).alias("__v"),
+            "n_tokens",
+        )
+    )
+    norm = F.sqrt(
+        F.aggregate("__v", F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return dense.select(
+        id_col,
+        F.when(
+            norm > 0, F.transform("__v", lambda x: x / norm)
+        ).otherwise(F.col("__v")).alias("embedding"),
+        "n_tokens",
+    )

@@ -109,3 +109,58 @@ def test_synthetic_weights_bounded_and_stable(spark):
     assert len(w) == 64
     assert all(-500_000 <= r["wt"] < 500_003 for r in w)
     assert len({r["b"] for r in w}) == 64
+
+
+def test_hashed_embedding_geometry_and_determinism(spark):
+    from pg_auto_dw_spark.functions.selection import hashed_embedding
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffle partition join broadcast"),
+            (2, "spark shuffle partition join broadcast"),   # exact dup
+            (3, "spark shuffle partition join merge"),        # near dup
+            (4, "violin sonata orchestra concerto timpani"),  # disjoint
+            (5, "!!! ???"),                                    # no tokens
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in hashed_embedding(docs, dims=32).collect()}
+    assert 5 not in rows
+    for r in rows.values():
+        assert len(r["embedding"]) == 32
+        n = sum(x * x for x in r["embedding"])
+        assert abs(n - 1.0) < 1e-9  # unit norm
+
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    e = {k: r["embedding"] for k, r in rows.items()}
+    assert abs(cos(e[1], e[2]) - 1.0) < 1e-9          # identical docs
+    assert cos(e[1], e[3]) > cos(e[1], e[4])           # near > disjoint
+    assert cos(e[1], e[3]) > 0.5
+    again = {
+        r["doc_id"]: r["embedding"]
+        for r in hashed_embedding(docs.repartition(7), dims=32).collect()
+    }
+    assert again == e  # bit-deterministic across partitionings
+
+
+def test_hashed_embedding_composes_with_ann_stack(spark):
+    """text -> hashed_embedding -> brute_force_topk: the planted
+    near-duplicate is its source's nearest neighbor, through the same
+    quantized path the precomputed-embedding operators use."""
+    from pg_auto_dw_spark.functions.selection import hashed_embedding
+    from pg_auto_dw_spark.functions.similarity import brute_force_topk
+
+    base = [
+        (i, f"topic{i % 7} term{i} filler words about subject {i % 5}")
+        for i in range(30)
+    ]
+    base.append((100, "topic0 term0 filler words about subject 0 extra"))
+    docs = spark.createDataFrame(base, "doc_id bigint, text string")
+    emb = hashed_embedding(docs, dims=32).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    top = brute_force_topk(emb, query_ids=[0], k=1).collect()
+    assert top[0]["neighbor_id"] == 100
+    assert top[0]["cosine"] > 0.8
