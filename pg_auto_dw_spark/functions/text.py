@@ -367,21 +367,29 @@ def unigram_logprob(
     Output: (id, n_tokens, avg_logprob), avg rounded to ``decimals``
     for cross-engine libm/summation-order parity (``decimals=None``
     leaves the raw double for caller-side grid quantization)."""
-    words = _tokens_exploded(df, text_col, id_col, normalized)
-    freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    # (id, w, c) term matrix: ONE tokenize pass; the corpus frequency
+    # model is a rollup of the matrix and scoring joins the matrix
+    # (count-weighted mean), not the raw token stream -- the r8 shape
+    # shared with functions/selection.py's _doc_bucket_counts
+    mat = _tokens_exploded(df, text_col, id_col, normalized).groupBy(
+        id_col, "w"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    freq = mat.groupBy("w").agg(F.sum("c").alias("n"))
     total = freq.agg(F.sum("n").alias("total"))
     return (
-        words.join(freq, on="w")
+        mat.join(freq, on="w")
         .crossJoin(F.broadcast(total))  # one row, by construction
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("c").alias("n_tokens"),
             _maybe_round(
-                F.avg(
-                    F.log10(
+                F.sum(
+                    F.col("c")
+                    * F.log10(
                         F.col("n").cast("double") / F.col("total").cast("double")
                     )
-                ),
+                )
+                / F.sum("c"),
                 decimals,
             ).alias("avg_logprob"),
         )
@@ -442,16 +450,25 @@ def bigram_logprob(
             ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
         ).alias("bg"),
     ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-    cnt12 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    cnt1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # (id, w1, w2, c) pair matrix: ONE pair-expansion pass; both model
+    # counts are rollups of the matrix and scoring joins the matrix
+    # (count-weighted mean) instead of raw pair instances -- smaller
+    # join probes, pairs derived once (r8 matrix shape)
+    mat = pairs.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    cnt12 = mat.groupBy("w1", "w2").agg(F.sum("c").alias("c12"))
+    cnt1 = mat.groupBy("w1").agg(F.sum("c").alias("c1"))
     return (
-        pairs.join(cnt12, on=["w1", "w2"])
+        mat.join(cnt12, on=["w1", "w2"])
         .join(cnt1, on="w1")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("c").alias("n_bigrams"),
             _maybe_round(
-                F.avg(F.log10(F.col("c12").cast("double") / F.col("c1").cast("double"))),
+                F.sum(
+                    F.col("c")
+                    * F.log10(F.col("c12").cast("double") / F.col("c1").cast("double"))
+                )
+                / F.sum("c"),
                 decimals,
             ).alias("avg_logprob"),
         )

@@ -1358,13 +1358,14 @@ def text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                    '\\s+')) AS w
         FROM documents),
     words AS (SELECT doc_id, w FROM w WHERE w <> ''),
-    freq AS (SELECT w, COUNT(*) AS n FROM words GROUP BY w),
+    mat AS (SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY 1, 2),
+    freq AS (SELECT w, SUM(c) AS n FROM mat GROUP BY w),
     tot AS (SELECT SUM(n) AS total FROM freq)
     SELECT doc_id,
-           COUNT(*) AS n_tokens,
-           CAST(ROUND(AVG(log10(CAST(n AS DOUBLE) / CAST(total AS DOUBLE)))
-                      * 1000, 0) AS BIGINT) AS avg_logprob_m
-    FROM words JOIN freq USING (w) CROSS JOIN tot
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(ROUND(SUM(c * log10(CAST(n AS DOUBLE) / CAST(total AS DOUBLE)))
+                      / SUM(c) * 1000, 0) AS BIGINT) AS avg_logprob_m
+    FROM mat JOIN freq USING (w) CROSS JOIN tot
     GROUP BY doc_id
     """,
 )
@@ -4218,12 +4219,13 @@ bg0 AS (
            unnest([ {'w1': a[i], 'w2': a[i+1]} for i in range(1, len(a)) ]) AS s
     FROM toks),
 bg AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM bg0),
-c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
-c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1)
-SELECT doc_id, COUNT(*) AS n_bigrams,
-       CAST(ROUND(AVG(log10(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)))
-                  * 1000, 0) AS BIGINT) AS avg_logprob_m
-FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+mat AS (SELECT doc_id, w1, w2, COUNT(*) AS c FROM bg GROUP BY 1, 2, 3),
+c12 AS (SELECT w1, w2, SUM(c) AS c12 FROM mat GROUP BY 1, 2),
+c1 AS (SELECT w1, SUM(c) AS c1 FROM mat GROUP BY 1)
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       CAST(ROUND(SUM(c * log10(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)))
+                  / SUM(c) * 1000, 0) AS BIGINT) AS avg_logprob_m
+FROM mat JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
 GROUP BY doc_id
 """
 
