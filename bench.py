@@ -95,9 +95,11 @@ HEADLINE = [
     "ann_pq_recall_bounds",
     "documents_jsonl_roundtrip",
     # round-8 mid-order registrations (first driver rows due r9):
-    # model-based data selection
+    # model-based data selection, then the exact-substring scrub (the
+    # removal action on the duplicated_span_stats signal)
     "documents_dsir_weights",
     "documents_quality_linear",
+    "documents_span_scrub",
 ]
 
 

@@ -637,3 +637,97 @@ def duplicated_span_stats(
             ).alias("dup_frac"),
         )
     )
+
+
+def remove_duplicated_spans(
+    docs: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-corpus exact-substring scrub -- the removal twin of
+    ``duplicated_span_stats``: strike every token position covered by
+    a word ``n``-gram occurring in >= ``min_docs`` distinct documents
+    and reassemble the survivors in order (the "cut the duplicated
+    substring" dedup action, vs ``remove_repeated_segments``' coarser
+    whole-segment strike at fixed boundaries).
+
+    Shape: the gram doc-frequency model is the SAME artifact
+    ``duplicated_span_stats`` builds (persist once, serve both); one
+    positioned-instance expansion (pure array expression) joins the
+    frequent-gram set (AQE skew-split on Zipf-head grams), flagged
+    START positions roll up per doc (one map-side-combined shuffle,
+    array bounded by the doc's token count), and reassembly is a
+    per-row array expression -- no window, no second text shuffle.
+    Per-row probe cost is O(tokens x flagged_starts): worst case
+    quadratic in token length for a fully-duplicated doc, bounded in
+    practice by upstream chunking (``chunk_documents``) capping token
+    length.
+
+    Output: (id, n_tokens, n_removed, clean_text) in normalized token
+    space (lowercase alnum, single-space joined) -- the training-corpus
+    form downstream tokenizers consume; docs whose every position was
+    covered survive with empty clean_text."""
+    base = docs.select(
+        F.col(id_col),
+        F.coalesce(
+            word_tokens(F.col(text_col)), F.array().cast("array<string>")
+        ).alias("__toks"),
+    )
+    cnt = F.size(F.col("__toks")) - F.lit(n - 1)
+    inst = base.select(
+        id_col,
+        F.explode(
+            F.when(
+                cnt >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), cnt),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.array_join(F.slice(F.col("__toks"), i, n), " ").alias(
+                            "gram"
+                        ),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<pos:int,gram:string>>"))
+        ).alias("__pg"),
+    ).select(id_col, F.col("__pg.pos").alias("pos"), F.col("__pg.gram").alias("gram"))
+    dup = (
+        inst.select(id_col, "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("__n_docs"))
+        .filter(F.col("__n_docs") >= min_docs)
+        .select("gram")
+    )
+    starts = (
+        inst.join(dup, on="gram")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("pos")).alias("__starts"))
+    )
+    joined = base.join(starts, on=id_col, how="left").withColumn(
+        "__starts", F.coalesce(F.col("__starts"), F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        F.when(
+            F.size(F.col("__toks")) >= 1,
+            F.transform(
+                F.sequence(F.lit(1), F.size(F.col("__toks"))),
+                lambda i: F.when(
+                    F.exists(
+                        F.col("__starts"),
+                        lambda s: (s <= i) & (i < s + F.lit(n)),
+                    ),
+                    F.lit(None).cast("string"),
+                ).otherwise(F.element_at(F.col("__toks"), i)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+        lambda t: t.isNotNull(),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size(F.col("__toks")).cast("long").alias("n_tokens"),
+        (F.size(F.col("__toks")) - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )

@@ -63,13 +63,17 @@ def register(name: str, sql: str | None):
 #   ann_ivf_kmeans_assign    (the _ivf_index construction consumed and
 #                             verified by ann_ivf_topk / multiprobe /
 #                             ann_ivf_index_search)
-# Catalog: 100 registered = 50 _PRIORITY + 48 _DEPRIORITIZED
-# (r7-verified, resting; one-round gap, within policy) + 2 MID-order
-# r8 registrations at positions 51-52, outside the driver cap
-# (documents_dsir_weights, documents_quality_linear -- oracles locally
-# verified at sf0.01, benched from day 1, first driver rows due r9).
-# NOTE for round 9: set _PRIORITY = today's 48 resting rows PLUS the
-# 2 mid rows above (exactly 50); demote today's head to
+# Catalog: 101 registered = 50 _PRIORITY + 48 _DEPRIORITIZED
+# (r7-verified, resting; one-round gap, within policy) + 3 MID-order
+# r8 registrations at positions 51-53, outside the driver cap
+# (documents_dsir_weights, documents_quality_linear,
+# documents_span_scrub -- oracles locally verified at sf0.01, benched
+# from day 1, first driver rows due r9).
+# NOTE for round 9: set _PRIORITY = today's 48 resting rows MINUS one
+# retirement PLUS the 3 mid rows above (exactly 50); the designated
+# retirement is customer_balance_ranks (idiomatic window family held
+# by status_window_flags -- the SURVEY W1/W2 row -- plus
+# sat_current_view; not in bench HEADLINE). Demote today's head to
 # _DEPRIORITIZED; register nothing new into the head without the
 # retire-and-replace path.
 # Resting set snapshot:
@@ -4661,4 +4665,57 @@ def documents_quality_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return hashed_linear_score(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "n_tokens", "w_sum"
+    )
+
+
+_SPAN_SCRUB_ORACLE = """
+WITH toks AS (
+    SELECT doc_id,
+           COALESCE(list_filter(regexp_split_to_array(trim(regexp_replace(
+               lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+'),
+               x -> x <> ''), []) AS a
+    FROM documents),
+inst AS (
+    SELECT doc_id, s.pos AS pos, s.gram AS gram
+    FROM (SELECT doc_id,
+                 unnest([ {'pos': i, 'gram': array_to_string(a[i:i+7], ' ')}
+                          for i in range(1, len(a) - 8 + 2) ]) AS s
+          FROM toks)),
+dup AS (
+    SELECT gram
+    FROM (SELECT DISTINCT doc_id, gram FROM inst)
+    GROUP BY gram HAVING COUNT(*) >= 2),
+flags AS (
+    SELECT doc_id, list_sort(list(DISTINCT pos)) AS ss
+    FROM inst JOIN dup USING (gram) GROUP BY doc_id),
+j AS (
+    SELECT t.doc_id, t.a, COALESCE(f.ss, CAST([] AS INTEGER[])) AS ss
+    FROM toks t LEFT JOIN flags f USING (doc_id)),
+k AS (
+    SELECT doc_id, a,
+           [ a[i] for i in range(1, len(a) + 1)
+             if len(list_filter(ss, s -> s <= i AND i < s + 8)) = 0 ] AS kept
+    FROM j)
+SELECT doc_id,
+       CAST(len(a) AS BIGINT) AS n_tokens,
+       CAST(len(a) - len(kept) AS BIGINT) AS n_removed,
+       COALESCE(array_to_string(kept, ' '), '') AS clean_text
+FROM k
+"""
+
+
+@register("documents_span_scrub", _SPAN_SCRUB_ORACLE)
+def documents_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus exact-substring scrub (functions/corpus.py
+    remove_duplicated_spans): every token position covered by a word
+    8-gram repeated in >=2 distinct docs is struck and the survivors
+    reassembled in order -- the removal ACTION on the
+    duplicated_span_stats signal (same gram doc-frequency model, same
+    AQE-skew-split instance join, plus one flagged-starts rollup and a
+    per-row array reassembly). Hashed bytes are BIGINT counts plus the
+    reconstructed token string -- no floats anywhere."""
+    from .functions.corpus import remove_duplicated_spans
+
+    return remove_duplicated_spans(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens", "n_removed", "clean_text"
     )

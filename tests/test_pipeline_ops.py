@@ -1008,3 +1008,59 @@ def test_compression_ratio_signal(spark):
     assert out[1]["compression_ratio"] < 0.05  # pure repetition collapses
     assert out[3]["compression_ratio"] > 0.5  # high-entropy text barely compresses
     assert out[4]["compression_ratio"] is None and out[4]["n_compressed"] == 0
+
+
+def test_remove_duplicated_spans_cuts_planted_banner(spark):
+    """The removal twin of duplicated_span_stats: the shared 10-word
+    banner's covered positions (its 3 interior 8-grams span the whole
+    banner) are struck from BOTH docs, context survives in order,
+    unique and sub-n docs pass through verbatim (normalized), and
+    NULL/empty texts emit zero-token rows rather than vanishing."""
+    from pg_auto_dw_spark.functions.corpus import remove_duplicated_spans
+
+    banner = "please subscribe to our newsletter for updates every single day"
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta " + banner + " epsilon zeta"),
+            (2, "one two three four five " + banner + " six seven"),
+            (3, "totally unique words nine ten eleven twelve thirteen fourteen"),
+            (4, "Short DOC!"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in remove_duplicated_spans(docs, n=8).collect()}
+    assert len(out) == 5
+    assert out[1]["clean_text"] == "alpha beta gamma delta epsilon zeta"
+    assert out[1]["n_tokens"] == 16 and out[1]["n_removed"] == 10
+    assert out[2]["clean_text"] == "one two three four five six seven"
+    assert out[2]["n_removed"] == 10
+    assert out[3]["n_removed"] == 0
+    assert out[3]["clean_text"].startswith("totally unique")
+    # sub-n doc survives whole, in normalized token space
+    assert out[4]["clean_text"] == "short doc" and out[4]["n_removed"] == 0
+    assert out[5]["n_tokens"] == 0 and out[5]["clean_text"] == ""
+
+
+def test_remove_duplicated_spans_full_coverage_doc(spark):
+    """A doc that is one big duplicated span survives with empty
+    clean_text (n_removed == n_tokens), and stats/scrub agree on what
+    counts as duplicated: every doc the stats row marks fully
+    duplicated scrubs to empty."""
+    from pg_auto_dw_spark.functions.corpus import (
+        duplicated_span_stats,
+        remove_duplicated_spans,
+    )
+
+    text = "zero one two three four five six seven eight nine"
+    docs = spark.createDataFrame(
+        [(1, text), (2, text), (3, "an unrelated document with its own words here")],
+        "doc_id long, text string",
+    )
+    scrub = {r["doc_id"]: r for r in remove_duplicated_spans(docs, n=8).collect()}
+    assert scrub[1]["clean_text"] == "" and scrub[1]["n_removed"] == 10
+    assert scrub[2]["clean_text"] == ""
+    assert scrub[3]["n_removed"] == 0
+    stats = {r["doc_id"]: r for r in duplicated_span_stats(docs, n=8).collect()}
+    assert float(stats[1]["dup_frac"]) == 1.0
+    assert float(stats[3]["dup_frac"]) == 0.0
