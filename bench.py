@@ -100,6 +100,7 @@ HEADLINE = [
     "documents_dsir_weights",
     "documents_quality_linear",
     "documents_span_scrub",
+    "dedup_semantic_keep",
 ]
 
 

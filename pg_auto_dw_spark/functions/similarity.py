@@ -417,9 +417,14 @@ def ivf_centroids(
     )
 
 
-def _assign_against(base: DataFrame, codebook: DataFrame, id_col: str) -> DataFrame:
+def _assign_against(
+    base: DataFrame, codebook: DataFrame, id_col: str, with_cos: bool = False
+) -> DataFrame:
     """(id, cell, qvec, qnorm): each vector of ``base`` assigned to its
     max-cosine centroid of ``codebook`` (tie -> lowest centroid id).
+    ``with_cos=True`` appends ``cent_cos`` (the winning cosine itself,
+    IEEE float64 in the exact-int-gram operation order) for consumers
+    that rank members by centroid proximity (semantic_dedup).
 
     Scale shape: the codebook collects to the driver -- bounded by
     construction at O(sqrt n) cells (the IVF contract; ~50 MB even for
@@ -450,6 +455,8 @@ def _assign_against(base: DataFrame, codebook: DataFrame, id_col: str) -> DataFr
     cent_den = np.sqrt(np.array([r["cn"] for r in rows], dtype=np.int64).astype(np.float64))
 
     out_schema = f"{id_col} bigint, cell bigint, qvec array<bigint>, qnorm bigint"
+    if with_cos:
+        out_schema += ", cent_cos double"
 
     def kernel(batches):
         for pdf in batches:
@@ -462,14 +469,15 @@ def _assign_against(base: DataFrame, codebook: DataFrame, id_col: str) -> DataFr
                 np.sqrt(qn.astype(np.float64))[:, None] * cent_den[None, :]
             )
             j = np.argmax(cos, axis=1)  # first max == lowest cent_id on ties
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy().astype(np.int64),
-                    "cell": cent_ids[j],
-                    "qvec": pdf["qvec"],
-                    "qnorm": qn,
-                }
-            )
+            out = {
+                id_col: pdf[id_col].to_numpy().astype(np.int64),
+                "cell": cent_ids[j],
+                "qvec": pdf["qvec"],
+                "qnorm": qn,
+            }
+            if with_cos:
+                out["cent_cos"] = cos[np.arange(len(j)), j]
+            yield pd.DataFrame(out)
 
     return base.select(F.col(id_col), "qvec", "qnorm").mapInPandas(kernel, out_schema)
 
@@ -818,6 +826,124 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
     )
     return small_pairs.unionByName(big_pairs)
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.92,
+    stride: int = 50,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell_size: int = 1024,
+    dims: int = 64,
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (cluster-then-prune over
+    embeddings, per Abbas et al. 2023): k-means-cluster the corpus,
+    and inside each cluster drop every member that has a neighbor with
+    cosine >= ``threshold`` sitting CLOSER to the centroid -- keeping,
+    per duplicate neighborhood, the member farthest from the centroid
+    (the diversity-preserving keep rule), deterministically (ties by
+    lowest id).
+
+    The drop rule is a pure pair predicate -- member x is dropped iff
+    some same-cell y has cos(x, y) >= threshold and (cent_cos_y,
+    y.id) < (cent_cos_x, x.id) lexicographically (centroid cosine
+    ascending = farthest first) -- so the verdict needs no sequential
+    scan, no connected components, and both engines evaluate it
+    identically (the cosines are exact-int64 gram / float64 divides in
+    one operation order on both sides).
+
+    Scale shape: clustering is the existing IVF machinery (broadcast
+    codebook, corpus never shuffles to be assigned); within-cell pairs
+    reuse the near-dup contract -- cells at or under ``max_cell_size``
+    get the exact Arrow all-pairs kernel over the SAME cell shuffle,
+    oversized cells degrade to star pairs against the cell rep
+    (documented recall cost of a degenerate cell, never all-pairs);
+    dominance resolution is two id-keyed joins of the pair list
+    against the bounded (id, cent_cos) side table and one distinct.
+
+    Output: (id, cell, kept) -- one row per corpus vector; dropped
+    rows are the semantic duplicates."""
+    cb = (
+        codebook
+        if codebook is not None
+        else ivf_kmeans_codebook(corpus, stride, iters, dims, id_col, vec_col)
+    )
+    base = with_quantized(corpus, vec_col).select(F.col(id_col), "qvec", "qnorm")
+    assigned = _assign_against(base, cb, id_col, with_cos=True).localCheckpoint(
+        eager=False
+    )  # index-build pin: pairs, dominance, and the verdict all read it
+    sizes = bucket_sizes(assigned, ["cell"], id_col)
+    small = assigned.join(
+        F.broadcast(sizes.filter(F.col("n") <= max_cell_size).select("cell")), "cell"
+    )
+    small_pairs = (
+        small.select(
+            F.col(id_col).alias("vec_id"), F.col("cell").alias("bucket"), "qvec", "qnorm"
+        )
+        .groupBy("bucket")
+        .applyInPandas(
+            _allpairs_cosine_kernel(threshold), "id_a bigint, id_b bigint, cosine double"
+        )
+    )
+    reps = (
+        assigned.join(
+            F.broadcast(
+                sizes.filter(F.col("n") > max_cell_size).select("cell", "rep")
+            ),
+            "cell",
+        )
+        .filter(F.col(id_col) == F.col("rep"))
+        .select(
+            F.col("cell").alias("cell_r"),
+            F.col("rep").alias("id_a"),
+            F.col("qvec").alias("rv"),
+            F.col("qnorm").alias("rn"),
+        )
+    )
+    big_pairs = (
+        assigned.join(F.broadcast(reps), F.col("cell") == F.col("cell_r"))
+        .filter(F.col(id_col) != F.col("id_a"))
+        .select(
+            "id_a",
+            F.col(id_col).alias("id_b"),
+            cosine(
+                int_dot(F.col("rv"), F.col("qvec")), F.col("rn"), F.col("qnorm")
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    pairs = small_pairs.unionByName(big_pairs)
+    cc = assigned.select(F.col(id_col), "cent_cos")
+    dom = (
+        pairs.join(
+            cc.select(F.col(id_col).alias("id_a"), F.col("cent_cos").alias("cos_a")),
+            "id_a",
+        )
+        .join(
+            cc.select(F.col(id_col).alias("id_b"), F.col("cent_cos").alias("cos_b")),
+            "id_b",
+        )
+        .select(
+            F.when(
+                (F.col("cos_a") > F.col("cos_b"))
+                | ((F.col("cos_a") == F.col("cos_b")) & (F.col("id_a") > F.col("id_b"))),
+                F.col("id_a"),
+            )
+            .otherwise(F.col("id_b"))
+            .alias(id_col)
+        )
+        .distinct()
+    )
+    return assigned.join(
+        dom.withColumn("__dropped", F.lit(True)), on=id_col, how="left"
+    ).select(
+        F.col(id_col),
+        "cell",
+        F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept"),
+    )
 
 
 # ---------------------------------------------------------------------------

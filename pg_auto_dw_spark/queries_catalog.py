@@ -63,19 +63,27 @@ def register(name: str, sql: str | None):
 #   ann_ivf_kmeans_assign    (the _ivf_index construction consumed and
 #                             verified by ann_ivf_topk / multiprobe /
 #                             ann_ivf_index_search)
-# Catalog: 101 registered = 50 _PRIORITY + 48 _DEPRIORITIZED
-# (r7-verified, resting; one-round gap, within policy) + 3 MID-order
-# r8 registrations at positions 51-53, outside the driver cap
+# Catalog: 102 registered = 50 _PRIORITY + 48 _DEPRIORITIZED
+# (r7-verified, resting; one-round gap, within policy) + 4 MID-order
+# r8 registrations at positions 51-54, outside the driver cap
 # (documents_dsir_weights, documents_quality_linear,
-# documents_span_scrub -- oracles locally verified at sf0.01, benched
-# from day 1, first driver rows due r9).
-# NOTE for round 9: set _PRIORITY = today's 48 resting rows MINUS one
-# retirement PLUS the 3 mid rows above (exactly 50); the designated
-# retirement is customer_balance_ranks (idiomatic window family held
-# by status_window_flags -- the SURVEY W1/W2 row -- plus
-# sat_current_view; not in bench HEADLINE). Demote today's head to
-# _DEPRIORITIZED; register nothing new into the head without the
-# retire-and-replace path.
+# documents_span_scrub, dedup_semantic_keep -- oracles locally
+# verified at sf0.01, benched from day 1, first driver rows due r9).
+# NOTE for round 9: set _PRIORITY = today's 48 resting rows MINUS two
+# retirements PLUS the 4 mid rows above (exactly 50). Designated
+# retirements, coverage held elsewhere:
+#   customer_balance_ranks  (idiomatic window family held by
+#                            status_window_flags -- the SURVEY W1/W2
+#                            row -- plus sat_current_view)
+#   events_hourly_rollup    (its grain is CONTAINED in
+#                            events_rollup_hierarchy's GROUPING SETS
+#                            output, verified by the same oracle
+#                            family; hourly stays in bench HEADLINE
+#                            as a perf canary -- bench membership and
+#                            correctness-slot membership are
+#                            independent)
+# Demote today's head to _DEPRIORITIZED; register nothing new into
+# the head without the retire-and-replace path.
 # Resting set snapshot:
 # python -c "from pg_auto_dw_spark import queries_catalog as q; \
 #            print(list(q.queries())[50:])"
@@ -4719,3 +4727,85 @@ def documents_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicated_spans(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "n_tokens", "n_removed", "clean_text"
     )
+
+
+_SEM_DEDUP_ORACLE = f"""
+WITH q AS (
+    SELECT vec_id, {_QVEC_SQL} AS qvec FROM embeddings),
+n AS (
+    SELECT vec_id, qvec,
+           CAST(list_sum([qvec[i] * qvec[i] for i in range(1, 65)]) AS BIGINT) AS qnorm
+    FROM q),
+c0 AS (
+    SELECT vec_id AS cent_id, qvec AS cv, qnorm AS cn FROM n WHERE vec_id % 50 = 0),
+s0 AS (
+    SELECT n.vec_id, n.qvec, n.qnorm, c0.cent_id,
+           CAST(CAST(list_sum([n.qvec[i] * c0.cv[i] for i in range(1, 65)]) AS BIGINT)
+                AS DOUBLE) /
+               (sqrt(CAST(n.qnorm AS DOUBLE)) * sqrt(CAST(c0.cn AS DOUBLE))) AS csim
+    FROM n CROSS JOIN c0),
+a0 AS (
+    SELECT vec_id, qvec, qnorm, cent_id AS cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
+    FROM s0),
+m0 AS (SELECT vec_id, qvec, qnorm, cell FROM a0 WHERE rn = 1),
+sums AS (
+    SELECT cell, r.range AS pos,
+           sum(qvec[CAST(r.range + 1 AS INT)]) AS s, count(*) AS cnt
+    FROM m0 CROSS JOIN range(64) r GROUP BY 1, 2),
+c1 AS (
+    SELECT cell AS cent_id,
+           list(CAST(floor(CAST(s AS DOUBLE) / cnt) AS BIGINT) ORDER BY pos) AS cv
+    FROM sums GROUP BY cell),
+c1n AS (
+    SELECT cent_id, cv,
+           CAST(list_sum([cv[i] * cv[i] for i in range(1, 65)]) AS BIGINT) AS cn
+    FROM c1),
+s1 AS (
+    SELECT n.vec_id, n.qvec, n.qnorm, c1n.cent_id,
+           CAST(CAST(list_sum([n.qvec[i] * c1n.cv[i] for i in range(1, 65)]) AS BIGINT)
+                AS DOUBLE) /
+               (sqrt(CAST(n.qnorm AS DOUBLE)) * sqrt(CAST(c1n.cn AS DOUBLE))) AS csim
+    FROM n CROSS JOIN c1n),
+a1 AS (
+    SELECT vec_id, qvec, qnorm, cent_id AS cell, csim,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
+    FROM s1),
+cells AS (SELECT vec_id, qvec, qnorm, cell, csim FROM a1 WHERE rn = 1),
+pr AS (
+    SELECT qa.vec_id AS id_a, qb.vec_id AS id_b,
+           qa.csim AS cos_a, qb.csim AS cos_b,
+           CAST({_DOT_SQL} AS DOUBLE) /
+               (sqrt(CAST(qa.qnorm AS DOUBLE)) * sqrt(CAST(qb.qnorm AS DOUBLE))) AS cosine
+    FROM cells qa JOIN cells qb ON qa.cell = qb.cell AND qa.vec_id < qb.vec_id),
+dom AS (
+    SELECT DISTINCT CASE WHEN (cos_a > cos_b)
+                              OR (cos_a = cos_b AND id_a > id_b)
+                         THEN id_a ELSE id_b END AS vec_id
+    FROM pr WHERE cosine >= 0.3)
+SELECT c.vec_id, c.cell,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM cells c LEFT JOIN dom d USING (vec_id)
+"""
+
+
+@register("dedup_semantic_keep", _SEM_DEDUP_ORACLE)
+def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup verdict (functions/similarity.py
+    semantic_dedup): k-means cells (the SAME session-cached Lloyd-1
+    codebook the IVF family probes), within-cell cosine pairs, and the
+    deterministic keep-farthest-from-centroid dominance rule. The
+    oracle replays the identical exact-int construction in SQL --
+    Lloyd-1 assignment CTEs shared textually with _ANN_IVF_ORACLE,
+    full within-cell pairs (every cell is under the 1024 cap at this
+    SF, so the Spark side takes the exact all-pairs kernel path) --
+    and the hashed bytes are integer-only (ids, cells, 0/1 verdicts).
+    Threshold 0.3 per the near-random fixture (same reasoning as
+    dedup_embedding_cosine's 0.25)."""
+    from .functions.similarity import semantic_dedup
+
+    return semantic_dedup(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=0.3,
+        codebook=_ivf_codebook(spark, sf_dir),
+    ).select("vec_id", "cell", F.col("kept").cast("bigint").alias("kept"))

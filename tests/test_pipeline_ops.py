@@ -1064,3 +1064,56 @@ def test_remove_duplicated_spans_full_coverage_doc(spark):
     stats = {r["doc_id"]: r for r in duplicated_span_stats(docs, n=8).collect()}
     assert float(stats[1]["dup_frac"]) == 1.0
     assert float(stats[3]["dup_frac"]) == 0.0
+
+
+def test_semantic_dedup_planted_duplicates(spark):
+    """Exact duplicates collapse to the lowest id; a near-duplicate
+    pair keeps the member farther from its centroid; every corpus
+    vector gets exactly one verdict row; the verdict is deterministic
+    across runs."""
+    import random
+
+    from pg_auto_dw_spark.functions.similarity import semantic_dedup
+
+    def vec(seed):
+        r = random.Random(seed)
+        return [r.uniform(-1, 1) for _ in range(64)]
+
+    rows = [(i, vec(i)) for i in range(200)]
+    rows += [(300, vec(3)), (301, vec(3))]  # exact duplicates of id 3
+    v5 = vec(5)
+    rows.append((302, [x * 1.0001 + 0.0001 for x in v5]))  # near-dup of id 5
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, threshold=0.95, stride=50, iters=1).collect()
+    d = {r["vec_id"]: r for r in out}
+    assert len(out) == len(rows)  # one verdict per vector
+    # identical trio: same cell, keep the lowest id only
+    assert d[3]["cell"] == d[300]["cell"] == d[301]["cell"]
+    assert d[3]["kept"] and not d[300]["kept"] and not d[301]["kept"]
+    # near-dup pair: exactly one survivor
+    assert d[5]["kept"] != d[302]["kept"]
+    # unrelated vectors survive
+    assert sum(1 for r in out if r["kept"]) == len(rows) - 3
+    rerun = {r["vec_id"]: r["kept"] for r in semantic_dedup(
+        df, threshold=0.95, stride=50, iters=1).collect()}
+    assert rerun == {k: v["kept"] for k, v in d.items()}
+
+
+def test_semantic_dedup_star_fallback_cap(spark):
+    """With every cell forced over the cap the star path still emits
+    one verdict per vector and never all-pairs; the uncapped and
+    capped runs agree that exact duplicates lose their twin."""
+    import random
+
+    from pg_auto_dw_spark.functions.similarity import semantic_dedup
+
+    def vec(seed):
+        r = random.Random(seed)
+        return [r.uniform(-1, 1) for _ in range(64)]
+
+    rows = [(i, vec(i)) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, threshold=0.95, stride=20, iters=1, max_cell_size=2)
+    got = out.collect()
+    assert len(got) == len(rows)
+    assert {r["vec_id"] for r in got} == {r[0] for r in rows}
