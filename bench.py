@@ -101,6 +101,14 @@ HEADLINE = [
     "documents_quality_linear",
     "documents_span_scrub",
     "dedup_semantic_keep",
+    # round-8 session-2 mid-order registrations (first driver rows due
+    # r9): Gopher rule filter (map-only codegen scan), broadcast-Bloom
+    # decontamination (the zero-join scale path; bitset build charged
+    # to the measured passes -- it IS the operator), exact equi-width
+    # histogram (ANALYZE-pass companion to the sketch family)
+    "documents_gopher_rules",
+    "documents_bloom_decontaminate",
+    "events_value_histogram",
 ]
 
 

@@ -731,3 +731,148 @@ def remove_duplicated_spans(
         (F.size(F.col("__toks")) - F.size(kept)).cast("long").alias("n_removed"),
         F.array_join(kept, " ").alias("clean_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Broadcast-Bloom decontamination
+# ---------------------------------------------------------------------------
+
+BLOOM_K = 4
+_POW2_64 = [1 << i if i < 63 else -(1 << 63) for i in range(64)]
+
+
+def _gram_hash_pair(gram):
+    """(h1, h2) 32-bit md5-prefix integers of a gram string -- the
+    cross-engine-stable hash construction shared with the SimHash /
+    minhash / selection oracles. Double hashing (Kirsch-Mitzenmacher
+    2006): position i is (h1 + i*h2) mod m, so k Bloom probes cost two
+    md5 prefixes, not k hashes."""
+    h = F.md5(gram)
+    h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint")
+    return h1, h2
+
+
+def bloom_build(
+    benchmark: DataFrame,
+    n: int = 8,
+    m_bits: int | None = None,
+    k: int = BLOOM_K,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ONE-row DataFrame holding a Bloom filter over the benchmark's
+    distinct word-n-grams: (bits array<long>, m_bits, k, n_grams).
+
+    The benchmark side of decontamination is bounded by construction
+    (eval suites are megabytes against a 100 TB corpus), so its gram
+    hashes collect to the driver and pack into a bitset there; the
+    result broadcasts to every executor as a single row. ``m_bits``
+    defaults to the next power of two >= 64 bits/gram (false-positive
+    rate ~(k*n/m)^k ~= 1.5e-5 per gram at k=4), and MUST be a power of
+    two so the modulo is sign-safe on both engines."""
+    import numpy as np
+
+    b = _gram_table(benchmark, id_col, "bench_id", text_col, n).select("gram").distinct()
+    h1, h2 = _gram_hash_pair(F.col("gram"))
+    # bounded collect: the benchmark gram set, megabytes by construction
+    pairs = b.select(h1.alias("h1"), h2.alias("h2")).collect()
+    if m_bits is None:
+        m_bits = 1 << max(10, (64 * max(1, len(pairs)) - 1).bit_length())
+    if m_bits & (m_bits - 1):
+        raise ValueError(f"m_bits must be a power of two, got {m_bits}")
+    words = np.zeros(m_bits // 64, dtype=np.uint64)
+    for r in pairs:
+        for i in range(k):
+            pos = (r["h1"] + i * r["h2"]) % m_bits
+            words[pos // 64] |= np.uint64(1) << np.uint64(pos % 64)
+    spark = benchmark.sparkSession
+    return spark.createDataFrame(
+        [([int(w) for w in words.view(np.int64)], m_bits, k, len(pairs))],
+        "bits array<bigint>, m_bits bigint, k int, n_grams bigint",
+    )
+
+
+def _bloom_probe(h1, h2, bits_col, m_bits: int, k: int):
+    """Boolean column: all k double-hashed positions set in the bitset.
+    Pure codegen -- element_at + bitwiseAND against a 64-entry literal
+    mask table (no shift-by-column), no join, no shuffle."""
+    pow2 = F.array(*[F.lit(v) for v in _POW2_64])
+    tests = []
+    for i in range(k):
+        pos = (h1 + F.lit(i) * h2) % F.lit(m_bits)
+        word = F.element_at(bits_col, (F.floor(pos / F.lit(64)) + 1).cast("int"))
+        mask = F.element_at(pow2, (pos % 64 + 1).cast("int"))
+        tests.append(word.bitwiseAND(mask) != 0)
+    hit = tests[0]
+    for t in tests[1:]:
+        hit = hit & t
+    return hit
+
+
+def bloom_contamination_flags(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    m_bits: int | None = None,
+    k: int = BLOOM_K,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    with_exact: bool = False,
+) -> DataFrame:
+    """(doc_id, bloom_hit[, exact_hit]): per-document contamination
+    verdicts against a broadcast Bloom filter of the benchmark's
+    word-n-grams.
+
+    This is the zero-join scale path next to ``decontaminate``'s
+    gram-key join: the corpus gram stream is probed IN PLACE against
+    the broadcast bitset (a map-only scan -- the only shuffle in the
+    whole operator is the per-doc bool rollup on doc_id), so there is
+    no join to skew and therefore no stop-gram cap to tune. The price
+    is the Bloom contract: ``bloom_hit`` is a strict superset of the
+    exact verdict (no false negatives; false positives at the designed
+    ~(k*n/m)^k rate). ``with_exact`` adds the exact join verdict for
+    audit/verification -- production callers leave it off."""
+    bloom = bloom_build(benchmark, n, m_bits, k, text_col, id_col)
+    m_actual = bloom.first()["m_bits"]
+    d = _gram_table(docs, id_col, id_col, text_col, n)
+    h1, h2 = _gram_hash_pair(F.col("gram"))
+    probed = (
+        d.join(F.broadcast(bloom.select("bits")))
+        .select(F.col(id_col), _bloom_probe(h1, h2, F.col("bits"), int(m_actual), k).alias("__hit"))
+        .groupBy(id_col)
+        .agg(F.max("__hit").alias("bloom_hit"))
+    )
+    out = docs.select(id_col).join(probed, id_col, "left").select(
+        id_col, F.coalesce("bloom_hit", F.lit(False)).alias("bloom_hit")
+    )
+    if with_exact:
+        bg = _gram_table(benchmark, id_col, "bench_id", text_col, n).select("gram").distinct()
+        exact_ids = d.join(F.broadcast(bg), "gram").select(id_col).distinct()
+        out = out.join(
+            exact_ids.withColumn("exact_hit", F.lit(True)), id_col, "left"
+        ).select(id_col, "bloom_hit", F.coalesce("exact_hit", F.lit(False)).alias("exact_hit"))
+    return out
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    m_bits: int | None = None,
+    k: int = BLOOM_K,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The corpus that survives Bloom decontamination: every document
+    whose word-n-gram stream misses the broadcast benchmark bitset
+    entirely. Conservative by the Bloom contract -- never keeps a
+    contaminated document, drops a clean one at the designed
+    false-positive rate. The removal is a broadcast anti-join on the
+    bounded flagged-id set, same altitude as ``decontaminate``."""
+    flagged = (
+        bloom_contamination_flags(docs, benchmark, n, m_bits, k, text_col, id_col)
+        .filter(F.col("bloom_hit"))
+        .select(id_col)
+    )
+    return docs.join(F.broadcast(flagged), id_col, "left_anti")

@@ -49,3 +49,34 @@ def approx_quantiles(
     return df.groupBy(*keys).agg(
         F.percentile_approx(col, probs, accuracy).alias("quantiles")
     )
+
+
+def equi_width_histogram(
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 20,
+) -> DataFrame:
+    """Per-group equi-width histogram over ``[lo, hi)``: one row per
+    (group, bucket) with a BIGINT count; out-of-range values clamp into
+    the edge buckets so every row is counted exactly once.
+
+    This is the EXACT single-pass profile companion to the sketches
+    above: bucket assignment is one codegen floor expression, the only
+    shuffle is the map-side-combined (keys, bucket) count -- output is
+    bounded at groups x n_buckets regardless of input size, the same
+    mergeable-summary posture a 100 TB ANALYZE pass needs. Emitted
+    columns are integers only (bucket index + count); callers derive
+    bucket bounds as lo + bucket * (hi - lo) / n_buckets."""
+    width = (hi - lo) / n_buckets
+    v = F.col(col)
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.greatest(F.lit(0), F.floor((v - F.lit(lo)) / F.lit(width))),
+    ).cast("long")
+    return (
+        df.groupBy(*keys, bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

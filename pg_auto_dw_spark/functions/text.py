@@ -529,3 +529,76 @@ def compression_ratio(
         f"{id_col} bigint, n_bytes bigint, n_compressed bigint, "
         "compression_ratio double",
     )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher-style rule-based document filter (Rae et al. 2021,
+    arXiv:2112.11446 Table A1): the canonical pretraining-corpus
+    heuristics as one verdict row per document -- word-count bounds,
+    mean-word-length bounds, symbol-to-word ratio, bullet / ellipsis
+    line shares, alphabetic-word share, and stop-word presence.
+
+    Every ratio threshold is evaluated by INTEGER cross-multiplication
+    (``10 * n_symbols <= n_words`` instead of ``n_symbols / n_words <=
+    0.1``), so the emitted columns are BIGINT counts and BOOLEAN flags
+    only -- no float ever enters the hashed bytes (the r7 VERDICT
+    integer-only-output lesson applied from birth). One narrow
+    projection per document: codegen regex counts, no explode, no
+    shuffle, no UDF -- the 100 TB shape is a map-only scan."""
+    t = F.col(text_col)
+    words = F.split(F.trim(t), r"\s+")
+    n_words = F.size(words).cast("long")
+    # total characters inside words == length with all whitespace removed
+    n_word_chars = F.length(F.regexp_replace(t, r"\s+", "")).cast("long")
+    n_symbols = _count_matches(t, r"#|\.\.\.").cast("long")
+    lines = F.split(t, r"\n")
+    n_lines = F.size(lines).cast("long")
+    n_bullet_lines = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).rlike(r"^[-*•]"))
+    ).cast("long")
+    n_ellipsis_lines = F.size(
+        F.filter(lines, lambda ln: F.rtrim(ln).rlike(r"\.\.\.$"))
+    ).cast("long")
+    n_alpha_words = F.size(
+        F.filter(words, lambda w: w.rlike(r"[A-Za-z]"))
+    ).cast("long")
+    low = F.lower(t)
+    n_stopwords_present = sum(
+        F.when(low.rlike(rf"\b{w}\b"), F.lit(1)).otherwise(F.lit(0))
+        for w in GOPHER_STOPWORDS
+    ).cast("long")
+    rules = {
+        "rule_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "rule_mean_word_len": (n_word_chars >= min_mean_word_len * n_words)
+        & (n_word_chars <= max_mean_word_len * n_words),
+        "rule_symbol_ratio": (F.lit(10) * n_symbols) <= n_words,
+        "rule_bullet_lines": (F.lit(10) * n_bullet_lines) <= F.lit(9) * n_lines,
+        "rule_ellipsis_lines": (F.lit(10) * n_ellipsis_lines) <= F.lit(3) * n_lines,
+        "rule_alpha_words": (F.lit(5) * n_alpha_words) >= F.lit(4) * n_words,
+        "rule_stopwords": n_stopwords_present >= min_stopwords,
+    }
+    verdict = None
+    for c in rules.values():
+        verdict = c if verdict is None else (verdict & c)
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_word_chars.alias("n_word_chars"),
+        n_symbols.alias("n_symbols"),
+        n_alpha_words.alias("n_alpha_words"),
+        n_stopwords_present.alias("n_stopwords_present"),
+        *[c.alias(name) for name, c in rules.items()],
+        verdict.alias("gopher_pass"),
+    )

@@ -1117,3 +1117,119 @@ def test_semantic_dedup_star_fallback_cap(spark):
     got = out.collect()
     assert len(got) == len(rows)
     assert {r["vec_id"] for r in got} == {r[0] for r in rows}
+
+
+def test_gopher_rules_verdicts(spark):
+    from pg_auto_dw_spark.functions.text import gopher_rules
+
+    docs = spark.createDataFrame(
+        [
+            # passes everything: >=5 words (min_words=5 below), normal
+            # word lengths, stopwords present, no bullets/ellipses
+            (1, "the quick brown foxes jumped over the lazy dogs with ease"),
+            # too few words
+            (2, "the end"),
+            # symbol-heavy: each '#' and '...' counts against 10% of words
+            (3, "# # # # ... the and word word word"),
+            # bullet lines dominate (3 of 3 lines)
+            (4, "- one bullet the\n- two bullet of\n- three bullet and"),
+            # ellipsis line endings dominate
+            (5, "to be continued...\nmore of that...\nstill with it..."),
+            # numeric words: alpha-word share too low
+            (6, "the 1 2 3 4 5 6 7 8 9"),
+            # no canonical stopword at all
+            (7, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_rules(docs, min_words=5, min_stopwords=1).collect()
+    }
+    assert out[1]["gopher_pass"]
+    assert not out[2]["rule_word_count"] and not out[2]["gopher_pass"]
+    assert not out[3]["rule_symbol_ratio"]
+    assert not out[4]["rule_bullet_lines"]
+    assert not out[5]["rule_ellipsis_lines"]
+    assert not out[6]["rule_alpha_words"]
+    assert not out[7]["rule_stopwords"]
+    # integer-only contract: every emitted column is bigint or boolean
+    kinds = {f.dataType.simpleString() for f in gopher_rules(docs).schema.fields}
+    assert kinds <= {"bigint", "boolean"}
+
+
+def test_bloom_decontaminate_superset_of_exact(spark, sf_dir):
+    """The Bloom contract on real data: bloom_hit must cover every
+    exact_hit (no false negatives), at any bitset size."""
+    from pg_auto_dw_spark.functions.corpus import bloom_contamination_flags
+    from pg_auto_dw_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    # deliberately tiny bitset so false positives actually occur
+    flags = bloom_contamination_flags(docs, bench, n=8, m_bits=2**12, with_exact=True)
+    rows = flags.collect()
+    assert len(rows) == docs.count()
+    fn = [r for r in rows if r["exact_hit"] and not r["bloom_hit"]]
+    assert fn == []  # Bloom filters never produce false negatives
+    # the benchmark members flag themselves (their grams are in the set)
+    bench_ids = {r["doc_id"] for r in bench.select("doc_id").collect()}
+    long_bench = {
+        r["doc_id"]
+        for r in rows
+        if r["doc_id"] in bench_ids and r["exact_hit"]
+    }
+    for r in rows:
+        if r["doc_id"] in long_bench:
+            assert r["bloom_hit"]
+
+
+def test_bloom_decontaminate_conservative(spark, sf_dir):
+    """bloom_decontaminate keeps a SUBSET of decontaminate's survivors
+    (false positives only ever drop extra docs, never keep tainted
+    ones)."""
+    from pg_auto_dw_spark.functions.corpus import bloom_decontaminate, decontaminate
+    from pg_auto_dw_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    exact = {r["doc_id"] for r in decontaminate(docs, bench).select("doc_id").collect()}
+    bloom = {
+        r["doc_id"]
+        for r in bloom_decontaminate(docs, bench, m_bits=2**17).select("doc_id").collect()
+    }
+    assert bloom <= exact
+    # at 2^17 bits the FP rate is ~1e-5/gram: expect near-equality
+    assert len(exact) - len(bloom) <= 5
+
+
+def test_bloom_build_validates_power_of_two(spark):
+    import pytest as _pytest
+
+    from pg_auto_dw_spark.functions.corpus import bloom_build
+
+    bench = spark.createDataFrame(
+        [(1, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    with _pytest.raises(ValueError):
+        bloom_build(bench, m_bits=1000)
+
+
+def test_equi_width_histogram_exact_counts(spark):
+    from pg_auto_dw_spark.functions.sketch import equi_width_histogram
+
+    df = spark.createDataFrame(
+        [("a", -5.0), ("a", 0.0), ("a", 24.999), ("a", 25.0), ("a", 499.0),
+         ("a", 730.0), ("b", 50.0)],
+        "k string, v double",
+    )
+    out = {
+        (r["k"], r["bucket"]): r["cnt"]
+        for r in equi_width_histogram(df, ["k"], "v", 0.0, 500.0, 20).collect()
+    }
+    # -5 clamps into bucket 0; 730 clamps into bucket 19; 25.0 is the
+    # half-open boundary (bucket 1)
+    assert out == {("a", 0): 3, ("a", 1): 1, ("a", 19): 2, ("b", 2): 1}
