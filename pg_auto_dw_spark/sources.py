@@ -164,3 +164,80 @@ def read_jsonl_quarantine(
     ``streaming.jobs.jsonl_ingest_stream`` over the same splitter."""
     prepare(spark)
     return split_jsonl_lines(spark.read.text(path), schema, corrupt_col)
+
+
+def split_csv_lines(
+    lines: DataFrame,
+    schema,
+    sep: str = ",",
+    line_col: str = "value",
+) -> tuple[DataFrame, DataFrame]:
+    """Frame-level CSV split, the delimiter-file twin of
+    ``split_jsonl_lines``: raw lines in, ``(clean, quarantined)`` out.
+    A line is clean iff it has EXACTLY len(schema) fields after
+    ``from_csv`` parsing and every declared non-string field casts
+    (PERMISSIVE corrupt-record contract -- type drift quarantines,
+    never lands as silent nulls). Same one-scan codegen shape as the
+    JSONL splitter; no caching, any corpus size."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    if not isinstance(schema, StructType):
+        raise TypeError("split_csv_lines needs an explicit StructType "
+                        "(inference would re-scan the corpus)")
+    corrupt_col = "_corrupt_record"
+    if corrupt_col in schema.fieldNames():
+        raise ValueError(f"schema must not already contain {corrupt_col!r}")
+    full = StructType(
+        list(schema.fields) + [StructField(corrupt_col, StringType(), True)]
+    )
+    parsed = lines.select(
+        F.col(line_col).alias("__line"),
+        F.from_csv(
+            line_col,
+            F.lit(full.simpleString()),
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_col,
+             "sep": sep},
+        ).alias("__c"),
+    )
+    # from_csv under-reports corruption for SHORT rows (missing fields
+    # parse as nulls): also quarantine any line whose raw separator
+    # count differs from the declared arity. The raw count does NOT
+    # respect quoting, so a correctly-quoted field containing the
+    # separator quarantines CONSERVATIVELY -- this splitter targets
+    # the unquoted machine-generated landing-zone shape; audit the
+    # quarantine for quoted rows rather than silently accepting arity
+    # drift.
+    n_seps = F.size(F.split(F.col("__line"), F.lit(sep), -1)) - 1
+    bad = (
+        F.col("__c").getField(corrupt_col).isNotNull()
+        | F.col("__c").isNull()
+        | (n_seps != len(schema.fields) - 1)
+    )
+    clean = parsed.filter(~bad).select(
+        *[F.col("__c").getField(f.name).alias(f.name) for f in schema.fields]
+    )
+    quarantined = parsed.filter(bad).select(F.col("__line").alias("raw_line"))
+    return clean, quarantined
+
+
+def read_csv_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema,
+    sep: str = ",",
+    header: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Landing-zone CSV ingestion with corrupt-record quarantine:
+    ``spark.read.text`` + ``split_csv_lines`` so malformed and
+    arity-drifted lines are KEPT verbatim for audit (the stock csv
+    reader's DROPMALFORMED silently discards them; its PERMISSIVE
+    mode hits the same corrupt-column pruning restriction as JSON).
+    ``header=True`` drops lines equal to the schema's header row --
+    exact-match, so a data row that happens to equal the header is
+    indistinguishable and also dropped (documented contract)."""
+    prepare(spark)
+    lines = spark.read.text(path)
+    if header:
+        head = sep.join(f.name for f in schema.fields)
+        lines = lines.filter(F.col("value") != head)
+    return split_csv_lines(lines, schema, sep)

@@ -1233,3 +1233,46 @@ def test_equi_width_histogram_exact_counts(spark):
     # -5 clamps into bucket 0; 730 clamps into bucket 19; 25.0 is the
     # half-open boundary (bucket 1)
     assert out == {("a", 0): 3, ("a", 1): 1, ("a", 19): 2, ("b", 2): 1}
+
+
+def test_read_csv_quarantine(spark, tmp_path):
+    from pg_auto_dw_spark.sources import read_csv_quarantine
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    p = tmp_path / "land"
+    p.mkdir()
+    (p / "part1.csv").write_text(
+        "id,name,score\n"
+        "1,alpha,0.5\n"
+        "2,beta,0.75\n"
+        "3,gamma\n"               # short row
+        "4,delta,notanumber\n"    # type drift
+        "5,epsilon,1.0,extra\n"   # long row
+        "garbage line without commas\n"
+    )
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+    clean, quar = read_csv_quarantine(spark, str(p), schema, header=True)
+    assert sorted(tuple(r) for r in clean.collect()) == [
+        (1, "alpha", 0.5),
+        (2, "beta", 0.75),
+    ]
+    assert sorted(r["raw_line"] for r in quar.collect()) == [
+        "3,gamma",
+        "4,delta,notanumber",
+        "5,epsilon,1.0,extra",
+        "garbage line without commas",
+    ]
+    # schema object must come back unmutated (no corrupt col leaked in)
+    assert [f.name for f in schema.fields] == ["id", "name", "score"]
