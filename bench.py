@@ -109,6 +109,7 @@ HEADLINE = [
     "documents_gopher_rules",
     "documents_bloom_decontaminate",
     "events_value_histogram",
+    "orders_constraint_audit",
 ]
 
 

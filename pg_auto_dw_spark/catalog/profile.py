@@ -158,3 +158,103 @@ def format_violations(
         .orderBy(F.col("n_rows").desc(), "value")
         .limit(max_values)
     )
+
+
+def validate_constraints(
+    df: DataFrame,
+    pk_columns: list[str] | None = None,
+    not_null: list[str] | None = None,
+    fk: dict[str, tuple[DataFrame, str]] | None = None,
+) -> DataFrame:
+    """Declarative data-quality audit (dbt-test altitude): one row per
+    declared constraint -- (constraint_type, columns, n_violations,
+    is_valid) -- all BIGINT/BOOLEAN/STRING, integer-exact.
+
+    - ``pk_columns``: violations = rows beyond the first per duplicate
+      key, plus every row with a NULL key part (a Postgres PK forbids
+      both).
+    - ``not_null``: violations = NULL count per declared column.
+    - ``fk``: child column -> (parent DataFrame, parent column);
+      violations = child rows (NULLs exempt, like SQL FKs) whose key
+      has no parent match.
+
+    Scale shape: the PK and not-null checks share ONE aggregation pass
+    over the table (count + count_distinct + null counts -- map-side
+    combined); each FK check is a distinct-project of the parent key
+    joined to a per-key child count (the join carries one row per
+    DISTINCT child key, not per child row). At 100 TB the FK join
+    shuffles only the two key projections; a broadcast-Bloom prefilter
+    (corpus.bloom_build over the parent keys) can screen the clearly-
+    present majority first when even that is too much -- the Bloom
+    no-false-negative contract means only probe-misses need the exact
+    join."""
+    checks: list[DataFrame] = []
+    agg_exprs = [F.count(F.lit(1)).alias("__n")]
+    if pk_columns:
+        key_ok = None
+        for c in pk_columns:
+            nn = F.col(c).isNotNull()
+            key_ok = nn if key_ok is None else (key_ok & nn)
+        agg_exprs.append(
+            F.count_distinct(
+                *[F.when(key_ok, F.col(c)) for c in pk_columns]
+            ).alias("__nd_pk")
+        )
+        agg_exprs.append(F.sum(F.when(key_ok, 0).otherwise(1)).alias("__null_pk"))
+    for c in not_null or []:
+        agg_exprs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nn_{c}")
+        )
+    one = df.agg(*agg_exprs)
+    spark = df.sparkSession
+    rows = []
+    if pk_columns:
+        rows.append(
+            one.select(
+                F.lit("pk_unique").alias("constraint_type"),
+                F.lit(",".join(pk_columns)).alias("columns"),
+                # (non-null rows - distinct keys) + null-key rows
+                # simplifies to total rows - distinct non-null keys
+                (F.col("__n") - F.col("__nd_pk")).cast("long").alias("n_violations"),
+            )
+        )
+    for c in not_null or []:
+        rows.append(
+            one.select(
+                F.lit("not_null").alias("constraint_type"),
+                F.lit(c).alias("columns"),
+                F.col(f"__nn_{c}").cast("long").alias("n_violations"),
+            )
+        )
+    for child_col, (parent, parent_col) in (fk or {}).items():
+        # one row per DISTINCT child key with its multiplicity, so the
+        # join never carries the child's full row count
+        child_keys = (
+            df.filter(F.col(child_col).isNotNull())
+            .groupBy(F.col(child_col).alias("__k"))
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+        )
+        parent_keys = parent.select(F.col(parent_col).alias("__k")).distinct()
+        orphans = (
+            child_keys.join(parent_keys, "__k", "left_anti")
+            .agg(F.coalesce(F.sum("__cnt"), F.lit(0)).alias("n_violations"))
+            .select(
+                F.lit("fk_orphan").alias("constraint_type"),
+                F.lit(child_col).alias("columns"),
+                F.col("n_violations").cast("long"),
+            )
+        )
+        rows.append(orphans)
+    if not rows:
+        return spark.createDataFrame(
+            [], "constraint_type string, columns string, n_violations long, is_valid boolean"
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.select(
+        "constraint_type",
+        "columns",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("is_valid"),
+    )

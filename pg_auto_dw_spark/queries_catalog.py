@@ -63,16 +63,16 @@ def register(name: str, sql: str | None):
 #   ann_ivf_kmeans_assign    (the _ivf_index construction consumed and
 #                             verified by ann_ivf_topk / multiprobe /
 #                             ann_ivf_index_search)
-# Catalog: 105 registered = 50 _PRIORITY + 48 _DEPRIORITIZED
-# (r7-verified, resting; one-round gap, within policy) + 7 MID-order
-# r8 registrations at positions 51-57, outside the driver cap
+# Catalog: 106 registered = 50 _PRIORITY + 48 _DEPRIORITIZED
+# (r7-verified, resting; one-round gap, within policy) + 8 MID-order
+# r8 registrations at positions 51-58, outside the driver cap
 # (documents_dsir_weights, documents_quality_linear,
 # documents_span_scrub, dedup_semantic_keep, documents_gopher_rules,
-# documents_bloom_decontaminate, events_value_histogram -- oracles
-# locally verified at sf0.01, benched from day 1, first driver rows
-# due r9).
+# documents_bloom_decontaminate, events_value_histogram,
+# orders_constraint_audit -- oracles locally verified at sf0.01,
+# benched from day 1, first driver rows due r9).
 # NOTE for round 9: set _PRIORITY = today's 48 resting rows MINUS the
-# five retirements below PLUS the 7 mid rows above (exactly 50); set
+# six retirements below PLUS the 8 mid rows above (exactly 50); set
 # _DEPRIORITIZED = today's 50 _PRIORITY (catalog then 100 = 50 + 50,
 # strict two-round cycle restored). Designated retirements -- all in
 # today's RESTING set (retiring a row verified this round frees no r9
@@ -95,6 +95,11 @@ def register(name: str, sql: str | None):
 #   events_distinct_users_by_type (exact distinct held by
 #                             events_salted_type_stats' skew-safe
 #                             distinct twin + events_heavy_hitter_users)
+#   multimodal_resize        (Arrow mapInPandas plumbing + deterministic
+#                             fake-codec contract held by
+#                             multimodal_features -- same kernel shape,
+#                             same decode seam -- plus the codec
+#                             contract tests in test_multimodal_codec.py)
 # Demote today's head to _DEPRIORITIZED; register nothing new into
 # the head without the retire-and-replace path.
 # Resting set snapshot:
@@ -4967,4 +4972,75 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return equi_width_histogram(
         load_table(spark, sf_dir, "events"), ["event_type"], "value", 0.0, 500.0, 20
+    )
+
+
+_CONSTRAINT_AUDIT_ORACLE = """
+WITH u AS (
+    SELECT o_orderkey, o_custkey, o_orderdate FROM orders
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderdate FROM orders
+    WHERE o_orderkey % 1000 = 7),
+dirty AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 211 = 0 THEN NULL
+                WHEN o_orderkey % 307 = 0 THEN -o_custkey
+                ELSE o_custkey END AS o_custkey,
+           o_orderdate
+    FROM u),
+checks AS (
+    SELECT 'pk_unique' AS constraint_type, 'o_orderkey' AS columns,
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_violations
+    FROM dirty
+    UNION ALL
+    SELECT 'not_null', 'o_custkey',
+           CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
+    FROM dirty
+    UNION ALL
+    SELECT 'not_null', 'o_orderdate',
+           CAST(COUNT(*) FILTER (WHERE o_orderdate IS NULL) AS BIGINT)
+    FROM dirty
+    UNION ALL
+    SELECT 'fk_orphan', 'o_custkey',
+           CAST(COUNT(*) FILTER (WHERE o_custkey IS NOT NULL
+                AND o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT)
+    FROM dirty)
+SELECT constraint_type, columns, n_violations,
+       (n_violations = 0) AS is_valid
+FROM checks
+"""
+
+
+@register("orders_constraint_audit", _CONSTRAINT_AUDIT_ORACLE)
+def orders_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint audit (catalog/profile.py
+    validate_constraints -- the dbt-test altitude data-quality pass the
+    reference's governance surface implies): PK uniqueness, NOT NULL,
+    and FK-orphan checks over a DETERMINISTICALLY dirtied orders feed
+    (modulo-selected duplicate keys, nulled and negated custkeys --
+    the format_violations seeding pattern) so every check has nonzero
+    work to find. One aggregation pass covers PK + NOT NULL; the FK
+    check joins the DISTINCT child keys (with multiplicities) against
+    the distinct parent keys, so the join never carries the child's
+    full row count. Integer counts + booleans only in the hashed
+    bytes."""
+    from .catalog.profile import validate_constraints
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    dirty = orders.unionByName(
+        orders.filter(F.col("o_orderkey") % 1000 == 7)
+    ).withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 211 == 0, F.lit(None).cast("long"))
+        .when(F.col("o_orderkey") % 307 == 0, -F.col("o_custkey"))
+        .otherwise(F.col("o_custkey")),
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    return validate_constraints(
+        dirty,
+        pk_columns=["o_orderkey"],
+        not_null=["o_custkey", "o_orderdate"],
+        fk={"o_custkey": (customer, "c_custkey")},
     )

@@ -1276,3 +1276,52 @@ def test_read_csv_quarantine(spark, tmp_path):
     ]
     # schema object must come back unmutated (no corrupt col leaked in)
     assert [f.name for f in schema.fields] == ["id", "name", "score"]
+
+
+def test_validate_constraints_clean_and_dirty(spark):
+    from pg_auto_dw_spark.catalog.profile import validate_constraints
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (2, 20), (3, None), (4, 99)],
+        "id long, parent_id long",
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pid long")
+    out = {
+        (r["constraint_type"], r["columns"]): (r["n_violations"], r["is_valid"])
+        for r in validate_constraints(
+            child,
+            pk_columns=["id"],
+            not_null=["parent_id"],
+            fk={"parent_id": (parent, "pid")},
+        ).collect()
+    }
+    # id=2 twice -> 1 excess row
+    assert out[("pk_unique", "id")] == (1, False)
+    assert out[("not_null", "parent_id")] == (1, False)
+    # parent_id=99 has no parent; the NULL is exempt
+    assert out[("fk_orphan", "parent_id")] == (1, False)
+
+    clean = validate_constraints(
+        parent.withColumnRenamed("pid", "id"), pk_columns=["id"]
+    ).collect()
+    assert [(r["n_violations"], r["is_valid"]) for r in clean] == [(0, True)]
+
+
+def test_validate_constraints_null_pk_parts_violate(spark):
+    from pg_auto_dw_spark.catalog.profile import validate_constraints
+
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (None, "c"), (2, None)],
+        "k1 long, k2 string",
+    )
+    out = validate_constraints(df, pk_columns=["k1", "k2"]).collect()[0]
+    # rows 2-4 all have a NULL key part -> 3 violations; (1,a) is fine
+    assert out["n_violations"] == 3
+    assert not out["is_valid"]
+
+
+def test_validate_constraints_empty_declaration(spark):
+    from pg_auto_dw_spark.catalog.profile import validate_constraints
+
+    df = spark.createDataFrame([(1,)], "id long")
+    assert validate_constraints(df).count() == 0
