@@ -812,13 +812,14 @@ def _bloom_probe(h1, h2, bits_col, m_bits: int, k: int):
 
 def bloom_contamination_flags(
     docs: DataFrame,
-    benchmark: DataFrame,
+    benchmark: DataFrame | None = None,
     n: int = 8,
     m_bits: int | None = None,
     k: int = BLOOM_K,
     text_col: str = "text",
     id_col: str = "doc_id",
     with_exact: bool = False,
+    bloom: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, bloom_hit[, exact_hit]): per-document contamination
     verdicts against a broadcast Bloom filter of the benchmark's
@@ -832,9 +833,19 @@ def bloom_contamination_flags(
     is the Bloom contract: ``bloom_hit`` is a strict superset of the
     exact verdict (no false negatives; false positives at the designed
     ~(k*n/m)^k rate). ``with_exact`` adds the exact join verdict for
-    audit/verification -- production callers leave it off."""
-    bloom = bloom_build(benchmark, n, m_bits, k, text_col, id_col)
-    m_actual = bloom.first()["m_bits"]
+    audit/verification -- production callers leave it off. Pass a
+    prebuilt ``bloom`` (from ``bloom_build``) to probe many corpora --
+    or every micro-batch of a stream -- against one frozen bitset;
+    ``k`` must then match the build (it is stored on the bloom row and
+    re-read here)."""
+    if bloom is None:
+        if benchmark is None:
+            raise ValueError("need either a benchmark frame or a prebuilt bloom")
+        bloom = bloom_build(benchmark, n, m_bits, k, text_col, id_col)
+    if with_exact and benchmark is None:
+        raise ValueError("with_exact needs the benchmark frame")
+    head = bloom.first()
+    m_actual, k = head["m_bits"], head["k"]
     d = _gram_table(docs, id_col, id_col, text_col, n)
     h1, h2 = _gram_hash_pair(F.col("gram"))
     probed = (

@@ -805,3 +805,123 @@ def jsonl_ingest_stream(
         .foreachBatch(sink)
         .start()
     )
+
+
+def jsonl_decontam_ingest_apply(
+    wh,
+    clean_table: str,
+    contaminated_table: str,
+    quarantine_table: str,
+    schema: T.StructType,
+    bloom,
+    batch_df,
+    batch_id: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> dict:
+    """One micro-batch of the DECONTAMINATING landing zone: raw JSONL
+    lines split three ways in one warehouse transaction --
+
+    - ``clean_table``: typed rows whose text misses the benchmark
+      Bloom bitset entirely (training-eligible),
+    - ``contaminated_table``: typed rows the bitset flags (kept for
+      audit, excluded from training by construction -- the Bloom
+      no-false-negative contract means nothing contaminated can reach
+      ``clean_table``),
+    - ``quarantine_table``: verbatim malformed / schema-drift lines.
+
+    Same exactly-once ledger-inside-the-transaction contract as
+    ``jsonl_ingest_apply``; the bloom row is FROZEN bytes built once at
+    stream start, so every batch probes the same filter and a restart
+    cannot shift verdicts."""
+    from pyspark.sql import functions as F
+
+    from ..functions.corpus import bloom_contamination_flags
+
+    ledger = f"{clean_table}.ingest_log"
+    if not wh.exists(ledger):
+        wh.create_table(ledger, T.StructType([T.StructField("batch_id", T.LongType())]))
+    if wh.read(ledger).filter(F.col("batch_id") == batch_id).count() > 0:
+        return {"clean": 0, "contaminated": 0, "quarantined": 0, "replay": True}
+
+    from ..sources import split_jsonl_lines
+
+    typed, quarantined = split_jsonl_lines(batch_df.localCheckpoint(), schema)
+    typed = typed.localCheckpoint()  # read by the probe + two appends
+    flags = bloom_contamination_flags(
+        typed, n=n, text_col=text_col, id_col=id_col, bloom=bloom
+    )
+    keep_ids = flags.filter(~F.col("bloom_hit")).select(id_col)
+    clean = typed.join(F.broadcast(keep_ids), id_col, "left_semi")
+    contaminated = typed.join(F.broadcast(keep_ids), id_col, "left_anti")
+
+    for t in (clean_table, contaminated_table):
+        if not wh.exists(t):
+            wh.create_table(t, schema)
+    if not wh.exists(quarantine_table):
+        wh.create_table(
+            quarantine_table,
+            T.StructType([T.StructField("raw_line", T.StringType())]),
+        )
+    spark = wh.spark
+    with wh.transaction(
+        [clean_table, contaminated_table, quarantine_table, ledger]
+    ) as txn:
+        txn.append(clean_table, clean)
+        txn.append(contaminated_table, contaminated)
+        txn.append(quarantine_table, quarantined)
+        txn.append(
+            ledger, spark.createDataFrame([(int(batch_id),)], "batch_id bigint")
+        )
+    return {
+        "clean": clean.count(),
+        "contaminated": contaminated.count(),
+        "quarantined": quarantined.count(),
+        "replay": False,
+    }
+
+
+def jsonl_decontam_ingest_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    wh,
+    clean_table: str,
+    contaminated_table: str,
+    quarantine_table: str,
+    checkpoint_dir: str,
+    benchmark,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    m_bits: int | None = None,
+):
+    """Streaming decontaminating landing zone: the jsonl ingest front
+    door composed with broadcast-Bloom decontamination, so benchmark-
+    contaminated documents never enter the training-eligible table in
+    the first place (filter-at-ingest beats scrub-later at corpus
+    scale: the contaminated rows are never re-read by every downstream
+    pass). The bitset is built ONCE from the benchmark at stream start
+    (bounded driver work) and pinned via localCheckpoint -- frozen
+    bytes, identical across batches and restarts."""
+    from ..functions.corpus import bloom_build
+
+    bloom = bloom_build(benchmark, n=n, m_bits=m_bits, text_col=text_col).localCheckpoint()
+
+    def sink(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        jsonl_decontam_ingest_apply(
+            wh, clean_table, contaminated_table, quarantine_table, schema,
+            bloom, batch_df, batch_id, text_col, id_col, n,
+        )
+
+    return (
+        spark.readStream.text(source_dir)
+        .writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+        .start()
+    )

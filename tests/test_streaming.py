@@ -627,3 +627,58 @@ def test_jsonl_ingest_apply_replay_is_idempotent(spark, tmp_path):
     assert r2 == {"clean": 0, "quarantined": 0, "replay": True}
     assert wh.read("d.clean").count() == 1
     assert wh.read("d.quar").count() == 1
+
+
+def test_jsonl_decontam_ingest_stream(spark, tmp_path):
+    """The decontaminating landing zone: a doc sharing an 8-gram with
+    the benchmark routes to the contaminated table, clean docs to the
+    clean table, malformed lines to quarantine; restart ingests
+    nothing; a replayed batch id no-ops."""
+    from pg_auto_dw_spark.streaming.jobs import (
+        jsonl_decontam_ingest_apply,
+        jsonl_decontam_ingest_stream,
+    )
+    from pg_auto_dw_spark.functions.corpus import bloom_build
+    from pg_auto_dw_spark.warehouse import Warehouse
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    banner = "alpha beta gamma delta epsilon zeta eta theta"
+    bench = spark.createDataFrame(
+        [(1000, f"prefix words here {banner} suffix words there")],
+        "doc_id long, text string",
+    )
+    src = tmp_path / "feed"
+    src.mkdir()
+    clean_text = "totally unrelated clean document with enough words to gram"
+    (src / "a.jsonl").write_text(
+        f'{{"doc_id": 1, "text": "{clean_text}"}}\n'
+        f'{{"doc_id": 2, "text": "stolen eval text {banner} pasted in"}}\n'
+        "not json at all\n"
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    kwargs = dict(
+        schema=schema, wh=wh, clean_table="lz.clean",
+        contaminated_table="lz.contaminated", quarantine_table="lz.quarantine",
+        checkpoint_dir=str(tmp_path / "ckpt"), benchmark=bench,
+    )
+    jsonl_decontam_ingest_stream(spark, str(src), **kwargs).awaitTermination(120)
+    assert {r["doc_id"] for r in wh.read("lz.clean").collect()} == {1}
+    assert {r["doc_id"] for r in wh.read("lz.contaminated").collect()} == {2}
+    assert wh.read("lz.quarantine").count() == 1
+
+    # restart: file source remembers, nothing re-ingested
+    jsonl_decontam_ingest_stream(spark, str(src), **kwargs).awaitTermination(120)
+    assert wh.read("lz.clean").count() == 1
+    assert wh.read("lz.contaminated").count() == 1
+
+    # direct replay of a committed batch id no-ops
+    bloom = bloom_build(bench).localCheckpoint()
+    batch = spark.createDataFrame(
+        [(f'{{"doc_id": 7, "text": "{clean_text}"}}',)], "value string"
+    )
+    r1 = jsonl_decontam_ingest_apply(
+        wh, "lz.clean", "lz.contaminated", "lz.quarantine", schema, bloom, batch, 0
+    )
+    assert r1["replay"] is True
