@@ -825,11 +825,12 @@ def bloom_contamination_flags(
     verdicts against a broadcast Bloom filter of the benchmark's
     word-n-grams.
 
-    This is the zero-join scale path next to ``decontaminate``'s
-    gram-key join: the corpus gram stream is probed IN PLACE against
-    the broadcast bitset (a map-only scan -- the only shuffle in the
-    whole operator is the per-doc bool rollup on doc_id), so there is
-    no join to skew and therefore no stop-gram cap to tune. The price
+    This is the zero-shuffle scale path next to ``decontaminate``'s
+    gram-key join: each document's gram ARRAY is probed IN PLACE
+    against the broadcast bitset (``F.exists`` short-circuits on the
+    first hit), so the operator is a pure map over the corpus -- no
+    explode, no rollup, no join to skew and therefore no stop-gram cap
+    to tune. The price
     is the Bloom contract: ``bloom_hit`` is a strict superset of the
     exact verdict (no false negatives; false positives at the designed
     ~(k*n/m)^k rate). ``with_exact`` adds the exact join verdict for
@@ -845,19 +846,26 @@ def bloom_contamination_flags(
     if with_exact and benchmark is None:
         raise ValueError("with_exact needs the benchmark frame")
     head = bloom.first()
-    m_actual, k = head["m_bits"], head["k"]
-    d = _gram_table(docs, id_col, id_col, text_col, n)
-    h1, h2 = _gram_hash_pair(F.col("gram"))
-    probed = (
-        d.join(F.broadcast(bloom.select("bits")))
-        .select(F.col(id_col), _bloom_probe(h1, h2, F.col("bits"), int(m_actual), k).alias("__hit"))
-        .groupBy(id_col)
-        .agg(F.max("__hit").alias("bloom_hit"))
-    )
-    out = docs.select(id_col).join(probed, id_col, "left").select(
-        id_col, F.coalesce("bloom_hit", F.lit(False)).alias("bloom_hit")
+    m_actual, k = int(head["m_bits"]), int(head["k"])
+
+    def gram_hit(g):
+        h1, h2 = _gram_hash_pair(g)
+        return _bloom_probe(h1, h2, F.col("bits"), m_actual, k)
+
+    # probe the per-doc gram ARRAY in place (F.exists short-circuits on
+    # the first hit): no explode, no per-doc rollup shuffle, no join
+    # back for gramless docs (exists over an empty array is FALSE) --
+    # the operator is a pure map over the corpus, zero shuffles total
+    out = (
+        docs.select(F.col(id_col), word_tokens(F.col(text_col)).alias("__toks"))
+        .join(F.broadcast(bloom.select("bits")))
+        .select(
+            F.col(id_col),
+            F.exists(ngrams_of(F.col("__toks"), n), gram_hit).alias("bloom_hit"),
+        )
     )
     if with_exact:
+        d = _gram_table(docs, id_col, id_col, text_col, n)
         bg = _gram_table(benchmark, id_col, "bench_id", text_col, n).select("gram").distinct()
         exact_ids = d.join(F.broadcast(bg), "gram").select(id_col).distinct()
         out = out.join(

@@ -4929,10 +4929,11 @@ def documents_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame
     corpus_decontaminate's gram-key join. The benchmark slice's
     word-8-gram hashes pack into a driver-built bitset (bounded by
     construction -- eval suites are megabytes) that broadcasts to every
-    executor; the corpus gram stream probes it IN PLACE (element_at +
-    bitwiseAND codegen, no join, no stop-gram cap needed because there
-    is no join to skew), and the only shuffle is the per-doc bool
-    rollup. The oracle replays the identical Bloom math in SQL -- the
+    executor; each document's gram ARRAY probes it IN PLACE via
+    F.exists (element_at + bitwiseAND codegen -- no explode, no join,
+    no stop-gram cap needed because there is no join to skew), so the
+    production probe is a zero-shuffle pure map (plan-asserted in
+    test_plan_shapes.py). The oracle replays the identical Bloom math in SQL -- the
     md5-prefix double-hash position set (Kirsch-Mitzenmacher) is plain
     integer arithmetic both engines reproduce bit-for-bit -- so
     ``bloom_hit`` itself is exactly verified, false positives

@@ -167,3 +167,47 @@ def test_dv_staging_dedup_shuffles_prehash_strings(spark, sf_dir):
             f"sha2 computed below the dedup exchange: sha nodes {sha_ids}, "
             f"exchanges {exchange_ids}"
         )
+
+
+def test_gopher_rules_is_map_only(spark, sf_dir):
+    """The rule filter must not shuffle: no Exchange in the plan."""
+    from pg_auto_dw_spark.functions.text import gopher_rules
+
+    plan = _plan(gopher_rules(load_table(spark, sf_dir, "documents")))
+    assert "Exchange" not in plan
+
+
+def test_bloom_probe_is_shuffle_free(spark, sf_dir):
+    """The Bloom probe (production path, no exact verifier) is a pure
+    map over the corpus: the per-doc gram array probes the broadcast
+    bitset in place -- no Exchange of corpus data anywhere (the only
+    exchange-free exception allowed is the 1-row bitset broadcast)."""
+    from pg_auto_dw_spark.functions.corpus import bloom_contamination_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    plan = _plan(bloom_contamination_flags(docs, bench, m_bits=2**17))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    # no shuffle exchange at all; broadcast exchange of the bitset only
+    tree = plan.split("\n\n")[0]
+    shuffles = [ln for ln in tree.splitlines()
+                if "Exchange" in ln and "Broadcast" not in ln]
+    assert shuffles == []
+
+
+def test_equi_width_histogram_partial_aggregates(spark, sf_dir):
+    """The histogram must map-side combine: a partial HashAggregate
+    before the single exchange."""
+    from pg_auto_dw_spark.functions.sketch import equi_width_histogram
+
+    plan = _plan(
+        equi_width_histogram(
+            load_table(spark, sf_dir, "events"), ["event_type"], "value", 0.0, 500.0, 20
+        )
+    )
+    # exactly one shuffle node in the plan tree (the formatted detail
+    # section repeats node names, so count tree lines, not substrings)
+    tree = plan.split("\n\n")[0]
+    assert sum("Exchange" in ln for ln in tree.splitlines()) == 1
+    assert "partial_count" in plan
