@@ -1,0 +1,93 @@
+"""Cross-snapshot table diff: the data-versioning audit over the
+warehouse's time travel.
+
+``snapshot_diff`` compares two DataFrames (typically
+``wh.read_version(t, v1)`` vs ``wh.read_version(t, v2)``) keyed by a
+primary key and reports one row per changed key:
+(change_type inserted|deleted|changed, key columns, n_cols_changed).
+
+Scale shape: ONE full-outer join on the key -- both sides shuffle on
+the key exactly once, which is the information-theoretic minimum for
+an exact diff of unsorted snapshots (at rest, bucketing both snapshots
+by the key makes even that shuffle free). Value comparison collapses
+every non-key column into a single null-safe equality vector, so the
+join output is projected once, never re-scanned per column. Unchanged
+keys are filtered BEFORE any downstream consumer -- the diff of two
+100 TB snapshots is sized by the CHANGE volume, not the table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_columns: list[str],
+    compare_columns: list[str] | None = None,
+) -> DataFrame:
+    """One row per inserted / deleted / changed key between two
+    snapshots of the same table. ``compare_columns`` defaults to every
+    shared non-key column; columns present in only one snapshot
+    (schema evolution between versions) are ignored for change
+    detection but still count toward neither side's equality."""
+    if not key_columns:
+        raise ValueError("snapshot_diff needs at least one key column")
+    shared = [c for c in old.columns if c in set(new.columns) and c not in key_columns]
+    cols = compare_columns if compare_columns is not None else shared
+    missing = [c for c in cols if c not in shared]
+    if missing:
+        raise ValueError(f"compare columns not in both snapshots: {missing}")
+
+    o = old.select(
+        *[F.col(c).alias(f"__ko_{c}") for c in key_columns],
+        *[F.col(c).alias(f"__o_{c}") for c in cols],
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        *[F.col(c).alias(f"__kn_{c}") for c in key_columns],
+        *[F.col(c).alias(f"__n_{c}") for c in cols],
+        F.lit(True).alias("__in_new"),
+    )
+    cond = None
+    for c in key_columns:
+        eq = F.col(f"__ko_{c}").eqNullSafe(F.col(f"__kn_{c}"))
+        cond = eq if cond is None else (cond & eq)
+    j = o.join(n, cond, "full_outer")
+
+    changed_flags = [
+        (~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))).cast("int") for c in cols
+    ]
+    n_changed = sum(changed_flags, F.lit(0)) if changed_flags else F.lit(0)
+    change_type = (
+        F.when(F.col("__in_old").isNull(), F.lit("inserted"))
+        .when(F.col("__in_new").isNull(), F.lit("deleted"))
+        .when(n_changed > 0, F.lit("changed"))
+    )
+    return (
+        j.select(
+            change_type.alias("change_type"),
+            *[
+                F.coalesce(F.col(f"__kn_{c}"), F.col(f"__ko_{c}")).alias(c)
+                for c in key_columns
+            ],
+            F.when(
+                F.col("__in_old").isNotNull() & F.col("__in_new").isNotNull(),
+                n_changed,
+            )
+            .otherwise(F.lit(None))
+            .cast("long")
+            .alias("n_cols_changed"),
+        )
+        .filter(F.col("change_type").isNotNull())
+    )
+
+
+def snapshot_diff_versions(wh, table: str, v_old: int, v_new: int, key_columns: list[str]) -> DataFrame:
+    """Diff two committed versions of a warehouse table (see
+    ``Warehouse.history`` for version ids)."""
+    return snapshot_diff(
+        wh.read_version(table, v_old), wh.read_version(table, v_new), key_columns
+    )

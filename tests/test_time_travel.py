@@ -169,3 +169,53 @@ def test_vacuum_reaps_beyond_retention(spark, warehouse_dir):
         raise AssertionError("expected retention error")
     except ValueError as e:
         assert "retention window" in str(e)
+
+
+def test_snapshot_diff_inserted_deleted_changed(spark):
+    from pg_auto_dw_spark.functions.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None)],
+        "id long, name string, score double",
+    )
+    new = spark.createDataFrame(
+        [(2, "b2", 25.0), (3, "c", None), (4, "d", 40.0)],
+        "id long, name string, score double",
+    )
+    rows = {r["id"]: r for r in snapshot_diff(old, new, ["id"]).collect()}
+    assert rows[1]["change_type"] == "deleted" and rows[1]["n_cols_changed"] is None
+    assert rows[2]["change_type"] == "changed" and rows[2]["n_cols_changed"] == 2
+    assert rows[4]["change_type"] == "inserted"
+    assert 3 not in rows  # NULL == NULL under eqNullSafe: unchanged
+
+
+def test_snapshot_diff_versions_over_warehouse(spark, tmp_path):
+    from pg_auto_dw_spark.functions.diff import snapshot_diff_versions
+    from pg_auto_dw_spark.warehouse import Warehouse
+    from pyspark.sql import types as T
+
+    wh = Warehouse(spark, str(tmp_path / "wh"), retain_generations=3)
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    wh.create_table("t.snap", schema)
+    # versions come from pointer commits (overwrite), not in-place appends
+    wh.overwrite("t.snap", spark.createDataFrame([(1, "x"), (2, "y")], schema))
+    v1 = wh.history("t.snap")[-1]["version"]
+    wh.overwrite("t.snap", spark.createDataFrame([(1, "x"), (2, "z"), (3, "w")], schema))
+    v2 = wh.history("t.snap")[-1]["version"]
+    d = {r["id"]: r["change_type"] for r in
+         snapshot_diff_versions(wh, "t.snap", v1, v2, ["id"]).collect()}
+    assert d == {2: "changed", 3: "inserted"}
+
+
+def test_snapshot_diff_validates_inputs(spark):
+    import pytest as _pytest
+
+    from pg_auto_dw_spark.functions.diff import snapshot_diff
+
+    df = spark.createDataFrame([(1, "a")], "id long, name string")
+    with _pytest.raises(ValueError):
+        snapshot_diff(df, df, [])
+    with _pytest.raises(ValueError):
+        snapshot_diff(df, df.drop("name"), ["id"], compare_columns=["name"])
