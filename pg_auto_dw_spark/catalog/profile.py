@@ -188,7 +188,6 @@ def validate_constraints(
     present majority first when even that is too much -- the Bloom
     no-false-negative contract means only probe-misses need the exact
     join."""
-    checks: list[DataFrame] = []
     agg_exprs = [F.count(F.lit(1)).alias("__n")]
     if pk_columns:
         key_ok = None
@@ -200,7 +199,6 @@ def validate_constraints(
                 *[F.when(key_ok, F.col(c)) for c in pk_columns]
             ).alias("__nd_pk")
         )
-        agg_exprs.append(F.sum(F.when(key_ok, 0).otherwise(1)).alias("__null_pk"))
     for c in not_null or []:
         agg_exprs.append(
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nn_{c}")

@@ -762,7 +762,11 @@ def bloom_build(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """ONE-row DataFrame holding a Bloom filter over the benchmark's
-    distinct word-n-grams: (bits array<long>, m_bits, k, n_grams).
+    distinct word-n-grams: (bits array<long>, m_bits, k, n, n_grams).
+    The gram size ``n`` is stored ON the row so probes of a prebuilt
+    bloom always hash the same gram unit the bitset was built from --
+    a probe with mismatched n would silently break the
+    no-false-negative contract.
 
     The benchmark side of decontamination is bounded by construction
     (eval suites are megabytes against a 100 TB corpus), so its gram
@@ -788,8 +792,8 @@ def bloom_build(
             words[pos // 64] |= np.uint64(1) << np.uint64(pos % 64)
     spark = benchmark.sparkSession
     return spark.createDataFrame(
-        [([int(w) for w in words.view(np.int64)], m_bits, k, len(pairs))],
-        "bits array<bigint>, m_bits bigint, k int, n_grams bigint",
+        [([int(w) for w in words.view(np.int64)], m_bits, k, n, len(pairs))],
+        "bits array<bigint>, m_bits bigint, k int, n int, n_grams bigint",
     )
 
 
@@ -808,6 +812,32 @@ def _bloom_probe(h1, h2, bits_col, m_bits: int, k: int):
     for t in tests[1:]:
         hit = hit & t
     return hit
+
+
+def _with_bloom_hit(docs: DataFrame, bloom: DataFrame, text_col: str) -> DataFrame:
+    """``docs`` plus a ``bloom_hit`` boolean, probed IN PLACE: each
+    document's gram ARRAY through ``F.exists`` (short-circuits on the
+    first hit) against the broadcast 1-row bitset -- no explode, no
+    rollup, no id join; a pure map with zero shuffles. Gramless docs
+    (shorter than n tokens) get FALSE (exists over an empty array).
+    m, k, n all come from the bloom row, so probe and build cannot
+    disagree."""
+    head = bloom.first()
+    m_bits, k, n = int(head["m_bits"]), int(head["k"]), int(head["n"])
+
+    def gram_hit(g):
+        h1, h2 = _gram_hash_pair(g)
+        return _bloom_probe(h1, h2, F.col("bits"), m_bits, k)
+
+    return (
+        docs.join(F.broadcast(bloom.select("bits")))
+        # bind the tokenization to a column first (the word_tokens
+        # module contract: inlined into the gram lambda it re-evaluates
+        # per gram element, a measured 6x slowdown)
+        .withColumn("__toks", word_tokens(F.col(text_col)))
+        .withColumn("bloom_hit", F.exists(ngrams_of(F.col("__toks"), n), gram_hit))
+        .drop("bits", "__toks")
+    )
 
 
 def bloom_contamination_flags(
@@ -836,34 +866,17 @@ def bloom_contamination_flags(
     ~(k*n/m)^k rate). ``with_exact`` adds the exact join verdict for
     audit/verification -- production callers leave it off. Pass a
     prebuilt ``bloom`` (from ``bloom_build``) to probe many corpora --
-    or every micro-batch of a stream -- against one frozen bitset;
-    ``k`` must then match the build (it is stored on the bloom row and
-    re-read here)."""
+    or every micro-batch of a stream -- against one frozen bitset; the
+    probe parameters (m, k, AND the gram size n) are stored on the
+    bloom row and re-read here, so they cannot mismatch the build."""
     if bloom is None:
         if benchmark is None:
             raise ValueError("need either a benchmark frame or a prebuilt bloom")
         bloom = bloom_build(benchmark, n, m_bits, k, text_col, id_col)
     if with_exact and benchmark is None:
         raise ValueError("with_exact needs the benchmark frame")
-    head = bloom.first()
-    m_actual, k = int(head["m_bits"]), int(head["k"])
-
-    def gram_hit(g):
-        h1, h2 = _gram_hash_pair(g)
-        return _bloom_probe(h1, h2, F.col("bits"), m_actual, k)
-
-    # probe the per-doc gram ARRAY in place (F.exists short-circuits on
-    # the first hit): no explode, no per-doc rollup shuffle, no join
-    # back for gramless docs (exists over an empty array is FALSE) --
-    # the operator is a pure map over the corpus, zero shuffles total
-    out = (
-        docs.select(F.col(id_col), word_tokens(F.col(text_col)).alias("__toks"))
-        .join(F.broadcast(bloom.select("bits")))
-        .select(
-            F.col(id_col),
-            F.exists(ngrams_of(F.col("__toks"), n), gram_hit).alias("bloom_hit"),
-        )
-    )
+    n = int(bloom.first()["n"])
+    out = _with_bloom_hit(docs, bloom, text_col).select(id_col, "bloom_hit")
     if with_exact:
         d = _gram_table(docs, id_col, id_col, text_col, n)
         bg = _gram_table(benchmark, id_col, "bench_id", text_col, n).select("gram").distinct()
@@ -887,11 +900,11 @@ def bloom_decontaminate(
     whose word-n-gram stream misses the broadcast benchmark bitset
     entirely. Conservative by the Bloom contract -- never keeps a
     contaminated document, drops a clean one at the designed
-    false-positive rate. The removal is a broadcast anti-join on the
-    bounded flagged-id set, same altitude as ``decontaminate``."""
-    flagged = (
-        bloom_contamination_flags(docs, benchmark, n, m_bits, k, text_col, id_col)
-        .filter(F.col("bloom_hit"))
-        .select(id_col)
+    false-positive rate. The verdict is computed IN PLACE and filtered
+    in the SAME pass (one corpus scan, zero shuffles) -- no flagged-id
+    collection, so the removal cost is independent of how contaminated
+    the corpus is."""
+    bloom = bloom_build(benchmark, n, m_bits, k, text_col, id_col)
+    return _with_bloom_hit(docs, bloom, text_col).filter(~F.col("bloom_hit")).drop(
+        "bloom_hit"
     )
-    return docs.join(F.broadcast(flagged), id_col, "left_anti")

@@ -37,6 +37,9 @@ def snapshot_diff(
         raise ValueError("snapshot_diff needs at least one key column")
     shared = [c for c in old.columns if c in set(new.columns) and c not in key_columns]
     cols = compare_columns if compare_columns is not None else shared
+    keyed = [c for c in cols if c in key_columns]
+    if keyed:
+        raise ValueError(f"key columns cannot be compare columns: {keyed}")
     missing = [c for c in cols if c not in shared]
     if missing:
         raise ValueError(f"compare columns not in both snapshots: {missing}")

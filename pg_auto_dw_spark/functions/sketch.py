@@ -61,7 +61,10 @@ def equi_width_histogram(
 ) -> DataFrame:
     """Per-group equi-width histogram over ``[lo, hi)``: one row per
     (group, bucket) with a BIGINT count; out-of-range values clamp into
-    the edge buckets so every row is counted exactly once.
+    the edge buckets so every NON-NULL value is counted exactly once
+    (NULL measures are excluded up front -- Spark's greatest() skips
+    null arguments, so without the filter a NULL would silently land
+    in bucket 0 and corrupt the profile).
 
     This is the EXACT single-pass profile companion to the sketches
     above: bucket assignment is one codegen floor expression, the only
@@ -71,6 +74,7 @@ def equi_width_histogram(
     columns are integers only (bucket index + count); callers derive
     bucket bounds as lo + bucket * (hi - lo) / n_buckets."""
     width = (hi - lo) / n_buckets
+    df = df.filter(F.col(col).isNotNull())
     v = F.col(col)
     bucket = F.least(
         F.lit(n_buckets - 1),

@@ -4956,7 +4956,7 @@ def documents_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame
            CAST(least(19, greatest(0, floor((value - 0.0) / 25.0))) AS BIGINT)
                AS bucket,
            COUNT(*) AS cnt
-    FROM events GROUP BY 1, 2
+    FROM events WHERE value IS NOT NULL GROUP BY 1, 2
     """,
 )
 def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -18,6 +18,7 @@ reads a partitioned directory tree and Catalyst prunes partitions.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -207,7 +208,7 @@ def split_csv_lines(
     # the unquoted machine-generated landing-zone shape; audit the
     # quarantine for quoted rows rather than silently accepting arity
     # drift.
-    n_seps = F.size(F.split(F.col("__line"), F.lit(sep), -1)) - 1
+    n_seps = F.size(F.split(F.col("__line"), F.lit(re.escape(sep)), -1)) - 1
     bad = (
         F.col("__c").getField(corrupt_col).isNotNull()
         | F.col("__c").isNull()

@@ -817,8 +817,6 @@ def jsonl_decontam_ingest_apply(
     batch_df,
     batch_id: int,
     text_col: str = "text",
-    id_col: str = "doc_id",
-    n: int = 8,
 ) -> dict:
     """One micro-batch of the DECONTAMINATING landing zone: raw JSONL
     lines split three ways in one warehouse transaction --
@@ -837,7 +835,7 @@ def jsonl_decontam_ingest_apply(
     cannot shift verdicts."""
     from pyspark.sql import functions as F
 
-    from ..functions.corpus import bloom_contamination_flags
+    from ..functions.corpus import _with_bloom_hit
 
     ledger = f"{clean_table}.ingest_log"
     if not wh.exists(ledger):
@@ -848,13 +846,12 @@ def jsonl_decontam_ingest_apply(
     from ..sources import split_jsonl_lines
 
     typed, quarantined = split_jsonl_lines(batch_df.localCheckpoint(), schema)
-    typed = typed.localCheckpoint()  # read by the probe + two appends
-    flags = bloom_contamination_flags(
-        typed, n=n, text_col=text_col, id_col=id_col, bloom=bloom
-    )
-    keep_ids = flags.filter(~F.col("bloom_hit")).select(id_col)
-    clean = typed.join(F.broadcast(keep_ids), id_col, "left_semi")
-    contaminated = typed.join(F.broadcast(keep_ids), id_col, "left_anti")
+    # route each row by its own in-place probe verdict -- no id joins,
+    # so NULL-id rows route by their text like any other row (an
+    # id-keyed semi join would misfile every NULL id as contaminated)
+    flagged = _with_bloom_hit(typed, bloom, text_col).localCheckpoint()
+    clean = flagged.filter(~F.col("bloom_hit")).drop("bloom_hit")
+    contaminated = flagged.filter(F.col("bloom_hit")).drop("bloom_hit")
 
     for t in (clean_table, contaminated_table):
         if not wh.exists(t):
@@ -907,14 +904,16 @@ def jsonl_decontam_ingest_stream(
     bytes, identical across batches and restarts."""
     from ..functions.corpus import bloom_build
 
-    bloom = bloom_build(benchmark, n=n, m_bits=m_bits, text_col=text_col).localCheckpoint()
+    bloom = bloom_build(
+        benchmark, n=n, m_bits=m_bits, text_col=text_col, id_col=id_col
+    ).localCheckpoint()
 
     def sink(batch_df, batch_id):
         if batch_df.isEmpty():
             return
         jsonl_decontam_ingest_apply(
             wh, clean_table, contaminated_table, quarantine_table, schema,
-            bloom, batch_df, batch_id, text_col, id_col, n,
+            bloom, batch_df, batch_id, text_col,
         )
 
     return (

@@ -1325,3 +1325,54 @@ def test_validate_constraints_empty_declaration(spark):
 
     df = spark.createDataFrame([(1,)], "id long")
     assert validate_constraints(df).count() == 0
+
+
+def test_equi_width_histogram_excludes_nulls(spark):
+    from pg_auto_dw_spark.functions.sketch import equi_width_histogram
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", None)], "k string, v double"
+    )
+    out = {
+        (r["k"], r["bucket"]): r["cnt"]
+        for r in equi_width_histogram(df, ["k"], "v", 0.0, 100.0, 10).collect()
+    }
+    # NULLs are excluded, never silently clamped into bucket 0
+    assert out == {("a", 0): 1}
+
+
+def test_csv_quarantine_regex_metachar_separator(spark, tmp_path):
+    from pg_auto_dw_spark.sources import read_csv_quarantine
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    p = tmp_path / "pipes"
+    p.mkdir()
+    (p / "f.csv").write_text("1|alpha\n2|beta\n3|gamma|extra\n")
+    schema = StructType(
+        [StructField("id", LongType()), StructField("name", StringType())]
+    )
+    clean, quar = read_csv_quarantine(spark, str(p), schema, sep="|")
+    assert sorted(tuple(r) for r in clean.collect()) == [(1, "alpha"), (2, "beta")]
+    assert [r["raw_line"] for r in quar.collect()] == ["3|gamma|extra"]
+
+
+def test_bloom_prebuilt_carries_gram_size(spark):
+    """A prebuilt bloom probes with the gram size it was BUILT with --
+    the n parameter cannot silently mismatch."""
+    from pg_auto_dw_spark.functions.corpus import (
+        bloom_build,
+        bloom_contamination_flags,
+    )
+
+    bench = spark.createDataFrame(
+        [(1, "one two three four five")], "doc_id long, text string"
+    )
+    bloom = bloom_build(bench, n=3)
+    docs = spark.createDataFrame(
+        [(10, "xx one two three yy"), (11, "nothing shared at all here")],
+        "doc_id long, text string",
+    )
+    # default n=8 would find no 8-grams anywhere; the stored n=3 must win
+    out = {r["doc_id"]: r["bloom_hit"]
+           for r in bloom_contamination_flags(docs, bloom=bloom).collect()}
+    assert out == {10: True, 11: False}

@@ -219,3 +219,13 @@ def test_snapshot_diff_validates_inputs(spark):
         snapshot_diff(df, df, [])
     with _pytest.raises(ValueError):
         snapshot_diff(df, df.drop("name"), ["id"], compare_columns=["name"])
+
+
+def test_snapshot_diff_rejects_key_as_compare_column(spark):
+    import pytest as _pytest
+
+    from pg_auto_dw_spark.functions.diff import snapshot_diff
+
+    df = spark.createDataFrame([(1, "a")], "id long, name string")
+    with _pytest.raises(ValueError, match="key columns cannot"):
+        snapshot_diff(df, df, ["id"], compare_columns=["id", "name"])

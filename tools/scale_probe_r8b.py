@@ -76,7 +76,6 @@ def main() -> None:
     print(f"{'operator':<28}{'sf':>5}{'rows':>10}{'median':>10}")
     for factor in (1, 10):
         docs = docs_at(factor)
-        events = load_table(spark, sf_dir, "events")
         timed("gopher_rules", factor, lambda: gopher_rules(docs).count())
         # benchmark slice FIXED at the 1x members: the eval suite does
         # not grow with the corpus -- that asymmetry is the operator's
@@ -87,24 +86,25 @@ def main() -> None:
             factor,
             lambda: bloom_contamination_flags(docs, bench, m_bits=2**17).count(),
         )
+        # same shape at both factors (the events table has no 10x
+        # twin): histogram the docs' n_chars by lang so the 1x/10x
+        # ratio measures the same workload
         timed(
             "equi_width_histogram",
             factor,
             lambda: equi_width_histogram(
-                events, ["event_type"], "value", 0.0, 500.0, 20
-            ).count()
-            if factor == 1
-            else equi_width_histogram(
                 docs, ["lang"], "n_chars", 0.0, 600.0, 20
             ).count(),
         )
-        timed(
-            "bpe_train_100_merges",
-            factor,
-            lambda: len(bpe_train(docs, n_merges=100)),
-        )
-        merges = bpe_train(docs, n_merges=100)
-        timed("bpe_apply", factor, lambda: bpe_apply(docs, merges).count())
+        trained: dict = {}
+
+        def train_once():
+            trained["m"] = bpe_train(docs, n_merges=100)
+            return len(trained["m"])
+
+        timed("bpe_train_100_merges", factor, train_once)
+        # reuse the last timed run's merges -- no fourth training pass
+        timed("bpe_apply", factor, lambda: bpe_apply(docs, trained["m"]).count())
 
 
 if __name__ == "__main__":
