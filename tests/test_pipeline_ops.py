@@ -1376,3 +1376,45 @@ def test_bloom_prebuilt_carries_gram_size(spark):
     out = {r["doc_id"]: r["bloom_hit"]
            for r in bloom_contamination_flags(docs, bloom=bloom).collect()}
     assert out == {10: True, 11: False}
+
+
+def test_shard_assignments_deterministic_and_balanced(spark, sf_dir):
+    from pg_auto_dw_spark.functions.shard import shard_assignments
+    from pg_auto_dw_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = shard_assignments(docs, 8, seed=1)
+    b = shard_assignments(docs.repartition(13), 8, seed=1)
+    ra = {(r["doc_id"], r["shard"], r["shuffle_key"]) for r in a.collect()}
+    rb = {(r["doc_id"], r["shard"], r["shuffle_key"]) for r in b.collect()}
+    assert ra == rb  # partitioning-independent
+    sizes = [r["cnt"] for r in a.groupBy("shard").agg(F.count("*").alias("cnt")).collect()]
+    n = docs.count()
+    assert len(sizes) == 8
+    assert max(sizes) < 2 * n / 8  # md5 spreads roughly evenly
+    # a different seed is a different epoch order
+    c = {(r["doc_id"], r["shuffle_key"])
+         for r in shard_assignments(docs, 8, seed=2).collect()}
+    assert c != {(d, k) for d, s, k in ra}
+
+
+def test_write_and_read_training_shards_ordered(spark, tmp_path, sf_dir):
+    from pg_auto_dw_spark.functions.shard import (
+        read_shard,
+        shard_assignments,
+        write_training_shards,
+    )
+    from pg_auto_dw_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(300)
+    path = str(tmp_path / "shards")
+    write_training_shards(docs, path, n_shards=4, seed=7)
+    expected = {}
+    for r in shard_assignments(docs, 4, seed=7).collect():
+        expected.setdefault(r["shard"], []).append((r["shuffle_key"], r["doc_id"]))
+    total = 0
+    for s in range(4):
+        got = [(r["shuffle_key"], r["doc_id"]) for r in read_shard(spark, path, s).collect()]
+        assert got == sorted(expected[s])  # written in shuffle_key order
+        total += len(got)
+    assert total == 300
