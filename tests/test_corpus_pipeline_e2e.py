@@ -80,3 +80,58 @@ def test_corpus_pipeline_composes(spark, sf_dir):
     assert stats["total_tokens"] == total
     assert stats["n_sequences"] == -(-total // 512)
     assert 0 < stats["last_seq_fill"] <= 512
+
+
+def test_tokenize_budget_pack_shard_composition(spark, sf_dir, tmp_path):
+    """The full batch-construction tail with the REAL tokenizer: train
+    BPE on the corpus, score exact token counts, filter by gopher
+    rules + bloom decontamination, pack the survivors, shard the
+    epoch. Column contracts hold at every seam; nothing contaminated
+    or rule-failing reaches a shard."""
+    from pyspark.sql import functions as F
+
+    from pg_auto_dw_spark.functions.corpus import (
+        bloom_decontaminate,
+        pack_sequences,
+    )
+    from pg_auto_dw_spark.functions.shard import shard_assignments
+    from pg_auto_dw_spark.functions.text import gopher_rules
+    from pg_auto_dw_spark.functions.tokenizer import bpe_apply, bpe_train
+    from pg_auto_dw_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(400)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+
+    # 1. rule filter (codegen scan) -> keep passing docs
+    verdicts = gopher_rules(docs, min_words=10, min_stopwords=1)
+    kept_ids = verdicts.filter(F.col("gopher_pass")).select("doc_id")
+    kept = docs.join(kept_ids, "doc_id", "left_semi")
+
+    # 2. decontaminate in place (zero-shuffle bloom)
+    clean = bloom_decontaminate(kept, bench, m_bits=2**17)
+    assert "bloom_hit" not in clean.columns  # verdict column consumed
+    clean_ids = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    # benchmark members with at least one 8-gram flag themselves out
+    long_bench = {
+        r["doc_id"]
+        for r in bench.select(
+            "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("w")
+        ).collect()
+        if r["w"] >= 8
+    }
+    assert clean_ids.isdisjoint(long_bench)
+
+    # 3. real tokenizer: exact counts for the packing step
+    merges = bpe_train(clean, n_merges=120)
+    counts = bpe_apply(clean, merges)
+    assert counts.count() == len(clean_ids)
+
+    # 4. pack the survivors (placement map over the SAME id space)
+    packed = pack_sequences(clean, seq_tokens=512)
+    placed = {r["doc_id"] for r in packed.select("doc_id").collect()}
+    assert placed == clean_ids
+
+    # 5. shard the epoch; every placed doc lands in exactly one shard
+    sharded = shard_assignments(clean, n_shards=4, seed=3)
+    assert sharded.count() == len(clean_ids)
+    assert sharded.select("doc_id").distinct().count() == len(clean_ids)

@@ -373,3 +373,77 @@ def test_bigram_logprob_model_invariants(spark, texts):
             assert out[i]["n_bigrams"] == len(t) - 1
             assert out[i]["avg_logprob"] <= 1e-12
             assert math.isfinite(out[i]["avg_logprob"])
+
+
+# --- round-8 session-2 operator invariants -------------------------------
+
+words_st = st.lists(
+    st.text(alphabet="abcdefgh", min_size=1, max_size=5), min_size=0, max_size=30
+).map(" ".join)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(words_st, min_size=1, max_size=12),
+    bench_idx=st.sets(st.integers(min_value=0, max_value=11), max_size=4),
+    n=st.integers(min_value=2, max_value=4),
+)
+def test_bloom_never_false_negative(spark, texts, bench_idx, n):
+    """For ANY corpus, benchmark subset, and gram size: every document
+    with a true gram overlap must be bloom-flagged (the contract that
+    makes filter-at-ingest safe)."""
+    from pg_auto_dw_spark.functions.corpus import (
+        bloom_contamination_flags,
+        word_ngrams,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    bench = docs.filter(F.col("doc_id").isin([int(i) for i in bench_idx] or [-1]))
+    if bench.count() == 0:
+        return
+    # smallest legal bitset to maximize false-positive pressure
+    flags = {
+        r["doc_id"]: (r["bloom_hit"], r["exact_hit"])
+        for r in bloom_contamination_flags(
+            docs, bench, n=n, m_bits=1024, with_exact=True
+        ).collect()
+    }
+    assert all(hit for hit, exact in flags.values() if exact)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=st.lists(words_st.filter(lambda t: t.strip()), min_size=1, max_size=8))
+def test_bpe_apply_count_bounds(spark, texts):
+    """Exact BPE counts are bounded: at least 1 token per word, at most
+    chars+1 per word (the untrained ceiling), under any learned merges."""
+    from pg_auto_dw_spark.functions.tokenizer import bpe_apply, bpe_train
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = bpe_train(docs, n_merges=30)
+    got = {r["doc_id"]: r["n_bpe_tokens"] for r in bpe_apply(docs, merges).collect()}
+    for i, t in enumerate(texts):
+        ws = [w for w in t.split() if w]
+        lo = len(ws)
+        hi = sum(len(w) + 1 for w in ws)
+        assert lo <= got[i] <= hi
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.floats(min_value=-1e6, max_value=1e6, allow_nan=False)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_histogram_counts_every_nonnull_once(spark, vals):
+    from pg_auto_dw_spark.functions.sketch import equi_width_histogram
+
+    df = spark.createDataFrame([("g", v) for v in vals], "k string, v double")
+    rows = equi_width_histogram(df, ["k"], "v", 0.0, 100.0, 10).collect()
+    assert sum(r["cnt"] for r in rows) == sum(1 for v in vals if v is not None)
+    assert all(0 <= r["bucket"] <= 9 for r in rows)
