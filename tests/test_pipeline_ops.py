@@ -1418,3 +1418,39 @@ def test_write_and_read_training_shards_ordered(spark, tmp_path, sf_dir):
         assert got == sorted(expected[s])  # written in shuffle_key order
         total += len(got)
     assert total == 300
+
+
+def test_grouped_correlations_exact(spark):
+    from pg_auto_dw_spark.functions.stats import grouped_correlations
+
+    rows = [("g", float(i), 2.0 * i + 1.0, float(-i), None if i == 2 else 5.0)
+            for i in range(6)]
+    df = spark.createDataFrame(rows, "k string, a double, b double, c double, d double")
+    out = {
+        (r["col_x"], r["col_y"]): r
+        for r in grouped_correlations(df, ["k"], ["a", "b", "c", "d"]).collect()
+    }
+    assert len(out) == 6  # C(4,2) pairs, one group
+    assert abs(out[("a", "b")]["corr"] - 1.0) < 1e-12      # perfectly linear
+    assert abs(out[("a", "c")]["corr"] + 1.0) < 1e-12      # anti-correlated
+    assert out[("a", "d")]["corr"] is None                  # constant column
+    assert out[("a", "d")]["n_pairs"] == 5                  # pairwise null drop
+    # covar of a with b=2a+1 over 0..5: var(a)*2
+    import statistics
+    var_a = statistics.variance(range(6))
+    assert abs(out[("a", "b")]["covar_samp"] - 2 * var_a) < 1e-9
+
+
+def test_grouped_correlations_single_pass_plan(spark, sf_dir):
+    """All pairs aggregate in ONE exchange (no per-pair scans)."""
+    from pg_auto_dw_spark.functions.stats import grouped_correlations
+    from pg_auto_dw_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "v2", F.col("value") * 2
+    ).withColumn("v3", F.col("value") + F.col("user_id"))
+    plan = grouped_correlations(ev, ["event_type"], ["value", "v2", "v3"])._jdf.queryExecution().explainString(
+        ev._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    tree = plan.split("\n\n")[0]
+    assert sum("Exchange" in ln for ln in tree.splitlines()) == 1
