@@ -102,6 +102,14 @@ def register(name: str, sql: str | None):
 #                             contract tests in test_multimodal_codec.py)
 # Demote today's head to _DEPRIORITIZED; register nothing new into
 # the head without the retire-and-replace path.
+# r10 oracle candidates (pytest-verified this round, each needs a
+# designated retirement when registered): documents_bpe_token_counts
+# (rows-only -- iterative algorithm; or exact via a pinned literal
+# merge list), documents_shard_plan (md5 integer math, fully
+# cross-engine), snapshot_diff over a template-scratch table pair,
+# events_correlation_matrix (scaled-BIGINT emit of
+# stats.grouped_correlations), documents_hashed_embedding (noted r10
+# since r8 session 1).
 # Resting set snapshot:
 # python -c "from pg_auto_dw_spark import queries_catalog as q; \
 #            print(list(q.queries())[50:])"
