@@ -1232,3 +1232,69 @@ def ann_recall_summary(
             F.avg((F.col("recall") >= 1.0).cast("double")), decimals
         ).alias("frac_perfect"),
     )
+
+
+def ivf_index_health(wh, name: str, imbalance_threshold: float = 4.0) -> dict:
+    """Index-maintenance signal for a persisted IVF index: cell-size
+    distribution of the assignment table plus the imbalance verdict
+    that gates a rebuild.
+
+    Ingest drift concentrates vectors in a few cells (append_to_ivf_index
+    deliberately never retrains); a hot cell makes every probe that
+    touches it scan-bound, the same failure mode as an LSH hot bucket.
+    Cost: one column-pruned scan of the assignment table aggregated to
+    <= n_cells rows (map-side combined), then a bounded driver reduce.
+    ``imbalanced`` = max cell > threshold x mean cell -- the rebuild
+    trigger the append path's docstring promises."""
+    sizes = (
+        wh.read(f"{name}.assignment")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    n_cells_live = len(sizes)
+    n_codebook = wh.read(f"{name}.codebook").count()
+    counts = [r["n"] for r in sizes]
+    total = sum(counts)
+    mx = max(counts) if counts else 0
+    mean = total / n_cells_live if n_cells_live else 0.0
+    return {
+        "n_vectors": total,
+        "n_codebook_cells": int(n_codebook),
+        "n_live_cells": n_cells_live,
+        "n_empty_cells": int(n_codebook) - n_cells_live,
+        "max_cell": mx,
+        "mean_cell": mean,
+        "imbalance": (mx / mean) if mean else 0.0,
+        "imbalanced": bool(mean and mx > imbalance_threshold * mean),
+    }
+
+
+def maybe_rebalance_ivf_index(
+    wh,
+    corpus: DataFrame,
+    name: str,
+    imbalance_threshold: float = 4.0,
+    **build_kwargs,
+) -> dict:
+    """The rebuild trigger: measure index health and, ONLY when the
+    cell distribution has drifted past the threshold, retrain the
+    codebook and re-assign everything from ``corpus`` (the index's
+    source of truth at rest) via ``build_ivf_index`` -- a single atomic
+    two-table overwrite, so probes never see a half-rebalanced index.
+    Returns {"action": "rebuilt"|"noop", "health": <pre-measure>,
+    "health_after": <post-measure, rebuilt only>}.
+
+    Scale contract: the health probe is one bounded aggregation; the
+    rebuild is the build cost (one kernel assignment pass over the
+    corpus) paid only when drift actually happened -- schedule this
+    after ingest windows instead of rebuilding unconditionally."""
+    health = ivf_index_health(wh, name, imbalance_threshold)
+    if not health["imbalanced"]:
+        return {"action": "noop", "health": health}
+    build_ivf_index(wh, corpus, name, **build_kwargs)
+    return {
+        "action": "rebuilt",
+        "health": health,
+        "health_after": ivf_index_health(wh, name, imbalance_threshold),
+    }
