@@ -140,3 +140,50 @@ def heavy_hitters(
         .filter(F.col("cnt") >= F.lit(min_share) * F.col("__total"))
         .select(col, "cnt", (F.col("cnt") / F.col("__total")).alias("share"))
     )
+
+
+def skew_report(
+    df: DataFrame,
+    keys: list[str],
+    parallelism: int | None = None,
+    hot_share: float = 0.01,
+) -> dict:
+    """Pre-flight skew diagnosis for a planned groupBy/join on ``keys``:
+    the advisor that tells an operator WHETHER to reach for the levers
+    in this module (salted_agg / salted_join) and with what factor,
+    before a hot key burns a stage.
+
+    One count-by-key pass (map-side combined) reduced to bounded
+    driver-side stats: total rows, distinct keys, the max key's share,
+    and the keys above ``hot_share``. ``suggested_salt`` is the factor
+    that splits the hottest key across the cluster: ceil(max_key_rows /
+    ideal_rows_per_task), 1 when nothing is hot (salting has a cost --
+    the advisor recommends it only when a single key exceeds one
+    task's fair share). Everything returned is bounded by construction
+    (at most 1/hot_share hot keys)."""
+    import math
+
+    parallelism = parallelism or df.sparkSession.sparkContext.defaultParallelism
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+    stats = counts.agg(
+        F.sum("cnt").alias("total"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_key"),
+    ).collect()[0]
+    total, n_keys, max_key = stats["total"] or 0, stats["n_keys"], stats["max_key"] or 0
+    hot = (
+        counts.crossJoin(F.broadcast(counts.agg(F.sum("cnt").alias("__t"))))
+        .filter(F.col("cnt") >= F.lit(hot_share) * F.col("__t"))
+        .orderBy(F.col("cnt").desc(), *keys)
+        .select(*keys, "cnt")
+        .collect()
+    )
+    ideal = total / parallelism if parallelism else 0
+    return {
+        "total_rows": int(total),
+        "n_keys": int(n_keys),
+        "max_key_rows": int(max_key),
+        "max_key_share": (max_key / total) if total else 0.0,
+        "hot_keys": [tuple(r) for r in hot],
+        "suggested_salt": int(math.ceil(max_key / ideal)) if ideal and max_key > ideal else 1,
+    }

@@ -214,3 +214,35 @@ def test_range_join_time_skew_bounded(spark):
             per_sec[s] for s in range(600) if ls - 600 <= s <= ls
         )
         assert n == want, (lid, n, want)
+
+
+def test_skew_report_flags_hot_key_and_suggests_salt(spark):
+    from pg_auto_dw_spark.functions.skew import salted_agg, skew_report
+    from pyspark.sql import functions as F
+
+    # one key holds ~91% of rows
+    df = spark.createDataFrame(
+        [("hot", i) for i in range(1000)] + [(f"k{i}", i) for i in range(100)],
+        "k string, v long",
+    )
+    rep = skew_report(df, ["k"], parallelism=8, hot_share=0.05)
+    assert rep["total_rows"] == 1100 and rep["n_keys"] == 101
+    assert rep["max_key_rows"] == 1000
+    assert rep["hot_keys"][0][0] == "hot"
+    # 1000 rows vs ideal 1100/8=137.5 -> ceil(7.27) = 8-way salt
+    assert rep["suggested_salt"] == 8
+    # the suggestion actually works with the module's lever
+    out = salted_agg(df, ["k"], [("sum", "v", "v_sum")], n_salts=rep["suggested_salt"])
+    got = {r["k"]: r["v_sum"] for r in out.collect()}
+    assert got["hot"] == sum(range(1000))
+
+
+def test_skew_report_uniform_recommends_no_salt(spark):
+    from pg_auto_dw_spark.functions.skew import skew_report
+
+    df = spark.createDataFrame(
+        [(f"k{i % 50}", i) for i in range(500)], "k string, v long"
+    )
+    rep = skew_report(df, ["k"], parallelism=8)
+    assert rep["suggested_salt"] == 1
+    assert rep["max_key_share"] < 0.05
