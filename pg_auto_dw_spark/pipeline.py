@@ -1,0 +1,149 @@
+"""Training-corpus pipeline facade: the one-call composition of the
+package's data-prep operators, in the order a pretraining team runs
+them.
+
+    from pg_auto_dw_spark.pipeline import CorpusPipelineConfig, build_training_corpus
+
+    result = build_training_corpus(docs, benchmark=eval_docs,
+                                   config=CorpusPipelineConfig(n_shards=64))
+    result.placement      # (doc_id, seq_id, seq_offset, ...) packing map
+    result.sharded        # survivors + (shard, shuffle_key)
+    result.summary()      # per-stage row counts (forces computation)
+
+Stage order and the reason for it:
+
+1. rule filter (``text.gopher_rules``)       -- cheapest first: a pure
+   codegen scan drops junk before anything pays a shuffle for it.
+2. exact dedup (``dedup.dedup_exact``)       -- one digest shuffle;
+   keeps each text's canonical (min-id) copy.
+3. Bloom decontamination (``corpus.bloom_decontaminate``) -- zero-
+   shuffle in-place probe against the benchmark bitset (skipped when
+   no benchmark is given).
+4. temperature mixture (``sampling.temperature_sample``) -- optional,
+   rebalances sources under a row budget; zero-shuffle deterministic.
+5. token counting (``tokenizer.bpe_token_counts`` when
+   ``exact_tokens`` else the regex proxy) and packing
+   (``corpus.pack_sequences``) -- the placement map.
+6. epoch sharding (``shard.shard_assignments``) -- the one sanctioned
+   full shuffle happens in the WRITER (``shard.write_training_shards``),
+   not here; this facade stays lazy.
+
+Every stage is the already-tested operator -- this module adds only
+the composition and the stage-count report, no new semantics. All
+results are lazy DataFrames; nothing is computed until the caller
+acts (``summary()`` forces one count per stage).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class CorpusPipelineConfig:
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    # stage 1: rule filter (None disables)
+    min_words: int | None = 10
+    min_stopwords: int = 1
+    # stage 2: exact dedup
+    exact_dedup: bool = True
+    # stage 3: decontamination
+    bloom_m_bits: int | None = None
+    gram_n: int = 8
+    # stage 4: mixture (strata_col None disables)
+    strata_col: str | None = None
+    alpha: float = 0.5
+    budget_rows: int | None = None
+    # stage 5: tokens + packing
+    exact_tokens: bool = False
+    bpe_merges: int = 200
+    seq_tokens: int = 2048
+    # stage 6: sharding
+    n_shards: int = 64
+    seed: int = 0
+
+
+@dataclass
+class CorpusPipelineResult:
+    input: DataFrame
+    survivors: DataFrame
+    token_counts: DataFrame
+    placement: DataFrame
+    sharded: DataFrame
+    stages: list[tuple[str, DataFrame]] = field(default_factory=list)
+
+    def summary(self) -> list[tuple[str, int]]:
+        """Per-stage surviving row counts, in stage order (forces one
+        count per stage -- call once, on purpose)."""
+        return [(name, df.count()) for name, df in self.stages]
+
+
+def build_training_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    config: CorpusPipelineConfig | None = None,
+) -> CorpusPipelineResult:
+    from .functions.corpus import bloom_decontaminate, pack_sequences
+    from .functions.dedup import dedup_exact
+    from .functions.sampling import temperature_sample
+    from .functions.shard import shard_assignments
+    from .functions.text import gopher_rules, token_counts
+    from .functions.tokenizer import bpe_token_counts
+
+    cfg = config or CorpusPipelineConfig()
+    id_col, text_col = cfg.id_col, cfg.text_col
+    stages: list[tuple[str, DataFrame]] = [("input", docs)]
+    cur = docs
+
+    if cfg.min_words is not None:
+        verdicts = gopher_rules(
+            cur, text_col, id_col,
+            min_words=cfg.min_words, min_stopwords=cfg.min_stopwords,
+        )
+        keep = verdicts.filter(F.col("gopher_pass")).select(id_col)
+        cur = cur.join(keep, id_col, "left_semi")
+        stages.append(("gopher_rules", cur))
+
+    if cfg.exact_dedup:
+        canon = dedup_exact(cur, text_col, id_col).select(
+            F.col("canonical_id").alias(id_col)
+        )
+        cur = cur.join(canon, id_col, "left_semi")
+        stages.append(("exact_dedup", cur))
+
+    if benchmark is not None:
+        cur = bloom_decontaminate(
+            cur, benchmark, n=cfg.gram_n, m_bits=cfg.bloom_m_bits,
+            text_col=text_col, id_col=id_col,
+        )
+        stages.append(("bloom_decontaminate", cur))
+
+    if cfg.strata_col is not None:
+        cur = temperature_sample(
+            cur, id_col, cfg.strata_col, alpha=cfg.alpha,
+            budget_rows=cfg.budget_rows,
+        )
+        stages.append(("temperature_sample", cur))
+
+    counts = (
+        bpe_token_counts(cur, cfg.bpe_merges, text_col, id_col)
+        if cfg.exact_tokens
+        else token_counts(cur, text_col, id_col).select(
+            id_col, F.col("n_bpe_tokens")
+        )
+    )
+    placement = pack_sequences(cur, cfg.seq_tokens, text_col, id_col)
+    sharded = shard_assignments(cur, cfg.n_shards, cfg.seed, id_col)
+    stages.append(("sharded", sharded))
+    return CorpusPipelineResult(
+        input=docs,
+        survivors=cur,
+        token_counts=counts,
+        placement=placement,
+        sharded=sharded,
+        stages=stages,
+    )
