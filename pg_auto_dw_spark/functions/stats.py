@@ -71,3 +71,54 @@ def grouped_correlations(
         f"stack({len(pairs)}, {stack_args}) AS "
         "(col_x, col_y, corr, covar_samp, n_pairs)",
     )
+
+
+def drift_report(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 20,
+    epsilon: float = 1e-4,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column, per group: the standard data-drift monitor a corpus
+    pipeline runs between ingest windows (PSI < 0.1 stable, 0.1-0.25
+    drifting, > 0.25 shifted -- the usual reading).
+
+    Composes ``sketch.equi_width_histogram`` on both sides (one
+    map-side-combined count each, bounded at groups x buckets), joins
+    the bucket vectors full-outer (absent bucket = zero, floored at
+    ``epsilon`` so the log term is defined -- the standard PSI
+    smoothing), and reduces to one row per group:
+    (keys..., psi, n_old, n_new). Output bounded at the group count;
+    nothing here scales with row count beyond the two histogram
+    scans."""
+    from .sketch import equi_width_histogram
+
+    h_old = equi_width_histogram(old, keys, col, lo, hi, n_buckets)
+    h_new = equi_width_histogram(new, keys, col, lo, hi, n_buckets)
+    join_cols = [*keys, "bucket"]
+    j = (
+        h_old.withColumnRenamed("cnt", "cnt_old")
+        .join(h_new.withColumnRenamed("cnt", "cnt_new"), join_cols, "full_outer")
+        .fillna(0, subset=["cnt_old", "cnt_new"])
+    )
+    totals = (
+        j.groupBy(*keys)
+        .agg(
+            F.sum("cnt_old").alias("n_old"),
+            F.sum("cnt_new").alias("n_new"),
+        )
+    )
+    j = j.join(totals, keys)
+    p = F.greatest(F.lit(epsilon), F.try_divide(F.col("cnt_old"), F.col("n_old")))
+    q = F.greatest(F.lit(epsilon), F.try_divide(F.col("cnt_new"), F.col("n_new")))
+    term = (q - p) * F.log(q / p)
+    return (
+        j.groupBy(*keys, "n_old", "n_new")
+        .agg(F.sum(term).alias("psi"))
+        .select(*keys, "psi", "n_old", "n_new")
+    )

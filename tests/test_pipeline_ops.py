@@ -1454,3 +1454,35 @@ def test_grouped_correlations_single_pass_plan(spark, sf_dir):
     )
     tree = plan.split("\n\n")[0]
     assert sum("Exchange" in ln for ln in tree.splitlines()) == 1
+
+
+def test_drift_report_detects_shift(spark):
+    from pg_auto_dw_spark.functions.stats import drift_report
+
+    old = spark.createDataFrame(
+        [("g", float(i % 100)) for i in range(1000)], "k string, v double"
+    )
+    same = spark.createDataFrame(
+        [("g", float((i * 7) % 100)) for i in range(1000)], "k string, v double"
+    )
+    shifted = spark.createDataFrame(
+        [("g", 80.0 + (i % 20)) for i in range(1000)], "k string, v double"
+    )
+    stable = drift_report(old, same, ["k"], "v", 0.0, 100.0, 10).collect()[0]
+    moved = drift_report(old, shifted, ["k"], "v", 0.0, 100.0, 10).collect()[0]
+    assert stable["psi"] < 0.01          # same distribution
+    assert moved["psi"] > 0.25           # concentrated in the top buckets
+    assert stable["n_old"] == stable["n_new"] == 1000
+    # PSI is symmetric-ish in magnitude and always non-negative
+    assert moved["psi"] >= 0 and stable["psi"] >= 0
+
+
+def test_drift_report_absent_buckets_smoothed(spark):
+    from pg_auto_dw_spark.functions.stats import drift_report
+
+    old = spark.createDataFrame([("g", 5.0)] * 10, "k string, v double")
+    new = spark.createDataFrame([("g", 95.0)] * 10, "k string, v double")
+    out = drift_report(old, new, ["k"], "v", 0.0, 100.0, 10).collect()[0]
+    # totally disjoint buckets: finite (epsilon-smoothed), large PSI
+    import math
+    assert math.isfinite(out["psi"]) and out["psi"] > 1.0
