@@ -464,6 +464,7 @@ def pack_sequences(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 256,
+    token_counts_df: DataFrame | None = None,
 ) -> DataFrame:
     """Deterministic pack-then-chunk sequence packing (the GPT-style
     pretraining batch-construction step): documents are laid end-to-end
@@ -488,16 +489,33 @@ def pack_sequences(
     of truth)."""
     t = F.col(text_col)
     h = F.md5(F.col(id_col).cast("string"))
-    feats = docs.select(
-        F.col(id_col),
-        F.size(
-            F.regexp_extract_all(t, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0)
-        ).cast("long").alias("n_bpe_tokens"),
-        h.alias("h"),
-        F.pmod(F.conv(F.substring(h, 1, 4), 16, 10).cast("bigint"), F.lit(n_buckets)).alias(
-            "bucket"
-        ),
-    )
+    if token_counts_df is not None:
+        # caller-supplied counts (e.g. the REAL tokenizer's exact
+        # counts, tokenizer.bpe_apply): the placement map must use the
+        # SAME accounting the packing writer slices with, or every
+        # sequence boundary misaligns. One doc-keyed join; the proxy
+        # path below stays zero-join.
+        feats = docs.select(F.col(id_col)).join(
+            token_counts_df.select(id_col, "n_bpe_tokens"), id_col
+        ).select(
+            F.col(id_col),
+            F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+            h.alias("h"),
+            F.pmod(
+                F.conv(F.substring(h, 1, 4), 16, 10).cast("bigint"), F.lit(n_buckets)
+            ).alias("bucket"),
+        )
+    else:
+        feats = docs.select(
+            F.col(id_col),
+            F.size(
+                F.regexp_extract_all(t, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0)
+            ).cast("long").alias("n_bpe_tokens"),
+            h.alias("h"),
+            F.pmod(F.conv(F.substring(h, 1, 4), 16, 10).cast("bigint"), F.lit(n_buckets)).alias(
+                "bucket"
+            ),
+        )
     bsum = feats.groupBy("bucket").agg(F.sum("n_bpe_tokens").alias("btok"))
     wb = Window.orderBy("bucket")  # <= n_buckets rows: bounded by construction
     bcum = bsum.withColumn(

@@ -75,5 +75,9 @@ def write_training_shards(
 
 def read_shard(spark, path: str, shard: int) -> DataFrame:
     """One shard back, in its written order (file row order; single
-    shard dirs are written by a single task so order is total)."""
-    return spark.read.parquet(f"{path}/shard={shard}")
+    shard dirs are written by a single task so order is total). Reads
+    the parent with a partition filter -- pruning touches only that
+    shard's directory, and a shard that received zero rows (possible
+    whenever n_shards approaches the corpus size) returns an EMPTY
+    frame instead of a path-not-found error."""
+    return spark.read.parquet(path).filter(F.col("shard") == shard)

@@ -985,19 +985,35 @@ def build_ivf_index(
         id_col,
     )
     cb_name, as_name = f"{name}.codebook", f"{name}.assignment"
+    cfg_name = f"{name}.build_config"
+    spark = corpus.sparkSession
+    import json as _json
+
+    cfg_df = spark.createDataFrame(
+        [(_json.dumps({"stride": stride, "iters": iters, "dims": dims,
+                       "id_col": id_col, "vec_col": vec_col,
+                       "train_modulus": train_modulus}),)],
+        "config string",
+    )
     if not wh.exists(cb_name):
         wh.create_table(cb_name, codebook.schema)
     if not wh.exists(as_name):
         wh.create_table(as_name, assigned.schema, partition_by=["cell"])
+    if not wh.exists(cfg_name):
+        wh.create_table(cfg_name, cfg_df.schema)
     # ONE transaction for both tables: two independent commits could
     # crash in between and leave the new codebook paired with the old
     # assignment -- probes would then pick cells against centroids the
     # stored cells were never assigned to (wrong/empty neighbors, no
     # error). The journal roll-forward makes the pair land together or
     # not at all.
-    with wh.transaction([cb_name, as_name]) as txn:
+    # the build geometry rides in the SAME transaction: a rebuild that
+    # cannot recover stride/dims/columns would silently retrain at
+    # defaults and change quantization geometry under the searcher
+    with wh.transaction([cb_name, as_name, cfg_name]) as txn:
         txn.overwrite(cb_name, codebook)
         txn.overwrite(as_name, assigned)
+        txn.overwrite(cfg_name, cfg_df)
     return {
         "cells": wh.read(cb_name).count(),
         "vectors": wh.read(as_name).count(),
@@ -1257,7 +1273,11 @@ def ivf_index_health(wh, name: str, imbalance_threshold: float = 4.0) -> dict:
     counts = [r["n"] for r in sizes]
     total = sum(counts)
     mx = max(counts) if counts else 0
-    mean = total / n_cells_live if n_cells_live else 0.0
+    # mean over the CODEBOOK's cells, not the live ones: the worst
+    # drift concentrates everything into a few cells, and a live-cell
+    # mean would drive max/mean toward 1.0 exactly then -- all vectors
+    # in one cell must read as maximal imbalance, not balance
+    mean = total / n_codebook if n_codebook else 0.0
     return {
         "n_vectors": total,
         "n_codebook_cells": int(n_codebook),
@@ -1292,7 +1312,19 @@ def maybe_rebalance_ivf_index(
     health = ivf_index_health(wh, name, imbalance_threshold)
     if not health["imbalanced"]:
         return {"action": "noop", "health": health}
-    build_ivf_index(wh, corpus, name, **build_kwargs)
+    # rebuild with the PERSISTED geometry (stride/dims/columns stored by
+    # build_ivf_index in <name>.build_config); explicit build_kwargs
+    # override individual fields deliberately, never by accident
+    import json as _json
+
+    cfg_name = f"{name}.build_config"
+    stored = (
+        _json.loads(wh.read(cfg_name).first()["config"])
+        if wh.exists(cfg_name)
+        else {}
+    )
+    stored.update(build_kwargs)
+    build_ivf_index(wh, corpus, name, **stored)
     return {
         "action": "rebuilt",
         "health": health,

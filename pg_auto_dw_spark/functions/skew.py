@@ -164,7 +164,13 @@ def skew_report(
     import math
 
     parallelism = parallelism or df.sparkSession.sparkContext.defaultParallelism
-    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+    # pin the count-by-key result so the stats reduce and the hot-key
+    # filter read it once -- without the pin each collect re-runs the
+    # whole groupBy scan, the exact doubled pass this advisor exists
+    # to flag
+    counts = (
+        df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt")).localCheckpoint()
+    )
     stats = counts.agg(
         F.sum("cnt").alias("total"),
         F.count(F.lit(1)).alias("n_keys"),
@@ -172,8 +178,7 @@ def skew_report(
     ).collect()[0]
     total, n_keys, max_key = stats["total"] or 0, stats["n_keys"], stats["max_key"] or 0
     hot = (
-        counts.crossJoin(F.broadcast(counts.agg(F.sum("cnt").alias("__t"))))
-        .filter(F.col("cnt") >= F.lit(hot_share) * F.col("__t"))
+        counts.filter(F.col("cnt") >= F.lit(float(hot_share * total)))
         .orderBy(F.col("cnt").desc(), *keys)
         .select(*keys, "cnt")
         .collect()

@@ -37,32 +37,38 @@ def grouped_correlations(
     pairs = list(combinations(cols, 2))
     aggs = []
     for i, (x, y) in enumerate(pairs):
-        # moments computed by hand (conditional sums over the pairwise
-        # non-null rows) instead of F.corr/F.covar_samp: under ANSI
-        # mode the built-ins raise DIVIDE_BY_ZERO on a zero-variance
-        # column, and the explicit form is the engine-portable math a
-        # cross-engine oracle can replay. try_divide encodes the
-        # contract: degenerate denominators yield NULL, never an error.
+        # built-in co-moment aggregates (covar_samp / stddev_samp use
+        # Welford-style accumulation) over PAIRWISE non-null inputs:
+        # the naive sum-of-squares form (sxx - sx*sx/n) catastrophically
+        # cancels in doubles when |mean| >> spread (epoch-millisecond
+        # timestamps lose the entire variance to the subtraction). The
+        # correlation is assembled AFTER aggregation with try_divide,
+        # so a zero-variance side yields NULL under ANSI mode instead
+        # of DIVIDE_BY_ZERO (the built-in F.corr raises there).
         both = F.col(x).isNotNull() & F.col(y).isNotNull()
         vx = F.when(both, F.col(x).cast("double"))
         vy = F.when(both, F.col(y).cast("double"))
-        n = F.count(F.when(both, F.lit(1))).cast("double")
-        sx, sy = F.sum(vx), F.sum(vy)
-        sxx, syy, sxy = F.sum(vx * vx), F.sum(vy * vy), F.sum(vx * vy)
-        cov_n = sxy - F.try_divide(sx * sy, n)  # n*cov (population x n)
-        var_x = sxx - F.try_divide(sx * sx, n)
-        var_y = syy - F.try_divide(sy * sy, n)
-        corr = F.try_divide(cov_n, F.sqrt(var_x * var_y))
-        # guard: float cancellation can leave a tiny negative variance
-        # on a constant column; map it to NULL like zero variance
-        corr = F.when((var_x > 0) & (var_y > 0), corr)
-        covar = F.try_divide(cov_n, n - 1)
         aggs += [
-            corr.alias(f"__r_{i}"),
-            covar.alias(f"__c_{i}"),
-            n.cast("long").alias(f"__n_{i}"),
+            F.covar_samp(vx, vy).alias(f"__c_{i}"),
+            F.stddev_samp(vx).alias(f"__sx_{i}"),
+            F.stddev_samp(vy).alias(f"__sy_{i}"),
+            F.count(F.when(both, F.lit(1))).alias(f"__n_{i}"),
         ]
     wide = df.groupBy(*keys).agg(*aggs)
+    wide = wide.select(
+        *keys,
+        *[
+            c
+            for i in range(len(pairs))
+            for c in (
+                F.try_divide(
+                    F.col(f"__c_{i}"), F.col(f"__sx_{i}") * F.col(f"__sy_{i}")
+                ).alias(f"__r_{i}"),
+                F.col(f"__c_{i}"),
+                F.col(f"__n_{i}"),
+            )
+        ],
+    )
     stack_args = ", ".join(
         f"'{x}', '{y}', __r_{i}, __c_{i}, __n_{i}" for i, (x, y) in enumerate(pairs)
     )

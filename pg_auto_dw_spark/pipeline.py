@@ -30,8 +30,14 @@ Stage order and the reason for it:
 
 Every stage is the already-tested operator -- this module adds only
 the composition and the stage-count report, no new semantics. All
-results are lazy DataFrames; nothing is computed until the caller
-acts (``summary()`` forces one count per stage).
+results are lazy DataFrames with ONE exception: ``exact_tokens=True``
+trains the BPE tokenizer at build time (tokenizer training is a
+bounded driver loop over the corpus word frequencies and cannot be
+lazy) -- leave it False to keep construction free. The exact counts
+then also drive the placement map (``pack_sequences`` receives them),
+so ``token_counts`` and ``placement`` always share ONE accounting:
+mixing exact counts with the proxy-counted placement would misalign
+every sequence boundary the packing writer slices.
 """
 
 from __future__ import annotations
@@ -95,6 +101,11 @@ def build_training_corpus(
     from .functions.tokenizer import bpe_token_counts
 
     cfg = config or CorpusPipelineConfig()
+    if cfg.strata_col is not None and not (cfg.budget_rows and cfg.budget_rows > 0):
+        raise ValueError(
+            "the mixture stage (strata_col set) needs budget_rows >= 1 -- "
+            "temperature rates are rates OF a budget"
+        )
     id_col, text_col = cfg.id_col, cfg.text_col
     stages: list[tuple[str, DataFrame]] = [("input", docs)]
     cur = docs
@@ -129,14 +140,17 @@ def build_training_corpus(
         )
         stages.append(("temperature_sample", cur))
 
-    counts = (
-        bpe_token_counts(cur, cfg.bpe_merges, text_col, id_col)
-        if cfg.exact_tokens
-        else token_counts(cur, text_col, id_col).select(
+    if cfg.exact_tokens:
+        counts = bpe_token_counts(cur, cfg.bpe_merges, text_col, id_col)
+        # the placement map MUST pack with the same counts it reports
+        placement = pack_sequences(
+            cur, cfg.seq_tokens, text_col, id_col, token_counts_df=counts
+        )
+    else:
+        counts = token_counts(cur, text_col, id_col).select(
             id_col, F.col("n_bpe_tokens")
         )
-    )
-    placement = pack_sequences(cur, cfg.seq_tokens, text_col, id_col)
+        placement = pack_sequences(cur, cfg.seq_tokens, text_col, id_col)
     sharded = shard_assignments(cur, cfg.n_shards, cfg.seed, id_col)
     stages.append(("sharded", sharded))
     return CorpusPipelineResult(

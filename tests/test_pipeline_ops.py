@@ -1486,3 +1486,86 @@ def test_drift_report_absent_buckets_smoothed(spark):
     # totally disjoint buckets: finite (epsilon-smoothed), large PSI
     import math
     assert math.isfinite(out["psi"]) and out["psi"] > 1.0
+
+
+def test_grouped_correlations_no_catastrophic_cancellation(spark):
+    """Epoch-millisecond-scale values (|mean| >> spread) must still
+    correlate exactly -- the naive sum-of-squares moments lose the
+    entire variance to cancellation here."""
+    from pg_auto_dw_spark.functions.stats import grouped_correlations
+
+    base = 1_700_000_000_000.0
+    rows = [("g", base + i * 1000.0, float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "k string, ts double, v double")
+    out = grouped_correlations(df, ["k"], ["ts", "v"]).collect()[0]
+    assert abs(out["corr"] - 1.0) < 1e-9
+    assert out["covar_samp"] > 0
+
+
+def test_read_shard_empty_shard_returns_empty(spark, tmp_path):
+    from pg_auto_dw_spark.functions.shard import read_shard, write_training_shards
+
+    docs = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+    path = str(tmp_path / "sh")
+    write_training_shards(docs, path, n_shards=8, seed=0)
+    total = 0
+    for s in range(8):  # must not raise on shards that got zero rows
+        total += read_shard(spark, path, s).count()
+    assert total == 2
+
+
+def test_pack_sequences_with_precomputed_counts(spark):
+    from pg_auto_dw_spark.functions.corpus import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, "ignored"), (2, "ignored"), (3, "ignored")], "doc_id long, text string"
+    )
+    counts = spark.createDataFrame(
+        [(1, 100), (2, 50), (3, 10)], "doc_id long, n_bpe_tokens long"
+    )
+    out = pack_sequences(docs, seq_tokens=64, token_counts_df=counts).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert {r["doc_id"]: r["n_bpe_tokens"] for r in out} == {1: 100, 2: 50, 3: 10}
+    # contiguous placement over the exact counts, 160 tokens total
+    offs = sorted((r["global_offset"], r["n_bpe_tokens"]) for r in out)
+    pos = 0
+    for o, n in offs:
+        assert o == pos
+        pos += n
+    assert pos == 160
+    assert all(r["seq_id"] == r["global_offset"] // 64 for r in out)
+
+
+def test_ivf_health_concentration_reads_imbalanced(spark, sf_dir, tmp_path_factory):
+    """All vectors crammed into few of many codebook cells must read as
+    IMBALANCED (mean is over codebook cells, not live cells)."""
+    from pg_auto_dw_spark.functions.similarity import (
+        build_ivf_index,
+        ivf_index_health,
+    )
+    from pg_auto_dw_spark.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path_factory.mktemp("conc")))
+    emb = load_table(spark, sf_dir, "embeddings")
+    build_ivf_index(wh, emb, "cx.emb", stride=10)  # many cells
+    h = ivf_index_health(wh, "cx.emb")
+    # fake concentration: rewrite assignment with every vector in cell 0
+    a = wh.read("cx.emb.assignment")
+    crammed = a.withColumn("cell", F.lit(0).cast(dict(a.dtypes)["cell"]))
+    wh.overwrite("cx.emb.assignment", crammed)
+    h2 = ivf_index_health(wh, "cx.emb")
+    assert h2["n_live_cells"] == 1
+    assert h2["imbalance"] > h["imbalance"]
+    assert h2["imbalanced"]
+
+
+def test_pipeline_mixture_requires_budget(spark, sf_dir):
+    import pytest as _pytest
+
+    from pg_auto_dw_spark.pipeline import CorpusPipelineConfig, build_training_corpus
+
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    with _pytest.raises(ValueError, match="budget_rows"):
+        build_training_corpus(
+            docs, config=CorpusPipelineConfig(strata_col="source")
+        )
