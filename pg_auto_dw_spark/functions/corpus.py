@@ -926,3 +926,74 @@ def bloom_decontaminate(
     return _with_bloom_hit(docs, bloom, text_col).filter(~F.col("bloom_hit")).drop(
         "bloom_hit"
     )
+
+
+def assemble_packed_sequences(
+    docs: DataFrame,
+    tokens_df: DataFrame,
+    seq_tokens: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Materialize the training sequences the placement map describes:
+    one row per seq_id with its exact token array (length ``seq_tokens``
+    except the final partial sequence). ``tokens_df`` is (id, tokens
+    array<string>) -- e.g. ``tokenizer.bpe_apply(..., with_tokens=True)``;
+    placement is computed here from the SAME arrays (size(tokens)), so
+    the map and the materialization cannot drift.
+
+    Scale shape: a document spanning sequence boundaries explodes into
+    one (seq_id, fragment) row PER TOUCHED SEQUENCE (array slices of a
+    bound column -- fragments never exceed seq_tokens); assembly is one
+    groupBy(seq_id) whose state is bounded at seq_tokens tokens by
+    construction. Order within a sequence is restored by sorting the
+    bounded fragment list on seq_offset -- a per-row array sort, never
+    a global one."""
+    counts = tokens_df.select(
+        F.col(id_col), F.size("tokens").cast("long").alias("n_bpe_tokens")
+    )
+    placed = pack_sequences(
+        docs, seq_tokens, text_col, id_col, n_buckets, token_counts_df=counts
+    )
+    with_tokens = placed.join(tokens_df.select(id_col, "tokens"), id_col)
+    last_seq = ((F.col("global_offset") + F.col("n_bpe_tokens") - 1) / seq_tokens).cast(
+        "long"
+    )
+    frags = (
+        with_tokens.filter(F.col("n_bpe_tokens") > 0)
+        .withColumn("__seq", F.explode(F.sequence(F.col("seq_id"), last_seq)))
+        .withColumn("__seq_start", F.col("__seq") * seq_tokens)
+        .withColumn(
+            "__from",  # 1-based index into the doc's token array
+            F.greatest(F.lit(0), F.col("__seq_start") - F.col("global_offset")) + 1,
+        )
+        .withColumn(
+            "__len",
+            F.least(
+                F.col("global_offset") + F.col("n_bpe_tokens"),
+                F.col("__seq_start") + seq_tokens,
+            )
+            - F.greatest(F.col("global_offset"), F.col("__seq_start")),
+        )
+        .select(
+            F.col("__seq").alias("seq_id"),
+            F.greatest(
+                F.lit(0), F.col("global_offset") - F.col("__seq_start")
+            ).cast("long").alias("frag_offset"),
+            F.slice(F.col("tokens"), F.col("__from").cast("int"), F.col("__len").cast("int")).alias(
+                "frag"
+            ),
+        )
+    )
+    ordered = (
+        frags.groupBy("seq_id")
+        .agg(F.collect_list(F.struct("frag_offset", "frag")).alias("__fs"))
+        .select(
+            "seq_id",
+            F.flatten(
+                F.transform(F.array_sort("__fs"), lambda s: s.getField("frag"))
+            ).alias("tokens"),
+        )
+    )
+    return ordered.withColumn("n_tokens", F.size("tokens").cast("long"))

@@ -1569,3 +1569,53 @@ def test_pipeline_mixture_requires_budget(spark, sf_dir):
         build_training_corpus(
             docs, config=CorpusPipelineConfig(strata_col="source")
         )
+
+
+def test_assemble_packed_sequences_exact_coverage(spark):
+    """Every sequence is exactly seq_tokens long (final one partial),
+    concatenating the sequences reproduces the docs' token streams in
+    placement order, and boundary-spanning docs split correctly."""
+    from pg_auto_dw_spark.functions.corpus import (
+        assemble_packed_sequences,
+        pack_sequences,
+    )
+    from pg_auto_dw_spark.functions.tokenizer import bpe_apply
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(7 + i))) for i in range(12)],
+        "doc_id long, text string",
+    )
+    toks = bpe_apply(docs, [], with_tokens=True).select("doc_id", "tokens")
+    seqs = assemble_packed_sequences(docs, toks, seq_tokens=32).collect()
+    by_seq = {r["seq_id"]: r for r in sorted(seqs, key=lambda r: r["seq_id"])}
+    total = sum(r["n_tokens"] for r in seqs)
+    # full coverage: every token placed exactly once
+    want_total = sum(
+        r["n_bpe_tokens"]
+        for r in pack_sequences(
+            docs, 32,
+            token_counts_df=toks.select(
+                "doc_id", F.size("tokens").alias("n_bpe_tokens")
+            ),
+        ).collect()
+    )
+    assert total == want_total
+    seq_ids = sorted(by_seq)
+    assert seq_ids == list(range(len(seq_ids)))  # contiguous
+    for s in seq_ids[:-1]:
+        assert by_seq[s]["n_tokens"] == 32  # all full except the last
+    assert 0 < by_seq[seq_ids[-1]]["n_tokens"] <= 32
+    # stream equality: concatenated sequences == docs laid out in
+    # placement order
+    placement = pack_sequences(
+        docs, 32,
+        token_counts_df=toks.select("doc_id", F.size("tokens").alias("n_bpe_tokens")),
+    ).collect()
+    tok_map = {r["doc_id"]: r["tokens"] for r in toks.collect()}
+    stream = []
+    for r in sorted(placement, key=lambda r: r["global_offset"]):
+        stream.extend(tok_map[r["doc_id"]])
+    got = []
+    for s in seq_ids:
+        got.extend(by_seq[s]["tokens"])
+    assert got == stream
