@@ -809,10 +809,16 @@ def bloom_build(
             pos = (r["h1"] + i * r["h2"]) % m_bits
             words[pos // 64] |= np.uint64(1) << np.uint64(pos % 64)
     spark = benchmark.sparkSession
-    return spark.createDataFrame(
+    row = spark.createDataFrame(
         [([int(w) for w in words.view(np.int64)], m_bits, k, n, len(pairs))],
         "bits array<bigint>, m_bits bigint, k int, n int, n_grams bigint",
     )
+    # pin the ONE bounded row into JVM storage: a raw local relation
+    # re-ships the whole bitset through py4j on EVERY action (the two
+    # metadata first() reads plus each probe's broadcast -- measured 3x
+    # the probe cost at m=2^17), while the checkpointed row converts
+    # once and every consumer broadcasts the stored bytes
+    return row.localCheckpoint(eager=True)
 
 
 def _bloom_probe(h1, h2, bits_col, m_bits: int, k: int):
