@@ -447,3 +447,41 @@ def test_histogram_counts_every_nonnull_once(spark, vals):
     rows = equi_width_histogram(df, ["k"], "v", 0.0, 100.0, 10).collect()
     assert sum(r["cnt"] for r in rows) == sum(1 for v in vals if v is not None)
     assert all(0 <= r["bucket"] <= 9 for r in rows)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    old_rows=st.dictionaries(
+        st.integers(min_value=0, max_value=30),
+        st.one_of(st.none(), st.text(alphabet="xyz", max_size=3)),
+        max_size=20,
+    ),
+    new_rows=st.dictionaries(
+        st.integers(min_value=0, max_value=30),
+        st.one_of(st.none(), st.text(alphabet="xyz", max_size=3)),
+        max_size=20,
+    ),
+)
+def test_snapshot_diff_matches_brute_force(spark, old_rows, new_rows):
+    """For ANY pair of keyed snapshots (NULL values included), the diff
+    classification equals the set-theoretic ground truth, and
+    diff(a, a) is empty."""
+    from pg_auto_dw_spark.functions.diff import snapshot_diff
+
+    def df_of(d):
+        return spark.createDataFrame(
+            [(k, v) for k, v in d.items()] or [(None, None)], "id long, v string"
+        ).filter(F.col("id").isNotNull())
+
+    old, new = df_of(old_rows), df_of(new_rows)
+    got = {r["id"]: r["change_type"] for r in snapshot_diff(old, new, ["id"]).collect()}
+    want = {}
+    for k in set(old_rows) | set(new_rows):
+        if k not in new_rows:
+            want[k] = "deleted"
+        elif k not in old_rows:
+            want[k] = "inserted"
+        elif old_rows[k] != new_rows[k]:
+            want[k] = "changed"
+    assert got == want
+    assert snapshot_diff(old, old, ["id"]).count() == 0
