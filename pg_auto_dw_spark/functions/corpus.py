@@ -816,9 +816,16 @@ def bloom_build(
     # pin the ONE bounded row into JVM storage: a raw local relation
     # re-ships the whole bitset through py4j on EVERY action (the two
     # metadata first() reads plus each probe's broadcast -- measured 3x
-    # the probe cost at m=2^17), while the checkpointed row converts
-    # once and every consumer broadcasts the stored bytes
-    return row.localCheckpoint(eager=True)
+    # the probe cost at m=2^17). persist (NOT localCheckpoint: a
+    # checkpoint block lost with its executor is unrecoverable, and
+    # this row is the documented long-lived frozen bloom a stream
+    # probes across batches) -- lineage stays, so a lost block just
+    # re-ships from the driver once. Bounded at one row by
+    # construction, so this is not the unbounded-cache pattern the
+    # package bans.
+    row.persist()
+    row.count()
+    return row
 
 
 def _bloom_probe(h1, h2, bits_col, m_bits: int, k: int):
@@ -956,6 +963,10 @@ def assemble_packed_sequences(
     construction. Order within a sequence is restored by sorting the
     bounded fragment list on seq_offset -- a per-row array sort, never
     a global one."""
+    # tokens_df feeds BOTH the placement counts and the fragment join;
+    # pin it once so a lazy producer (the documented bpe_apply kernel
+    # over the whole corpus) is not executed twice per action
+    tokens_df = tokens_df.localCheckpoint(eager=False)
     counts = tokens_df.select(
         F.col(id_col), F.size("tokens").cast("long").alias("n_bpe_tokens")
     )
