@@ -814,18 +814,16 @@ def bloom_build(
         "bits array<bigint>, m_bits bigint, k int, n int, n_grams bigint",
     )
     # pin the ONE bounded row into JVM storage: a raw local relation
-    # re-ships the whole bitset through py4j on EVERY action (the two
-    # metadata first() reads plus each probe's broadcast -- measured 3x
-    # the probe cost at m=2^17). persist (NOT localCheckpoint: a
-    # checkpoint block lost with its executor is unrecoverable, and
-    # this row is the documented long-lived frozen bloom a stream
-    # probes across batches) -- lineage stays, so a lost block just
-    # re-ships from the driver once. Bounded at one row by
-    # construction, so this is not the unbounded-cache pattern the
-    # package bans.
-    row.persist()
-    row.count()
-    return row
+    # re-ships the whole bitset through py4j on EVERY action (measured
+    # 3x the probe cost at m=2^17; embedding the bits as a plan
+    # LITERAL measured worse still -- the k probe references copy the
+    # array into the expression tree per call). localCheckpoint blocks
+    # are non-reliable, but the bloom is DETERMINISTIC (same benchmark
+    # -> bit-identical bitset), so the recovery story for a lost block
+    # is rebuild-on-restart -- the streaming ingest already constructs
+    # its bloom at stream start, and a failed query's restart lands on
+    # identical verdicts by construction.
+    return row.localCheckpoint(eager=True)
 
 
 def _bloom_probe(h1, h2, bits_col, m_bits: int, k: int):
@@ -845,7 +843,9 @@ def _bloom_probe(h1, h2, bits_col, m_bits: int, k: int):
     return hit
 
 
-def _with_bloom_hit(docs: DataFrame, bloom: DataFrame, text_col: str) -> DataFrame:
+def _with_bloom_hit(
+    docs: DataFrame, bloom: DataFrame, text_col: str, head=None
+) -> DataFrame:
     """``docs`` plus a ``bloom_hit`` boolean, probed IN PLACE: each
     document's gram ARRAY through ``F.exists`` (short-circuits on the
     first hit) against the broadcast 1-row bitset -- no explode, no
@@ -853,7 +853,7 @@ def _with_bloom_hit(docs: DataFrame, bloom: DataFrame, text_col: str) -> DataFra
     (shorter than n tokens) get FALSE (exists over an empty array).
     m, k, n all come from the bloom row, so probe and build cannot
     disagree."""
-    head = bloom.first()
+    head = head or bloom.first()
     m_bits, k, n = int(head["m_bits"]), int(head["k"]), int(head["n"])
 
     def gram_hit(g):
@@ -906,8 +906,9 @@ def bloom_contamination_flags(
         bloom = bloom_build(benchmark, n, m_bits, k, text_col, id_col)
     if with_exact and benchmark is None:
         raise ValueError("with_exact needs the benchmark frame")
-    n = int(bloom.first()["n"])
-    out = _with_bloom_hit(docs, bloom, text_col).select(id_col, "bloom_hit")
+    head = bloom.first()  # ONE metadata read shared with the probe
+    n = int(head["n"])
+    out = _with_bloom_hit(docs, bloom, text_col, head=head).select(id_col, "bloom_hit")
     if with_exact:
         d = _gram_table(docs, id_col, id_col, text_col, n)
         bg = _gram_table(benchmark, id_col, "bench_id", text_col, n).select("gram").distinct()
