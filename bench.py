@@ -122,7 +122,7 @@ def main() -> None:
     from pg_auto_dw_spark.session import get_spark
 
     spark = get_spark("bench")
-    qmap = queries_catalog.queries()
+    qmap = queries_catalog.bench_queries()
     # JVM/codegen warmup so the first measured query isn't charged for it
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     qmap["q1_pricing_summary"](spark, sf_dir).count()

@@ -41,42 +41,30 @@ def register(name: str, sql: str | None):
 # cycle -- _PRIORITY is exactly the set that RESTED last round (plus
 # any query added or reshaped this round), _DEPRIORITIZED is the set
 # verified last round.
-# Round 8 state (per r7 VERDICT directives 1-3, 6): _PRIORITY = the 47
-# r6-verified resting rows MINUS four retired-redundant rows (below),
-# PLUS the three r7 mid-order registrations taking their first driver
-# rows (documents_pack_sequences, text_bigram_logprob,
-# documents_duplicated_spans -- the latter two hash-hardened to
-# integer-only output first, directive 2), PLUS the two re-runs
-# (text_word_entropy, text_unigram_logprob -- every engine-divergent
-# surface removed: word_tokens tokenization + scaled-BIGINT scores,
-# directive 1), PLUS two new rows on the retire-and-replace path:
-# ann_pq_recall_bounds (the PQ family's first driver row, sketch-style
-# bounds oracle -- directive 3) and documents_jsonl_roundtrip (the
-# JSONL landing zone's driver row -- directive 6). Exactly 50.
-# Retired this round (coverage held elsewhere, none in bench HEADLINE):
-#   hub_new_keys_anti_join   (J5 held by hub_load_customer +
-#                             orders_without_lineitems_anti)
-#   dedup_simhash            (signature math embedded verbatim in
-#                             dedup_simhash_hamming's oracle)
-#   corpus_clean_summary     (pure GROUP BY over corpus_clean_docs'
-#                             verified rows; summary stays pytest-covered)
-#   ann_ivf_kmeans_assign    (the _ivf_index construction consumed and
-#                             verified by ann_ivf_topk / multiprobe /
-#                             ann_ivf_index_search)
-# Catalog: 106 registered = 50 _PRIORITY + 48 _DEPRIORITIZED
-# (r7-verified, resting; one-round gap, within policy) + 8 MID-order
-# r8 registrations at positions 51-58, outside the driver cap
+# Round 9 state (per r8 VERDICT directives 1 + 3): _PRIORITY = the 48
+# rows that rested in r8 MINUS seven retirements (the six the r8 note
+# designated, below, plus events_interarrival_stats) PLUS the 8 r8
+# mid-order registrations taking their first driver rows
 # (documents_dsir_weights, documents_quality_linear,
 # documents_span_scrub, dedup_semantic_keep, documents_gopher_rules,
 # documents_bloom_decontaminate, events_value_histogram,
-# orders_constraint_audit -- oracles locally verified at sf0.01,
-# benched from day 1, first driver rows due r9).
-# NOTE for round 9: set _PRIORITY = today's 48 resting rows MINUS the
-# six retirements below PLUS the 8 mid rows above (exactly 50); set
-# _DEPRIORITIZED = today's 50 _PRIORITY (catalog then 100 = 50 + 50,
-# strict two-round cycle restored). Designated retirements -- all in
-# today's RESTING set (retiring a row verified this round frees no r9
-# slot), coverage held elsewhere:
+# orders_constraint_audit) PLUS text_word_entropy (directive 1: "keep
+# the row in _PRIORITY" until green -- its oracle now casts
+# SUM(c) to BIGINT, killing the catalog's only int128 output, the
+# isolated root cause of three rounds of hash-mismatch). Exactly 50.
+# The directive-1 hold and the directive-3 formula together need 51
+# slots, so one extra retire-and-replace:
+#   events_interarrival_stats (per-user LAG(ts) gap computation is
+#                             verbatim the session-boundary math inside
+#                             events_sessionize -- verified r8, resting
+#                             this round, back in r10 -- and the
+#                             gap avg/max group stats are the A1/A6
+#                             shapes held by events_hourly_rollup and
+#                             events_salted_type_stats)
+# _DEPRIORITIZED = the other 49 rows verified in r8. Catalog: 99
+# oracle-rotation rows = 50 + 49, strict two-round cycle, no query
+# more than one round stale.
+# Retired r9 (all were RESTING in r8; coverage held elsewhere):
 #   customer_balance_ranks   (idiomatic window family held by
 #                             status_window_flags -- the SURVEY W1/W2
 #                             row -- plus sat_current_view)
@@ -84,8 +72,8 @@ def register(name: str, sql: str | None):
 #                             by events_range_click_attribution; the
 #                             stream-stream twin stays pytest-covered;
 #                             row stays in bench HEADLINE as a canary
-#                             -- bench and correctness-slot membership
-#                             are independent)
+#                             via _RETIRED/bench_queries -- bench and
+#                             correctness-slot membership independent)
 #   documents_sample_fixed_n (per-stratum exact-count math embedded in
 #                             documents_mixture_sample's verified
 #                             plan; stratified_sample row stays)
@@ -100,27 +88,98 @@ def register(name: str, sql: str | None):
 #                             multimodal_features -- same kernel shape,
 #                             same decode seam -- plus the codec
 #                             contract tests in test_multimodal_codec.py)
-# Demote today's head to _DEPRIORITIZED; register nothing new into
-# the head without the retire-and-replace path.
-# r10 oracle candidates (pytest-verified this round, each needs a
-# designated retirement when registered): documents_bpe_token_counts
-# (rows-only -- iterative algorithm; or exact via a pinned literal
-# merge list), documents_shard_plan (md5 integer math, fully
-# cross-engine), snapshot_diff over a template-scratch table pair,
-# events_correlation_matrix (scaled-BIGINT emit of
-# stats.grouped_correlations), documents_hashed_embedding (noted r10
-# since r8 session 1).
+# Retired builders stay importable and benchable (_RETIRED +
+# bench_queries()) but are excluded from queries()/oracle_sql().
+# MID-order r9 registrations at positions 51-55, outside the driver
+# cap (first driver rows due r10, per the r8 designations):
+# documents_bpe_token_counts (pinned literal merge list, exact),
+# documents_shard_plan (md5 integer math, fully cross-engine),
+# warehouse_snapshot_diff (template-scratch table pair),
+# events_correlation_matrix (scaled-BIGINT emit),
+# documents_hashed_embedding (integer feature hashing, exact).
+# Pre-registration gate (r8 VERDICT directive 2): a clean
+# `python tools/dtype_audit.py` hard-error run (0 ERRORs; int128/
+# decimal128 and type-class mismatches are hard errors) is MANDATORY
+# before any oracle enters this file.
+# NOTE for round 10: set _PRIORITY = today's 48 resting rows MINUS any
+# designated retirements PLUS the 5 mid rows above (pad or trim to
+# exactly 50 with retire-and-replace); set _DEPRIORITIZED = today's 50
+# _PRIORITY. Demote today's head; register nothing new into the head
+# without the retire-and-replace path.
 # Resting set snapshot:
 # python -c "from pg_auto_dw_spark import queries_catalog as q; \
 #            print(list(q.queries())[50:])"
+_RETIRED = {
+    "customer_balance_ranks",
+    "events_range_same_user_attribution",
+    "documents_sample_fixed_n",
+    "dedup_ngram_containment",
+    "events_distinct_users_by_type",
+    "multimodal_resize",
+    "events_interarrival_stats",
+}
 _PRIORITY = [
-    "text_word_entropy",  # re-run: integer-only hashed bytes (r7 directive 1)
-    "text_unigram_logprob",  # re-run: same hardening
-    "documents_pack_sequences",  # r7 registration, first driver row
-    "text_bigram_logprob",  # r7 registration, hardened before first row
-    "documents_duplicated_spans",  # r7 registration, hardened before first row
-    "ann_pq_recall_bounds",  # NEW: PQ family's first driver row (directive 3)
-    "documents_jsonl_roundtrip",  # NEW: JSONL landing zone row (directive 6)
+    # directive-1 hold: int128 root cause fixed, must green this round
+    "text_word_entropy",
+    # r8 mid-order registrations: first driver rows (r8 VERDICT #3)
+    "documents_dsir_weights",
+    "documents_quality_linear",
+    "documents_span_scrub",
+    "dedup_semantic_keep",
+    "documents_gopher_rules",
+    "documents_bloom_decontaminate",
+    "events_value_histogram",
+    "orders_constraint_audit",
+    # the 42 rows that rested in r8 (48 minus the six retirements)
+    "events_value_quantile_sketch",
+    "ann_ivf_index_search",
+    "dim_upsert_customer",
+    "gdpr_delete_customer",
+    "q4_late_shipment_priority",
+    "q13_order_count_distribution",
+    "q18_large_volume_orders",
+    "q22_inactive_rich_customers",
+    "orders_rolling_revenue",
+    "schema_evolution_customer",
+    "time_travel_versions",
+    "lineitem_stats_by_flag",
+    "documents_pii_redaction",
+    "documents_leakfree_split",
+    "documents_boilerplate_removal",
+    "events_asof_last_purchase",
+    "pit_user_daily",
+    "events_range_click_attribution",
+    "documents_stratified_sample",
+    "documents_mixture_sample",
+    "events_salted_type_stats",
+    "events_heavy_hitter_users",
+    "events_customer_salted_join",
+    "part_fuzzy_name_pairs",
+    "documents_keyword_tfidf",
+    "events_type_pivot",
+    "events_click_purchase_funnel",
+    "events_value_winsorized_stats",
+    "ann_cosine_topk_filtered",
+    "documents_chunked_windows",
+    "status_window_flags",
+    "latest_transformer_responses",
+    "events_props_json_extract",
+    "multimodal_features",
+    "sat_current_view",
+    "dv_round_trip_customer",
+    "hub_load_customer",
+    "sat_load_customer",
+    "ghost_records_customer",
+    "status_source_column",
+    "tracking_union_except",
+]
+_DEPRIORITIZED = [
+    "text_unigram_logprob",
+    "documents_pack_sequences",
+    "text_bigram_logprob",
+    "documents_duplicated_spans",
+    "ann_pq_recall_bounds",
+    "documents_jsonl_roundtrip",
     "scd2_merge_state",
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -165,59 +224,10 @@ _PRIORITY = [
     "documents_zip_format_violations",
     "dedup_keep_best_documents",
 ]
-_DEPRIORITIZED = [
-    "events_value_quantile_sketch",
-    "ann_ivf_index_search",
-    "dim_upsert_customer",
-    "gdpr_delete_customer",
-    "q4_late_shipment_priority",
-    "q13_order_count_distribution",
-    "q18_large_volume_orders",
-    "q22_inactive_rich_customers",
-    "orders_rolling_revenue",
-    "schema_evolution_customer",
-    "time_travel_versions",
-    "lineitem_stats_by_flag",
-    "documents_pii_redaction",
-    "documents_leakfree_split",
-    "documents_boilerplate_removal",
-    "customer_balance_ranks",
-    "events_asof_last_purchase",
-    "pit_user_daily",
-    "events_range_click_attribution",
-    "events_range_same_user_attribution",
-    "documents_stratified_sample",
-    "documents_sample_fixed_n",
-    "documents_mixture_sample",
-    "events_salted_type_stats",
-    "events_distinct_users_by_type",
-    "events_heavy_hitter_users",
-    "events_customer_salted_join",
-    "part_fuzzy_name_pairs",
-    "documents_keyword_tfidf",
-    "events_type_pivot",
-    "events_interarrival_stats",
-    "events_click_purchase_funnel",
-    "events_value_winsorized_stats",
-    "dedup_ngram_containment",
-    "ann_cosine_topk_filtered",
-    "documents_chunked_windows",
-    "status_window_flags",
-    "latest_transformer_responses",
-    "multimodal_resize",
-    "events_props_json_extract",
-    "multimodal_features",
-    "sat_current_view",
-    "dv_round_trip_customer",
-    "hub_load_customer",
-    "sat_load_customer",
-    "ghost_records_customer",
-    "status_source_column",
-    "tracking_union_except",
-]
 
 
 def _ordered(names: list[str]) -> list[str]:
+    names = [n for n in names if n not in _RETIRED]
     head = [n for n in _PRIORITY if n in names]
     tail = [n for n in _DEPRIORITIZED if n in names]
     mid = [n for n in names if n not in head and n not in tail]
@@ -230,6 +240,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {n: _ORACLE[n] for n in _ordered(list(_ORACLE))}
+
+
+def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """queries() plus retired-but-still-benched builders: retirement
+    frees a correctness-rotation slot, it does not delete the perf
+    canary (bench HEADLINE membership is independent of the slot)."""
+    out = queries()
+    for n in sorted(_RETIRED):
+        if n in _QUERIES:
+            out[n] = _QUERIES[n]
+    return out
 
 
 def _scratch_dir(prefix: str) -> str:
@@ -1352,7 +1373,7 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     wc AS (
         SELECT doc_id, w, COUNT(*) AS c FROM w WHERE w <> '' GROUP BY 1, 2)
     SELECT doc_id,
-           SUM(c) AS n_words,
+           CAST(SUM(c) AS BIGINT) AS n_words,
            COUNT(*) AS n_distinct_words,
            CAST(ROUND((log2(CAST(SUM(c) AS DOUBLE))
                  - SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
