@@ -110,6 +110,16 @@ HEADLINE = [
     "documents_bloom_decontaminate",
     "events_value_histogram",
     "orders_constraint_audit",
+    # round-9 mid-order registrations (first driver rows due r10;
+    # tracked from day 1 per the standing practice): pinned-merge BPE
+    # apply, shard-plan map, snapshot diff over the template-scratch
+    # warehouse pair, one-pass grouped correlation matrix, hashed
+    # TF-IDF embedding (exploded integer emit)
+    "documents_bpe_token_counts",
+    "documents_shard_plan",
+    "warehouse_snapshot_diff",
+    "events_correlation_matrix",
+    "documents_hashed_embedding",
 ]
 
 

@@ -5074,3 +5074,251 @@ def orders_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         not_null=["o_custkey", "o_orderdate"],
         fk={"o_custkey": (customer, "c_custkey")},
     )
+
+
+# ---------------------------------------------------------------------------
+# r9 mid-order registrations (first driver rows due r10, per the r8
+# VERDICT directive-4 designations). All five passed the hardened
+# tools/dtype_audit.py hard-error gate before entering this file.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "documents_shard_plan",
+    """
+    SELECT doc_id,
+           ('0x' || substr(md5('1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               AS shuffle_key,
+           ('0x' || substr(md5('1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 32
+               AS shard
+    FROM documents
+    """,
+)
+def documents_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-shuffle shard assignment (functions/shard.py
+    shard_assignments): shard = md5(seed:id) 32-bit prefix mod
+    n_shards, shuffle_key the within-shard order. Pure map-only plan --
+    the oracle replays the identical md5 integer construction, so the
+    check is exact cross-engine. The write path
+    (write_training_shards) adds the one sanctioned corpus shuffle;
+    the ASSIGNMENT is what the oracle can see."""
+    from .functions.shard import shard_assignments
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return shard_assignments(docs, n_shards=32, seed=1).select(
+        "doc_id", "shuffle_key", "shard"
+    )
+
+
+@register(
+    "documents_bpe_token_counts",
+    """
+    WITH w AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(
+                   regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                   '\\s+')) AS w
+        FROM documents),
+    words AS (SELECT doc_id, w FROM w WHERE w <> ''),
+    per AS (
+        SELECT doc_id,
+               SUM(len(w) + 1
+                   - CASE WHEN w LIKE '%e' THEN 1 ELSE 0 END
+                   - (len(w) - len(replace(w, 'th', ''))) // 2
+                   - (len(w) - len(replace(w, 'an', ''))) // 2) AS n
+        FROM words GROUP BY doc_id)
+    SELECT d.doc_id, CAST(COALESCE(per.n, 0) AS BIGINT) AS n_bpe_tokens
+    FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+    """,
+)
+def documents_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact BPE token counts under a PINNED literal merge list
+    (functions/tokenizer.py bpe_apply -- the distributed Arrow
+    mapInPandas apply path, the production shape; bpe_train's learned
+    lists stay pytest-verified as the iterative part). The pinned
+    merges [('e','</w>'), ('t','h'), ('a','n')] are pairwise
+    non-interacting over disjoint symbol alphabets, so the greedy
+    rank-order segmentation reduces to closed-form token arithmetic:
+    tokens(w) = len(w)+1 - [w ends with 'e'] - occ(w,'th') - occ(w,'an')
+    with occ() the same non-overlapping left-to-right count both
+    _merge_word and SQL replace() implement. That makes the Python
+    kernel's output EXACTLY SQL-expressible -- integer-only hashed
+    bytes, no tokenizer simulation in the oracle."""
+    from .functions.tokenizer import bpe_apply
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [("e", "</w>"), ("t", "h"), ("a", "n")]
+    return bpe_apply(docs, merges)
+
+
+@register(
+    "events_correlation_matrix",
+    """
+    WITH m AS (
+        SELECT event_type, 'value' AS col_x, 'user_id' AS col_y,
+               corr(value, user_id) AS r,
+               COUNT(CASE WHEN value IS NOT NULL AND user_id IS NOT NULL
+                     THEN 1 END) AS n_pairs
+        FROM events GROUP BY event_type
+        UNION ALL
+        SELECT event_type, 'value', 'event_id',
+               corr(value, event_id),
+               COUNT(CASE WHEN value IS NOT NULL AND event_id IS NOT NULL
+                     THEN 1 END)
+        FROM events GROUP BY event_type
+        UNION ALL
+        SELECT event_type, 'user_id', 'event_id',
+               corr(user_id, event_id),
+               COUNT(CASE WHEN user_id IS NOT NULL AND event_id IS NOT NULL
+                     THEN 1 END)
+        FROM events GROUP BY event_type)
+    SELECT event_type, col_x, col_y,
+           CAST(ROUND(r * 1000000, 0) AS BIGINT) AS corr_e6,
+           CAST(n_pairs AS BIGINT) AS n_pairs
+    FROM m
+    """,
+)
+def events_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped pairwise correlation matrix (functions/stats.py
+    grouped_correlations): every pair's co-moments are independent
+    aggregate expressions inside ONE groupBy -- one scan, map-side
+    partial Welford moments, output bounded at groups x C(cols, 2).
+    Scaled-BIGINT emit (micro-units, the entropy-row precedent): corr
+    is dimensionless in [-1, 1], so a cross-engine sum-order skew of
+    ~1e-12 only flips the 1e-6 grid within 1e-12 of a boundary.
+    covar_samp stays in the unhashed surface (its magnitude is
+    data-scaled, which puts engine noise above integer grids);
+    it is pinned by corr = covar / (sx * sy) up to the verified
+    stddevs."""
+    from .functions.stats import grouped_correlations
+
+    ev = load_table(spark, sf_dir, "events")
+    gc = grouped_correlations(ev, ["event_type"], ["value", "user_id", "event_id"])
+    return gc.select(
+        "event_type",
+        "col_x",
+        "col_y",
+        F.round(F.col("corr") * 1000000, 0).cast("bigint").alias("corr_e6"),
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+    )
+
+
+@register(
+    "documents_hashed_embedding",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(
+                   regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                   '\\s+')) AS w
+        FROM documents),
+    h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS hv
+          FROM toks WHERE w <> ''),
+    m AS (SELECT doc_id, hv % 64 AS dim,
+                 SUM(((hv >> 15) % 2) * 2 - 1) AS tf_signed
+          FROM h GROUP BY 1, 2),
+    dfreq AS (SELECT dim, COUNT(*) AS df FROM m GROUP BY dim),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM m),
+    wv AS (SELECT m.doc_id, m.dim,
+                  CAST(m.tf_signed AS DOUBLE)
+                      * (ln((nd.n_docs + 1) / CAST(dfreq.df + 1 AS DOUBLE))
+                         + 1.0) AS v
+           FROM m JOIN dfreq ON m.dim = dfreq.dim CROSS JOIN nd),
+    nrm AS (SELECT doc_id, sqrt(SUM(v * v)) AS nrm FROM wv GROUP BY doc_id),
+    grid AS (SELECT d.doc_id, g.dim
+             FROM (SELECT DISTINCT doc_id FROM m) d
+             CROSS JOIN (SELECT unnest(range(0, 64)) AS dim) g)
+    SELECT grid.doc_id, grid.dim,
+           CAST(ROUND(COALESCE(wv.v / NULLIF(nrm.nrm, 0), 0) * 1000000, 0)
+                AS BIGINT) AS val_e6
+    FROM grid
+    JOIN nrm ON grid.doc_id = nrm.doc_id
+    LEFT JOIN wv ON grid.doc_id = wv.doc_id AND grid.dim = wv.dim
+    """,
+)
+def documents_hashed_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed feature-hashing TF-IDF vectors (functions/selection.py
+    hashed_embedding, Weinberger et al. 2009) exploded to
+    (doc_id, dim, val_e6): the full dense L2-normalized vector in
+    micro-units, so the oracle replays token hashing, sign bits,
+    smoothed IDF, densification AND normalization cross-engine. The
+    hashing core (md5 prefix, sign bit, mod-dims) is exact integer
+    math; only the final normalized coordinate rides the 1e-6 grid
+    (values in [-1, 1] -- same boundary argument as the entropy row).
+    Docs with zero tokens emit no row on either side."""
+    from .functions.selection import hashed_embedding
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = hashed_embedding(docs, dims=64)
+    return emb.select(
+        "doc_id", F.posexplode("embedding").alias("dim", "__v")
+    ).select(
+        "doc_id",
+        F.col("dim").cast("bigint").alias("dim"),
+        F.round(F.col("__v") * 1000000, 0).cast("bigint").alias("val_e6"),
+    )
+
+
+_SNAPSHOT_DIFF_ORACLE = """
+WITH oldv AS (
+    SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, c_acctbal
+    FROM customer)
+SELECT 'deleted' AS change_type, c_custkey,
+       CAST(NULL AS BIGINT) AS n_cols_changed
+FROM oldv WHERE c_custkey % 10 = 7
+UNION ALL
+SELECT 'inserted', c_custkey + 1000000, CAST(NULL AS BIGINT)
+FROM oldv WHERE c_custkey % 10 = 0
+UNION ALL
+SELECT 'changed', c_custkey, CAST(1 AS BIGINT)
+FROM oldv WHERE c_custkey % 10 = 3
+"""
+
+
+@register("warehouse_snapshot_diff", _SNAPSHOT_DIFF_ORACLE)
+def warehouse_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-version table diff over the warehouse commit log
+    (functions/diff.py snapshot_diff_versions composed with
+    warehouse.py read_version): v1 = customer, v2 = customer with a
+    deterministic churn batch (delete keys %10=7, bump c_acctbal +50
+    on %10=3, insert key+1e6 clones of %10=0), diffed on the primary
+    key. ONE full-outer key shuffle, output sized by the CHANGE
+    volume. The two versions are committed once per session into a
+    template warehouse and hardlink-cloned per call
+    (_template_scratch); the oracle recomputes the change set from
+    the source rows."""
+    from pyspark.sql import types as T
+
+    from .functions.diff import snapshot_diff_versions
+    from .warehouse import Warehouse
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("c_custkey"), "c_name", "c_acctbal"
+    )
+
+    def build(root: str) -> None:
+        wh = Warehouse(spark, root, retain_generations=3)
+        schema = T.StructType(
+            [
+                T.StructField("c_custkey", T.LongType()),
+                T.StructField("c_name", T.StringType()),
+                T.StructField("c_acctbal", T.DoubleType()),
+            ]
+        )
+        wh.create_table("dim.cust", schema)
+        wh.overwrite("dim.cust", cust)
+        changed = cust.filter(F.col("c_custkey") % 10 != 7).withColumn(
+            "c_acctbal",
+            F.when(
+                F.col("c_custkey") % 10 == 3, F.col("c_acctbal") + 50
+            ).otherwise(F.col("c_acctbal")),
+        )
+        inserted = cust.filter(F.col("c_custkey") % 10 == 0).withColumn(
+            "c_custkey", F.col("c_custkey") + 1000000
+        )
+        wh.overwrite("dim.cust", changed.unionByName(inserted))
+
+    root = _template_scratch(("snapdiff", sf_dir), "autodw_sdiff_", build)
+    wh = Warehouse(spark, root, retain_generations=3)
+    versions = [h["version"] for h in wh.history("dim.cust") if h["action"] != "base"]
+    return snapshot_diff_versions(
+        wh, "dim.cust", versions[-2], versions[-1], ["c_custkey"]
+    )
