@@ -494,12 +494,31 @@ def pack_sequences(
         # counts, tokenizer.bpe_apply): the placement map must use the
         # SAME accounting the packing writer slices with, or every
         # sequence boundary misaligns. One doc-keyed join; the proxy
-        # path below stays zero-join.
+        # path below stays zero-join. LEFT join + runtime assert: an
+        # inner join would silently DROP any doc missing a count row,
+        # so a partial/stale counts frame would truncate the corpus
+        # with no error -- instead the first uncovered doc fails the
+        # job with its id in the message.
         feats = docs.select(F.col(id_col)).join(
-            token_counts_df.select(id_col, "n_bpe_tokens"), id_col
+            token_counts_df.select(id_col, "n_bpe_tokens"), id_col, "left"
         ).select(
             F.col(id_col),
-            F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+            F.when(
+                F.col("n_bpe_tokens").isNotNull(),
+                F.col("n_bpe_tokens").cast("long"),
+            )
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "pack_sequences: token_counts_df has no row for "
+                            f"{id_col}="
+                        ),
+                        F.col(id_col).cast("string"),
+                    )
+                )
+            )
+            .alias("n_bpe_tokens"),
             h.alias("h"),
             F.pmod(
                 F.conv(F.substring(h, 1, 4), 16, 10).cast("bigint"), F.lit(n_buckets)

@@ -1318,11 +1318,24 @@ def maybe_rebalance_ivf_index(
     import json as _json
 
     cfg_name = f"{name}.build_config"
-    stored = (
-        _json.loads(wh.read(cfg_name).first()["config"])
-        if wh.exists(cfg_name)
-        else {}
-    )
+    if wh.exists(cfg_name):
+        stored = _json.loads(wh.read(cfg_name).first()["config"])
+    else:
+        # An index built before build_config existed: silently falling
+        # back to defaults would retrain at the wrong stride/dims/
+        # columns -- the exact silent geometry change the config table
+        # was added to prevent. Require the caller to restate the FULL
+        # geometry explicitly.
+        geometry = {"stride", "dims", "id_col", "vec_col"}
+        missing = sorted(geometry - set(build_kwargs))
+        if missing:
+            raise ValueError(
+                f"{cfg_name} is missing (index predates persisted build "
+                f"configs) and build_kwargs does not restate the full "
+                f"geometry: missing {missing}. Pass them explicitly or "
+                f"rebuild via build_ivf_index."
+            )
+        stored = {}
     stored.update(build_kwargs)
     build_ivf_index(wh, corpus, name, **stored)
     return {

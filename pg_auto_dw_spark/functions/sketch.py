@@ -72,9 +72,20 @@ def equi_width_histogram(
     bounded at groups x n_buckets regardless of input size, the same
     mergeable-summary posture a 100 TB ANALYZE pass needs. Emitted
     columns are integers only (bucket index + count); callers derive
-    bucket bounds as lo + bucket * (hi - lo) / n_buckets."""
+    bucket bounds as lo + bucket * (hi - lo) / n_buckets.
+
+    Degenerate geometry is rejected up front (hi <= lo or
+    n_buckets < 1 would yield NaN/Infinity bucket indexes silently),
+    and NaN measures -- which isNotNull does NOT remove and which the
+    clamp would otherwise sweep into the TOP bucket unnoticed -- are
+    excluded like NULLs. drift_report composes this, so either defect
+    would silently skew a PSI verdict."""
+    if hi <= lo:
+        raise ValueError(f"equi_width_histogram needs hi > lo, got [{lo}, {hi})")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     width = (hi - lo) / n_buckets
-    df = df.filter(F.col(col).isNotNull())
+    df = df.filter(F.col(col).isNotNull() & ~F.isnan(F.col(col).cast("double")))
     v = F.col(col)
     bucket = F.least(
         F.lit(n_buckets - 1),

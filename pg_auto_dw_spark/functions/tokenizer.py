@@ -127,7 +127,11 @@ def bpe_apply(
     per batch -- Zipf makes the distinct-word set per batch far smaller
     than the token stream. No shuffle anywhere: a pure map."""
     ranks = {pair: i for i, pair in enumerate(merges)}
-    schema = f"{id_col} bigint, n_bpe_tokens bigint"
+    # id passes through untouched, so its output type is whatever the
+    # input declares (string doc ids are as legal as bigint ones --
+    # the sibling operators pack_sequences/bloom/shard are id-agnostic)
+    id_type = docs.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, n_bpe_tokens bigint"
     if with_tokens:
         schema += ", tokens array<string>"
 

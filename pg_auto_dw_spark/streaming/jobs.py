@@ -901,20 +901,38 @@ def jsonl_decontam_ingest_stream(
     scale: the contaminated rows are never re-read by every downstream
     pass). The bitset is built ONCE from the benchmark at stream start
     (bounded driver work) and pinned via localCheckpoint -- frozen
-    bytes, identical across batches and restarts."""
+    bytes, identical across batches and restarts. localCheckpoint
+    blocks are NON-reliable: losing the executor holding the block
+    (routine under dynamic allocation) would otherwise fail every
+    subsequent batch until the caller re-invoked this function, so the
+    sink implements the rebuild-on-loss recovery the bloom's
+    determinism licenses (same benchmark -> bit-identical bitset ->
+    identical verdicts): a failed apply rebuilds the row in place and
+    retries the batch once. The apply's transaction is atomic (ledger
+    inside), so the retry never double-writes."""
     from ..functions.corpus import bloom_build
 
-    bloom = bloom_build(
-        benchmark, n=n, m_bits=m_bits, text_col=text_col, id_col=id_col
-    ).localCheckpoint()
+    def _build():
+        return bloom_build(
+            benchmark, n=n, m_bits=m_bits, text_col=text_col, id_col=id_col
+        )
+
+    holder = {"bloom": _build()}
 
     def sink(batch_df, batch_id):
         if batch_df.isEmpty():
             return
-        jsonl_decontam_ingest_apply(
-            wh, clean_table, contaminated_table, quarantine_table, schema,
-            bloom, batch_df, batch_id, text_col,
-        )
+        try:
+            jsonl_decontam_ingest_apply(
+                wh, clean_table, contaminated_table, quarantine_table, schema,
+                holder["bloom"], batch_df, batch_id, text_col,
+            )
+        except Exception:
+            holder["bloom"] = _build()
+            jsonl_decontam_ingest_apply(
+                wh, clean_table, contaminated_table, quarantine_table, schema,
+                holder["bloom"], batch_df, batch_id, text_col,
+            )
 
     return (
         spark.readStream.text(source_dir)
