@@ -71,6 +71,17 @@ class CorpusPipelineConfig:
     # stage 6: sharding
     n_shards: int = 64
     seed: int = 0
+    # cache the post-decontamination survivors once: the facade hands
+    # the SAME frame to the mixture planner's strata collect, the token
+    # counter, the packer, the sharder and summary() -- without a pin,
+    # every one of those actions re-runs the rule scan + dedup shuffle
+    # + bloom probe (measured 6x recompute in summary() at sf0.1).
+    # Spark persist() is recompute-on-loss (the chain is deterministic,
+    # so a lost block is rebuilt correctly, unlike a checkpoint pin).
+    # Leave False at 100 TB batch scale -- there the right
+    # materialization is writing survivors to the warehouse and fanning
+    # out from the table; this flag is for interactive/audit sessions.
+    persist_survivors: bool = False
 
 
 @dataclass
@@ -81,11 +92,22 @@ class CorpusPipelineResult:
     placement: DataFrame
     sharded: DataFrame
     stages: list[tuple[str, DataFrame]] = field(default_factory=list)
+    # the frame persist_survivors pinned (None when the flag is off):
+    # an intermediate of the lazy chain, exposed so callers can release
+    # the storage -- without this handle a long-lived session would
+    # accumulate one pinned survivors set per facade call
+    pinned: DataFrame | None = None
 
     def summary(self) -> list[tuple[str, int]]:
         """Per-stage surviving row counts, in stage order (forces one
         count per stage -- call once, on purpose)."""
         return [(name, df.count()) for name, df in self.stages]
+
+    def release(self) -> None:
+        """Unpersist the pinned survivors frame (no-op when
+        persist_survivors was off)."""
+        if self.pinned is not None:
+            self.pinned.unpersist()
 
 
 def build_training_corpus(
@@ -133,6 +155,11 @@ def build_training_corpus(
         )
         stages.append(("bloom_decontaminate", cur))
 
+    pinned: DataFrame | None = None
+    if cfg.persist_survivors:
+        cur = cur.persist()
+        pinned = cur
+
     if cfg.strata_col is not None:
         cur = temperature_sample(
             cur, id_col, cfg.strata_col, alpha=cfg.alpha,
@@ -160,4 +187,5 @@ def build_training_corpus(
         placement=placement,
         sharded=sharded,
         stages=stages,
+        pinned=pinned,
     )

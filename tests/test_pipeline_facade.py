@@ -59,3 +59,27 @@ def test_pipeline_mixture_and_exact_tokens(spark, sf_dir):
     counts = res.token_counts.collect()
     assert len(counts) == kept
     assert all(r["n_bpe_tokens"] > 0 for r in counts)
+
+
+def test_persist_survivors_pins_and_releases(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pg_auto_dw_spark.pipeline import (
+        CorpusPipelineConfig,
+        build_training_corpus,
+    )
+    from pg_auto_dw_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    off = build_training_corpus(docs, benchmark=bench)
+    assert off.pinned is None
+    off.release()  # no-op by contract
+    cfg = CorpusPipelineConfig(persist_survivors=True)
+    on = build_training_corpus(docs, benchmark=bench, config=cfg)
+    assert on.pinned is not None and on.pinned.storageLevel.useMemory
+    # identical results either way
+    assert on.sharded.count() == off.sharded.count()
+    assert on.summary() == off.summary()
+    on.release()
+    assert not on.pinned.storageLevel.useMemory  # storage released

@@ -73,10 +73,24 @@ def main() -> None:
         med = sorted(runs)[1]
         print(f"{label:<28}{factor:>4}x{n:>10}{med:>9.2f}s")
 
+    # NOTE (r9 correction): plain .count() on a MAP-ONLY plan lets
+    # Catalyst column-prune the operator's expressions entirely -- the
+    # original gopher_rules/bloom_flags rows timed a bare parquet row
+    # count, not the operator. Aggregating OVER an output column forces
+    # the real computation (the action a filter/write consumer pays).
+    # bpe_apply (mapInPandas) and the histogram (groupBy) were never
+    # prunable; bpe_train collects. Those rows were real.
+    def forced(df, col):
+        return df.agg(F.sum(F.col(col).cast("long"))).collect()[0][0]
+
     print(f"{'operator':<28}{'sf':>5}{'rows':>10}{'median':>10}")
     for factor in (1, 10):
         docs = docs_at(factor)
-        timed("gopher_rules", factor, lambda: gopher_rules(docs).count())
+        timed(
+            "gopher_rules",
+            factor,
+            lambda: forced(gopher_rules(docs), "gopher_pass"),
+        )
         # benchmark slice FIXED at the 1x members: the eval suite does
         # not grow with the corpus -- that asymmetry is the operator's
         # whole scale story
@@ -84,7 +98,9 @@ def main() -> None:
         timed(
             "bloom_flags",
             factor,
-            lambda: bloom_contamination_flags(docs, bench, m_bits=2**17).count(),
+            lambda: forced(
+                bloom_contamination_flags(docs, bench, m_bits=2**17), "bloom_hit"
+            ),
         )
         # same shape at both factors (the events table has no 10x
         # twin): histogram the docs' n_chars by lang so the 1x/10x
