@@ -220,6 +220,47 @@ def hashed_linear_score(
     )
 
 
+def hashed_idf_model(
+    docs: DataFrame,
+    dims: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict[int, float]:
+    """The FIT half of ``hashed_embedding``: smoothed IDF weight per
+    hashed dimension, ``log((n_docs + 1) / (df + 1)) + 1`` with df the
+    number of docs whose tokens touch the dimension and n_docs the
+    count of docs with at least one token.
+
+    ONE corpus scan: a single rollup aggregation computes every
+    per-dim distinct-doc count AND the global distinct-doc count
+    together (the grand-total grouping IS n_docs). The result is
+    <= dims + 1 rows by construction -- a bounded model collect, same
+    contract as bloom_build's gram set and bpe_train's vocabulary.
+    Callers that vectorize many corpora against one reference model
+    can persist this dict like any other model artifact."""
+    import math
+
+    base = docs.select(
+        F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("__w")
+    )
+    h = F.conv(F.substring(F.md5("__w"), 1, 8), 16, 10).cast("bigint")
+    toks = base.select(F.col(id_col), (h % dims).alias("dim"))
+    rows = (
+        toks.rollup("dim")
+        .agg(
+            F.countDistinct(id_col).alias("df"),
+            F.grouping("dim").alias("g"),
+        )
+        .collect()
+    )
+    n_docs = next((r["df"] for r in rows if r["g"] == 1), 0)
+    return {
+        int(r["dim"]): math.log((n_docs + 1) / (r["df"] + 1)) + 1.0
+        for r in rows
+        if r["g"] == 0
+    }
+
+
 def hashed_embedding(
     docs: DataFrame,
     dims: int = 64,
@@ -238,43 +279,60 @@ def hashed_embedding(
     ``embedding`` via with_quantized), so a corpus with no precomputed
     embeddings still gets semantic near-dup and similarity search.
 
-    Shape: one tokenize+hash pass -> map-side-combined (id, dim)
-    signed-tf aggregation; the IDF table is <= ``dims`` rows BY
-    CONSTRUCTION (broadcast, like every model table in this module),
-    with the corpus doc count riding along as a one-row broadcast
-    frame; densification and L2 normalization are pure array
-    expressions inside one (id) aggregation. No Python, no unbounded
-    join side.
+    Shape -- the MLlib-style FIT + TRANSFORM two-pass (the minimum for
+    any IDF weighting: the model must see the whole corpus before any
+    vector can be weighted). FIT: one tokenize+hash pass reduced to the
+    distinct (id, dim) pairs, then ONE rollup aggregation yields every
+    per-dim document frequency AND the global doc count together; the
+    model is <= dims + 1 rows BY CONSTRUCTION and collects to the
+    driver (the bounded-model-collect precedent of bloom_build /
+    bpe_train), entering the transform as a literal map -- no join at
+    all on the corpus side. TRANSFORM: one tokenize+hash pass ->
+    map-side-combined (id, dim) signed-tf aggregation -> one (id)
+    aggregation assembling the dense vector; densification and L2
+    normalization are pure array expressions. Exactly two corpus
+    scans total (the naive dataflow form evaluated the corpus THREE
+    times -- Catalyst cannot reuse the differently-pruned exchange
+    subtrees under dfreq / n_docs / the final join; measured 3.5s ->
+    see SCALE.md round 9). No Python anywhere.
 
     Output: (id, embedding array<double>[dims], n_tokens). Docs with
     no tokens emit no row; an all-cancelled (zero-norm) vector stays
     all-zero rather than dividing by zero."""
-    spark = docs.sparkSession
     base = docs.select(
         F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("__w")
     )
     h = F.conv(F.substring(F.md5("__w"), 1, 8), 16, 10).cast("bigint")
     sign = (F.shiftright(h, 15) % 2 * 2 - 1).cast("double")
     toks = base.select(id_col, (h % dims).alias("dim"), sign.alias("s"))
+    idf_by_dim = (
+        hashed_idf_model(docs, dims, text_col, id_col) if use_idf else {}
+    )
+
+    # sparse two-level assembly, O(tokens) work: (id, dim) signed-tf
+    # aggregation (map-side combined), then one (id) aggregation
+    # densifying <= dims entries per doc. A wide per-dim
+    # conditional-sum variant (one shuffle, full codegen) was measured
+    # and REJECTED: it evaluates dims conditions per token --
+    # O(tokens x dims) -- and lost to this shape end-to-end at sf0.1
+    # despite the ObjectHashAggregate here (SCALE.md round 9).
     mat = toks.groupBy(id_col, "dim").agg(
         F.sum("s").alias("tf_signed"), F.count(F.lit(1)).alias("tf")
     )
     if use_idf:
-        dfreq = mat.groupBy("dim").agg(F.count(F.lit(1)).alias("df"))
-        ndocs = mat.select(id_col).distinct().agg(F.count(F.lit(1)).alias("n_docs"))
-        idf = (
-            dfreq.crossJoin(F.broadcast(ndocs))  # one row, by construction
-            .select(
-                "dim",
-                (
-                    F.log((F.col("n_docs") + 1).cast("double") / (F.col("df") + 1))
-                    + 1.0
-                ).alias("idf"),
-            )
+        # the <= dims-entry model enters the plan as a LITERAL map --
+        # no corpus-side join for the model, ever
+        idf_expr = F.element_at(
+            F.create_map(
+                *[
+                    x
+                    for d, v in sorted(idf_by_dim.items())
+                    for x in (F.lit(int(d)), F.lit(float(v)))
+                ]
+            ),
+            F.col("dim").cast("int"),
         )
-        mat = mat.join(F.broadcast(idf), on="dim").withColumn(
-            "w", F.col("tf_signed") * F.col("idf")
-        )
+        mat = mat.withColumn("w", F.col("tf_signed") * idf_expr)
     else:
         mat = mat.withColumn("w", F.col("tf_signed").cast("double"))
     dense = (
