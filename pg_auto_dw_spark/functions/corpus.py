@@ -1034,3 +1034,87 @@ def assemble_packed_sequences(
         )
     )
     return ordered.withColumn("n_tokens", F.size("tokens").cast("long"))
+
+
+def source_overlap_matrix(
+    docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    source_col: str = "source",
+    max_sources_per_gram: int = 32,
+) -> DataFrame:
+    """Dataset-overlap audit: the full source x source matrix of shared
+    word-n-gram vocabulary -- "how much of source A also appears in
+    source B", the question a training-data team asks before mixing
+    crawls, before deduplicating across snapshots, and whenever a
+    vendor corpus is suspected of containing an existing one. Reference
+    has no analog (its governance surface stops at column profiling);
+    the gram unit and tokenization are the decontamination family's
+    (``ngrams_of``/``word_tokens``), so numbers here are directly
+    comparable with ``contamination_pairs`` output.
+
+    Output: one row per ordered (src_a, src_b) pair INCLUDING the
+    diagonal -- (src_a, src_b, shared_grams, grams_a, grams_b,
+    containment_e6) where shared_grams counts distinct grams present in
+    both sources' vocabularies, grams_x the source's distinct-gram
+    vocabulary size, and containment_e6 = shared/grams_a in micro-units
+    (BIGINT; the diagonal reads 1000000). Counting is over gram HASHES
+    (the md5 32-bit-prefix integer construction every oracle replays),
+    so a cross-engine check is exact.
+
+    Scale shape: ONE corpus scan -> distinct (source, gram_hash)
+    aggregation (map-side combined; output is the per-source gram
+    vocabulary, the floor for any vocabulary-overlap statistic) ->
+    ONE groupBy(gram) collect_set(source) whose arrays are bounded by
+    ``max_sources_per_gram`` -- grams held by more sources are
+    boilerplate stop-grams (the ``stop_gram_stats`` rationale) and are
+    EXCLUDED, which also caps the pair fan-out at cap^2 per gram ->
+    pair explosion as a pure array expression -> one (src_a, src_b)
+    count whose output is sources^2 rows. No self-join, no cartesian,
+    nothing sized by the corpus after the vocabulary aggregation."""
+    g = _gram_table(docs, source_col, "src", text_col, n)
+    h = F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("bigint")
+    vocab = g.select("src", h.alias("gh")).distinct()
+    by_gram = (
+        vocab.groupBy("gh")
+        .agg(F.collect_set("src").alias("srcs"))
+        .filter(F.size("srcs") <= max_sources_per_gram)
+    )
+    pairs = by_gram.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "srcs",
+                    lambda a: F.transform(
+                        "srcs",
+                        lambda b: F.struct(a.alias("src_a"), b.alias("src_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.src_a", "p.src_b")
+    matrix = pairs.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).alias("shared_grams")
+    )
+    # vocabulary sizes ARE the matrix diagonal: pull them with windows
+    # over the sources^2-sized frame instead of joining the matrix back
+    # to itself (a self-join here would recompute the whole corpus
+    # vocabulary subtree once per joined copy -- the exact 3-scan trap
+    # hashed_embedding's first shape fell into)
+    diag = F.max(
+        F.when(F.col("src_a") == F.col("src_b"), F.col("shared_grams"))
+    )
+    return (
+        matrix.withColumn("grams_a", diag.over(Window.partitionBy("src_a")))
+        .withColumn("grams_b", diag.over(Window.partitionBy("src_b")))
+        .select(
+            "src_a",
+            "src_b",
+            "shared_grams",
+            "grams_a",
+            "grams_b",
+            F.round(F.col("shared_grams") * 1000000 / F.col("grams_a"), 0)
+            .cast("bigint")
+            .alias("containment_e6"),
+        )
+    )

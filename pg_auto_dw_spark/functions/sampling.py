@@ -222,3 +222,58 @@ def repeat_sample(
         .withColumn("copy_id", F.explode(F.sequence(F.lit(1), F.col("__n"))))
         .drop("__n")
     )
+
+
+def quality_bin(score: Column, thresholds: list[float]) -> Column:
+    """BIGINT quality-bin index of a score: the number of thresholds
+    at or below it (bin 0 = below every threshold, bin len(thresholds)
+    = at/above all). Thresholds are FIXED cut points chosen by the
+    caller (from a one-off quantile sketch, a rubric, a classifier
+    calibration) -- fixed cuts keep binning a pure zero-shuffle map and
+    make the bin cross-engine exact, where quantile-derived bins would
+    couple every row's bin to a global sort."""
+    if not thresholds:
+        raise ValueError("quality_bin needs at least one threshold")
+    if sorted(thresholds) != list(thresholds):
+        raise ValueError("thresholds must be ascending")
+    b = F.lit(0)
+    for t in thresholds:
+        b = b + F.when(score >= F.lit(float(t)), F.lit(1)).otherwise(F.lit(0))
+    return b.cast("bigint")
+
+
+def quality_binned_sample(
+    df: DataFrame,
+    key_col: str,
+    score_col: str,
+    thresholds: list[float],
+    rates: list[float],
+    bin_col: str | None = "quality_bin",
+) -> DataFrame:
+    """Quality-curriculum mixture: keep each row with the per-bin rate
+    of its quality bin (``rates[i]`` for bin i, so len(rates) ==
+    len(thresholds) + 1) -- the standard "sample low-quality text at
+    10%, keep high-quality at 100%" corpus recipe (the quality-band
+    twin of source-temperature mixing). Deterministic multiplicative-
+    hash rank like every sampler here; zero shuffles -- binning and the
+    keep decision both push into the scan. Rows with a NULL score are
+    DROPPED (a row with no quality signal has no bin; score docs
+    first). ``bin_col`` (None disables) emits the bin for downstream
+    curriculum ordering (see shard.write_curriculum_shards)."""
+    if len(rates) != len(thresholds) + 1:
+        raise ValueError(
+            f"need len(thresholds) + 1 = {len(thresholds) + 1} rates, "
+            f"got {len(rates)}"
+        )
+    for r in rates:
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rates must be in [0, 1], got {r}")
+    b = quality_bin(F.col(score_col), thresholds)
+    cutoffs = F.array(*[F.lit(int(r * MODULUS)) for r in rates])
+    out = df.filter(
+        F.col(score_col).isNotNull()
+        & (sample_rank(F.col(key_col)) < F.element_at(cutoffs, (b + 1).cast("int")))
+    )
+    if bin_col is not None:
+        out = out.withColumn(bin_col, b)
+    return out

@@ -81,3 +81,35 @@ def read_shard(spark, path: str, shard: int) -> DataFrame:
     whenever n_shards approaches the corpus size) returns an EMPTY
     frame instead of a path-not-found error."""
     return spark.read.parquet(path).filter(F.col("shard") == shard)
+
+
+def write_curriculum_shards(
+    docs,
+    path: str,
+    n_shards: int,
+    order_col: str,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    ascending: bool = False,
+) -> None:
+    """Curriculum epoch writer: identical one-shuffle shard assignment
+    as ``write_training_shards``, but rows within each shard order by
+    ``order_col`` FIRST (descending by default: highest
+    quality/difficulty score leads the shard) with the deterministic
+    shuffle key breaking ties -- a sequential reader of any shard
+    streams the curriculum order with zero read-time work, and every
+    shard sees the same score mix (assignment stays pseudo-random, so
+    prefix-of-epoch remains an unbiased sample of SCORES even though
+    it is ordered within shards). Same cost floor: exactly one corpus
+    shuffle plus within-partition sort; never a global range sort."""
+    assigned = shard_assignments(docs, n_shards, seed, id_col)
+    order = F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    (
+        assigned.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions(
+            F.col("shard").asc(), order, F.col("shuffle_key").asc(), F.col(id_col).asc()
+        )
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

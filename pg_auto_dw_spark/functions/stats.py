@@ -106,6 +106,21 @@ def drift_report(
 
     h_old = equi_width_histogram(old, keys, col, lo, hi, n_buckets)
     h_new = equi_width_histogram(new, keys, col, lo, hi, n_buckets)
+    return psi_from_histograms(h_old, h_new, keys, epsilon)
+
+
+def psi_from_histograms(
+    h_old: DataFrame,
+    h_new: DataFrame,
+    keys: list[str],
+    epsilon: float = 1e-4,
+) -> DataFrame:
+    """PSI from two precomputed (keys..., bucket, cnt) histograms --
+    the reusable core of ``drift_report``, split out so callers holding
+    a FIXED reference histogram (the streaming drift monitor, a stats
+    table in the warehouse) pay only the new side's scan per
+    comparison. Both inputs are bounded at groups x buckets; everything
+    here is group-sized."""
     join_cols = [*keys, "bucket"]
     j = (
         h_old.withColumnRenamed("cnt", "cnt_old")

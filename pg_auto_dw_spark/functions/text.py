@@ -557,7 +557,35 @@ def gopher_rules(
     integer-only-output lesson applied from birth). One narrow
     projection per document: codegen regex counts, no explode, no
     shuffle, no UDF -- the 100 TB shape is a map-only scan."""
-    t = F.col(text_col)
+    counts, rules, verdict = gopher_exprs(
+        F.col(text_col),
+        min_words=min_words,
+        max_words=max_words,
+        min_mean_word_len=min_mean_word_len,
+        max_mean_word_len=max_mean_word_len,
+        min_stopwords=min_stopwords,
+    )
+    return df.select(
+        F.col(id_col),
+        *[c.alias(name) for name, c in counts.items()],
+        *[c.alias(name) for name, c in rules.items()],
+        verdict.alias("gopher_pass"),
+    )
+
+
+def gopher_exprs(
+    t,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    min_stopwords: int = 2,
+):
+    """The Gopher rule EXPRESSIONS over a bound text column, for
+    composition into other one-pass scans (``gopher_rules`` emits them
+    per document; ``datacard.corpus_datacard`` aggregates the verdict
+    per group without a doc-grain join). Returns (counts dict,
+    rules dict, verdict column)."""
     words = F.split(F.trim(t), r"\s+")
     n_words = F.size(words).cast("long")
     # total characters inside words == length with all whitespace removed
@@ -592,13 +620,11 @@ def gopher_rules(
     verdict = None
     for c in rules.values():
         verdict = c if verdict is None else (verdict & c)
-    return df.select(
-        F.col(id_col),
-        n_words.alias("n_words"),
-        n_word_chars.alias("n_word_chars"),
-        n_symbols.alias("n_symbols"),
-        n_alpha_words.alias("n_alpha_words"),
-        n_stopwords_present.alias("n_stopwords_present"),
-        *[c.alias(name) for name, c in rules.items()],
-        verdict.alias("gopher_pass"),
-    )
+    counts = {
+        "n_words": n_words,
+        "n_word_chars": n_word_chars,
+        "n_symbols": n_symbols,
+        "n_alpha_words": n_alpha_words,
+        "n_stopwords_present": n_stopwords_present,
+    }
+    return counts, rules, verdict

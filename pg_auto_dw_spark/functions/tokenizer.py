@@ -119,21 +119,33 @@ def bpe_apply(
     text_col: str = "text",
     id_col: str = "doc_id",
     with_tokens: bool = False,
+    with_word_counts: bool = False,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, n_bpe_tokens[, tokens]): exact BPE token counts for every
-    document. Arrow ``mapInPandas`` with the merge-rank dict in the
-    closure (broadcast once per executor by Spark's task serialization;
-    bounded at ``n_merges`` entries). Word segmentations are memoized
-    per batch -- Zipf makes the distinct-word set per batch far smaller
-    than the token stream. No shuffle anywhere: a pure map."""
+    """(id[, passthrough...], n_bpe_tokens[, n_words][, tokens]): exact
+    BPE token counts for every document. Arrow ``mapInPandas`` with the
+    merge-rank dict in the closure (broadcast once per executor by
+    Spark's task serialization; bounded at ``n_merges`` entries). Word
+    segmentations are memoized per batch -- Zipf makes the distinct-word
+    set per batch far smaller than the token stream. No shuffle
+    anywhere: a pure map. ``passthrough`` columns ride along untouched
+    (aggregating consumers like ``tokenizer_stats`` group on them
+    without a doc-grain join back to the input)."""
     ranks = {pair: i for i, pair in enumerate(merges)}
-    # id passes through untouched, so its output type is whatever the
-    # input declares (string doc ids are as legal as bigint ones --
-    # the sibling operators pack_sequences/bloom/shard are id-agnostic)
-    id_type = docs.schema[id_col].dataType.simpleString()
-    schema = f"{id_col} {id_type}, n_bpe_tokens bigint"
+    # ids/passthrough pass through untouched, so their output types are
+    # whatever the input declares (string doc ids are as legal as
+    # bigint ones -- the sibling operators pack_sequences/bloom/shard
+    # are id-type agnostic)
+    schema_parts = [
+        f"{c} {docs.schema[c].dataType.simpleString()}"
+        for c in (id_col, *passthrough)
+    ]
+    schema_parts.append("n_bpe_tokens bigint")
+    if with_word_counts:
+        schema_parts.append("n_words bigint")
     if with_tokens:
-        schema += ", tokens array<string>"
+        schema_parts.append("tokens array<string>")
+    schema = ", ".join(schema_parts)
 
     def kernel(it):
         import re
@@ -152,6 +164,7 @@ def bpe_apply(
 
         for pdf in it:
             counts: list[int] = []
+            wcounts: list[int] = []
             toks_col: list[list[str]] = []
             for text in pdf[text_col]:
                 words = tok_re.findall(text.lower()) if text else []
@@ -163,17 +176,19 @@ def bpe_apply(
                     if with_tokens:
                         toks.extend(s)
                 counts.append(total)
+                if with_word_counts:
+                    wcounts.append(len(words))
                 if with_tokens:
                     toks_col.append(toks)
-            out = {
-                id_col: pdf[id_col],
-                "n_bpe_tokens": pd.array(counts, dtype="int64"),
-            }
+            out = {c: pdf[c] for c in (id_col, *passthrough)}
+            out["n_bpe_tokens"] = pd.array(counts, dtype="int64")
+            if with_word_counts:
+                out["n_words"] = pd.array(wcounts, dtype="int64")
             if with_tokens:
                 out["tokens"] = toks_col
             yield pd.DataFrame(out)
 
-    return docs.select(id_col, text_col).mapInPandas(kernel, schema)
+    return docs.select(id_col, *passthrough, text_col).mapInPandas(kernel, schema)
 
 
 def bpe_token_counts(
@@ -187,6 +202,61 @@ def bpe_token_counts(
     style operators want when the regex proxy is not enough."""
     merges = bpe_train(docs, n_merges, text_col, id_col)
     return bpe_apply(docs, merges, text_col, id_col)
+
+
+def tokenizer_stats(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group tokenizer-efficiency audit: the fertility / coverage
+    numbers a team checks before committing a tokenizer to a corpus
+    mix (a vocabulary fit to one source tokenizes another source into
+    many more pieces -- this is where that shows up, per source).
+
+    Output: (group, n_docs, total_words, total_bpe_tokens, total_chars,
+    tokens_per_100_words, chars_per_100_tokens) -- the two ratios by
+    exact INTEGER division (x100 fixed-point), so every emitted column
+    is BIGINT/string and a future oracle row hashes exactly.
+
+    Shape: ONE Arrow map pass (``bpe_apply`` with the group column and
+    a precomputed char count riding through -- no doc-grain join back
+    to the input, no second corpus scan) followed by one
+    map-side-combined groupBy bounded at the group count."""
+    per = bpe_apply(
+        docs.withColumn(
+            "__chars", F.coalesce(F.length(text_col).cast("long"), F.lit(0))
+        ),
+        merges,
+        text_col=text_col,
+        id_col=id_col,
+        with_word_counts=True,
+        passthrough=(group_col, "__chars"),
+    )
+    return (
+        per.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+            F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
+            F.sum("__chars").alias("total_chars"),
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "total_words",
+            "total_bpe_tokens",
+            "total_chars",
+            F.expr("100 * total_bpe_tokens div greatest(total_words, 1)").alias(
+                "tokens_per_100_words"
+            ),
+            F.expr("100 * total_chars div greatest(total_bpe_tokens, 1)").alias(
+                "chars_per_100_tokens"
+            ),
+        )
+    )
 
 
 def bpe_vocab_table(spark, merges: list[tuple[str, str]]) -> DataFrame:

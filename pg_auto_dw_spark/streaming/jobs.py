@@ -942,3 +942,79 @@ def jsonl_decontam_ingest_stream(
         .foreachBatch(sink)
         .start()
     )
+
+
+def drift_monitor_stream(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema: T.StructType,
+    wh,
+    drift_table: str,
+    reference: DataFrame,
+    keys: list[str],
+    col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 20,
+    epsilon: float = 1e-4,
+    checkpoint_dir: str | None = None,
+):
+    """Streaming PSI drift monitor: per micro-batch, the batch's
+    equi-width histogram of ``col`` per ``keys`` group is compared
+    against a FIXED reference corpus's histogram and one
+    (keys..., psi, n_old, n_new, batch_id) row per group lands in
+    ``drift_table`` -- the continuous form of ``stats.drift_report``,
+    the gate an ingest pipeline alerts on between windows (PSI < 0.1
+    stable, 0.1-0.25 drifting, > 0.25 shifted).
+
+    The reference histogram is computed ONCE at stream start and
+    collected to the driver -- it is bounded at groups x buckets BY
+    CONSTRUCTION (the bounded-model-collect contract of bloom_build /
+    hashed_idf_model), so each batch recreates it as a local relation
+    instead of re-scanning the reference corpus or pinning a
+    non-reliable checkpoint block (the r8-ADVICE bloom lesson: driver
+    state survives executor loss by definition). Per batch the only
+    corpus-sized work is the batch's own one-pass histogram."""
+    from ..functions.sketch import equi_width_histogram
+    from ..functions.stats import psi_from_histograms
+
+    ref_hist = equi_width_histogram(reference, keys, col, lo, hi, n_buckets)
+    ref_schema = ref_hist.schema
+    ref_rows = ref_hist.collect()  # bounded: groups x buckets
+
+    if not wh.exists(drift_table):
+        wh.create_table(
+            drift_table,
+            T.StructType(
+                [
+                    *[ref_schema[k] for k in keys],
+                    T.StructField("psi", T.DoubleType()),
+                    T.StructField("n_old", T.LongType()),
+                    T.StructField("n_new", T.LongType()),
+                    T.StructField("batch_id", T.LongType()),
+                ]
+            ),
+        )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        h_new = equi_width_histogram(batch_df, keys, col, lo, hi, n_buckets)
+        ref = spark.createDataFrame(ref_rows, ref_schema)
+        out = psi_from_histograms(ref, h_new, keys, epsilon).withColumn(
+            "batch_id", F.lit(int(batch_id)).cast("long")
+        )
+        wh.append(drift_table, out)
+
+    return (
+        spark.readStream.schema(source_schema)
+        .parquet(source_dir)
+        .writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or os.path.join(wh.root, "_checkpoints", drift_table),
+        )
+        .foreachBatch(sink)
+        .start()
+    )
