@@ -225,7 +225,8 @@ def hashed_idf_model(
     dims: int = 64,
     text_col: str = "text",
     id_col: str = "doc_id",
-) -> dict[int, float]:
+    with_n_docs: bool = False,
+):
     """The FIT half of ``hashed_embedding``: smoothed IDF weight per
     hashed dimension, ``log((n_docs + 1) / (df + 1)) + 1`` with df the
     number of docs whose tokens touch the dimension and n_docs the
@@ -254,11 +255,15 @@ def hashed_idf_model(
         .collect()
     )
     n_docs = next((r["df"] for r in rows if r["g"] == 1), 0)
-    return {
+    model = {
         int(r["dim"]): math.log((n_docs + 1) / (r["df"] + 1)) + 1.0
         for r in rows
         if r["g"] == 0
     }
+    # with_n_docs: callers persisting the model (semsearch) also need
+    # the smoothed default log(n_docs + 1) + 1 for dims the fit corpus
+    # never touched (df = 0) -- query text can hash anywhere
+    return (model, int(n_docs)) if with_n_docs else model
 
 
 def hashed_embedding(
@@ -267,6 +272,7 @@ def hashed_embedding(
     text_col: str = "text",
     id_col: str = "doc_id",
     use_idf: bool = True,
+    idf_model: dict[int, float] | None = None,
 ) -> DataFrame:
     """Signed feature-hashing TF-IDF document vectors (the hashing
     vectorizer of Weinberger et al. 2009): every token hashes to a
@@ -305,9 +311,24 @@ def hashed_embedding(
     h = F.conv(F.substring(F.md5("__w"), 1, 8), 16, 10).cast("bigint")
     sign = (F.shiftright(h, 15) % 2 * 2 - 1).cast("double")
     toks = base.select(id_col, (h % dims).alias("dim"), sign.alias("s"))
-    idf_by_dim = (
-        hashed_idf_model(docs, dims, text_col, id_col) if use_idf else {}
-    )
+    # a caller-supplied model (semsearch: embed new text against a
+    # PERSISTED reference model) skips the fit pass entirely. It must
+    # cover EVERY dim in [0, dims): new text hashes anywhere, and a
+    # missing key would silently NULL that coordinate via element_at --
+    # fill unseen dims with the smoothed default log(n_docs+1)+1
+    # before passing (semsearch does).
+    if idf_model is not None:
+        missing = [d for d in range(dims) if d not in idf_model]
+        if missing:
+            raise ValueError(
+                f"idf_model must cover every dim in [0, {dims}); missing "
+                f"{missing[:5]}{'...' if len(missing) > 5 else ''}"
+            )
+        idf_by_dim = idf_model
+    else:
+        idf_by_dim = (
+            hashed_idf_model(docs, dims, text_col, id_col) if use_idf else {}
+        )
 
     # sparse two-level assembly, O(tokens) work: (id, dim) signed-tf
     # aggregation (map-side combined), then one (id) aggregation

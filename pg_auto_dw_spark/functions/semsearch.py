@@ -1,0 +1,181 @@
+"""Text-in, neighbors-out semantic search: the one-call composition
+that turns a raw text corpus into a persisted, queryable chunk-level
+vector index using ONLY this package's operators -- no external
+embedding model anywhere.
+
+    build_chunk_search_index(wh, docs, "idx")        # once, distributed
+    search_chunks(wh, "idx", "query text", k=5)      # per request, cheap
+
+Pipeline at build time: ``text.chunk_documents`` (context-window
+chunking, scan-bound) -> ``selection.hashed_idf_model`` (ONE-scan fit,
+<= dims+1-row model) -> ``selection.hashed_embedding`` with the model
+(ONE-scan transform) -> ``similarity.build_ivf_index`` (k-means
+codebook + cell-partitioned assignment, atomic multi-table commit).
+The embed geometry (dims, chunking, the full IDF table, n_docs) is
+committed to ``<name>.embed_config`` IN THE SAME TRANSACTION PATTERN
+as the index's build_config: a query embedded under different
+geometry would be searched in the wrong space silently.
+
+Query time is request-sized by construction: embed the query text
+DRIVER-SIDE with ``embed_text`` (pure Python, bit-compatible with the
+distributed transform -- same md5 prefixes, same sign bit, same
+smoothed IDF), then ``ivf_search_index`` partition-prunes the
+assignment table to the probed cells. No corpus scan per query.
+
+Chunk identity: chunk_key = doc_id * 2^20 + chunk_id (decoded back to
+(doc_id, chunk_id) in results). The packing is guarded at build time
+-- a doc with >= 2^20 chunks or an id >= 2^43 fails loudly instead of
+colliding silently.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import math
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CHUNK_SHIFT = 1 << 20  # chunk_id capacity per doc in the packed key
+
+_TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+
+def _default_idf(n_docs: int) -> float:
+    return math.log(float(n_docs + 1)) + 1.0
+
+
+def _filled_model(idf: dict[int, float], n_docs: int, dims: int) -> dict[int, float]:
+    d = _default_idf(n_docs)
+    return {i: idf.get(i, d) for i in range(dims)}
+
+
+def embed_text(text: str, idf: dict[int, float], n_docs: int, dims: int) -> list[float]:
+    """Driver-side twin of the distributed hashed-TF-IDF transform:
+    same tokenization (lowercased alnum runs), same md5 32-bit-prefix
+    dimension hash, same ``(h >> 15) % 2`` sign bit, same smoothed IDF
+    and L2 normalization -- a text embedded here lands in the identical
+    space as the indexed chunks (parity pinned in tests). Pure Python,
+    request-sized: exactly what a query front end calls per search."""
+    tf: dict[int, float] = {}
+    for w in _TOKEN_RE.findall((text or "").lower()):
+        h = int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
+        sign = ((h >> 15) % 2) * 2 - 1
+        dim = h % dims
+        tf[dim] = tf.get(dim, 0.0) + float(sign)
+    default = _default_idf(n_docs)
+    vec = [0.0] * dims
+    for dim, t in tf.items():
+        vec[dim] = t * idf.get(dim, default)
+    norm = math.sqrt(sum(x * x for x in vec))
+    if norm > 0:
+        vec = [x / norm for x in vec]
+    return vec
+
+
+def build_chunk_search_index(
+    wh,
+    docs: DataFrame,
+    name: str,
+    chunk_words: int = 64,
+    stride: int = 48,
+    dims: int = 64,
+    kmeans_stride: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Chunk the corpus, fit the hashed-IDF model, embed every chunk,
+    and commit the persisted IVF index plus the embed geometry.
+    Returns {"chunks": n, "cells": n, "vectors": n}."""
+    from .selection import hashed_embedding, hashed_idf_model
+    from .similarity import build_ivf_index
+    from .text import chunk_documents
+
+    chunks = chunk_documents(docs, chunk_words, stride, text_col, id_col)
+    key = F.when(
+        (F.col("chunk_id") < CHUNK_SHIFT)
+        & (F.col(id_col).cast("long") < F.lit(1 << 43)),
+        F.col(id_col).cast("long") * CHUNK_SHIFT + F.col("chunk_id"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("chunk key overflow: doc "),
+                F.col(id_col).cast("string"),
+                F.lit(" chunk "),
+                F.col("chunk_id").cast("string"),
+            )
+        )
+    )
+    keyed = chunks.select(key.alias("chunk_key"), F.col("chunk_text"))
+    idf, n_docs = hashed_idf_model(
+        keyed, dims, text_col="chunk_text", id_col="chunk_key", with_n_docs=True
+    )
+    emb = hashed_embedding(
+        keyed,
+        dims,
+        text_col="chunk_text",
+        id_col="chunk_key",
+        idf_model=_filled_model(idf, n_docs, dims),
+    )
+    stats = build_ivf_index(
+        wh, emb, name, stride=kmeans_stride, dims=dims,
+        id_col="chunk_key", vec_col="embedding",
+    )
+    cfg_name = f"{name}.embed_config"
+    cfg_df = wh.spark.createDataFrame(
+        [(
+            json.dumps(
+                {
+                    "dims": dims,
+                    "chunk_words": chunk_words,
+                    "stride": stride,
+                    "n_docs": n_docs,
+                    "idf": {str(k): v for k, v in idf.items()},
+                }
+            ),
+        )],
+        "config string",
+    )
+    if not wh.exists(cfg_name):
+        wh.create_table(cfg_name, cfg_df.schema)
+    wh.overwrite(cfg_name, cfg_df)
+    return {"chunks": stats["vectors"], **stats}
+
+
+def search_chunks(
+    wh,
+    name: str,
+    text: str,
+    k: int = 5,
+    n_probes: int = 1,
+) -> DataFrame:
+    """k nearest chunks for a query TEXT against a
+    ``build_chunk_search_index`` index: embed driver-side under the
+    PERSISTED geometry, partition-pruned cell search, decode the packed
+    key. Output: (doc_id, chunk_id, cosine)."""
+    from .similarity import ivf_search_index
+
+    cfg_name = f"{name}.embed_config"
+    if not wh.exists(cfg_name):
+        raise ValueError(
+            f"{cfg_name} not found: index was not built by "
+            f"build_chunk_search_index (or predates it); searching with "
+            f"ad-hoc geometry would embed the query in the wrong space"
+        )
+    cfg = json.loads(wh.read(cfg_name).first()["config"])
+    vec = embed_text(
+        text,
+        {int(d): v for d, v in cfg["idf"].items()},
+        int(cfg["n_docs"]),
+        int(cfg["dims"]),
+    )
+    hits = ivf_search_index(
+        wh, name, [(0, vec)], k=k, n_probes=n_probes, id_col="chunk_key"
+    )
+    return hits.select(
+        F.expr(f"neighbor_id div {CHUNK_SHIFT}").cast("long").alias("doc_id"),
+        (F.col("neighbor_id") % CHUNK_SHIFT).cast("long").alias("chunk_id"),
+        "cosine",
+    )

@@ -101,11 +101,19 @@ def register(name: str, sql: str | None):
 # `python tools/dtype_audit.py` hard-error run (0 ERRORs; int128/
 # decimal128 and type-class mismatches are hard errors) is MANDATORY
 # before any oracle enters this file.
-# NOTE for round 10: set _PRIORITY = today's 48 resting rows MINUS any
-# designated retirements PLUS the 5 mid rows above (pad or trim to
-# exactly 50 with retire-and-replace); set _DEPRIORITIZED = today's 50
-# _PRIORITY. Demote today's head; register nothing new into the head
-# without the retire-and-replace path.
+# NOTE for round 10: set _PRIORITY = today's 49 resting rows MINUS
+# four designated retirements PLUS the 5 mid rows above (exactly 50);
+# set _DEPRIORITIZED = today's 50 _PRIORITY. Demote today's head;
+# register nothing new into the head without the retire-and-replace
+# path.
+# r11 oracle candidates (r9 session ops, pytest-verified with
+# hand-math oracles in test_r9_session_ops.py; each needs a designated
+# retirement when registered): source_overlap_matrix (md5 gram-hash
+# integer math + integer counts, fully cross-engine),
+# corpus_datacard (integer counts + sha2 distinct; the two
+# percentile_approx fields would need excluding or a bounds-style
+# oracle), tokenizer_stats (pinned literal merges, exact integer
+# fixed-point ratios).
 # Resting set snapshot:
 # python -c "from pg_auto_dw_spark import queries_catalog as q; \
 #            print(list(q.queries())[50:])"

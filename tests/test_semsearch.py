@@ -1,0 +1,96 @@
+"""Text-in, neighbors-out semantic search (functions/semsearch.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg_auto_dw_spark.functions.semsearch import (
+    CHUNK_SHIFT,
+    build_chunk_search_index,
+    embed_text,
+    search_chunks,
+)
+from pg_auto_dw_spark.warehouse import Warehouse
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "stock markets rallied today as investors cheered earnings reports"),
+    (3, "the fox and the hound ran through the forest near the river"),
+    (4, "central banks raised interest rates to combat inflation pressure"),
+    (5, "a lazy dog slept by the river bank while the fox watched quietly"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id bigint, text string")
+
+
+def test_embed_text_parity_with_distributed_transform(spark):
+    """The driver-side query embedder must land in the SAME space as
+    the distributed chunk embedder -- same hashes, same IDF, same
+    normalization."""
+    from pg_auto_dw_spark.functions.selection import (
+        hashed_embedding,
+        hashed_idf_model,
+    )
+    from pg_auto_dw_spark.functions.semsearch import _filled_model
+
+    docs = _docs(spark)
+    idf, n_docs = hashed_idf_model(docs, dims=32, with_n_docs=True)
+    model = _filled_model(idf, n_docs, 32)
+    dist = {
+        r["doc_id"]: r["embedding"]
+        for r in hashed_embedding(docs, dims=32, idf_model=model).collect()
+    }
+    for doc_id, text in DOCS:
+        local = embed_text(text, idf, n_docs, 32)
+        assert max(
+            abs(a - b) for a, b in zip(local, dist[doc_id])
+        ) < 1e-12, f"doc {doc_id} diverges"
+
+
+def test_build_and_search_roundtrip(spark, warehouse_dir):
+    wh = Warehouse(spark, warehouse_dir)
+    stats = build_chunk_search_index(
+        wh, _docs(spark), "sem", chunk_words=8, stride=6, dims=32,
+        kmeans_stride=3,
+    )
+    assert stats["vectors"] == stats["chunks"] > 5
+    # a verbatim phrase from doc 2 must retrieve doc 2's chunk first
+    hits = search_chunks(
+        wh, "sem", "stock markets rallied today as investors cheered", k=3,
+        n_probes=2,
+    ).collect()
+    assert hits and hits[0]["doc_id"] == 2
+    assert hits[0]["cosine"] > 0.8
+    # key decode stays in range
+    for h in hits:
+        assert 0 <= h["chunk_id"] < CHUNK_SHIFT
+
+
+def test_search_requires_embed_config(spark, warehouse_dir):
+    from pg_auto_dw_spark.functions.selection import hashed_embedding
+    from pg_auto_dw_spark.functions.similarity import build_ivf_index
+
+    wh = Warehouse(spark, warehouse_dir)
+    emb = hashed_embedding(_docs(spark), dims=16).withColumnRenamed(
+        "doc_id", "chunk_key"
+    )
+    build_ivf_index(wh, emb, "bare", stride=3, dims=16, id_col="chunk_key")
+    with pytest.raises(ValueError, match="embed_config"):
+        search_chunks(wh, "bare", "anything")
+
+
+def test_chunk_key_overflow_guard(spark, warehouse_dir):
+    wh = Warehouse(spark, warehouse_dir)
+    bad = spark.createDataFrame(
+        [(1 << 50, "some text here")], "doc_id bigint, text string"
+    )
+    with pytest.raises(Exception, match="chunk key overflow"):
+        build_chunk_search_index(wh, bad, "ovf", chunk_words=4, stride=4, dims=8)
+
+
+def test_idf_model_must_cover_all_dims(spark):
+    from pg_auto_dw_spark.functions.selection import hashed_embedding
+
+    with pytest.raises(ValueError, match="every dim"):
+        hashed_embedding(_docs(spark), dims=16, idf_model={0: 1.0})
