@@ -211,3 +211,52 @@ def test_equi_width_histogram_partial_aggregates(spark, sf_dir):
     tree = plan.split("\n\n")[0]
     assert sum("Exchange" in ln for ln in tree.splitlines()) == 1
     assert "partial_count" in plan
+
+
+def test_overlap_matrix_single_scan_no_selfjoin(spark, sf_dir):
+    """source_overlap_matrix must read the corpus ONCE (the vocabulary
+    aggregation) -- no self-join back to a second scan, no cartesian.
+    Windows over the sources^2 matrix do the diagonal pull."""
+    from pg_auto_dw_spark.functions.corpus import source_overlap_matrix
+
+    plan = _plan(source_overlap_matrix(load_table(spark, sf_dir, "documents")))
+    assert "CartesianProduct" not in plan
+    tree = plan.split("\n\n")[0]  # formatted explain repeats ops in detail
+    assert tree.count("Scan parquet") == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_datacard_is_one_aggregation_pass(spark, sf_dir):
+    """corpus_datacard: one scan, no joins -- every statistic is a
+    conditional aggregate in a single groupBy."""
+    from pg_auto_dw_spark.functions.datacard import corpus_datacard
+
+    plan = _plan(corpus_datacard(load_table(spark, sf_dir, "documents")))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+    assert "Join" not in tree
+
+
+def test_semsearch_query_partition_prunes(spark, tmp_path):
+    """search_chunks must read only the probed cells of the assignment
+    table: the scan's partition filter carries the cell pruning."""
+    from pg_auto_dw_spark.functions.semsearch import (
+        build_chunk_search_index,
+        search_chunks,
+    )
+    from pg_auto_dw_spark.warehouse import Warehouse
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta eta theta doc {i}")
+         for i in range(40)],
+        "doc_id bigint, text string",
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    build_chunk_search_index(wh, docs, "sem", chunk_words=6, stride=6,
+                             dims=16, kmeans_stride=8)
+    plan = _plan(search_chunks(wh, "sem", "alpha beta gamma", k=3))
+    assert "PartitionFilters: [" in plan
+    # the cell filter must actually appear in the partition filters,
+    # not as a post-scan filter over all partitions
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("cell" in ln for ln in pf)

@@ -485,3 +485,87 @@ def test_snapshot_diff_matches_brute_force(spark, old_rows, new_rows):
             want[k] = "changed"
     assert got == want
     assert snapshot_diff(old, old, ["id"]).count() == 0
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.tuples(
+            st.sampled_from(["A", "B", "C"]),
+            st.lists(
+                st.sampled_from("alpha beta gamma delta epsilon".split()),
+                min_size=0,
+                max_size=12,
+            ).map(" ".join),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    n=st.integers(min_value=2, max_value=4),
+)
+def test_source_overlap_matrix_matches_brute_force(spark, texts, n):
+    """The matrix must equal the set-theoretic ground truth computed
+    doc-by-doc in Python: per-source distinct gram sets, pairwise
+    intersections, zero-overlap pairs absent."""
+    from pg_auto_dw_spark.functions.corpus import source_overlap_matrix
+
+    docs = spark.createDataFrame(
+        [(i, t, s) for i, (s, t) in enumerate(texts)],
+        "doc_id bigint, text string, source string",
+    )
+    got = {
+        (r["src_a"], r["src_b"]): (r["shared_grams"], r["grams_a"], r["grams_b"])
+        for r in source_overlap_matrix(docs, n=n).collect()
+    }
+    vocab: dict[str, set] = {}
+    for s, t in texts:
+        toks = t.split()
+        grams = {
+            " ".join(toks[i : i + n]) for i in range(max(0, len(toks) - n + 1))
+        }
+        vocab.setdefault(s, set()).update(grams)
+    want = {}
+    for a, ga in vocab.items():
+        for b, gb in vocab.items():
+            shared = len(ga & gb)
+            if shared:
+                want[(a, b)] = (shared, len(ga), len(gb))
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=10**9),
+                  st.one_of(st.none(), st.floats(min_value=-100, max_value=100))),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda r: r[0],
+    ),
+    cuts=st.lists(
+        st.floats(min_value=-90, max_value=90), min_size=1, max_size=3, unique=True
+    ).map(sorted),
+)
+def test_quality_binned_sample_matches_model(spark, rows, cuts):
+    """Keep decision == the pure-Python model: rank(key) < rate[bin] *
+    MODULUS, NULL scores dropped, bin = #thresholds <= score."""
+    from pg_auto_dw_spark.functions.sampling import (
+        MODULUS,
+        MULTIPLIER,
+        quality_binned_sample,
+    )
+
+    rates = [i / len(cuts) for i in range(len(cuts) + 1)]
+    df = spark.createDataFrame(rows, "doc_id bigint, score double")
+    got = {
+        r["doc_id"]: r["quality_bin"]
+        for r in quality_binned_sample(df, "doc_id", "score", cuts, rates).collect()
+    }
+    want = {}
+    for key, score in rows:
+        if score is None:
+            continue
+        b = sum(1 for c in cuts if score >= c)
+        if (key * MULTIPLIER) % MODULUS < int(rates[b] * MODULUS):
+            want[key] = b
+    assert got == want
