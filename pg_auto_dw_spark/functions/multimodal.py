@@ -249,3 +249,55 @@ def sample_frames(media: DataFrame, max_frames: int = 4) -> DataFrame:
             yield out
 
     return media.mapInPandas(body, schema=FRAMES_SCHEMA)
+
+
+EMBED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("embedding", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+
+def embed_media(media: DataFrame, dims: int = 64) -> DataFrame:
+    """Media -> vector bridge into the ANN stack: every payload becomes
+    a fixed-``dims`` L2-normalized ``array<double>`` that drops
+    straight into ``similarity.build_ivf_index`` / ``pq`` (the same
+    contract hashed TF-IDF text embeddings satisfy), so image/audio
+    near-dup and similarity search run on the identical distributed
+    machinery as text.
+
+    The ENCODER is the module's documented stub seam: a deterministic
+    signed byte-trigram hash histogram stands in for a real model
+    runtime (CLIP-style encoders aren't in this container) -- swap
+    ``_embed_payload`` for an ONNX/torch call and nothing else
+    changes. The Spark-side contract is the real, tested part: binary
+    in, fixed-dims vector out, Arrow batches, zero shuffle, NULL
+    payload -> NULL embedding (never a zero vector pretending to be
+    content)."""
+    import math
+
+    def _embed_payload(b: bytes) -> list[float]:
+        v = [0.0] * dims
+        for i in range(len(b) - 2):
+            h = (b[i] * 65599 + b[i + 1]) * 65599 + b[i + 2]
+            v[h % dims] += 1.0 if (h >> 7) & 1 else -1.0
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v] if n > 0 else v
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "embedding": pdf["payload"].map(
+                        lambda b: None if b is None else _embed_payload(b)
+                    ),
+                }
+            )
+
+    return media.select("media_id", "media_type", "payload").mapInPandas(
+        body, schema=EMBED_SCHEMA
+    )
