@@ -120,6 +120,7 @@ HEADLINE = [
     "warehouse_snapshot_diff",
     "events_correlation_matrix",
     "documents_hashed_embedding",
+    "documents_source_overlap",
 ]
 
 

@@ -1113,7 +1113,10 @@ def source_overlap_matrix(
             "shared_grams",
             "grams_a",
             "grams_b",
-            F.round(F.col("shared_grams") * 1000000 / F.col("grams_a"), 0)
+            # integer division, not round(double): micro-unit containment
+            # with NO floating point anywhere in the emitted row, so the
+            # cross-engine oracle is exact by construction
+            F.expr("shared_grams * 1000000 div grams_a")
             .cast("bigint")
             .alias("containment_e6"),
         )

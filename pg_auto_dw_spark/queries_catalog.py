@@ -90,30 +90,31 @@ def register(name: str, sql: str | None):
 #                             contract tests in test_multimodal_codec.py)
 # Retired builders stay importable and benchable (_RETIRED +
 # bench_queries()) but are excluded from queries()/oracle_sql().
-# MID-order r9 registrations at positions 51-55, outside the driver
-# cap (first driver rows due r10, per the r8 designations):
+# MID-order r9 registrations at positions 51-56, outside the driver
+# cap (first driver rows due r10; the first five are the r8
+# designations, the sixth is an r9 session op registered same-round):
 # documents_bpe_token_counts (pinned literal merge list, exact),
 # documents_shard_plan (md5 integer math, fully cross-engine),
 # warehouse_snapshot_diff (template-scratch table pair),
 # events_correlation_matrix (scaled-BIGINT emit),
-# documents_hashed_embedding (integer feature hashing, exact).
+# documents_hashed_embedding (integer feature hashing, exact),
+# documents_source_overlap (md5 gram-hash + integer division, exact).
 # Pre-registration gate (r8 VERDICT directive 2): a clean
 # `python tools/dtype_audit.py` hard-error run (0 ERRORs; int128/
 # decimal128 and type-class mismatches are hard errors) is MANDATORY
 # before any oracle enters this file.
 # NOTE for round 10: set _PRIORITY = today's 49 resting rows MINUS
-# four designated retirements PLUS the 5 mid rows above (exactly 50);
+# five designated retirements PLUS the 6 mid rows above (exactly 50);
 # set _DEPRIORITIZED = today's 50 _PRIORITY. Demote today's head;
 # register nothing new into the head without the retire-and-replace
 # path.
 # r11 oracle candidates (r9 session ops, pytest-verified with
 # hand-math oracles in test_r9_session_ops.py; each needs a designated
-# retirement when registered): source_overlap_matrix (md5 gram-hash
-# integer math + integer counts, fully cross-engine),
-# corpus_datacard (integer counts + sha2 distinct; the two
-# percentile_approx fields would need excluding or a bounds-style
-# oracle), tokenizer_stats (pinned literal merges, exact integer
-# fixed-point ratios).
+# retirement when registered): corpus_datacard (integer counts + sha2
+# distinct; the two percentile_approx fields would need excluding or a
+# bounds-style oracle), tokenizer_stats (pinned literal merges, exact
+# integer fixed-point ratios), inference_batch_plan stats (md5 order
+# + integer band/batch math, fully cross-engine).
 # Resting set snapshot:
 # python -c "from pg_auto_dw_spark import queries_catalog as q; \
 #            print(list(q.queries())[50:])"
@@ -5330,3 +5331,52 @@ def warehouse_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff_versions(
         wh, "dim.cust", versions[-2], versions[-1], ["c_custkey"]
     )
+
+
+@register(
+    "documents_source_overlap",
+    r"""
+WITH toks AS (
+    SELECT source,
+           list_filter(regexp_split_to_array(trim(regexp_replace(lower(text),
+               '[^a-z0-9]+', ' ', 'g')), '\s+'), t -> t <> '') AS ts
+    FROM documents),
+grams AS (
+    SELECT source,
+           list_distinct([array_to_string(ts[i:i+7], ' ')
+                          for i in generate_series(1, len(ts) - 7)]) AS gs
+    FROM toks WHERE len(ts) >= 8),
+vocab AS (
+    SELECT DISTINCT source,
+           ('0x' || substr(md5(gram), 1, 8))::BIGINT AS gh
+    FROM (SELECT source, unnest(gs) AS gram FROM grams)),
+ok AS (SELECT gh FROM vocab GROUP BY gh HAVING COUNT(*) <= 32),
+m AS (
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_grams
+    FROM vocab a
+    JOIN ok USING (gh)
+    JOIN vocab b USING (gh)
+    GROUP BY 1, 2)
+SELECT src_a, src_b, shared_grams,
+       MAX(CASE WHEN src_a = src_b THEN shared_grams END)
+           OVER (PARTITION BY src_a) AS grams_a,
+       MAX(CASE WHEN src_a = src_b THEN shared_grams END)
+           OVER (PARTITION BY src_b) AS grams_b,
+       shared_grams * 1000000
+           // MAX(CASE WHEN src_a = src_b THEN shared_grams END)
+              OVER (PARTITION BY src_a) AS containment_e6
+FROM m
+""",
+)
+def documents_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source x source gram-overlap matrix (functions/corpus.py
+    source_overlap_matrix): per-source distinct word-8-gram
+    vocabularies, shared-gram counts per ordered pair incl. the
+    diagonal, and integer micro-unit containment. ONE corpus scan; all
+    post-vocabulary work is vocabulary-sized; the oracle replays the
+    identical md5 gram-hash integers, window diagonal pull, and
+    integer division -- no float anywhere in the hashed bytes."""
+    from .functions.corpus import source_overlap_matrix
+
+    return source_overlap_matrix(load_table(spark, sf_dir, "documents"))
