@@ -1018,3 +1018,151 @@ def drift_monitor_stream(
         .foreachBatch(sink)
         .start()
     )
+
+
+def dedup_ingest_apply(
+    wh,
+    corpus_table: str,
+    ledger_table: str,
+    typed,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    extra_appends: list | None = None,
+) -> dict:
+    """Cross-batch exact dedup against a PERSISTED digest ledger: the
+    production ingest pattern where "have we seen this text before" is
+    a question about every batch ever landed, not just this one (the
+    stateful-stream dedup bounds its memory with a watermark; the
+    ledger is the unbounded-horizon answer, restart-proof because it
+    is a table).
+
+    Within-batch duplicates keep the min-id canonical row
+    (``dedup_exact``'s rule); survivors anti-join the ledger on the
+    sha256 digest; the new rows AND their digests land in ONE
+    warehouse transaction, so a crash between them cannot split the
+    corpus from its ledger (a digest without its row would silently
+    drop every future resubmission of that text). Rows with NULL text
+    pass through UNDEDUPED and unledgered -- no-content rows are a
+    cleaning concern, not an identity.
+
+    Returns {"ingested", "dup_within_batch", "dup_vs_ledger"}.
+
+    100 TB posture: the batch side is micro-batch-sized and broadcasts
+    into the anti-join; the ledger side is a full scan per batch --
+    the floor for exact unbounded-horizon dedup on a heap table. At
+    warehouse scale, bucket the ledger by digest (bucketing.py) so the
+    anti-join co-locates, or front it with a rebuilt-per-window Bloom
+    (corpus.bloom_build) so only possible-dup rows touch the ledger."""
+    from pyspark.sql import Window
+
+    digest = F.sha2(F.col(text_col), 256)
+    staged = typed.withColumn("__digest", digest)
+    nulls = staged.filter(F.col("__digest").isNull()).drop("__digest")
+    hashed = staged.filter(F.col("__digest").isNotNull())
+    w = Window.partitionBy("__digest").orderBy(F.col(id_col))
+    canon = (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    if not wh.exists(ledger_table):
+        wh.create_table(
+            ledger_table,
+            T.StructType(
+                [
+                    T.StructField("digest", T.StringType()),
+                    T.StructField("first_id", canon.schema[id_col].dataType),
+                ]
+            ),
+        )
+    ledger = wh.read(ledger_table).select(F.col("digest").alias("__digest"))
+    new = canon.join(ledger, "__digest", "left_anti")
+    if not wh.exists(corpus_table):
+        wh.create_table(corpus_table, typed.schema)
+    n_batch = typed.count()
+    n_nulls = nulls.count()
+    n_canon = canon.count()
+    n_new = new.count()
+    # extra_appends ride the SAME transaction (streaming composition:
+    # quarantine lines + the batch-id replay guard) -- a crash anywhere
+    # leaves either the whole batch or none of it, so the replay guard
+    # can never disagree with the corpus (NULL-text rows are undeduped
+    # and would double-append under a split-transaction replay)
+    extra = extra_appends or []
+    with wh.transaction([corpus_table, ledger_table, *[t for t, _ in extra]]) as txn:
+        txn.append(corpus_table, new.drop("__digest").unionByName(nulls))
+        txn.append(
+            ledger_table,
+            new.select(
+                F.col("__digest").alias("digest"), F.col(id_col).alias("first_id")
+            ),
+        )
+        for t, df in extra:
+            txn.append(t, df)
+    return {
+        "ingested": n_new + n_nulls,
+        "dup_within_batch": (n_batch - n_nulls) - n_canon,
+        "dup_vs_ledger": n_canon - n_new,
+    }
+
+
+def jsonl_dedup_ingest_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    wh,
+    corpus_table: str,
+    quarantine_table: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Deduplicating JSONL landing zone: the ingest front door composed
+    with the digest-ledger dedup, so a re-crawled or re-submitted
+    document can never enter the corpus twice across ANY horizon --
+    batches, restarts, or months of feeds. Per micro-batch, in one
+    warehouse transaction: typed new-digest rows append to
+    ``corpus_table``, their digests to ``<corpus_table>.digests``,
+    malformed lines verbatim to ``quarantine_table``, and the batch id
+    to the ingest ledger (replayed batches are exact no-ops)."""
+    from ..sources import split_jsonl_lines
+
+    ledger_table = f"{corpus_table}.digests"
+    batch_log = f"{corpus_table}.ingest_log"
+
+    def sink(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        if not wh.exists(batch_log):
+            wh.create_table(
+                batch_log, T.StructType([T.StructField("batch_id", T.LongType())])
+            )
+        if wh.read(batch_log).filter(F.col("batch_id") == batch_id).count() > 0:
+            return
+        typed, quarantined = split_jsonl_lines(batch_df.localCheckpoint(), schema)
+        if not wh.exists(quarantine_table):
+            wh.create_table(
+                quarantine_table,
+                T.StructType([T.StructField("raw_line", T.StringType())]),
+            )
+        # ONE transaction for the whole batch: corpus, digests,
+        # quarantine, and the replay guard land together or not at all
+        return dedup_ingest_apply(
+            wh, corpus_table, ledger_table, typed, text_col, id_col,
+            extra_appends=[
+                (quarantine_table, quarantined),
+                (
+                    batch_log,
+                    spark.createDataFrame([(int(batch_id),)], "batch_id bigint"),
+                ),
+            ],
+        )
+
+    return (
+        spark.readStream.text(source_dir)
+        .writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+        .start()
+    )

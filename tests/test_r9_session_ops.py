@@ -203,3 +203,71 @@ def test_drift_monitor_stream(spark, tmp_path):
     rows = sorted(wh.read("monitor.drift").collect(), key=lambda r: r["batch_id"])
     assert len(rows) == 2
     assert rows[-1]["psi"] > 0.25  # shifted distribution flagged
+
+
+def test_dedup_ingest_ledger_across_batches(spark, tmp_path):
+    from pg_auto_dw_spark.streaming.jobs import dedup_ingest_apply
+    from pg_auto_dw_spark.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    b1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha"), (4, None)],
+        "doc_id bigint, text string",
+    )
+    s1 = dedup_ingest_apply(wh, "c.docs", "c.digests", b1)
+    assert s1 == {"ingested": 3, "dup_within_batch": 1, "dup_vs_ledger": 0}
+    # batch 2: one re-submission of "beta", one new, one NULL
+    b2 = spark.createDataFrame(
+        [(10, "beta"), (11, "gamma"), (12, None)],
+        "doc_id bigint, text string",
+    )
+    s2 = dedup_ingest_apply(wh, "c.docs", "c.digests", b2)
+    assert s2 == {"ingested": 2, "dup_within_batch": 0, "dup_vs_ledger": 1}
+    docs = wh.read("c.docs")
+    assert docs.count() == 5  # 1,2,4 + 11,12 (alpha dup + beta resubmit dropped)
+    texts = sorted(r["text"] for r in docs.collect() if r["text"] is not None)
+    assert texts == ["alpha", "beta", "gamma"]
+    assert wh.read("c.digests").count() == 3
+
+
+def test_jsonl_dedup_ingest_stream_end_to_end(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from pg_auto_dw_spark.streaming.jobs import jsonl_dedup_ingest_stream
+    from pg_auto_dw_spark.warehouse import Warehouse
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.jsonl").write_text(
+        '{"doc_id": 1, "text": "alpha"}\n'
+        '{"doc_id": 2, "text": "beta"}\n'
+        "this is not json\n"
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+
+    def run():
+        q = jsonl_dedup_ingest_stream(
+            spark, str(src), schema, wh, "lz.docs", "lz.quarantine",
+            str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert wh.read("lz.docs").count() == 2
+    assert wh.read("lz.quarantine").count() == 1
+    # second file re-submits alpha, adds one new doc
+    (src / "b.jsonl").write_text(
+        '{"doc_id": 9, "text": "alpha"}\n'
+        '{"doc_id": 10, "text": "delta"}\n'
+    )
+    run()
+    docs = wh.read("lz.docs").collect()
+    assert sorted(r["text"] for r in docs) == ["alpha", "beta", "delta"]
+    assert {r["doc_id"] for r in docs} == {1, 2, 10}  # resubmission dropped
+    # restart over the same sources: exact no-op
+    run()
+    assert wh.read("lz.docs").count() == 3
+    assert wh.read("lz.quarantine").count() == 1
