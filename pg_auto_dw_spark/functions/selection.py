@@ -241,7 +241,10 @@ def hashed_idf_model(
     can persist this dict like any other model artifact."""
     import math
 
-    base = docs.select(
+    # same pre-explode fan-out as the transform (and minhash): the fit
+    # tokenizes the whole corpus too
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    base = docs.repartition(par, id_col).select(
         F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("__w")
     )
     h = F.conv(F.substring(F.md5("__w"), 1, 8), 16, 10).cast("bigint")
@@ -305,7 +308,12 @@ def hashed_embedding(
     Output: (id, embedding array<double>[dims], n_tokens). Docs with
     no tokens emit no row; an all-cancelled (zero-norm) vector stays
     all-zero rather than dividing by zero."""
-    base = docs.select(
+    # fan docs across cores BEFORE the explode (the minhash precedent,
+    # dedup.py): a small corpus arrives as one parquet split, and
+    # without this the entire tokenize+md5 stream runs in ONE task
+    # ahead of the first shuffle (measured 2.1s -> 0.9s at sf0.1)
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    base = docs.repartition(par, id_col).select(
         F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("__w")
     )
     h = F.conv(F.substring(F.md5("__w"), 1, 8), 16, 10).cast("bigint")
