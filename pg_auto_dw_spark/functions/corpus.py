@@ -144,6 +144,18 @@ def _gram_table(df: DataFrame, id_col: str, out_id: str, text_col: str, n: int) 
     ).select(out_id, F.explode(ngrams_of(F.col("__toks"), n)).alias("gram"))
 
 
+def _fan_out(df: DataFrame, id_col: str) -> DataFrame:
+    """Spread docs across cores BEFORE a gram/token explode (the
+    minhash precedent, dedup.py): a small corpus arrives as one
+    parquet split, and without this the whole tokenize+hash stream
+    runs in ONE task ahead of the first shuffle. The shuffle moves
+    docs, not grams -- one linear doc-sized exchange. NOT applied to
+    the zero-shuffle probe paths (bloom), whose contract is no
+    exchange at all."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(par, id_col)
+
+
 def contamination_pairs(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -171,7 +183,7 @@ def contamination_pairs(
     benchmark documents (boilerplate, templating) -- are dropped
     before the join: one ubiquitous gram would otherwise be a
     quadratic hot key, the same failure mode as an LSH hot bucket."""
-    d = _gram_table(docs, id_col, id_col, text_col, n)
+    d = _gram_table(_fan_out(docs, id_col), id_col, id_col, text_col, n)
     b = _gram_table(benchmark, id_col, bench_id_col, text_col, n)
     # Stop-gram cap as a count-over-gram WINDOW, not a groupBy +
     # join-back: the window computes the per-gram doc count and filters
@@ -648,6 +660,7 @@ def duplicated_span_stats(
 
     Output: (id, n_grams, n_dup_grams, dup_frac) with dup_frac rounded
     to ``decimals`` for engine parity."""
+    docs = _fan_out(docs, id_col)  # both explodes below parallelize
     inst = docs.select(
         F.col(id_col), word_tokens(F.col(text_col)).alias("__toks")
     ).select(id_col, F.explode(ngram_instances_of(F.col("__toks"), n)).alias("gram"))
@@ -1072,7 +1085,7 @@ def source_overlap_matrix(
     pair explosion as a pure array expression -> one (src_a, src_b)
     count whose output is sources^2 rows. No self-join, no cartesian,
     nothing sized by the corpus after the vocabulary aggregation."""
-    g = _gram_table(docs, source_col, "src", text_col, n)
+    g = _gram_table(_fan_out(docs, source_col), source_col, "src", text_col, n)
     h = F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("bigint")
     vocab = g.select("src", h.alias("gh")).distinct()
     by_gram = (
