@@ -52,8 +52,12 @@ def token_bucket(col, buckets: int):
 def _token_stream(
     docs: DataFrame, text_col: str, id_col: str, buckets: int, *extra_cols
 ) -> DataFrame:
-    """(id, b, *extra) hashed-token stream: one scan, narrow explode."""
-    base = docs.select(
+    """(id, b, *extra) hashed-token stream: one scan, narrow explode.
+    Docs fan out across cores before the explode (the minhash/gram
+    precedent -- one parquet split would otherwise serialize the whole
+    tokenize+hash stream into one task)."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    base = docs.repartition(par, id_col).select(
         F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("__w"), *extra_cols
     )
     carried = [c for c in base.columns if c not in (id_col, "__w")]

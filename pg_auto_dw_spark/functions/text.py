@@ -271,6 +271,8 @@ def redact_pii(
 
 
 def _tokens_exploded(df: DataFrame, text_col: str, id_col: str, normalized: bool):
+    # fan docs across cores before the explode (minhash/gram precedent)
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
     """(id, w) token stream: raw whitespace split by default, or the
     ``word_tokens`` lowercase-alnum normalization shared with the corpus
     operators (``normalized=True``). The normalized path is what the
