@@ -107,7 +107,31 @@ def register(name: str, sql: str | None):
 # five designated retirements PLUS the 6 mid rows above (exactly 50);
 # set _DEPRIORITIZED = today's 50 _PRIORITY. Demote today's head;
 # register nothing new into the head without the retire-and-replace
-# path.
+# path. Retirement CANDIDATES (final call at r10; all in today's
+# resting set, coverage held elsewhere):
+#   text_token_counts      (proxy-count math embedded in the verified
+#                           corpus_token_budget_sample and
+#                           documents_pack_sequences plans; exact
+#                           counts now have their own driver row via
+#                           documents_bpe_token_counts)
+#   text_fingerprints      (sha256 key held by dedup_exact_documents +
+#                           auto_dw_hash_parity; md5-prefix integer
+#                           math held by documents_shard_plan and the
+#                           minhash/simhash oracles)
+#   ann_cosine_topk        (the brute-force kernel is the verified
+#                           ground truth inside ann_pq_recall_bounds
+#                           and the recall harness; the filtered twin
+#                           ann_cosine_topk_filtered keeps the row
+#                           shape under driver verification)
+#   multimodal_frame_samples (Arrow mapInPandas plumbing + fake-codec
+#                           contract held by multimodal_decode_stats +
+#                           test_multimodal_codec.py -- the same
+#                           holder argument that retired
+#                           multimodal_resize in r9)
+#   customer_order_coalesce_outer (J1/P5 held by
+#                           orders_without_lineitems_anti + the status
+#                           engine rows; coalesce projection appears
+#                           in every loader oracle)
 # r11 oracle candidates (r9 session ops, pytest-verified with
 # hand-math oracles in test_r9_session_ops.py; each needs a designated
 # retirement when registered): corpus_datacard (integer counts + sha2
