@@ -151,9 +151,11 @@ def _fan_out(df: DataFrame, id_col: str) -> DataFrame:
     runs in ONE task ahead of the first shuffle. The shuffle moves
     docs, not grams -- one linear doc-sized exchange. NOT applied to
     the zero-shuffle probe paths (bloom), whose contract is no
-    exchange at all."""
+    exchange at all. ``id_col=None`` round-robins instead -- REQUIRED
+    when the only available key is low-cardinality (hash-partitioning
+    on a 4-value source column would leave 28 of 32 cores idle)."""
     par = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(par, id_col)
+    return df.repartition(par) if id_col is None else df.repartition(par, id_col)
 
 
 def contamination_pairs(
@@ -1085,7 +1087,7 @@ def source_overlap_matrix(
     pair explosion as a pure array expression -> one (src_a, src_b)
     count whose output is sources^2 rows. No self-join, no cartesian,
     nothing sized by the corpus after the vocabulary aggregation."""
-    g = _gram_table(_fan_out(docs, source_col), source_col, "src", text_col, n)
+    g = _gram_table(_fan_out(docs, None), source_col, "src", text_col, n)
     h = F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("bigint")
     vocab = g.select("src", h.alias("gh")).distinct()
     by_gram = (
