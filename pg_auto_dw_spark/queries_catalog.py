@@ -3315,7 +3315,8 @@ def part_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_col="p_name",
         block_cols=["noun", "p_brand"],
         max_distance=3,
-    )
+    ).withColumn("distance", F.col("distance").cast("bigint"))  # width-match
+    # the oracle's BIGINT (dtype_audit zero-warning discipline)
 
 
 @register(
@@ -3519,7 +3520,9 @@ def documents_chunked_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text import chunk_documents
 
     docs = load_table(spark, sf_dir, "documents")
-    return chunk_documents(docs, chunk_words=40, stride=20)
+    return chunk_documents(docs, chunk_words=40, stride=20).withColumn(
+        "n_words", F.col("n_words").cast("bigint")  # width-match the oracle
+    )
 
 
 _SKETCH_BOUNDS_ORACLE = """
@@ -3963,7 +3966,7 @@ def orders_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w.rowsBetween(-2, 0))
         .cast("double")
         .alias("rolling_3_revenue"),
-        F.row_number().over(w).alias("order_seq"),
+        F.row_number().over(w).cast("bigint").alias("order_seq"),  # width-match
     )
 
 
@@ -4917,7 +4920,7 @@ c AS (
         + CASE WHEN regexp_matches(low, '\bwith\b') THEN 1 ELSE 0 END) AS n_stop
   FROM b)
 SELECT doc_id, n_words, n_word_chars, n_symbols, n_alpha_words,
-       n_stop AS n_stopwords_present,
+       CAST(n_stop AS BIGINT) AS n_stopwords_present,
        (n_words >= 50 AND n_words <= 100000) AS rule_word_count,
        (n_word_chars >= 3 * n_words AND n_word_chars <= 10 * n_words)
            AS rule_mean_word_len,
