@@ -1038,6 +1038,53 @@ class Warehouse:
             "bytes": total,
         }
 
+    def table_health(self, name: str, small_file_mb: int = 32) -> dict:
+        """Maintenance-facing health report: live file count and bytes,
+        small-file count/share (files under ``small_file_mb``), and the
+        number of retained versions. O(file count) driver listing --
+        metadata work, no Spark job (the same cost class as
+        ``data_files``)."""
+        sizes = self.data_files(name)
+        threshold = small_file_mb * 1024 * 1024
+        small = sum(1 for s in sizes.values() if s < threshold)
+        return {
+            "files": len(sizes),
+            "bytes": sum(sizes.values()),
+            "small_files": small,
+            "small_share": (small / len(sizes)) if sizes else 0.0,
+            "versions_retained": len(self.history(name)),
+        }
+
+    def maybe_compact(
+        self,
+        name: str,
+        target_file_mb: int = 256,
+        small_file_mb: int = 32,
+        max_small_files: int = 16,
+        cluster_by: list[str] | None = None,
+    ) -> dict:
+        """The compaction TRIGGER (the ``maybe_rebalance_ivf_index``
+        pattern applied to tables): measure small-file pressure and
+        rewrite ONLY past the threshold -- schedule after ingest
+        windows instead of compacting unconditionally, because the
+        rewrite costs one full pass over the table while the health
+        probe costs a directory listing. Streaming sinks and
+        incremental appends accrete one-file-per-batch; at 100 TB the
+        scan's task count and listing load are file-bound, so this is
+        the maintenance loop a landing zone runs on a cadence.
+        Returns {"action": "noop"|"compacted", "health": ...,
+        ["result", "health_after"]}."""
+        health = self.table_health(name, small_file_mb)
+        if health["small_files"] <= max_small_files:
+            return {"action": "noop", "health": health}
+        result = self.compact(name, target_file_mb, cluster_by)
+        return {
+            "action": "compacted",
+            "health": health,
+            "result": result,
+            "health_after": self.table_health(name, small_file_mb),
+        }
+
 
 class _Transaction:
     """Write surface inside ``Warehouse.transaction``: stages each

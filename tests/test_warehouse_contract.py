@@ -68,3 +68,27 @@ def test_contract_semantics_roundtrip(spark, warehouse_dir):
     assert wh2._partitioning["c.t"] == ["b"]
     wh2.drop_table("c.t")
     assert not wh2.exists("c.t")
+
+
+def test_maybe_compact_triggers_on_small_file_pressure(spark, warehouse_dir):
+    from pg_auto_dw_spark.warehouse import Warehouse
+
+    wh = Warehouse(spark, warehouse_dir)
+    df = spark.range(100).selectExpr("id AS k", "id * 2 AS v")
+    wh.create_table("m.t", df.schema)
+    # below threshold: noop, nothing rewritten
+    wh.append("m.t", df)
+    r = wh.maybe_compact("m.t", max_small_files=16)
+    assert r["action"] == "noop" and r["health"]["files"] >= 1
+    # accrete one-file-per-batch ingest pressure past the threshold
+    for i in range(20):
+        wh.append("m.t", df.withColumn("k", df.k + (i + 1) * 1000))
+    before = wh.table_health("m.t")
+    assert before["small_files"] > 16
+    r = wh.maybe_compact("m.t", max_small_files=16)
+    assert r["action"] == "compacted"
+    after = r["health_after"]
+    assert after["files"] < before["files"]
+    assert after["small_files"] <= 16
+    # data intact through the rewrite
+    assert wh.read("m.t").count() == 2100
