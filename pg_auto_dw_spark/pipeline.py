@@ -97,6 +97,8 @@ class CorpusPipelineResult:
     # the storage -- without this handle a long-lived session would
     # accumulate one pinned survivors set per facade call
     pinned: DataFrame | None = None
+    # the exact config the build ran under (manifest input)
+    config: "CorpusPipelineConfig | None" = None
 
     def summary(self) -> list[tuple[str, int]]:
         """Per-stage surviving row counts, in stage order (forces one
@@ -108,6 +110,21 @@ class CorpusPipelineResult:
         persist_survivors was off)."""
         if self.pinned is not None:
             self.pinned.unpersist()
+
+    def manifest(self, summary: list[tuple[str, int]] | None = None) -> dict:
+        """Reproducibility record of the build: the full config (every
+        threshold, seed, shard count -- the knobs that make two runs
+        comparable) plus the per-stage row counts. JSON-serializable;
+        write it next to the shards (warehouse table or sidecar file)
+        so a training run can name exactly which corpus build it
+        consumed. Pass a precomputed ``summary()`` to avoid recounting;
+        otherwise one count per stage runs here."""
+        from dataclasses import asdict
+
+        return {
+            "config": asdict(self.config) if self.config is not None else {},
+            "stages": [list(s) for s in (summary or self.summary())],
+        }
 
 
 def build_training_corpus(
@@ -188,4 +205,5 @@ def build_training_corpus(
         sharded=sharded,
         stages=stages,
         pinned=pinned,
+        config=cfg,
     )

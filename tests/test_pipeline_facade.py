@@ -83,3 +83,25 @@ def test_persist_survivors_pins_and_releases(spark, sf_dir):
     assert on.summary() == off.summary()
     on.release()
     assert not on.pinned.storageLevel.useMemory  # storage released
+
+
+def test_manifest_is_json_serializable_reproducibility_record(spark, sf_dir):
+    import json
+
+    from pg_auto_dw_spark.pipeline import (
+        CorpusPipelineConfig,
+        build_training_corpus,
+    )
+    from pg_auto_dw_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    cfg = CorpusPipelineConfig(min_words=10, n_shards=8, seed=3)
+    res = build_training_corpus(docs, config=cfg)
+    summ = res.summary()
+    m = res.manifest(summary=summ)  # reuse counts, no recount
+    blob = json.dumps(m)  # must be JSON-serializable as-is
+    back = json.loads(blob)
+    assert back["config"]["n_shards"] == 8 and back["config"]["seed"] == 3
+    assert back["config"]["min_words"] == 10
+    assert back["stages"][0] == ["input", docs.count()]
+    assert [tuple(s) for s in back["stages"]] == summ
