@@ -569,3 +569,34 @@ def test_quality_binned_sample_matches_model(spark, rows, cuts):
         if (key * MULTIPLIER) % MODULUS < int(rates[b] * MODULUS):
             want[key] = b
     assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    lengths=st.lists(st.integers(min_value=0, max_value=400), min_size=1, max_size=80),
+    budget=st.integers(min_value=1, max_value=512),
+    n_salts=st.integers(min_value=1, max_value=8),
+)
+def test_inference_batch_plan_invariants(spark, lengths, budget, n_salts):
+    """Every doc planned exactly once; every batch band-homogeneous;
+    every batch's padded cost fits the budget unless it is a one-row
+    batch of an over-budget doc; bands are the next power of two."""
+    from pg_auto_dw_spark.functions.batching import (
+        batch_plan_stats,
+        inference_batch_plan,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in enumerate(lengths)],
+        "doc_id bigint, text string",
+    )
+    plan = inference_batch_plan(docs, budget, n_salts=n_salts)
+    rows = plan.collect()
+    assert sorted(r["doc_id"] for r in rows) == list(range(len(lengths)))
+    for r in rows:
+        lo = max(r["n_tokens"], 1)
+        assert r["band_tokens"] >= lo and r["band_tokens"] < 2 * lo + 1
+        assert r["band_tokens"] & (r["band_tokens"] - 1) == 0
+    for b in batch_plan_stats(plan).collect():
+        assert b["padded_tokens"] <= budget or b["n_rows"] == 1
+        assert 0 <= b["waste_pct_e4"] <= 10000
