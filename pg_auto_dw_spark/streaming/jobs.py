@@ -1047,6 +1047,11 @@ def dedup_ingest_apply(
 
     Returns {"ingested", "dup_within_batch", "dup_vs_ledger"}.
 
+    The stats counts plus the two appends evaluate ``typed`` several
+    times -- pass a pinned frame (the streaming caller hands the
+    micro-batch through localCheckpoint; a batch caller with expensive
+    lineage should do the same) so the lineage runs once.
+
     100 TB posture: the batch side is micro-batch-sized and broadcasts
     into the anti-join; the ledger side is a full scan per batch --
     the floor for exact unbounded-horizon dedup on a heap table. At
