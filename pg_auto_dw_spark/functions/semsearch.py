@@ -144,6 +144,50 @@ def build_chunk_search_index(
     return {"chunks": stats["vectors"], **stats}
 
 
+def search_chunks_many(
+    wh,
+    name: str,
+    queries: dict[int, str],
+    k: int = 5,
+    n_probes: int = 1,
+) -> DataFrame:
+    """Batched form of ``search_chunks`` -- the shape a serving front
+    end actually calls (one request wave, one partition-pruned scan
+    covering every query's probed cells instead of one scan per
+    query). ``queries``: {query_id: text}. Output: (query_id, doc_id,
+    chunk_id, cosine)."""
+    from .similarity import ivf_search_index
+
+    cfg = _load_embed_config(wh, name)
+    vecs = [
+        (qid, embed_text(text, cfg["idf"], cfg["n_docs"], cfg["dims"]))
+        for qid, text in sorted(queries.items())
+    ]
+    hits = ivf_search_index(wh, name, vecs, k=k, n_probes=n_probes, id_col="chunk_key")
+    return hits.select(
+        "query_id",
+        F.expr(f"neighbor_id div {CHUNK_SHIFT}").cast("long").alias("doc_id"),
+        (F.col("neighbor_id") % CHUNK_SHIFT).cast("long").alias("chunk_id"),
+        "cosine",
+    )
+
+
+def _load_embed_config(wh, name: str) -> dict:
+    cfg_name = f"{name}.embed_config"
+    if not wh.exists(cfg_name):
+        raise ValueError(
+            f"{cfg_name} not found: index was not built by "
+            f"build_chunk_search_index (or predates it); searching with "
+            f"ad-hoc geometry would embed the query in the wrong space"
+        )
+    raw = json.loads(wh.read(cfg_name).first()["config"])
+    return {
+        "dims": int(raw["dims"]),
+        "n_docs": int(raw["n_docs"]),
+        "idf": {int(d): v for d, v in raw["idf"].items()},
+    }
+
+
 def search_chunks(
     wh,
     name: str,
@@ -155,27 +199,6 @@ def search_chunks(
     ``build_chunk_search_index`` index: embed driver-side under the
     PERSISTED geometry, partition-pruned cell search, decode the packed
     key. Output: (doc_id, chunk_id, cosine)."""
-    from .similarity import ivf_search_index
-
-    cfg_name = f"{name}.embed_config"
-    if not wh.exists(cfg_name):
-        raise ValueError(
-            f"{cfg_name} not found: index was not built by "
-            f"build_chunk_search_index (or predates it); searching with "
-            f"ad-hoc geometry would embed the query in the wrong space"
-        )
-    cfg = json.loads(wh.read(cfg_name).first()["config"])
-    vec = embed_text(
-        text,
-        {int(d): v for d, v in cfg["idf"].items()},
-        int(cfg["n_docs"]),
-        int(cfg["dims"]),
-    )
-    hits = ivf_search_index(
-        wh, name, [(0, vec)], k=k, n_probes=n_probes, id_col="chunk_key"
-    )
-    return hits.select(
-        F.expr(f"neighbor_id div {CHUNK_SHIFT}").cast("long").alias("doc_id"),
-        (F.col("neighbor_id") % CHUNK_SHIFT).cast("long").alias("chunk_id"),
-        "cosine",
+    return search_chunks_many(wh, name, {0: text}, k=k, n_probes=n_probes).drop(
+        "query_id"
     )

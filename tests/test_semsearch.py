@@ -94,3 +94,25 @@ def test_idf_model_must_cover_all_dims(spark):
 
     with pytest.raises(ValueError, match="every dim"):
         hashed_embedding(_docs(spark), dims=16, idf_model={0: 1.0})
+
+
+def test_search_chunks_many_batched_queries(spark, warehouse_dir):
+    wh = Warehouse(spark, warehouse_dir)
+    build_chunk_search_index(
+        wh, _docs(spark), "semb", chunk_words=8, stride=6, dims=32,
+        kmeans_stride=3,
+    )
+    from pg_auto_dw_spark.functions.semsearch import search_chunks_many
+
+    hits = search_chunks_many(
+        wh, "semb",
+        {7: "stock markets rallied today as investors cheered",
+         9: "central banks raised interest rates"},
+        k=2, n_probes=2,
+    ).collect()
+    by_q = {}
+    for h in hits:
+        by_q.setdefault(h["query_id"], []).append(h)
+    assert set(by_q) == {7, 9}
+    assert by_q[7][0]["doc_id"] == 2   # verbatim source doc wins
+    assert by_q[9][0]["doc_id"] == 4
