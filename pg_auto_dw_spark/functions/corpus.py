@@ -860,6 +860,80 @@ def bloom_build(
     return row.localCheckpoint(eager=True)
 
 
+def bloom_build_keys(
+    keys: DataFrame,
+    key_col: str,
+    m_bits: int | None = None,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """ONE-row Bloom filter over a DataFrame of STRING KEYS (digests,
+    ids): (bits, m_bits, k, n=0, n_grams=n_keys) -- same row schema as
+    ``bloom_build`` so ``_bloom_probe`` works unchanged, with n=0
+    marking 'keys, not grams'.
+
+    Unlike the benchmark-gram build (whose input is driver-bounded by
+    construction), the key set may be corpus-scale -- a digest ledger
+    grows without bound -- so the bitset is built DISTRIBUTED: each
+    partition packs its keys' k positions into a local bitset
+    (Arrow ``mapInPandas``), and the driver ORs the <= numPartitions
+    partial bitsets together. Driver work is O(partitions * m/8
+    bytes), never O(keys). At 1e9 keys, pass m_bits ~= 2^34 (2 GiB,
+    ~17 bits/key, fpp ~0.3% at k=4) rather than the 64-bits/key
+    default sized for audit-grade gram filters."""
+    import numpy as np
+    import pandas as pd
+
+    n_keys = keys.select(key_col).distinct().count()
+    if m_bits is None:
+        m_bits = 1 << max(10, (64 * max(1, n_keys) - 1).bit_length())
+    if m_bits & (m_bits - 1):
+        raise ValueError(f"m_bits must be a power of two, got {m_bits}")
+    h1, h2 = _gram_hash_pair(F.col(key_col))
+    hashed = keys.select(h1.alias("h1"), h2.alias("h2"))
+    n_words = m_bits // 64
+    kk, mb = k, m_bits
+
+    def pack(batches):
+        words = np.zeros(n_words, dtype=np.uint64)
+        for pdf in batches:
+            for i in range(kk):
+                pos = (pdf["h1"].to_numpy() + i * pdf["h2"].to_numpy()) % mb
+                np.bitwise_or.at(
+                    words, pos // 64, np.uint64(1) << (pos % 64).astype(np.uint64)
+                )
+        yield pd.DataFrame({"bits": [words.view(np.int64).tolist()]})
+
+    partials = hashed.mapInPandas(pack, "bits array<bigint>").collect()
+    merged = np.zeros(n_words, dtype=np.uint64)
+    for r in partials:
+        merged |= np.array(r["bits"], dtype=np.int64).view(np.uint64)
+    spark = keys.sparkSession
+    row = spark.createDataFrame(
+        [([int(w) for w in merged.view(np.int64)], m_bits, k, 0, n_keys)],
+        "bits array<bigint>, m_bits bigint, k int, n int, n_grams bigint",
+    )
+    return row.localCheckpoint(eager=True)
+
+
+def with_key_bloom_hit(
+    df: DataFrame, bloom: DataFrame, key_col: str, head=None
+) -> DataFrame:
+    """``df`` plus a ``bloom_hit`` boolean probing ``key_col`` against
+    a ``bloom_build_keys`` row: broadcast-join the one-row bitset (the
+    measured-fast shape from ``_with_bloom_hit`` -- a literal bitset
+    copies the array into the expression tree per probe reference) and
+    test the k double-hashed positions in codegen. Zero shuffle. No
+    false negatives: a key in the build set always hits."""
+    head = head or bloom.first()
+    m_bits, k = int(head["m_bits"]), int(head["k"])
+    h1, h2 = _gram_hash_pair(F.col(key_col))
+    return (
+        df.join(F.broadcast(bloom.select("bits")))
+        .withColumn("bloom_hit", _bloom_probe(h1, h2, F.col("bits"), m_bits, k))
+        .drop("bits")
+    )
+
+
 def _bloom_probe(h1, h2, bits_col, m_bits: int, k: int):
     """Boolean column: all k double-hashed positions set in the bitset.
     Pure codegen -- element_at + bitwiseAND against a 64-entry literal

@@ -330,6 +330,14 @@ def hashed_embedding(
     # fill unseen dims with the smoothed default log(n_docs+1)+1
     # before passing (semsearch does).
     if idf_model is not None:
+        if not use_idf:
+            # a model that passes validation but is then silently
+            # ignored is a contract trap -- refuse the contradiction
+            raise ValueError(
+                "idf_model supplied with use_idf=False: the model would "
+                "be validated then ignored; drop the model or set "
+                "use_idf=True"
+            )
         missing = [d for d in range(dims) if d not in idf_model]
         if missing:
             raise ValueError(

@@ -12,9 +12,10 @@ chunking, scan-bound) -> ``selection.hashed_idf_model`` (ONE-scan fit,
 (ONE-scan transform) -> ``similarity.build_ivf_index`` (k-means
 codebook + cell-partitioned assignment, atomic multi-table commit).
 The embed geometry (dims, chunking, the full IDF table, n_docs) is
-committed to ``<name>.embed_config`` IN THE SAME TRANSACTION PATTERN
-as the index's build_config: a query embedded under different
-geometry would be searched in the wrong space silently.
+committed to ``<name>.embed_config`` IN THE SAME TRANSACTION as the
+index's codebook/assignment/build_config (via build_ivf_index's
+extra_tables): a query embedded under different geometry would be
+searched in the wrong space silently.
 
 Query time is request-sized by construction: embed the query text
 DRIVER-SIDE with ``embed_text`` (pure Python, bit-compatible with the
@@ -24,8 +25,9 @@ assignment table to the probed cells. No corpus scan per query.
 
 Chunk identity: chunk_key = doc_id * 2^20 + chunk_id (decoded back to
 (doc_id, chunk_id) in results). The packing is guarded at build time
--- a doc with >= 2^20 chunks or an id >= 2^43 fails loudly instead of
-colliding silently.
+-- a doc with >= 2^20 chunks, an id >= 2^43, or a NEGATIVE id (which
+would decode to the wrong pair under div/% truncation) fails loudly
+instead of colliding silently.
 """
 
 from __future__ import annotations
@@ -95,7 +97,9 @@ def build_chunk_search_index(
 
     chunks = chunk_documents(docs, chunk_words, stride, text_col, id_col)
     key = F.when(
-        (F.col("chunk_id") < CHUNK_SHIFT)
+        (F.col("chunk_id") >= 0)
+        & (F.col("chunk_id") < CHUNK_SHIFT)
+        & (F.col(id_col).cast("long") >= 0)
         & (F.col(id_col).cast("long") < F.lit(1 << 43)),
         F.col(id_col).cast("long") * CHUNK_SHIFT + F.col("chunk_id"),
     ).otherwise(
@@ -119,10 +123,6 @@ def build_chunk_search_index(
         id_col="chunk_key",
         idf_model=_filled_model(idf, n_docs, dims),
     )
-    stats = build_ivf_index(
-        wh, emb, name, stride=kmeans_stride, dims=dims,
-        id_col="chunk_key", vec_col="embedding",
-    )
     cfg_name = f"{name}.embed_config"
     cfg_df = wh.spark.createDataFrame(
         [(
@@ -138,9 +138,15 @@ def build_chunk_search_index(
         )],
         "config string",
     )
-    if not wh.exists(cfg_name):
-        wh.create_table(cfg_name, cfg_df.schema)
-    wh.overwrite(cfg_name, cfg_df)
+    # the embed geometry rides build_ivf_index's OWN transaction
+    # (extra_tables): a separate commit after the index could crash in
+    # between on a rebuild and pair the new index with STALE geometry --
+    # same-dims queries would then embed in the old space with no error
+    stats = build_ivf_index(
+        wh, emb, name, stride=kmeans_stride, dims=dims,
+        id_col="chunk_key", vec_col="embedding",
+        extra_tables=[(cfg_name, cfg_df)],
+    )
     return {"chunks": stats["vectors"], **stats}
 
 

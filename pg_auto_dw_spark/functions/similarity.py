@@ -966,6 +966,7 @@ def build_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_modulus: int = 1,
+    extra_tables: list | None = None,
 ) -> dict:
     """Train the k-means codebook and materialize the full cell
     assignment as two warehouse tables: ``<name>.codebook``
@@ -975,7 +976,10 @@ def build_ivf_index(
 
     Re-running the build overwrites both tables atomically (warehouse
     generation commit), so index refresh is crash-safe and readers
-    never see a half-built index."""
+    never see a half-built index. ``extra_tables``: [(table, df)]
+    caller sidecars (e.g. semsearch's embed geometry) overwritten in
+    the SAME transaction -- a sidecar committed separately could pair
+    a new index with stale metadata after a crash between commits."""
     codebook = ivf_kmeans_codebook(
         corpus, stride, iters, dims, id_col, vec_col, train_modulus
     ).localCheckpoint(eager=True)
@@ -1001,6 +1005,10 @@ def build_ivf_index(
         wh.create_table(as_name, assigned.schema, partition_by=["cell"])
     if not wh.exists(cfg_name):
         wh.create_table(cfg_name, cfg_df.schema)
+    extra = extra_tables or []
+    for t, df in extra:
+        if not wh.exists(t):
+            wh.create_table(t, df.schema)
     # ONE transaction for both tables: two independent commits could
     # crash in between and leave the new codebook paired with the old
     # assignment -- probes would then pick cells against centroids the
@@ -1010,10 +1018,12 @@ def build_ivf_index(
     # the build geometry rides in the SAME transaction: a rebuild that
     # cannot recover stride/dims/columns would silently retrain at
     # defaults and change quantization geometry under the searcher
-    with wh.transaction([cb_name, as_name, cfg_name]) as txn:
+    with wh.transaction([cb_name, as_name, cfg_name, *[t for t, _ in extra]]) as txn:
         txn.overwrite(cb_name, codebook)
         txn.overwrite(as_name, assigned)
         txn.overwrite(cfg_name, cfg_df)
+        for t, df in extra:
+            txn.overwrite(t, df)
     return {
         "cells": wh.read(cb_name).count(),
         "vectors": wh.read(as_name).count(),

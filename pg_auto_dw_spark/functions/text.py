@@ -271,8 +271,6 @@ def redact_pii(
 
 
 def _tokens_exploded(df: DataFrame, text_col: str, id_col: str, normalized: bool):
-    # fan docs across cores before the explode (minhash/gram precedent)
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
     """(id, w) token stream: raw whitespace split by default, or the
     ``word_tokens`` lowercase-alnum normalization shared with the corpus
     operators (``normalized=True``). The normalized path is what the
@@ -280,6 +278,8 @@ def _tokens_exploded(df: DataFrame, text_col: str, id_col: str, normalized: bool
     proven to hash-match across engines (corpus_decontaminate,
     text_fingerprints), unlike raw '\\s+' splitting whose engine-side
     regex/trim edge cases diverged in the driver environment."""
+    # fan docs across cores before the explode (minhash/gram precedent)
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
     if normalized:
         from .corpus import word_tokens
 

@@ -41,30 +41,74 @@ def register(name: str, sql: str | None):
 # cycle -- _PRIORITY is exactly the set that RESTED last round (plus
 # any query added or reshaped this round), _DEPRIORITIZED is the set
 # verified last round.
-# Round 9 state (per r8 VERDICT directives 1 + 3): _PRIORITY = the 48
-# rows that rested in r8 MINUS seven retirements (the six the r8 note
-# designated, below, plus events_interarrival_stats) PLUS the 8 r8
-# mid-order registrations taking their first driver rows
-# (documents_dsir_weights, documents_quality_linear,
-# documents_span_scrub, dedup_semantic_keep, documents_gopher_rules,
-# documents_bloom_decontaminate, events_value_histogram,
-# orders_constraint_audit) PLUS text_word_entropy (directive 1: "keep
-# the row in _PRIORITY" until green -- its oracle now casts
-# SUM(c) to BIGINT, killing the catalog's only int128 output, the
-# isolated root cause of three rounds of hash-mismatch). Exactly 50.
-# The directive-1 hold and the directive-3 formula together need 51
-# slots, so one extra retire-and-replace:
-#   events_interarrival_stats (per-user LAG(ts) gap computation is
-#                             verbatim the session-boundary math inside
-#                             events_sessionize -- verified r8, resting
-#                             this round, back in r10 -- and the
-#                             gap avg/max group stats are the A1/A6
-#                             shapes held by events_hourly_rollup and
-#                             events_salted_type_stats)
-# _DEPRIORITIZED = the other 49 rows verified in r8. Catalog: 99
-# oracle-rotation rows = 50 + 49, strict two-round cycle, no query
-# more than one round stale.
-# Retired r9 (all were RESTING in r8; coverage held elsewhere):
+# Round 10 state (executed exactly per the r9 VERDICT directive 2 /
+# the r9 catalog note): _PRIORITY = the 49 rows that rested in r9
+# MINUS the five retirements the r9 note designated (below) PLUS the
+# 6 r9 mid-order registrations taking their first driver rows
+# (documents_bpe_token_counts, documents_shard_plan,
+# warehouse_snapshot_diff, events_correlation_matrix,
+# documents_hashed_embedding, documents_source_overlap). Exactly 50.
+# _DEPRIORITIZED = the 50 rows verified in r9 (CORRECTNESS_r09: 50/50
+# green). Catalog: 100 oracle-rotation rows = 50 + 50, strict
+# two-round cycle, no query more than one round stale, plus the 4
+# MID-order r10 registrations below (first driver rows due r11).
+# Retired r10 (the five the r9 note designated; all were RESTING in
+# r9, so nothing loses an in-window row; coverage held elsewhere;
+# builders stay benched via _RETIRED/bench_queries):
+#   text_token_counts      (proxy-count math embedded in the verified
+#                           corpus_token_budget_sample and
+#                           documents_pack_sequences plans; exact
+#                           counts have their own driver row via
+#                           documents_bpe_token_counts)
+#   text_fingerprints      (sha256 key held by dedup_exact_documents +
+#                           auto_dw_hash_parity; md5-prefix integer
+#                           math held by documents_shard_plan and the
+#                           minhash/simhash oracles)
+#   ann_cosine_topk        (the brute-force kernel is the verified
+#                           ground truth inside ann_pq_recall_bounds
+#                           and the recall harness; the filtered twin
+#                           ann_cosine_topk_filtered keeps the row
+#                           shape under driver verification)
+#   multimodal_frame_samples (Arrow mapInPandas plumbing + fake-codec
+#                           contract held by multimodal_decode_stats +
+#                           test_multimodal_codec.py -- the holder
+#                           argument that retired multimodal_resize)
+#   customer_order_coalesce_outer (J1/P5 held by
+#                           orders_without_lineitems_anti + the status
+#                           engine rows; coalesce projection appears
+#                           in every loader oracle)
+# MID-order r10 registrations at positions 51-54, outside the driver
+# cap (the r9 VERDICT directive-6 designations; each locally verified
+# via tools/check_oracle.py + a clean hard-error dtype_audit before
+# registration; first driver rows due r11):
+#   corpus_datacard          (integer/sha2-distinct surface only; the
+#                            two percentile_approx fields excluded)
+#   tokenizer_stats          (pinned literal merges, exact integer
+#                            fixed-point ratios)
+#   inference_batch_plan_stats (md5 order + integer band/batch math)
+#   quality_binned_sample    (multiplicative-hash rank, cross-engine
+#                            exact like the sampler family)
+# NOTE for round 11: set _PRIORITY = today's 50 resting rows
+# (_DEPRIORITIZED below) MINUS four designated retirements PLUS the 4
+# mid rows above (exactly 50); set _DEPRIORITIZED = today's 50
+# _PRIORITY. Retirement CANDIDATES (final call at r11; all in today's
+# resting set, coverage held elsewhere):
+#   hub_load_customer      (S7/J5/A4 anti-join+hash load shape held by
+#                           hub_load_lineitem_composite -- same loader
+#                           code path with composite keys on top)
+#   sat_load_customer      (satellite hashdiff/anti-join shape held by
+#                           sat_load_lineitem_composite; both stay on
+#                           the bench watch list regardless)
+#   lineitem_stats_by_flag (multi-key GROUP BY agg family A6 held by
+#                           q1_pricing_summary on the same table and
+#                           keys)
+#   events_asof_last_purchase (union+carry-forward as-of kernel is
+#                           verbatim inside the verified pit_user_daily
+#                           composition; range family stays via
+#                           events_range_click_attribution)
+# Retired r9 (all were RESTING in r8; coverage held elsewhere;
+# events_interarrival_stats' LAG(ts) math is held by events_sessionize
+# + the A1/A6 shapes of events_hourly_rollup/events_salted_type_stats):
 #   customer_balance_ranks   (idiomatic window family held by
 #                             status_window_flags -- the SURVEY W1/W2
 #                             row -- plus sat_current_view)
@@ -90,59 +134,15 @@ def register(name: str, sql: str | None):
 #                             contract tests in test_multimodal_codec.py)
 # Retired builders stay importable and benchable (_RETIRED +
 # bench_queries()) but are excluded from queries()/oracle_sql().
-# MID-order r9 registrations at positions 51-56, outside the driver
-# cap (first driver rows due r10; the first five are the r8
-# designations, the sixth is an r9 session op registered same-round):
-# documents_bpe_token_counts (pinned literal merge list, exact),
-# documents_shard_plan (md5 integer math, fully cross-engine),
-# warehouse_snapshot_diff (template-scratch table pair),
-# events_correlation_matrix (scaled-BIGINT emit),
-# documents_hashed_embedding (integer feature hashing, exact),
-# documents_source_overlap (md5 gram-hash + integer division, exact).
 # Pre-registration gate (r8 VERDICT directive 2): a clean
 # `python tools/dtype_audit.py` hard-error run (0 ERRORs; int128/
 # decimal128 and type-class mismatches are hard errors) is MANDATORY
 # before any oracle enters this file.
-# NOTE for round 10: set _PRIORITY = today's 49 resting rows MINUS
-# five designated retirements PLUS the 6 mid rows above (exactly 50);
-# set _DEPRIORITIZED = today's 50 _PRIORITY. Demote today's head;
-# register nothing new into the head without the retire-and-replace
-# path. Retirement CANDIDATES (final call at r10; all in today's
-# resting set, coverage held elsewhere):
-#   text_token_counts      (proxy-count math embedded in the verified
-#                           corpus_token_budget_sample and
-#                           documents_pack_sequences plans; exact
-#                           counts now have their own driver row via
-#                           documents_bpe_token_counts)
-#   text_fingerprints      (sha256 key held by dedup_exact_documents +
-#                           auto_dw_hash_parity; md5-prefix integer
-#                           math held by documents_shard_plan and the
-#                           minhash/simhash oracles)
-#   ann_cosine_topk        (the brute-force kernel is the verified
-#                           ground truth inside ann_pq_recall_bounds
-#                           and the recall harness; the filtered twin
-#                           ann_cosine_topk_filtered keeps the row
-#                           shape under driver verification)
-#   multimodal_frame_samples (Arrow mapInPandas plumbing + fake-codec
-#                           contract held by multimodal_decode_stats +
-#                           test_multimodal_codec.py -- the same
-#                           holder argument that retired
-#                           multimodal_resize in r9)
-#   customer_order_coalesce_outer (J1/P5 held by
-#                           orders_without_lineitems_anti + the status
-#                           engine rows; coalesce projection appears
-#                           in every loader oracle)
-# r11 oracle candidates (r9 session ops, pytest-verified with
-# hand-math oracles in test_r9_session_ops.py; each needs a designated
-# retirement when registered): corpus_datacard (integer counts + sha2
-# distinct; the two percentile_approx fields would need excluding or a
-# bounds-style oracle), tokenizer_stats (pinned literal merges, exact
-# integer fixed-point ratios), inference_batch_plan stats (md5 order
-# + integer band/batch math, fully cross-engine).
 # Resting set snapshot:
 # python -c "from pg_auto_dw_spark import queries_catalog as q; \
 #            print(list(q.queries())[50:])"
 _RETIRED = {
+    # r9 retirements
     "customer_balance_ranks",
     "events_range_same_user_attribution",
     "documents_sample_fixed_n",
@@ -150,11 +150,71 @@ _RETIRED = {
     "events_distinct_users_by_type",
     "multimodal_resize",
     "events_interarrival_stats",
+    # r10 retirements (the five the r9 note designated; rationales in
+    # the note above)
+    "text_token_counts",
+    "text_fingerprints",
+    "ann_cosine_topk",
+    "multimodal_frame_samples",
+    "customer_order_coalesce_outer",
 }
 _PRIORITY = [
-    # directive-1 hold: int128 root cause fixed, must green this round
+    # r9 mid-order registrations: first driver rows (r9 VERDICT #2)
+    "documents_bpe_token_counts",
+    "documents_shard_plan",
+    "warehouse_snapshot_diff",
+    "events_correlation_matrix",
+    "documents_hashed_embedding",
+    "documents_source_overlap",
+    # the 44 rows that rested in r9 (49 minus the five retirements)
+    "text_unigram_logprob",
+    "documents_pack_sequences",
+    "text_bigram_logprob",
+    "documents_duplicated_spans",
+    "ann_pq_recall_bounds",
+    "documents_jsonl_roundtrip",
+    "scd2_merge_state",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "top_orders_per_customer",
+    "events_hourly_rollup",
+    "events_rollup_hierarchy",
+    "events_sessionize",
+    "part_name_tokens_explode",
+    "orders_without_lineitems_anti",
+    "text_language_id",
+    "text_quality_scores",
+    "corpus_token_budget_sample",
+    "dedup_exact_documents",
+    "dedup_minhash_lsh_pairs",
+    "dedup_clusters",
+    "corpus_clean_docs",
+    "dedup_ngram_jaccard",
+    "ann_lsh_bucket_topk",
+    "ann_ivf_topk",
+    "dedup_embedding_cosine",
+    "multimodal_decode_stats",
+    "pending_tables_cutoff",
+    "source_table_prompt_payload",
+    "auto_dw_hash_parity",
+    "hub_load_lineitem_composite",
+    "sat_load_lineitem_composite",
+    "link_load_order_part_supplier",
+    "scd2_partitioned_merge",
+    "corpus_contamination_pairs",
+    "corpus_decontaminate",
+    "source_profile_customer",
+    "text_repetition",
+    "dedup_simhash_hamming",
+    "ann_ivf_multiprobe_topk",
+    "documents_pii_scan",
+    "documents_zip_format_violations",
+    "dedup_keep_best_documents",
+]
+_DEPRIORITIZED = [
+    # the 50 rows verified in r9 (CORRECTNESS_r09 50/50 green)
     "text_word_entropy",
-    # r8 mid-order registrations: first driver rows (r8 VERDICT #3)
     "documents_dsir_weights",
     "documents_quality_linear",
     "documents_span_scrub",
@@ -163,7 +223,6 @@ _PRIORITY = [
     "documents_bloom_decontaminate",
     "events_value_histogram",
     "orders_constraint_audit",
-    # the 42 rows that rested in r8 (48 minus the six retirements)
     "events_value_quantile_sketch",
     "ann_ivf_index_search",
     "dim_upsert_customer",
@@ -205,57 +264,6 @@ _PRIORITY = [
     "ghost_records_customer",
     "status_source_column",
     "tracking_union_except",
-]
-_DEPRIORITIZED = [
-    "text_unigram_logprob",
-    "documents_pack_sequences",
-    "text_bigram_logprob",
-    "documents_duplicated_spans",
-    "ann_pq_recall_bounds",
-    "documents_jsonl_roundtrip",
-    "scd2_merge_state",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "top_orders_per_customer",
-    "events_hourly_rollup",
-    "events_rollup_hierarchy",
-    "events_sessionize",
-    "part_name_tokens_explode",
-    "orders_without_lineitems_anti",
-    "customer_order_coalesce_outer",
-    "text_language_id",
-    "text_quality_scores",
-    "text_token_counts",
-    "corpus_token_budget_sample",
-    "text_fingerprints",
-    "dedup_exact_documents",
-    "dedup_minhash_lsh_pairs",
-    "dedup_clusters",
-    "corpus_clean_docs",
-    "dedup_ngram_jaccard",
-    "ann_cosine_topk",
-    "ann_lsh_bucket_topk",
-    "ann_ivf_topk",
-    "dedup_embedding_cosine",
-    "multimodal_decode_stats",
-    "multimodal_frame_samples",
-    "pending_tables_cutoff",
-    "source_table_prompt_payload",
-    "auto_dw_hash_parity",
-    "hub_load_lineitem_composite",
-    "sat_load_lineitem_composite",
-    "link_load_order_part_supplier",
-    "scd2_partitioned_merge",
-    "corpus_contamination_pairs",
-    "corpus_decontaminate",
-    "source_profile_customer",
-    "text_repetition",
-    "dedup_simhash_hamming",
-    "ann_ivf_multiprobe_topk",
-    "documents_pii_scan",
-    "documents_zip_format_violations",
-    "dedup_keep_best_documents",
 ]
 
 

@@ -260,3 +260,39 @@ def test_semsearch_query_partition_prunes(spark, tmp_path):
     # not as a post-scan filter over all partitions
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert any("cell" in ln for ln in pf)
+
+
+def test_dedup_ledger_subtree_never_shuffles(spark, tmp_path):
+    """Directive r9 #1: the digest-ledger check must SCAN the ledger,
+    never shuffle it. _ledger_unseen puts the (corpus-scale) ledger on
+    the LEFT of a left_semi against the broadcast batch digests, then
+    anti-joins the broadcast hit set -- so the only Exchanges anywhere
+    are BroadcastExchanges of batch-sized sides, at ANY ledger size
+    (the shape is hint-forced, not AQE-threshold-dependent)."""
+    from pg_auto_dw_spark.streaming.jobs import _ledger_unseen
+    from pg_auto_dw_spark.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    ledger_rows = spark.range(2000).select(
+        F.sha2(F.col("id").cast("string"), 256).alias("digest"),
+        F.col("id").alias("first_id"),
+    )
+    wh.create_table("c.digests", ledger_rows.schema)
+    wh.append("c.digests", ledger_rows)
+    ledger = wh.read("c.digests").select(F.col("digest").alias("__digest"))
+    batch = spark.range(5).select(
+        F.sha2(F.col("id").cast("string"), 256).alias("__digest"),
+        F.col("id").alias("doc_id"),
+    )
+    plan = _plan(_ledger_unseen(ledger, batch))
+    # both joins broadcast the batch-sized side (build right)
+    assert "BroadcastHashJoin LeftSemi BuildRight" in plan
+    assert "BroadcastHashJoin LeftAnti BuildRight" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # no shuffle Exchange anywhere -- broadcast exchanges only
+    shuffles = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange" in ln and "Broadcast" not in ln
+    ]
+    assert shuffles == []
