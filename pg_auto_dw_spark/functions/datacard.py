@@ -33,6 +33,7 @@ def corpus_datacard(
     keys: list[str] | None = None,
     text_col: str = "text",
     min_words: int = 50,
+    min_stopwords: int = 2,
 ) -> DataFrame:
     """One row per group with the data-card statistics.
 
@@ -41,10 +42,15 @@ def corpus_datacard(
     max_chars, median_chars (approx), p95_chars (approx),
     total_stopword_hits. Counts are BIGINT; the two quantiles are the
     only approximate fields (percentile_approx, mergeable sketch) and
-    are clearly named as distribution fields."""
+    are clearly named as distribution fields. ``min_stopwords``
+    forwards to the Gopher verdict (``gopher_rules`` exposes the same
+    knob -- a corpus whose vocabulary carries few canonical stop words
+    needs it for the rule to vary)."""
     keys = keys if keys is not None else ["source", "lang"]
     t = F.col(text_col)
-    counts, _rules, verdict = gopher_exprs(t, min_words=min_words)
+    counts, _rules, verdict = gopher_exprs(
+        t, min_words=min_words, min_stopwords=min_stopwords
+    )
     n_words = counts["n_words"]
     nonempty = t.isNotNull() & (F.length(F.trim(t)) > 0)
     chars = F.length(t).cast("long")

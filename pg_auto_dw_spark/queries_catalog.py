@@ -5415,3 +5415,227 @@ def documents_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.corpus import source_overlap_matrix
 
     return source_overlap_matrix(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# r10 mid-order registrations (first driver rows due r11, per the r9
+# VERDICT directive-6 designations). All four passed the hardened
+# tools/dtype_audit.py hard-error gate before entering this file.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_binned_sample",
+    """
+    WITH b AS (
+        SELECT doc_id, lang, source, n_chars,
+               (CASE WHEN n_chars >= 150 THEN 1 ELSE 0 END
+              + CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS bin
+        FROM documents WHERE n_chars IS NOT NULL)
+    SELECT doc_id, lang, source, n_chars, CAST(bin AS BIGINT) AS quality_bin
+    FROM b
+    WHERE (doc_id * 2654435761) % 1000003 <
+          (CASE bin WHEN 0 THEN 250000 WHEN 1 THEN 600001 ELSE 900002 END)
+    """,
+)
+def quality_binned_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-curriculum mixture (functions/sampling.py
+    quality_binned_sample): keep low-quality docs at 25%, mid at 60%,
+    high at 90%, binned by FIXED n_chars cut points (150, 300) -- the
+    "sample low-quality text down" corpus recipe. Binning and the keep
+    decision are both pure pushed filters (zero shuffle at any scale);
+    the deterministic multiplicative-hash rank and the threshold
+    integers int(rate * 1_000_003) are the exact cross-engine sampler
+    family math (documents_stratified_sample precedent), and the
+    emitted bin is BIGINT."""
+    from .functions.sampling import quality_binned_sample as qbs
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return qbs(
+        docs,
+        key_col="doc_id",
+        score_col="n_chars",
+        thresholds=[150.0, 300.0],
+        rates=[0.25, 0.6, 0.9],
+    )
+
+
+@register(
+    "tokenizer_stats",
+    """
+    WITH w AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(
+                   regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                   '\\s+')) AS w
+        FROM documents),
+    words AS (SELECT doc_id, w FROM w WHERE w <> ''),
+    per AS (
+        SELECT doc_id, COUNT(*) AS nw,
+               SUM(len(w) + 1
+                   - CASE WHEN w LIKE '%e' THEN 1 ELSE 0 END
+                   - (len(w) - len(replace(w, 'th', ''))) // 2
+                   - (len(w) - len(replace(w, 'an', ''))) // 2) AS n
+        FROM words GROUP BY doc_id),
+    g AS (
+        SELECT d.source,
+               COUNT(*) AS n_docs,
+               SUM(COALESCE(per.nw, 0)) AS total_words,
+               SUM(COALESCE(per.n, 0)) AS total_bpe_tokens,
+               SUM(COALESCE(length(d.text), 0)) AS total_chars
+        FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        GROUP BY d.source)
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(total_words AS BIGINT) AS total_words,
+           CAST(total_bpe_tokens AS BIGINT) AS total_bpe_tokens,
+           CAST(total_chars AS BIGINT) AS total_chars,
+           CAST(100 * total_bpe_tokens // greatest(total_words, 1)
+                AS BIGINT) AS tokens_per_100_words,
+           CAST(100 * total_chars // greatest(total_bpe_tokens, 1)
+                AS BIGINT) AS chars_per_100_tokens
+    FROM g
+    """,
+)
+def tokenizer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer fertility audit (functions/tokenizer.py
+    tokenizer_stats): ONE Arrow bpe_apply pass with source + char count
+    riding through, then a group-bounded agg. Same pinned
+    non-interacting merge list as documents_bpe_token_counts
+    ([('e','</w>'), ('t','h'), ('a','n')]), so the greedy segmentation
+    reduces to the same closed-form token arithmetic the oracle
+    replays; the x100 fixed-point ratios are exact integer division on
+    both engines. Every hashed byte is BIGINT or the group key."""
+    from .functions.tokenizer import tokenizer_stats as tstats
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [("e", "</w>"), ("t", "h"), ("a", "n")]
+    return tstats(docs, merges, group_col="source")
+
+
+@register(
+    "inference_batch_plan_stats",
+    r"""
+    WITH base AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                   '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+        FROM documents),
+    banded AS (
+        SELECT doc_id, n_tokens, h, h % 32 AS salt,
+               GREATEST(CAST(POWER(2, CEIL(LOG2(GREATEST(n_tokens, 1))))
+                             AS BIGINT), 1) AS band_tokens
+        FROM base),
+    planned AS (
+        SELECT n_tokens, band_tokens, salt,
+               GREATEST(1, 512 // band_tokens) AS rows_per_batch,
+               ROW_NUMBER() OVER (
+                   PARTITION BY band_tokens, salt ORDER BY h, doc_id) - 1 AS rn
+        FROM banded),
+    ids AS (
+        SELECT n_tokens, band_tokens,
+               (CAST(LOG2(band_tokens) AS BIGINT) * 32 + salt) * 4294967296
+                   + rn // rows_per_batch AS batch_id
+        FROM planned)
+    SELECT batch_id, band_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) * band_tokens AS BIGINT) AS padded_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS real_tokens,
+           CAST(ROUND((COUNT(*) * band_tokens - SUM(n_tokens)) * 10000.0
+                      / (COUNT(*) * band_tokens), 0) AS BIGINT) AS waste_pct_e4
+    FROM ids GROUP BY batch_id, band_tokens
+    """,
+)
+def inference_batch_plan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-aware inference batch plan audited per batch
+    (functions/batching.py inference_batch_plan + batch_plan_stats,
+    budget 512): power-of-two length bands, md5-ordered row_number
+    inside (band, salt), fixed rows-per-batch by integer division, and
+    the (band, salt, counter) bit-packed BIGINT batch id. The oracle
+    replays the identical md5 integers, band/batch integer math, and
+    basis-point waste; floats touch only log2/pow at exact powers of
+    two (exact in IEEE on both engines) and the final waste division
+    (same double op both sides before the integer grid)."""
+    from .functions.batching import batch_plan_stats, inference_batch_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = inference_batch_plan(docs, max_tokens_per_batch=512)
+    return batch_plan_stats(plan)
+
+
+_DATACARD_ORACLE = r"""
+WITH b AS (
+  SELECT source, lang, text,
+         (text IS NOT NULL AND length(trim(text)) > 0) AS nonempty,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+         length(regexp_replace(text, '\s+', '', 'g')) AS n_word_chars,
+         len(regexp_extract_all(text, '#|\.\.\.')) AS n_symbols,
+         regexp_split_to_array(text, '\n') AS lines,
+         regexp_split_to_array(trim(text), '\s+') AS words,
+         lower(text) AS low,
+         length(text) AS chars
+  FROM documents),
+c AS (
+  SELECT source, lang, text, nonempty, n_words, n_word_chars, n_symbols,
+         chars,
+         len(lines) AS n_lines,
+         len(list_filter(lines, ln -> regexp_matches(trim(ln), '^[-*•]'))) AS n_bullet,
+         len(list_filter(lines, ln -> regexp_matches(rtrim(ln), '\.\.\.$'))) AS n_ell,
+         len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha_words,
+         (CASE WHEN regexp_matches(low, '\bthe\b') THEN 1 ELSE 0 END
+        + CASE WHEN regexp_matches(low, '\bbe\b') THEN 1 ELSE 0 END
+        + CASE WHEN regexp_matches(low, '\bto\b') THEN 1 ELSE 0 END
+        + CASE WHEN regexp_matches(low, '\bof\b') THEN 1 ELSE 0 END
+        + CASE WHEN regexp_matches(low, '\band\b') THEN 1 ELSE 0 END
+        + CASE WHEN regexp_matches(low, '\bthat\b') THEN 1 ELSE 0 END
+        + CASE WHEN regexp_matches(low, '\bhave\b') THEN 1 ELSE 0 END
+        + CASE WHEN regexp_matches(low, '\bwith\b') THEN 1 ELSE 0 END) AS n_stop
+  FROM b),
+v AS (
+  SELECT *,
+         (n_words >= 50 AND n_words <= 100000
+          AND n_word_chars >= 3 * n_words AND n_word_chars <= 10 * n_words
+          AND 10 * n_symbols <= n_words AND 10 * n_bullet <= 9 * n_lines
+          AND 10 * n_ell <= 3 * n_lines AND 5 * n_alpha_words >= 4 * n_words
+          AND n_stop >= 1) AS gopher_pass
+  FROM c)
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(CASE WHEN NOT nonempty THEN 1 END) AS BIGINT) AS n_empty,
+       CAST(COUNT(DISTINCT CASE WHEN nonempty THEN text END)
+            AS BIGINT) AS n_distinct_texts,
+       CAST(COUNT(CASE WHEN nonempty THEN 1 END)
+            - COUNT(DISTINCT CASE WHEN nonempty THEN text END)
+            AS BIGINT) AS n_exact_dups,
+       CAST(COUNT(CASE WHEN gopher_pass THEN 1 END) AS BIGINT) AS n_gopher_pass,
+       CAST(COUNT(CASE WHEN nonempty AND n_words < 50 THEN 1 END)
+            AS BIGINT) AS n_short,
+       CAST(SUM(COALESCE(chars, 0)) AS BIGINT) AS total_chars,
+       CAST(SUM(CASE WHEN nonempty THEN n_words ELSE 0 END)
+            AS BIGINT) AS total_words,
+       CAST(MIN(chars) AS BIGINT) AS min_chars,
+       CAST(MAX(chars) AS BIGINT) AS max_chars,
+       CAST(SUM(CASE WHEN nonempty THEN n_stop ELSE 0 END)
+            AS BIGINT) AS total_stopword_hits
+FROM v GROUP BY source, lang
+"""
+
+
+@register("corpus_datacard", _DATACARD_ORACLE)
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) corpus data card (functions/datacard.py
+    corpus_datacard; Gebru et al. 2021 datasheets): doc/char/word
+    totals, exact-duplicate rate via distinct sha2 digests, the Gopher
+    verdict pass count (rule expressions composed INLINE -- one
+    conditional-agg pass, no doc-grain join), empty/short counts, and
+    exact min/max lengths. The two percentile_approx distribution
+    fields are EXCLUDED from the oracle surface (sketch-approximate by
+    design; everything hashed here is BIGINT or a group key).
+    ``min_stopwords=1`` for the same synthetic-vocabulary reason as
+    documents_gopher_rules."""
+    from .functions.datacard import corpus_datacard as dcard
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dcard(docs, min_stopwords=1).drop("median_chars", "p95_chars")
