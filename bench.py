@@ -173,6 +173,31 @@ def main() -> None:
         job_overhead_ms = min(job_overhead_ms, f)
         if stable >= 2:
             break
+    # Expression-path JIT warmup (r10, from the directive-4 root
+    # cause): the scheduler loop above ramps the DAG path but never
+    # touches the sha2/concat/UTF8String/dedup-shuffle library code the
+    # DV load family lives in. On a fresh JVM those paths C2-compile
+    # DURING the first measured queries -- reproduced as a monotonic
+    # 1.49->1.02s rep decay on hub_load_lineitem_composite with this
+    # warmup absent, exactly the decaying-reps signature in the r9
+    # driver artifact ([1.69, 1.57, 1.48]); with the full bench
+    # preamble having happened to ramp them, the same query measures a
+    # stable 0.93s. Spin the shared hash/dedup kernel until its own
+    # floor converges (bounded), so measurement starts at the steady
+    # state the harness already claims to measure.
+    def hash_spin() -> float:
+        t0 = time.time()
+        spark.range(300_000).selectExpr(
+            "sha2(concat_ws(',', cast(id as string), cast(id % 7 as string)), 256) AS h"
+        ).dropDuplicates(["h"]).count()
+        return time.time() - t0
+
+    prev = hash_spin()
+    for _ in range(8):
+        cur = hash_spin()
+        if cur >= prev * 0.9:
+            break
+        prev = cur
     # Second calibration axis: JVM whole-stage-codegen throughput (a
     # fixed 200M-row sum). Together with job_overhead_ms this separates
     # "the plan got slower" from "the VM got slower" across rounds.

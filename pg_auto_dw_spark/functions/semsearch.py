@@ -87,6 +87,7 @@ def build_chunk_search_index(
     kmeans_stride: int = 50,
     text_col: str = "text",
     id_col: str = "doc_id",
+    kmeans_iters: int = 1,
 ) -> dict:
     """Chunk the corpus, fit the hashed-IDF model, embed every chunk,
     and commit the persisted IVF index plus the embed geometry.
@@ -142,10 +143,15 @@ def build_chunk_search_index(
     # (extra_tables): a separate commit after the index could crash in
     # between on a rebuild and pair the new index with STALE geometry --
     # same-dims queries would then embed in the old space with no error
+    # seed_hash: the packed chunk_key space is structured, so raw
+    # id-modulus seeding degenerates (stride 50 and 200 pick the SAME
+    # seeds -- both reduce to doc_id % 25 == 0); hashing the key first
+    # makes n_cells actually track n_chunks / kmeans_stride
     stats = build_ivf_index(
-        wh, emb, name, stride=kmeans_stride, dims=dims,
+        wh, emb, name, stride=kmeans_stride, iters=kmeans_iters, dims=dims,
         id_col="chunk_key", vec_col="embedding",
         extra_tables=[(cfg_name, cfg_df)],
+        seed_hash=True,
     )
     return {"chunks": stats["vectors"], **stats}
 

@@ -402,15 +402,33 @@ def ivf_centroids(
     stride: int = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seed_hash: bool = False,
 ) -> DataFrame:
     """Deterministic IVF centroid seed set: every ``stride``-th vector
     by id. Stands in for a k-means codebook (which would be refined
     offline and read from a table) while keeping the assignment
     SQL-expressible for the oracle; the downstream plan shape --
-    broadcast codebook, shuffle on cell -- is the real IVF one."""
-    return with_quantized(corpus, vec_col).filter(
-        (F.col(id_col) % stride) == 0
-    ).select(
+    broadcast codebook, shuffle on cell -- is the real IVF one.
+
+    ``seed_hash=True`` seeds on ``pmod(xxhash64(id), stride) == 0``
+    instead of the raw id modulus: REQUIRED when the id space is
+    structured (e.g. semsearch's packed ``doc_id * 2^20 + chunk_id``
+    keys, where raw ``% stride`` degenerates -- stride 50 and stride
+    200 select the SAME seed set because both reduce to
+    ``doc_id % 25 == 0``), so n_cells actually tracks n_vectors /
+    stride. A tiny corpus that hashes to zero seeds falls back to the
+    min-id vector (one extra build-time action, never on the query
+    path)."""
+    base = with_quantized(corpus, vec_col)
+    if seed_hash:
+        seeds = base.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(stride)) == 0
+        )
+        if seeds.isEmpty():
+            seeds = base.orderBy(id_col).limit(1)
+    else:
+        seeds = base.filter((F.col(id_col) % stride) == 0)
+    return seeds.select(
         F.col(id_col).alias("cent_id"),
         F.col("qvec").alias("cv"),
         F.col("qnorm").alias("cn"),
@@ -490,6 +508,7 @@ def ivf_kmeans_codebook(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_modulus: int = 1,
+    seed_hash: bool = False,
 ) -> DataFrame:
     """K-means-refined IVF codebook: Lloyd iterations as DataFrame jobs.
 
@@ -520,7 +539,7 @@ def ivf_kmeans_codebook(
     base = with_quantized(train, vec_col).select(
         F.col(id_col), "qvec", "qnorm"
     ).localCheckpoint(eager=False)  # iters+1 passes read one computed scan
-    codebook = ivf_centroids(corpus, stride, id_col, vec_col)
+    codebook = ivf_centroids(corpus, stride, id_col, vec_col, seed_hash)
     for _ in range(iters):
         assigned = _assign_against(base, codebook, id_col)
         sums = assigned.groupBy("cell").agg(
@@ -967,6 +986,7 @@ def build_ivf_index(
     vec_col: str = "embedding",
     train_modulus: int = 1,
     extra_tables: list | None = None,
+    seed_hash: bool = False,
 ) -> dict:
     """Train the k-means codebook and materialize the full cell
     assignment as two warehouse tables: ``<name>.codebook``
@@ -981,7 +1001,7 @@ def build_ivf_index(
     the SAME transaction -- a sidecar committed separately could pair
     a new index with stale metadata after a crash between commits."""
     codebook = ivf_kmeans_codebook(
-        corpus, stride, iters, dims, id_col, vec_col, train_modulus
+        corpus, stride, iters, dims, id_col, vec_col, train_modulus, seed_hash
     ).localCheckpoint(eager=True)
     assigned = _assign_against(
         with_quantized(corpus, vec_col).select(F.col(id_col), "qvec", "qnorm"),
@@ -996,7 +1016,8 @@ def build_ivf_index(
     cfg_df = spark.createDataFrame(
         [(_json.dumps({"stride": stride, "iters": iters, "dims": dims,
                        "id_col": id_col, "vec_col": vec_col,
-                       "train_modulus": train_modulus}),)],
+                       "train_modulus": train_modulus,
+                       "seed_hash": seed_hash}),)],
         "config string",
     )
     if not wh.exists(cb_name):
@@ -1091,9 +1112,15 @@ def ivf_search_index(
     # HALF_UP quantization == F.round: floor(|x|*S + 0.5) with sign
     qm = (np.sign(vecs) * np.floor(np.abs(vecs) * SCALE + 0.5)).astype(np.int64)
     qn = (qm * qm).sum(axis=1)
-    cos = (qm @ cents.T).astype(np.float64) / (
-        np.sqrt(qn.astype(np.float64))[:, None] * cent_den[None, :]
-    )
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = (qm @ cents.T).astype(np.float64) / (
+            np.sqrt(qn.astype(np.float64))[:, None] * cent_den[None, :]
+        )
+    # a zero-norm centroid (degenerate Lloyd cell rounded to the zero
+    # vector) or zero-norm query yields NaN: rank it LAST, never probed
+    # ahead of a real cell (NaNs would otherwise land wherever argsort
+    # leaves them)
+    cos = np.nan_to_num(cos, nan=-np.inf)
     top = np.argsort(-cos, axis=1, kind="stable")[:, : max(1, n_probes)]
     probe_cells = sorted({int(c) for c in cent_ids[top].reshape(-1)})
 

@@ -893,6 +893,8 @@ def jsonl_decontam_ingest_stream(
     id_col: str = "doc_id",
     n: int = 8,
     m_bits: int | None = None,
+    maintenance_every: int = 0,
+    maintenance_kwargs: dict | None = None,
 ):
     """Streaming decontaminating landing zone: the jsonl ingest front
     door composed with broadcast-Bloom decontamination, so benchmark-
@@ -909,9 +911,25 @@ def jsonl_decontam_ingest_stream(
     atomic (ledger inside), so the retry never double-writes. The
     first failure is LOGGED before the retry: a deterministic error
     would otherwise silently re-run a full benchmark gram collect and
-    fail again with the original cause discarded."""
+    fail again with the original cause discarded.
+
+    ``maintenance_every`` > 0 runs ``wh.maybe_compact`` on the clean
+    table every N committed batches (``maintenance_kwargs`` forwarded)
+    -- same post-commit maintenance loop as
+    ``jsonl_dedup_ingest_stream``."""
     import logging
     from ..functions.corpus import bloom_build
+
+    maint_state = {"since": 0}
+
+    def _maybe_maintain():
+        if maintenance_every <= 0:
+            return
+        maint_state["since"] += 1
+        if maint_state["since"] < maintenance_every:
+            return
+        maint_state["since"] = 0
+        wh.maybe_compact(clean_table, **(maintenance_kwargs or {}))
 
     def _build():
         return bloom_build(
@@ -940,6 +958,7 @@ def jsonl_decontam_ingest_stream(
                 wh, clean_table, contaminated_table, quarantine_table, schema,
                 holder["bloom"], batch_df, batch_id, text_col,
             )
+        _maybe_maintain()
 
     return (
         spark.readStream.text(source_dir)
@@ -1176,6 +1195,8 @@ def jsonl_dedup_ingest_stream(
     text_col: str = "text",
     id_col: str = "doc_id",
     ledger_bloom_m_bits: int | None = None,
+    maintenance_every: int = 0,
+    maintenance_kwargs: dict | None = None,
 ):
     """Deduplicating JSONL landing zone: the ingest front door composed
     with the digest-ledger dedup, so a re-crawled or re-submitted
@@ -1194,7 +1215,17 @@ def jsonl_dedup_ingest_stream(
     depends on holds across the stream's whole life, and a restart
     rebuilds from the ledger table. Mostly-new batches then skip the
     per-batch ledger scan entirely; resubmission-heavy batches pay one
-    scan, never a ledger shuffle."""
+    scan, never a ledger shuffle.
+
+    ``maintenance_every`` > 0 wires the small-file maintenance loop in:
+    every N committed batches the sink runs ``wh.maybe_compact`` on the
+    landing tables (corpus + digest ledger) with ``maintenance_kwargs``
+    forwarded -- the health probe is an O(files) directory listing, so
+    the cadence costs nothing until one-file-per-batch accretion
+    actually crosses the threshold, and then exactly one rewrite
+    repays it. Maintenance runs AFTER the batch transaction commits
+    (compaction is a separate generation commit; a crash between them
+    loses only the rewrite, never rows)."""
     import numpy as np
 
     from ..functions.corpus import _gram_hash_pair, bloom_build_keys
@@ -1202,6 +1233,17 @@ def jsonl_dedup_ingest_stream(
 
     ledger_table = f"{corpus_table}.digests"
     batch_log = f"{corpus_table}.ingest_log"
+    maint_state = {"since": 0}
+
+    def _maybe_maintain():
+        if maintenance_every <= 0:
+            return
+        maint_state["since"] += 1
+        if maint_state["since"] < maintenance_every:
+            return
+        maint_state["since"] = 0
+        for t in (corpus_table, ledger_table):
+            wh.maybe_compact(t, **(maintenance_kwargs or {}))
 
     bloom_state: dict | None = None
     if ledger_bloom_m_bits is not None:
@@ -1281,6 +1323,7 @@ def jsonl_dedup_ingest_stream(
             # AFTER the commit: a crash before this point restarts with
             # a ledger-rebuilt bloom; a crash after loses nothing
             _absorb_batch_digests(typed)
+        _maybe_maintain()
         return stats
 
     return (

@@ -118,3 +118,57 @@ def test_jsonl_dedup_stream_with_maintained_bloom(spark, tmp_path):
     # replay the same checkpoint: exact no-op
     run()
     assert wh.read("lz.docs").count() == 3
+
+
+def test_landing_zone_maintenance_loop(spark, tmp_path):
+    """r9 VERDICT directive 7: the REAL maintenance loop, composed --
+    N micro-batches accrete one-file-per-batch small-file pressure on
+    the landing tables, the wired-in maybe_compact trigger fires on
+    cadence, and the post-compaction table reads identically with a
+    collapsed file count."""
+    from pyspark.sql import types as T
+
+    from pg_auto_dw_spark.streaming.jobs import jsonl_dedup_ingest_stream
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+
+    def run_batch(i: int):
+        (src / f"b{i:03d}.jsonl").write_text(
+            f'{{"doc_id": {i}, "text": "unique document number {i}"}}\n'
+        )
+        q = jsonl_dedup_ingest_stream(
+            spark, str(src), schema, wh, "lz.docs", "lz.quarantine",
+            str(tmp_path / "ckpt"),
+            # every=1 because each run_batch builds a FRESH stream (the
+            # cadence counter lives in the stream closure); the
+            # threshold still gates the rewrite, so most batches are
+            # probe-only noops
+            maintenance_every=1,
+            # every parquet this test writes is tiny, so ANY file
+            # counts as small; trigger once more than 3 accrete
+            maintenance_kwargs={"max_small_files": 3, "small_file_mb": 1},
+        )
+        q.awaitTermination(120)
+
+    n_batches = 10
+    for i in range(n_batches):
+        run_batch(i)
+
+    docs = wh.read("lz.docs")
+    # read equivalence: every unique doc, exactly once
+    assert sorted(r["doc_id"] for r in docs.collect()) == list(range(n_batches))
+    # the trigger actually fired: appends alone never overwrite
+    actions = [h["action"] for h in wh.history("lz.docs")]
+    assert "overwrite" in actions
+    # file pressure collapsed: strictly fewer live files than batches
+    health = wh.table_health("lz.docs", small_file_mb=1)
+    assert health["files"] < n_batches
+    # the digest ledger rides the same cadence
+    ledger_health = wh.table_health("lz.docs.digests", small_file_mb=1)
+    assert ledger_health["files"] < n_batches
+    assert wh.read("lz.docs.digests").count() == n_batches

@@ -116,3 +116,43 @@ def test_search_chunks_many_batched_queries(spark, warehouse_dir):
     assert set(by_q) == {7, 9}
     assert by_q[7][0]["doc_id"] == 2   # verbatim source doc wins
     assert by_q[9][0]["doc_id"] == 4
+
+
+def test_retrieval_recall_floor(spark, warehouse_dir):
+    """r9 VERDICT directive 3: the composed chunk->embed->IVF path must
+    actually FIND the right chunks, not just embed consistently. On a
+    topic-structured corpus, macro recall@5 at n_probes=2 vs brute
+    force (the same index probed at every cell -- exact within probed
+    cells, so all-cells IS brute force) must clear 0.9."""
+    from pg_auto_dw_spark.functions.semsearch import search_chunks_many
+    from pg_auto_dw_spark.functions.similarity import ann_recall_summary
+
+    topics = {
+        0: "fox dog river bank forest hound quietly jumps lazy brown",
+        1: "stocks markets earnings investors rates inflation banks rally",
+        2: "spark shuffle partition executor broadcast catalyst codegen plan",
+    }
+    rows = []
+    for i in range(60):
+        words = topics[i % 3].split()
+        # deterministic per-doc shuffle-free variation: rotate + repeat
+        body = " ".join(words[i % len(words):] + words[: i % len(words)]) * 3
+        rows.append((i, body))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    wh = Warehouse(spark, warehouse_dir)
+    stats = build_chunk_search_index(
+        wh, docs, "rf", chunk_words=10, stride=8, dims=32, kmeans_stride=30,
+        kmeans_iters=2,
+    )
+    queries = {i: topics[i % 3] for i in range(0, 60, 7)}
+
+    def hits(n_probes):
+        out = search_chunks_many(wh, "rf", queries, k=5, n_probes=n_probes)
+        return out.select(
+            "query_id",
+            (F.col("doc_id") * CHUNK_SHIFT + F.col("chunk_id")).alias("neighbor_id"),
+        )
+
+    exact = hits(int(stats["cells"]))
+    s = ann_recall_summary(hits(2), exact).first()
+    assert s["macro_recall"] >= 0.9, s
