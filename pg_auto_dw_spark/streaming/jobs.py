@@ -1334,3 +1334,298 @@ def jsonl_dedup_ingest_stream(
         .foreachBatch(sink)
         .start()
     )
+
+
+def _ledger_hits(ledger: DataFrame, keys: DataFrame, on: list[str]) -> DataFrame:
+    """Rows of a CORPUS-SCALE ``ledger`` whose ``on`` keys appear in the
+    batch-sized ``keys`` frame: ledger as the LEFT of a left_semi
+    against the broadcast keys -- one ledger scan, zero ledger shuffle,
+    output bounded by the matching rows. The same join direction as
+    ``_ledger_unseen`` (Spark broadcasts LeftSemi build-RIGHT only), so
+    the shape holds at any ledger size."""
+    return ledger.join(F.broadcast(keys.select(*on)), on, "left_semi")
+
+
+def neardup_ingest_apply(
+    wh,
+    corpus_table: str,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    band_size: int = 4,
+    shingle_k: int = 5,
+    sim_threshold: float = 0.75,
+    max_probe_bucket: int = 256,
+    dupes_table: str | None = None,
+    extra_appends: list | None = None,
+) -> dict:
+    """Cross-batch NEAR-duplicate dedup against a persisted MinHash
+    ledger: the streaming twin of ``dedup.minhash_lsh_candidates`` --
+    "is this document a near-copy of ANYTHING ever ingested", answered
+    per micro-batch without a corpus-scale join. The exact-dedup
+    digest ledger (``dedup_ingest_apply``) catches byte-identical
+    resubmissions; this catches the re-crawl that differs by a
+    timestamp, a boilerplate footer, or an edit.
+
+    Ledger = two sidecar tables: ``<corpus>.bands`` (doc_id, band,
+    band_key) and ``<corpus>.minhash`` (doc_id, g0..g{n-1}).
+
+    Per batch (all heavy frames batch-sized; caller pins the batch,
+    same contract as ``dedup_ingest_apply``):
+
+    1. Wide MinHash signatures for the batch (one shuffle over batch
+       shingles). Docs yielding NO shingles (NULL/short text) cannot
+       be near-dup checked: they are admitted WITHOUT ledger rows and
+       counted (``n_unsigned``) -- compose with the digest ledger for
+       their exact-dedup semantics.
+    2. Within-batch collapse: band-key self-join (batch-sized) ->
+       signature-verified pairs (>= sim_threshold of the n minhashes
+       agree, the unbiased Jaccard estimate) -> connected components
+       -> min-id canonical per cluster. Cluster members ride their
+       canonical's verdict, mirroring the exact path's min-id rule.
+    3. Cross-batch probe, the scale-critical joins: the bands ledger is
+       the LEFT of a left_semi against the BROADCAST batch band keys
+       (one bands scan, ZERO ledger shuffle -- plan-pinned in
+       test_plan_shapes.py), capped at ``max_probe_bucket`` existing
+       docs per (band, band_key) so a boilerplate bucket cannot blow
+       up the candidate set (star-cap precedent from
+       minhash_lsh_candidates); then the signature ledger is probed the
+       same way for exactly the candidate ids (one minhash scan, zero
+       shuffle, output <= candidates).
+    4. Verify candidates by signature agreement; canonicals with a
+       verified corpus match are dropped (whole cluster; routed to
+       ``dupes_table`` with the matched corpus id when given).
+    5. ONE warehouse transaction: surviving rows -> corpus, their band
+       keys -> bands, their signatures -> minhash, plus
+       ``extra_appends`` -- same crash-atomicity argument as the digest
+       ledger (a band row without its doc would silently eat future
+       near-copies of a document that was never admitted).
+
+    100 TB posture: the per-batch floor is one scan of each sidecar
+    (partition/bucket the sidecars by band_key / id hash to prune even
+    that); every shuffle in the plan is batch-sized. Returns counts:
+    {n_batch, n_unsigned, n_within_dups, n_cross_dups, n_new}.
+    """
+    from ..functions.dedup import (
+        connected_components,
+        lsh_band_keys_wide,
+        minhash_signatures_wide,
+    )
+
+    bands_table = f"{corpus_table}.bands"
+    sig_table = f"{corpus_table}.minhash"
+    seeds = [f"g{i}" for i in range(num_hashes)]
+
+    # NULL text propagates a NULL shingle through the hash chain and
+    # would land a NULL-signature ledger row (never matchable, pure
+    # pollution): a doc is "signed" only with a real signature
+    wide = (
+        minhash_signatures_wide(batch, text_col, id_col, num_hashes, shingle_k)
+        .filter(F.col("g0").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    signed_ids = wide.select(id_col)
+    unsigned = batch.join(signed_ids, id_col, "left_anti")
+    n_batch = batch.count()
+    n_unsigned = unsigned.count()
+
+    def _sim_pairs(pairs: DataFrame, left_sigs: DataFrame, right_sigs: DataFrame):
+        """pairs (id_a, id_b) + both signature tables -> pairs whose
+        minhash agreement clears the threshold. All inputs bounded."""
+        a = left_sigs.select(
+            F.col(id_col).alias("id_a"), *[F.col(s).alias(f"a_{s}") for s in seeds]
+        )
+        b = right_sigs.select(
+            F.col(id_col).alias("id_b"), *[F.col(s).alias(f"b_{s}") for s in seeds]
+        )
+        matches = sum(
+            F.when(F.col(f"a_{s}") == F.col(f"b_{s}"), 1).otherwise(0)
+            for s in seeds
+        )
+        need = int(sim_threshold * num_hashes + 0.999999)
+        return (
+            pairs.join(a, "id_a").join(b, "id_b")
+            .withColumn("__m", matches)
+            .filter(F.col("__m") >= need)
+            .select("id_a", "id_b")
+        )
+
+    # -- within-batch collapse ------------------------------------------
+    bands = lsh_band_keys_wide(wide, id_col, band_size).localCheckpoint(eager=True)
+    l = bands.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    r = bands.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    within_cand = (
+        l.join(r, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    within = _sim_pairs(within_cand, wide, wide).localCheckpoint(eager=True)
+    if within.isEmpty():
+        # the common batch: no within-dups -> skip the iterative CC
+        # rounds entirely (they cost ~2 jobs per round even on an
+        # empty edge set)
+        canon_ids, n_within_dups = signed_ids, 0
+    else:
+        comp = connected_components(within, nodes=signed_ids, id_col=id_col)
+        canon_ids = comp.filter(F.col(id_col) == F.col("cluster_id")).select(id_col)
+        n_within_dups = comp.filter(F.col(id_col) != F.col("cluster_id")).count()
+    canon_sigs = wide.join(canon_ids, id_col, "left_semi")
+
+    # -- cross-batch probe ----------------------------------------------
+    cross_dup_canon = None
+    matched = None
+    if wh.exists(bands_table):
+        canon_bands = bands.join(canon_ids, id_col, "left_semi")
+        probe_keys = canon_bands.select("band", "band_key").distinct()
+        hits = _ledger_hits(wh.read(bands_table), probe_keys, ["band", "band_key"])
+        # hot-bucket cap: at most max_probe_bucket existing docs verify
+        # per bucket (deterministic min-id order); a verified near-dup
+        # only needs ONE corpus witness, so the cap trades nothing but
+        # witness choice
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "band_key").orderBy(id_col)
+        hits = (
+            hits.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_probe_bucket)
+            .drop("__rn")
+        )
+        cand = (
+            canon_bands.select(F.col(id_col).alias("id_a"), "band", "band_key")
+            .join(
+                hits.select(F.col(id_col).alias("id_b"), "band", "band_key"),
+                ["band", "band_key"],
+            )
+            .select("id_a", "id_b")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        corpus_sigs = _ledger_hits(
+            wh.read(sig_table),
+            cand.select(F.col("id_b").alias(id_col)),
+            [id_col],
+        )
+        verified = _sim_pairs(cand, wide, corpus_sigs)
+        matched = verified.groupBy("id_a").agg(F.min("id_b").alias("matched_id"))
+        cross_dup_canon = matched.select(F.col("id_a").alias(id_col))
+    n_cross_dups = cross_dup_canon.count() if cross_dup_canon is not None else 0
+
+    keep_canon = (
+        canon_ids
+        if cross_dup_canon is None
+        else canon_ids.join(cross_dup_canon, id_col, "left_anti")
+    )
+    new_rows = batch.join(keep_canon, id_col, "left_semi").unionByName(unsigned)
+    new_bands = bands.join(keep_canon, id_col, "left_semi")
+    new_sigs = canon_sigs.join(keep_canon, id_col, "left_semi")
+    n_new = new_rows.count()
+
+    if not wh.exists(corpus_table):
+        wh.create_table(corpus_table, batch.schema)
+    if not wh.exists(bands_table):
+        wh.create_table(bands_table, new_bands.schema)
+    if not wh.exists(sig_table):
+        wh.create_table(sig_table, new_sigs.schema)
+    extra = list(extra_appends or [])
+    if dupes_table is not None and matched is not None:
+        dupes = batch.join(
+            matched.select(F.col("id_a").alias(id_col), "matched_id"), id_col
+        )
+        if not wh.exists(dupes_table):
+            wh.create_table(dupes_table, dupes.schema)
+        extra.append((dupes_table, dupes))
+    with wh.transaction(
+        [corpus_table, bands_table, sig_table, *[t for t, _ in extra]]
+    ) as txn:
+        txn.append(corpus_table, new_rows)
+        txn.append(bands_table, new_bands)
+        txn.append(sig_table, new_sigs)
+        for t, df in extra:
+            txn.append(t, df)
+    return {
+        "n_batch": n_batch,
+        "n_unsigned": n_unsigned,
+        "n_within_dups": n_within_dups,
+        "n_cross_dups": n_cross_dups,
+        "n_new": n_new,
+    }
+
+
+def jsonl_neardup_ingest_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    wh,
+    corpus_table: str,
+    quarantine_table: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sim_threshold: float = 0.75,
+    dupes_table: str | None = None,
+    maintenance_every: int = 0,
+    maintenance_kwargs: dict | None = None,
+):
+    """Near-dup-deduplicating JSONL landing zone: the ingest front door
+    composed with ``neardup_ingest_apply``, so a re-crawl that differs
+    only by boilerplate never enters the corpus twice. Same
+    transactional spine as ``jsonl_dedup_ingest_stream``: per batch,
+    typed survivors + band/signature ledger rows + quarantined lines +
+    the replay guard land in ONE warehouse transaction (replayed
+    batches are exact no-ops); the optional maintenance cadence
+    compacts the corpus and both sidecars post-commit."""
+    from ..sources import split_jsonl_lines
+
+    batch_log = f"{corpus_table}.ingest_log"
+    maint_state = {"since": 0}
+
+    def _maybe_maintain():
+        if maintenance_every <= 0:
+            return
+        maint_state["since"] += 1
+        if maint_state["since"] < maintenance_every:
+            return
+        maint_state["since"] = 0
+        for t in (corpus_table, f"{corpus_table}.bands", f"{corpus_table}.minhash"):
+            wh.maybe_compact(t, **(maintenance_kwargs or {}))
+
+    def sink(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        if not wh.exists(batch_log):
+            wh.create_table(
+                batch_log, T.StructType([T.StructField("batch_id", T.LongType())])
+            )
+        if wh.read(batch_log).filter(F.col("batch_id") == batch_id).count() > 0:
+            return
+        typed, quarantined = split_jsonl_lines(batch_df.localCheckpoint(), schema)
+        if not wh.exists(quarantine_table):
+            wh.create_table(
+                quarantine_table,
+                T.StructType([T.StructField("raw_line", T.StringType())]),
+            )
+        stats = neardup_ingest_apply(
+            wh, corpus_table, typed, text_col, id_col,
+            sim_threshold=sim_threshold,
+            dupes_table=dupes_table,
+            extra_appends=[
+                (quarantine_table, quarantined),
+                (
+                    batch_log,
+                    spark.createDataFrame([(int(batch_id),)], "batch_id bigint"),
+                ),
+            ],
+        )
+        _maybe_maintain()
+        return stats
+
+    return (
+        spark.readStream.text(source_dir)
+        .writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+        .start()
+    )

@@ -296,3 +296,35 @@ def test_dedup_ledger_subtree_never_shuffles(spark, tmp_path):
         if "Exchange" in ln and "Broadcast" not in ln
     ]
     assert shuffles == []
+
+
+def test_neardup_ledger_probes_never_shuffle(spark, tmp_path):
+    """The near-dup ingest's two corpus-scale sidecars (bands,
+    signatures) must be probed by SCAN, never shuffled: each is the
+    LEFT of a left_semi against a broadcast batch-sized key frame
+    (_ledger_hits). Hint-forced, so the shape holds at any ledger
+    size."""
+    from pg_auto_dw_spark.streaming.jobs import _ledger_hits
+    from pg_auto_dw_spark.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    bands = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).cast("int").alias("band"),
+        F.md5(F.col("id").cast("string")).alias("band_key"),
+    )
+    wh.create_table("c.docs.bands", bands.schema)
+    wh.append("c.docs.bands", bands)
+    probe = spark.range(5).select(
+        (F.col("id") % 4).cast("int").alias("band"),
+        F.md5(F.col("id").cast("string")).alias("band_key"),
+    )
+    plan = _plan(_ledger_hits(wh.read("c.docs.bands"), probe, ["band", "band_key"]))
+    assert "BroadcastHashJoin LeftSemi BuildRight" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    shuffles = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange" in ln and "Broadcast" not in ln
+    ]
+    assert shuffles == []

@@ -1,0 +1,120 @@
+"""Cross-batch near-duplicate ingest (streaming/jobs.py
+neardup_ingest_apply + jsonl_neardup_ingest_stream): the MinHash band
+ledger probed with the zero-ledger-shuffle join direction."""
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pg_auto_dw_spark.streaming.jobs import (
+    jsonl_neardup_ingest_stream,
+    neardup_ingest_apply,
+)
+from pg_auto_dw_spark.warehouse import Warehouse
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the river "
+    "runs quietly past the old mill and the miller watches the wheel "
+    "turn slowly in the afternoon sun as travelers pass on the road"
+)
+NEAR = BASE.replace("afternoon sun", "evening light")  # small edit
+OTHER = (
+    "stock markets rallied sharply today as investors cheered strong "
+    "quarterly earnings reports from the largest technology companies "
+    "and central banks signalled steady interest rate policy ahead"
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_within_batch_collapse(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    stats = neardup_ingest_apply(
+        wh, "c.docs", _df(spark, [(1, BASE), (2, NEAR), (3, OTHER)])
+    )
+    assert stats["n_batch"] == 3
+    assert stats["n_within_dups"] == 1
+    assert stats["n_cross_dups"] == 0
+    assert stats["n_new"] == 2
+    kept = {r["doc_id"] for r in wh.read("c.docs").collect()}
+    assert kept == {1, 3}  # min-id canonical survives
+    # ledger rows exist only for admitted docs
+    assert {r["doc_id"] for r in wh.read("c.docs.minhash").collect()} == {1, 3}
+
+
+def test_cross_batch_near_dup_dropped(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    neardup_ingest_apply(wh, "c.docs", _df(spark, [(1, BASE)]))
+    stats = neardup_ingest_apply(
+        wh, "c.docs", _df(spark, [(10, NEAR), (11, OTHER)]),
+        dupes_table="c.dupes",
+    )
+    assert stats["n_cross_dups"] == 1 and stats["n_new"] == 1
+    kept = {r["doc_id"] for r in wh.read("c.docs").collect()}
+    assert kept == {1, 11}
+    dupes = wh.read("c.dupes").collect()
+    assert len(dupes) == 1
+    assert dupes[0]["doc_id"] == 10 and dupes[0]["matched_id"] == 1
+    # a THIRD wave resubmitting the near-copy is still caught (ledger
+    # grew by batch 2's survivor, not its dup)
+    stats3 = neardup_ingest_apply(wh, "c.docs", _df(spark, [(20, NEAR)]))
+    assert stats3["n_cross_dups"] == 1 and stats3["n_new"] == 0
+
+
+def test_unsigned_docs_admitted_unchecked(spark, tmp_path):
+    """NULL text yields no shingles (short text still gets one
+    whole-text shingle, so it IS checked); unsigned docs are admitted
+    with no ledger rows."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    stats = neardup_ingest_apply(
+        wh, "c.docs",
+        _df(spark, [(1, BASE), (2, None), (3, "hi")]),
+    )
+    assert stats["n_unsigned"] == 1 and stats["n_new"] == 3
+    assert wh.read("c.docs").count() == 3
+    # the NULL doc leaves NO ledger rows; the short doc does
+    assert {r["doc_id"] for r in wh.read("c.docs.minhash").collect()} == {1, 3}
+
+
+def test_exact_resubmission_is_also_caught(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    neardup_ingest_apply(wh, "c.docs", _df(spark, [(1, BASE)]))
+    stats = neardup_ingest_apply(wh, "c.docs", _df(spark, [(9, BASE)]))
+    assert stats["n_cross_dups"] == 1 and stats["n_new"] == 0
+
+
+def test_jsonl_neardup_stream_end_to_end(spark, tmp_path):
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.jsonl").write_text(
+        f'{{"doc_id": 1, "text": "{BASE}"}}\n'
+        "not json at all\n"
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+
+    def run():
+        q = jsonl_neardup_ingest_stream(
+            spark, str(src), schema, wh, "lz.docs", "lz.quarantine",
+            str(tmp_path / "ckpt"), dupes_table="lz.dupes",
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert wh.read("lz.docs").count() == 1
+    assert wh.read("lz.quarantine").count() == 1
+    (src / "b.jsonl").write_text(
+        f'{{"doc_id": 7, "text": "{NEAR}"}}\n'
+        f'{{"doc_id": 8, "text": "{OTHER}"}}\n'
+    )
+    run()
+    kept = {r["doc_id"] for r in wh.read("lz.docs").collect()}
+    assert kept == {1, 8}  # near-copy dropped, new doc admitted
+    assert wh.read("lz.dupes").first()["matched_id"] == 1
+    # restart over the same sources: exact no-op
+    run()
+    assert wh.read("lz.docs").count() == 2
+    assert wh.read("lz.dupes").count() == 1
