@@ -74,3 +74,62 @@ def corpus_datacard(
             "total_stopword_hits"
         ),
     )
+
+
+def datacard_drift(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    keys: list[str] | None = None,
+    text_col: str = "text",
+    min_words: int = 50,
+    min_stopwords: int = 2,
+    rel_threshold: float = 0.5,
+) -> DataFrame:
+    """Composition-drift report between two corpus versions (ingest
+    windows, snapshots): the data cards of both sides full-outer-joined
+    on the group keys, with integer deltas for the load-bearing fields
+    and a per-group ``drifted`` flag when doc count, duplicate count,
+    or Gopher pass count moved by more than ``rel_threshold``
+    relatively (a group present on only one side always flags --
+    appearing/disappearing sources are the loudest composition
+    change).
+
+    This is the datacard twin of the PSI drift monitor: PSI watches a
+    VALUE distribution; this watches the per-(source, lang) corpus
+    COMPOSITION a training mix is specified against. Two one-pass
+    conditional aggregations + one group-sized join; everything
+    downstream of the two scans is bounded at the group count."""
+    keys = keys if keys is not None else ["source", "lang"]
+    fields = ["n_docs", "n_exact_dups", "n_gopher_pass", "total_words"]
+    old = corpus_datacard(old_docs, keys, text_col, min_words, min_stopwords)
+    new = corpus_datacard(new_docs, keys, text_col, min_words, min_stopwords)
+    o = old.select(*keys, *[F.col(c).alias(f"{c}_old") for c in fields])
+    n = new.select(*keys, *[F.col(c).alias(f"{c}_new") for c in fields])
+    j = o.join(n, on=keys, how="full_outer")
+    both = F.col("n_docs_old").isNotNull() & F.col("n_docs_new").isNotNull()
+
+    def rel_moved(c: str):
+        o_, n_ = F.coalesce(F.col(f"{c}_old"), F.lit(0)), F.coalesce(
+            F.col(f"{c}_new"), F.lit(0)
+        )
+        return F.abs(n_ - o_).cast("double") > F.lit(rel_threshold) * F.greatest(
+            o_, F.lit(1)
+        ).cast("double")
+
+    drifted = ~both
+    for c in ("n_docs", "n_exact_dups", "n_gopher_pass"):
+        drifted = drifted | rel_moved(c)
+    out = j.select(
+        *keys,
+        *[F.col(f"{c}_old") for c in fields],
+        *[F.col(f"{c}_new") for c in fields],
+        *[
+            (
+                F.coalesce(F.col(f"{c}_new"), F.lit(0))
+                - F.coalesce(F.col(f"{c}_old"), F.lit(0))
+            ).alias(f"{c}_delta")
+            for c in fields
+        ],
+        drifted.alias("drifted"),
+    )
+    return out

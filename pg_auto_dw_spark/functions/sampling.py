@@ -277,3 +277,52 @@ def quality_binned_sample(
     if bin_col is not None:
         out = out.withColumn(bin_col, b)
     return out
+
+
+def doremi_domain_weights(
+    losses: DataFrame,
+    domain_col: str = "domain",
+    proxy_col: str = "proxy_loss",
+    ref_col: str = "ref_loss",
+    prior_col: str | None = None,
+    lr: float = 1.0,
+    smoothing: float = 0.0,
+) -> DataFrame:
+    """One exponentiated-gradient step of DoReMi domain reweighting
+    (Xie et al. 2023, arXiv:2305.10429): given per-domain proxy-model
+    and reference-model losses, up-weight the domains where the proxy
+    is furthest BEHIND the reference (excess loss = max(proxy - ref,
+    0) -- the domains with the most learnable headroom), normalize,
+    and mix with uniform smoothing. The output weights drive the next
+    mixture round (``stratified_sample`` rates or
+    ``temperature_mixture_plan`` budgets); iterating
+    train-proxy -> reweight -> resample is the DoReMi loop.
+
+    weight_i = (1 - smoothing) * p_i * exp(lr * excess_i) / Z
+               + smoothing / n_domains
+    with p_i the prior (``prior_col``, default uniform) and Z the
+    normalizer.
+
+    Input is DOMAIN-grain (bounded at the domain count -- mixture
+    design is driver-scale by nature, same as
+    temperature_mixture_plan), so the two unpartitioned window
+    aggregates here are over tens of rows, not data. Output:
+    (domain, excess_loss, weight), weights summing to 1."""
+    if not 0.0 <= smoothing <= 1.0:
+        raise ValueError(f"smoothing must be in [0, 1], got {smoothing}")
+    if lr < 0:
+        raise ValueError(f"lr must be >= 0, got {lr}")
+    excess = F.greatest(F.col(proxy_col) - F.col(ref_col), F.lit(0.0))
+    prior = F.col(prior_col) if prior_col else F.lit(1.0)
+    raw = prior * F.exp(F.lit(lr) * excess)
+    everything = Window.partitionBy()
+    norm = raw / F.sum(raw).over(everything)
+    weight = (
+        F.lit(1.0 - smoothing) * norm
+        + F.lit(smoothing) / F.count(F.lit(1)).over(everything)
+    )
+    return losses.select(
+        F.col(domain_col).alias("domain"),
+        excess.alias("excess_loss"),
+        weight.alias("weight"),
+    )

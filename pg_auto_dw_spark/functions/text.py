@@ -630,3 +630,155 @@ def gopher_exprs(
         "n_stopwords_present": n_stopwords_present,
     }
     return counts, rules, verdict
+
+
+_WINNOW_POS_BITS = 20  # max 2^20-1 k-gram positions per doc
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 -- the MOSS algorithm): from every window of ``w``
+    consecutive k-gram hashes, select the minimum (RIGHTMOST position
+    on ties), then dedupe the selections. Guarantees: any substring
+    match of length >= w + k - 1 between two documents shares at least
+    one fingerprint, and no match shorter than k is ever detected --
+    the position-robust local fingerprinting that gram-set methods
+    (minhash, n-gram Jaccard) lack, and the primitive plagiarism /
+    clone detection builds on.
+
+    Output: (id, fp_pos, fp_hash) -- fp_pos is the 1-based position of
+    the selected k-gram in the NORMALIZED text (lowercased, all
+    non-alphanumerics stripped, MOSS-style, so whitespace/punctuation
+    edits cannot shift fingerprints).
+
+    Shape: one explode to (id, pos, hash) rows -- fanned out across
+    cores first, the gram-family precedent -- then ONE window pass.
+    The min-with-rightmost-tie selection collapses to a single MIN via
+    an exact integer packing: key = hash * 2^20 + (2^20 - 1 - pos), so
+    MIN(key) orders by hash then by DESCENDING position; hash is 32
+    bits and pos < 2^20 (guarded with raise_error), so the packed key
+    stays under 2^52 -- exact in any engine, which makes the whole
+    operator SQL-expressible for a DuckDB oracle. Per-doc window state
+    is w rows; no shuffle beyond the doc repartition + the window's
+    partitionBy(id)."""
+    if w < 1 or k < 1:
+        raise ValueError("winnow_fingerprints needs k >= 1 and w >= 1")
+    from pyspark.sql import Window
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]", "")
+    base = (
+        df.repartition(par, id_col)
+        .select(F.col(id_col), norm.alias("__n"))
+        .filter(F.length("__n") >= k)
+        .select(
+            F.col(id_col),
+            F.col("__n"),
+            (F.length("__n") - F.lit(k - 1)).alias("__ng"),
+        )
+    )
+    cap = F.lit((1 << _WINNOW_POS_BITS) - 1)
+    base = base.withColumn(
+        "__ng",
+        F.when(F.col("__ng") < cap, F.col("__ng")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("winnow_fingerprints: doc "),
+                    F.col(id_col).cast("string"),
+                    F.lit(" exceeds 2^20-1 k-gram positions; chunk it first"),
+                )
+            )
+        ),
+    )
+    grams = base.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("__ng")),
+                lambda i: F.substring(F.col("__n"), i, k),
+            )
+        ).alias("__p0", "__g"),
+    ).select(
+        F.col(id_col),
+        (F.col("__p0") + 1).alias("pos"),
+        F.conv(F.substring(F.md5(F.col("__g")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    shift = F.lit(1 << _WINNOW_POS_BITS)
+    keyed = grams.select(
+        F.col(id_col),
+        "pos",
+        (F.col("h") * shift + (shift - 1 - F.col("pos"))).alias("__key"),
+    )
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    cnt = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    selected = (
+        keyed.withColumn("__mk", F.min("__key").over(win))
+        .withColumn("__wn", F.count(F.lit(1)).over(cnt))
+        # only FULL windows select (rows near the end have truncated
+        # frames; their grams are still selectable by earlier windows)
+        .filter(F.col("__wn") == w)
+        .select(
+            F.col(id_col),
+            (F.col("__mk") % shift).alias("__r"),
+            (F.col("__mk") / shift).cast("bigint").alias("fp_hash"),
+        )
+        .select(
+            F.col(id_col),
+            (shift - 1 - F.col("__r")).cast("bigint").alias("fp_pos"),
+            "fp_hash",
+        )
+        .distinct()
+    )
+    return selected
+
+
+def winnow_overlap_pairs(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    min_shared: int = 2,
+    max_bucket_size: int = 256,
+) -> DataFrame:
+    """Doc pairs sharing >= ``min_shared`` winnowing fingerprints:
+    (id_a, id_b, shared_fps). The matching side of MOSS -- a shared
+    fingerprint witnesses a common substring of length >= k; requiring
+    several filters random 32-bit collisions out.
+
+    Shape: groupBy(fp_hash) bucket join, hot buckets capped at
+    ``max_bucket_size`` ids (boilerplate fingerprints), pair counts
+    map-side combined -- the LSH-bucket discipline applied to
+    fingerprint buckets."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fp_hash").orderBy(id_col)
+    capped = (
+        fps.select(id_col, "fp_hash")
+        .distinct()
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_bucket_size)
+        .drop("__rn")
+    )
+    a = capped.select(F.col(id_col).alias("id_a"), "fp_hash")
+    b = capped.select(F.col(id_col).alias("id_b"), "fp_hash")
+    return (
+        a.join(b, "fp_hash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )

@@ -106,6 +106,18 @@ def register(name: str, sql: str | None):
 #                           verbatim inside the verified pit_user_daily
 #                           composition; range family stays via
 #                           events_range_click_attribution)
+# r11 oracle CANDIDATES from the r10 session ops (pytest-verified this
+# round; each needs its own retire-and-replace designation + clean
+# dtype_audit if registered): documents_winnow_fingerprints
+# (text.winnow_fingerprints -- fully integer: md5-prefix gram hashes,
+# the 2^20 min-key packing, window MIN; the reference-implementation
+# hypothesis pin in test_winnowing.py is the pre-oracle evidence),
+# datacard_drift (integer deltas + boolean flag over the already-
+# designated corpus_datacard surface), doremi_domain_weights (float
+# exp -- needs the scaled-BIGINT emit + boundary argument if
+# registered). neardup_ingest_apply is streaming/transactional
+# (non-SQL-expressible; pytest + plan pins are its gate, like the
+# other landing zones).
 # Retired r9 (all were RESTING in r8; coverage held elsewhere;
 # events_interarrival_stats' LAG(ts) math is held by events_sessionize
 # + the A1/A6 shapes of events_hourly_rollup/events_salted_type_stats):
