@@ -121,6 +121,16 @@ HEADLINE = [
     "events_correlation_matrix",
     "documents_hashed_embedding",
     "documents_source_overlap",
+    # round-10 mid-order registrations (first driver rows due r11;
+    # tracked from day 1 per the standing practice): quality-binned
+    # curriculum sampling (zero-shuffle pushed filter), tokenizer
+    # fertility audit (one Arrow pass + bounded groupBy), inference
+    # batch-plan audit (salted per-band window + batch-bounded agg),
+    # corpus data card (one conditional-agg pass)
+    "quality_binned_sample",
+    "tokenizer_stats",
+    "inference_batch_plan_stats",
+    "corpus_datacard",
 ]
 
 
