@@ -131,6 +131,9 @@ HEADLINE = [
     "tokenizer_stats",
     "inference_batch_plan_stats",
     "corpus_datacard",
+    # r10 session op registered mid-order same round: MOSS winnowing
+    # fingerprints (gram explode + one windowed MIN, doc-local)
+    "documents_winnow_fingerprints",
 ]
 
 

@@ -161,13 +161,18 @@ def search_chunks_many(
     name: str,
     queries: dict[int, str],
     k: int = 5,
-    n_probes: int = 1,
+    n_probes: int = 2,
 ) -> DataFrame:
     """Batched form of ``search_chunks`` -- the shape a serving front
     end actually calls (one request wave, one partition-pruned scan
     covering every query's probed cells instead of one scan per
     query). ``queries``: {query_id: text}. Output: (query_id, doc_id,
-    chunk_id, cosine)."""
+    chunk_id, cosine).
+
+    ``n_probes`` is the recall knob: per-query cost is ~probes/cells
+    of the corpus, and recall tracks that fraction on diffuse corpora
+    (measured curve in SCALE.md round 10); the default 2 doubles
+    recall over single-probe for one extra pruned cell read."""
     from .similarity import ivf_search_index
 
     cfg = _load_embed_config(wh, name)
@@ -205,7 +210,7 @@ def search_chunks(
     name: str,
     text: str,
     k: int = 5,
-    n_probes: int = 1,
+    n_probes: int = 2,
 ) -> DataFrame:
     """k nearest chunks for a query TEXT against a
     ``build_chunk_search_index`` index: embed driver-side under the

@@ -77,10 +77,11 @@ def register(name: str, sql: str | None):
 #                           orders_without_lineitems_anti + the status
 #                           engine rows; coalesce projection appears
 #                           in every loader oracle)
-# MID-order r10 registrations at positions 51-54, outside the driver
-# cap (the r9 VERDICT directive-6 designations; each locally verified
-# via tools/check_oracle.py + a clean hard-error dtype_audit before
-# registration; first driver rows due r11):
+# MID-order r10 registrations at positions 51-55, outside the driver
+# cap (the first four are the r9 VERDICT directive-6 designations, the
+# fifth is an r10 session op; each locally verified via
+# tools/check_oracle.py at sf0.01 AND sf0.001 + a clean hard-error
+# dtype_audit before registration; first driver rows due r11):
 #   corpus_datacard          (integer/sha2-distinct surface only; the
 #                            two percentile_approx fields excluded)
 #   tokenizer_stats          (pinned literal merges, exact integer
@@ -88,8 +89,12 @@ def register(name: str, sql: str | None):
 #   inference_batch_plan_stats (md5 order + integer band/batch math)
 #   quality_binned_sample    (multiplicative-hash rank, cross-engine
 #                            exact like the sampler family)
+#   documents_winnow_fingerprints (md5-prefix hashes + the 2^20
+#                            min-key packing + window MIN -- fully
+#                            integer; hypothesis-pinned vs a Python
+#                            reference winnower)
 # NOTE for round 11: set _PRIORITY = today's 50 resting rows
-# (_DEPRIORITIZED below) MINUS four designated retirements PLUS the 4
+# (_DEPRIORITIZED below) MINUS five designated retirements PLUS the 5
 # mid rows above (exactly 50); set _DEPRIORITIZED = today's 50
 # _PRIORITY. Retirement CANDIDATES (final call at r11; all in today's
 # resting set, coverage held elsewhere):
@@ -106,18 +111,19 @@ def register(name: str, sql: str | None):
 #                           verbatim inside the verified pit_user_daily
 #                           composition; range family stays via
 #                           events_range_click_attribution)
-# r11 oracle CANDIDATES from the r10 session ops (pytest-verified this
+#   documents_pii_scan     (the conditional-agg profile shape is held
+#                           by source_profile_customer + the datacard
+#                           row; the regex bank itself stays driver-
+#                           verified through documents_pii_redaction,
+#                           which applies the SAME patterns)
+# r12 oracle CANDIDATES from the r10 session ops (pytest-verified this
 # round; each needs its own retire-and-replace designation + clean
-# dtype_audit if registered): documents_winnow_fingerprints
-# (text.winnow_fingerprints -- fully integer: md5-prefix gram hashes,
-# the 2^20 min-key packing, window MIN; the reference-implementation
-# hypothesis pin in test_winnowing.py is the pre-oracle evidence),
-# datacard_drift (integer deltas + boolean flag over the already-
-# designated corpus_datacard surface), doremi_domain_weights (float
-# exp -- needs the scaled-BIGINT emit + boundary argument if
-# registered). neardup_ingest_apply is streaming/transactional
-# (non-SQL-expressible; pytest + plan pins are its gate, like the
-# other landing zones).
+# dtype_audit if registered): datacard_drift (integer deltas + boolean
+# flag over the already-designated corpus_datacard surface),
+# doremi_domain_weights (float exp -- needs the scaled-BIGINT emit +
+# boundary argument if registered). neardup_ingest_apply is
+# streaming/transactional (non-SQL-expressible; pytest + plan pins are
+# its gate, like the other landing zones).
 # Retired r9 (all were RESTING in r8; coverage held elsewhere;
 # events_interarrival_stats' LAG(ts) math is held by events_sessionize
 # + the A1/A6 shapes of events_hourly_rollup/events_salted_type_stats):
@@ -5651,3 +5657,46 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return dcard(docs, min_stopwords=1).drop("median_chars", "p95_chars")
+
+
+_WINNOW_ORACLE = r"""
+WITH n AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS nm
+  FROM documents),
+g AS (
+  SELECT doc_id, u.pos,
+         ('0x' || substr(md5(substr(nm, u.pos, 8)), 1, 8))::BIGINT AS h
+  FROM n,
+       LATERAL (SELECT unnest(generate_series(1, length(nm) - 7)) AS pos) u
+  WHERE length(nm) >= 8),
+k AS (
+  SELECT doc_id, pos, h * 1048576 + (1048575 - pos) AS key
+  FROM g),
+m AS (
+  SELECT doc_id,
+         MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk,
+         COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+  FROM k)
+SELECT DISTINCT doc_id,
+       CAST(1048575 - (mk % 1048576) AS BIGINT) AS fp_pos,
+       CAST(mk // 1048576 AS BIGINT) AS fp_hash
+FROM m WHERE wn = 4
+"""
+
+
+@register("documents_winnow_fingerprints", _WINNOW_ORACLE)
+def documents_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (functions/text.py winnow_fingerprints;
+    Schleimer, Wilkerson & Aiken, SIGMOD 2003): min of every 4-window
+    of 8-gram hashes over the MOSS-normalized text, rightmost tie-break
+    via the exact 2^20 min-key packing, deduped. Fully integer hashed
+    bytes (md5-prefix hashes, packed-key window MIN, integer decode);
+    the oracle replays the identical packing and frame arithmetic. The
+    operator itself is reference-pinned under hypothesis
+    (test_winnowing.py) against a pure-Python winnower."""
+    from .functions.text import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, k=8, w=4)
