@@ -201,8 +201,61 @@ def _load_embed_config(wh, name: str) -> dict:
     return {
         "dims": int(raw["dims"]),
         "n_docs": int(raw["n_docs"]),
+        "chunk_words": int(raw["chunk_words"]),
+        "stride": int(raw["stride"]),
         "idf": {int(d): v for d, v in raw["idf"].items()},
     }
+
+
+def ingest_chunks(wh, new_docs: DataFrame, name: str, id_col: str = "doc_id") -> int:
+    """Incremental index growth: chunk + embed NEW documents under the
+    PERSISTED geometry (stored chunk windows, stored IDF table, stored
+    n_docs smoothing -- never refit, or new chunks would land in a
+    different space than the index and every query) and append them
+    through ``append_to_ivf_index`` (assignment against the stored
+    codebook; idempotent on replayed ids). Returns chunks appended.
+
+    The frozen-IDF posture is the standard between-rebuilds contract:
+    recall degrades gracefully as vocabulary drifts from the fitted
+    model, and the refresh path is a full ``build_chunk_search_index``
+    rebuild (atomic overwrite of index + geometry together) on a
+    schedule or an ``ivf_index_health`` trigger -- identical to the
+    codebook's own no-retrain-on-append rule."""
+    from .selection import hashed_embedding
+    from .similarity import append_to_ivf_index
+    from .text import chunk_documents
+
+    cfg = _load_embed_config(wh, name)
+    chunks = chunk_documents(
+        new_docs, cfg["chunk_words"], cfg["stride"], "text", id_col
+    )
+    key = F.when(
+        (F.col("chunk_id") >= 0)
+        & (F.col("chunk_id") < CHUNK_SHIFT)
+        & (F.col(id_col).cast("long") >= 0)
+        & (F.col(id_col).cast("long") < F.lit(1 << 43)),
+        F.col(id_col).cast("long") * CHUNK_SHIFT + F.col("chunk_id"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("chunk key overflow: doc "),
+                F.col(id_col).cast("string"),
+                F.lit(" chunk "),
+                F.col("chunk_id").cast("string"),
+            )
+        )
+    )
+    keyed = chunks.select(key.alias("chunk_key"), F.col("chunk_text"))
+    emb = hashed_embedding(
+        keyed,
+        cfg["dims"],
+        text_col="chunk_text",
+        id_col="chunk_key",
+        idf_model=_filled_model(cfg["idf"], cfg["n_docs"], cfg["dims"]),
+    )
+    return append_to_ivf_index(
+        wh, emb, name, id_col="chunk_key", vec_col="embedding"
+    )
 
 
 def search_chunks(

@@ -156,3 +156,31 @@ def test_retrieval_recall_floor(spark, warehouse_dir):
     exact = hits(int(stats["cells"]))
     s = ann_recall_summary(hits(2), exact).first()
     assert s["macro_recall"] >= 0.9, s
+
+
+def test_ingest_chunks_grows_index_in_same_space(spark, warehouse_dir):
+    """New docs ingested under the PERSISTED geometry must be findable
+    by text search exactly like built docs, replays must no-op, and
+    the embed space must be identical (a verbatim-phrase query ranks
+    the new doc's chunk first)."""
+    from pg_auto_dw_spark.functions.semsearch import ingest_chunks
+
+    wh = Warehouse(spark, warehouse_dir)
+    build_chunk_search_index(
+        wh, _docs(spark), "inc", chunk_words=8, stride=6, dims=32,
+        kmeans_stride=3,
+    )
+    before = wh.read("inc.assignment").count()
+    new = spark.createDataFrame(
+        [(100, "astronomers observed a distant comet passing near jupiter last night")],
+        "doc_id bigint, text string",
+    )
+    n = ingest_chunks(wh, new, "inc")
+    assert n >= 1
+    assert wh.read("inc.assignment").count() == before + n
+    # replay: idempotent, nothing appended twice
+    assert ingest_chunks(wh, new, "inc") == 0
+    hits = search_chunks(
+        wh, "inc", "astronomers observed a distant comet", k=3, n_probes=3
+    ).collect()
+    assert hits and hits[0]["doc_id"] == 100
