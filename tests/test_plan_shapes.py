@@ -328,3 +328,29 @@ def test_neardup_ledger_probes_never_shuffle(spark, tmp_path):
         if "Exchange" in ln and "Broadcast" not in ln
     ]
     assert shuffles == []
+
+
+def test_ivf_search_frame_no_cartesian(spark, tmp_path):
+    """The distributed frame search must never materialize
+    query x centroid or query x corpus pair rows: codebook scoring is
+    an Arrow closure kernel, candidate scoring a cell cogroup -- no
+    CartesianProduct, no BroadcastNestedLoopJoin anywhere."""
+    from pg_auto_dw_spark.functions.retrieval import ivf_search_frame
+    from pg_auto_dw_spark.functions.similarity import build_ivf_index
+    from pg_auto_dw_spark.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    vecs = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 7).cast("double"), (F.col("id") % 5).cast("double")
+        ).alias("embedding"),
+    )
+    build_ivf_index(wh, vecs, "pf", stride=20, dims=2, seed_hash=True)
+    queries = vecs.filter(F.col("vec_id") % 9 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plan = _plan(ivf_search_frame(wh, "pf", queries, k=3, n_probes=2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FlatMapCoGroupsInPandas" in plan or "CoGroup" in plan
