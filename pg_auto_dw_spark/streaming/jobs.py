@@ -1406,6 +1406,12 @@ def neardup_ingest_apply(
     (partition/bucket the sidecars by band_key / id hash to prune even
     that); every shuffle in the plan is batch-sized. Returns counts:
     {n_batch, n_unsigned, n_within_dups, n_cross_dups, n_new}.
+
+    Precondition: ``id_col`` is unique WITHIN the batch (two rows
+    sharing an id would pool their shingles into one signature).
+    Feeds that can repeat ids should exact-dedup on id first --
+    ``dedup_exact``'s min-id rule, or the digest ledger for
+    byte-identical resubmissions.
     """
     from ..functions.dedup import (
         connected_components,
