@@ -722,14 +722,9 @@ def winnow_fingerprints(
         .orderBy("pos")
         .rowsBetween(Window.currentRow, w - 1)
     )
-    cnt = (
-        Window.partitionBy(id_col)
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, w - 1)
-    )
     selected = (
         keyed.withColumn("__mk", F.min("__key").over(win))
-        .withColumn("__wn", F.count(F.lit(1)).over(cnt))
+        .withColumn("__wn", F.count(F.lit(1)).over(win))
         # only FULL windows select (rows near the end have truncated
         # frames; their grams are still selectable by earlier windows)
         .filter(F.col("__wn") == w)

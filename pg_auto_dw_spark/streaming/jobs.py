@@ -1375,9 +1375,10 @@ def neardup_ingest_apply(
     same contract as ``dedup_ingest_apply``):
 
     1. Wide MinHash signatures for the batch (one shuffle over batch
-       shingles). Docs yielding NO shingles (NULL/short text) cannot
-       be near-dup checked: they are admitted WITHOUT ledger rows and
-       counted (``n_unsigned``) -- compose with the digest ledger for
+       shingles). Docs yielding NO signature -- NULL text only; a
+       short text still gets one whole-text shingle -- cannot be
+       near-dup checked: they are admitted WITHOUT ledger rows and
+       counted (``n_unsigned``); compose with the digest ledger for
        their exact-dedup semantics.
     2. Within-batch collapse: band-key self-join (batch-sized) ->
        signature-verified pairs (>= sim_threshold of the n minhashes
