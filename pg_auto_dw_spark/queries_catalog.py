@@ -121,7 +121,10 @@ def register(name: str, sql: str | None):
 # dtype_audit if registered): datacard_drift (integer deltas + boolean
 # flag over the already-designated corpus_datacard surface),
 # doremi_domain_weights (float exp -- needs the scaled-BIGINT emit +
-# boundary argument if registered). neardup_ingest_apply is
+# boundary argument if registered), sft.render_chat +
+# trainable_char_stats (pure string/integer: ordered string_agg + the
+# running-offset arithmetic replay exactly in SQL; derive turns
+# deterministically from documents chunks). neardup_ingest_apply is
 # streaming/transactional (non-SQL-expressible; pytest + plan pins are
 # its gate, like the other landing zones).
 # Retired r9 (all were RESTING in r8; coverage held elsewhere;
