@@ -124,7 +124,8 @@ def register(name: str, sql: str | None):
 # boundary argument if registered), sft.render_chat +
 # trainable_char_stats (pure string/integer: ordered string_agg + the
 # running-offset arithmetic replay exactly in SQL; derive turns
-# deterministically from documents chunks). neardup_ingest_apply is
+# deterministically from documents chunks), evalscore.eval_scores
+# (integer EM/common/token counts; fixed-point f1). neardup_ingest_apply is
 # streaming/transactional (non-SQL-expressible; pytest + plan pins are
 # its gate, like the other landing zones).
 # Retired r9 (all were RESTING in r8; coverage held elsewhere;
