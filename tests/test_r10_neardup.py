@@ -118,3 +118,39 @@ def test_jsonl_neardup_stream_end_to_end(spark, tmp_path):
     run()
     assert wh.read("lz.docs").count() == 2
     assert wh.read("lz.dupes").count() == 1
+
+
+def test_neardup_transaction_is_all_or_nothing(spark, tmp_path, monkeypatch):
+    """A failure while staging ANY of the three tables (corpus, bands,
+    signatures) must leave the warehouse at the prior batch's state --
+    a band row without its doc would silently eat future near-copies
+    of a document that was never admitted."""
+    import pg_auto_dw_spark.warehouse as wh_mod
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    neardup_ingest_apply(wh, "c.docs", _df(spark, [(1, BASE)]))
+    before = {
+        t: {tuple(r) for r in wh.read(t).collect()}
+        for t in ("c.docs", "c.docs.bands", "c.docs.minhash")
+    }
+
+    real_append = wh_mod._Transaction.append
+
+    def boom(self, name, df):
+        if name == "c.docs.minhash":
+            raise RuntimeError("injected crash while staging signatures")
+        return real_append(self, name, df)
+
+    monkeypatch.setattr(wh_mod._Transaction, "append", boom)
+    try:
+        neardup_ingest_apply(wh, "c.docs", _df(spark, [(50, OTHER)]))
+        raise AssertionError("expected the injected failure to propagate")
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(wh_mod._Transaction, "append", real_append)
+    wh2 = Warehouse(spark, str(tmp_path / "wh"))  # recovery runs at init
+    for t, rows in before.items():
+        assert {tuple(r) for r in wh2.read(t).collect()} == rows, t
+    # and the aborted batch can simply be retried
+    stats = neardup_ingest_apply(wh2, "c.docs", _df(spark, [(50, OTHER)]))
+    assert stats["n_new"] == 1

@@ -73,3 +73,24 @@ def test_trainable_char_stats(spark):
     assert stats[1]["trainable_pct_e4"] == expect * 10000 // r1["n_chars"]
     # conv 2's only assistant turn is NULL content -> zero trainable
     assert stats[2]["trainable_chars"] == 0
+
+
+def test_rendered_conversations_flow_into_packing(spark):
+    """Composition: render_chat output is a documents frame
+    (conv_id, text), so the SFT corpus drops straight into the
+    pretraining packer -- every rendered conversation gets a placement
+    and the token accounting is consistent."""
+    from pg_auto_dw_spark.functions.corpus import pack_sequences
+
+    rendered = render_chat(_turns(spark)).withColumnRenamed(
+        "conv_id", "doc_id"
+    )
+    plan = pack_sequences(rendered, seq_tokens=16)
+    rows = plan.collect()
+    assert {r["doc_id"] for r in rows} == {1, 2}
+    # global offsets tile the stream: sorted offsets are cumulative
+    ordered = sorted(rows, key=lambda r: r["global_offset"])
+    acc = 0
+    for r in ordered:
+        assert r["global_offset"] == acc
+        acc += r["n_bpe_tokens"]
