@@ -1359,6 +1359,7 @@ def neardup_ingest_apply(
     max_probe_bucket: int = 256,
     dupes_table: str | None = None,
     extra_appends: list | None = None,
+    n_sidecar_parts: int | None = None,
 ) -> dict:
     """Cross-batch NEAR-duplicate dedup against a persisted MinHash
     ledger: the streaming twin of ``dedup.minhash_lsh_candidates`` --
@@ -1403,9 +1404,19 @@ def neardup_ingest_apply(
        ledger (a band row without its doc would silently eat future
        near-copies of a document that was never admitted).
 
-    100 TB posture: the per-batch floor is one scan of each sidecar
-    (partition/bucket the sidecars by band_key / id hash to prune even
-    that); every shuffle in the plan is batch-sized. Returns counts:
+    100 TB posture: every shuffle in the plan is batch-sized; the
+    per-batch floor is one scan of each sidecar. ``n_sidecar_parts``
+    (opt-in) PARTITIONS both sidecars by a hash bucket of their probe
+    key (``pmod(xxhash64(band_key | id), parts)``) and each probe then
+    collects its batch-sized bucket set and filters ``__bucket IN
+    (...)`` BEFORE the semi join -- the scan PARTITION-PRUNES
+    (plan-pinned PartitionFilters) so the floor drops to
+    buckets-touched/parts of the ledger. Opt-in because the pruning
+    pays ~1s/batch of fixed driver work (two bucket-set collects +
+    partition listing) that only amortizes once the sidecar scan
+    dominates -- i.e. corpus-scale ledgers; measured at 50k ledger
+    docs the unpartitioned scan is still faster. The layout is fixed
+    at FIRST ingest and mismatched calls fail loudly. Returns counts:
     {n_batch, n_unsigned, n_within_dups, n_cross_dups, n_new}.
 
     Precondition: ``id_col`` is unique WITHIN the batch (two rows
@@ -1480,13 +1491,47 @@ def neardup_ingest_apply(
         n_within_dups = comp.filter(F.col(id_col) != F.col("cluster_id")).count()
     canon_sigs = wide.join(canon_ids, id_col, "left_semi")
 
+    # sidecar partition buckets (opt-in): the probe collects its
+    # (batch-sized) bucket set and the scan partition-prunes to those
+    use_buckets = n_sidecar_parts is not None
+    if use_buckets:
+        band_bucket = F.pmod(F.xxhash64(F.col("band_key")), F.lit(n_sidecar_parts))
+        id_bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_sidecar_parts))
+
+    def _check_layout(table: str) -> None:
+        has = "__bucket" in wh.read(table).columns
+        if has != use_buckets:
+            raise ValueError(
+                f"{table} layout mismatch: table is "
+                f"{'bucketed' if has else 'unpartitioned'} but this call "
+                f"passed n_sidecar_parts={n_sidecar_parts}; the sidecar "
+                f"layout is fixed at first ingest"
+            )
+
     # -- cross-batch probe ----------------------------------------------
     cross_dup_canon = None
     matched = None
     if wh.exists(bands_table):
+        _check_layout(bands_table)
         canon_bands = bands.join(canon_ids, id_col, "left_semi")
-        probe_keys = canon_bands.select("band", "band_key").distinct()
-        hits = _ledger_hits(wh.read(bands_table), probe_keys, ["band", "band_key"])
+        probe_keys = canon_bands.select("band", "band_key").distinct().localCheckpoint(
+            eager=True
+        )  # read twice: bucket-set collect + the broadcast semi
+        ledger_bands = wh.read(bands_table)
+        if use_buckets:
+            probe_buckets = [
+                r["b"]
+                for r in probe_keys.select(band_bucket.alias("b")).distinct().collect()
+            ]
+            # prune only when the batch leaves most partitions
+            # untouched -- a bucket set covering everything pays
+            # listing/filter overhead for nothing
+            if len(probe_buckets) <= n_sidecar_parts * 0.8:
+                ledger_bands = ledger_bands.filter(
+                    F.col("__bucket").isin(probe_buckets)
+                )
+            ledger_bands = ledger_bands.drop("__bucket")
+        hits = _ledger_hits(ledger_bands, probe_keys, ["band", "band_key"])
         # hot-bucket cap: at most max_probe_bucket existing docs verify
         # per bucket (deterministic min-id order); a verified near-dup
         # only needs ONE corpus witness, so the cap trades nothing but
@@ -1509,11 +1554,19 @@ def neardup_ingest_apply(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        corpus_sigs = _ledger_hits(
-            wh.read(sig_table),
-            cand.select(F.col("id_b").alias(id_col)),
-            [id_col],
-        )
+        cand_ids = cand.select(F.col("id_b").alias(id_col)).distinct()
+        ledger_sigs = wh.read(sig_table)
+        if use_buckets:
+            sig_buckets = [
+                r["b"]
+                for r in cand_ids.select(id_bucket.alias("b")).distinct().collect()
+            ]
+            if len(sig_buckets) <= n_sidecar_parts * 0.8:
+                ledger_sigs = ledger_sigs.filter(
+                    F.col("__bucket").isin(sig_buckets)
+                )
+            ledger_sigs = ledger_sigs.drop("__bucket")
+        corpus_sigs = _ledger_hits(ledger_sigs, cand_ids, [id_col])
         verified = _sim_pairs(cand, wide, corpus_sigs)
         matched = verified.groupBy("id_a").agg(F.min("id_b").alias("matched_id"))
         cross_dup_canon = matched.select(F.col("id_a").alias(id_col))
@@ -1527,14 +1580,28 @@ def neardup_ingest_apply(
     new_rows = batch.join(keep_canon, id_col, "left_semi").unionByName(unsigned)
     new_bands = bands.join(keep_canon, id_col, "left_semi")
     new_sigs = canon_sigs.join(keep_canon, id_col, "left_semi")
+    if use_buckets:
+        # one batch-sized shuffle per sidecar so each append writes ONE
+        # file per touched bucket, not one per (input partition x
+        # bucket) -- the partitioned layout would otherwise multiply
+        # small-file pressure by the batch's partition count
+        new_bands = new_bands.withColumn("__bucket", band_bucket).repartition(
+            "__bucket"
+        )
+        new_sigs = new_sigs.withColumn("__bucket", id_bucket).repartition(
+            "__bucket"
+        )
     n_new = new_rows.count()
 
     if not wh.exists(corpus_table):
         wh.create_table(corpus_table, batch.schema)
+    sidecar_parts = ["__bucket"] if use_buckets else None
     if not wh.exists(bands_table):
-        wh.create_table(bands_table, new_bands.schema)
+        wh.create_table(bands_table, new_bands.schema, partition_by=sidecar_parts)
+    else:
+        _check_layout(bands_table)
     if not wh.exists(sig_table):
-        wh.create_table(sig_table, new_sigs.schema)
+        wh.create_table(sig_table, new_sigs.schema, partition_by=sidecar_parts)
     extra = list(extra_appends or [])
     if dupes_table is not None and matched is not None:
         dupes = batch.join(

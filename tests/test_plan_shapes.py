@@ -354,3 +354,24 @@ def test_ivf_search_frame_no_cartesian(spark, tmp_path):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "FlatMapCoGroupsInPandas" in plan or "CoGroup" in plan
+
+
+def test_neardup_sidecar_scan_partition_prunes(spark, tmp_path):
+    """The band sidecar is partitioned by a hash bucket of band_key and
+    the probe filters the batch's bucket set BEFORE the semi join --
+    the scan must show PartitionFilters on __bucket, not a post-scan
+    filter over all partitions."""
+    from pg_auto_dw_spark.streaming.jobs import neardup_ingest_apply
+    from pg_auto_dw_spark.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with several shingle-worthy words "
+              f"about topic {i % 5} and more text to shingle") for i in range(30)],
+        "doc_id bigint, text string",
+    )
+    neardup_ingest_apply(wh, "c.docs", docs, n_sidecar_parts=64)
+    ledger = wh.read("c.docs.bands").filter(F.col("__bucket").isin([3, 7]))
+    plan = _plan(ledger)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("__bucket" in ln for ln in pf), plan[:2000]

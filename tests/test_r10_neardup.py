@@ -154,3 +154,24 @@ def test_neardup_transaction_is_all_or_nothing(spark, tmp_path, monkeypatch):
     # and the aborted batch can simply be retried
     stats = neardup_ingest_apply(wh2, "c.docs", _df(spark, [(50, OTHER)]))
     assert stats["n_new"] == 1
+
+
+def test_bucketed_sidecars_same_verdicts_and_loud_mismatch(spark, tmp_path):
+    """Opt-in partitioned sidecars (n_sidecar_parts) must produce the
+    SAME dedup verdicts as the default layout, and a layout-mismatched
+    call must fail loudly instead of silently mis-probing."""
+    import pytest
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    neardup_ingest_apply(
+        wh, "c.docs", _df(spark, [(1, BASE)]), n_sidecar_parts=16
+    )
+    assert "__bucket" in wh.read("c.docs.bands").columns
+    stats = neardup_ingest_apply(
+        wh, "c.docs", _df(spark, [(10, NEAR), (11, OTHER)]),
+        n_sidecar_parts=16,
+    )
+    assert stats["n_cross_dups"] == 1 and stats["n_new"] == 1
+    assert {r["doc_id"] for r in wh.read("c.docs").collect()} == {1, 11}
+    with pytest.raises(ValueError, match="layout mismatch"):
+        neardup_ingest_apply(wh, "c.docs", _df(spark, [(20, OTHER)]))

@@ -39,7 +39,7 @@ def main() -> None:
         .localCheckpoint(eager=True)
     )
 
-    def build_ledger(root: str, n_docs: int) -> None:
+    def build_ledger(root: str, n_docs: int, bucketed: bool) -> None:
         wh = Warehouse(spark, root)
         docs = spark.range(n_docs).select(
             (F.col("id") + 1_000_000).alias("doc_id"),
@@ -53,8 +53,15 @@ def main() -> None:
             "doc_id", "band",
             F.md5(F.concat_ws(":", "doc_id", "band")).alias("band_key"),
         )
-        wh.create_table("c.docs.bands", bands.schema)
-        wh.append("c.docs.bands", bands.repartition(32))
+        if bucketed:
+            bands = bands.withColumn(
+                "__bucket", F.pmod(F.xxhash64("band_key"), F.lit(64))
+            ).repartition("__bucket")
+            wh.create_table("c.docs.bands", bands.schema, partition_by=["__bucket"])
+        else:
+            wh.create_table("c.docs.bands", bands.schema)
+            bands = bands.repartition(32)
+        wh.append("c.docs.bands", bands)
         sigs = spark.range(n_docs).select(
             (F.col("id") + 1_000_000).alias("doc_id"),
             *[
@@ -62,24 +69,37 @@ def main() -> None:
                 for i in range(16)
             ],
         )
-        wh.create_table("c.docs.minhash", sigs.schema)
-        wh.append("c.docs.minhash", sigs.repartition(32))
+        if bucketed:
+            sigs = sigs.withColumn(
+                "__bucket", F.pmod(F.xxhash64("doc_id"), F.lit(64))
+            ).repartition("__bucket")
+            wh.create_table("c.docs.minhash", sigs.schema, partition_by=["__bucket"])
+        else:
+            wh.create_table("c.docs.minhash", sigs.schema)
+            sigs = sigs.repartition(32)
+        wh.append("c.docs.minhash", sigs)
 
-    print(f"{'ledger_docs':>12}{'median_apply':>14}{'n_new':>7}")
+    print(f"{'ledger_docs':>12}{'layout':>14}{'median_apply':>14}{'n_new':>7}")
     for n_docs in (5_000, 50_000):
-        template = tempfile.mkdtemp(prefix=f"neardup_probe_{n_docs}_")
-        build_ledger(template, n_docs)
-        runs = []
-        stats = None
-        for _ in range(3):
-            clone = tempfile.mkdtemp(prefix="neardup_clone_")
-            shutil.rmtree(clone)
-            shutil.copytree(template, clone)
-            wh = Warehouse(spark, clone)
-            t0 = time.time()
-            stats = neardup_ingest_apply(wh, "c.docs", batch)
-            runs.append(time.time() - t0)
-        print(f"{n_docs:>12}{sorted(runs)[1]:>13.2f}s{stats['n_new']:>7}")
+        for bucketed in (False, True):
+            template = tempfile.mkdtemp(prefix=f"neardup_probe_{n_docs}_")
+            build_ledger(template, n_docs, bucketed)
+            runs = []
+            stats = None
+            for _ in range(3):
+                clone = tempfile.mkdtemp(prefix="neardup_clone_")
+                shutil.rmtree(clone)
+                shutil.copytree(template, clone)
+                wh = Warehouse(spark, clone)
+                t0 = time.time()
+                stats = neardup_ingest_apply(
+                    wh, "c.docs", batch,
+                    n_sidecar_parts=64 if bucketed else None,
+                )
+                runs.append(time.time() - t0)
+            layout = "bucketed64" if bucketed else "flat"
+            print(f"{n_docs:>12}{layout:>14}{sorted(runs)[1]:>13.2f}s"
+                  f"{stats['n_new']:>7}")
 
 
 if __name__ == "__main__":
