@@ -1641,6 +1641,7 @@ def jsonl_neardup_ingest_stream(
     dupes_table: str | None = None,
     maintenance_every: int = 0,
     maintenance_kwargs: dict | None = None,
+    n_sidecar_parts: int | None = None,
 ):
     """Near-dup-deduplicating JSONL landing zone: the ingest front door
     composed with ``neardup_ingest_apply``, so a re-crawl that differs
@@ -1684,6 +1685,7 @@ def jsonl_neardup_ingest_stream(
             wh, corpus_table, typed, text_col, id_col,
             sim_threshold=sim_threshold,
             dupes_table=dupes_table,
+            n_sidecar_parts=n_sidecar_parts,
             extra_appends=[
                 (quarantine_table, quarantined),
                 (
