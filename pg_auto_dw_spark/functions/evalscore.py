@@ -23,7 +23,11 @@ from pyspark.sql import functions as F
 
 
 def _normalize(col, drop_articles: bool):
-    c = F.lower(col)
+    # NULL coalesces to '' so a missing generation scores 0 against a
+    # non-empty reference (the SQuAD convention) instead of propagating
+    # NULL through EM/f1 -- which eval_summary's avg would then SKIP,
+    # letting a model that emits no text score perfectly (r10 ADVICE)
+    c = F.lower(F.coalesce(col, F.lit("")))
     c = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
     if drop_articles:
         c = F.regexp_replace(c, r"\b(a|an|the)\b", " ")
@@ -51,9 +55,13 @@ def eval_scores(
     (repeated tokens count with multiplicity -- array_intersect's set
     semantics would overscore repetitive generations, which is exactly
     the failure mode an eval should catch). Empty-vs-empty scores
-    f1 = 1.0 and EM true; empty-vs-nonempty scores 0."""
+    f1 = 1.0 and EM true; empty-vs-nonempty scores 0. A NULL
+    prediction scores exactly like an empty one (0 against any
+    non-empty reference) and is flagged via ``pred_missing`` so the
+    summary can surface how many generations were missing."""
     base = rows.select(
         F.col(id_col).alias("example_id"),
+        F.col(pred_col).isNull().alias("pred_missing"),
         _normalize(F.col(pred_col), drop_articles).alias("__p"),
         _normalize(F.col(ref_col), drop_articles).alias("__r"),
     )
@@ -66,6 +74,7 @@ def eval_scores(
     )
     totals = base.select(
         "example_id",
+        "pred_missing",
         (F.col("__p") == F.col("__r")).alias("exact_match"),
         F.when(F.col("__p") == "", F.lit(0))
         .otherwise(F.size(F.split("__p", " ")))
@@ -79,6 +88,7 @@ def eval_scores(
     joined = totals.join(common, "example_id", "left").select(
         "example_id",
         "exact_match",
+        "pred_missing",
         "n_pred_tokens",
         "n_ref_tokens",
         F.coalesce("n_common_tokens", F.lit(0)).cast("bigint").alias(
@@ -96,10 +106,12 @@ def eval_scores(
 
 def eval_summary(scores: DataFrame) -> DataFrame:
     """One-row macro report over ``eval_scores`` output:
-    (n_examples, em_pct_e4, macro_f1_e4) -- basis-point BIGINTs, the
-    leaderboard row."""
+    (n_examples, n_null_predictions, em_pct_e4, macro_f1_e4) --
+    basis-point BIGINTs, the leaderboard row. ``n_null_predictions``
+    surfaces missing generations (they score 0, never skip)."""
     return scores.agg(
         F.count(F.lit(1)).alias("n_examples"),
+        F.sum(F.col("pred_missing").cast("bigint")).alias("n_null_predictions"),
         (F.avg(F.col("exact_match").cast("double")) * 10000)
         .cast("bigint")
         .alias("em_pct_e4"),

@@ -149,7 +149,10 @@ def mine_hard_negatives(
       known-positive score is DROPPED as a probable unlabeled positive
       (false-negative guard). Queries whose positive never made the
       top-k have no reference score and keep all their negatives --
-      mining depth (k) should exceed the positive's expected rank;
+      mining depth (k) should exceed the positive's expected rank; a
+      reference score <= 0 disables the guard for that query (the
+      convention assumes positive scores; multiplying a non-positive
+      one inverts the inequality and would drop the hardest negatives);
     - ``max_negatives`` keeps the hardest n per query (rank by cosine
       desc, id asc -- deterministic).
 
@@ -166,8 +169,15 @@ def mine_hard_negatives(
             .groupBy("query_id")
             .agg(F.max("cosine").alias("__pos_cos"))
         )
+        # the multiplicative margin assumes a POSITIVE reference score
+        # (the sentence-transformers convention): with __pos_cos <= 0,
+        # margin * __pos_cos sits BELOW the positive score, so the
+        # filter would drop the hardest (highest-cosine) negatives
+        # instead of probable unlabeled positives -- keep everything
+        # in that regime (r10 ADVICE)
         negs = negs.join(pos_scores, "query_id", "left").filter(
             F.col("__pos_cos").isNull()
+            | (F.col("__pos_cos") <= 0)
             | (F.col("cosine") < F.lit(margin) * F.col("__pos_cos"))
         ).drop("__pos_cos")
     w = Window.partitionBy("query_id").orderBy(

@@ -132,6 +132,7 @@ def build_chunk_search_index(
                     "dims": dims,
                     "chunk_words": chunk_words,
                     "stride": stride,
+                    "text_col": text_col,
                     "n_docs": n_docs,
                     "idf": {str(k): v for k, v in idf.items()},
                 }
@@ -203,6 +204,9 @@ def _load_embed_config(wh, name: str) -> dict:
         "n_docs": int(raw["n_docs"]),
         "chunk_words": int(raw["chunk_words"]),
         "stride": int(raw["stride"]),
+        # pre-r11 configs predate text_col persistence; they were all
+        # built with the then-hardcoded "text"
+        "text_col": str(raw.get("text_col", "text")),
         "idf": {int(d): v for d, v in raw["idf"].items()},
     }
 
@@ -220,14 +224,20 @@ def ingest_chunks(wh, new_docs: DataFrame, name: str, id_col: str = "doc_id") ->
     model, and the refresh path is a full ``build_chunk_search_index``
     rebuild (atomic overwrite of index + geometry together) on a
     schedule or an ``ivf_index_health`` trigger -- identical to the
-    codebook's own no-retrain-on-append rule."""
+    codebook's own no-retrain-on-append rule.
+
+    The text column is read from the persisted geometry too (it is
+    part of what the index was built FROM): an index built over a
+    non-default ``text_col`` grows from the same column, instead of
+    failing with a missing-'text'-column error unrelated to the real
+    cause (r10 ADVICE)."""
     from .selection import hashed_embedding
     from .similarity import append_to_ivf_index
     from .text import chunk_documents
 
     cfg = _load_embed_config(wh, name)
     chunks = chunk_documents(
-        new_docs, cfg["chunk_words"], cfg["stride"], "text", id_col
+        new_docs, cfg["chunk_words"], cfg["stride"], cfg["text_col"], id_col
     )
     key = F.when(
         (F.col("chunk_id") >= 0)

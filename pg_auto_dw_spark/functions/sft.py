@@ -57,16 +57,32 @@ def render_chat(
 
     Turns render in ``idx_col`` order (ties broken by role then
     content so the output is total-order deterministic); NULL content
-    renders empty but keeps its span (zero-width). A conversation
-    exceeding ``max_turns`` fails loudly -- a silent giant group would
-    concentrate one task and usually signals a bad conversation key."""
+    renders empty but keeps its span (zero-width). A NULL ROLE fails
+    loudly (same posture as ``max_turns``): array_join would silently
+    drop the turn's text while the running-offset aggregate went NULL,
+    corrupting every later span with no error (r10 ADVICE). A
+    conversation exceeding ``max_turns`` fails loudly -- a silent
+    giant group would concentrate one task and usually signals a bad
+    conversation key."""
     piece = _piece(F.col("s.role"), F.col("s.content"))
+    role_guarded = F.when(
+        F.col(role_col).isNotNull(), F.col(role_col)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("render_chat: NULL role in conversation "),
+                F.col(conv_col).cast("string"),
+                F.lit(" at turn "),
+                F.coalesce(F.col(idx_col).cast("string"), F.lit("NULL")),
+            )
+        )
+    )
     collected = (
         turns.select(
             F.col(conv_col).alias("conv_id"),
             F.struct(
                 F.col(idx_col).alias("idx"),
-                F.col(role_col).alias("role"),
+                role_guarded.alias("role"),
                 F.col(content_col).alias("content"),
             ).alias("t"),
         )
