@@ -215,6 +215,25 @@ def minhash_lsh_candidates(
     # (columnar cache-build cost + storage-pool eviction churn) -- see
     # similarity.brute_force_topk for the full post-mortem.
     ).localCheckpoint(eager=False)
+    return band_pair_candidates(bands, id_col=id_col, max_bucket_size=max_bucket_size)
+
+
+def band_pair_candidates(
+    bands: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket_size: int = 256,
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) from a band table
+    (id, band, band_key) -- the hot-bucket-star-capped pair generator
+    behind ``minhash_lsh_candidates`` (steps 2-4 of its shape), shared
+    with the streaming near-dup ledger's within-batch collapse
+    (``streaming.jobs.neardup_ingest_apply``) so a boilerplate-heavy
+    micro-batch cannot go quadratic either (r10 VERDICT #1).
+
+    Buckets of 2..max_bucket_size ids emit exact all-pairs; oversized
+    buckets emit star pairs (min id <-> every other id), O(b) rows,
+    with transitivity recovered downstream by connected components.
+    ``bands`` is read twice (sizes + join): PIN it before calling."""
     sizes = bands.groupBy("band", "band_key").agg(
         F.count(F.lit(1)).alias("n"), F.min(id_col).alias("rep")
     )

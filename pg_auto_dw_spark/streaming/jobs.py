@@ -1381,7 +1381,11 @@ def neardup_ingest_apply(
        near-dup checked: they are admitted WITHOUT ledger rows and
        counted (``n_unsigned``); compose with the digest ledger for
        their exact-dedup semantics.
-    2. Within-batch collapse: band-key self-join (batch-sized) ->
+    2. Within-batch collapse: hot-bucket-star-capped band-key
+       candidates (``band_pair_candidates``, the SAME generator as
+       batch-mode ``minhash_lsh_candidates`` -- buckets over
+       ``max_probe_bucket`` ids emit O(b) star pairs, never O(b^2)
+       all-pairs, so a boilerplate-heavy micro-batch stays linear) ->
        signature-verified pairs (>= sim_threshold of the n minhashes
        agree, the unbiased Jaccard estimate) -> connected components
        -> min-id canonical per cluster. Cluster members ride their
@@ -1426,6 +1430,7 @@ def neardup_ingest_apply(
     byte-identical resubmissions.
     """
     from ..functions.dedup import (
+        band_pair_candidates,
         connected_components,
         lsh_band_keys_wide,
         minhash_signatures_wide,
@@ -1470,14 +1475,18 @@ def neardup_ingest_apply(
         )
 
     # -- within-batch collapse ------------------------------------------
+    # Candidate pairs via the SAME hot-bucket-star-capped generator as
+    # batch-mode LSH (band_pair_candidates): an uncapped band-key
+    # self-join goes O(n^2) on a boilerplate-heavy micro-batch (one
+    # band key shared by most of the batch -- template pages, empty
+    # docs, the classic landing-zone poison). The cap trades only
+    # WHICH pairs witness a hot bucket: star edges keep the bucket one
+    # connected component, so the min-id canonical below is identical
+    # (skewed-batch pin in test_r11_neardup_cap.py). max_probe_bucket
+    # is the one hot-bucket knob for both sides of this function.
     bands = lsh_band_keys_wide(wide, id_col, band_size).localCheckpoint(eager=True)
-    l = bands.select(F.col(id_col).alias("id_a"), "band", "band_key")
-    r = bands.select(F.col(id_col).alias("id_b"), "band", "band_key")
-    within_cand = (
-        l.join(r, ["band", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    within_cand = band_pair_candidates(
+        bands, id_col=id_col, max_bucket_size=max_probe_bucket
     )
     within = _sim_pairs(within_cand, wide, wide).localCheckpoint(eager=True)
     if within.isEmpty():
