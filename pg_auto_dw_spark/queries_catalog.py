@@ -41,17 +41,25 @@ def register(name: str, sql: str | None):
 # cycle -- _PRIORITY is exactly the set that RESTED last round (plus
 # any query added or reshaped this round), _DEPRIORITIZED is the set
 # verified last round.
-# Round 10 state (executed exactly per the r9 VERDICT directive 2 /
-# the r9 catalog note): _PRIORITY = the 49 rows that rested in r9
-# MINUS the five retirements the r9 note designated (below) PLUS the
-# 6 r9 mid-order registrations taking their first driver rows
-# (documents_bpe_token_counts, documents_shard_plan,
-# warehouse_snapshot_diff, events_correlation_matrix,
-# documents_hashed_embedding, documents_source_overlap). Exactly 50.
-# _DEPRIORITIZED = the 50 rows verified in r9 (CORRECTNESS_r09: 50/50
-# green). Catalog: 100 oracle-rotation rows = 50 + 50, strict
-# two-round cycle, no query more than one round stale, plus the 4
-# MID-order r10 registrations below (first driver rows due r11).
+# Round 11 state (executed per the r10 VERDICT directive 2 / the r10
+# catalog note, with ONE arithmetic correction): _PRIORITY = the 50
+# rows that rested in r10 MINUS five retirements drawn from that
+# resting set PLUS the 5 r10 mid-order registrations taking their
+# first driver rows (quality_binned_sample, tokenizer_stats,
+# inference_batch_plan_stats, corpus_datacard,
+# documents_winnow_fingerprints). Exactly 50. _DEPRIORITIZED = the 50
+# rows verified in r10 (CORRECTNESS_r10: 50/50 green) minus the
+# retired documents_pii_scan = 49. Catalog: 99 oracle-rotation rows =
+# 50 + 49, strict two-round cycle, no query more than one round
+# stale, plus the 4 MID-order r12-candidate registrations below
+# (first driver rows due r12).
+# CORRECTION vs the r10 note: it designated documents_pii_scan as one
+# of five RESTING retirements, but pii_scan actually RAN (green) in
+# r10 -- it sat in r10's _PRIORITY, not its resting set. Retiring it
+# therefore frees an r12 slot, not an r11 one, and only FOUR
+# designated retirements came out of the resting 50; a sixth
+# retirement (documents_keyword_tfidf, from the resting set) restores
+# the exactly-50 arithmetic. All six rationales:
 # Retired r10 (the five the r9 note designated; all were RESTING in
 # r9, so nothing loses an in-window row; coverage held elsewhere;
 # builders stay benched via _RETIRED/bench_queries):
@@ -77,11 +85,11 @@ def register(name: str, sql: str | None):
 #                           orders_without_lineitems_anti + the status
 #                           engine rows; coalesce projection appears
 #                           in every loader oracle)
-# MID-order r10 registrations at positions 51-55, outside the driver
-# cap (the first four are the r9 VERDICT directive-6 designations, the
-# fifth is an r10 session op; each locally verified via
-# tools/check_oracle.py at sf0.01 AND sf0.001 + a clean hard-error
-# dtype_audit before registration; first driver rows due r11):
+# MID-order r10 registrations (the first four are the r9 VERDICT
+# directive-6 designations, the fifth is an r10 session op; each
+# locally verified via tools/check_oracle.py at sf0.01 AND sf0.001 +
+# a clean hard-error dtype_audit before registration; taking their
+# first driver rows in r11 at the head of _PRIORITY):
 #   corpus_datacard          (integer/sha2-distinct surface only; the
 #                            two percentile_approx fields excluded)
 #   tokenizer_stats          (pinned literal merges, exact integer
@@ -93,11 +101,7 @@ def register(name: str, sql: str | None):
 #                            min-key packing + window MIN -- fully
 #                            integer; hypothesis-pinned vs a Python
 #                            reference winnower)
-# NOTE for round 11: set _PRIORITY = today's 50 resting rows
-# (_DEPRIORITIZED below) MINUS five designated retirements PLUS the 5
-# mid rows above (exactly 50); set _DEPRIORITIZED = today's 50
-# _PRIORITY. Retirement CANDIDATES (final call at r11; all in today's
-# resting set, coverage held elsewhere):
+# Retired r11 (executed per the r10 note; rationales):
 #   hub_load_customer      (S7/J5/A4 anti-join+hash load shape held by
 #                           hub_load_lineitem_composite -- same loader
 #                           code path with composite keys on top)
@@ -115,19 +119,54 @@ def register(name: str, sql: str | None):
 #                           by source_profile_customer + the datacard
 #                           row; the regex bank itself stays driver-
 #                           verified through documents_pii_redaction,
-#                           which applies the SAME patterns)
-# r12 oracle CANDIDATES from the r10 session ops (pytest-verified this
-# round; each needs its own retire-and-replace designation + clean
-# dtype_audit if registered): datacard_drift (integer deltas + boolean
-# flag over the already-designated corpus_datacard surface),
-# doremi_domain_weights (float exp -- needs the scaled-BIGINT emit +
-# boundary argument if registered), sft.render_chat +
-# trainable_char_stats (pure string/integer: ordered string_agg + the
-# running-offset arithmetic replay exactly in SQL; derive turns
-# deterministically from documents chunks), evalscore.eval_scores
-# (integer EM/common/token counts; fixed-point f1). neardup_ingest_apply is
-# streaming/transactional (non-SQL-expressible; pytest + plan pins are
-# its gate, like the other landing zones).
+#                           which applies the SAME patterns. Was green
+#                           in r10, NOT resting -- see the CORRECTION
+#                           above)
+#   documents_keyword_tfidf (the sixth, restoring the exactly-50
+#                           arithmetic: its smoothed-idf kernel --
+#                           log((N+1)/(df+1)) over the exploded token
+#                           frame -- is driver-verified through
+#                           documents_hashed_embedding (green r10,
+#                           same idf math feeding the hashed dims);
+#                           the explode-tokenize shape is held by
+#                           part_name_tokens_explode and
+#                           documents_bpe_token_counts, and the
+#                           per-key top-n window by
+#                           top_orders_per_customer (all green r10))
+# MID-order r11 registrations at positions 51-54, outside the driver
+# cap (the r10 VERDICT directive-4 designations; each locally
+# verified via tools/check_oracle.py at sf0.01 AND sf0.001 + a clean
+# hard-error dtype_audit before registration; first driver rows due
+# r12): sft_render_chat_spans (pure string/integer -- render + the
+# running-offset replay + trainable_char_stats composition),
+# eval_scores_report (integer EM/common/token counts, fixed-point
+# f1), corpus_datacard_drift (integer deltas + boolean flag over the
+# corpus_datacard surface), doremi_domain_weights (scaled-BIGINT
+# emit; see its docstring for the cross-engine boundary argument).
+# NOTE for round 12: set _PRIORITY = today's 49 resting rows
+# (_DEPRIORITIZED below) MINUS three designated retirements PLUS the
+# 4 mid rows above (exactly 50); set _DEPRIORITIZED = today's 50
+# _PRIORITY. Retirement CANDIDATES (final call at r12; all in today's
+# resting set, coverage held elsewhere):
+#   ann_ivf_topk           (single-probe is the n_probes=1 special
+#                           case of the verified
+#                           ann_ivf_multiprobe_topk kernel -- same
+#                           codebook broadcast, same cell shuffle;
+#                           the persisted-index twin
+#                           ann_ivf_index_search keeps the frozen-
+#                           geometry path under driver verification)
+#   text_unigram_logprob   (same add-k-smoothed explode->count->log10
+#                           LM kernel as the verified
+#                           text_bigram_logprob, which embeds the
+#                           unigram frame as its conditioning
+#                           denominator; word-grain token math also
+#                           held by text_word_entropy)
+#   dedup_clusters         (the connected-components surface rides the
+#                           verified dedup_keep_best_documents row,
+#                           which drives the SAME per-session cluster
+#                           assignment through its keep-rule; the
+#                           candidate side stays via
+#                           dedup_minhash_lsh_pairs)
 # Retired r9 (all were RESTING in r8; coverage held elsewhere;
 # events_interarrival_stats' LAG(ts) math is held by events_sessionize
 # + the A1/A6 shapes of events_hourly_rollup/events_salted_type_stats):
@@ -179,16 +218,80 @@ _RETIRED = {
     "ann_cosine_topk",
     "multimodal_frame_samples",
     "customer_order_coalesce_outer",
+    # r11 retirements (the r10 note's five, plus documents_keyword_tfidf
+    # -- see the rotation note above for the arithmetic correction and
+    # all six rationales)
+    "hub_load_customer",
+    "sat_load_customer",
+    "lineitem_stats_by_flag",
+    "events_asof_last_purchase",
+    "documents_pii_scan",
+    "documents_keyword_tfidf",
 }
 _PRIORITY = [
-    # r9 mid-order registrations: first driver rows (r9 VERDICT #2)
+    # r10 mid-order registrations: first driver rows (r10 VERDICT #2)
+    "quality_binned_sample",
+    "tokenizer_stats",
+    "inference_batch_plan_stats",
+    "corpus_datacard",
+    "documents_winnow_fingerprints",
+    # the 45 rows that rested in r10 (50 minus the five retirements
+    # drawn from the resting set)
+    "text_word_entropy",
+    "documents_dsir_weights",
+    "documents_quality_linear",
+    "documents_span_scrub",
+    "dedup_semantic_keep",
+    "documents_gopher_rules",
+    "documents_bloom_decontaminate",
+    "events_value_histogram",
+    "orders_constraint_audit",
+    "events_value_quantile_sketch",
+    "ann_ivf_index_search",
+    "dim_upsert_customer",
+    "gdpr_delete_customer",
+    "q4_late_shipment_priority",
+    "q13_order_count_distribution",
+    "q18_large_volume_orders",
+    "q22_inactive_rich_customers",
+    "orders_rolling_revenue",
+    "schema_evolution_customer",
+    "time_travel_versions",
+    "documents_pii_redaction",
+    "documents_leakfree_split",
+    "documents_boilerplate_removal",
+    "pit_user_daily",
+    "events_range_click_attribution",
+    "documents_stratified_sample",
+    "documents_mixture_sample",
+    "events_salted_type_stats",
+    "events_heavy_hitter_users",
+    "events_customer_salted_join",
+    "part_fuzzy_name_pairs",
+    "events_type_pivot",
+    "events_click_purchase_funnel",
+    "events_value_winsorized_stats",
+    "ann_cosine_topk_filtered",
+    "documents_chunked_windows",
+    "status_window_flags",
+    "latest_transformer_responses",
+    "events_props_json_extract",
+    "multimodal_features",
+    "sat_current_view",
+    "dv_round_trip_customer",
+    "ghost_records_customer",
+    "status_source_column",
+    "tracking_union_except",
+]
+_DEPRIORITIZED = [
+    # the 49 rows verified in r10 (CORRECTNESS_r10 50/50 green) minus
+    # the retired documents_pii_scan
     "documents_bpe_token_counts",
     "documents_shard_plan",
     "warehouse_snapshot_diff",
     "events_correlation_matrix",
     "documents_hashed_embedding",
     "documents_source_overlap",
-    # the 44 rows that rested in r9 (49 minus the five retirements)
     "text_unigram_logprob",
     "documents_pack_sequences",
     "text_bigram_logprob",
@@ -230,62 +333,8 @@ _PRIORITY = [
     "text_repetition",
     "dedup_simhash_hamming",
     "ann_ivf_multiprobe_topk",
-    "documents_pii_scan",
     "documents_zip_format_violations",
     "dedup_keep_best_documents",
-]
-_DEPRIORITIZED = [
-    # the 50 rows verified in r9 (CORRECTNESS_r09 50/50 green)
-    "text_word_entropy",
-    "documents_dsir_weights",
-    "documents_quality_linear",
-    "documents_span_scrub",
-    "dedup_semantic_keep",
-    "documents_gopher_rules",
-    "documents_bloom_decontaminate",
-    "events_value_histogram",
-    "orders_constraint_audit",
-    "events_value_quantile_sketch",
-    "ann_ivf_index_search",
-    "dim_upsert_customer",
-    "gdpr_delete_customer",
-    "q4_late_shipment_priority",
-    "q13_order_count_distribution",
-    "q18_large_volume_orders",
-    "q22_inactive_rich_customers",
-    "orders_rolling_revenue",
-    "schema_evolution_customer",
-    "time_travel_versions",
-    "lineitem_stats_by_flag",
-    "documents_pii_redaction",
-    "documents_leakfree_split",
-    "documents_boilerplate_removal",
-    "events_asof_last_purchase",
-    "pit_user_daily",
-    "events_range_click_attribution",
-    "documents_stratified_sample",
-    "documents_mixture_sample",
-    "events_salted_type_stats",
-    "events_heavy_hitter_users",
-    "events_customer_salted_join",
-    "part_fuzzy_name_pairs",
-    "documents_keyword_tfidf",
-    "events_type_pivot",
-    "events_click_purchase_funnel",
-    "events_value_winsorized_stats",
-    "ann_cosine_topk_filtered",
-    "documents_chunked_windows",
-    "status_window_flags",
-    "latest_transformer_responses",
-    "events_props_json_extract",
-    "multimodal_features",
-    "sat_current_view",
-    "dv_round_trip_customer",
-    "hub_load_customer",
-    "sat_load_customer",
-    "ghost_records_customer",
-    "status_source_column",
-    "tracking_union_except",
 ]
 
 
