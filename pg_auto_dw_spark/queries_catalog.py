@@ -5753,3 +5753,349 @@ def documents_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame
 
     docs = load_table(spark, sf_dir, "documents")
     return winnow_fingerprints(docs, k=8, w=4)
+
+
+# -- r11 MID-order registrations: the r10 VERDICT directive-4 oracle
+# designations for the r10 session ops. Positions 51+, outside the
+# driver's 50-row cap; first driver rows due r12 (see rotation note).
+
+_SFT_SPANS_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id % 97 AS conv_id, doc_id AS turn_idx,
+         CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         substr(text, 1, 120) AS content
+  FROM documents),
+p AS (
+  SELECT conv_id, turn_idx, role,
+         length(coalesce(content, '')) AS clen,
+         length(role) + 5 AS head,
+         length(role) + 6 + length(coalesce(content, '')) AS plen
+  FROM t),
+o AS (
+  SELECT *,
+         COALESCE(SUM(plen) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS off,
+         SUM(plen) OVER (PARTITION BY conv_id) AS conv_chars,
+         COUNT(*) OVER (PARTITION BY conv_id) AS conv_turns,
+         SUM(CASE WHEN role = 'assistant' THEN clen
+                  ELSE 0 END) OVER (PARTITION BY conv_id) AS tchars
+  FROM p)
+SELECT CAST(conv_id AS BIGINT) AS conv_id,
+       CAST(conv_turns AS BIGINT) AS n_turns,
+       CAST(conv_chars AS BIGINT) AS n_chars,
+       CAST(tchars AS BIGINT) AS trainable_chars,
+       CAST(tchars * 10000 // GREATEST(conv_chars, 1) AS BIGINT)
+         AS trainable_pct_e4,
+       CAST(turn_idx AS BIGINT) AS turn_idx,
+       role,
+       CAST(off + head AS BIGINT) AS span_start,
+       CAST(off + head + clen AS BIGINT) AS span_end,
+       (role = 'assistant') AS trainable
+FROM o
+"""
+
+
+@register("sft_render_chat_spans", _SFT_SPANS_ORACLE)
+def sft_render_chat_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT chat rendering + loss-mask spans (functions/sft.py
+    render_chat composed with trainable_char_stats), over turns
+    derived deterministically from documents (conv = doc_id % 97,
+    turn order = doc_id, alternating user/assistant roles, content =
+    the first 120 chars). One span row per turn, carrying the
+    conversation-grain totals: the oracle replays the pinned template
+    ('<|' || role || '|>\\n' || content || '\\n') as pure length
+    arithmetic -- running piece-length sums for offsets, integer
+    fixed-point for the trainable ratio (numerator < 2^53 and the true
+    ratio's distance from any integer is >= 1/n_chars >> double
+    rounding error, so Spark's truncating double-division cast equals
+    DuckDB's integer division; same argument as the sampler family).
+    The render/slice-back property itself is pytest-pinned
+    (test_sft.py); this row drives the offset math cross-engine."""
+    from .functions.sft import render_chat, trainable_char_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    turns = docs.select(
+        (F.col("doc_id") % 97).alias("conv_id"),
+        F.col("doc_id").alias("turn_idx"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        F.substring("text", 1, 120).alias("content"),
+    )
+    rendered = render_chat(turns)
+    stats = trainable_char_stats(rendered).select(
+        "conv_id", "trainable_chars", "trainable_pct_e4"
+    )
+    return (
+        rendered.join(stats, "conv_id")
+        .select(
+            "conv_id",
+            "n_turns",
+            "n_chars",
+            "trainable_chars",
+            "trainable_pct_e4",
+            F.explode("spans").alias("s"),
+        )
+        .select(
+            "conv_id",
+            "n_turns",
+            "n_chars",
+            "trainable_chars",
+            "trainable_pct_e4",
+            F.col("s.turn_idx").alias("turn_idx"),
+            F.col("s.role").alias("role"),
+            F.col("s.start").alias("span_start"),
+            F.col("s.end").alias("span_end"),
+            F.col("s.trainable").alias("trainable"),
+        )
+    )
+
+
+_EVAL_SCORES_ORACLE = r"""
+WITH rows_in AS (
+  SELECT doc_id AS example_id,
+         CASE WHEN doc_id % 11 = 0 THEN NULL
+              ELSE substr(text, 1, 80) END AS prediction,
+         CASE WHEN doc_id % 3 = 0 THEN substr(text, 21, 80)
+              ELSE substr(text, 1, 80) END AS reference
+  FROM documents),
+norm AS (
+  SELECT example_id,
+         prediction IS NULL AS pred_missing,
+         trim(regexp_replace(regexp_replace(lower(coalesce(prediction, '')),
+              '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS p,
+         trim(regexp_replace(regexp_replace(lower(coalesce(reference, '')),
+              '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS r
+  FROM rows_in),
+pc AS (
+  SELECT example_id, w, COUNT(*) AS np
+  FROM (SELECT example_id, unnest(string_split(p, ' ')) AS w FROM norm)
+  WHERE w <> '' GROUP BY example_id, w),
+rc AS (
+  SELECT example_id, w, COUNT(*) AS nr
+  FROM (SELECT example_id, unnest(string_split(r, ' ')) AS w FROM norm)
+  WHERE w <> '' GROUP BY example_id, w),
+common AS (
+  SELECT pc.example_id, SUM(LEAST(np, nr)) AS n_common
+  FROM pc JOIN rc ON pc.example_id = rc.example_id AND pc.w = rc.w
+  GROUP BY pc.example_id),
+tot AS (
+  SELECT n.example_id, n.pred_missing,
+         (n.p = n.r) AS exact_match,
+         CASE WHEN n.p = '' THEN 0
+              ELSE len(string_split(n.p, ' ')) END AS n_pred_tokens,
+         CASE WHEN n.r = '' THEN 0
+              ELSE len(string_split(n.r, ' ')) END AS n_ref_tokens,
+         COALESCE(c.n_common, 0) AS n_common_tokens
+  FROM norm n LEFT JOIN common c ON n.example_id = c.example_id)
+SELECT CAST(example_id AS BIGINT) AS example_id,
+       exact_match, pred_missing,
+       CAST(n_pred_tokens AS BIGINT) AS n_pred_tokens,
+       CAST(n_ref_tokens AS BIGINT) AS n_ref_tokens,
+       CAST(n_common_tokens AS BIGINT) AS n_common_tokens,
+       CAST(CASE WHEN n_pred_tokens + n_ref_tokens = 0 THEN 1000000
+            ELSE (2 * n_common_tokens * 1000000)
+                 // (n_pred_tokens + n_ref_tokens) END AS BIGINT) AS f1_e6
+FROM tot
+"""
+
+
+@register("eval_scores_report", _EVAL_SCORES_ORACLE)
+def eval_scores_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQuAD-convention eval scoring (functions/evalscore.py
+    eval_scores): normalized exact match + multiset token F1 over
+    (prediction, reference) pairs derived deterministically from
+    documents -- every 3rd reference is shifted 20 chars (partial
+    overlap), every 11th prediction is NULL (exercising the r11
+    missing-generation convention: scores 0, flagged pred_missing).
+    The surface is all integer counts; f1 re-emits as fixed-point e6
+    via INTEGER division on the exact token counts (Spark DIV ==
+    DuckDB //), with the documented both-empty := 1.0 case. The
+    multiset intersection itself is hypothesis-pinned against a
+    Python Counter reference (test_evalscore.py)."""
+    from .functions.evalscore import eval_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = docs.select(
+        F.col("doc_id").alias("example_id"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(None).cast("string"))
+        .otherwise(F.substring("text", 1, 80))
+        .alias("prediction"),
+        F.when(F.col("doc_id") % 3 == 0, F.substring("text", 21, 80))
+        .otherwise(F.substring("text", 1, 80))
+        .alias("reference"),
+    )
+    scored = eval_scores(rows)
+    both_empty = (F.col("n_pred_tokens") + F.col("n_ref_tokens")) == 0
+    return scored.select(
+        "example_id",
+        "exact_match",
+        "pred_missing",
+        "n_pred_tokens",
+        "n_ref_tokens",
+        "n_common_tokens",
+        F.when(both_empty, F.lit(1000000))
+        .otherwise(
+            F.expr(
+                "(2 * n_common_tokens * 1000000)"
+                " DIV (n_pred_tokens + n_ref_tokens)"
+            )
+        )
+        .cast("bigint")
+        .alias("f1_e6"),
+    )
+
+
+_DATACARD_DRIFT_ORACLE = r"""
+WITH b AS (
+  SELECT doc_id, source, lang, text,
+         (text IS NOT NULL AND length(trim(text)) > 0) AS nonempty,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+         length(regexp_replace(text, '\s+', '', 'g')) AS n_word_chars,
+         len(regexp_extract_all(text, '#|\.\.\.')) AS n_symbols,
+         regexp_split_to_array(text, '\n') AS lines,
+         regexp_split_to_array(trim(text), '\s+') AS words,
+         lower(text) AS low
+  FROM documents),
+c AS (
+  SELECT doc_id, source, lang, text, nonempty, n_words, n_word_chars,
+         n_symbols,
+         len(lines) AS n_lines,
+         len(list_filter(lines, ln -> regexp_matches(trim(ln), '^[-*•]'))) AS n_bullet,
+         len(list_filter(lines, ln -> regexp_matches(rtrim(ln), '\.\.\.$'))) AS n_ell,
+         len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha_words,
+         (CASE WHEN regexp_matches(low, '\bthe\b') THEN 1 ELSE 0 END
+        + CASE WHEN regexp_matches(low, '\bbe\b') THEN 1 ELSE 0 END
+        + CASE WHEN regexp_matches(low, '\bto\b') THEN 1 ELSE 0 END
+        + CASE WHEN regexp_matches(low, '\bof\b') THEN 1 ELSE 0 END
+        + CASE WHEN regexp_matches(low, '\band\b') THEN 1 ELSE 0 END
+        + CASE WHEN regexp_matches(low, '\bthat\b') THEN 1 ELSE 0 END
+        + CASE WHEN regexp_matches(low, '\bhave\b') THEN 1 ELSE 0 END
+        + CASE WHEN regexp_matches(low, '\bwith\b') THEN 1 ELSE 0 END) AS n_stop
+  FROM b),
+v AS (
+  SELECT *,
+         (n_words >= 50 AND n_words <= 100000
+          AND n_word_chars >= 3 * n_words AND n_word_chars <= 10 * n_words
+          AND 10 * n_symbols <= n_words AND 10 * n_bullet <= 9 * n_lines
+          AND 10 * n_ell <= 3 * n_lines AND 5 * n_alpha_words >= 4 * n_words
+          AND n_stop >= 1) AS gopher_pass
+  FROM c),
+card_old AS (
+  SELECT source, lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(CASE WHEN nonempty THEN 1 END)
+              - COUNT(DISTINCT CASE WHEN nonempty THEN text END)
+              AS BIGINT) AS n_exact_dups,
+         CAST(COUNT(CASE WHEN gopher_pass THEN 1 END) AS BIGINT)
+           AS n_gopher_pass,
+         CAST(SUM(CASE WHEN nonempty THEN n_words ELSE 0 END) AS BIGINT)
+           AS total_words
+  FROM v WHERE doc_id % 7 <> 0 GROUP BY source, lang),
+card_new AS (
+  SELECT source, lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(CASE WHEN nonempty THEN 1 END)
+              - COUNT(DISTINCT CASE WHEN nonempty THEN text END)
+              AS BIGINT) AS n_exact_dups,
+         CAST(COUNT(CASE WHEN gopher_pass THEN 1 END) AS BIGINT)
+           AS n_gopher_pass,
+         CAST(SUM(CASE WHEN nonempty THEN n_words ELSE 0 END) AS BIGINT)
+           AS total_words
+  FROM v WHERE source <> 'src0' GROUP BY source, lang)
+SELECT COALESCE(o.source, n.source) AS source,
+       COALESCE(o.lang, n.lang) AS lang,
+       o.n_docs AS n_docs_old, o.n_exact_dups AS n_exact_dups_old,
+       o.n_gopher_pass AS n_gopher_pass_old, o.total_words AS total_words_old,
+       n.n_docs AS n_docs_new, n.n_exact_dups AS n_exact_dups_new,
+       n.n_gopher_pass AS n_gopher_pass_new, n.total_words AS total_words_new,
+       CAST(COALESCE(n.n_docs, 0) - COALESCE(o.n_docs, 0) AS BIGINT)
+         AS n_docs_delta,
+       CAST(COALESCE(n.n_exact_dups, 0) - COALESCE(o.n_exact_dups, 0) AS BIGINT)
+         AS n_exact_dups_delta,
+       CAST(COALESCE(n.n_gopher_pass, 0) - COALESCE(o.n_gopher_pass, 0)
+            AS BIGINT) AS n_gopher_pass_delta,
+       CAST(COALESCE(n.total_words, 0) - COALESCE(o.total_words, 0) AS BIGINT)
+         AS total_words_delta,
+       ((o.n_docs IS NULL OR n.n_docs IS NULL)
+        OR 2 * ABS(COALESCE(n.n_docs, 0) - COALESCE(o.n_docs, 0))
+           > GREATEST(COALESCE(o.n_docs, 0), 1)
+        OR 2 * ABS(COALESCE(n.n_exact_dups, 0) - COALESCE(o.n_exact_dups, 0))
+           > GREATEST(COALESCE(o.n_exact_dups, 0), 1)
+        OR 2 * ABS(COALESCE(n.n_gopher_pass, 0) - COALESCE(o.n_gopher_pass, 0))
+           > GREATEST(COALESCE(o.n_gopher_pass, 0), 1)) AS drifted
+FROM card_old o FULL OUTER JOIN card_new n
+  ON o.source = n.source AND o.lang = n.lang
+"""
+
+
+@register("corpus_datacard_drift", _DATACARD_DRIFT_ORACLE)
+def corpus_datacard_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition-drift report between two corpus versions
+    (functions/datacard.py datacard_drift): documents split into an
+    'old' window (doc_id % 7 <> 0) and a 'new' window (source <>
+    'src0' -- so one whole source disappears, exercising the
+    one-side-missing always-flags rule). Integer old/new/delta fields
+    for the four load-bearing card columns plus the boolean drifted
+    flag; the oracle rewrites the function's rel_threshold=0.5 double
+    comparison as the exactly-equivalent integer form 2*|delta| >
+    greatest(old, 1). min_stopwords=1 as in corpus_datacard."""
+    from .functions.datacard import datacard_drift
+
+    docs = load_table(spark, sf_dir, "documents")
+    old_docs = docs.filter(F.col("doc_id") % 7 != 0)
+    new_docs = docs.filter(F.col("source") != "src0")
+    return datacard_drift(old_docs, new_docs, min_stopwords=1)
+
+
+_DOREMI_ORACLE = r"""
+WITH d AS (
+  SELECT source AS domain,
+         CAST(SUM(n_chars) % 7 AS DOUBLE) / 2 + 1 AS proxy_loss,
+         CAST(SUM(doc_id) % 5 AS DOUBLE) / 2 + 1 AS ref_loss
+  FROM documents GROUP BY source),
+e AS (
+  SELECT domain, GREATEST(proxy_loss - ref_loss, 0.0) AS excess FROM d),
+z AS (
+  SELECT domain, excess, exp(excess) AS raw,
+         SUM(exp(excess)) OVER () AS zsum,
+         COUNT(*) OVER () AS n
+  FROM e)
+SELECT domain,
+       CAST(FLOOR(excess * 1000000) AS BIGINT) AS excess_e6,
+       CAST(FLOOR((0.75 * raw / zsum + 0.25 / n) * 1000000000) AS BIGINT)
+         AS weight_e9
+FROM z
+"""
+
+
+@register("doremi_domain_weights", _DOREMI_ORACLE)
+def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One DoReMi exponentiated-gradient step (functions/sampling.py
+    doremi_domain_weights; Xie et al. 2023, arXiv:2305.10429) over
+    per-source losses derived deterministically from documents
+    (half-integer excess values, so exp() sees the same few exact
+    double arguments in both engines). Scaled-BIGINT emit per the r10
+    designation: excess_e6 is exact (half-integers); weight_e9 is
+    FLOOR on both sides (never a raw cast -- Spark truncates where
+    DuckDB rounds). Boundary argument: the only cross-engine risk is
+    a weight landing within the libm-exp/float-sum ulp spread (~1e-16
+    absolute at these magnitudes) of a 1e-9 grid boundary; the pinned
+    fixtures' minimum measured boundary distance is 0.049 grid units
+    (~4.9e-11) at sf0.01 and 0.19 at sf0.001 -- a >= 5x10^5 safety
+    factor -- and the domain count keeps the unordered double sum at
+    20 terms. check_oracle green at BOTH SFs before registration."""
+    from .functions.sampling import doremi_domain_weights as doremi
+
+    docs = load_table(spark, sf_dir, "documents")
+    losses = docs.groupBy(F.col("source").alias("domain")).agg(
+        ((F.sum("n_chars") % 7).cast("double") / 2 + 1).alias("proxy_loss"),
+        ((F.sum("doc_id") % 5).cast("double") / 2 + 1).alias("ref_loss"),
+    )
+    weights = doremi(losses, lr=1.0, smoothing=0.25)
+    return weights.select(
+        "domain",
+        F.floor(F.col("excess_loss") * 1000000).cast("bigint").alias("excess_e6"),
+        F.floor(F.col("weight") * 1000000000).cast("bigint").alias("weight_e9"),
+    )
