@@ -777,3 +777,78 @@ def winnow_overlap_pairs(
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
+
+
+def winnow_near_dup_pairs(
+    docs: DataFrame,
+    k: int = 16,
+    w: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_shared: int = 2,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.5,
+    max_bucket_size: int = 256,
+) -> DataFrame:
+    """Winnowing as a first-class near-dup citizen (r10 VERDICT #6):
+    candidate pairs from shared MOSS fingerprints, VERIFIED by exact
+    k-shingle Jaccard -- the same candidates -> verifier -> (caller's)
+    connected-components composition the MinHash and SimHash families
+    use, with winnowing supplying the candidate stage. Output:
+    (id_a, id_b, shared_fps, jaccard); feed to
+    ``dedup.connected_components`` for clusters exactly like
+    ``minhash_lsh_candidates`` output.
+
+    Why this candidate stage exists alongside LSH: a shared
+    fingerprint WITNESSES a common substring of length >= k (the
+    winnowing guarantee is position-local), so candidates are
+    order-preserving plagiarism/clone-style overlaps -- boilerplate
+    with a paragraph lifted verbatim -- where gram-SET methods dilute
+    the signal across the whole document. ``min_shared`` and the
+    fingerprint geometry are the candidate precision knobs, measured
+    on realistic prose in SCALE.md round 11: at the k=16/w=8 defaults
+    every candidate pair shared a REAL substring (precision 1.0 at
+    min_shared 1-3 on the probe fixture) and the near-dup verdicts
+    were exact at every sweep point; k=8 grams (~1.5 words
+    normalized) are common English and need min_shared >= 5 for the
+    same candidate exactness. Raising min_shared past ~4 starts
+    dropping SHORT shared substrings (one-sentence boilerplate
+    footers) from the candidate set -- fine for the whole-document
+    verdict, wrong if the caller wants overlap witnesses.
+
+    Scale shape: fingerprint explode (doc-local window) -> the
+    hot-bucket-capped bucket join of ``winnow_overlap_pairs`` ->
+    a candidates-only join against the shingle arrays (two hash joins
+    on id; candidate-bounded, never corpus x corpus)."""
+    from .dedup import shingles_of
+
+    fps = winnow_fingerprints(docs, k=k, w=w, text_col=text_col, id_col=id_col)
+    cand = winnow_overlap_pairs(
+        fps, id_col=id_col, min_shared=min_shared,
+        max_bucket_size=max_bucket_size,
+    )
+    sh = (
+        docs.select(
+            F.col(id_col),
+            F.regexp_replace(
+                F.lower(F.col(text_col)), r"\s+", " "
+            ).alias("__norm"),
+        )
+        .select(F.col(id_col), shingles_of(F.col("__norm"), shingle_k).alias("sh"))
+        .localCheckpoint(eager=False)  # read by both sides of the pair join
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "shared_fps",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
