@@ -1416,11 +1416,18 @@ def neardup_ingest_apply(
     (...)`` BEFORE the semi join -- the scan PARTITION-PRUNES
     (plan-pinned PartitionFilters) so the floor drops to
     buckets-touched/parts of the ledger. Opt-in because the pruning
-    pays ~1s/batch of fixed driver work (two bucket-set collects +
-    partition listing) that only amortizes once the sidecar scan
-    dominates -- i.e. corpus-scale ledgers; measured at 50k ledger
-    docs the unpartitioned scan is still faster. The layout is fixed
-    at FIRST ingest and mismatched calls fail loudly. Returns counts:
+    pays a FIXED per-batch driver cost (two bucket-set collects +
+    partition listing + multi-file pruned reads) that only amortizes
+    once the sidecar scan dominates: measured at parts=512 with
+    100-doc batches (tools/scale_probe_neardup_xl.py, SCALE.md r11),
+    the bucketed apply is flat in ledger size while the flat layout's
+    scan term takes over around ~2M signed docs (flat 5.9s -> 21.8s
+    from 1M -> 3M vs bucketed ~14s at every size). Rule: leave OFF
+    below ~1M signed docs, opt in beyond a couple million, and size
+    ``n_sidecar_parts`` well ABOVE the per-batch probe-key count or
+    the <=0.8 bucket-coverage gate disables pruning entirely. The
+    layout is fixed at FIRST ingest and mismatched calls fail loudly.
+    Returns counts:
     {n_batch, n_unsigned, n_within_dups, n_cross_dups, n_new}.
 
     Precondition: ``id_col`` is unique WITHIN the batch (two rows
