@@ -167,6 +167,12 @@ def register(name: str, sql: str | None):
 #                           assignment through its keep-rule; the
 #                           candidate side stays via
 #                           dedup_minhash_lsh_pairs)
+# r13 oracle CANDIDATE (new r11 session op, pytest-verified):
+# winnow_near_dup_pairs -- fully SQL-expressible (the fingerprint
+# oracle exists; the overlap-count bucket join and the exact shingle
+# Jaccard both have DuckDB replays in dedup_ngram_jaccard /
+# documents_winnow_fingerprints); needs its own retire-and-replace
+# designation when registered.
 # Retired r9 (all were RESTING in r8; coverage held elsewhere;
 # events_interarrival_stats' LAG(ts) math is held by events_sessionize
 # + the A1/A6 shapes of events_hourly_rollup/events_salted_type_stats):

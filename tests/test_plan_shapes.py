@@ -375,3 +375,42 @@ def test_neardup_sidecar_scan_partition_prunes(spark, tmp_path):
     plan = _plan(ledger)
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert any("__bucket" in ln for ln in pf), plan[:2000]
+
+
+def test_winnow_neardup_pairs_no_cartesian_and_capped(spark, sf_dir):
+    """winnow_near_dup_pairs (r11): the candidate stage is a
+    fingerprint-bucket join, never a cartesian; the hot-bucket cap's
+    row_number window is present; and the verify joins hash on the
+    pair ids (candidate-bounded)."""
+    from pg_auto_dw_spark.functions.text import winnow_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(winnow_near_dup_pairs(docs))
+    assert "CartesianProduct" not in plan
+    assert "row_number" in plan  # the max_bucket_size cap window
+    # verify stage: plain hash joins on id_a/id_b, no nested loop
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_band_pair_candidates_star_caps_within_batch(spark):
+    """The shared generator (r11, used by BOTH batch LSH and the
+    near-dup ingest's within-batch collapse) must not contain a
+    band-table self-join cartesian, and the oversized-bucket path must
+    be a union of the array-generated small pairs and the streamed
+    star pairs."""
+    from pg_auto_dw_spark.functions.dedup import (
+        band_pair_candidates,
+        lsh_band_keys_wide,
+        minhash_signatures_wide,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"some text body number {i} with shared words") for i in range(40)],
+        "doc_id bigint, text string",
+    )
+    bands = lsh_band_keys_wide(
+        minhash_signatures_wide(docs, "text", "doc_id", 16, 5), "doc_id", 4
+    )
+    plan = _plan(band_pair_candidates(bands, max_bucket_size=8))
+    assert "CartesianProduct" not in plan
+    assert "Union" in plan  # small all-pairs + big star branches
