@@ -134,6 +134,16 @@ HEADLINE = [
     # r10 session op registered mid-order same round: MOSS winnowing
     # fingerprints (gram explode + one windowed MIN, doc-local)
     "documents_winnow_fingerprints",
+    # round-11 mid-order registrations (first driver rows due r12;
+    # tracked from day 1 per the standing practice): SFT chat render +
+    # span replay (one conversation-key shuffle), eval EM/F1 scoring
+    # (two token-count shuffles + example-key join), datacard drift
+    # (two conditional-agg passes + group-sized outer join), DoReMi
+    # reweighting (domain-grain, window over tens of rows)
+    "sft_render_chat_spans",
+    "eval_scores_report",
+    "corpus_datacard_drift",
+    "doremi_domain_weights",
 ]
 
 
