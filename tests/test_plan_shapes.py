@@ -414,3 +414,18 @@ def test_band_pair_candidates_star_caps_within_batch(spark):
     plan = _plan(band_pair_candidates(bands, max_bucket_size=8))
     assert "CartesianProduct" not in plan
     assert "Union" in plan  # small all-pairs + big star branches
+
+
+def test_preference_pairs_no_cartesian_capped(spark):
+    """preference_pairs all_pairs (r11): the per-prompt pair fan-out is
+    an equi-join on the prompt key (never a cartesian) and the
+    max_pairs_per_prompt row_number cap is in the plan."""
+    from pg_auto_dw_spark.functions.preference import preference_pairs
+
+    ratings = spark.createDataFrame(
+        [(i % 5, i, float(i % 7)) for i in range(40)],
+        "prompt_id bigint, response_id bigint, score double",
+    )
+    plan = _plan(preference_pairs(ratings, strategy="all_pairs"))
+    assert "CartesianProduct" not in plan
+    assert "row_number" in plan
