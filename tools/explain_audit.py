@@ -42,7 +42,9 @@ def main() -> None:
     from pg_auto_dw_spark.session import get_spark
 
     spark = get_spark("explain-audit")
-    qmap = queries_catalog.queries()
+    # bench_queries: retirement frees a correctness-rotation slot, not
+    # the perf-canary audit (hub/sat loads and as-of stay auditable)
+    qmap = queries_catalog.bench_queries()
     names = sys.argv[1:] or AUDIT
     for name in names:
         df = qmap[name](spark, sf_dir)
