@@ -111,7 +111,9 @@ def eval_summary(scores: DataFrame) -> DataFrame:
     surfaces missing generations (they score 0, never skip)."""
     return scores.agg(
         F.count(F.lit(1)).alias("n_examples"),
-        F.sum(F.col("pred_missing").cast("bigint")).alias("n_null_predictions"),
+        F.coalesce(
+            F.sum(F.col("pred_missing").cast("bigint")), F.lit(0)
+        ).alias("n_null_predictions"),
         (F.avg(F.col("exact_match").cast("double")) * 10000)
         .cast("bigint")
         .alias("em_pct_e4"),

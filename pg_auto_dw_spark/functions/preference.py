@@ -207,14 +207,17 @@ def preference_pair_audit(
     text_col: str = "response",
 ) -> DataFrame:
     """The data-bug sweep a preference set needs before training:
-    per-prompt (n_pairs, mean gap as exact sum/count, n_degenerate)
+    per-prompt (n_pairs, total_gap, n_degenerate, n_missing_text)
     where a DEGENERATE pair's chosen and rejected texts are
     byte-identical (same sha2 digest) -- the classic duplicated-sample
     failure that teaches a reward model that identical text is both
-    better and worse than itself.
+    better and worse than itself -- and ``n_missing_text`` counts
+    pairs referencing a response id absent from ``responses`` (LEFT
+    joins: a dangling reference is itself a data bug the audit must
+    SURFACE, not silently drop from its counts).
 
-    Two id-key joins against the response digests (response-grain,
-    hashed once) + one prompt-key aggregate."""
+    Two id-key left joins against the response digests
+    (response-grain, hashed once) + one prompt-key aggregate."""
     digests = responses.select(
         F.col(response_id_col).alias("__rid"),
         F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256).alias("__dg"),
@@ -225,12 +228,14 @@ def preference_pair_audit(
                 F.col("__rid").alias("chosen_id"), F.col("__dg").alias("__dg_c")
             ),
             "chosen_id",
+            "left",
         )
         .join(
             digests.select(
                 F.col("__rid").alias("rejected_id"), F.col("__dg").alias("__dg_r")
             ),
             "rejected_id",
+            "left",
         )
     )
     return joined.groupBy("prompt_id").agg(
@@ -239,4 +244,9 @@ def preference_pair_audit(
         F.count(F.when(F.col("__dg_c") == F.col("__dg_r"), F.lit(1))).alias(
             "n_degenerate"
         ),
+        F.count(
+            F.when(
+                F.col("__dg_c").isNull() | F.col("__dg_r").isNull(), F.lit(1)
+            )
+        ).alias("n_missing_text"),
     )

@@ -157,3 +157,18 @@ def test_all_pairs_quadratic_guard(spark):
         max_responses_per_prompt=10,
     ).collect()
     assert len(ok) == 1
+
+
+def test_audit_surfaces_dangling_response_ids(spark):
+    """A pair referencing a response id missing from the responses
+    table must be COUNTED (n_missing_text), not silently dropped from
+    the audit."""
+    responses = spark.createDataFrame(
+        [(10, "a")], "response_id bigint, response string"
+    )  # 11 and 12 are dangling
+    ratings = _ratings(spark, [(1, 10, 0.9), (1, 11, 0.5), (1, 12, 0.1)])
+    pairs = preference_pairs(ratings, strategy="all_pairs",
+                             max_pairs_per_prompt=100)
+    row = preference_pair_audit(pairs, responses).collect()[0]
+    assert row["n_pairs"] == 3
+    assert row["n_missing_text"] == 3  # every pair touches 11 or 12
