@@ -403,3 +403,118 @@ def hashed_embedding(
         ).otherwise(F.col("__v")).alias("embedding"),
         "n_tokens",
     )
+
+
+def train_linear_classifier(
+    pos_docs: DataFrame,
+    neg_docs: DataFrame,
+    buckets: int = CLASSIFIER_BUCKETS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    iters: int = 20,
+    lr: float = 2.0,
+    l2: float = 0.0,
+) -> tuple[DataFrame, list[float]]:
+    """TRAIN the fastText-shape quality classifier that
+    ``hashed_linear_score`` serves: full-batch logistic regression
+    over the hashed bag-of-words features, distributed the same way
+    the inference is -- the corpus-sized work (tokenize + hash +
+    per-doc rollups) shuffles once per pass, and the MODEL never
+    exceeds ``buckets`` rows. Completes the selection family: DSIR and
+    ``hashed_linear_score`` apply models; this produces one from
+    labeled seed sets (the wikipedia-vs-crawl recipe behind GPT-3/
+    LLaMA-style quality filters).
+
+    Features match serving exactly: x_b = count_b / n_tokens, so the
+    learned weights plug straight into ``hashed_linear_score`` (same
+    w . phi / |doc| score, up to the documented micro-unit rounding).
+
+    Per iteration (the labeled TRAINING SAMPLE is bounded by contract
+    -- thousands to low millions of docs; the 100 TB corpus is scored
+    later by inference): one broadcast join of the <= buckets weight
+    rows against the PINNED feature matrix, a doc-grain rollup for the
+    margins, and a bucket-grain rollup for the gradient. No Python in
+    the plan; sigmoid/log stay JVM expressions.
+
+    Returns (weights, losses): weights as the serving-schema (b, wt)
+    micro-unit BIGINT table (buckets with no evidence get wt=0), and
+    the per-iteration mean log-loss trace (evaluated BEFORE each step,
+    so a decreasing list is the convergence certificate; tests pin
+    monotone descent on separable fixtures). A bias term is learned
+    for loss/calibration but NOT emitted: ``hashed_linear_score`` is a
+    ranker (selection thresholds on relative score) and a constant
+    offset never changes the ranking."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    spark = pos_docs.sparkSession
+    labeled = pos_docs.select(
+        F.col(id_col), F.col(text_col), F.lit(1.0).alias("__y")
+    ).unionByName(
+        neg_docs.select(F.col(id_col), F.col(text_col), F.lit(0.0).alias("__y"))
+    )
+    # pin the normalized feature matrix once; every iteration reuses it
+    mat = _doc_bucket_counts(labeled, text_col, id_col, buckets, "__y")
+    feats = (
+        mat.withColumn(
+            "__x",
+            F.col("c").cast("double")
+            / F.sum("c").over(Window.partitionBy(id_col)).cast("double"),
+        )
+        .select(id_col, "__y", "b", "__x")
+        .localCheckpoint(eager=True)
+    )
+    n_docs = feats.select(id_col).distinct().count()
+    if n_docs == 0:
+        raise ValueError("train_linear_classifier: no tokenized training docs")
+
+    weights = spark.range(buckets).select(
+        F.col("id").alias("b"), F.lit(0.0).alias("__w")
+    )
+    bias = 0.0
+    losses: list[float] = []
+    for it in range(iters):
+        scored = (
+            feats.join(F.broadcast(weights), "b")
+            .groupBy(id_col, "__y")
+            .agg(F.sum(F.col("__x") * F.col("__w")).alias("__s"))
+            .withColumn(
+                "__p", F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("__s") + F.lit(bias))))
+            )
+        )
+        # clamp the log args: a perfectly-separated fixture drives p to
+        # exactly 0/1 in fp and log would return -inf
+        eps = 1e-12
+        agg = scored.agg(
+            F.avg(
+                -(
+                    F.col("__y") * F.log(F.greatest(F.col("__p"), F.lit(eps)))
+                    + (1 - F.col("__y"))
+                    * F.log(F.greatest(1 - F.col("__p"), F.lit(eps)))
+                )
+            ).alias("loss"),
+            F.sum(F.col("__p") - F.col("__y")).alias("gbias"),
+        ).first()
+        losses.append(float(agg["loss"]))
+        grad = (
+            scored.select(id_col, (F.col("__p") - F.col("__y")).alias("__r"))
+            .join(feats.select(id_col, "b", "__x"), id_col)
+            .groupBy("b")
+            .agg(F.sum(F.col("__r") * F.col("__x")).alias("__g"))
+        )
+        step = F.lit(lr) / F.lit(float(n_docs))
+        weights = (
+            weights.join(grad, "b", "left")
+            .select(
+                "b",
+                (
+                    F.col("__w") * (1.0 - F.lit(lr * l2))
+                    - step * F.coalesce(F.col("__g"), F.lit(0.0))
+                ).alias("__w"),
+            )
+            .localCheckpoint(eager=True)  # cut the per-iteration lineage
+        )
+        bias = bias - lr * float(agg["gbias"]) / n_docs
+    out = weights.select(
+        "b", F.round(F.col("__w") * 1_000_000).cast("bigint").alias("wt")
+    )
+    return out, losses
