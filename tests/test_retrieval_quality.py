@@ -154,3 +154,29 @@ def test_margin_beats_absolute_cosine_on_hubs(bitext_frames):
         margin_score_pairs(fwd, bwd, threshold=1.05, mutual=True).collect()
     )
     assert margin_hubs == 0
+
+
+def test_first_true_negative_rank(hardneg_hits):
+    """The rank-distribution lens: unguarded, the first TRUE negative
+    sits at mean rank ~40 (a hardest-8 miner would train on false
+    negatives exclusively); at the 0.95 default it must sit at mean
+    rank <= 2."""
+    hits, positives, _ = hardneg_hits
+
+    def mean_first_true(negs):
+        rows = negs.select(
+            "query_id", "negative_id", "neg_rank",
+            (F.floor((F.col("query_id") - 9000) / 100)
+             == F.floor(F.col("negative_id") / 1000)).alias("same_cluster"),
+        ).collect()
+        first = {}
+        for r in rows:
+            if not r["same_cluster"]:
+                q = r["query_id"]
+                first[q] = min(first.get(q, 10**9), r["neg_rank"])
+        return sum(first.values()) / len(first)
+
+    raw = mean_first_true(mine_hard_negatives(hits, positives, margin=None))
+    guarded = mean_first_true(mine_hard_negatives(hits, positives, margin=0.95))
+    assert raw >= 10
+    assert guarded <= 2

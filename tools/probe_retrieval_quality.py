@@ -91,15 +91,32 @@ def mine_sweep(spark, wh):
     for margin in (None, 1.0, 0.98, 0.95, 0.9, 0.8):
         negs = mine_hard_negatives(hits, positives, margin=margin)
         rows = negs.select(
-            "query_id", "negative_id",
+            "query_id", "negative_id", "neg_rank",
             (F.floor((F.col("query_id") - 9000) / 100)
              == F.floor(F.col("negative_id") / 1000)).alias("same_cluster"),
         ).collect()
         n = len(rows)
         contam = sum(1 for r in rows if r["same_cluster"]) / n if n else 0.0
+        # rank distribution: where do TRUE negatives sit in the mined
+        # ranking? rank 1 = the hardest example training actually uses;
+        # a guard that worked pushed true negatives to the top ranks
+        true_neg_top3 = sum(
+            1 for r in rows if not r["same_cluster"] and r["neg_rank"] <= 3
+        )
+        first_true = {}
+        for r in rows:
+            if not r["same_cluster"]:
+                q = r["query_id"]
+                first_true[q] = min(first_true.get(q, 10**9), r["neg_rank"])
+        mean_first_true = (
+            round(sum(first_true.values()) / len(first_true), 2)
+            if first_true else None
+        )
         out[str(margin)] = {
             "negs_per_query": round(n / n_queries, 2),
             "contamination": round(contam, 4),
+            "mean_rank_of_first_true_negative": mean_first_true,
+            "true_negatives_in_top3": true_neg_top3,
         }
     return out
 
