@@ -116,3 +116,31 @@ def test_empty_training_set_raises(spark):
     empty = spark.createDataFrame([], "doc_id bigint, text string")
     with pytest.raises(ValueError, match="no tokenized"):
         train_linear_classifier(empty, empty, buckets=64, iters=1)
+
+
+def test_train_score_sample_composition(spark, trained):
+    """The full curation loop the trainer exists for: train the filter
+    on seed sets -> score an unseen corpus with hashed_linear_score ->
+    quality_binned_sample keeps the high-quality bin whole and
+    decimates the low one."""
+    from pg_auto_dw_spark.functions.sampling import quality_binned_sample
+
+    _, _, weights, _ = trained
+    corpus = _docs(spark, GOOD, 40, 20000).unionByName(
+        _docs(spark, BAD, 40, 30000)
+    )
+    scored = hashed_linear_score(corpus, weights, buckets=512)
+    good = [r["score"] for r in scored.filter(F.col("doc_id") < 30000).collect()]
+    bad = [r["score"] for r in scored.filter(F.col("doc_id") >= 30000).collect()]
+    cut = (min(good) + max(bad)) / 2  # the operating threshold
+    sampled = quality_binned_sample(
+        scored, key_col="doc_id", score_col="score",
+        thresholds=[cut], rates=[0.1, 1.0],
+    ).collect()
+    kept_good = sum(1 for r in sampled if r["doc_id"] < 30000)
+    kept_bad = sum(1 for r in sampled if r["doc_id"] >= 30000)
+    assert kept_good == 40  # the high bin survives whole
+    assert kept_bad <= 12  # the low bin is decimated (~10% +- hash noise)
+    assert all(
+        (r["quality_bin"] == 1) == (r["doc_id"] < 30000) for r in sampled
+    )
