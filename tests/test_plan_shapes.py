@@ -429,3 +429,30 @@ def test_preference_pairs_no_cartesian_capped(spark):
     plan = _plan(preference_pairs(ratings, strategy="all_pairs"))
     assert "CartesianProduct" not in plan
     assert "row_number" in plan
+
+
+def test_classifier_training_broadcasts_model(spark):
+    """train_linear_classifier (r11): the per-iteration weights join
+    must BROADCAST the <= buckets model side (never shuffle the
+    feature matrix for it), and the plan stays cartesian-free."""
+    from pg_auto_dw_spark.functions.selection import (
+        _doc_bucket_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc {i}") for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    mat = _doc_bucket_counts(docs, "text", "doc_id", 256)
+    weights = spark.range(256).select(
+        F.col("id").alias("b"), F.lit(0.0).alias("__w")
+    )
+    scored = (
+        mat.join(F.broadcast(weights), "b")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.col("__w")).alias("__s"))
+    )
+    plan = _plan(scored)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
