@@ -1,0 +1,67 @@
+"""Structural guards for the oracle-rotation protocol
+(queries_catalog.py): the invariants the driver and judge audit every
+round, made executable after r10's note designated a retirement that
+was not actually in the resting set (caught only by hand in r11).
+
+These tests are rotation-shape guards, not correctness checks -- the
+DuckDB comparison lives in tools/check_oracle.py."""
+
+from pg_auto_dw_spark import queries_catalog as qc
+
+
+def test_priority_is_exactly_the_driver_cap():
+    """The driver verifies the FIRST 50 rows; _PRIORITY must be exactly
+    that many or a row silently goes stale past the two-round cycle."""
+    assert len(qc._PRIORITY) == 50
+
+
+def test_rotation_sets_disjoint_and_complete():
+    pri, dep = set(qc._PRIORITY), set(qc._DEPRIORITIZED)
+    assert not (pri & dep), pri & dep
+    registered = set(qc._QUERIES)
+    assert pri <= registered
+    assert dep <= registered
+    # nothing retired may appear in either rotation list
+    assert not (qc._RETIRED & (pri | dep))
+
+
+def test_queries_order_is_priority_mid_deprioritized():
+    names = list(qc.queries())
+    assert names[:50] == qc._PRIORITY
+    assert names[-len(qc._DEPRIORITIZED):] == qc._DEPRIORITIZED
+    mid = names[50:-len(qc._DEPRIORITIZED)]
+    # mid-order rows are exactly the registrations in NEITHER list
+    expected_mid = [
+        n for n in qc._QUERIES
+        if n not in set(qc._PRIORITY) | set(qc._DEPRIORITIZED) | qc._RETIRED
+    ]
+    assert mid == expected_mid
+
+
+def test_no_row_more_than_one_round_stale():
+    """Every non-retired registration sits in _PRIORITY (verified this
+    round), _DEPRIORITIZED (verified last round), or mid-order (new,
+    first driver row next round). Anything else would rot unverified."""
+    covered = set(qc._PRIORITY) | set(qc._DEPRIORITIZED) | qc._RETIRED
+    uncovered = [n for n in qc._QUERIES if n not in covered]
+    # mid-order registrations are allowed but must stay under the slack
+    # the next rotation can absorb (50 - len(next round's resting set))
+    slack = 50 - len(qc._DEPRIORITIZED)
+    assert len(uncovered) <= max(slack, 0) + 3, (
+        f"{len(uncovered)} mid-order rows but only ~{slack} free slots "
+        f"next round -- designate retirements in the rotation note"
+    )
+
+
+def test_every_rotation_row_has_an_oracle():
+    """queries()/oracle_sql() must pair up: a rotation row without an
+    oracle gets only the weaker rows-only check."""
+    q, o = qc.queries(), qc.oracle_sql()
+    missing = [n for n in q if n not in o]
+    assert missing == [], missing
+
+
+def test_retired_builders_stay_benched():
+    bench = qc.bench_queries()
+    gone = [n for n in qc._RETIRED if n in qc._QUERIES and n not in bench]
+    assert gone == []
