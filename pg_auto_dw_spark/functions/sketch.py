@@ -95,3 +95,76 @@ def equi_width_histogram(
         df.groupBy(*keys, bucket.alias("bucket"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def ndv_sketch_rows(
+    df: DataFrame, cols: list[str], lg_k: int = 12
+) -> DataFrame:
+    """One row per column: (col_name, sketch BINARY) -- Apache
+    DataSketches HLL state via Spark's built-in ``hll_sketch_agg``
+    (JVM aggregate, whole-stage codegen), the MERGEABLE form of
+    ``approx_distinct``. ONE scan for all columns: the frame melts to
+    (col_name, value) and aggregates per column-name key -- N columns
+    never cost N passes. NULLs are excluded per column (the NDV
+    convention profile_table uses); values hash via their string form
+    so heterogeneous column types share one melt."""
+    if not cols:
+        raise ValueError("ndv_sketch_rows needs at least one column")
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(c).cast("string").alias("value"),
+            )
+            for c in cols
+        ]
+    )
+    melted = (
+        df.select(F.explode(pairs).alias("p"))
+        .select("p.col_name", "p.value")
+        .filter(F.col("value").isNotNull())
+    )
+    return melted.groupBy("col_name").agg(
+        F.hll_sketch_agg("value", F.lit(lg_k)).alias("sketch")
+    )
+
+
+def update_ndv_sketches(
+    wh, table: str, batch: DataFrame, cols: list[str], lg_k: int = 12
+) -> None:
+    """Incremental NDV ledger: merge the batch's per-column HLL
+    sketches into the persisted sketch table -- distinct-value
+    profiling that never rescans the corpus (the 100 TB reason this
+    exists: exact NDV shuffles the distinct set per refresh; this
+    reads back ``n_cols`` binary rows and max-merges registers).
+    Register-max merge is IDEMPOTENT: replaying the same batch is a
+    semantic no-op on every estimate, so the ledger composes with
+    at-least-once landing zones without a replay guard of its own.
+
+    One transaction: the merged generation replaces the table
+    atomically (``wh.overwrite`` is the crash-safe generation swap)."""
+    new = ndv_sketch_rows(batch, cols, lg_k)
+    if wh.exists(table):
+        merged = (
+            wh.read(table)
+            .unionByName(new)
+            .groupBy("col_name")
+            .agg(F.hll_union_agg("sketch", F.lit(True)).alias("sketch"))
+        )
+        # pin before overwrite: the plan reads the table it replaces
+        merged = merged.localCheckpoint(eager=True)
+        wh.overwrite(table, merged)
+    else:
+        wh.create_table(table, new.schema)
+        wh.append(table, new)
+
+
+def ndv_estimates(sketches: DataFrame) -> DataFrame:
+    """(col_name, n_distinct BIGINT) from a sketch-table frame --
+    ``wh.read(table)`` output or ``ndv_sketch_rows`` directly."""
+    return sketches.select(
+        "col_name",
+        F.round(F.hll_sketch_estimate("sketch")).cast("bigint").alias(
+            "n_distinct"
+        ),
+    )

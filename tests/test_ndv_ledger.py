@@ -1,0 +1,86 @@
+"""Incremental NDV sketch ledger (functions/sketch.py
+ndv_sketch_rows / update_ndv_sketches / ndv_estimates): mergeable
+HLL state persisted in the warehouse, so distinct-value profiling
+never rescans the corpus."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg_auto_dw_spark.functions.sketch import (
+    ndv_estimates,
+    ndv_sketch_rows,
+    update_ndv_sketches,
+)
+from pg_auto_dw_spark.warehouse import Warehouse
+
+
+def _batch(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        (F.col("id") % 97).alias("user_id"),
+        (F.col("id") % 11).alias("event_type"),
+        F.when(F.col("id") % 5 == 0, None)
+        .otherwise(F.concat(F.lit("s"), (F.col("id") % 401).cast("string")))
+        .alias("session"),
+    )
+
+
+def test_single_pass_estimates_accurate(spark):
+    est = {
+        r["col_name"]: r["n_distinct"]
+        for r in ndv_estimates(
+            ndv_sketch_rows(_batch(spark, 0, 5000),
+                            ["user_id", "event_type", "session"])
+        ).collect()
+    }
+    assert est["event_type"] == 11
+    assert est["user_id"] == pytest.approx(97, rel=0.05)
+    assert est["session"] == pytest.approx(401, rel=0.05)
+
+
+def test_incremental_equals_full_scan(spark, tmp_path):
+    """Merging per-batch sketches must estimate the SAME NDV as one
+    sketch over the concatenated data -- the mergeability contract
+    that makes the ledger sound."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    cols = ["user_id", "event_type", "session"]
+    for lo, hi in ((0, 2000), (2000, 3500), (3500, 5000)):
+        update_ndv_sketches(wh, "prof.ndv", _batch(spark, lo, hi), cols)
+    inc = {
+        r["col_name"]: r["n_distinct"]
+        for r in ndv_estimates(wh.read("prof.ndv")).collect()
+    }
+    full = {
+        r["col_name"]: r["n_distinct"]
+        for r in ndv_estimates(
+            ndv_sketch_rows(_batch(spark, 0, 5000), cols)
+        ).collect()
+    }
+    assert inc == full
+
+
+def test_replay_is_idempotent(spark, tmp_path):
+    """Register-max merge: re-merging the same batch changes no
+    estimate, so the ledger composes with at-least-once ingest."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    cols = ["user_id", "event_type"]
+    update_ndv_sketches(wh, "prof.ndv", _batch(spark, 0, 3000), cols)
+    before = {
+        r["col_name"]: r["n_distinct"]
+        for r in ndv_estimates(wh.read("prof.ndv")).collect()
+    }
+    update_ndv_sketches(wh, "prof.ndv", _batch(spark, 0, 3000), cols)
+    after = {
+        r["col_name"]: r["n_distinct"]
+        for r in ndv_estimates(wh.read("prof.ndv")).collect()
+    }
+    assert before == after
+
+
+def test_nulls_excluded_and_empty_cols_rejected(spark):
+    nulls_only = _batch(spark, 0, 50).select(
+        F.lit(None).cast("string").alias("session")
+    )
+    rows = ndv_sketch_rows(nulls_only, ["session"]).collect()
+    assert rows == []  # all-NULL column yields no sketch row
+    with pytest.raises(ValueError, match="at least one column"):
+        ndv_sketch_rows(_batch(spark, 0, 10), [])
