@@ -1197,6 +1197,7 @@ def jsonl_dedup_ingest_stream(
     ledger_bloom_m_bits: int | None = None,
     maintenance_every: int = 0,
     maintenance_kwargs: dict | None = None,
+    ndv_cols: list[str] | None = None,
 ):
     """Deduplicating JSONL landing zone: the ingest front door composed
     with the digest-ledger dedup, so a re-crawled or re-submitted
@@ -1225,7 +1226,19 @@ def jsonl_dedup_ingest_stream(
     actually crosses the threshold, and then exactly one rewrite
     repays it. Maintenance runs AFTER the batch transaction commits
     (compaction is a separate generation commit; a crash between them
-    loses only the rewrite, never rows)."""
+    loses only the rewrite, never rows).
+
+    ``ndv_cols`` maintains the incremental NDV ledger
+    (``sketch.update_ndv_sketches`` on ``<corpus_table>.ndv``) over
+    the typed rows of every committed batch -- corpus-lifetime
+    distinct-value profiling with no rescans. Like the bloom absorb it
+    runs AFTER the batch transaction: the sketch merge is its own
+    generation swap, and because register-max merge is idempotent the
+    crash window is benign in BOTH directions -- a replayed batch
+    re-merges to the same registers, and a batch that committed rows
+    but crashed before the merge only under-estimates until a later
+    batch carrying those values lands (sketches are monotone; they
+    never over-count)."""
     import numpy as np
 
     from ..functions.corpus import _gram_hash_pair, bloom_build_keys
@@ -1323,6 +1336,10 @@ def jsonl_dedup_ingest_stream(
             # AFTER the commit: a crash before this point restarts with
             # a ledger-rebuilt bloom; a crash after loses nothing
             _absorb_batch_digests(typed)
+        if ndv_cols:
+            from ..functions.sketch import update_ndv_sketches
+
+            update_ndv_sketches(wh, f"{corpus_table}.ndv", typed, ndv_cols)
         _maybe_maintain()
         return stats
 

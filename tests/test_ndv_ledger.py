@@ -84,3 +84,38 @@ def test_nulls_excluded_and_empty_cols_rejected(spark):
     assert rows == []  # all-NULL column yields no sketch row
     with pytest.raises(ValueError, match="at least one column"):
         ndv_sketch_rows(_batch(spark, 0, 10), [])
+
+
+def test_landing_zone_maintains_ndv(spark, tmp_path):
+    """Composition: the digest-dedup JSONL landing zone with ndv_cols
+    keeps <corpus>.ndv current across micro-batches, and the estimates
+    match a direct sketch over the typed corpus."""
+    import json as _json
+
+    from pg_auto_dw_spark.streaming.jobs import jsonl_dedup_ingest_stream
+    from pyspark.sql import types as T
+
+    src = tmp_path / "src"
+    src.mkdir()
+    lines = [
+        _json.dumps({"doc_id": i, "text": f"text {i % 7}", "lang": f"l{i % 3}"})
+        for i in range(40)
+    ]
+    (src / "a.jsonl").write_text("\n".join(lines[:25]) + "\n")
+    (src / "b.jsonl").write_text("\n".join(lines[25:]) + "\n")
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ])
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    q = jsonl_dedup_ingest_stream(
+        spark, str(src), schema, wh, "c.docs", "c.quarantine",
+        str(tmp_path / "ckpt"), ndv_cols=["text", "lang"],
+    )
+    q.awaitTermination()
+    est = {
+        r["col_name"]: r["n_distinct"]
+        for r in ndv_estimates(wh.read("c.docs.ndv")).collect()
+    }
+    assert est == {"text": 7, "lang": 3}
