@@ -250,3 +250,73 @@ def preference_pair_audit(
             )
         ).alias("n_missing_text"),
     )
+
+
+def render_preference_pairs(
+    pairs: DataFrame,
+    prompts: DataFrame,
+    responses: DataFrame,
+    prompt_text_col: str = "prompt",
+    response_id_col: str = "response_id",
+    text_col: str = "response",
+) -> DataFrame:
+    """DPO-ready training rows: each (chosen, rejected) pair rendered
+    under the SAME pinned chat template as ``sft.render_chat`` --
+    '<|user|>\\n{prompt}\\n<|assistant|>\\n{response}\\n' -- so
+    preference data and SFT data land in one rendering convention and
+    a policy trained on one reads the other. Output: (prompt_id,
+    chosen_id, rejected_id, score_gap, chosen_text, rejected_text).
+
+    ``prompts`` is prompt-grain (prompt_id, prompt text); missing
+    prompt or response text FAILS LOUDLY -- a silently-empty chosen
+    text would train the policy to prefer emptiness (same posture as
+    the NULL-role guard in render_chat). Three id-key hash joins, all
+    pair-bounded."""
+    from .sft import _piece
+
+    def _require(col, what):
+        return F.when(col.isNotNull(), col).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"render_preference_pairs: missing {what} for pair ("),
+                    F.col("prompt_id").cast("string"),
+                    F.lit(", "),
+                    F.col("chosen_id").cast("string"),
+                    F.lit(", "),
+                    F.col("rejected_id").cast("string"),
+                    F.lit(")"),
+                )
+            )
+        )
+
+    p = prompts.select(
+        F.col("prompt_id"), F.col(prompt_text_col).alias("__prompt")
+    )
+    r = responses.select(
+        F.col(response_id_col).alias("__rid"), F.col(text_col).alias("__resp")
+    )
+    joined = (
+        pairs.join(p, "prompt_id", "left")
+        .join(
+            r.select(F.col("__rid").alias("chosen_id"),
+                     F.col("__resp").alias("__chosen")),
+            "chosen_id", "left",
+        )
+        .join(
+            r.select(F.col("__rid").alias("rejected_id"),
+                     F.col("__resp").alias("__rejected")),
+            "rejected_id", "left",
+        )
+    )
+    user = _piece(F.lit("user"), _require(F.col("__prompt"), "prompt text"))
+    chosen = F.concat(
+        user, _piece(F.lit("assistant"), _require(F.col("__chosen"), "chosen text"))
+    )
+    rejected = F.concat(
+        user,
+        _piece(F.lit("assistant"), _require(F.col("__rejected"), "rejected text")),
+    )
+    return joined.select(
+        "prompt_id", "chosen_id", "rejected_id", "score_gap",
+        chosen.alias("chosen_text"), rejected.alias("rejected_text"),
+    )

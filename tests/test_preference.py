@@ -172,3 +172,50 @@ def test_audit_surfaces_dangling_response_ids(spark):
     row = preference_pair_audit(pairs, responses).collect()[0]
     assert row["n_pairs"] == 3
     assert row["n_missing_text"] == 3  # every pair touches 11 or 12
+
+
+def test_render_preference_pairs_matches_sft_template(spark):
+    """The DPO rendering must be byte-identical to what render_chat
+    produces for the same (user, assistant) turns -- one rendering
+    convention across SFT and preference data."""
+    from pg_auto_dw_spark.functions.preference import render_preference_pairs
+    from pg_auto_dw_spark.functions.sft import render_chat
+
+    ratings = _ratings(spark, [(1, 10, 0.9), (1, 11, 0.1)])
+    prompts = spark.createDataFrame(
+        [(1, "what is the capital of france?")], "prompt_id bigint, prompt string"
+    )
+    responses = spark.createDataFrame(
+        [(10, "paris."), (11, "london, probably.")],
+        "response_id bigint, response string",
+    )
+    out = render_preference_pairs(
+        preference_pairs(ratings), prompts, responses
+    ).collect()
+    assert len(out) == 1
+    row = out[0]
+    turns = spark.createDataFrame(
+        [(1, 0, "user", "what is the capital of france?"),
+         (1, 1, "assistant", "paris.")],
+        "conv_id bigint, turn_idx bigint, role string, content string",
+    )
+    want = render_chat(turns).first()["text"]
+    assert row["chosen_text"] == want
+    assert "london, probably." in row["rejected_text"]
+    assert row["rejected_text"].startswith("<|user|>\n")
+
+
+def test_render_preference_pairs_missing_text_fails(spark):
+    from pg_auto_dw_spark.functions.preference import render_preference_pairs
+
+    ratings = _ratings(spark, [(1, 10, 0.9), (1, 11, 0.1)])
+    prompts = spark.createDataFrame(
+        [(1, "q?")], "prompt_id bigint, prompt string"
+    )
+    responses = spark.createDataFrame(
+        [(10, "a")], "response_id bigint, response string"
+    )  # rejected 11 missing
+    with pytest.raises(Exception, match="missing rejected text"):
+        render_preference_pairs(
+            preference_pairs(ratings), prompts, responses
+        ).collect()
