@@ -456,3 +456,26 @@ def test_classifier_training_broadcasts_model(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_render_preference_pairs_hash_joins_only(spark):
+    """render_preference_pairs (r11): three pair-bounded id-key hash
+    joins, no cartesian, no nested loop."""
+    from pg_auto_dw_spark.functions.preference import (
+        preference_pairs,
+        render_preference_pairs,
+    )
+
+    ratings = spark.createDataFrame(
+        [(1, 10, 0.9), (1, 11, 0.1)],
+        "prompt_id bigint, response_id bigint, score double",
+    )
+    prompts = spark.createDataFrame([(1, "q")], "prompt_id bigint, prompt string")
+    responses = spark.createDataFrame(
+        [(10, "a"), (11, "b")], "response_id bigint, response string"
+    )
+    plan = _plan(
+        render_preference_pairs(preference_pairs(ratings), prompts, responses)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
