@@ -974,16 +974,20 @@ def scd2_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
-                    (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
-                    (1 - CAST(l_discount AS DECIMAL(18,4))) *
-                    (1 + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE) AS sum_charge,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
-           CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           -- decimal -> VARCHAR -> DOUBLE: DuckDB's direct decimal->double
+           -- cast (int128 / 10^scale) can land 1 ULP off the correctly
+           -- rounded value Java BigDecimal produces; the string hop is
+           -- exact then correctly rounded (r11 find, latent at any SF)
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) *
+                    (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) *
+                    (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(6,4))) *
+                    (CAST(1 AS DECIMAL(5,4)) + CAST(l_tax AS DECIMAL(6,4)))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(CAST(SUM(CAST(l_discount AS DECIMAL(6,4))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -992,11 +996,23 @@ def scd2_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary: the multi-aggregate groupBy shape
-    of the reference's A1/A6 operators at data scale."""
+    of the reference's A1/A6 operators at data scale.
+
+    Decimal widths are TIGHT on purpose (price 12,4; rates 6,4): the
+    old uniform (18,4) made the triple charge product overflow
+    precision 38, where Spark reduces scale (per-row rounding at scale
+    6) and DuckDB takes a different overflow path -- a 4e-9 divergence
+    that only surfaced on sf0.001's values (caught r11). With tight
+    factors the full product is (28,12): exact, order-independent, and
+    identical in both engines at every SF."""
     li = load_table(spark, sf_dir, "lineitem")
-    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
-    disc_price = dec("l_extendedprice") * (1 - dec("l_discount"))
-    charge = disc_price * (1 + dec("l_tax"))
+    dec = lambda c: F.col(c).cast("decimal(12,4)")  # noqa: E731
+    rate = lambda c: F.col(c).cast("decimal(6,4)")  # noqa: E731
+    one = F.lit(1).cast("decimal(5,4)")  # a bare 1 types (10,0) and
+    # re-inflates the product precision past 38 -- the overflow this
+    # row exists to avoid
+    disc_price = dec("l_extendedprice") * (one - rate("l_discount"))
+    charge = disc_price * (one + rate("l_tax"))
     g = (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -1005,7 +1021,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("l_extendedprice")).alias("dp"),
             F.sum(disc_price).alias("ddp"),
             F.sum(charge).alias("dch"),
-            F.sum(dec("l_discount")).alias("ddisc"),
+            F.sum(rate("l_discount")).alias("ddisc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -3023,7 +3039,8 @@ def pit_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                WHERE event_type = 'click')
     SELECT p.event_id, p.ts, p.user_id,
            COUNT(c.click_ts) AS n_clicks,
-           COALESCE(SUM(c.click_value), 0.0) AS click_value_sum
+           CAST(CAST(COALESCE(SUM(CAST(c.click_value AS DECIMAL(14,6))),
+                              0) AS VARCHAR) AS DOUBLE) AS click_value_sum
     FROM p LEFT JOIN c
       ON c.click_ts BETWEEN p.ts - INTERVAL 600 SECOND AND p.ts
     GROUP BY p.event_id, p.ts, p.user_id
@@ -3052,9 +3069,13 @@ def events_range_click_attribution(spark: SparkSession, sf_dir: str) -> DataFram
         upper_s=0,
         aggs=[
             F.count("click_ts").alias("n_clicks"),
-            F.coalesce(F.sum("click_value"), F.lit(0.0)).alias(
-                "click_value_sum"
-            ),
+            # exact decimal sum (order-free; 1-ulp drift at sf0.1, r11)
+            F.coalesce(
+                F.sum(F.col("click_value").cast("decimal(14,6)")),
+                F.lit(0).cast("decimal(24,6)"),
+            )
+            .cast("double")
+            .alias("click_value_sum"),
         ],
     )
 
@@ -3205,10 +3226,12 @@ def documents_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            COUNT(value) AS n_events,
-           SUM(value) AS value_sum,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(14,6))) AS VARCHAR) AS DOUBLE)
+             AS value_sum,
            MIN(value) AS value_min,
            MAX(value) AS value_max,
-           SUM(value) / COUNT(value) AS value_avg
+           CAST(CAST(SUM(CAST(value AS DECIMAL(14,6))) AS VARCHAR) AS DOUBLE)
+             / COUNT(value) AS value_avg
     FROM events
     GROUP BY event_type
     """,
@@ -3220,18 +3243,35 @@ def events_salted_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     phase 1 over 32x more reducers, and the merge is exact."""
     from .functions.skew import salted_agg
 
+    # SUM rides an exact DECIMAL (per-row cast parity verified; raw
+    # double summation is ORDER-dependent and diverged 1 ulp from the
+    # oracle at sf0.1 -- r11 find); min/max/count are order-free and
+    # stay on the raw double
     ev = load_table(spark, sf_dir, "events")
-    return salted_agg(
-        ev.select("event_type", "value"),
+    res = salted_agg(
+        ev.select(
+            "event_type",
+            "value",
+            F.col("value").cast("decimal(14,6)").alias("value_dec"),
+        ),
         keys=["event_type"],
         metrics=[
             ("count", "value", "n_events"),
-            ("sum", "value", "value_sum"),
+            ("sum", "value_dec", "value_sum"),
             ("min", "value", "value_min"),
             ("max", "value", "value_max"),
         ],
         n_salts=32,
-        avg_of=[("value_sum", "n_events", "value_avg")],
+    )
+    return res.select(
+        "event_type",
+        "n_events",
+        F.col("value_sum").cast("double").alias("value_sum"),
+        "value_min",
+        "value_max",
+        (F.col("value_sum").cast("double") / F.col("n_events")).alias(
+            "value_avg"
+        ),
     )
 
 
@@ -3275,7 +3315,9 @@ def events_heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_customer_salted_join",
     """
-    SELECT c.c_mktsegment, COUNT(*) AS n_events, SUM(e.value) AS value_sum
+    SELECT c.c_mktsegment, COUNT(*) AS n_events,
+           CAST(CAST(SUM(CAST(e.value AS DECIMAL(14,6))) AS VARCHAR) AS DOUBLE)
+             AS value_sum
     FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY c.c_mktsegment
     """,
@@ -3296,7 +3338,11 @@ def events_customer_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("value_sum"),
+            # exact decimal sum: raw double summation is order-dependent
+            # and drifted 1 ulp from the oracle at sf0.1 (r11 find)
+            F.sum(F.col("value").cast("decimal(14,6)"))
+            .cast("double")
+            .alias("value_sum"),
         )
     )
 
