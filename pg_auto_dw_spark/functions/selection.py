@@ -452,18 +452,23 @@ def train_linear_classifier(
     ).unionByName(
         neg_docs.select(F.col(id_col), F.col(text_col), F.lit(0.0).alias("__y"))
     )
-    # pin the normalized feature matrix once; every iteration reuses it
+    # pin the normalized feature matrix once; every iteration reuses it.
+    # Every per-example key below is (id, __y), NOT the id alone: the
+    # same id can legitimately appear in BOTH seed sets (pos/neg drawn
+    # from different corpora with independent id spaces), and an
+    # id-only key would pool the two examples' token counts in this
+    # normalization AND cross-product the gradient join.
     mat = _doc_bucket_counts(labeled, text_col, id_col, buckets, "__y")
     feats = (
         mat.withColumn(
             "__x",
             F.col("c").cast("double")
-            / F.sum("c").over(Window.partitionBy(id_col)).cast("double"),
+            / F.sum("c").over(Window.partitionBy(id_col, "__y")).cast("double"),
         )
         .select(id_col, "__y", "b", "__x")
         .localCheckpoint(eager=True)
     )
-    n_docs = feats.select(id_col).distinct().count()
+    n_docs = feats.select(id_col, "__y").distinct().count()
     if n_docs == 0:
         raise ValueError("train_linear_classifier: no tokenized training docs")
 
@@ -496,8 +501,10 @@ def train_linear_classifier(
         ).first()
         losses.append(float(agg["loss"]))
         grad = (
-            scored.select(id_col, (F.col("__p") - F.col("__y")).alias("__r"))
-            .join(feats.select(id_col, "b", "__x"), id_col)
+            scored.select(
+                id_col, "__y", (F.col("__p") - F.col("__y")).alias("__r")
+            )
+            .join(feats.select(id_col, "__y", "b", "__x"), [id_col, "__y"])
             .groupBy("b")
             .agg(F.sum(F.col("__r") * F.col("__x")).alias("__g"))
         )

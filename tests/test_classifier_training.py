@@ -144,3 +144,21 @@ def test_train_score_sample_composition(spark, trained):
     assert all(
         (r["quality_bin"] == 1) == (r["doc_id"] < 30000) for r in sampled
     )
+
+
+def test_id_collision_across_seed_sets(spark):
+    """The same id in BOTH seed sets (independent corpora) must train
+    as two examples: per-(id, label) normalization and gradient keys,
+    never pooled or cross-producted. Identical to training on the same
+    docs with disjoint ids."""
+    pos = _docs(spark, GOOD, 6, 0)
+    neg_collide = _docs(spark, BAD, 6, 0)  # SAME ids 0..5
+    neg_disjoint = _docs(spark, BAD, 6, 500)
+    _, losses_collide = train_linear_classifier(
+        pos, neg_collide, buckets=128, iters=3, lr=2.0
+    )
+    _, losses_disjoint = train_linear_classifier(
+        pos, neg_disjoint, buckets=128, iters=3, lr=2.0
+    )
+    for a, b in zip(losses_collide, losses_disjoint):
+        assert a == pytest.approx(b, rel=1e-9)
