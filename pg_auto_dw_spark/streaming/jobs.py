@@ -1230,8 +1230,15 @@ def jsonl_dedup_ingest_stream(
 
     ``ndv_cols`` maintains the incremental NDV ledger
     (``sketch.update_ndv_sketches`` on ``<corpus_table>.ndv``) over
-    the typed rows of every committed batch -- corpus-lifetime
-    distinct-value profiling with no rescans. Like the bloom absorb it
+    the typed rows of every committed batch -- distinct-value
+    profiling with no rescans. Grain note: this is INGEST-OFFERED NDV
+    (every well-formed value presented at the front door), not
+    corpus-row NDV -- a REJECTED resubmission whose side columns
+    changed still registers its values. For text itself the two
+    coincide (rejection means the text digest was already ledgered);
+    for side columns ingest-offered is the monitoring-correct grain
+    (what arrived), and corpus-grain NDV is one ``ndv_sketch_rows``
+    pass over the corpus table when needed. Like the bloom absorb it
     runs AFTER the batch transaction: the sketch merge is its own
     generation swap, and because register-max merge is idempotent the
     crash window is benign in BOTH directions -- a replayed batch
