@@ -98,18 +98,25 @@ def equi_width_histogram(
 
 
 def ndv_sketch_rows(
-    df: DataFrame, cols: list[str], lg_k: int = 12
+    df: DataFrame,
+    cols: list[str],
+    lg_k: int = 12,
+    keys: list[str] | None = None,
 ) -> DataFrame:
-    """One row per column: (col_name, sketch BINARY) -- Apache
-    DataSketches HLL state via Spark's built-in ``hll_sketch_agg``
-    (JVM aggregate, whole-stage codegen), the MERGEABLE form of
-    ``approx_distinct``. ONE scan for all columns: the frame melts to
-    (col_name, value) and aggregates per column-name key -- N columns
-    never cost N passes. NULLs are excluded per column (the NDV
-    convention profile_table uses); values hash via their string form
-    so heterogeneous column types share one melt."""
+    """One row per (keys..., column): (keys..., col_name, sketch
+    BINARY) -- Apache DataSketches HLL state via Spark's built-in
+    ``hll_sketch_agg`` (JVM aggregate, whole-stage codegen), the
+    MERGEABLE form of ``approx_distinct``. ONE scan for all columns:
+    the frame melts to (keys, col_name, value) and aggregates per
+    (keys, column-name) -- N columns never cost N passes. NULLs are
+    excluded per column (the NDV convention profile_table uses);
+    values hash via their string form so heterogeneous column types
+    share one melt. ``keys`` (e.g. ["source"]) gives per-group NDV --
+    per-source distinct users, per-language distinct domains -- at one
+    group-keyed shuffle, still mergeable per group."""
     if not cols:
         raise ValueError("ndv_sketch_rows needs at least one column")
+    keys = keys or []
     pairs = F.array(
         *[
             F.struct(
@@ -120,17 +127,22 @@ def ndv_sketch_rows(
         ]
     )
     melted = (
-        df.select(F.explode(pairs).alias("p"))
-        .select("p.col_name", "p.value")
+        df.select(*keys, F.explode(pairs).alias("p"))
+        .select(*keys, "p.col_name", "p.value")
         .filter(F.col("value").isNotNull())
     )
-    return melted.groupBy("col_name").agg(
+    return melted.groupBy(*keys, "col_name").agg(
         F.hll_sketch_agg("value", F.lit(lg_k)).alias("sketch")
     )
 
 
 def update_ndv_sketches(
-    wh, table: str, batch: DataFrame, cols: list[str], lg_k: int = 12
+    wh,
+    table: str,
+    batch: DataFrame,
+    cols: list[str],
+    lg_k: int = 12,
+    keys: list[str] | None = None,
 ) -> None:
     """Incremental NDV ledger: merge the batch's per-column HLL
     sketches into the persisted sketch table -- distinct-value
@@ -142,13 +154,16 @@ def update_ndv_sketches(
     at-least-once landing zones without a replay guard of its own.
 
     One transaction: the merged generation replaces the table
-    atomically (``wh.overwrite`` is the crash-safe generation swap)."""
-    new = ndv_sketch_rows(batch, cols, lg_k)
+    atomically (``wh.overwrite`` is the crash-safe generation swap).
+    ``keys`` must match the layout the table was seeded with (the
+    merge groups on them)."""
+    keys = keys or []
+    new = ndv_sketch_rows(batch, cols, lg_k, keys=keys)
     if wh.exists(table):
         merged = (
             wh.read(table)
             .unionByName(new)
-            .groupBy("col_name")
+            .groupBy(*keys, "col_name")
             .agg(F.hll_union_agg("sketch", F.lit(True)).alias("sketch"))
         )
         # pin before overwrite: the plan reads the table it replaces
@@ -160,10 +175,12 @@ def update_ndv_sketches(
 
 
 def ndv_estimates(sketches: DataFrame) -> DataFrame:
-    """(col_name, n_distinct BIGINT) from a sketch-table frame --
-    ``wh.read(table)`` output or ``ndv_sketch_rows`` directly."""
+    """(keys..., col_name, n_distinct BIGINT) from a sketch-table
+    frame -- ``wh.read(table)`` output or ``ndv_sketch_rows``
+    directly; any group-key columns pass through."""
+    passthrough = [c for c in sketches.columns if c != "sketch"]
     return sketches.select(
-        "col_name",
+        *passthrough,
         F.round(F.hll_sketch_estimate("sketch")).cast("bigint").alias(
             "n_distinct"
         ),

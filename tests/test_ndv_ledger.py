@@ -119,3 +119,31 @@ def test_landing_zone_maintains_ndv(spark, tmp_path):
         for r in ndv_estimates(wh.read("c.docs.ndv")).collect()
     }
     assert est == {"text": 7, "lang": 3}
+
+
+def test_grouped_ndv_sketches(spark, tmp_path):
+    """keys= gives per-group NDV (per-source distinct users) in the
+    same one-melt pass, mergeable per group across batches."""
+    df = _batch(spark, 0, 4000).withColumn(
+        "src", (F.col("user_id") % 2).cast("string")
+    )
+    direct = {
+        (r["src"], r["col_name"]): r["n_distinct"]
+        for r in ndv_estimates(
+            ndv_sketch_rows(df, ["user_id", "event_type"], keys=["src"])
+        ).collect()
+    }
+    # 97 users split by parity: 49 even, 48 odd; 11 event types in both
+    assert direct[("0", "user_id")] == 49
+    assert direct[("1", "user_id")] == 48
+    assert direct[("0", "event_type")] == 11
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    update_ndv_sketches(wh, "p.ndv", df.filter(F.col("user_id") < 50),
+                        ["user_id"], keys=["src"])
+    update_ndv_sketches(wh, "p.ndv", df.filter(F.col("user_id") >= 50),
+                        ["user_id"], keys=["src"])
+    inc = {
+        (r["src"], r["col_name"]): r["n_distinct"]
+        for r in ndv_estimates(wh.read("p.ndv")).collect()
+    }
+    assert inc[("0", "user_id")] == 49 and inc[("1", "user_id")] == 48
