@@ -1682,6 +1682,7 @@ def jsonl_neardup_ingest_stream(
     maintenance_every: int = 0,
     maintenance_kwargs: dict | None = None,
     n_sidecar_parts: int | None = None,
+    ndv_cols: list[str] | None = None,
 ):
     """Near-dup-deduplicating JSONL landing zone: the ingest front door
     composed with ``neardup_ingest_apply``, so a re-crawl that differs
@@ -1690,7 +1691,9 @@ def jsonl_neardup_ingest_stream(
     typed survivors + band/signature ledger rows + quarantined lines +
     the replay guard land in ONE warehouse transaction (replayed
     batches are exact no-ops); the optional maintenance cadence
-    compacts the corpus and both sidecars post-commit."""
+    compacts the corpus and both sidecars post-commit. ``ndv_cols``
+    maintains the ingest-offered NDV ledger post-commit, same grain
+    and crash argument as the exact-dedup zone."""
     from ..sources import split_jsonl_lines
 
     batch_log = f"{corpus_table}.ingest_log"
@@ -1734,6 +1737,10 @@ def jsonl_neardup_ingest_stream(
                 ),
             ],
         )
+        if ndv_cols:
+            from ..functions.sketch import update_ndv_sketches
+
+            update_ndv_sketches(wh, f"{corpus_table}.ndv", typed, ndv_cols)
         _maybe_maintain()
         return stats
 
