@@ -163,3 +163,40 @@ def test_repeat_sample_deterministic_upweighting(spark, sf_dir):
     ) == sorted(
         (r["doc_id"], r["copy_id"]) for r in out.select("doc_id", "copy_id").collect()
     )
+
+
+def test_doremi_weights_drive_stratified_sample(spark):
+    """The DoReMi loop's composition claim, proven end-to-end: the
+    weight vector converts to per-domain keep rates (weight / max
+    weight -- the largest-headroom domain keeps everything) and the
+    sampled corpus's domain proportions track the weights."""
+    from pg_auto_dw_spark.functions.sampling import (
+        doremi_domain_weights,
+        stratified_sample,
+    )
+
+    losses = spark.createDataFrame(
+        [("web", 3.0, 2.0), ("code", 2.5, 2.4), ("wiki", 2.0, 2.2)],
+        "domain string, proxy_loss double, ref_loss double",
+    )
+    w = {
+        r["domain"]: r["weight"]
+        for r in doremi_domain_weights(losses, lr=1.0, smoothing=0.1).collect()
+    }
+    assert abs(sum(w.values()) - 1.0) < 1e-9
+    assert w["web"] > w["code"] > w["wiki"]  # excess 1.0 > 0.1 > 0
+    top = max(w.values())
+    rates = {d: v / top for d, v in w.items()}
+    docs = spark.createDataFrame(
+        [(i, ["web", "code", "wiki"][i % 3]) for i in range(9000)],
+        "doc_id bigint, domain string",
+    )
+    kept = stratified_sample(docs, key_col="doc_id", rates=rates,
+                             strata_col="domain").collect()
+    counts = {}
+    for r in kept:
+        counts[r["domain"]] = counts.get(r["domain"], 0) + 1
+    # 3000 docs per domain in; keep fractions must track rates (+-5%)
+    for d, rate in rates.items():
+        assert abs(counts.get(d, 0) / 3000 - rate) < 0.05, (d, counts)
+    assert counts["web"] > counts["code"] > counts["wiki"]
