@@ -37,10 +37,13 @@ def register(name: str, sql: str | None):
 # The driver verifies queries in dict order and may cap how many it
 # runs (r2-r5 each ran 50; later registrations got no CORRECTNESS row).
 # Rotation policy: no query goes two rounds unverified; with a 50-slot
-# cap and <=100 registered queries the rotation is a strict two-round
+# cap and <=100 ROTATION rows (mid-order registrations join the cycle
+# at their first driver round) the rotation is a strict two-round
 # cycle -- _PRIORITY is exactly the set that RESTED last round (plus
 # any query added or reshaped this round), _DEPRIORITIZED is the set
-# verified last round.
+# verified last round. These invariants are now EXECUTABLE:
+# tests/test_catalog_invariants.py fails the build on any arithmetic
+# slip (r11 lesson -- see the CORRECTION below).
 # Round 11 state (executed per the r10 VERDICT directive 2 / the r10
 # catalog note, with ONE arithmetic correction): _PRIORITY = the 50
 # rows that rested in r10 MINUS five retirements drawn from that
