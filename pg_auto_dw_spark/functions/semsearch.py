@@ -282,3 +282,63 @@ def search_chunks(
     return search_chunks_many(wh, name, {0: text}, k=k, n_probes=n_probes).drop(
         "query_id"
     )
+
+
+def semantic_decontaminate(
+    wh,
+    name: str,
+    eval_docs: DataFrame,
+    threshold: float = 0.85,
+    k: int = 8,
+    n_probes: int = 4,
+    eval_id_col: str = "eval_id",
+    text_col: str | None = None,
+) -> DataFrame:
+    """SEMANTIC eval-set decontamination against the persisted chunk
+    index: for every eval document, find training-corpus chunks whose
+    embedding cosine clears ``threshold`` -- the paraphrase-grade
+    contamination the exact family (n-gram pairs, Bloom digests,
+    duplicated spans) cannot see, because a reworded eval question
+    shares no grams with its source. Output: (eval_id, doc_id,
+    chunk_id, cosine), one row per flagged (eval doc, corpus chunk);
+    anti-join the distinct doc_ids out of the corpus (or route to
+    review) to decontaminate.
+
+    Composition of verified kernels, nothing new in the plan: eval
+    texts embed under the index's PERSISTED geometry via the same
+    distributed transform the chunks used (hashed_embedding + frozen
+    IDF -- same space by construction, the parity the semsearch tests
+    pin), then ``ivf_search_frame`` probes the cell-pruned index
+    (corpus-scale query frames supported -- a 100k-question eval suite
+    is one frame, not 100k driver calls).
+
+    Recall contract is the IVF one: a contaminated chunk in an
+    unprobed cell is missed; ``n_probes`` (default 4, twice the
+    search default) is the recall knob, and the exact family remains
+    the backstop for verbatim leaks. ``threshold`` calibrates on the
+    hashed-BoW space: near-verbatim text scores ~0.9+, topical
+    similarity ~0.3-0.6 (the probe fixture's planted paraphrases clear
+    0.85; unrelated prose stays under 0.5)."""
+    from .retrieval import ivf_search_frame
+    from .selection import hashed_embedding
+
+    cfg = _load_embed_config(wh, name)
+    tcol = text_col or cfg["text_col"]
+    emb = hashed_embedding(
+        eval_docs,
+        cfg["dims"],
+        text_col=tcol,
+        id_col=eval_id_col,
+        idf_model=_filled_model(cfg["idf"], cfg["n_docs"], cfg["dims"]),
+    )
+    hits = ivf_search_frame(
+        wh, name,
+        emb.select(F.col(eval_id_col).alias("query_id"), "embedding"),
+        k=k, n_probes=n_probes, id_col="chunk_key",
+    )
+    return hits.filter(F.col("cosine") >= threshold).select(
+        F.col("query_id").alias("eval_id"),
+        F.expr(f"neighbor_id div {CHUNK_SHIFT}").cast("long").alias("doc_id"),
+        (F.col("neighbor_id") % CHUNK_SHIFT).cast("long").alias("chunk_id"),
+        "cosine",
+    )

@@ -184,3 +184,55 @@ def test_ingest_chunks_grows_index_in_same_space(spark, warehouse_dir):
         wh, "inc", "astronomers observed a distant comet", k=3, n_probes=3
     ).collect()
     assert hits and hits[0]["doc_id"] == 100
+
+
+def test_semantic_decontaminate_catches_paraphrase(spark, warehouse_dir):
+    """A near-verbatim paraphrase of a training doc must flag against
+    the persisted index even though whitespace/wording edits break the
+    exact gram family; unrelated eval questions must not flag."""
+    from pg_auto_dw_spark.functions.semsearch import semantic_decontaminate
+
+    wh = Warehouse(spark, warehouse_dir)
+    docs = _docs(spark)
+    build_chunk_search_index(
+        wh, docs, "dc", chunk_words=8, stride=6, dims=32, kmeans_stride=3,
+    )
+    evals = spark.createDataFrame(
+        [
+            # near-verbatim lift of doc 2 with small edits
+            (100, "stock markets  rallied today, as investors cheered "
+                  "earnings reports!"),
+            # unrelated content sharing only stopword-grade vocabulary
+            (101, "volcanic eruptions reshaped the remote island "
+                  "landscape over centuries of activity"),
+        ],
+        "eval_id bigint, text string",
+    )
+    flagged = semantic_decontaminate(
+        wh, "dc", evals, threshold=0.8, n_probes=4
+    ).collect()
+    assert any(r["eval_id"] == 100 and r["doc_id"] == 2 for r in flagged)
+    assert not any(r["eval_id"] == 101 for r in flagged)
+    # the flagged pair is paraphrase-grade: well above topical noise
+    top = max(r["cosine"] for r in flagged if r["eval_id"] == 100)
+    assert top >= 0.8
+
+
+def test_semantic_decontaminate_respects_index_text_col(spark, warehouse_dir):
+    """Eval frames with a different text column name work via the
+    text_col override; the geometry still comes from the index."""
+    from pg_auto_dw_spark.functions.semsearch import semantic_decontaminate
+
+    wh = Warehouse(spark, warehouse_dir)
+    build_chunk_search_index(
+        wh, _docs(spark), "dc2", chunk_words=8, stride=6, dims=32,
+        kmeans_stride=3,
+    )
+    evals = spark.createDataFrame(
+        [(7, "central banks raised interest rates to combat inflation")],
+        "eval_id bigint, question string",
+    )
+    flagged = semantic_decontaminate(
+        wh, "dc2", evals, threshold=0.8, n_probes=4, text_col="question"
+    ).collect()
+    assert any(r["doc_id"] == 4 for r in flagged)
