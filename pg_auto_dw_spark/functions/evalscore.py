@@ -108,7 +108,16 @@ def eval_summary(scores: DataFrame) -> DataFrame:
     """One-row macro report over ``eval_scores`` output:
     (n_examples, n_null_predictions, em_pct_e4, macro_f1_e4) --
     basis-point BIGINTs, the leaderboard row. ``n_null_predictions``
-    surfaces missing generations (they score 0, never skip)."""
+    surfaces missing generations (they score 0 against any non-empty
+    reference, never skip).
+
+    Edge (documented convention, ADVICE r11): a NULL prediction
+    against a NULL/EMPTY reference normalizes to empty-vs-empty and
+    scores EM true / f1 = 1.0 while still counting in
+    ``n_null_predictions`` -- on an empty-reference example, emitting
+    nothing IS the right answer under the SQuAD-style convention, so
+    the macro averages keep it. Audit ``pred_missing`` rows directly
+    when a benchmark treats missing generations as failures outright."""
     return scores.agg(
         F.count(F.lit(1)).alias("n_examples"),
         F.coalesce(

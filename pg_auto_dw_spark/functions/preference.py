@@ -45,9 +45,14 @@ def preference_pairs(
     - ``best_worst``: ONE pair per prompt, its top-scored response
       against its bottom-scored (the highest-signal pair; the default
       reward-model recipe).
-    - ``best_rest``: the top response against EVERY other response --
-      n-1 pairs per prompt (best-of-n distillation style).
-    - ``all_pairs``: every ordered pair with ``score_gap >= min_gap``,
+    - ``best_rest``: the top response against every other STRICTLY
+      lower-scored response -- up to n-1 pairs per prompt (best-of-n
+      distillation style). Responses tied with the best never emit:
+      in a multi-pair strategy a zero-gap pair is pure label noise
+      (the 'chosen' label would be an id accident), unlike
+      best_worst's single documented tie-marker pair.
+    - ``all_pairs``: every STRICTLY ordered pair (chosen score >
+      rejected score) with ``score_gap >= min_gap``,
       kept in gap-descending order up to ``max_pairs_per_prompt``. The
       cap bounds the OUTPUT, but the pair join itself still fans out
       O(n^2) rows per prompt before the cap (measured: 80
@@ -115,7 +120,11 @@ def preference_pairs(
             F.col("response_id").alias("rejected_id"),
             F.col("score").alias("rejected_score"),
         )
-        pairs = best.join(rest, "prompt_id")
+        # ties with the best are dropped: zero-gap 'preferences' are
+        # label noise in a multi-pair strategy (ADVICE r11)
+        pairs = best.join(rest, "prompt_id").filter(
+            F.col("chosen_score") > F.col("rejected_score")
+        )
     else:  # all_pairs
         # loud quadratic guard: one prompt-grain count join costs far
         # less than the n^2-per-prompt fan-out it prevents. The guard
@@ -153,12 +162,12 @@ def preference_pairs(
             F.col("response_id").alias("rejected_id"),
             F.col("score").alias("rejected_score"),
         )
+        # strictly ordered only: a tied pair would label the lower id
+        # 'chosen' by accident, injecting noise into DPO sets
+        # (ADVICE r11) -- best_worst is the one strategy that emits a
+        # documented tie-marker pair
         pairs = hi.join(lo, "prompt_id").filter(
-            (F.col("chosen_score") > F.col("rejected_score"))
-            | (
-                (F.col("chosen_score") == F.col("rejected_score"))
-                & (F.col("chosen_id") < F.col("rejected_id"))
-            )
+            F.col("chosen_score") > F.col("rejected_score")
         )
     pairs = pairs.filter(F.col("chosen_id") != F.col("rejected_id")).withColumn(
         "score_gap", F.col("chosen_score") - F.col("rejected_score")

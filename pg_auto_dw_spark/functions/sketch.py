@@ -156,7 +156,16 @@ def update_ndv_sketches(
     One transaction: the merged generation replaces the table
     atomically (``wh.overwrite`` is the crash-safe generation swap).
     ``keys`` must match the layout the table was seeded with (the
-    merge groups on them)."""
+    merge groups on them).
+
+    SINGLE-WRITER ownership: the read-merge-overwrite is atomic
+    against readers but not against a CONCURRENT writer -- two
+    streams merging into one ``<table>.ndv`` race on the generation
+    swap and the loser's registers are dropped (last writer wins on
+    the whole generation). Own one sketch table per writing stream
+    (e.g. ``<table>.<stream>.ndv``) and union the frames at read time
+    (``ndv_estimates`` accepts the union; register-max re-merge is
+    idempotent) -- never share one sidecar between landing zones."""
     keys = keys or []
     new = ndv_sketch_rows(batch, cols, lg_k, keys=keys)
     if wh.exists(table):

@@ -146,11 +146,17 @@ def register(name: str, sql: str | None):
 # f1), corpus_datacard_drift (integer deltas + boolean flag over the
 # corpus_datacard surface), doremi_domain_weights (scaled-BIGINT
 # emit; see its docstring for the cross-engine boundary argument).
-# NOTE for round 12: set _PRIORITY = today's 49 resting rows
-# (_DEPRIORITIZED below) MINUS three designated retirements PLUS the
-# 4 mid rows above (exactly 50); set _DEPRIORITIZED = today's 50
-# _PRIORITY. Retirement CANDIDATES (final call at r12; all in today's
-# resting set, coverage held elsewhere):
+# Round 12 state (EXECUTED per the r11 note and the r11 VERDICT
+# directive 1): _PRIORITY = the 49 rows that rested in r11 MINUS the
+# three designated retirements below PLUS the 4 r11 mid-order
+# registrations taking their first driver rows (sft_render_chat_spans,
+# eval_scores_report, corpus_datacard_drift, doremi_domain_weights).
+# Exactly 50. _DEPRIORITIZED = the 50 rows verified in r11
+# (CORRECTNESS_r11: 50/50 green). Invariants re-checked via
+# tests/test_catalog_invariants.py before commit.
+# Retired r12 (the three the r11 note designated as candidates; final
+# call CONFIRMED -- all three were RESTING in r11, so nothing loses an
+# in-window row; coverage held elsewhere; builders stay benched):
 #   ann_ivf_topk           (single-probe is the n_probes=1 special
 #                           case of the verified
 #                           ann_ivf_multiprobe_topk kernel -- same
@@ -236,16 +242,74 @@ _RETIRED = {
     "events_asof_last_purchase",
     "documents_pii_scan",
     "documents_keyword_tfidf",
+    # r12 retirements (the three the r11 note designated; rationales
+    # in the rotation note above)
+    "ann_ivf_topk",
+    "text_unigram_logprob",
+    "dedup_clusters",
 }
 _PRIORITY = [
-    # r10 mid-order registrations: first driver rows (r10 VERDICT #2)
+    # r11 mid-order registrations: first driver rows (r11 VERDICT #1)
+    "sft_render_chat_spans",
+    "eval_scores_report",
+    "corpus_datacard_drift",
+    "doremi_domain_weights",
+    # the 46 rows that rested in r11 (49 minus the three designated
+    # retirements ann_ivf_topk / text_unigram_logprob / dedup_clusters)
+    "documents_bpe_token_counts",
+    "documents_shard_plan",
+    "warehouse_snapshot_diff",
+    "events_correlation_matrix",
+    "documents_hashed_embedding",
+    "documents_source_overlap",
+    "documents_pack_sequences",
+    "text_bigram_logprob",
+    "documents_duplicated_spans",
+    "ann_pq_recall_bounds",
+    "documents_jsonl_roundtrip",
+    "scd2_merge_state",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "top_orders_per_customer",
+    "events_hourly_rollup",
+    "events_rollup_hierarchy",
+    "events_sessionize",
+    "part_name_tokens_explode",
+    "orders_without_lineitems_anti",
+    "text_language_id",
+    "text_quality_scores",
+    "corpus_token_budget_sample",
+    "dedup_exact_documents",
+    "dedup_minhash_lsh_pairs",
+    "corpus_clean_docs",
+    "dedup_ngram_jaccard",
+    "ann_lsh_bucket_topk",
+    "dedup_embedding_cosine",
+    "multimodal_decode_stats",
+    "pending_tables_cutoff",
+    "source_table_prompt_payload",
+    "auto_dw_hash_parity",
+    "hub_load_lineitem_composite",
+    "sat_load_lineitem_composite",
+    "link_load_order_part_supplier",
+    "scd2_partitioned_merge",
+    "corpus_contamination_pairs",
+    "corpus_decontaminate",
+    "source_profile_customer",
+    "text_repetition",
+    "dedup_simhash_hamming",
+    "ann_ivf_multiprobe_topk",
+    "documents_zip_format_violations",
+    "dedup_keep_best_documents",
+]
+_DEPRIORITIZED = [
+    # the 50 rows verified in r11 (CORRECTNESS_r11: 50/50 green)
     "quality_binned_sample",
     "tokenizer_stats",
     "inference_batch_plan_stats",
     "corpus_datacard",
     "documents_winnow_fingerprints",
-    # the 45 rows that rested in r10 (50 minus the five retirements
-    # drawn from the resting set)
     "text_word_entropy",
     "documents_dsir_weights",
     "documents_quality_linear",
@@ -291,59 +355,6 @@ _PRIORITY = [
     "ghost_records_customer",
     "status_source_column",
     "tracking_union_except",
-]
-_DEPRIORITIZED = [
-    # the 49 rows verified in r10 (CORRECTNESS_r10 50/50 green) minus
-    # the retired documents_pii_scan
-    "documents_bpe_token_counts",
-    "documents_shard_plan",
-    "warehouse_snapshot_diff",
-    "events_correlation_matrix",
-    "documents_hashed_embedding",
-    "documents_source_overlap",
-    "text_unigram_logprob",
-    "documents_pack_sequences",
-    "text_bigram_logprob",
-    "documents_duplicated_spans",
-    "ann_pq_recall_bounds",
-    "documents_jsonl_roundtrip",
-    "scd2_merge_state",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "top_orders_per_customer",
-    "events_hourly_rollup",
-    "events_rollup_hierarchy",
-    "events_sessionize",
-    "part_name_tokens_explode",
-    "orders_without_lineitems_anti",
-    "text_language_id",
-    "text_quality_scores",
-    "corpus_token_budget_sample",
-    "dedup_exact_documents",
-    "dedup_minhash_lsh_pairs",
-    "dedup_clusters",
-    "corpus_clean_docs",
-    "dedup_ngram_jaccard",
-    "ann_lsh_bucket_topk",
-    "ann_ivf_topk",
-    "dedup_embedding_cosine",
-    "multimodal_decode_stats",
-    "pending_tables_cutoff",
-    "source_table_prompt_payload",
-    "auto_dw_hash_parity",
-    "hub_load_lineitem_composite",
-    "sat_load_lineitem_composite",
-    "link_load_order_part_supplier",
-    "scd2_partitioned_merge",
-    "corpus_contamination_pairs",
-    "corpus_decontaminate",
-    "source_profile_customer",
-    "text_repetition",
-    "dedup_simhash_hamming",
-    "ann_ivf_multiprobe_topk",
-    "documents_zip_format_violations",
-    "dedup_keep_best_documents",
 ]
 
 

@@ -1510,11 +1510,17 @@ def neardup_ingest_apply(
     # batch-mode LSH (band_pair_candidates): an uncapped band-key
     # self-join goes O(n^2) on a boilerplate-heavy micro-batch (one
     # band key shared by most of the batch -- template pages, empty
-    # docs, the classic landing-zone poison). The cap trades only
-    # WHICH pairs witness a hot bucket: star edges keep the bucket one
-    # connected component, so the min-id canonical below is identical
-    # (skewed-batch pin in test_r11_neardup_cap.py). max_probe_bucket
-    # is the one hot-bucket knob for both sides of this function.
+    # docs, the classic landing-zone poison). The cap is the SAME
+    # recall trade batch-mode minhash_lsh_candidates accepts (see
+    # dedup.band_pair_candidates): in a genuinely-duplicate hot bucket
+    # the star edges pass signature verification and CC transitivity
+    # keeps the min-id canonical identical (skewed-batch pin in
+    # test_r11_neardup_cap.py); in a bucket hot from a band COLLISION
+    # among non-duplicates, a member-member near-dup pair can be
+    # missed when its rep edge fails verification -- witness choice
+    # plus bounded recall loss on adversarial collision buckets.
+    # max_probe_bucket is the one hot-bucket knob for both sides of
+    # this function.
     bands = lsh_band_keys_wide(wide, id_col, band_size).localCheckpoint(eager=True)
     within_cand = band_pair_candidates(
         bands, id_col=id_col, max_bucket_size=max_probe_bucket
