@@ -154,6 +154,29 @@ def register(name: str, sql: str | None):
 # Exactly 50. _DEPRIORITIZED = the 50 rows verified in r11
 # (CORRECTNESS_r11: 50/50 green). Invariants re-checked via
 # tests/test_catalog_invariants.py before commit.
+# MID-order r12 registrations (r11 VERDICT directives 2-3; each
+# check_oracle-green at sf0.001 AND sf0.01 AND sf0.1 + clean
+# hard-error dtype_audit before registration; first driver rows due
+# r13, matched 1:1 by _NEXT_RETIREMENT_CANDIDATES below):
+#   documents_ndv_ledger     (HLL split/merge/estimate under the
+#                            bounds-check contract -- the
+#                            events_value_quantile_sketch precedent)
+#   classifier_train_contract (training-population/feature-space
+#                            integers + convergence booleans; EXACT
+#                            WEIGHT PARITY deliberately excluded --
+#                            the gradient is an unordered double sum
+#                            through a nonlinear iteration, the
+#                            order-dependent-float class the r11
+#                            cross-SF sweep eliminated; exact values
+#                            stay pinned at 1e-9 in pytest)
+#   semantic_decontaminate_flags (every-cell-probed = exact
+#                            brute-force flag set; quantized-int64
+#                            cosine, the ANN family contract)
+#   preference_pairs_orders  (all_pairs + cap replay; parquet doubles
+#                            are bit-identical both engines so gaps
+#                            and the cap's total order are exact)
+#   winnow_near_dup_pairs_docs (fingerprint replay + capped bucket
+#                            join + exact 5-shingle Jaccard)
 # Retired r12 (the three the r11 note designated as candidates; final
 # call CONFIRMED -- all three were RESTING in r11, so nothing loses an
 # in-window row; coverage held elsewhere; builders stay benched):
@@ -355,6 +378,45 @@ _DEPRIORITIZED = [
     "ghost_records_customer",
     "status_source_column",
     "tracking_union_except",
+]
+# Designated retirement CANDIDATES for the NEXT rotation (final call
+# at r13; every mid-order registration must be matched by one so the
+# exactly-50 arithmetic closes -- test_catalog_invariants.py enforces
+# len(mid) <= len(this list) and membership in the resting set). All
+# five are in today's resting set (_DEPRIORITIZED); coverage held
+# elsewhere:
+#   quality_binned_sample    (multiplicative-hash rank sampler family
+#                            held by documents_stratified_sample +
+#                            documents_mixture_sample -- same rank
+#                            kernel, exact per-stratum rates; the
+#                            quality-bin input shape rides the
+#                            verified documents_quality_linear score)
+#   documents_span_scrub     (the gram-instance frame + duplicated-
+#                            span flags are documents_duplicated_spans
+#                            verbatim -- scrub is its filter
+#                            composition; that row stays in rotation)
+#   events_value_winsorized_stats (single-pass value-scan clamp aggs
+#                            held by events_value_histogram -- same
+#                            fixed-bin scan shape -- plus the
+#                            quantile-bound contract row
+#                            events_value_quantile_sketch)
+#   events_click_purchase_funnel (conditional-agg pivot on the same
+#                            table and keys held by events_type_pivot;
+#                            the event-ordering family stays via
+#                            events_sessionize)
+#   sat_current_view         (per-key latest-window shape held by
+#                            latest_transformer_responses +
+#                            status_window_flags -- the W1/W2 rows;
+#                            the satellite surface itself stays
+#                            driver-verified via
+#                            dv_round_trip_customer and
+#                            sat_load_lineitem_composite)
+_NEXT_RETIREMENT_CANDIDATES = [
+    "quality_binned_sample",
+    "documents_span_scrub",
+    "events_value_winsorized_stats",
+    "events_click_purchase_funnel",
+    "sat_current_view",
 ]
 
 
@@ -6164,4 +6226,423 @@ def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "domain",
         F.floor(F.col("excess_loss") * 1000000).cast("bigint").alias("excess_e6"),
         F.floor(F.col("weight") * 1000000000).cast("bigint").alias("weight_e9"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-12 registrations (MID-order: outside the 50-row driver cap this
+# round per the rotation note; each locally verified via
+# tools/check_oracle.py at sf0.01 AND sf0.001 + a clean hard-error
+# dtype_audit before registration; first driver rows due r13). The
+# r11 VERDICT directives 2-3: oracle slots for the r11 session ops
+# (NDV ledger, classifier training, semantic decontamination) and the
+# designated r13 candidates (preference pairs, winnowing near-dup).
+# ---------------------------------------------------------------------------
+
+_NDV_BOUNDS_ORACLE = """
+SELECT 'doc_id' AS col_name, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_exact,
+       TRUE AS within_bounds
+FROM documents
+UNION ALL
+SELECT 'lang', COUNT(DISTINCT lang), TRUE FROM documents
+UNION ALL
+SELECT 'source', COUNT(DISTINCT source), TRUE FROM documents
+UNION ALL
+SELECT 'n_chars', COUNT(DISTINCT n_chars), TRUE FROM documents
+"""
+
+
+@register("documents_ndv_ledger", _NDV_BOUNDS_ORACLE)
+def documents_ndv_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-NDV ledger's merge math under the bounds-check
+    oracle contract (events_value_quantile_sketch precedent; r11
+    VERDICT directive 2): split documents into two disjoint halves,
+    sketch each half per column (functions/sketch.py ndv_sketch_rows),
+    register-max-merge the halves exactly as update_ndv_sketches does
+    (hll_union_agg), and verify every merged estimate against the
+    exact distinct count at the published HLL error bound.
+
+    DuckDB cannot reproduce DataSketches register state, but it can
+    state the CONTRACT: per column, (n_exact, within_bounds=TRUE)
+    where within_bounds checks |estimate - exact| <= 5% * exact --
+    3 standard deviations at lg_k=12 (rsd = 1.04 / 2^6 = 1.625%).
+    The exact side lives ONLY in this verifier (one extra documents
+    pass); production reads estimates from the sketch sidecar without
+    ever rescanning the corpus. The split-then-merge shape is the
+    point: a broken merge (register overwrite instead of max) would
+    undercount the half not last written and blow the bound."""
+    from .functions.sketch import ndv_estimates, ndv_sketch_rows
+
+    docs = load_table(spark, sf_dir, "documents")
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    halves = ndv_sketch_rows(docs.filter(F.col("doc_id") % 2 == 0), cols).unionByName(
+        ndv_sketch_rows(docs.filter(F.col("doc_id") % 2 == 1), cols)
+    )
+    merged = halves.groupBy("col_name").agg(
+        F.hll_union_agg("sketch", F.lit(True)).alias("sketch")
+    )
+    est = ndv_estimates(merged)
+    exact = (
+        docs.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("col_name"),
+                            F.col(c).cast("string").alias("value"),
+                        )
+                        for c in cols
+                    ]
+                )
+            ).alias("p")
+        )
+        .select("p.col_name", "p.value")
+        .filter(F.col("value").isNotNull())
+        .groupBy("col_name")
+        .agg(F.countDistinct("value").alias("n_exact"))
+    )
+    return est.join(exact, "col_name").select(
+        "col_name",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        (
+            F.abs(F.col("n_distinct") - F.col("n_exact"))
+            <= F.col("n_exact") * F.lit(0.05)
+        ).alias("within_bounds"),
+    )
+
+
+_TRAIN_CONTRACT_ORACLE = f"""
+WITH toks AS ({_TOKS_SQL}),
+tok AS (
+    SELECT doc_id, lang = 'en' AS is_pos,
+           ('0x' || substr(md5(w), 1, 8))::BIGINT % 4096 AS b
+    FROM toks)
+SELECT CAST(COUNT(DISTINCT CASE WHEN is_pos THEN doc_id END) AS BIGINT) AS n_pos,
+       CAST(COUNT(DISTINCT CASE WHEN NOT is_pos THEN doc_id END) AS BIGINT) AS n_neg,
+       CAST(COUNT(DISTINCT b) AS BIGINT) AS n_feature_buckets,
+       CAST(4096 AS BIGINT) AS n_weight_rows,
+       TRUE AS loss_nonincreasing,
+       TRUE AS final_loss_below_chance
+FROM tok
+"""
+
+
+@register("classifier_train_contract", _TRAIN_CONTRACT_ORACLE)
+def classifier_train_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression training under a contract
+    oracle (r11 VERDICT directive 2): train the en-vs-rest quality
+    classifier on documents (functions/selection.py
+    train_linear_classifier, 6 full-batch iterations) and emit the
+    verifiable one-row contract -- exact training-population and
+    feature-space integers that DuckDB replays bit-for-bit (tokenized
+    doc counts per class, distinct hashed feature buckets, the
+    buckets-row weight table) plus the convergence booleans the
+    training loop must satisfy (per-iteration losses nonincreasing;
+    final loss below ln 2, the zero-model loss -- guaranteed by
+    full-batch descent from w=0 on any non-degenerate fixture).
+
+    EXACT WEIGHT PARITY IS DELIBERATELY NOT THE ORACLE: the gradient
+    is an unordered double sum over docs fed through a nonlinear
+    sigmoid iteration, so cross-engine bit-parity on a 1e-6 grid has
+    irreducible rounding-boundary risk -- precisely the
+    order-dependent-float class the r11 cross-SF sweep eliminated
+    from the catalog. The exact-value check lives in pytest
+    (test_classifier_training.py: 1e-9 parity against a pure-Python
+    reference under controlled partitioning), the driver row verifies
+    the feature plumbing and the training contract."""
+    import math
+
+    from .functions.selection import _token_stream, train_linear_classifier
+
+    docs = load_table(spark, sf_dir, "documents")
+    weights, losses = train_linear_classifier(
+        docs.filter(F.col("lang") == "en"),
+        docs.filter(F.col("lang") != "en"),
+        iters=6,
+    )
+    n_weight_rows = weights.count()  # <= buckets rows by construction
+    mono = all(b <= a for a, b in zip(losses, losses[1:]))
+    below = losses[-1] < math.log(2.0)
+    ts = _token_stream(
+        docs.withColumn("is_pos", F.col("lang") == "en"),
+        "text", "doc_id", 4096, "is_pos",
+    )
+    return ts.agg(
+        F.countDistinct(F.when(F.col("is_pos"), F.col("doc_id"))).alias("n_pos"),
+        F.countDistinct(F.when(~F.col("is_pos"), F.col("doc_id"))).alias("n_neg"),
+        F.countDistinct("b").alias("n_feature_buckets"),
+    ).select(
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        F.col("n_neg").cast("bigint").alias("n_neg"),
+        F.col("n_feature_buckets").cast("bigint").alias("n_feature_buckets"),
+        F.lit(n_weight_rows).cast("bigint").alias("n_weight_rows"),
+        F.lit(bool(mono)).alias("loss_nonincreasing"),
+        F.lit(bool(below)).alias("final_loss_below_chance"),
+    )
+
+
+_CHUNK_IX_CACHE: dict[tuple, object] = {}
+
+
+def _chunk_ix_wh(spark: SparkSession, sf_dir: str):
+    """The persisted chunk-level semantic-search index over documents
+    (semsearch.build_chunk_search_index, library defaults: 64/48 word
+    windows, 64 hashed dims, kmeans stride 50), built once per
+    (session, dataset) into a scratch warehouse -- the same
+    build-once/probe-many accounting as _ivf_wh (the one-time build
+    lands in the bench cold pass)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    wh = _CHUNK_IX_CACHE.get(key)
+    if wh is None:
+        from .functions.semsearch import build_chunk_search_index
+        from .warehouse import Warehouse
+
+        wh = Warehouse(spark, _scratch_dir("chix_"))
+        build_chunk_search_index(wh, load_table(spark, sf_dir, "documents"), "chix")
+        _CHUNK_IX_CACHE[key] = wh
+    return wh
+
+
+# The replay: chunk windows (the documents_chunked_windows shape at
+# 64/48), the hashed-TF-IDF embedding fit on the CHUNK corpus (the
+# documents_hashed_embedding shape at chunk grain, 1e-6 quantized),
+# eval texts embedded under the FROZEN chunk-corpus IDF (LEFT JOIN
+# dfreq: missing dims take the smoothed default ln(n+1)+1), and the
+# exact-int64 quantized cosine of the ANN family. All-zero-quantizing
+# vectors yield 0/0 -> NULL in DuckDB and are dropped by the Arrow
+# kernel -- both sides exclude them.
+_SEMDECON_ORACLE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+c AS (SELECT doc_id, w,
+             unnest(generate_series(0,
+                 greatest(1, CAST(ceil((len(w) - 64) / 48.0) AS BIGINT)
+                             + 1) - 1)) AS chunk_id
+      FROM w),
+chunks AS (
+    SELECT doc_id, chunk_id, doc_id * 1048576 + chunk_id AS ck,
+           array_to_string(list_slice(w, chunk_id * 48 + 1,
+                                      chunk_id * 48 + 64), ' ') AS chunk_text
+    FROM c),
+ctoks AS (
+    SELECT ck, unnest(list_filter(regexp_split_to_array(trim(
+               regexp_replace(lower(chunk_text), '[^a-z0-9]+', ' ', 'g')),
+               '\\s+'), x -> x <> '')) AS word
+    FROM chunks),
+cm AS (
+    SELECT ck, hv % 64 AS dim, SUM(((hv >> 15) % 2) * 2 - 1) AS tfs
+    FROM (SELECT ck, ('0x' || substr(md5(word), 1, 8))::BIGINT AS hv FROM ctoks)
+    GROUP BY 1, 2),
+dfreq AS (SELECT dim, COUNT(*) AS df FROM cm GROUP BY dim),
+nd AS (SELECT COUNT(DISTINCT ck) AS n FROM cm),
+cw AS (SELECT cm.ck, cm.dim,
+              CAST(cm.tfs AS DOUBLE)
+                  * (ln((nd.n + 1) / CAST(dfreq.df + 1 AS DOUBLE)) + 1.0) AS v
+       FROM cm JOIN dfreq USING (dim) CROSS JOIN nd),
+cn AS (SELECT ck, sqrt(SUM(v * v)) AS nrm FROM cw GROUP BY ck),
+cq AS (SELECT g.ck, g.dim,
+              CAST(ROUND(COALESCE(cw.v / NULLIF(cn.nrm, 0), 0) * 1000000, 0)
+                   AS BIGINT) AS q
+       FROM (SELECT k.ck, d.dim
+             FROM (SELECT DISTINCT ck FROM cm) k
+             CROSS JOIN (SELECT unnest(range(0, 64)) AS dim) d) g
+       JOIN cn ON g.ck = cn.ck
+       LEFT JOIN cw ON g.ck = cw.ck AND g.dim = cw.dim),
+cnorm AS (SELECT ck, SUM(q * q) AS qn FROM cq GROUP BY ck),
+etoks AS (
+    SELECT doc_id AS eval_id, unnest(list_filter(regexp_split_to_array(trim(
+               regexp_replace(lower(chunk_text), '[^a-z0-9]+', ' ', 'g')),
+               '\\s+'), x -> x <> '')) AS word
+    FROM chunks WHERE chunk_id = 0 AND doc_id % 50 = 0),
+em AS (
+    SELECT eval_id, hv % 64 AS dim, SUM(((hv >> 15) % 2) * 2 - 1) AS tfs
+    FROM (SELECT eval_id, ('0x' || substr(md5(word), 1, 8))::BIGINT AS hv
+          FROM etoks)
+    GROUP BY 1, 2),
+ew AS (SELECT em.eval_id, em.dim,
+              CAST(em.tfs AS DOUBLE)
+                  * (ln((nd.n + 1) / CAST(COALESCE(dfreq.df, 0) + 1 AS DOUBLE))
+                     + 1.0) AS v
+       FROM em LEFT JOIN dfreq USING (dim) CROSS JOIN nd),
+en AS (SELECT eval_id, sqrt(SUM(v * v)) AS nrm FROM ew GROUP BY eval_id),
+eq AS (SELECT ew.eval_id, ew.dim,
+              CAST(ROUND(COALESCE(ew.v / NULLIF(en.nrm, 0), 0) * 1000000, 0)
+                   AS BIGINT) AS q
+       FROM ew JOIN en USING (eval_id)),
+dots AS (
+    SELECT e.eval_id, c.ck, SUM(e.q * c.q) AS dot
+    FROM eq e JOIN cq c USING (dim)
+    WHERE e.q <> 0 AND c.q <> 0
+    GROUP BY 1, 2),
+enorm AS (SELECT eval_id, SUM(q * q) AS qn FROM eq GROUP BY eval_id),
+flags AS (
+    SELECT d.eval_id, d.ck,
+           CAST(d.dot AS DOUBLE) /
+               (sqrt(CAST(ev.qn AS DOUBLE)) * sqrt(CAST(cv.qn AS DOUBLE))) AS cosine
+    FROM dots d
+    JOIN enorm ev USING (eval_id)
+    JOIN cnorm cv ON d.ck = cv.ck
+    WHERE ev.qn > 0 AND cv.qn > 0)
+SELECT eval_id, CAST(ck // 1048576 AS BIGINT) AS doc_id,
+       CAST(ck % 1048576 AS BIGINT) AS chunk_id, cosine
+FROM flags WHERE cosine >= 0.85
+"""
+
+
+@register("semantic_decontaminate_flags", _SEMDECON_ORACLE)
+def semantic_decontaminate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic eval-set decontamination against the persisted chunk
+    index (functions/semsearch.py semantic_decontaminate; r11 VERDICT
+    directive 2): eval texts = the first 64/48-word chunk of every
+    50th document (verbatim leaks by construction -- each flags at
+    least its own source chunk at cosine ~1.0), searched against the
+    full chunk index with n_probes > n_cells so the IVF probe is
+    EXACTLY brute force and the flag set is the complete
+    cosine >= 0.85 threshold set -- the same every-cell-probed pin
+    ann_ivf_index_search uses. The cosine is the ANN family's exact
+    quantized-int64 contract (1e-6 grid coordinates, int dot, IEEE
+    dot/(sqrt*sqrt)), so the value itself cross-checks; the recall
+    knob's PRUNED behavior keeps its measured-curve coverage in
+    pytest/SCALE.md (probes=2 floor >= 0.9)."""
+    from .functions.semsearch import semantic_decontaminate
+    from .functions.text import chunk_documents
+
+    wh = _chunk_ix_wh(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    ev = (
+        chunk_documents(docs, 64, 48)
+        .filter((F.col("doc_id") % 50 == 0) & (F.col("chunk_id") == 0))
+        .select(F.col("doc_id").alias("eval_id"), "chunk_text")
+    )
+    return semantic_decontaminate(
+        wh, "chix", ev,
+        threshold=0.85, k=500, n_probes=1_000_000,
+        eval_id_col="eval_id", text_col="chunk_text",
+    ).select(
+        F.col("eval_id").cast("bigint").alias("eval_id"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        "cosine",
+    )
+
+
+_PREFERENCE_ORACLE = """
+WITH r AS (
+    SELECT o_custkey AS prompt_id, o_orderkey AS response_id,
+           o_totalprice AS score
+    FROM orders),
+pairs AS (
+    SELECT a.prompt_id, a.response_id AS chosen_id,
+           b.response_id AS rejected_id,
+           a.score AS chosen_score, b.score AS rejected_score,
+           a.score - b.score AS score_gap
+    FROM r a JOIN r b ON a.prompt_id = b.prompt_id
+    WHERE a.score > b.score),
+capped AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY prompt_id
+        ORDER BY score_gap DESC, chosen_id, rejected_id) AS rn
+    FROM pairs)
+SELECT prompt_id, chosen_id, rejected_id,
+       chosen_score, rejected_score, score_gap
+FROM capped WHERE rn <= 8
+"""
+
+
+@register("preference_pairs_orders", _PREFERENCE_ORACLE)
+def preference_pairs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO/RLHF preference-pair assembly (functions/preference.py
+    preference_pairs, all_pairs strategy; the r11 note's designated
+    r13 candidate): orders as a ratings table (prompt = customer,
+    response = order, score = total price), every strictly-ordered
+    pair kept gap-descending up to 8 per prompt. Fully deterministic
+    cross-engine: scores are the SAME parquet doubles on both sides,
+    so gaps are bit-identical IEEE subtractions and the cap window's
+    total order (gap desc, chosen id, rejected id) resolves ties
+    identically; zero-gap (tied) pairs never emit after the r12
+    ADVICE fix -- strictness is part of the contract under test."""
+    from .functions.preference import preference_pairs
+
+    return preference_pairs(
+        load_table(spark, sf_dir, "orders").select(
+            F.col("o_custkey").alias("prompt_id"),
+            F.col("o_orderkey").alias("response_id"),
+            F.col("o_totalprice").alias("score"),
+        ),
+        strategy="all_pairs",
+        max_pairs_per_prompt=8,
+    )
+
+
+# Winnowing near-dup replay at the operator defaults (k=16 grams,
+# w=8 windows): the _WINNOW_ORACLE shape re-parameterized, the
+# hot-bucket row_number cap, pair overlap counts, then the exact
+# 5-shingle Jaccard verifier of the dedup_ngram_jaccard shape on
+# whitespace-collapsed text. jaccard is an exact-int division --
+# deterministic IEEE cross-engine.
+_WINNOW_NEARDUP_ORACLE = r"""
+WITH n AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS nm
+  FROM documents),
+g AS (
+  SELECT doc_id, u.pos,
+         ('0x' || substr(md5(substr(nm, u.pos, 16)), 1, 8))::BIGINT AS h
+  FROM n,
+       LATERAL (SELECT unnest(generate_series(1, length(nm) - 15)) AS pos) u
+  WHERE length(nm) >= 16),
+k AS (
+  SELECT doc_id, pos, h * 1048576 + (1048575 - pos) AS key
+  FROM g),
+m AS (
+  SELECT doc_id,
+         MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS mk,
+         COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wn
+  FROM k),
+fps AS (
+  SELECT DISTINCT doc_id, CAST(mk // 1048576 AS BIGINT) AS fp_hash
+  FROM m WHERE wn = 8),
+capped AS (
+  SELECT doc_id, fp_hash,
+         ROW_NUMBER() OVER (PARTITION BY fp_hash ORDER BY doc_id) AS rn
+  FROM fps),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_fps
+  FROM (SELECT * FROM capped WHERE rn <= 256) a
+  JOIN (SELECT * FROM capped WHERE rn <= 256) b
+    ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+sh AS (
+  SELECT doc_id,
+         list_distinct([substr(norm, i, 5)
+             for i in range(1, greatest(length(norm) - 4, 1) + 1)]) AS sh
+  FROM (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS norm
+        FROM documents))
+SELECT cand.id_a, cand.id_b, CAST(cand.shared_fps AS BIGINT) AS shared_fps,
+       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+           (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+FROM cand JOIN sh a ON cand.id_a = a.doc_id
+          JOIN sh b ON cand.id_b = b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+"""
+
+
+@register("winnow_near_dup_pairs_docs", _WINNOW_NEARDUP_ORACLE)
+def winnow_near_dup_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-candidates near-dup pairs with exact shingle-Jaccard
+    verification (functions/text.py winnow_near_dup_pairs at the
+    operator defaults; the r11 note's designated r13 candidate):
+    MOSS fingerprints (k=16, w=8) -> hot-bucket-capped overlap join
+    (>= 2 shared fingerprints) -> exact 5-shingle Jaccard >= 0.5.
+    Everything the hash touches is exact integers except the final
+    jaccard, an exact-int division (deterministic IEEE); the packed
+    min-key, the cap's (fp_hash, doc_id) total order, and the overlap
+    counts replay bit-for-bit."""
+    from .functions.text import winnow_near_dup_pairs
+
+    return winnow_near_dup_pairs(load_table(spark, sf_dir, "documents")).select(
+        "id_a", "id_b",
+        F.col("shared_fps").cast("bigint").alias("shared_fps"),
+        "jaccard",
     )

@@ -44,13 +44,29 @@ def test_no_row_more_than_one_round_stale():
     first driver row next round). Anything else would rot unverified."""
     covered = set(qc._PRIORITY) | set(qc._DEPRIORITIZED) | qc._RETIRED
     uncovered = [n for n in qc._QUERIES if n not in covered]
-    # mid-order registrations are allowed but must stay under the slack
-    # the next rotation can absorb (50 - len(next round's resting set))
+    # mid-order registrations are allowed, but each must be matched by
+    # a DESIGNATED retirement candidate so the next rotation's
+    # exactly-50 arithmetic closes (r12 tightening of the old "+3
+    # grace": the slack is now an explicit, checkable list, not a
+    # fudge factor)
     slack = 50 - len(qc._DEPRIORITIZED)
-    assert len(uncovered) <= max(slack, 0) + 3, (
-        f"{len(uncovered)} mid-order rows but only ~{slack} free slots "
-        f"next round -- designate retirements in the rotation note"
+    budget = max(slack, 0) + len(qc._NEXT_RETIREMENT_CANDIDATES)
+    assert len(uncovered) <= budget, (
+        f"{len(uncovered)} mid-order rows but only {budget} absorbable "
+        f"next round -- designate more retirement candidates"
     )
+
+
+def test_retirement_candidates_are_resting_and_distinct():
+    """Candidates must come from the RESTING set (they were verified
+    last round, so retiring them never loses an in-window row -- the
+    r11 pii_scan lesson) and must not collide with anything already
+    retired."""
+    cands = qc._NEXT_RETIREMENT_CANDIDATES
+    assert len(set(cands)) == len(cands)
+    not_resting = [c for c in cands if c not in set(qc._DEPRIORITIZED)]
+    assert not_resting == [], not_resting
+    assert not (set(cands) & qc._RETIRED)
 
 
 def test_every_rotation_row_has_an_oracle():
