@@ -315,10 +315,19 @@ def semantic_decontaminate(
     Recall contract is the IVF one: a contaminated chunk in an
     unprobed cell is missed; ``n_probes`` (default 4, twice the
     search default) is the recall knob, and the exact family remains
-    the backstop for verbatim leaks. ``threshold`` calibrates on the
-    hashed-BoW space: near-verbatim text scores ~0.9+, topical
-    similarity ~0.3-0.6 (the probe fixture's planted paraphrases clear
-    0.85; unrelated prose stays under 0.5)."""
+    the backstop for verbatim leaks. MEASURED (r12,
+    tools/probe_semdecon_quality.py on the sf0.01/sf0.001 corpora;
+    floors pinned in tests/test_semdecon_quality.py): paraphrase-grade
+    rewording (reorder + ~15% drop/substitute) scores 0.9-0.95 and
+    flags COMPLETELY at threshold 0.85 under exact search; the probe
+    knob traces recall 0.52/0.82/0.94/1.0 at probes 1/2/4/all;
+    fully out-of-vocabulary text never flags at any threshold >= 0.5.
+    ``threshold`` calibration is CORPUS-DEPENDENT through the IDF
+    geometry: on narrow-vocabulary corpora, 50%-token-overlap topical
+    text scores up to ~0.9 (separation arrives at threshold ~0.9);
+    on diverse prose (the pytest fixtures) topical similarity sits at
+    ~0.3-0.6 and the 0.85 default separates cleanly. Sweep the probe
+    tool on a corpus sample before trusting a threshold."""
     from .retrieval import ivf_search_frame
     from .selection import hashed_embedding
 
