@@ -463,6 +463,79 @@ def simhash_near_pairs(
     )
 
 
+def hamming_chunk_pairs(
+    hashes: DataFrame,
+    hash_col: str,
+    id_col: str,
+    max_hamming: int,
+    bits: int,
+    n_chunks: int,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Generic pigeonhole near-pair join over ANY integer fingerprint
+    frame (the Manku et al., WWW'07 trick simhash_chunk_pairs
+    established; factored out in r12 so the perceptual-hash image
+    family reuses it): split the ``bits``-bit hash into ``n_chunks``
+    equal bit-chunks; a pair within hamming k < n_chunks must agree
+    exactly on >= n_chunks - k chunks, so agreeing on at least one
+    chunk is a COMPLETE candidate filter. The join shuffles on
+    (chunk position, chunk value) -- never the O(n^2) pair space.
+
+    ``max_bucket_size`` (opt-in) row_number-caps hot (pos, val)
+    buckets -- constant media (a corpus of identical blank thumbnails
+    all hashing to 0) makes one bucket quadratic, the landing-zone
+    poison. The cap trades bounded recall on oversize buckets for a
+    hard pair bound, the same trade band_pair_candidates documents;
+    completeness holds exactly whenever every bucket fits the cap."""
+    assert max_hamming < n_chunks, "pigeonhole needs k < n_chunks"
+    chunk_bits = bits // n_chunks
+    mask = (1 << chunk_bits) - 1
+    s = hashes.select(F.col(id_col), F.col(hash_col).alias("__h"))
+    chunks = s.select(
+        F.col(id_col),
+        F.col("__h"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("pos"),
+                        F.expr(f"shiftright(__h, {i * chunk_bits})")
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "__h", F.col("c.pos").alias("pos"), F.col("c.val").alias("val"))
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("pos", "val").orderBy(id_col)
+        chunks = (
+            chunks.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_bucket_size)
+            .drop("__rn")
+        )
+    a = chunks.select(
+        F.col(id_col).alias("id_a"), F.col("__h").alias("h_a"), "pos", "val"
+    )
+    b = chunks.select(
+        F.col(id_col).alias("id_b"), F.col("__h").alias("h_b"), "pos", "val"
+    )
+    return (
+        a.join(b, ["pos", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def simhash_chunk_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -472,53 +545,18 @@ def simhash_chunk_pairs(
     n_chunks: int = 4,
 ) -> DataFrame:
     """Blocking-free near-dup pairs: hamming(simhash) <= k via the
-    pigeonhole chunk trick (Manku et al., WWW'07). Split the
-    fingerprint into ``n_chunks`` equal bit-chunks; any pair within
-    hamming k < n_chunks must agree exactly on >= n_chunks - k chunks,
-    so with k < n_chunks agreeing on at least one chunk is a complete
-    candidate filter. The candidate join shuffles on (chunk position,
-    chunk value) -- never the O(n^2) pair space and no semantic
-    blocking key needed (vs. simhash_near_pairs)."""
-    assert max_hamming < n_chunks, "pigeonhole needs k < n_chunks"
-    chunk_bits = bits // n_chunks
-    mask = (1 << chunk_bits) - 1
+    pigeonhole chunk trick (Manku et al., WWW'07) -- the shared
+    ``hamming_chunk_pairs`` join over the text simhash. The candidate
+    join shuffles on (chunk position, chunk value) -- never the
+    O(n^2) pair space and no semantic blocking key needed (vs.
+    simhash_near_pairs)."""
     # Pin the fingerprints: one (id, simhash) row per doc -- tiny vs the
     # corpus -- so both sides of the chunk join read the one computed
     # pass instead of re-hashing every token per side.
     s = simhash(df, text_col, id_col).localCheckpoint(eager=False)
-    chunks = s.select(
-        F.col(id_col),
-        F.col("simhash"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("pos"),
-                        F.expr(f"shiftright(simhash, {i * chunk_bits})")
-                        .bitwiseAND(F.lit(mask))
-                        .alias("val"),
-                    )
-                    for i in range(n_chunks)
-                ]
-            )
-        ).alias("c"),
-    ).select(id_col, "simhash", F.col("c.pos").alias("pos"), F.col("c.val").alias("val"))
-    a = chunks.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "pos", "val"
-    )
-    b = chunks.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "pos", "val"
-    )
-    return (
-        a.join(b, ["pos", "val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
+    return hamming_chunk_pairs(
+        s, "simhash", id_col,
+        max_hamming=max_hamming, bits=bits, n_chunks=n_chunks,
     )
 
 

@@ -301,3 +301,155 @@ def embed_media(media: DataFrame, dims: int = 64) -> DataFrame:
     return media.select("media_id", "media_type", "payload").mapInPandas(
         body, schema=EMBED_SCHEMA
     )
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("dhash", T.LongType(), True),
+        T.StructField("phash", T.LongType(), True),
+    ]
+)
+
+
+def _gray_grid(payload: bytes | None, w: int, h: int) -> list[int]:
+    """Deterministic stub 'downscale' to a w x h grayscale grid:
+    average contiguous payload-byte segments per cell. Locality-
+    preserving exactly like a real box-filter downscale -- a small
+    payload edit perturbs few cells, so perceptual-hash MATH is
+    genuinely exercisable on the stub (unlike an all-zero thumbnail,
+    which would hash every image identically). The real path replaces
+    this with PIL ``convert('L').resize((w, h))`` pixels; nothing
+    downstream changes."""
+    b = payload or b""
+    n = len(b)
+    cells = w * h
+    if n == 0:
+        return [0] * cells
+    out = []
+    for i in range(cells):
+        lo = i * n // cells
+        hi = max((i + 1) * n // cells, lo + 1)
+        seg = b[lo:hi]
+        out.append(sum(seg) // len(seg))
+    return out
+
+
+def _to_i64(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _dhash64(grid: list[int], w: int = 9, h: int = 8) -> int:
+    """64-bit difference hash: bit (r*8 + c) = [row r cell c+1 > cell
+    c] over a 9x8 grid -- gradient signs, the classic dHash (Krawetz).
+    Pure integer comparisons on the grid."""
+    v = 0
+    bit = 0
+    for r in range(h):
+        row = grid[r * w : (r + 1) * w]
+        for c in range(w - 1):
+            if row[c + 1] > row[c]:
+                v |= 1 << bit
+            bit += 1
+    return _to_i64(v)
+
+
+def _phash64(grid: list[int], n: int = 32) -> int:
+    """64-bit perceptual hash: 2-D DCT-II of a 32x32 grid (plain
+    cosine-matrix matmul, no scipy), keep the 8x8 low-frequency block,
+    bit = [coefficient > median of the block excluding DC]. More
+    robust than dHash to global contrast shifts; costs a 32x32
+    matmul per image (vectorized numpy, amortized over the Arrow
+    batch)."""
+    import numpy as np
+
+    m = np.asarray(grid, dtype=np.float64).reshape(n, n)
+    k = np.arange(n)
+    c = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    low = (c @ m @ c.T)[:8, :8].ravel()
+    med = float(np.median(low[1:]))
+    v = 0
+    for i in range(64):
+        if low[i] > med:
+            v |= 1 << i
+    return _to_i64(v)
+
+
+def perceptual_hashes(media: DataFrame) -> DataFrame:
+    """(media_id, dhash, phash) for every IMAGE row: decode to a
+    grayscale grid (PIL on real encoded payloads, the deterministic
+    locality-preserving stub otherwise -- the module's documented
+    codec seam) and compute both 64-bit perceptual hashes in one
+    Arrow pass. Non-image rows are dropped (video near-dup runs the
+    same kernel over ``sample_frames`` output frame bytes). NULL
+    payload -> NULL hashes (never a fake all-zero fingerprint).
+
+    Scale shape: map-only (no shuffle), one decoded grid serves both
+    hashes; downstream pairing is the pigeonhole chunk join
+    (``image_near_dup_pairs``), so the corpus never materializes a
+    pair space. Reference analog: none (the reference has no media
+    surface); public method: Krawetz dHash / DCT pHash."""
+
+    def _grids(payload: bytes | None):
+        if payload is None:
+            return None, None
+        if _is_encoded_image(payload) and _HAVE_PIL:
+            import io
+
+            with _PILImage.open(io.BytesIO(payload)) as img:
+                g = img.convert("L")
+                small = list(g.resize((9, 8)).getdata())
+                big = list(g.resize((32, 32)).getdata())
+            return small, big
+        return _gray_grid(payload, 9, 8), _gray_grid(payload, 32, 32)
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["media_type"] == "image"]
+            if not len(pdf):
+                continue
+            dh, ph = [], []
+            for payload in pdf["payload"]:
+                small, big = _grids(payload)
+                dh.append(None if small is None else _dhash64(small))
+                ph.append(None if big is None else _phash64(big))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "dhash": pd.array(dh, dtype="Int64"),
+                    "phash": pd.array(ph, dtype="Int64"),
+                }
+            )
+
+    return media.select("media_id", "media_type", "payload").mapInPandas(
+        body, schema=PHASH_SCHEMA
+    )
+
+
+def image_near_dup_pairs(
+    media: DataFrame,
+    max_hamming: int = 6,
+    hash_col: str = "dhash",
+    n_chunks: int = 8,
+    max_bucket_size: int = 256,
+) -> DataFrame:
+    """Perceptual-hash image near-dup pairs: (id_a, id_b, hamming)
+    where hamming(dhash or phash) <= ``max_hamming`` -- the image twin
+    of ``dedup.simhash_chunk_pairs``, riding the SAME pigeonhole
+    blocking (``dedup.hamming_chunk_pairs``; 64 bits, 8 chunks, so any
+    pair within hamming 7 shares a chunk and the candidate filter is
+    complete up to the hot-bucket cap). Hot buckets ARE real here --
+    blank/constant images all hash identically -- so the cap is on by
+    default, the landing-zone discipline. Feed the pairs to
+    ``dedup.connected_components`` for clusters and keep-best, exactly
+    like the text families; NULL-hash rows (NULL payloads) never pair."""
+    from .dedup import hamming_chunk_pairs
+
+    hashes = perceptual_hashes(media).filter(
+        F.col(hash_col).isNotNull()
+    ).localCheckpoint(eager=False)
+    return hamming_chunk_pairs(
+        hashes, hash_col, "media_id",
+        max_hamming=max_hamming, bits=64, n_chunks=n_chunks,
+        max_bucket_size=max_bucket_size,
+    )

@@ -411,6 +411,13 @@ _DEPRIORITIZED = [
 #                            driver-verified via
 #                            dv_round_trip_customer and
 #                            sat_load_lineitem_composite)
+# r13 oracle CANDIDATE (new r12 session op, pytest-verified):
+# image_near_dup_pairs over perceptual_hashes -- integer-only emit
+# (id_a, id_b, hamming) with the deterministic stub codec; the DuckDB
+# replay is hex(payload) -> 2-char byte slices -> per-cell averages
+# over generate_series ranges -> dhash bit comparisons -> the
+# pigeonhole chunk join (all integer). Needs its own
+# retire-and-replace designation when registered.
 _NEXT_RETIREMENT_CANDIDATES = [
     "quality_binned_sample",
     "documents_span_scrub",
