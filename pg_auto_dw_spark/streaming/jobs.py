@@ -714,6 +714,13 @@ def jsonl_ingest_apply(
     batch_df,
     batch_id: int,
     corrupt_col: str = "_corrupt_record",
+    *,
+    rejected_table: str | None = None,
+    quality_gopher: bool = False,
+    gopher_kwargs: dict | None = None,
+    quality_weights=None,
+    min_quality_score: float = 0.0,
+    text_col: str = "text",
 ) -> dict:
     """Apply one micro-batch of raw JSONL lines transactionally:
     parse/split with the same from_json contract as
@@ -725,20 +732,46 @@ def jsonl_ingest_apply(
     commit left no partial append to collide with (the journal
     roll-forward lands all three tables or none).
 
+    OPTIONAL QUALITY GATE (r11 VERDICT directive 6): with
+    ``rejected_table`` set, typed rows must also pass
+    (a) the Gopher rule verdict (``quality_gopher=True`` -- pure
+    map-only expressions composed into the same scan, the
+    text.gopher_exprs composition the datacard uses; tune via
+    ``gopher_kwargs``) and
+    (b) the trained linear quality classifier
+    (``quality_weights`` = the (b, wt) table
+    ``selection.train_linear_classifier`` returns; serving via
+    ``hashed_linear_score`` -- broadcast model, batch-sized rollup
+    keyed on a checkpoint-pinned row key so NULL/duplicate doc ids
+    route by their own text, never by an id join) at
+    ``score >= min_quality_score``.
+    Failing rows land VERBATIM-typed in ``rejected_table`` (kept for
+    audit/threshold recalibration, excluded from training data by
+    construction); a row with no score (zero tokens) fails. The gate
+    adds one batch-sized pass -- the LEDGER is never scanned or
+    shuffled by it.
+
     The ledger (``<clean_table>.ingest_log``) and the stream checkpoint
     must live and die together: wiping the checkpoint restarts batch
     numbering at 0, which the surviving ledger would treat as already
     ingested. That is the standard transactional-foreachBatch contract,
     stated here so operators don't discover it in production.
 
-    Returns {"clean": n, "quarantined": n, "replay": bool}."""
+    Returns {"clean": n, "quarantined": n[, "rejected": n],
+    "replay": bool}."""
     from pyspark.sql import functions as F
 
+    gate_on = rejected_table is not None and (
+        quality_gopher or quality_weights is not None
+    )
     ledger = f"{clean_table}.ingest_log"
     if not wh.exists(ledger):
         wh.create_table(ledger, T.StructType([T.StructField("batch_id", T.LongType())]))
     if wh.read(ledger).filter(F.col("batch_id") == batch_id).count() > 0:
-        return {"clean": 0, "quarantined": 0, "replay": True}
+        out = {"clean": 0, "quarantined": 0, "replay": True}
+        if gate_on:
+            out["rejected"] = 0
+        return out
 
     from ..sources import split_jsonl_lines
 
@@ -748,6 +781,39 @@ def jsonl_ingest_apply(
         corrupt_col,
     )
 
+    rejected = None
+    if gate_on:
+        verdict = F.lit(True)
+        frame = clean
+        if quality_gopher:
+            from ..functions.text import gopher_exprs
+
+            _c, _r, gv = gopher_exprs(F.col(text_col), **(gopher_kwargs or {}))
+            verdict = verdict & gv
+        if quality_weights is not None:
+            from ..functions.selection import hashed_linear_score
+
+            # checkpoint-pinned synthetic row key: the gate must route
+            # every row by its OWN text (NULL or colliding doc ids
+            # would misfile under an id join, the decontam-zone rule)
+            frame = frame.withColumn(
+                "__qrk", F.monotonically_increasing_id()
+            ).localCheckpoint()
+            scores = hashed_linear_score(
+                frame.select("__qrk", text_col),
+                weights=quality_weights,
+                text_col=text_col,
+                id_col="__qrk",
+            ).select("__qrk", F.col("score").alias("__qscore"))
+            frame = frame.join(scores, "__qrk", "left")
+            verdict = verdict & (F.col("__qscore") >= F.lit(min_quality_score))
+        flagged = frame.withColumn(
+            "__qpass", F.coalesce(verdict, F.lit(False))
+        ).localCheckpoint()
+        helper_cols = [c for c in ("__qrk", "__qscore", "__qpass") if c in flagged.columns]
+        clean = flagged.filter(F.col("__qpass")).drop(*helper_cols)
+        rejected = flagged.filter(~F.col("__qpass")).drop(*helper_cols)
+
     if not wh.exists(clean_table):
         wh.create_table(clean_table, schema)
     if not wh.exists(quarantine_table):
@@ -755,19 +821,29 @@ def jsonl_ingest_apply(
             quarantine_table,
             T.StructType([T.StructField("raw_line", T.StringType())]),
         )
+    if gate_on and not wh.exists(rejected_table):
+        wh.create_table(rejected_table, schema)
     spark = wh.spark
-    with wh.transaction([clean_table, quarantine_table, ledger]) as txn:
+    tables = [clean_table, quarantine_table, ledger]
+    if gate_on:
+        tables.insert(2, rejected_table)
+    with wh.transaction(tables) as txn:
         txn.append(clean_table, clean)
         txn.append(quarantine_table, quarantined)
+        if gate_on:
+            txn.append(rejected_table, rejected)
         txn.append(
             ledger,
             spark.createDataFrame([(int(batch_id),)], "batch_id bigint"),
         )
-    return {
+    out = {
         "clean": clean.count(),
         "quarantined": quarantined.count(),
         "replay": False,
     }
+    if gate_on:
+        out["rejected"] = rejected.count()
+    return out
 
 
 def jsonl_ingest_stream(
@@ -779,6 +855,7 @@ def jsonl_ingest_stream(
     quarantine_table: str,
     checkpoint_dir: str,
     corrupt_col: str = "_corrupt_record",
+    **quality_gate,
 ):
     """Streaming landing-zone JSONL ingestion: new files under
     ``source_dir`` stream in as raw lines, split into typed clean rows
@@ -787,14 +864,23 @@ def jsonl_ingest_stream(
     the streaming twin of ``sources.read_jsonl_quarantine`` and the
     front door a continuously-crawling corpus feed needs. State is
     only the file-source log; the parse is stateless, so the stream
-    scales with file arrival rate, not corpus size."""
+    scales with file arrival rate, not corpus size.
+
+    ``quality_gate`` kwargs pass through to ``jsonl_ingest_apply``
+    (rejected_table / quality_gopher / gopher_kwargs / quality_weights
+    / min_quality_score / text_col): the trained-classifier + Gopher
+    quality gate, so the landing zone admits training-eligible text
+    only -- train once with ``selection.train_linear_classifier``,
+    collect-free broadcast serving per batch. The weights frame is
+    evaluated per batch; pass a localCheckpoint-pinned frame so a
+    restarted stream serves the same model bytes."""
 
     def sink(batch_df, batch_id):
         if batch_df.isEmpty():
             return
         jsonl_ingest_apply(
             wh, clean_table, quarantine_table, schema, batch_df, batch_id,
-            corrupt_col,
+            corrupt_col, **quality_gate,
         )
 
     return (
