@@ -177,6 +177,9 @@ def register(name: str, sql: str | None):
 #                            and the cap's total order are exact)
 #   winnow_near_dup_pairs_docs (fingerprint replay + capped bucket
 #                            join + exact 5-shingle Jaccard)
+#   image_near_dup_pairs_docs (perceptual dHash over the stub codec +
+#                            the shared capped pigeonhole join --
+#                            hex-slice byte replay, all integers)
 # Retired r12 (the three the r11 note designated as candidates; final
 # call CONFIRMED -- all three were RESTING in r11, so nothing loses an
 # in-window row; coverage held elsewhere; builders stay benched):
@@ -411,19 +414,24 @@ _DEPRIORITIZED = [
 #                            driver-verified via
 #                            dv_round_trip_customer and
 #                            sat_load_lineitem_composite)
-# r13 oracle CANDIDATE (new r12 session op, pytest-verified):
-# image_near_dup_pairs over perceptual_hashes -- integer-only emit
-# (id_a, id_b, hamming) with the deterministic stub codec; the DuckDB
-# replay is hex(payload) -> 2-char byte slices -> per-cell averages
-# over generate_series ranges -> dhash bit comparisons -> the
-# pigeonhole chunk join (all integer). Needs its own
-# retire-and-replace designation when registered.
+# (The r12 session op image_near_dup_pairs was REGISTERED same-round
+# as image_near_dup_pairs_docs once its hex-slice byte replay proved
+# exact -- see the registration at the end of this file -- so it takes
+# the sixth candidate slot below instead of an r13 candidacy note.)
+#   q13_order_count_distribution (sixth candidate, matching the sixth
+#                            mid-order registration: the LEFT-join
+#                            count-distribution shape is held by
+#                            q18_large_volume_orders +
+#                            q22_inactive_rich_customers (join-back /
+#                            anti family) and J1 stays driver-covered
+#                            via the status rows)
 _NEXT_RETIREMENT_CANDIDATES = [
     "quality_binned_sample",
     "documents_span_scrub",
     "events_value_winsorized_stats",
     "events_click_purchase_funnel",
     "sat_current_view",
+    "q13_order_count_distribution",
 ]
 
 
@@ -6653,3 +6661,82 @@ def winnow_near_dup_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("shared_fps").cast("bigint").alias("shared_fps"),
         "jaccard",
     )
+
+
+# The image near-dup replay (registered r12, upgrading the r13
+# candidacy note after the hex-slice byte replay proved byte-exact):
+# synth image payloads (doc_id % 3 = 0, payload = UTF-8 text bytes),
+# the locality-preserving stub grid (per-cell byte averages over
+# hex-string slices), dHash bit assembly through HUGEINT with the
+# signed-64 fold, then the pigeonhole chunk join with the hot-bucket
+# row_number cap -- all exact integers end to end.
+_IMAGE_NEARDUP_ORACLE = """
+WITH img AS (
+  SELECT doc_id, encode(text) AS payload FROM documents WHERE doc_id % 3 = 0),
+b AS (
+  SELECT doc_id, hex(payload) AS hx, octet_length(payload) AS n FROM img),
+seg AS (
+  SELECT doc_id, u.cell,
+         (u.cell * n) // 72 AS lo,
+         greatest(((u.cell + 1) * n) // 72, (u.cell * n) // 72 + 1) AS hi
+  FROM b, LATERAL (SELECT unnest(range(0, 72)) AS cell) u
+  WHERE n > 0),
+bts AS (
+  SELECT doc_id, cell, hi - lo AS cnt, unnest(generate_series(lo + 1, hi)) AS i
+  FROM seg),
+vals AS (
+  SELECT b2.doc_id, b2.cell, b2.cnt,
+         ('0x' || substr(b.hx, 2 * b2.i - 1, 2))::BIGINT AS v
+  FROM bts b2 JOIN b ON b2.doc_id = b.doc_id),
+grid AS (
+  SELECT doc_id, cell, SUM(v) // ANY_VALUE(cnt) AS g
+  FROM vals GROUP BY 1, 2),
+gl AS (
+  SELECT doc_id, list(g ORDER BY cell) AS g FROM grid GROUP BY doc_id),
+dh AS (
+  SELECT doc_id,
+         list_sum([CASE WHEN g[(k // 8) * 9 + (k % 8) + 2]
+                             > g[(k // 8) * 9 + (k % 8) + 1]
+                        THEN CAST(1 AS HUGEINT) << k
+                        ELSE CAST(0 AS HUGEINT) END
+                   for k in range(0, 64)]) AS hu
+  FROM gl),
+hashes AS (
+  SELECT doc_id, hu,
+         CAST(CASE WHEN hu >= CAST(1 AS HUGEINT) << 63
+                   THEN hu - (CAST(1 AS HUGEINT) << 64) ELSE hu END
+              AS BIGINT) AS dhash
+  FROM dh),
+chunks AS (
+  SELECT doc_id, dhash, u.pos,
+         CAST((hu >> (u.pos * 8)) & 255 AS BIGINT) AS val
+  FROM hashes, LATERAL (SELECT unnest(range(0, 8)) AS pos) u),
+capped AS (
+  SELECT doc_id, dhash, pos, val,
+         ROW_NUMBER() OVER (PARTITION BY pos, val ORDER BY doc_id) AS rn
+  FROM chunks)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+FROM (SELECT * FROM capped WHERE rn <= 256) a
+JOIN (SELECT * FROM capped WHERE rn <= 256) b
+  ON a.pos = b.pos AND a.val = b.val AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+"""
+
+
+@register("image_near_dup_pairs_docs", _IMAGE_NEARDUP_ORACLE)
+def image_near_dup_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup pairs (functions/multimodal.py
+    perceptual_hashes -> image_near_dup_pairs over the deterministic
+    stub codec; the shared dedup.hamming_chunk_pairs pigeonhole join
+    with the default hot-bucket cap): hamming(dhash) <= 6 over the
+    synthetic image third of documents. Every stage is exact integer
+    -- the stub grid is per-cell byte averaging (replayed in DuckDB as
+    hex-string 2-char slices), dHash is pure comparisons, and the cap
+    rides the (pos, val, doc_id) total order -- so the whole operator
+    hash-matches, stub-codec precedent multimodal_features."""
+    from .functions.multimodal import image_near_dup_pairs, synth_media_df
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synth_media_df(docs).filter(F.col("media_type") == "image")
+    return image_near_dup_pairs(media, max_hamming=6)
