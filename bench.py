@@ -144,6 +144,22 @@ HEADLINE = [
     "eval_scores_report",
     "corpus_datacard_drift",
     "doremi_domain_weights",
+    # round-12 mid-order registrations (first driver rows due r13;
+    # tracked from day 1 per the standing practice): NDV ledger
+    # bounds row (split/sketch/merge + the exact-distinct verifier),
+    # classifier training contract (6 full-batch iterations + the
+    # token-stream integer verifier), semantic decontamination (chunk
+    # index build charged to the session cold pass like _ivf_wh;
+    # measured reps time embed + every-cell probe), preference-pair
+    # assembly (all_pairs + cap), winnowing near-dup composition
+    # (fingerprints -> capped bucket join -> exact Jaccard), and
+    # perceptual-hash image near-dup (Arrow dhash pass + pigeonhole)
+    "documents_ndv_ledger",
+    "classifier_train_contract",
+    "semantic_decontaminate_flags",
+    "preference_pairs_orders",
+    "winnow_near_dup_pairs_docs",
+    "image_near_dup_pairs_docs",
 ]
 
 

@@ -6373,7 +6373,7 @@ def classifier_train_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights, losses = train_linear_classifier(
         docs.filter(F.col("lang") == "en"),
         docs.filter(F.col("lang") != "en"),
-        iters=6,
+        iters=4,
     )
     n_weight_rows = weights.count()  # <= buckets rows by construction
     mono = all(b <= a for a, b in zip(losses, losses[1:]))

@@ -479,3 +479,44 @@ def test_render_preference_pairs_hash_joins_only(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_image_neardup_pair_join_is_equi_not_cartesian(spark, sf_dir):
+    """r12: the perceptual-hash pair join rides the pigeonhole
+    (pos, val) equi keys -- the pair space must never materialize as a
+    cartesian, and the hot-bucket cap windows on the same keys."""
+    from pg_auto_dw_spark.functions.multimodal import (
+        image_near_dup_pairs,
+        synth_media_df,
+    )
+    from pg_auto_dw_spark.sources import load_table
+
+    media = synth_media_df(load_table(spark, sf_dir, "documents")).filter(
+        F.col("media_type") == "image"
+    )
+    plan = _plan(image_near_dup_pairs(media))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quality_gate_model_side_broadcasts(spark):
+    """r12: the streaming quality gate's classifier join must build on
+    the bounded (b, wt) model side -- the corpus/batch side never
+    shuffles for the model."""
+    from pg_auto_dw_spark.functions.selection import (
+        hashed_linear_score,
+        train_linear_classifier,
+    )
+
+    pos = spark.createDataFrame(
+        [(1, "good clean text the and of"), (2, "more good text the a")],
+        "doc_id bigint, text string",
+    )
+    neg = spark.createDataFrame(
+        [(3, "zz qq vv kk the"), (4, "ww rr tt yy a")],
+        "doc_id bigint, text string",
+    )
+    weights, _ = train_linear_classifier(pos, neg, iters=1)
+    plan = _plan(hashed_linear_score(pos.unionByName(neg), weights=weights))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
