@@ -453,3 +453,65 @@ def image_near_dup_pairs(
         max_hamming=max_hamming, bits=64, n_chunks=n_chunks,
         max_bucket_size=max_bucket_size,
     )
+
+
+AUDIO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("afp", T.LongType(), True),
+    ]
+)
+
+
+def audio_fingerprints(media: DataFrame) -> DataFrame:
+    """(media_id, afp) 64-bit audio fingerprint for every AUDIO row:
+    resample the payload into a 65-point energy envelope (the same
+    locality-preserving segment-average stub the image grid uses; a
+    real decoder would supply per-frame RMS energies through the same
+    seam) and take the 64 envelope-difference sign bits -- the
+    Haitsma-Kalker (2002) energy-difference fingerprint shape, i.e.
+    dHash on a 1 x 65 grid. Deterministic, integer-only, NULL payload
+    -> NULL fingerprint. Pairs via ``audio_near_dup_pairs`` (the
+    shared pigeonhole join); map-only, no shuffle."""
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["media_type"] == "audio"]
+            if not len(pdf):
+                continue
+            fps = [
+                None
+                if payload is None
+                else _dhash64(_gray_grid(payload, 65, 1), w=65, h=1)
+                for payload in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "afp": pd.array(fps, dtype="Int64")}
+            )
+
+    return media.select("media_id", "media_type", "payload").mapInPandas(
+        body, schema=AUDIO_FP_SCHEMA
+    )
+
+
+def audio_near_dup_pairs(
+    media: DataFrame,
+    max_hamming: int = 6,
+    n_chunks: int = 8,
+    max_bucket_size: int = 256,
+) -> DataFrame:
+    """Audio near-dup pairs: hamming(afp) <= ``max_hamming`` via the
+    SAME capped pigeonhole join the image and simhash families ride
+    (``dedup.hamming_chunk_pairs``). Silence/constant audio all
+    fingerprints identically, so the hot-bucket cap stays on by
+    default. Feed to ``dedup.connected_components`` for clusters."""
+    from .dedup import hamming_chunk_pairs
+
+    fps = audio_fingerprints(media).filter(
+        F.col("afp").isNotNull()
+    ).localCheckpoint(eager=False)
+    return hamming_chunk_pairs(
+        fps, "afp", "media_id",
+        max_hamming=max_hamming, bits=64, n_chunks=n_chunks,
+        max_bucket_size=max_bucket_size,
+    )

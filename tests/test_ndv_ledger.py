@@ -147,3 +147,34 @@ def test_grouped_ndv_sketches(spark, tmp_path):
         for r in ndv_estimates(wh.read("p.ndv")).collect()
     }
     assert inc[("0", "user_id")] == 49 and inc[("1", "user_id")] == 48
+
+
+def test_per_stream_sidecars_union_read(spark, tmp_path):
+    """The documented single-writer pattern made executable (r12,
+    closing the r11 ADVICE loop): two landing-zone streams own
+    SEPARATE sidecar tables; a read-time unionByName re-merged through
+    the idempotent register-max aggregation estimates the SAME NDV as
+    one writer seeing all the data -- so per-stream ownership loses
+    nothing while deleting the lost-update race."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    cols = ["user_id", "event_type", "session"]
+    # stream A and stream B ingest disjoint halves into their OWN tables
+    update_ndv_sketches(wh, "prof.a.ndv", _batch(spark, 0, 2500), cols)
+    update_ndv_sketches(wh, "prof.a.ndv", _batch(spark, 2500, 3000), cols)
+    update_ndv_sketches(wh, "prof.b.ndv", _batch(spark, 3000, 5000), cols)
+    merged = (
+        wh.read("prof.a.ndv")
+        .unionByName(wh.read("prof.b.ndv"))
+        .groupBy("col_name")
+        .agg(F.hll_union_agg("sketch", F.lit(True)).alias("sketch"))
+    )
+    union_est = {
+        r["col_name"]: r["n_distinct"] for r in ndv_estimates(merged).collect()
+    }
+    single = {
+        r["col_name"]: r["n_distinct"]
+        for r in ndv_estimates(
+            ndv_sketch_rows(_batch(spark, 0, 5000), cols)
+        ).collect()
+    }
+    assert union_est == single
