@@ -14,6 +14,10 @@ Stage order and the reason for it:
 
 1. rule filter (``text.gopher_rules``)       -- cheapest first: a pure
    codegen scan drops junk before anything pays a shuffle for it.
+1.5 trained quality classifier (optional, r12) -- the broadcast-model
+   ``selection.hashed_linear_score`` scan over the rule survivors;
+   the batch twin of the streaming landing-zone gate (train once with
+   ``selection.train_linear_classifier``, gate everywhere).
 2. exact dedup (``dedup.dedup_exact``)       -- one digest shuffle;
    keeps each text's canonical (min-id) copy.
 3. Bloom decontamination (``corpus.bloom_decontaminate``) -- zero-
@@ -55,6 +59,35 @@ class CorpusPipelineConfig:
     # stage 1: rule filter (None disables)
     min_words: int | None = 10
     min_stopwords: int = 1
+    # stage 1.5 (r12): trained-classifier quality gate (None disables)
+    # -- the batch twin of the streaming landing-zone gate: a (b, wt)
+    # weight table from selection.train_linear_classifier, served via
+    # the broadcast-model hashed_linear_score scan BEFORE the dedup
+    # digest shuffle pays for junk. Docs scoring under
+    # min_quality_score (or with zero tokens -- fail closed) drop.
+    # Unlike the streaming gate this keys on doc ids: the facade
+    # contract already requires unique ids (every semi-join stage does).
+    quality_weights: DataFrame | None = None
+    min_quality_score: float = 0.0
+    # rate form of the gate: keep the top fraction BY SCORE instead of
+    # an absolute threshold. The serving score is a bias-free ranker,
+    # so absolute operating points do not transfer across corpora
+    # (measured: on the narrow-vocabulary synthetic corpus every doc
+    # scores ~-0.014 and a 0.0 threshold drops everything); "keep the
+    # top 30%" is the knob quality filtering actually turns. Stays
+    # LAZY: the cutoff is a percentile_approx aggregate broadcast back
+    # onto the score frame, never a global sort or a driver action.
+    # Semantics: keep rows scoring STRICTLY ABOVE the approximate
+    # (1 - keep_fraction) quantile -- percentile_approx returns a real
+    # score from the frame, and >= would admit every row tied with the
+    # boundary element (on a small or heavily-tied frame that can be
+    # far more than the asked fraction; a fully-tied frame would keep
+    # 100%). Strictly-above fails CLOSED on ties instead: at corpus
+    # scale with continuous scores the kept fraction tracks
+    # keep_fraction, and a degenerate all-tied score column keeps
+    # nothing -- which is the right loud outcome for a model that
+    # cannot rank the corpus. When set, min_quality_score is ignored.
+    quality_keep_fraction: float | None = None
     # stage 2: exact dedup
     exact_dedup: bool = True
     # stage 3: decontamination
@@ -118,11 +151,24 @@ class CorpusPipelineResult:
         write it next to the shards (warehouse table or sidecar file)
         so a training run can name exactly which corpus build it
         consumed. Pass a precomputed ``summary()`` to avoid recounting;
-        otherwise one count per stage runs here."""
-        from dataclasses import asdict
+        otherwise one count per stage runs here. Non-scalar config
+        values (the quality-weights FRAME is a model artifact, not a
+        knob) serialize as a type marker -- persist the model itself
+        as its own warehouse table and record THAT table name next to
+        this manifest."""
+        from dataclasses import fields
 
+        cfgd = {}
+        if self.config is not None:
+            for f in fields(self.config):
+                v = getattr(self.config, f.name)
+                cfgd[f.name] = (
+                    v
+                    if isinstance(v, (int, float, str, bool, type(None)))
+                    else f"<{type(v).__name__}>"
+                )
         return {
-            "config": asdict(self.config) if self.config is not None else {},
+            "config": cfgd,
             "stages": [list(s) for s in (summary or self.summary())],
         }
 
@@ -157,6 +203,31 @@ def build_training_corpus(
         keep = verdicts.filter(F.col("gopher_pass")).select(id_col)
         cur = cur.join(keep, id_col, "left_semi")
         stages.append(("gopher_rules", cur))
+
+    if cfg.quality_weights is not None:
+        from .functions.selection import hashed_linear_score
+
+        scored = hashed_linear_score(
+            cur, weights=cfg.quality_weights, text_col=text_col, id_col=id_col
+        )
+        if cfg.quality_keep_fraction is not None:
+            if not 0 < cfg.quality_keep_fraction <= 1:
+                raise ValueError("quality_keep_fraction must be in (0, 1]")
+            cutoff = scored.agg(
+                F.percentile_approx(
+                    "score", F.lit(1.0 - cfg.quality_keep_fraction)
+                ).alias("__qcut")
+            )
+            keep = scored.crossJoin(F.broadcast(cutoff)).filter(
+                F.col("score") > F.col("__qcut")  # strictly above: see config note
+            ).select(id_col)
+        else:
+            keep = scored.filter(
+                F.col("score") >= cfg.min_quality_score
+            ).select(id_col)
+        # zero-token docs have no score row and fail closed (left_semi)
+        cur = cur.join(keep, id_col, "left_semi")
+        stages.append(("quality_classifier", cur))
 
     if cfg.exact_dedup:
         canon = dedup_exact(cur, text_col, id_col).select(

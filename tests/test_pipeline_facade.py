@@ -105,3 +105,84 @@ def test_manifest_is_json_serializable_reproducibility_record(spark, sf_dir):
     assert back["config"]["min_words"] == 10
     assert back["stages"][0] == ["input", docs.count()]
     assert [tuple(s) for s in back["stages"]] == summ
+
+
+def test_quality_classifier_stage_gates_and_manifests(spark):
+    """r12: the trained-classifier gate in the batch facade -- train on
+    a separable good/junk fixture (the streaming-gate twin), gate the
+    pipeline, and exactly the good docs survive; a zero-token doc
+    fails closed; the manifest stays JSON-serializable with the
+    weights frame reduced to a type marker (the model is an artifact,
+    not a knob)."""
+    import json
+
+    from pg_auto_dw_spark.functions.selection import train_linear_classifier
+
+    good = ("the quick study found that careful analysis gives better "
+            "results and the method works well with clear data")
+    junk = ("zzqx vvkp wwrt qqpl mmnb the of ffgh ddjk ssle hhwo rrty "
+            "uuie ppas oolk iijh and ggfd")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id bigint, text string")
+    weights, _ = train_linear_classifier(
+        mk([(i, good + f" v{i % 3}") for i in range(12)]),
+        mk([(i, junk + f" n{i % 3}") for i in range(12)]),
+        iters=6,
+    )
+    docs = mk(
+        [(1, good), (2, good + " more"), (3, junk), (4, junk + " xx"), (5, "")]
+    )
+    gated = build_training_corpus(
+        docs,
+        config=CorpusPipelineConfig(
+            min_words=None, exact_dedup=False,
+            quality_weights=weights.localCheckpoint(),
+            min_quality_score=0.0,
+        ),
+    )
+    assert "quality_classifier" in [n for n, _ in gated.stages]
+    assert {r["doc_id"] for r in gated.survivors.select("doc_id").collect()} == {1, 2}
+    m = gated.manifest(summary=[("input", 1)])
+    assert m["config"]["quality_weights"] == "<DataFrame>"
+    json.dumps(m)  # must stay serializable with a model in the config
+
+
+def test_quality_keep_fraction_rate_gate(spark):
+    """r12: the rate form of the classifier gate -- keep the top
+    fraction BY SCORE (the knob that transfers across corpora, since
+    the bias-free ranker has no universal absolute operating point).
+    On a separable fixture, keep-half = exactly the good half
+    (identical junk scores tie AT the cutoff and the strictly-above
+    rule drops them all); the cutoff is a lazy broadcast percentile
+    aggregate, never a global sort or a build-time driver action."""
+    import pytest
+
+    from pg_auto_dw_spark.functions.selection import train_linear_classifier
+
+    good = ("the quick study found that careful analysis gives better "
+            "results and the method works well with clear data")
+    junk = ("zzqx vvkp wwrt qqpl mmnb the of ffgh ddjk ssle hhwo rrty "
+            "uuie ppas oolk iijh and ggfd")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id bigint, text string")
+    weights, _ = train_linear_classifier(
+        mk([(i, good + f" v{i % 3}") for i in range(12)]),
+        mk([(i, junk + f" n{i % 3}") for i in range(12)]),
+        iters=6,
+    )
+    docs = mk([(1, good), (2, good + " more"), (3, junk), (4, junk)])
+    res = build_training_corpus(
+        docs,
+        config=CorpusPipelineConfig(
+            min_words=None, exact_dedup=False,
+            quality_weights=weights.localCheckpoint(),
+            quality_keep_fraction=0.5,
+        ),
+    )
+    assert {r["doc_id"] for r in res.survivors.select("doc_id").collect()} == {1, 2}
+    with pytest.raises(ValueError, match="quality_keep_fraction"):
+        build_training_corpus(
+            docs,
+            config=CorpusPipelineConfig(
+                min_words=None, exact_dedup=False,
+                quality_weights=weights, quality_keep_fraction=1.5,
+            ),
+        )
