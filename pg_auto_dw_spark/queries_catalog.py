@@ -433,6 +433,22 @@ _NEXT_RETIREMENT_CANDIDATES = [
     "sat_current_view",
     "q13_order_count_distribution",
 ]
+# NOTE for round 13 (the same mechanical swap r12 executed): set
+# _PRIORITY = today's 50 resting rows (_DEPRIORITIZED below) MINUS the
+# six designated retirements in _NEXT_RETIREMENT_CANDIDATES (final
+# call at r13 -- all six are resting, coverage held per the rationales
+# above) PLUS the 6 r12 mid-order rows (documents_ndv_ledger,
+# classifier_train_contract, semantic_decontaminate_flags,
+# preference_pairs_orders, winnow_near_dup_pairs_docs,
+# image_near_dup_pairs_docs) = exactly 50; set _DEPRIORITIZED = today's
+# 50 _PRIORITY; move the retirements into _RETIRED (builders stay
+# benched). Run tests/test_catalog_invariants.py before committing.
+# r13 oracle CANDIDATE (r12 session op, pytest-verified):
+# audio_near_dup_pairs over audio_fingerprints -- the replay is the
+# image_near_dup_pairs_docs SQL with a 65x1 envelope grid instead of
+# 9x8 (same hex-slice byte averages, same dHash fold, same capped
+# pigeonhole join; all integers). Needs its own retire-and-replace
+# designation when registered.
 
 
 def _ordered(names: list[str]) -> list[str]:

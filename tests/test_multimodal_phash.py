@@ -4,6 +4,8 @@ dHash/pHash over the decoded-media seam, pigeonhole Hamming pairing
 composition, and the hot-bucket cap."""
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from pg_auto_dw_spark.functions.dedup import (
@@ -139,3 +141,35 @@ def test_grid_and_hash_units():
     # bits set -> signed -1
     assert _dhash64(list(range(72))) == -1
     assert isinstance(_phash64([0] * 1024), int)
+
+
+SIGNED64 = st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(hashes=st.lists(SIGNED64, min_size=2, max_size=24, unique=True),
+       k=st.integers(0, 7))
+def test_pigeonhole_property_blocked_equals_brute(spark, hashes, k):
+    """Hypothesis pin of the WWW'07 guarantee on ARBITRARY signed
+    64-bit fingerprints: for any hamming budget k < 8 chunks, the
+    uncapped pigeonhole join returns exactly the brute-force pair set
+    (arithmetic-shift sign-extension masked off per chunk, DISTINCT
+    across multi-chunk agreement, self-pairs excluded)."""
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hashes)], "id bigint, h bigint"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_chunk_pairs(
+            df, "h", "id", max_hamming=k, bits=64, n_chunks=8
+        ).collect()
+    }
+    mask = (1 << 64) - 1
+    want = {
+        (a, b): bin((hashes[a] ^ hashes[b]) & mask).count("1")
+        for a in range(len(hashes))
+        for b in range(a + 1, len(hashes))
+        if bin((hashes[a] ^ hashes[b]) & mask).count("1") <= k
+    }
+    assert got == want
