@@ -1844,3 +1844,136 @@ def jsonl_neardup_ingest_stream(
         .foreachBatch(sink)
         .start()
     )
+
+
+def jsonl_semdecon_ingest_apply(
+    wh,
+    clean_table: str,
+    contaminated_table: str,
+    quarantine_table: str,
+    schema: T.StructType,
+    index_wh,
+    index_name: str,
+    batch_df,
+    batch_id: int,
+    threshold: float = 0.85,
+    n_probes: int = 4,
+    text_col: str = "text",
+) -> dict:
+    """One micro-batch of the SEMANTIC decontaminating landing zone
+    (r12): the paraphrase-grade twin of ``jsonl_decontam_ingest_apply``
+    -- where the Bloom zone catches verbatim n-gram leaks, this one
+    embeds each typed row under the persisted chunk index's FROZEN
+    geometry (``semsearch.semantic_decontaminate``) and routes rows
+    whose text lands cosine >= ``threshold`` against any indexed chunk
+    to ``contaminated_table``. Three-way split in ONE warehouse
+    transaction with the same exactly-once batch ledger.
+
+    Routing keys on a checkpoint-pinned synthetic row key (the quality
+    -gate rule): every row routes by its OWN text, so NULL or
+    colliding source ids cannot misfile rows. Rows with no flags --
+    including zero-token texts, which embed to nothing -- are CLEAN:
+    unlike the quality gate (where no evidence means reject), absence
+    of contamination evidence is the pass condition here, exactly as
+    in the Bloom zone.
+
+    Recall contract is the operator's IVF one (a contaminated chunk in
+    an unprobed cell is missed; ``n_probes`` is the knob, and the
+    exact Bloom zone remains the backstop for verbatim leaks). The
+    index is read-only here: run ``ingest_chunks`` / rebuilds on their
+    own schedule; a mid-stream index REBUILD changes the geometry and
+    therefore verdicts -- rebuild between stream runs, not under one.
+
+    Per batch the gate costs one embed pass + one cell-pruned probe of
+    the index, both batch-sized; the ledger is never touched by it."""
+    from pyspark.sql import functions as F
+
+    ledger = f"{clean_table}.ingest_log"
+    if not wh.exists(ledger):
+        wh.create_table(ledger, T.StructType([T.StructField("batch_id", T.LongType())]))
+    if wh.read(ledger).filter(F.col("batch_id") == batch_id).count() > 0:
+        return {"clean": 0, "contaminated": 0, "quarantined": 0, "replay": True}
+
+    from ..functions.semsearch import semantic_decontaminate
+    from ..sources import split_jsonl_lines
+
+    typed, quarantined = split_jsonl_lines(batch_df.localCheckpoint(), schema)
+    keyed = typed.withColumn(
+        "__srk", F.monotonically_increasing_id()
+    ).localCheckpoint()
+    flags = semantic_decontaminate(
+        index_wh, index_name,
+        keyed.select("__srk", text_col),
+        threshold=threshold, n_probes=n_probes,
+        eval_id_col="__srk", text_col=text_col,
+    ).select(F.col("eval_id").alias("__srk")).distinct()
+    contaminated = keyed.join(flags, "__srk", "left_semi").drop("__srk")
+    clean = keyed.join(flags, "__srk", "left_anti").drop("__srk")
+
+    for t in (clean_table, contaminated_table):
+        if not wh.exists(t):
+            wh.create_table(t, schema)
+    if not wh.exists(quarantine_table):
+        wh.create_table(
+            quarantine_table,
+            T.StructType([T.StructField("raw_line", T.StringType())]),
+        )
+    spark = wh.spark
+    with wh.transaction(
+        [clean_table, contaminated_table, quarantine_table, ledger]
+    ) as txn:
+        txn.append(clean_table, clean)
+        txn.append(contaminated_table, contaminated)
+        txn.append(quarantine_table, quarantined)
+        txn.append(
+            ledger, spark.createDataFrame([(int(batch_id),)], "batch_id bigint")
+        )
+    return {
+        "clean": clean.count(),
+        "contaminated": contaminated.count(),
+        "quarantined": quarantined.count(),
+        "replay": False,
+    }
+
+
+def jsonl_semdecon_ingest_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    wh,
+    clean_table: str,
+    contaminated_table: str,
+    quarantine_table: str,
+    checkpoint_dir: str,
+    index_wh,
+    index_name: str,
+    threshold: float = 0.85,
+    n_probes: int = 4,
+    text_col: str = "text",
+):
+    """Streaming SEMANTIC decontaminating landing zone: the JSONL
+    front door composed with chunk-index semantic decontamination, so
+    paraphrase-grade benchmark leaks (which share no grams with their
+    source and sail through the Bloom zone) route to the contaminated
+    audit table as they ARRIVE. Run it beside (not instead of) the
+    Bloom zone: exact backstop + semantic net is the full
+    decontamination posture. State is only the file-source log; the
+    per-batch cost is one embed pass + one pruned index probe."""
+
+    def sink(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        jsonl_semdecon_ingest_apply(
+            wh, clean_table, contaminated_table, quarantine_table, schema,
+            index_wh, index_name, batch_df, batch_id,
+            threshold=threshold, n_probes=n_probes, text_col=text_col,
+        )
+
+    return (
+        spark.readStream.text(source_dir)
+        .writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+        .start()
+    )
