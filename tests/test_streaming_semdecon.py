@@ -96,3 +96,9 @@ def test_apply_replay_and_empty_text(spark, tmp_path):
     replay = jsonl_semdecon_ingest_apply(*args, batch, 5, threshold=0.8)
     assert replay["replay"] and replay["clean"] == 0
     assert wh.read("d.clean").count() == 1 and wh.read("d.contam").count() == 1
+    # an all-malformed batch drives the embed/probe path with an EMPTY
+    # typed frame: everything quarantines, nothing throws
+    bad = spark.createDataFrame([("{broken",), ("also bad",)], "value string")
+    out2 = jsonl_semdecon_ingest_apply(*args, bad, 6, threshold=0.8)
+    assert out2 == {"clean": 0, "contaminated": 0, "quarantined": 2,
+                    "replay": False}

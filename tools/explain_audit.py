@@ -33,6 +33,12 @@ AUDIT = [
     "documents_stratified_sample",  # expect 1 scan, 0 exchanges
     "events_salted_type_stats",  # expect 2 exchange phases, 0 python
     "events_customer_salted_join",
+    # r12 registrations (audited at registration: pruned scans,
+    # pushdown, no sortmerge at this SF, zero python in the pair joins)
+    "documents_ndv_ledger",  # melt scans prune to the 4 audited cols
+    "preference_pairs_orders",  # 3-col pruned scans; count-guard join
+    "winnow_near_dup_pairs_docs",
+    "image_near_dup_pairs_docs",  # scans=0: pairs read the hash pin
 ]
 
 
