@@ -515,3 +515,114 @@ def audio_near_dup_pairs(
         max_hamming=max_hamming, bits=64, n_chunks=n_chunks,
         max_bucket_size=max_bucket_size,
     )
+
+
+VIDEO_FH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_no", T.IntegerType(), False),
+        T.StructField("fhash", T.LongType(), False),
+    ]
+)
+
+_FRAME_SHIFT = 1 << 20  # frame capacity per video in the packed pair key
+
+
+def video_frame_hashes(media: DataFrame, max_frames: int = 16) -> DataFrame:
+    """(media_id, frame_no, fhash) for every VIDEO row: up to
+    ``max_frames`` evenly-spaced frames, each rendered to the 9x8
+    grayscale grid and 64-bit dHashed -- the frame-grain twin of
+    ``perceptual_hashes``. Frame content under the stub codec is the
+    frame's contiguous PAYLOAD slice through the locality-preserving
+    segment-average grid (a real decoder supplies per-frame pixels
+    through the same seam -- swap in pyav and nothing downstream
+    changes); a local payload edit therefore perturbs the FRAMES it
+    covers and leaves the rest byte-identical, exactly like a real
+    re-encode of one scene. NULL payloads emit no rows. Map-only."""
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["media_type"] == "video"]
+            if not len(pdf):
+                continue
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                n = _fake_decode("video", b)["n_frames"]
+                k = max(1, min(n, max_frames))
+                for f in range(k):
+                    lo = f * len(b) // k
+                    hi = max((f + 1) * len(b) // k, lo + 1)
+                    rows.append(
+                        (mid, f, _dhash64(_gray_grid(b[lo:hi], 9, 8)))
+                    )
+            if not rows:
+                continue
+            out = pd.DataFrame(rows, columns=["media_id", "frame_no", "fhash"])
+            out["frame_no"] = pd.array(out["frame_no"], dtype="Int32")
+            yield out
+
+    return media.select("media_id", "media_type", "payload").mapInPandas(
+        body, schema=VIDEO_FH_SCHEMA
+    )
+
+
+def video_near_dup_pairs(
+    media: DataFrame,
+    max_hamming: int = 6,
+    min_shared_frames: int = 2,
+    max_frames: int = 16,
+    n_chunks: int = 8,
+    max_bucket_size: int = 256,
+) -> DataFrame:
+    """Video near-dup pairs: (id_a, id_b, shared_frames) where at
+    least ``min_shared_frames`` frame pairs agree within
+    ``max_hamming`` on their perceptual hash -- the
+    candidates-by-evidence-count composition the winnowing family
+    uses (shared fingerprints), applied frame-grain: one re-encoded
+    scene cannot make two videos near-dups, several matching frames
+    can, and frame POSITION does not matter (a trimmed intro shifts
+    every frame_no; matching on content alone is the point).
+
+    Shape: frame explode (<= max_frames rows per video) -> the shared
+    capped pigeonhole join over packed (video, frame) keys -> decode
+    keys, drop same-video matches, count DISTINCT matching frame
+    pairs per video pair. Never a video x video or frame x frame
+    cross: every candidate rides a (chunk pos, chunk value) bucket,
+    hot buckets capped (black frames all hash identically). Feed to
+    ``dedup.connected_components`` like every other near-dup family."""
+    if max_frames >= _FRAME_SHIFT:
+        raise ValueError(f"max_frames must be < {_FRAME_SHIFT}")
+    from .dedup import hamming_chunk_pairs
+
+    fh = video_frame_hashes(media, max_frames=max_frames)
+    keyed = fh.select(
+        (F.col("media_id") * _FRAME_SHIFT + F.col("frame_no")).alias("fk"),
+        "fhash",
+    ).localCheckpoint(eager=False)
+    fpairs = hamming_chunk_pairs(
+        keyed, "fhash", "fk",
+        max_hamming=max_hamming, bits=64, n_chunks=n_chunks,
+        max_bucket_size=max_bucket_size,
+    )
+    vids = fpairs.select(
+        F.expr(f"id_a div {_FRAME_SHIFT}").alias("va"),
+        F.expr(f"id_b div {_FRAME_SHIFT}").alias("vb"),
+        "id_a", "id_b",
+    ).filter(F.col("va") != F.col("vb"))
+    # orient each frame match to the canonical (low id, high id) video
+    # pair before counting, so matches witnessed in either direction
+    # aggregate together
+    oriented = vids.select(
+        F.least("va", "vb").alias("id_a"),
+        F.greatest("va", "vb").alias("id_b"),
+        F.least("id_a", "id_b").alias("fka"),
+        F.greatest("id_a", "id_b").alias("fkb"),
+    )
+    return (
+        oriented.groupBy("id_a", "id_b")
+        .agg(F.countDistinct("fka", "fkb").alias("shared_frames"))
+        .filter(F.col("shared_frames") >= min_shared_frames)
+    )

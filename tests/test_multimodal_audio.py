@@ -96,3 +96,64 @@ def test_media_curation_e2e(spark, tmp_path):
     qvec = embed_media(media.filter(F.col("media_id") == 2)).first()["embedding"]
     hits = ivf_search_index(wh, "mediaix", [(0, qvec)], k=1, n_probes=10).collect()
     assert hits and hits[0]["neighbor_id"] == 1
+
+
+def test_video_near_dup_frames(spark):
+    """r12: video near-dup -- frame-grain perceptual hashes, the shared
+    capped pigeonhole join over packed (video, frame) keys, and the
+    evidence-count verdict (>= min_shared_frames matching frames)."""
+    from pg_auto_dw_spark.functions.multimodal import (
+        video_frame_hashes,
+        video_near_dup_pairs,
+    )
+
+    import hashlib
+
+    def _noise(seed: int, n: int) -> bytes:
+        # structure-free bytes (sha256 chain). The arithmetic _payload
+        # generator makes every seed a near-TONE-SHIFT of every other
+        # (constant seed*37 offset), and dHash is brightness-shift
+        # invariant BY DESIGN -- two drafts of this fixture proved it
+        # by accident. 'Unrelated' content must be structurally
+        # unrelated, not just offset.
+        out = b""
+        block = str(seed).encode()
+        while len(out) < n:
+            block = hashlib.sha256(block).digest()
+            out += block
+        return out[:n]
+
+    base = _payload(31, n=1600)
+    # replace one scene with unrelated content: the covered frame
+    # slices change structurally, the rest stay byte-identical
+    scene_edit = base[:600] + _noise(777, 400) + base[1000:]
+    rows = [(1, base), (2, scene_edit), (3, base), (4, _noise(500, 1600)),
+            (5, None)]
+    media = spark.createDataFrame(
+        [(i, "video", p, None) for i, p in rows],
+        "media_id bigint, media_type string, payload binary, meta string",
+    )
+    fh = video_frame_hashes(media, max_frames=8).collect()
+    per_vid = {}
+    for r in fh:
+        per_vid.setdefault(r["media_id"], []).append(r)
+    assert set(per_vid) == {1, 2, 3, 4}  # NULL payload emits nothing
+    assert all(len(v) == 8 for v in per_vid.values())
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["shared_frames"]
+        for r in video_near_dup_pairs(media, max_frames=8).collect()
+    }
+    assert pairs[(1, 3)] >= 8  # identical videos: every frame matches
+    # the scene edit leaves the untouched frames matching
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert pairs[(1, 2)] < pairs[(1, 3)]
+    assert not any(4 in p for p in pairs)  # unrelated never pairs
+
+    # one matching frame is NOT a near-dup verdict: raise the evidence
+    # floor above the identical-frame count of the scene-edited pair
+    strict = video_near_dup_pairs(
+        media, max_frames=8, min_shared_frames=pairs[(1, 2)] + 1
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in strict}
+    assert (1, 3) in got and (1, 2) not in got
