@@ -592,7 +592,16 @@ def video_near_dup_pairs(
     pairs per video pair. Never a video x video or frame x frame
     cross: every candidate rides a (chunk pos, chunk value) bucket,
     hot buckets capped (black frames all hash identically). Feed to
-    ``dedup.connected_components`` like every other near-dup family."""
+    ``dedup.connected_components`` like every other near-dup family.
+
+    Low-entropy corpora (measured, SCALE.md r12): when most frames
+    are near-constant (blank/flat frames, or synthetic byte-soup
+    payloads), frame hashes concentrate into few buckets, the cap
+    saturates CORPUS-WIDE, and recall degrades -- the cap's
+    bounded-recall trade hit everywhere instead of on a tail.
+    Suppress flat frames upstream and tune ``min_shared_frames`` to
+    the corpus's frame entropy; cap saturation in bucket monitoring
+    is the pre-filter signal, not a reason to raise the cap."""
     if max_frames >= _FRAME_SHIFT:
         raise ValueError(f"max_frames must be < {_FRAME_SHIFT}")
     from .dedup import hamming_chunk_pairs

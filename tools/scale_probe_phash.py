@@ -74,6 +74,56 @@ def main() -> None:
             f"| {n_clusters} | {t1 - t0:.2f} | {t2 - t1:.2f} |"
         )
 
+    from pg_auto_dw_spark.functions.multimodal import video_near_dup_pairs
+
+    print()
+    print("| sf | videos | planted | pairs@>=2 | pairs@>=8 | s |")
+    print("|---|---|---|---|---|")
+    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        base = synth_media_df(load_table(spark, sf, "documents")).filter(
+            F.col("media_type") == "video"
+        )
+        # plant a scene-edited twin per 5th video: the middle of the
+        # payload replaced with its sha2 (structurally unrelated bytes
+        # -- tone shifts would be INVARIANT under dHash), the rest of
+        # the frames byte-identical
+        twins = base.filter(F.col("media_id") % 5 == 0).select(
+            (F.col("media_id") + F.lit(1_000_000_000)).alias("media_id"),
+            "media_type",
+            F.concat(
+                F.expr("substring(payload, 1, 64)"),
+                F.unhex(F.sha2(F.col("payload"), 256)),
+                F.expr("substring(payload, 97, 10000000)"),
+            ).alias("payload"),
+            "meta",
+        )
+        n_planted = twins.count()
+        media = base.unionByName(twins)
+        n = media.count()
+        t0 = time.perf_counter()
+        pairs = video_near_dup_pairs(
+            media, max_hamming=6, min_shared_frames=2
+        ).localCheckpoint(eager=True)
+        t1 = time.perf_counter()
+        n_pairs = pairs.count()
+        planted_hit = pairs.filter(
+            F.col("id_b") - F.col("id_a") == 1_000_000_000
+        ).count()
+        # stricter evidence floor: short word-soup payloads yield
+        # low-entropy near-constant frames that legitimately
+        # cross-match (the blank-frame regime); a real corpus tunes
+        # min_shared_frames to its frame entropy
+        n_strict = pairs.filter(F.col("shared_frames") >= 8).count()
+        strict_hit = pairs.filter(
+            (F.col("id_b") - F.col("id_a") == 1_000_000_000)
+            & (F.col("shared_frames") >= 8)
+        ).count()
+        print(
+            f"| {sf.rsplit('sf', 1)[1]} | {n} | {n_planted} "
+            f"| {n_pairs} ({planted_hit} planted) "
+            f"| {n_strict} @>=8 ({strict_hit} planted) | {t1 - t0:.2f} |"
+        )
+
 
 if __name__ == "__main__":
     main()
