@@ -705,3 +705,59 @@ def keep_best_per_cluster(
             "n_members",
         )
     )
+
+
+def hamming_bucket_stats(
+    hashes: DataFrame,
+    hash_col: str,
+    id_col: str,
+    bits: int = 64,
+    n_chunks: int = 8,
+    max_bucket_size: int = 256,
+) -> DataFrame:
+    """Monitoring companion to ``hamming_chunk_pairs`` -- the
+    pigeonhole twin of ``lsh_hot_bucket_stats``: one row per OVER-CAP
+    (chunk pos, chunk value) bucket with its member count, the pair
+    count an uncapped join would emit, and the pairs the row_number
+    cap suppresses (members past the cap never pair AT ALL in that
+    bucket, the documented bounded-recall trade). Run it beside the
+    pair job on the SAME hash frame; corpus-wide cap saturation here
+    is the flat/blank-media pre-filter signal (SCALE.md r12), not a
+    reason to raise the cap.
+
+    Output: (pos, val, n, pairs_exact, pairs_suppressed); empty when
+    no bucket exceeds the cap."""
+    chunk_bits = bits // n_chunks
+    mask = (1 << chunk_bits) - 1
+    s = hashes.select(F.col(id_col), F.col(hash_col).alias("__h"))
+    chunks = s.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("pos"),
+                        F.expr(f"shiftright(__h, {i * chunk_bits})")
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("c")
+    ).select(F.col("c.pos").alias("pos"), F.col("c.val").alias("val"))
+    n = F.col("n")
+    cap = F.lit(max_bucket_size)
+    return (
+        chunks.groupBy("pos", "val")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(n > max_bucket_size)
+        .select(
+            "pos",
+            "val",
+            n,
+            (n * (n - 1) / 2).cast("long").alias("pairs_exact"),
+            ((n * (n - 1) / 2) - (cap * (cap - 1) / 2))
+            .cast("long")
+            .alias("pairs_suppressed"),
+        )
+    )

@@ -528,7 +528,9 @@ VIDEO_FH_SCHEMA = T.StructType(
 _FRAME_SHIFT = 1 << 20  # frame capacity per video in the packed pair key
 
 
-def video_frame_hashes(media: DataFrame, max_frames: int = 16) -> DataFrame:
+def video_frame_hashes(
+    media: DataFrame, max_frames: int = 16, min_spread: int = 0
+) -> DataFrame:
     """(media_id, frame_no, fhash) for every VIDEO row: up to
     ``max_frames`` evenly-spaced frames, each rendered to the 9x8
     grayscale grid and 64-bit dHashed -- the frame-grain twin of
@@ -538,7 +540,13 @@ def video_frame_hashes(media: DataFrame, max_frames: int = 16) -> DataFrame:
     through the same seam -- swap in pyav and nothing downstream
     changes); a local payload edit therefore perturbs the FRAMES it
     covers and leaves the rest byte-identical, exactly like a real
-    re-encode of one scene. NULL payloads emit no rows. Map-only."""
+    re-encode of one scene. NULL payloads emit no rows. Map-only.
+
+    ``min_spread`` is blank-frame suppression (the low-entropy-corpus
+    pre-filter SCALE.md r12 calls for): frames whose grid spread
+    (max cell - min cell) is below it emit NO row -- a black/flat
+    frame carries no matchable structure, only hot buckets. Default 0
+    keeps every frame."""
 
     def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -555,9 +563,10 @@ def video_frame_hashes(media: DataFrame, max_frames: int = 16) -> DataFrame:
                 for f in range(k):
                     lo = f * len(b) // k
                     hi = max((f + 1) * len(b) // k, lo + 1)
-                    rows.append(
-                        (mid, f, _dhash64(_gray_grid(b[lo:hi], 9, 8)))
-                    )
+                    grid = _gray_grid(b[lo:hi], 9, 8)
+                    if min_spread and max(grid) - min(grid) < min_spread:
+                        continue  # flat frame: no matchable structure
+                    rows.append((mid, f, _dhash64(grid)))
             if not rows:
                 continue
             out = pd.DataFrame(rows, columns=["media_id", "frame_no", "fhash"])
@@ -576,6 +585,7 @@ def video_near_dup_pairs(
     max_frames: int = 16,
     n_chunks: int = 8,
     max_bucket_size: int = 256,
+    min_spread: int = 0,
 ) -> DataFrame:
     """Video near-dup pairs: (id_a, id_b, shared_frames) where at
     least ``min_shared_frames`` frame pairs agree within
@@ -606,7 +616,7 @@ def video_near_dup_pairs(
         raise ValueError(f"max_frames must be < {_FRAME_SHIFT}")
     from .dedup import hamming_chunk_pairs
 
-    fh = video_frame_hashes(media, max_frames=max_frames)
+    fh = video_frame_hashes(media, max_frames=max_frames, min_spread=min_spread)
     keyed = fh.select(
         (F.col("media_id") * _FRAME_SHIFT + F.col("frame_no")).alias("fk"),
         "fhash",

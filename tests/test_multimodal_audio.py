@@ -15,6 +15,23 @@ from pg_auto_dw_spark.functions.multimodal import (
 from tests.test_multimodal_phash import _edited, _payload
 
 
+def _noise(seed: int, n: int) -> bytes:
+    # structure-free bytes (sha256 chain). The arithmetic _payload
+    # generator makes every seed a near-TONE-SHIFT of every other
+    # (constant seed*37 offset), and dHash is brightness-shift
+    # invariant BY DESIGN -- several fixture drafts proved it by
+    # accident. 'Unrelated' content must be structurally unrelated,
+    # not just offset.
+    import hashlib
+
+    out = b""
+    block = str(seed).encode()
+    while len(out) < n:
+        block = hashlib.sha256(block).digest()
+        out += block
+    return out[:n]
+
+
 def _audio(spark, rows):
     return spark.createDataFrame(
         [(i, "audio", p, None) for i, p in rows],
@@ -107,22 +124,6 @@ def test_video_near_dup_frames(spark):
         video_near_dup_pairs,
     )
 
-    import hashlib
-
-    def _noise(seed: int, n: int) -> bytes:
-        # structure-free bytes (sha256 chain). The arithmetic _payload
-        # generator makes every seed a near-TONE-SHIFT of every other
-        # (constant seed*37 offset), and dHash is brightness-shift
-        # invariant BY DESIGN -- two drafts of this fixture proved it
-        # by accident. 'Unrelated' content must be structurally
-        # unrelated, not just offset.
-        out = b""
-        block = str(seed).encode()
-        while len(out) < n:
-            block = hashlib.sha256(block).digest()
-            out += block
-        return out[:n]
-
     base = _payload(31, n=1600)
     # replace one scene with unrelated content: the covered frame
     # slices change structurally, the rest stay byte-identical
@@ -157,3 +158,30 @@ def test_video_near_dup_frames(spark):
     ).collect()
     got = {(r["id_a"], r["id_b"]) for r in strict}
     assert (1, 3) in got and (1, 2) not in got
+
+
+def test_flat_frame_suppression(spark):
+    """r12: min_spread drops structureless frames -- a half-blank video
+    emits only its structured half, and two videos sharing ONLY blank
+    sections never pair with suppression on."""
+    from pg_auto_dw_spark.functions.multimodal import (
+        video_frame_hashes,
+        video_near_dup_pairs,
+    )
+
+    half_blank_a = _noise(41, 800) + bytes(800)  # frames 4..7 flat
+    half_blank_b = _noise(900, 800) + bytes(800)
+    media = spark.createDataFrame(
+        [(1, "video", half_blank_a, None), (2, "video", half_blank_b, None)],
+        "media_id bigint, media_type string, payload binary, meta string",
+    )
+    all_frames = video_frame_hashes(media, max_frames=8).collect()
+    kept = video_frame_hashes(media, max_frames=8, min_spread=5).collect()
+    assert len(all_frames) == 16
+    assert len(kept) == 8 and all(r["frame_no"] < 4 for r in kept)
+    # the two videos share only their blank halves: suppression on ->
+    # nothing pairs; suppression off -> the blank frames cross-match
+    on = video_near_dup_pairs(media, max_frames=8, min_spread=5).collect()
+    assert on == []
+    off = video_near_dup_pairs(media, max_frames=8).collect()
+    assert any(r["id_a"] == 1 and r["id_b"] == 2 for r in off)

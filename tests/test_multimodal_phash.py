@@ -173,3 +173,32 @@ def test_pigeonhole_property_blocked_equals_brute(spark, hashes, k):
         if bin((hashes[a] ^ hashes[b]) & mask).count("1") <= k
     }
     assert got == want
+
+
+def test_hamming_bucket_stats_monitor(spark):
+    """r12: the pigeonhole twin of lsh_hot_bucket_stats -- over-cap
+    (pos, val) buckets surface with exact suppressed-pair accounting;
+    a healthy frame stays silent."""
+    from pg_auto_dw_spark.functions.dedup import hamming_bucket_stats
+
+    # 30 identical hashes: every one of the 8 chunk buckets holds 30
+    hot = spark.createDataFrame(
+        [(i, 0) for i in range(30)], "id bigint, h bigint"
+    )
+    rows = hamming_bucket_stats(hot, "h", "id", max_bucket_size=10).collect()
+    assert len(rows) == 8  # one over-cap bucket per chunk position
+    for r in rows:
+        assert r["n"] == 30
+        assert r["pairs_exact"] == 30 * 29 // 2
+        assert r["pairs_suppressed"] == 30 * 29 // 2 - 10 * 9 // 2
+    # diverse hashes under the cap: silence. Spread must cover ALL
+    # chunks -- a generator bounded under 2^40 leaves the high chunks
+    # constant-zero and every one of them hot
+    def mix(i):
+        v = (i + 1) * 0x9E3779B97F4A7C15 % (1 << 64)
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    ok = spark.createDataFrame(
+        [(i, mix(i)) for i in range(30)], "id bigint, h bigint"
+    )
+    assert hamming_bucket_stats(ok, "h", "id", max_bucket_size=10).count() == 0
