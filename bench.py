@@ -147,7 +147,7 @@ HEADLINE = [
     # round-12 mid-order registrations (first driver rows due r13;
     # tracked from day 1 per the standing practice): NDV ledger
     # bounds row (split/sketch/merge + the exact-distinct verifier),
-    # classifier training contract (6 full-batch iterations + the
+    # classifier training contract (4 full-batch iterations + the
     # token-stream integer verifier), semantic decontamination (chunk
     # index build charged to the session cold pass like _ivf_wh;
     # measured reps time embed + every-cell probe), preference-pair

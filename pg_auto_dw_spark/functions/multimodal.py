@@ -381,8 +381,14 @@ def perceptual_hashes(media: DataFrame) -> DataFrame:
     locality-preserving stub otherwise -- the module's documented
     codec seam) and compute both 64-bit perceptual hashes in one
     Arrow pass. Non-image rows are dropped (video near-dup runs the
-    same kernel over ``sample_frames`` output frame bytes). NULL
-    payload -> NULL hashes (never a fake all-zero fingerprint).
+    same kernel over ``sample_frames`` output frame bytes). NULL or
+    EMPTY payload -> NULL hashes (never a fake all-zero fingerprint;
+    a zero-length payload carries no image content, and the DuckDB
+    replay drops n=0 rows on the same convention). A payload that
+    magic-sniffs as an encoded image but fails the real decode (a
+    text document starting with ``BM``/``RIFF``/... -- a false
+    positive of the prefix sniff) falls back to the stub grid instead
+    of killing the Arrow task.
 
     Scale shape: map-only (no shuffle), one decoded grid serves both
     hashes; downstream pairing is the pigeonhole chunk join
@@ -391,16 +397,19 @@ def perceptual_hashes(media: DataFrame) -> DataFrame:
     surface); public method: Krawetz dHash / DCT pHash."""
 
     def _grids(payload: bytes | None):
-        if payload is None:
+        if payload is None or len(payload) == 0:
             return None, None
         if _is_encoded_image(payload) and _HAVE_PIL:
             import io
 
-            with _PILImage.open(io.BytesIO(payload)) as img:
-                g = img.convert("L")
-                small = list(g.resize((9, 8)).getdata())
-                big = list(g.resize((32, 32)).getdata())
-            return small, big
+            try:
+                with _PILImage.open(io.BytesIO(payload)) as img:
+                    g = img.convert("L")
+                    small = list(g.resize((9, 8)).getdata())
+                    big = list(g.resize((32, 32)).getdata())
+                return small, big
+            except Exception:
+                pass  # magic-sniff false positive: not really encoded
         return _gray_grid(payload, 9, 8), _gray_grid(payload, 32, 32)
 
     def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -442,7 +451,8 @@ def image_near_dup_pairs(
     blank/constant images all hash identically -- so the cap is on by
     default, the landing-zone discipline. Feed the pairs to
     ``dedup.connected_components`` for clusters and keep-best, exactly
-    like the text families; NULL-hash rows (NULL payloads) never pair."""
+    like the text families; NULL-hash rows (NULL or empty payloads)
+    never pair."""
     from .dedup import hamming_chunk_pairs
 
     hashes = perceptual_hashes(media).filter(
@@ -470,8 +480,9 @@ def audio_fingerprints(media: DataFrame) -> DataFrame:
     real decoder would supply per-frame RMS energies through the same
     seam) and take the 64 envelope-difference sign bits -- the
     Haitsma-Kalker (2002) energy-difference fingerprint shape, i.e.
-    dHash on a 1 x 65 grid. Deterministic, integer-only, NULL payload
-    -> NULL fingerprint. Pairs via ``audio_near_dup_pairs`` (the
+    dHash on a 1 x 65 grid. Deterministic, integer-only, NULL or
+    EMPTY payload -> NULL fingerprint (zero-length audio carries no
+    signal; same convention as ``perceptual_hashes``). Pairs via ``audio_near_dup_pairs`` (the
     shared pigeonhole join); map-only, no shuffle."""
 
     def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -481,7 +492,7 @@ def audio_fingerprints(media: DataFrame) -> DataFrame:
                 continue
             fps = [
                 None
-                if payload is None
+                if payload is None or len(payload) == 0
                 else _dhash64(_gray_grid(payload, 65, 1), w=65, h=1)
                 for payload in pdf["payload"]
             ]
@@ -540,7 +551,8 @@ def video_frame_hashes(
     through the same seam -- swap in pyav and nothing downstream
     changes); a local payload edit therefore perturbs the FRAMES it
     covers and leaves the rest byte-identical, exactly like a real
-    re-encode of one scene. NULL payloads emit no rows. Map-only.
+    re-encode of one scene. NULL or empty payloads emit no rows.
+    Map-only.
 
     ``min_spread`` is blank-frame suppression (the low-entropy-corpus
     pre-filter SCALE.md r12 calls for): frames whose grid spread
@@ -555,8 +567,8 @@ def video_frame_hashes(
                 continue
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                if payload is None:
-                    continue
+                if payload is None or len(payload) == 0:
+                    continue  # no content: no frames (NULL convention)
                 b = bytes(payload)
                 n = _fake_decode("video", b)["n_frames"]
                 k = max(1, min(n, max_frames))

@@ -86,7 +86,13 @@ class CorpusPipelineConfig:
     # scale with continuous scores the kept fraction tracks
     # keep_fraction, and a degenerate all-tied score column keeps
     # nothing -- which is the right loud outcome for a model that
-    # cannot rank the corpus. When set, min_quality_score is ignored.
+    # cannot rank the corpus. Corollary (r12 ADVICE): on COARSELY
+    # QUANTIZED scores the kept fraction can undershoot the request
+    # badly (every row tied with the boundary value is dropped);
+    # keep_fraction == 1.0 is special-cased to skip the cutoff filter
+    # entirely (the strictly-above rule would otherwise drop the
+    # min-tied rows, making "keep 100%" unexpressible). When set,
+    # min_quality_score is ignored.
     quality_keep_fraction: float | None = None
     # stage 2: exact dedup
     exact_dedup: bool = True
@@ -213,14 +219,20 @@ def build_training_corpus(
         if cfg.quality_keep_fraction is not None:
             if not 0 < cfg.quality_keep_fraction <= 1:
                 raise ValueError("quality_keep_fraction must be in (0, 1]")
-            cutoff = scored.agg(
-                F.percentile_approx(
-                    "score", F.lit(1.0 - cfg.quality_keep_fraction)
-                ).alias("__qcut")
-            )
-            keep = scored.crossJoin(F.broadcast(cutoff)).filter(
-                F.col("score") > F.col("__qcut")  # strictly above: see config note
-            ).select(id_col)
+            if cfg.quality_keep_fraction == 1.0:
+                # keep-100%: no cutoff (strictly-above would drop the
+                # rows tied with the min score -- r12 ADVICE); rows
+                # with no score (zero tokens) still fail closed below
+                keep = scored.select(id_col)
+            else:
+                cutoff = scored.agg(
+                    F.percentile_approx(
+                        "score", F.lit(1.0 - cfg.quality_keep_fraction)
+                    ).alias("__qcut")
+                )
+                keep = scored.crossJoin(F.broadcast(cutoff)).filter(
+                    F.col("score") > F.col("__qcut")  # strictly above: see config note
+                ).select(id_col)
         else:
             keep = scored.filter(
                 F.col("score") >= cfg.min_quality_score

@@ -273,15 +273,76 @@ _RETIRED = {
     "ann_ivf_topk",
     "text_unigram_logprob",
     "dedup_clusters",
+    # r13 retirements (the six the r12 note designated; rationales in
+    # the rotation note above)
+    "quality_binned_sample",
+    "documents_span_scrub",
+    "events_value_winsorized_stats",
+    "events_click_purchase_funnel",
+    "sat_current_view",
+    "q13_order_count_distribution",
 }
 _PRIORITY = [
-    # r11 mid-order registrations: first driver rows (r11 VERDICT #1)
+    # r12 mid-order registrations: first driver rows (r12 VERDICT #1)
+    "documents_ndv_ledger",
+    "classifier_train_contract",
+    "semantic_decontaminate_flags",
+    "preference_pairs_orders",
+    "winnow_near_dup_pairs_docs",
+    "image_near_dup_pairs_docs",
+    # the 44 rows that rested in r12 (50 minus the six designated
+    # retirements executed this round -- see the r13 rotation note)
+    "tokenizer_stats",
+    "inference_batch_plan_stats",
+    "corpus_datacard",
+    "documents_winnow_fingerprints",
+    "text_word_entropy",
+    "documents_dsir_weights",
+    "documents_quality_linear",
+    "dedup_semantic_keep",
+    "documents_gopher_rules",
+    "documents_bloom_decontaminate",
+    "events_value_histogram",
+    "orders_constraint_audit",
+    "events_value_quantile_sketch",
+    "ann_ivf_index_search",
+    "dim_upsert_customer",
+    "gdpr_delete_customer",
+    "q4_late_shipment_priority",
+    "q18_large_volume_orders",
+    "q22_inactive_rich_customers",
+    "orders_rolling_revenue",
+    "schema_evolution_customer",
+    "time_travel_versions",
+    "documents_pii_redaction",
+    "documents_leakfree_split",
+    "documents_boilerplate_removal",
+    "pit_user_daily",
+    "events_range_click_attribution",
+    "documents_stratified_sample",
+    "documents_mixture_sample",
+    "events_salted_type_stats",
+    "events_heavy_hitter_users",
+    "events_customer_salted_join",
+    "part_fuzzy_name_pairs",
+    "events_type_pivot",
+    "ann_cosine_topk_filtered",
+    "documents_chunked_windows",
+    "status_window_flags",
+    "latest_transformer_responses",
+    "events_props_json_extract",
+    "multimodal_features",
+    "dv_round_trip_customer",
+    "ghost_records_customer",
+    "status_source_column",
+    "tracking_union_except",
+]
+_DEPRIORITIZED = [
+    # the 50 rows verified in r12 (CORRECTNESS_r12: 50/50 green)
     "sft_render_chat_spans",
     "eval_scores_report",
     "corpus_datacard_drift",
     "doremi_domain_weights",
-    # the 46 rows that rested in r11 (49 minus the three designated
-    # retirements ann_ivf_topk / text_unigram_logprob / dedup_clusters)
     "documents_bpe_token_counts",
     "documents_shard_plan",
     "warehouse_snapshot_diff",
@@ -329,59 +390,6 @@ _PRIORITY = [
     "documents_zip_format_violations",
     "dedup_keep_best_documents",
 ]
-_DEPRIORITIZED = [
-    # the 50 rows verified in r11 (CORRECTNESS_r11: 50/50 green)
-    "quality_binned_sample",
-    "tokenizer_stats",
-    "inference_batch_plan_stats",
-    "corpus_datacard",
-    "documents_winnow_fingerprints",
-    "text_word_entropy",
-    "documents_dsir_weights",
-    "documents_quality_linear",
-    "documents_span_scrub",
-    "dedup_semantic_keep",
-    "documents_gopher_rules",
-    "documents_bloom_decontaminate",
-    "events_value_histogram",
-    "orders_constraint_audit",
-    "events_value_quantile_sketch",
-    "ann_ivf_index_search",
-    "dim_upsert_customer",
-    "gdpr_delete_customer",
-    "q4_late_shipment_priority",
-    "q13_order_count_distribution",
-    "q18_large_volume_orders",
-    "q22_inactive_rich_customers",
-    "orders_rolling_revenue",
-    "schema_evolution_customer",
-    "time_travel_versions",
-    "documents_pii_redaction",
-    "documents_leakfree_split",
-    "documents_boilerplate_removal",
-    "pit_user_daily",
-    "events_range_click_attribution",
-    "documents_stratified_sample",
-    "documents_mixture_sample",
-    "events_salted_type_stats",
-    "events_heavy_hitter_users",
-    "events_customer_salted_join",
-    "part_fuzzy_name_pairs",
-    "events_type_pivot",
-    "events_click_purchase_funnel",
-    "events_value_winsorized_stats",
-    "ann_cosine_topk_filtered",
-    "documents_chunked_windows",
-    "status_window_flags",
-    "latest_transformer_responses",
-    "events_props_json_extract",
-    "multimodal_features",
-    "sat_current_view",
-    "dv_round_trip_customer",
-    "ghost_records_customer",
-    "status_source_column",
-    "tracking_union_except",
-]
 # Designated retirement CANDIDATES for the NEXT rotation (final call
 # at r13; every mid-order registration must be matched by one so the
 # exactly-50 arithmetic closes -- test_catalog_invariants.py enforces
@@ -425,24 +433,55 @@ _DEPRIORITIZED = [
 #                            q22_inactive_rich_customers (join-back /
 #                            anti family) and J1 stays driver-covered
 #                            via the status rows)
+# Round 13 state (EXECUTED per the r12 note and the r12 VERDICT
+# directive 1): _PRIORITY = the 50 rows that rested in r12 MINUS the
+# six designated retirements (quality_binned_sample,
+# documents_span_scrub, events_value_winsorized_stats,
+# events_click_purchase_funnel, sat_current_view,
+# q13_order_count_distribution -- all six confirmed RESTING in r12,
+# coverage rationales in the r12 note above) PLUS the six r12
+# mid-order registrations taking their first driver rows
+# (documents_ndv_ledger, classifier_train_contract,
+# semantic_decontaminate_flags, preference_pairs_orders,
+# winnow_near_dup_pairs_docs, image_near_dup_pairs_docs). Exactly 50.
+# _DEPRIORITIZED = the 50 rows verified in r12 (CORRECTNESS_r12:
+# 50/50 green). Invariants re-checked via
+# tests/test_catalog_invariants.py before commit.
+# Designated retirement CANDIDATES for the NEXT rotation (final call
+# at r14; every r13 mid-order registration must be matched by one so
+# the exactly-50 arithmetic closes). All three are in today's resting
+# set (_DEPRIORITIZED); coverage held elsewhere:
+#   multimodal_decode_stats  (Arrow decode-stats kernel rides the
+#                            same stub-codec seam as
+#                            multimodal_features -- in this round's
+#                            _PRIORITY -- and the seam is exercised
+#                            end-to-end by image_near_dup_pairs_docs,
+#                            also in _PRIORITY; the codec contract
+#                            stays pinned in
+#                            tests/test_multimodal_codec.py)
+#   events_hourly_rollup     (exact subset of events_rollup_hierarchy
+#                            -- the hierarchy row computes the hourly
+#                            grain as its leaf level before rolling
+#                            up -- and the time-bucket agg family
+#                            also stays via events_sessionize; both
+#                            driver-green in r12, resting this round)
+#   dedup_simhash_hamming    (the pigeonhole candidate join is the
+#                            shared dedup.hamming_chunk_pairs
+#                            generator, driver-verified through
+#                            image_near_dup_pairs_docs -- the r12
+#                            refactor proved the two rides
+#                            hash-identical -- and the text near-dup
+#                            family stays via
+#                            winnow_near_dup_pairs_docs +
+#                            dedup_minhash_lsh_pairs)
 _NEXT_RETIREMENT_CANDIDATES = [
-    "quality_binned_sample",
-    "documents_span_scrub",
-    "events_value_winsorized_stats",
-    "events_click_purchase_funnel",
-    "sat_current_view",
-    "q13_order_count_distribution",
+    "multimodal_decode_stats",
+    "events_hourly_rollup",
+    "dedup_simhash_hamming",
 ]
-# NOTE for round 13 (the same mechanical swap r12 executed): set
-# _PRIORITY = today's 50 resting rows (_DEPRIORITIZED below) MINUS the
-# six designated retirements in _NEXT_RETIREMENT_CANDIDATES (final
-# call at r13 -- all six are resting, coverage held per the rationales
-# above) PLUS the 6 r12 mid-order rows (documents_ndv_ledger,
-# classifier_train_contract, semantic_decontaminate_flags,
-# preference_pairs_orders, winnow_near_dup_pairs_docs,
-# image_near_dup_pairs_docs) = exactly 50; set _DEPRIORITIZED = today's
-# 50 _PRIORITY; move the retirements into _RETIRED (builders stay
-# benched). Run tests/test_catalog_invariants.py before committing.
+# NOTE for round 13: EXECUTED -- see the "Round 13 state" note beside
+# _NEXT_RETIREMENT_CANDIDATES above (the mechanical swap the r12 note
+# prescribed, invariants re-run before commit).
 # r13 oracle CANDIDATE (r12 session op, pytest-verified):
 # audio_near_dup_pairs over audio_fingerprints -- the replay is the
 # image_near_dup_pairs_docs SQL with a 65x1 envelope grid instead of
@@ -6363,7 +6402,7 @@ def classifier_train_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed logistic-regression training under a contract
     oracle (r11 VERDICT directive 2): train the en-vs-rest quality
     classifier on documents (functions/selection.py
-    train_linear_classifier, 6 full-batch iterations) and emit the
+    train_linear_classifier, 4 full-batch iterations) and emit the
     verifiable one-row contract -- exact training-population and
     feature-space integers that DuckDB replays bit-for-bit (tokenized
     doc counts per class, distinct hashed feature buckets, the
@@ -6686,6 +6725,16 @@ def winnow_near_dup_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hex-string slices), dHash bit assembly through HUGEINT with the
 # signed-64 fold, then the pigeonhole chunk join with the hot-bucket
 # row_number cap -- all exact integers end to end.
+# ORACLE BOUNDARY (r12 ADVICE, fixed r13): this SQL always replays
+# the STUB grid, so parity holds only on the stub path. Payloads
+# whose bytes merely magic-sniff as an image ('BM'/'RIFF'/... text)
+# now fall back to the stub after a failed PIL decode, so they match;
+# a payload PIL can GENUINELY decode would hash real pixels on the
+# Spark side and diverge -- impossible for synth_media_df payloads
+# (UTF-8 text is never a valid encoded image), so the registered row
+# is safe in any environment, Pillow installed or not. Empty
+# payloads: both sides drop them (Spark emits NULL hashes, the SQL's
+# n > 0 filter skips them) -- the aligned NULL-content convention.
 _IMAGE_NEARDUP_ORACLE = """
 WITH img AS (
   SELECT doc_id, encode(text) AS payload FROM documents WHERE doc_id % 3 = 0),

@@ -761,6 +761,13 @@ def jsonl_ingest_apply(
     "replay": bool}."""
     from pyspark.sql import functions as F
 
+    if (quality_gopher or quality_weights is not None) and rejected_table is None:
+        # a silently-disabled gate is a quiet data-quality failure in
+        # a landing zone (r12 ADVICE): fail loudly instead
+        raise ValueError(
+            "quality_gopher/quality_weights set but rejected_table is None; "
+            "the quality gate needs a rejected_table to route failures to"
+        )
     gate_on = rejected_table is not None and (
         quality_gopher or quality_weights is not None
     )

@@ -81,3 +81,20 @@ def test_retired_builders_stay_benched():
     bench = qc.bench_queries()
     gone = [n for n in qc._RETIRED if n in qc._QUERIES and n not in bench]
     assert gone == []
+
+
+def test_registration_docstrings_match_replay_parameters():
+    """r12 ADVICE: an oracle registration's docstring must state the
+    parameters its replay actually runs (the classifier row said '6
+    full-batch iterations' while the code passed iters=4). Pin the
+    one that drifted: the stated iteration count must equal the
+    iters= argument in the body."""
+    import inspect
+    import re
+
+    fn = qc._QUERIES["classifier_train_contract"]
+    src = inspect.getsource(fn)
+    stated = re.search(r"(\d+) full-batch iterations", src)
+    passed = re.search(r"iters=(\d+)", src)
+    assert stated and passed
+    assert stated.group(1) == passed.group(1), (stated.group(1), passed.group(1))
