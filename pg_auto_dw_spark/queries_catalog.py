@@ -482,12 +482,28 @@ _NEXT_RETIREMENT_CANDIDATES = [
 # NOTE for round 13: EXECUTED -- see the "Round 13 state" note beside
 # _NEXT_RETIREMENT_CANDIDATES above (the mechanical swap the r12 note
 # prescribed, invariants re-run before commit).
-# r13 oracle CANDIDATE (r12 session op, pytest-verified):
-# audio_near_dup_pairs over audio_fingerprints -- the replay is the
-# image_near_dup_pairs_docs SQL with a 65x1 envelope grid instead of
-# 9x8 (same hex-slice byte averages, same dHash fold, same capped
-# pigeonhole join; all integers). Needs its own retire-and-replace
-# designation when registered.
+# r13 oracle candidacies: EXECUTED. Both media rows are REGISTERED
+# mid-order this round (end of this file), check_oracle-green at
+# sf0.001/sf0.01/sf0.1:
+#   audio_near_dup_pairs_docs -- the designated r12 candidate (the
+#     image SQL with a 65x1 envelope grid; all integers). 0 pairs at
+#     sf<=0.01 / 1 pair at sf0.1 on the synthetic corpus (full-payload
+#     envelopes only collide on planted exact-dup texts), same
+#     sparse-result profile as image_near_dup_pairs_docs; the
+#     pair-join machinery is additionally driver-covered dense via
+#     the video row below and pytest-covered by planted twins
+#     (tests/test_multimodal_audio.py).
+#   video_near_dup_pairs_docs -- the name-the-slot resolution of the
+#     r12 VERDICT's residual 2: frame-grain packed keys, the image
+#     SQL plus a frame explode and the shared-frames >= 2 rollup;
+#     dense at every SF (3005 pairs at sf0.001, 40647 at sf0.1).
+# Retire-and-replace designations (the exactly-50 arithmetic at r14):
+# audio_near_dup_pairs_docs is matched by dedup_simhash_hamming and
+# video_near_dup_pairs_docs by multimodal_decode_stats in
+# _NEXT_RETIREMENT_CANDIDATES above; events_hourly_rollup stands for
+# whatever third mid-order registration this round adds (final call
+# at r14 per the standing policy -- candidates >= mids is fine, the
+# r14 swap takes exactly as many retirements as mids).
 
 
 def _ordered(names: list[str]) -> list[str]:
@@ -6805,3 +6821,192 @@ def image_near_dup_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = synth_media_df(docs).filter(F.col("media_type") == "image")
     return image_near_dup_pairs(media, max_hamming=6)
+
+
+# The audio near-dup replay (registered r13, executing the r12 note's
+# designated candidacy): the image_near_dup_pairs_docs replay with a
+# 65x1 energy-envelope grid instead of 9x8 -- same hex-slice byte
+# averages (the Haitsma-Kalker-shape envelope under the stub codec),
+# same dHash comparisons folded through HUGEINT to signed-64, same
+# capped pigeonhole chunk join -- all exact integers end to end.
+# Synth audio payloads are the doc_id % 3 = 1 third of documents.
+# Empty payloads: both sides drop them (Spark emits NULL fingerprints,
+# the SQL's n > 0 filter skips them) -- the aligned NULL-content
+# convention shared with the image and video families.
+_AUDIO_NEARDUP_ORACLE = """
+WITH aud AS (
+  SELECT doc_id, encode(text) AS payload FROM documents WHERE doc_id % 3 = 1),
+b AS (
+  SELECT doc_id, hex(payload) AS hx, octet_length(payload) AS n FROM aud),
+seg AS (
+  SELECT doc_id, u.cell,
+         (u.cell * n) // 65 AS lo,
+         greatest(((u.cell + 1) * n) // 65, (u.cell * n) // 65 + 1) AS hi
+  FROM b, LATERAL (SELECT unnest(range(0, 65)) AS cell) u
+  WHERE n > 0),
+bts AS (
+  SELECT doc_id, cell, hi - lo AS cnt, unnest(generate_series(lo + 1, hi)) AS i
+  FROM seg),
+vals AS (
+  SELECT b2.doc_id, b2.cell, b2.cnt,
+         ('0x' || substr(b.hx, 2 * b2.i - 1, 2))::BIGINT AS v
+  FROM bts b2 JOIN b ON b2.doc_id = b.doc_id),
+grid AS (
+  SELECT doc_id, cell, SUM(v) // ANY_VALUE(cnt) AS g
+  FROM vals GROUP BY 1, 2),
+gl AS (
+  SELECT doc_id, list(g ORDER BY cell) AS g FROM grid GROUP BY doc_id),
+dh AS (
+  SELECT doc_id,
+         list_sum([CASE WHEN g[k + 2] > g[k + 1]
+                        THEN CAST(1 AS HUGEINT) << k
+                        ELSE CAST(0 AS HUGEINT) END
+                   for k in range(0, 64)]) AS hu
+  FROM gl),
+hashes AS (
+  SELECT doc_id, hu,
+         CAST(CASE WHEN hu >= CAST(1 AS HUGEINT) << 63
+                   THEN hu - (CAST(1 AS HUGEINT) << 64) ELSE hu END
+              AS BIGINT) AS afp
+  FROM dh),
+chunks AS (
+  SELECT doc_id, afp, u.pos,
+         CAST((hu >> (u.pos * 8)) & 255 AS BIGINT) AS val
+  FROM hashes, LATERAL (SELECT unnest(range(0, 8)) AS pos) u),
+capped AS (
+  SELECT doc_id, afp, pos, val,
+         ROW_NUMBER() OVER (PARTITION BY pos, val ORDER BY doc_id) AS rn
+  FROM chunks)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.afp, b.afp)) AS INT) AS hamming
+FROM (SELECT * FROM capped WHERE rn <= 256) a
+JOIN (SELECT * FROM capped WHERE rn <= 256) b
+  ON a.pos = b.pos AND a.val = b.val AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.afp, b.afp)) <= 6
+"""
+
+
+@register("audio_near_dup_pairs_docs", _AUDIO_NEARDUP_ORACLE)
+def audio_near_dup_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio fingerprint near-dup pairs (functions/multimodal.py
+    audio_fingerprints -> audio_near_dup_pairs over the deterministic
+    stub decode seam; the shared dedup.hamming_chunk_pairs pigeonhole
+    join with the default hot-bucket cap): hamming(afp) <= 6 over the
+    synthetic audio third of documents. The fingerprint is the
+    Haitsma-Kalker energy-difference shape -- dHash on a 65-point
+    envelope -- and every stage is exact integer (segment-average
+    envelope replayed as hex-string 2-char slices, sign-bit assembly
+    through HUGEINT, the (pos, val, media_id) capped total order), so
+    the whole operator hash-matches, precedent
+    image_near_dup_pairs_docs."""
+    from .functions.multimodal import audio_near_dup_pairs, synth_media_df
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synth_media_df(docs).filter(F.col("media_type") == "audio")
+    return audio_near_dup_pairs(media, max_hamming=6)
+
+
+# The video near-dup replay (registered r13, closing the r12 VERDICT's
+# name-the-slot-or-the-exclusion item): frame-grain perceptual hashes
+# over packed (video, frame) keys with evidence-count verdicts -- the
+# image SQL plus a frame explode and the shared-frames rollup, all
+# exact integers. Per video (doc_id % 3 = 2, payload non-empty):
+# k = min(1 + n % 120, 16) evenly-sliced frames (the stub decoder's
+# n_frames through the video_frame_hashes sampling rule), each frame's
+# contiguous byte slice rendered to the 9x8 segment-average grid and
+# dHashed exactly like the image replay; frame keys packed as
+# media_id * 2^20 + frame_no ride the capped pigeonhole join; pairs
+# decode back to videos, same-video matches drop, and a video pair is
+# a near-dup when >= 2 DISTINCT frame pairs agree within hamming 6.
+# min_spread stays 0 (every frame kept) so the replay covers the
+# operator's default configuration.
+_VIDEO_NEARDUP_ORACLE = """
+WITH vid AS (
+  SELECT doc_id, encode(text) AS payload FROM documents WHERE doc_id % 3 = 2),
+b AS (
+  SELECT doc_id, hex(payload) AS hx, octet_length(payload) AS n
+  FROM vid WHERE octet_length(payload) > 0),
+fr AS (
+  SELECT doc_id, n, least(1 + n % 120, 16) AS k, u.f
+  FROM b, LATERAL (SELECT unnest(range(0, 16)) AS f) u
+  WHERE u.f < least(1 + n % 120, 16)),
+sl AS (
+  SELECT doc_id, f,
+         (f * n) // k AS flo,
+         greatest(((f + 1) * n) // k, (f * n) // k + 1) AS fhi
+  FROM fr),
+seg AS (
+  SELECT doc_id, f, flo, u.cell,
+         (u.cell * (fhi - flo)) // 72 AS lo,
+         greatest(((u.cell + 1) * (fhi - flo)) // 72,
+                  (u.cell * (fhi - flo)) // 72 + 1) AS hi
+  FROM sl, LATERAL (SELECT unnest(range(0, 72)) AS cell) u),
+bts AS (
+  SELECT doc_id, f, cell, hi - lo AS cnt,
+         unnest(generate_series(flo + lo + 1, flo + hi)) AS i
+  FROM seg),
+vals AS (
+  SELECT b2.doc_id, b2.f, b2.cell, b2.cnt,
+         ('0x' || substr(b.hx, 2 * b2.i - 1, 2))::BIGINT AS v
+  FROM bts b2 JOIN b ON b2.doc_id = b.doc_id),
+grid AS (
+  SELECT doc_id, f, cell, SUM(v) // ANY_VALUE(cnt) AS g
+  FROM vals GROUP BY 1, 2, 3),
+gl AS (
+  SELECT doc_id, f, list(g ORDER BY cell) AS g FROM grid GROUP BY doc_id, f),
+dh AS (
+  SELECT doc_id, f,
+         list_sum([CASE WHEN g[(k // 8) * 9 + (k % 8) + 2]
+                             > g[(k // 8) * 9 + (k % 8) + 1]
+                        THEN CAST(1 AS HUGEINT) << k
+                        ELSE CAST(0 AS HUGEINT) END
+                   for k in range(0, 64)]) AS hu
+  FROM gl),
+hashes AS (
+  SELECT doc_id * 1048576 + f AS fk, hu,
+         CAST(CASE WHEN hu >= CAST(1 AS HUGEINT) << 63
+                   THEN hu - (CAST(1 AS HUGEINT) << 64) ELSE hu END
+              AS BIGINT) AS fhash
+  FROM dh),
+chunks AS (
+  SELECT fk, fhash, u.pos,
+         CAST((hu >> (u.pos * 8)) & 255 AS BIGINT) AS val
+  FROM hashes, LATERAL (SELECT unnest(range(0, 8)) AS pos) u),
+capped AS (
+  SELECT fk, fhash, pos, val,
+         ROW_NUMBER() OVER (PARTITION BY pos, val ORDER BY fk) AS rn
+  FROM chunks),
+fpairs AS (
+  SELECT DISTINCT a.fk AS fka, b.fk AS fkb
+  FROM (SELECT * FROM capped WHERE rn <= 256) a
+  JOIN (SELECT * FROM capped WHERE rn <= 256) b
+    ON a.pos = b.pos AND a.val = b.val AND a.fk < b.fk
+  WHERE bit_count(xor(a.fhash, b.fhash)) <= 6),
+vpairs AS (
+  SELECT least(fka // 1048576, fkb // 1048576) AS id_a,
+         greatest(fka // 1048576, fkb // 1048576) AS id_b
+  FROM fpairs
+  WHERE fka // 1048576 <> fkb // 1048576)
+SELECT id_a, id_b, COUNT(*) AS shared_frames
+FROM vpairs GROUP BY 1, 2 HAVING COUNT(*) >= 2
+"""
+
+
+@register("video_near_dup_pairs_docs", _VIDEO_NEARDUP_ORACLE)
+def video_near_dup_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup pairs (functions/multimodal.py video_frame_hashes
+    -> video_near_dup_pairs at the operator defaults): >= 2 distinct
+    frame pairs within hamming 6 over the synthetic video third of
+    documents, frame hashes riding packed (video, frame) keys through
+    the shared capped pigeonhole join -- never a frame x frame cross.
+    Exact-integer end to end: the frame sampling rule (min(1 + n %
+    120, 16) evenly-sliced frames), the per-frame segment-average
+    grid, the dHash comparisons, the packed-key total order under the
+    cap, and the final COUNT of distinct frame-pair evidence all
+    replay bit-for-bit in DuckDB; precedent
+    image_near_dup_pairs_docs."""
+    from .functions.multimodal import synth_media_df, video_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synth_media_df(docs).filter(F.col("media_type") == "video")
+    return video_near_dup_pairs(media)
