@@ -375,7 +375,7 @@ def _phash64(grid: list[int], n: int = 32) -> int:
     return _to_i64(v)
 
 
-def perceptual_hashes(media: DataFrame) -> DataFrame:
+def perceptual_hashes(media: DataFrame, min_spread: int = 0) -> DataFrame:
     """(media_id, dhash, phash) for every IMAGE row: decode to a
     grayscale grid (PIL on real encoded payloads, the deterministic
     locality-preserving stub otherwise -- the module's documented
@@ -389,6 +389,13 @@ def perceptual_hashes(media: DataFrame) -> DataFrame:
     text document starting with ``BM``/``RIFF``/... -- a false
     positive of the prefix sniff) falls back to the stub grid instead
     of killing the Arrow task.
+
+    ``min_spread`` is blank-image suppression, the image twin of
+    ``video_frame_hashes``'s knob (r12 VERDICT directive 4): an image
+    whose small-grid spread (max cell - min cell) is below it emits
+    NULL hashes -- a blank/flat image carries no matchable structure,
+    only hot buckets and spurious near-dup cliques. Default 0 keeps
+    every image (the registered oracle's configuration).
 
     Scale shape: map-only (no shuffle), one decoded grid serves both
     hashes; downstream pairing is the pigeonhole chunk join
@@ -420,6 +427,10 @@ def perceptual_hashes(media: DataFrame) -> DataFrame:
             dh, ph = [], []
             for payload in pdf["payload"]:
                 small, big = _grids(payload)
+                if small is not None and min_spread and (
+                    max(small) - min(small) < min_spread
+                ):
+                    small = big = None  # flat image: no matchable structure
                 dh.append(None if small is None else _dhash64(small))
                 ph.append(None if big is None else _phash64(big))
             yield pd.DataFrame(
@@ -441,6 +452,7 @@ def image_near_dup_pairs(
     hash_col: str = "dhash",
     n_chunks: int = 8,
     max_bucket_size: int = 256,
+    min_spread: int = 0,
 ) -> DataFrame:
     """Perceptual-hash image near-dup pairs: (id_a, id_b, hamming)
     where hamming(dhash or phash) <= ``max_hamming`` -- the image twin
@@ -451,11 +463,12 @@ def image_near_dup_pairs(
     blank/constant images all hash identically -- so the cap is on by
     default, the landing-zone discipline. Feed the pairs to
     ``dedup.connected_components`` for clusters and keep-best, exactly
-    like the text families; NULL-hash rows (NULL or empty payloads)
-    never pair."""
+    like the text families; NULL-hash rows (NULL or empty payloads,
+    plus sub-``min_spread`` flat images when suppression is on) never
+    pair."""
     from .dedup import hamming_chunk_pairs
 
-    hashes = perceptual_hashes(media).filter(
+    hashes = perceptual_hashes(media, min_spread=min_spread).filter(
         F.col(hash_col).isNotNull()
     ).localCheckpoint(eager=False)
     return hamming_chunk_pairs(
@@ -473,7 +486,7 @@ AUDIO_FP_SCHEMA = T.StructType(
 )
 
 
-def audio_fingerprints(media: DataFrame) -> DataFrame:
+def audio_fingerprints(media: DataFrame, min_spread: int = 0) -> DataFrame:
     """(media_id, afp) 64-bit audio fingerprint for every AUDIO row:
     resample the payload into a 65-point energy envelope (the same
     locality-preserving segment-average stub the image grid uses; a
@@ -482,20 +495,28 @@ def audio_fingerprints(media: DataFrame) -> DataFrame:
     Haitsma-Kalker (2002) energy-difference fingerprint shape, i.e.
     dHash on a 1 x 65 grid. Deterministic, integer-only, NULL or
     EMPTY payload -> NULL fingerprint (zero-length audio carries no
-    signal; same convention as ``perceptual_hashes``). Pairs via ``audio_near_dup_pairs`` (the
+    signal; same convention as ``perceptual_hashes``). ``min_spread``
+    is silence suppression (the audio twin of the image/video knob):
+    an envelope whose spread is below it emits a NULL fingerprint --
+    silence/constant tones carry no matchable structure, only hot
+    buckets; default 0 keeps every row (the registered oracle's
+    configuration). Pairs via ``audio_near_dup_pairs`` (the
     shared pigeonhole join); map-only, no shuffle."""
+
+    def _fp(payload: bytes | None) -> int | None:
+        if payload is None or len(payload) == 0:
+            return None
+        env = _gray_grid(payload, 65, 1)
+        if min_spread and max(env) - min(env) < min_spread:
+            return None  # silence/flat tone: no matchable structure
+        return _dhash64(env, w=65, h=1)
 
     def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf[pdf["media_type"] == "audio"]
             if not len(pdf):
                 continue
-            fps = [
-                None
-                if payload is None or len(payload) == 0
-                else _dhash64(_gray_grid(payload, 65, 1), w=65, h=1)
-                for payload in pdf["payload"]
-            ]
+            fps = [_fp(payload) for payload in pdf["payload"]]
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"], "afp": pd.array(fps, dtype="Int64")}
             )
@@ -510,15 +531,17 @@ def audio_near_dup_pairs(
     max_hamming: int = 6,
     n_chunks: int = 8,
     max_bucket_size: int = 256,
+    min_spread: int = 0,
 ) -> DataFrame:
     """Audio near-dup pairs: hamming(afp) <= ``max_hamming`` via the
     SAME capped pigeonhole join the image and simhash families ride
     (``dedup.hamming_chunk_pairs``). Silence/constant audio all
     fingerprints identically, so the hot-bucket cap stays on by
-    default. Feed to ``dedup.connected_components`` for clusters."""
+    default and ``min_spread`` suppresses silence upstream. Feed to
+    ``dedup.connected_components`` for clusters."""
     from .dedup import hamming_chunk_pairs
 
-    fps = audio_fingerprints(media).filter(
+    fps = audio_fingerprints(media, min_spread=min_spread).filter(
         F.col("afp").isNotNull()
     ).localCheckpoint(eager=False)
     return hamming_chunk_pairs(
