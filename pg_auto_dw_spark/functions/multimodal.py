@@ -680,3 +680,49 @@ def video_near_dup_pairs(
         .agg(F.countDistinct("fka", "fkb").alias("shared_frames"))
         .filter(F.col("shared_frames") >= min_shared_frames)
     )
+
+
+MEDIA_HASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("frame_no", T.IntegerType(), False),
+        T.StructField("mhash", T.LongType(), False),
+    ]
+)
+
+
+def media_hash_rows(
+    media: DataFrame, max_frames: int = 16, min_spread: int = 0
+) -> DataFrame:
+    """Unified perceptual-hash rows for ALL media families in one
+    frame: (media_id, media_type, frame_no, mhash) -- images emit one
+    dHash row at frame_no 0, audio one envelope-fingerprint row at
+    frame_no 0, video up to ``max_frames`` frame-dHash rows. The
+    media landing zone's hash kernel (`streaming.jobs.media_ingest_apply`
+    persists exactly these rows as its ledger sidecar), and the frame
+    every family's pigeonhole probe rides. NULL/empty payloads and
+    sub-``min_spread`` flat media emit NO row (they are unsigned --
+    no matchable structure, the shared NULL-content convention).
+    Map-only: three Arrow kernels over one pass of the batch."""
+    images = perceptual_hashes(media, min_spread=min_spread).select(
+        "media_id",
+        F.lit("image").alias("media_type"),
+        F.lit(0).cast("int").alias("frame_no"),
+        F.col("dhash").alias("mhash"),
+    ).filter(F.col("mhash").isNotNull())
+    audio = audio_fingerprints(media, min_spread=min_spread).select(
+        "media_id",
+        F.lit("audio").alias("media_type"),
+        F.lit(0).cast("int").alias("frame_no"),
+        F.col("afp").alias("mhash"),
+    ).filter(F.col("mhash").isNotNull())
+    video = video_frame_hashes(
+        media, max_frames=max_frames, min_spread=min_spread
+    ).select(
+        "media_id",
+        F.lit("video").alias("media_type"),
+        "frame_no",
+        F.col("fhash").alias("mhash"),
+    )
+    return images.unionByName(audio).unionByName(video)

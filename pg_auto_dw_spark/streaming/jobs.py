@@ -1984,3 +1984,346 @@ def jsonl_semdecon_ingest_stream(
         .foreachBatch(sink)
         .start()
     )
+
+
+def _media_chunk_keys(hashes: DataFrame, n_chunks: int = 8) -> DataFrame:
+    """Pigeonhole chunk keys for a media hash frame: input rows
+    (media_id, media_type, frame_no, mhash) explode to one row per
+    chunk position with the chunk's value -- the SAME bit math as
+    ``dedup.hamming_chunk_pairs`` (64-bit hash, ``n_chunks`` equal
+    chunks), factored here because the media ledger PERSISTS these
+    rows (the probe-side sidecar, exactly as the MinHash zone persists
+    band keys) instead of recomputing them per probe."""
+    chunk_bits = 64 // n_chunks
+    mask = (1 << chunk_bits) - 1
+    return hashes.select(
+        "media_id",
+        "media_type",
+        "frame_no",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("pos"),
+                        F.expr(f"shiftright(mhash, {i * chunk_bits})")
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select(
+        "media_id", "media_type", "frame_no",
+        F.col("c.pos").alias("pos"), F.col("c.val").alias("val"),
+    )
+
+
+def media_ingest_apply(
+    wh,
+    corpus_table: str,
+    batch: DataFrame,
+    id_col: str = "media_id",
+    max_hamming: int = 6,
+    n_chunks: int = 8,
+    max_probe_bucket: int = 256,
+    min_shared_frames: int = 2,
+    max_frames: int = 16,
+    min_spread: int = 0,
+    dupes_table: str | None = None,
+    extra_appends: list | None = None,
+) -> dict:
+    """Cross-batch perceptual-hash media dedup against a persisted
+    hash ledger: the MEDIA twin of ``neardup_ingest_apply`` (r12
+    VERDICT directive 5) -- "is this image/audio/video a near-copy of
+    ANYTHING ever ingested", answered per micro-batch without a
+    corpus-scale join. Batch rows carry the MEDIA_SCHEMA shape
+    (media_id, media_type, payload, meta...).
+
+    Ledger = two sidecar tables mirroring the MinHash zone's
+    bands/minhash split: ``<corpus>.phash`` (media_id, media_type,
+    frame_no, mhash -- ``multimodal.media_hash_rows`` output: image
+    dHash / audio envelope fingerprint at frame_no 0, video frame
+    dHashes) is the VERIFY side; ``<corpus>.chunks`` (its pigeonhole
+    chunk keys, pre-exploded at ingest) is the PROBE side.
+
+    Per batch (all heavy frames batch-sized; caller pins the batch):
+
+    1. One Arrow hash pass (``media_hash_rows``). Rows yielding NO
+       hash row -- NULL/empty payloads, sub-``min_spread`` flat media,
+       unknown types -- cannot be near-dup checked: admitted WITHOUT
+       ledger rows and counted (``n_unsigned``), the same convention
+       as the text zone's unsigned docs.
+    2. Within-batch collapse: per media type, the shared capped
+       pigeonhole join (``dedup.hamming_chunk_pairs``) over packed
+       (media, frame) keys, then the evidence rollup -- a pair is a
+       near-dup when >= ``min_shared_frames`` distinct frame pairs
+       agree for video, >= 1 for image/audio (their single hash row IS
+       the evidence) -> connected components -> min-id canonical per
+       cluster; members ride their canonical's verdict.
+    3. Cross-batch probe, the scale-critical joins: the chunks ledger
+       is the LEFT of a left_semi against the BROADCAST batch chunk
+       keys (media_type, pos, val) -- one chunks scan, ZERO ledger
+       shuffle -- capped at ``max_probe_bucket`` existing frames per
+       key (blank/constant media is the hot-bucket poison; cap
+       saturation is monitorable via ``dedup.hamming_bucket_stats``
+       over the same frame). Then the phash ledger is probed the same
+       way for exactly the candidate media ids (one phash scan, zero
+       shuffle, output <= candidates).
+    4. Verify candidates by hamming(mhash_a, mhash_b) <= ``max_hamming``
+       and the per-type evidence threshold; canonicals with a verified
+       corpus match are dropped (whole cluster; routed to
+       ``dupes_table`` with the matched corpus id when given).
+    5. ONE warehouse transaction: surviving rows -> corpus, their hash
+       rows -> phash, their chunk keys -> chunks, plus
+       ``extra_appends`` -- the crash-atomicity argument of the text
+       ledgers (a chunk row without its media row would eat future
+       near-copies of media that was never admitted).
+
+    100 TB posture: every shuffle is batch-sized; the per-batch floor
+    is one scan of each sidecar, same as the MinHash zone pre-bucketing
+    (adopt its ``n_sidecar_parts`` partition-pruning pattern when a
+    deployment's ledger outgrows the scan -- the layout decision is
+    identical and documented at ``neardup_ingest_apply``).
+
+    Returns {n_batch, n_unsigned, n_within_dups, n_cross_dups, n_new}.
+    Precondition: ``media_id`` unique within the batch."""
+    from ..functions.dedup import connected_components, hamming_chunk_pairs
+    from ..functions.multimodal import _FRAME_SHIFT, media_hash_rows
+
+    phash_table = f"{corpus_table}.phash"
+    chunks_table = f"{corpus_table}.chunks"
+
+    hashes = media_hash_rows(
+        batch, max_frames=max_frames, min_spread=min_spread
+    ).localCheckpoint(eager=True)
+    signed_ids = hashes.select(id_col).distinct()
+    unsigned = batch.join(signed_ids, id_col, "left_anti")
+    n_batch = batch.count()
+    n_unsigned = unsigned.count()
+
+    def _evidence(pairs: DataFrame, mtype: str) -> DataFrame:
+        """Frame-grain pairs (packed keys) -> media pairs clearing the
+        per-type evidence threshold."""
+        need = min_shared_frames if mtype == "video" else 1
+        vids = pairs.select(
+            F.expr(f"id_a div {_FRAME_SHIFT}").alias("va"),
+            F.expr(f"id_b div {_FRAME_SHIFT}").alias("vb"),
+            "id_a", "id_b",
+        ).filter(F.col("va") != F.col("vb"))
+        oriented = vids.select(
+            F.least("va", "vb").alias("id_a"),
+            F.greatest("va", "vb").alias("id_b"),
+            F.least("id_a", "id_b").alias("fka"),
+            F.greatest("id_a", "id_b").alias("fkb"),
+        )
+        return (
+            oriented.groupBy("id_a", "id_b")
+            .agg(F.countDistinct("fka", "fkb").alias("n"))
+            .filter(F.col("n") >= need)
+            .select("id_a", "id_b")
+        )
+
+    # -- within-batch collapse (per type: hashes live in per-family
+    # spaces, a numeric image-vs-audio hash agreement is meaningless) --
+    within_parts = []
+    for mtype in ("image", "audio", "video"):
+        keyed = hashes.filter(F.col("media_type") == mtype).select(
+            (F.col(id_col) * _FRAME_SHIFT + F.col("frame_no")).alias("fk"),
+            "mhash",
+        )
+        fpairs = hamming_chunk_pairs(
+            keyed, "mhash", "fk",
+            max_hamming=max_hamming, bits=64, n_chunks=n_chunks,
+            max_bucket_size=max_probe_bucket,
+        )
+        within_parts.append(_evidence(fpairs, mtype))
+    within = within_parts[0].unionByName(within_parts[1]).unionByName(
+        within_parts[2]
+    ).localCheckpoint(eager=True)
+    if within.isEmpty():
+        canon_ids, n_within_dups = signed_ids, 0
+    else:
+        comp = connected_components(within, nodes=signed_ids, id_col=id_col)
+        canon_ids = comp.filter(F.col(id_col) == F.col("cluster_id")).select(id_col)
+        n_within_dups = comp.filter(F.col(id_col) != F.col("cluster_id")).count()
+    canon_hashes = hashes.join(canon_ids, id_col, "left_semi").localCheckpoint(
+        eager=True
+    )
+    canon_chunks = _media_chunk_keys(canon_hashes, n_chunks)
+
+    # -- cross-batch probe ------------------------------------------
+    matched = None
+    cross_dup_canon = None
+    if wh.exists(chunks_table):
+        probe_keys = canon_chunks.select(
+            "media_type", "pos", "val"
+        ).distinct().localCheckpoint(eager=True)
+        hits = _ledger_hits(
+            wh.read(chunks_table), probe_keys, ["media_type", "pos", "val"]
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("media_type", "pos", "val").orderBy(
+            id_col, "frame_no"
+        )
+        hits = (
+            hits.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_probe_bucket)
+            .drop("__rn")
+        )
+        cand = (
+            canon_chunks.select(
+                F.col(id_col).alias("id_a"), F.col("frame_no").alias("fa"),
+                "media_type", "pos", "val",
+            )
+            .join(
+                hits.select(
+                    F.col(id_col).alias("id_b"), F.col("frame_no").alias("fb"),
+                    "media_type", "pos", "val",
+                ),
+                ["media_type", "pos", "val"],
+            )
+            .select("media_type", "id_a", "fa", "id_b", "fb")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        cand_ids = cand.select(F.col("id_b").alias(id_col)).distinct()
+        corpus_hashes = _ledger_hits(wh.read(phash_table), cand_ids, [id_col])
+        a = canon_hashes.select(
+            F.col(id_col).alias("id_a"), F.col("frame_no").alias("fa"),
+            F.col("mhash").alias("h_a"),
+        )
+        b = corpus_hashes.select(
+            F.col(id_col).alias("id_b"), F.col("frame_no").alias("fb"),
+            F.col("mhash").alias("h_b"),
+        )
+        verified = (
+            cand.join(a, ["id_a", "fa"]).join(b, ["id_b", "fb"])
+            .filter(
+                F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))) <= max_hamming
+            )
+        )
+        media_matches = (
+            verified.groupBy("media_type", "id_a", "id_b")
+            .agg(F.countDistinct("fa", "fb").alias("n"))
+            .filter(
+                F.col("n")
+                >= F.when(
+                    F.col("media_type") == "video", F.lit(min_shared_frames)
+                ).otherwise(F.lit(1))
+            )
+        )
+        matched = media_matches.groupBy("id_a").agg(
+            F.min("id_b").alias("matched_id")
+        )
+        cross_dup_canon = matched.select(F.col("id_a").alias(id_col))
+    n_cross_dups = cross_dup_canon.count() if cross_dup_canon is not None else 0
+
+    keep_canon = (
+        canon_ids
+        if cross_dup_canon is None
+        else canon_ids.join(cross_dup_canon, id_col, "left_anti")
+    )
+    new_rows = batch.join(keep_canon, id_col, "left_semi").unionByName(unsigned)
+    new_hashes = canon_hashes.join(keep_canon, id_col, "left_semi")
+    new_chunks = canon_chunks.join(keep_canon, id_col, "left_semi")
+    n_new = new_rows.count()
+
+    if not wh.exists(corpus_table):
+        wh.create_table(corpus_table, batch.schema)
+    if not wh.exists(phash_table):
+        wh.create_table(phash_table, new_hashes.schema)
+    if not wh.exists(chunks_table):
+        wh.create_table(chunks_table, new_chunks.schema)
+    extra = list(extra_appends or [])
+    if dupes_table is not None and matched is not None:
+        dupes = batch.join(
+            matched.select(F.col("id_a").alias(id_col), "matched_id"), id_col
+        )
+        if not wh.exists(dupes_table):
+            wh.create_table(dupes_table, dupes.schema)
+        extra.append((dupes_table, dupes))
+    with wh.transaction(
+        [corpus_table, phash_table, chunks_table, *[t for t, _ in extra]]
+    ) as txn:
+        txn.append(corpus_table, new_rows)
+        txn.append(phash_table, new_hashes)
+        txn.append(chunks_table, new_chunks)
+        for t, df in extra:
+            txn.append(t, df)
+    return {
+        "n_batch": n_batch,
+        "n_unsigned": n_unsigned,
+        "n_within_dups": n_within_dups,
+        "n_cross_dups": n_cross_dups,
+        "n_new": n_new,
+    }
+
+
+def media_ingest_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    wh,
+    corpus_table: str,
+    checkpoint_dir: str,
+    dupes_table: str | None = None,
+    maintenance_every: int = 0,
+    maintenance_kwargs: dict | None = None,
+    **apply_kwargs,
+):
+    """Streaming media landing zone: a parquet-file front door (media
+    batches arrive as files of MEDIA_SCHEMA rows -- binary payloads
+    don't ride JSONL) composed with ``media_ingest_apply``, so a
+    re-upload of yesterday's image/audio/video -- byte-identical OR
+    re-encoded within the perceptual-hash tolerance -- never enters the
+    corpus twice. Same transactional spine as the text zones: per
+    batch, surviving rows + both hash-ledger sidecars + the replay
+    guard land in ONE warehouse transaction (replayed batches are
+    exact no-ops); the optional maintenance cadence compacts the
+    corpus and both sidecars post-commit."""
+    batch_log = f"{corpus_table}.ingest_log"
+    maint_state = {"since": 0}
+
+    def _maybe_maintain():
+        if maintenance_every <= 0:
+            return
+        maint_state["since"] += 1
+        if maint_state["since"] < maintenance_every:
+            return
+        maint_state["since"] = 0
+        for t in (corpus_table, f"{corpus_table}.phash", f"{corpus_table}.chunks"):
+            wh.maybe_compact(t, **(maintenance_kwargs or {}))
+
+    def sink(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        if not wh.exists(batch_log):
+            wh.create_table(
+                batch_log, T.StructType([T.StructField("batch_id", T.LongType())])
+            )
+        if wh.read(batch_log).filter(F.col("batch_id") == batch_id).count() > 0:
+            return
+        media_ingest_apply(
+            wh, corpus_table, batch_df.localCheckpoint(),
+            dupes_table=dupes_table,
+            extra_appends=[
+                (
+                    batch_log,
+                    spark.createDataFrame([(int(batch_id),)], "batch_id bigint"),
+                ),
+            ],
+            **apply_kwargs,
+        )
+        _maybe_maintain()
+
+    return (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+        .start()
+    )

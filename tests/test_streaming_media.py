@@ -1,0 +1,163 @@
+"""Media landing zone (streaming/jobs.py media_ingest_apply +
+media_ingest_stream, r12 VERDICT directive 5): cross-batch
+perceptual-hash dedup against the persisted phash/chunks ledger pair,
+probed with the zero-ledger-shuffle join direction -- the media twin
+of the MinHash text zone."""
+
+import random
+
+from pyspark.sql import types as T
+
+from pg_auto_dw_spark.streaming.jobs import media_ingest_apply, media_ingest_stream
+from pg_auto_dw_spark.warehouse import Warehouse
+
+
+def _payload(seed: int, n: int = 720) -> bytes:
+    return bytes((seed * 37 + i * 11 + (i * i) % 31) % 256 for i in range(n))
+
+
+def _edited(b: bytes, at: int = 100, span: int = 8) -> bytes:
+    # local re-tone: the near-dup shape a re-encode produces
+    return b[:at] + bytes((x + 40) % 256 for x in b[at : at + span]) + b[at + span :]
+
+
+def _noise(seed: int, n: int) -> bytes:
+    rng = random.Random(seed)
+    return bytes(rng.randrange(256) for _ in range(n))
+
+
+def _media(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, p, None) for i, t, p in rows],
+        "media_id bigint, media_type string, payload binary, meta string",
+    )
+
+
+IMG = _payload(1)
+AUD = _payload(2, 650)
+VID = _noise(3, 1600)
+VID_SCENE = VID[:600] + _noise(99, 400) + VID[1000:]  # shares most frames
+
+
+def test_within_batch_collapse(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    stats = media_ingest_apply(
+        wh, "m.corpus",
+        _media(spark, [
+            (1, "image", IMG), (2, "image", _edited(IMG)),
+            (3, "image", _noise(50, 720)),
+            (10, "audio", AUD), (11, "audio", _edited(AUD)),
+            (20, "video", VID), (21, "video", VID_SCENE),
+        ]),
+    )
+    assert stats["n_batch"] == 7
+    assert stats["n_within_dups"] == 3  # one per family
+    assert stats["n_cross_dups"] == 0 and stats["n_new"] == 4
+    kept = {r["media_id"] for r in wh.read("m.corpus").collect()}
+    assert kept == {1, 3, 10, 20}  # min-id canonicals survive
+    # ledger rows exist only for admitted media, in both sidecars
+    assert {r["media_id"] for r in wh.read("m.corpus.phash").collect()} == kept
+    assert {r["media_id"] for r in wh.read("m.corpus.chunks").collect()} == kept
+
+
+def test_cross_batch_media_dup_dropped(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    media_ingest_apply(
+        wh, "m.corpus",
+        _media(spark, [(1, "image", IMG), (2, "audio", AUD), (3, "video", VID)]),
+    )
+    stats = media_ingest_apply(
+        wh, "m.corpus",
+        _media(spark, [
+            (10, "image", _edited(IMG)),      # re-encode of corpus image 1
+            (11, "audio", _edited(AUD)),      # re-encode of corpus audio 2
+            (12, "video", VID_SCENE),         # scene edit of corpus video 3
+            (13, "image", _noise(77, 720)),   # genuinely new
+        ]),
+        dupes_table="m.dupes",
+    )
+    assert stats["n_cross_dups"] == 3 and stats["n_new"] == 1
+    kept = {r["media_id"] for r in wh.read("m.corpus").collect()}
+    assert kept == {1, 2, 3, 13}
+    dupes = {r["media_id"]: r["matched_id"] for r in wh.read("m.dupes").collect()}
+    assert dupes == {10: 1, 11: 2, 12: 3}
+    # a THIRD wave resubmitting a near-copy is still caught (ledger
+    # grew by batch 2's survivor, not its dups)
+    stats3 = media_ingest_apply(
+        wh, "m.corpus", _media(spark, [(30, "image", _edited(IMG, at=200))])
+    )
+    assert stats3["n_cross_dups"] == 1 and stats3["n_new"] == 0
+
+
+def test_video_evidence_threshold(spark, tmp_path):
+    """One matching frame is NOT a cross-batch video verdict: a video
+    sharing a single scene with the corpus is admitted at the default
+    min_shared_frames=2, dropped at 1."""
+    one_scene = _noise(500, 1500) + VID[:100]  # shares only a frame or so
+    for msf, expect_new in ((2, 1), (1, 0)):
+        wh = Warehouse(spark, str(tmp_path / f"wh{msf}"))
+        media_ingest_apply(wh, "m.corpus", _media(spark, [(1, "video", VID)]))
+        stats = media_ingest_apply(
+            wh, "m.corpus", _media(spark, [(9, "video", one_scene)]),
+            min_shared_frames=msf,
+        )
+        assert stats["n_new"] == expect_new, f"min_shared_frames={msf}"
+
+
+def test_unsigned_media_admitted_unchecked(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    stats = media_ingest_apply(
+        wh, "m.corpus",
+        _media(spark, [(1, "image", IMG), (2, "image", None), (3, "audio", b"")]),
+    )
+    assert stats["n_unsigned"] == 2 and stats["n_new"] == 3
+    assert wh.read("m.corpus").count() == 3
+    # NULL/empty payloads leave NO ledger rows
+    assert {r["media_id"] for r in wh.read("m.corpus.phash").collect()} == {1}
+
+
+def test_media_types_never_cross_match(spark, tmp_path):
+    """The same payload ingested as image and as audio must NOT pair:
+    hashes live in per-family spaces."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    media_ingest_apply(wh, "m.corpus", _media(spark, [(1, "image", IMG)]))
+    stats = media_ingest_apply(wh, "m.corpus", _media(spark, [(2, "audio", IMG)]))
+    assert stats["n_cross_dups"] == 0 and stats["n_new"] == 1
+
+
+def test_media_stream_end_to_end(spark, tmp_path):
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", T.StringType()),
+    ])
+    src = tmp_path / "src"
+    src.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+
+    def run():
+        q = media_ingest_stream(
+            spark, str(src), schema, wh, "lz.media",
+            str(tmp_path / "ckpt"), dupes_table="lz.dupes",
+        )
+        q.awaitTermination(120)
+
+    _media(spark, [(1, "image", IMG), (2, "video", VID)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    run()
+    assert wh.read("lz.media").count() == 2
+    _media(spark, [
+        (7, "image", _edited(IMG)), (8, "video", VID_SCENE),
+        (9, "image", _noise(88, 720)),
+    ]).coalesce(1).write.mode("append").parquet(str(src))
+    run()
+    kept = {r["media_id"] for r in wh.read("lz.media").collect()}
+    assert kept == {1, 2, 9}  # re-encodes dropped, new image admitted
+    assert {r["media_id"]: r["matched_id"] for r in wh.read("lz.dupes").collect()} \
+        == {7: 1, 8: 2}
+    # restart over the same sources: exact no-op
+    run()
+    assert wh.read("lz.media").count() == 3
+    assert wh.read("lz.dupes").count() == 2
