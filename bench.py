@@ -167,6 +167,10 @@ HEADLINE = [
     # packed-key pigeonhole join + the shared-frames evidence rollup)
     "audio_near_dup_pairs_docs",
     "video_near_dup_pairs_docs",
+    # r13 session op registered mid-order same round: the media
+    # landing zone's unified hash kernel (three Arrow passes union'd,
+    # map-only -- the phash sidecar surface)
+    "media_hash_rows_docs",
 ]
 
 

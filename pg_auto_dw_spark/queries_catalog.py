@@ -497,13 +497,18 @@ _NEXT_RETIREMENT_CANDIDATES = [
 #     r12 VERDICT's residual 2: frame-grain packed keys, the image
 #     SQL plus a frame explode and the shared-frames >= 2 rollup;
 #     dense at every SF (3005 pairs at sf0.001, 40647 at sf0.1).
+#   media_hash_rows_docs -- the third r13 registration (added with the
+#     media landing zone): multimodal.media_hash_rows, the zone's
+#     one-pass hash kernel and phash-sidecar surface, replayed as the
+#     union of the three per-family byte replays. Dense at every SF
+#     (2731 rows at sf0.001).
 # Retire-and-replace designations (the exactly-50 arithmetic at r14):
-# audio_near_dup_pairs_docs is matched by dedup_simhash_hamming and
-# video_near_dup_pairs_docs by multimodal_decode_stats in
-# _NEXT_RETIREMENT_CANDIDATES above; events_hourly_rollup stands for
-# whatever third mid-order registration this round adds (final call
-# at r14 per the standing policy -- candidates >= mids is fine, the
-# r14 swap takes exactly as many retirements as mids).
+# audio_near_dup_pairs_docs is matched by dedup_simhash_hamming,
+# video_near_dup_pairs_docs by multimodal_decode_stats, and
+# media_hash_rows_docs by events_hourly_rollup in
+# _NEXT_RETIREMENT_CANDIDATES above -- three mids, three candidates,
+# the r14 swap closes exactly (final call at r14 per the standing
+# policy).
 
 
 def _ordered(names: list[str]) -> list[str]:
@@ -7010,3 +7015,160 @@ def video_near_dup_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = synth_media_df(docs).filter(F.col("media_type") == "video")
     return video_near_dup_pairs(media)
+
+
+# The unified media hash kernel replay (registered r13, the third
+# mid-order registration -- matched by events_hourly_rollup in
+# _NEXT_RETIREMENT_CANDIDATES): multimodal.media_hash_rows is the
+# media landing zone's ONE-PASS hash kernel (streaming/jobs.py
+# media_ingest_apply persists exactly these rows as its phash ledger
+# sidecar), so driver-verifying it verifies the zone's signature
+# surface. The SQL is the mechanical union of the three proven
+# per-family replays: the image 9x8 grid dHash, the audio 65x1
+# envelope fingerprint, and the video frame-grain dHash -- each
+# byte-exact (hex-slice segment averages, HUGEINT bit assembly,
+# signed-64 fold), emitted as (media_id, media_type, frame_no, mhash).
+# Empty payloads emit no row on both sides (the shared NULL-content
+# convention).
+_MEDIA_HASH_ROWS_ORACLE = """
+WITH img AS (
+  SELECT doc_id, encode(text) AS payload FROM documents WHERE doc_id % 3 = 0),
+ib AS (
+  SELECT doc_id, hex(payload) AS hx, octet_length(payload) AS n FROM img),
+iseg AS (
+  SELECT doc_id, u.cell,
+         (u.cell * n) // 72 AS lo,
+         greatest(((u.cell + 1) * n) // 72, (u.cell * n) // 72 + 1) AS hi
+  FROM ib, LATERAL (SELECT unnest(range(0, 72)) AS cell) u
+  WHERE n > 0),
+ibts AS (
+  SELECT doc_id, cell, hi - lo AS cnt, unnest(generate_series(lo + 1, hi)) AS i
+  FROM iseg),
+ivals AS (
+  SELECT b2.doc_id, b2.cell, b2.cnt,
+         ('0x' || substr(b.hx, 2 * b2.i - 1, 2))::BIGINT AS v
+  FROM ibts b2 JOIN ib b ON b2.doc_id = b.doc_id),
+igrid AS (
+  SELECT doc_id, cell, SUM(v) // ANY_VALUE(cnt) AS g
+  FROM ivals GROUP BY 1, 2),
+igl AS (
+  SELECT doc_id, list(g ORDER BY cell) AS g FROM igrid GROUP BY doc_id),
+idh AS (
+  SELECT doc_id,
+         list_sum([CASE WHEN g[(k // 8) * 9 + (k % 8) + 2]
+                             > g[(k // 8) * 9 + (k % 8) + 1]
+                        THEN CAST(1 AS HUGEINT) << k
+                        ELSE CAST(0 AS HUGEINT) END
+                   for k in range(0, 64)]) AS hu
+  FROM igl),
+ihash AS (
+  SELECT doc_id AS media_id, 'image' AS media_type, 0 AS frame_no,
+         CAST(CASE WHEN hu >= CAST(1 AS HUGEINT) << 63
+                   THEN hu - (CAST(1 AS HUGEINT) << 64) ELSE hu END
+              AS BIGINT) AS mhash
+  FROM idh),
+aud AS (
+  SELECT doc_id, encode(text) AS payload FROM documents WHERE doc_id % 3 = 1),
+ab AS (
+  SELECT doc_id, hex(payload) AS hx, octet_length(payload) AS n FROM aud),
+aseg AS (
+  SELECT doc_id, u.cell,
+         (u.cell * n) // 65 AS lo,
+         greatest(((u.cell + 1) * n) // 65, (u.cell * n) // 65 + 1) AS hi
+  FROM ab, LATERAL (SELECT unnest(range(0, 65)) AS cell) u
+  WHERE n > 0),
+abts AS (
+  SELECT doc_id, cell, hi - lo AS cnt, unnest(generate_series(lo + 1, hi)) AS i
+  FROM aseg),
+avals AS (
+  SELECT b2.doc_id, b2.cell, b2.cnt,
+         ('0x' || substr(b.hx, 2 * b2.i - 1, 2))::BIGINT AS v
+  FROM abts b2 JOIN ab b ON b2.doc_id = b.doc_id),
+agrid AS (
+  SELECT doc_id, cell, SUM(v) // ANY_VALUE(cnt) AS g
+  FROM avals GROUP BY 1, 2),
+agl AS (
+  SELECT doc_id, list(g ORDER BY cell) AS g FROM agrid GROUP BY doc_id),
+adh AS (
+  SELECT doc_id,
+         list_sum([CASE WHEN g[k + 2] > g[k + 1]
+                        THEN CAST(1 AS HUGEINT) << k
+                        ELSE CAST(0 AS HUGEINT) END
+                   for k in range(0, 64)]) AS hu
+  FROM agl),
+ahash AS (
+  SELECT doc_id AS media_id, 'audio' AS media_type, 0 AS frame_no,
+         CAST(CASE WHEN hu >= CAST(1 AS HUGEINT) << 63
+                   THEN hu - (CAST(1 AS HUGEINT) << 64) ELSE hu END
+              AS BIGINT) AS mhash
+  FROM adh),
+vid AS (
+  SELECT doc_id, encode(text) AS payload FROM documents WHERE doc_id % 3 = 2),
+vb AS (
+  SELECT doc_id, hex(payload) AS hx, octet_length(payload) AS n
+  FROM vid WHERE octet_length(payload) > 0),
+vfr AS (
+  SELECT doc_id, n, least(1 + n % 120, 16) AS k, u.f
+  FROM vb, LATERAL (SELECT unnest(range(0, 16)) AS f) u
+  WHERE u.f < least(1 + n % 120, 16)),
+vsl AS (
+  SELECT doc_id, f,
+         (f * n) // k AS flo,
+         greatest(((f + 1) * n) // k, (f * n) // k + 1) AS fhi
+  FROM vfr),
+vseg AS (
+  SELECT doc_id, f, flo, u.cell,
+         (u.cell * (fhi - flo)) // 72 AS lo,
+         greatest(((u.cell + 1) * (fhi - flo)) // 72,
+                  (u.cell * (fhi - flo)) // 72 + 1) AS hi
+  FROM vsl, LATERAL (SELECT unnest(range(0, 72)) AS cell) u),
+vbts AS (
+  SELECT doc_id, f, cell, hi - lo AS cnt,
+         unnest(generate_series(flo + lo + 1, flo + hi)) AS i
+  FROM vseg),
+vvals AS (
+  SELECT b2.doc_id, b2.f, b2.cell, b2.cnt,
+         ('0x' || substr(b.hx, 2 * b2.i - 1, 2))::BIGINT AS v
+  FROM vbts b2 JOIN vb b ON b2.doc_id = b.doc_id),
+vgrid AS (
+  SELECT doc_id, f, cell, SUM(v) // ANY_VALUE(cnt) AS g
+  FROM vvals GROUP BY 1, 2, 3),
+vgl AS (
+  SELECT doc_id, f, list(g ORDER BY cell) AS g FROM vgrid GROUP BY doc_id, f),
+vdh AS (
+  SELECT doc_id, f,
+         list_sum([CASE WHEN g[(k // 8) * 9 + (k % 8) + 2]
+                             > g[(k // 8) * 9 + (k % 8) + 1]
+                        THEN CAST(1 AS HUGEINT) << k
+                        ELSE CAST(0 AS HUGEINT) END
+                   for k in range(0, 64)]) AS hu
+  FROM vgl),
+vhash AS (
+  SELECT doc_id AS media_id, 'video' AS media_type, CAST(f AS INT) AS frame_no,
+         CAST(CASE WHEN hu >= CAST(1 AS HUGEINT) << 63
+                   THEN hu - (CAST(1 AS HUGEINT) << 64) ELSE hu END
+              AS BIGINT) AS mhash
+  FROM vdh)
+SELECT media_id, media_type, CAST(frame_no AS INT) AS frame_no, mhash FROM ihash
+UNION ALL
+SELECT media_id, media_type, CAST(frame_no AS INT) AS frame_no, mhash FROM ahash
+UNION ALL
+SELECT media_id, media_type, frame_no, mhash FROM vhash
+"""
+
+
+@register("media_hash_rows_docs", _MEDIA_HASH_ROWS_ORACLE)
+def media_hash_rows_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unified media hash rows (functions/multimodal.py media_hash_rows
+    at the operator defaults over the full synthetic media table): one
+    (media_id, media_type, frame_no, mhash) row per image dHash, audio
+    envelope fingerprint, and sampled video frame dHash -- the media
+    landing zone's signature surface (media_ingest_apply persists
+    exactly these rows as its phash sidecar). Byte-exact: the three
+    per-family replays (image_near_dup_pairs_docs /
+    audio_near_dup_pairs_docs / video_near_dup_pairs_docs precedents)
+    unioned; every stage exact integers."""
+    from .functions.multimodal import media_hash_rows, synth_media_df
+
+    docs = load_table(spark, sf_dir, "documents")
+    return media_hash_rows(synth_media_df(docs))
