@@ -704,7 +704,11 @@ def media_hash_rows(
     every family's pigeonhole probe rides. NULL/empty payloads and
     sub-``min_spread`` flat media emit NO row (they are unsigned --
     no matchable structure, the shared NULL-content convention).
-    Map-only: three Arrow kernels over one pass of the batch."""
+    Map-only, zero exchanges: three Arrow kernels union'd, each its
+    own pass over the batch (plan-audited: 3 pruned scans, 0
+    shuffles) -- pin the batch upstream so they read one
+    materialization, which is exactly what ``media_ingest_apply``
+    does with its localCheckpoint'd micro-batch."""
     images = perceptual_hashes(media, min_spread=min_spread).select(
         "media_id",
         F.lit("image").alias("media_type"),

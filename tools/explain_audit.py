@@ -39,6 +39,11 @@ AUDIT = [
     "preference_pairs_orders",  # 3-col pruned scans; count-guard join
     "winnow_near_dup_pairs_docs",
     "image_near_dup_pairs_docs",  # scans=0: pairs read the hash pin
+    # r13 registrations
+    "audio_near_dup_pairs_docs",  # scans=0: same shape as image
+    "video_near_dup_pairs_docs",  # scans=0: frame-hash pin + rollup
+    "media_hash_rows_docs",  # expect 1 pruned scan, 0 exchanges, the
+    # three Arrow kernels union'd map-only
 ]
 
 
