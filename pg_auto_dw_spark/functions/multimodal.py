@@ -339,6 +339,25 @@ def _to_i64(v: int) -> int:
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
+def _image_small_grid(payload: bytes) -> list[int]:
+    """The image dHash's 9x8 grayscale grid with the SAME decode
+    dispatch ``perceptual_hashes`` uses: PIL pixels for genuinely
+    encoded payloads when the codec is installed, the deterministic
+    stub grid otherwise (including the magic-sniff false-positive
+    fallback). Factored to module scope so the one-pass
+    ``media_hash_rows`` kernel and ``perceptual_hashes`` cannot
+    drift on the decode path."""
+    if _is_encoded_image(payload) and _HAVE_PIL:
+        import io
+
+        try:
+            with _PILImage.open(io.BytesIO(payload)) as img:
+                return list(img.convert("L").resize((9, 8)).getdata())
+        except Exception:
+            pass  # magic-sniff false positive: not really encoded
+    return _gray_grid(payload, 9, 8)
+
+
 def _dhash64(grid: list[int], w: int = 9, h: int = 8) -> int:
     """64-bit difference hash: bit (r*8 + c) = [row r cell c+1 > cell
     c] over a 9x8 grid -- gradient signs, the classic dHash (Krawetz).
@@ -704,29 +723,51 @@ def media_hash_rows(
     every family's pigeonhole probe rides. NULL/empty payloads and
     sub-``min_spread`` flat media emit NO row (they are unsigned --
     no matchable structure, the shared NULL-content convention).
-    Map-only, zero exchanges: three Arrow kernels union'd, each its
-    own pass over the batch (plan-audited: 3 pruned scans, 0
-    shuffles) -- pin the batch upstream so they read one
-    materialization, which is exactly what ``media_ingest_apply``
-    does with its localCheckpoint'd micro-batch."""
-    images = perceptual_hashes(media, min_spread=min_spread).select(
-        "media_id",
-        F.lit("image").alias("media_type"),
-        F.lit(0).cast("int").alias("frame_no"),
-        F.col("dhash").alias("mhash"),
-    ).filter(F.col("mhash").isNotNull())
-    audio = audio_fingerprints(media, min_spread=min_spread).select(
-        "media_id",
-        F.lit("audio").alias("media_type"),
-        F.lit(0).cast("int").alias("frame_no"),
-        F.col("afp").alias("mhash"),
-    ).filter(F.col("mhash").isNotNull())
-    video = video_frame_hashes(
-        media, max_frames=max_frames, min_spread=min_spread
-    ).select(
-        "media_id",
-        F.lit("video").alias("media_type"),
-        "frame_no",
-        F.col("fhash").alias("mhash"),
+    Map-only, zero exchanges, ONE Arrow pass: a single mapInPandas
+    dispatches per row by media_type instead of unioning the three
+    family kernels (which each re-scanned the batch -- plan-audited 3
+    scans before this rewrite, 1 after; at 100 TB the hash pass IS
+    the zone's IO floor, so the rewrite cuts it 3x). Hash math is the
+    family kernels' exactly -- pinned row-identical to their union in
+    tests and byte-replayed by the ``media_hash_rows_docs`` oracle."""
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, mtype, payload in zip(
+                pdf["media_id"], pdf["media_type"], pdf["payload"]
+            ):
+                if payload is None or len(payload) == 0:
+                    continue  # unsigned: no content, no row
+                b = bytes(payload)
+                if mtype == "image":
+                    g = _image_small_grid(b)
+                    if min_spread and max(g) - min(g) < min_spread:
+                        continue
+                    rows.append((mid, "image", 0, _dhash64(g)))
+                elif mtype == "audio":
+                    env = _gray_grid(b, 65, 1)
+                    if min_spread and max(env) - min(env) < min_spread:
+                        continue
+                    rows.append((mid, "audio", 0, _dhash64(env, w=65, h=1)))
+                elif mtype == "video":
+                    n = _fake_decode("video", b)["n_frames"]
+                    k = max(1, min(n, max_frames))
+                    for f in range(k):
+                        lo = f * len(b) // k
+                        hi = max((f + 1) * len(b) // k, lo + 1)
+                        g = _gray_grid(b[lo:hi], 9, 8)
+                        if min_spread and max(g) - min(g) < min_spread:
+                            continue
+                        rows.append((mid, "video", f, _dhash64(g)))
+            if not rows:
+                continue
+            out = pd.DataFrame(
+                rows, columns=["media_id", "media_type", "frame_no", "mhash"]
+            )
+            out["frame_no"] = pd.array(out["frame_no"], dtype="Int32")
+            yield out
+
+    return media.select("media_id", "media_type", "payload").mapInPandas(
+        body, schema=MEDIA_HASH_SCHEMA
     )
-    return images.unionByName(audio).unionByName(video)

@@ -161,3 +161,38 @@ def test_media_stream_end_to_end(spark, tmp_path):
     run()
     assert wh.read("lz.media").count() == 3
     assert wh.read("lz.dupes").count() == 2
+
+
+def test_media_hash_rows_one_pass_matches_family_kernels(spark):
+    """The one-pass dispatch kernel must be row-identical to the
+    three family kernels' union -- the hash math is shared by
+    construction, this pins the dispatch/suppression plumbing."""
+    from pyspark.sql import functions as F
+
+    from pg_auto_dw_spark.functions.multimodal import (
+        audio_fingerprints,
+        media_hash_rows,
+        perceptual_hashes,
+        video_frame_hashes,
+    )
+
+    media = _media(spark, [
+        (1, "image", IMG), (2, "image", None), (3, "image", b""),
+        (10, "audio", AUD), (11, "audio", _edited(AUD)),
+        (20, "video", VID), (21, "video", VID_SCENE), (22, "video", b""),
+    ])
+    for ms in (0, 5):
+        got = {
+            (r["media_id"], r["media_type"], r["frame_no"], r["mhash"])
+            for r in media_hash_rows(media, min_spread=ms).collect()
+        }
+        want = set()
+        for r in perceptual_hashes(media, min_spread=ms).collect():
+            if r["dhash"] is not None:
+                want.add((r["media_id"], "image", 0, r["dhash"]))
+        for r in audio_fingerprints(media, min_spread=ms).collect():
+            if r["afp"] is not None:
+                want.add((r["media_id"], "audio", 0, r["afp"]))
+        for r in video_frame_hashes(media, min_spread=ms).collect():
+            want.add((r["media_id"], "video", r["frame_no"], r["fhash"]))
+        assert got == want and got, f"min_spread={ms}"
