@@ -2031,6 +2031,7 @@ def media_ingest_apply(
     max_frames: int = 16,
     min_spread: int = 0,
     dupes_table: str | None = None,
+    monitor_table: str | None = None,
     extra_appends: list | None = None,
 ) -> dict:
     """Cross-batch perceptual-hash media dedup against a persisted
@@ -2080,6 +2081,14 @@ def media_ingest_apply(
        ledgers (a chunk row without its media row would eat future
        near-copies of media that was never admitted).
 
+    ``monitor_table`` (opt-in) lands the over-cap bucket audit
+    (``dedup.hamming_bucket_stats`` per family, run beside the pair
+    joins on the SAME batch hash frame) in the SAME transaction:
+    corpus-wide saturation there is the blank-media pre-filter signal
+    (set ``min_spread``) or the pay-the-cap signal, per the measured
+    regime discrimination in SCALE.md r13. Zero rows on healthy
+    batches.
+
     100 TB posture: every shuffle is batch-sized; the per-batch floor
     is one scan of each sidecar, same as the MinHash zone pre-bucketing
     (adopt its ``n_sidecar_parts`` partition-pruning pattern when a
@@ -2127,6 +2136,7 @@ def media_ingest_apply(
     # -- within-batch collapse (per type: hashes live in per-family
     # spaces, a numeric image-vs-audio hash agreement is meaningless) --
     within_parts = []
+    monitor_parts = []
     for mtype in ("image", "audio", "video"):
         keyed = hashes.filter(F.col("media_type") == mtype).select(
             (F.col(id_col) * _FRAME_SHIFT + F.col("frame_no")).alias("fk"),
@@ -2138,6 +2148,16 @@ def media_ingest_apply(
             max_bucket_size=max_probe_bucket,
         )
         within_parts.append(_evidence(fpairs, mtype))
+        if monitor_table is not None:
+            from ..functions.dedup import hamming_bucket_stats
+
+            monitor_parts.append(
+                hamming_bucket_stats(
+                    keyed, "mhash", "fk",
+                    n_chunks=n_chunks, max_bucket_size=max_probe_bucket,
+                ).select(F.lit(mtype).alias("media_type"), "pos", "val", "n",
+                         "pairs_exact", "pairs_suppressed")
+            )
     within = within_parts[0].unionByName(within_parts[1]).unionByName(
         within_parts[2]
     ).localCheckpoint(eager=True)
@@ -2244,6 +2264,23 @@ def media_ingest_apply(
         if not wh.exists(dupes_table):
             wh.create_table(dupes_table, dupes.schema)
         extra.append((dupes_table, dupes))
+    if monitor_table is not None:
+        # over-cap bucket audit rows (hamming_bucket_stats per family on
+        # the SAME batch hash frame the pair joins read): corpus-wide
+        # saturation here is the blank-media pre-filter signal measured
+        # in SCALE.md r13 -- landed in the SAME transaction so a batch's
+        # verdicts and its saturation evidence commit atomically. The
+        # frame is batch-sized; most batches emit ZERO rows.
+        monitor = (
+            monitor_parts[0]
+            .unionByName(monitor_parts[1])
+            .unionByName(monitor_parts[2])
+            .localCheckpoint(eager=True)
+        )
+        if not monitor.isEmpty():
+            if not wh.exists(monitor_table):
+                wh.create_table(monitor_table, monitor.schema)
+            extra.append((monitor_table, monitor))
     with wh.transaction(
         [corpus_table, phash_table, chunks_table, *[t for t, _ in extra]]
     ) as txn:

@@ -196,3 +196,35 @@ def test_media_hash_rows_one_pass_matches_family_kernels(spark):
         for r in video_frame_hashes(media, min_spread=ms).collect():
             want.add((r["media_id"], "video", r["frame_no"], r["fhash"]))
         assert got == want and got, f"min_spread={ms}"
+
+
+def test_zone_monitor_table_composed(spark, tmp_path):
+    """monitor_table lands the over-cap bucket audit in the SAME
+    transaction: a blank-block batch writes saturation rows, a healthy
+    batch writes none, and verdicts are identical with the monitor on
+    or off."""
+    flat = bytes([128]) * 720
+    blanky = [(i, "image", flat) for i in range(1, 20)] + [(100, "image", IMG)]
+    for monitored in (False, True):
+        wh = Warehouse(spark, str(tmp_path / f"wh{monitored}"))
+        stats = media_ingest_apply(
+            wh, "m.corpus", _media(spark, blanky),
+            max_probe_bucket=8,
+            monitor_table="m.buckets" if monitored else None,
+        )
+        if monitored:
+            mon = wh.read("m.buckets").collect()
+            assert mon and all(r["n"] > 8 for r in mon)
+            assert {r["media_type"] for r in mon} == {"image"}
+            base_stats = stats
+        else:
+            off_stats = stats
+    assert base_stats == off_stats  # monitoring never changes verdicts
+    # healthy batch: zero monitor rows appended
+    wh = Warehouse(spark, str(tmp_path / "whTrue"))
+    media_ingest_apply(
+        wh, "m.corpus",
+        _media(spark, [(200, "image", _noise(7, 720)), (201, "audio", AUD)]),
+        max_probe_bucket=8, monitor_table="m.buckets",
+    )
+    assert wh.read("m.buckets").count() == len(mon)  # unchanged

@@ -56,10 +56,18 @@ def main() -> None:
         raise SystemExit(__doc__)
     old, new = load(sys.argv[1]), load(sys.argv[2])
     shared = [q for q in new["queries"] if q in old["queries"]]
-    print(
-        f"old: floor={old.get('job_overhead_ms', '?')}ms jvm={old.get('jvm_compute_ms', '?')}ms | "
-        f"new: floor={new.get('job_overhead_ms', '?')}ms jvm={new.get('jvm_compute_ms', '?')}ms"
-    )
+    def cal(art: dict) -> str:
+        # all four calibration components (r13): quote the one matching
+        # the moving query's workload class, not just the arithmetic
+        return (
+            f"floor={art.get('job_overhead_ms', '?')}ms "
+            f"jvm={art.get('jvm_compute_ms', '?')}ms "
+            f"str={art.get('jvm_string_ms', '?')}ms "
+            f"shf={art.get('jvm_shuffle_ms', '?')}ms "
+            f"alc={art.get('jvm_alloc_ms', '?')}ms"
+        )
+
+    print(f"old: {cal(old)} | new: {cal(new)}")
     print(f"{'query':44s} {'old':>7s} {'new':>7s} {'raw':>7s} {'plan-norm':>9s}")
     tot_o = tot_n = 0.0
     rows = []
