@@ -228,3 +228,43 @@ def test_zone_monitor_table_composed(spark, tmp_path):
         max_probe_bucket=8, monitor_table="m.buckets",
     )
     assert wh.read("m.buckets").count() == len(mon)  # unchanged
+
+
+def test_media_zone_maintenance_loop(spark, tmp_path):
+    """The maintenance cadence, composed for the media zone: N
+    single-file micro-batches accrete small-file pressure on the
+    corpus and BOTH hash sidecars, the wired-in maybe_compact trigger
+    fires, and every table reads identically with collapsed files."""
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", T.StringType()),
+    ])
+    src = tmp_path / "src"
+    src.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+
+    def run_batch(i: int):
+        _media(spark, [(i, "image", _noise(1000 + i, 720))]).coalesce(1) \
+            .write.mode("append").parquet(str(src))
+        q = media_ingest_stream(
+            spark, str(src), schema, wh, "lz.media", str(tmp_path / "ckpt"),
+            maintenance_every=1,
+            maintenance_kwargs={"max_small_files": 3, "small_file_mb": 1},
+        )
+        q.awaitTermination(120)
+
+    n_batches = 8
+    for i in range(n_batches):
+        run_batch(i)
+
+    media = wh.read("lz.media")
+    assert sorted(r["media_id"] for r in media.collect()) == list(range(n_batches))
+    actions = [h["action"] for h in wh.history("lz.media")]
+    assert "overwrite" in actions  # the compaction trigger fired
+    for t in ("lz.media", "lz.media.phash", "lz.media.chunks"):
+        health = wh.table_health(t, small_file_mb=1)
+        assert health["files"] < n_batches, t
+    assert wh.read("lz.media.phash").count() == n_batches
+    assert wh.read("lz.media.chunks").count() == n_batches * 8  # 8 chunks/hash
