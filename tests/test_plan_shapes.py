@@ -520,3 +520,39 @@ def test_quality_gate_model_side_broadcasts(spark):
     plan = _plan(hashed_linear_score(pos.unionByName(neg), weights=weights))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_media_ledger_probe_never_shuffles(spark, tmp_path):
+    """The media zone's chunk-key sidecar rides the SAME _ledger_hits
+    shape as the text zones: ledger as the LEFT of a left_semi against
+    the broadcast batch (media_type, pos, val) keys -- one scan, zero
+    ledger shuffle at any corpus size."""
+    from pg_auto_dw_spark.streaming.jobs import _ledger_hits
+    from pg_auto_dw_spark.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    chunks = spark.range(3000).select(
+        F.col("id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.lit(0).cast("int").alias("frame_no"),
+        (F.col("id") % 8).cast("int").alias("pos"),
+        (F.col("id") % 251).alias("val"),
+    )
+    wh.create_table("m.corpus.chunks", chunks.schema)
+    wh.append("m.corpus.chunks", chunks)
+    probe = spark.range(6).select(
+        F.lit("image").alias("media_type"),
+        (F.col("id") % 8).cast("int").alias("pos"),
+        (F.col("id") % 251).alias("val"),
+    )
+    plan = _plan(
+        _ledger_hits(
+            wh.read("m.corpus.chunks"), probe, ["media_type", "pos", "val"]
+        )
+    )
+    assert "BroadcastHashJoin LeftSemi BuildRight" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert [
+        ln for ln in plan.splitlines()
+        if "Exchange" in ln and "Broadcast" not in ln
+    ] == []
