@@ -2033,6 +2033,7 @@ def media_ingest_apply(
     dupes_table: str | None = None,
     monitor_table: str | None = None,
     extra_appends: list | None = None,
+    n_sidecar_parts: int | None = None,
 ) -> dict:
     """Cross-batch perceptual-hash media dedup against a persisted
     hash ledger: the MEDIA twin of ``neardup_ingest_apply`` (r12
@@ -2090,10 +2091,20 @@ def media_ingest_apply(
     batches.
 
     100 TB posture: every shuffle is batch-sized; the per-batch floor
-    is one scan of each sidecar, same as the MinHash zone pre-bucketing
-    (adopt its ``n_sidecar_parts`` partition-pruning pattern when a
-    deployment's ledger outgrows the scan -- the layout decision is
-    identical and documented at ``neardup_ingest_apply``).
+    is one scan of each sidecar. ``n_sidecar_parts`` (opt-in) is the
+    MinHash zone's partition-pruning pattern applied here: both
+    sidecars partition by a hash bucket of their probe key (chunks by
+    ``pmod(xxhash64(media_type, pos, val), parts)``, phash by
+    ``pmod(xxhash64(media_id), parts)``), each probe collects its
+    batch-sized bucket set and filters ``__bucket IN (...)`` BEFORE
+    the semi join, so the scan PARTITION-PRUNES and the floor drops to
+    buckets-touched/parts of the ledger. The cost model, the <=0.8
+    bucket-coverage gate, and the leave-OFF-below-~1M-rows rule are
+    the text zone's (measured at ``neardup_ingest_apply`` /
+    SCALE.md r11) -- media sidecars cross that line EARLIER because a
+    video contributes up to max_frames hash rows and 8x that many
+    chunk rows. The layout is fixed at FIRST ingest; mismatched calls
+    fail loudly.
 
     Returns {n_batch, n_unsigned, n_within_dups, n_cross_dups, n_new}.
     Precondition: ``media_id`` unique within the batch."""
@@ -2172,15 +2183,50 @@ def media_ingest_apply(
     )
     canon_chunks = _media_chunk_keys(canon_hashes, n_chunks)
 
+    # sidecar partition buckets (opt-in): each probe collects its
+    # (batch-sized) bucket set and the scan partition-prunes to those
+    use_buckets = n_sidecar_parts is not None
+    if use_buckets:
+        chunk_bucket = F.pmod(
+            F.xxhash64(F.col("media_type"), F.col("pos"), F.col("val")),
+            F.lit(n_sidecar_parts),
+        )
+        id_bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_sidecar_parts))
+
+    def _check_layout(table: str) -> None:
+        has = "__bucket" in wh.read(table).columns
+        if has != use_buckets:
+            raise ValueError(
+                f"{table} layout mismatch: table is "
+                f"{'bucketed' if has else 'unpartitioned'} but this call "
+                f"passed n_sidecar_parts={n_sidecar_parts}; the sidecar "
+                f"layout is fixed at first ingest"
+            )
+
     # -- cross-batch probe ------------------------------------------
     matched = None
     cross_dup_canon = None
     if wh.exists(chunks_table):
+        _check_layout(chunks_table)
         probe_keys = canon_chunks.select(
             "media_type", "pos", "val"
         ).distinct().localCheckpoint(eager=True)
+        ledger_chunks = wh.read(chunks_table)
+        if use_buckets:
+            probe_buckets = [
+                r["b"]
+                for r in probe_keys.select(chunk_bucket.alias("b"))
+                .distinct()
+                .collect()
+            ]
+            # prune only when the batch leaves most partitions untouched
+            if len(probe_buckets) <= n_sidecar_parts * 0.8:
+                ledger_chunks = ledger_chunks.filter(
+                    F.col("__bucket").isin(probe_buckets)
+                )
+            ledger_chunks = ledger_chunks.drop("__bucket")
         hits = _ledger_hits(
-            wh.read(chunks_table), probe_keys, ["media_type", "pos", "val"]
+            ledger_chunks, probe_keys, ["media_type", "pos", "val"]
         )
         from pyspark.sql import Window
 
@@ -2209,7 +2255,23 @@ def media_ingest_apply(
             .localCheckpoint(eager=True)
         )
         cand_ids = cand.select(F.col("id_b").alias(id_col)).distinct()
-        corpus_hashes = _ledger_hits(wh.read(phash_table), cand_ids, [id_col])
+        if use_buckets:
+            cand_ids = cand_ids.localCheckpoint(
+                eager=True
+            )  # read twice: bucket-set collect + the broadcast semi
+        _check_layout(phash_table)
+        ledger_hashes = wh.read(phash_table)
+        if use_buckets:
+            hash_buckets = [
+                r["b"]
+                for r in cand_ids.select(id_bucket.alias("b")).distinct().collect()
+            ]
+            if len(hash_buckets) <= n_sidecar_parts * 0.8:
+                ledger_hashes = ledger_hashes.filter(
+                    F.col("__bucket").isin(hash_buckets)
+                )
+            ledger_hashes = ledger_hashes.drop("__bucket")
+        corpus_hashes = _ledger_hits(ledger_hashes, cand_ids, [id_col])
         a = canon_hashes.select(
             F.col(id_col).alias("id_a"), F.col("frame_no").alias("fa"),
             F.col("mhash").alias("h_a"),
@@ -2248,14 +2310,29 @@ def media_ingest_apply(
     new_rows = batch.join(keep_canon, id_col, "left_semi").unionByName(unsigned)
     new_hashes = canon_hashes.join(keep_canon, id_col, "left_semi")
     new_chunks = canon_chunks.join(keep_canon, id_col, "left_semi")
+    if use_buckets:
+        # one batch-sized shuffle per sidecar so each append writes ONE
+        # file per touched bucket, not one per (input partition x
+        # bucket) -- the text zone's small-file-pressure rule
+        new_hashes = new_hashes.withColumn("__bucket", id_bucket).repartition(
+            "__bucket"
+        )
+        new_chunks = new_chunks.withColumn("__bucket", chunk_bucket).repartition(
+            "__bucket"
+        )
     n_new = new_rows.count()
 
     if not wh.exists(corpus_table):
         wh.create_table(corpus_table, batch.schema)
+    sidecar_parts = ["__bucket"] if use_buckets else None
     if not wh.exists(phash_table):
-        wh.create_table(phash_table, new_hashes.schema)
+        wh.create_table(phash_table, new_hashes.schema, partition_by=sidecar_parts)
+    else:
+        _check_layout(phash_table)
     if not wh.exists(chunks_table):
-        wh.create_table(chunks_table, new_chunks.schema)
+        wh.create_table(chunks_table, new_chunks.schema, partition_by=sidecar_parts)
+    else:
+        _check_layout(chunks_table)
     extra = list(extra_appends or [])
     if dupes_table is not None and matched is not None:
         dupes = batch.join(

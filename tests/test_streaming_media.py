@@ -268,3 +268,79 @@ def test_media_zone_maintenance_loop(spark, tmp_path):
         assert health["files"] < n_batches, t
     assert wh.read("lz.media.phash").count() == n_batches
     assert wh.read("lz.media.chunks").count() == n_batches * 8  # 8 chunks/hash
+
+
+def test_media_transaction_is_all_or_nothing(spark, tmp_path, monkeypatch):
+    """A failure while staging ANY of the three tables (corpus, phash,
+    chunks) must leave the warehouse at the prior batch's state -- a
+    chunk row without its media row would silently eat future
+    near-copies of media that was never admitted."""
+    import pg_auto_dw_spark.warehouse as wh_mod
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    media_ingest_apply(wh, "m.corpus", _media(spark, [(1, "image", IMG)]))
+    before = {
+        t: {tuple(r) for r in wh.read(t).collect()}
+        for t in ("m.corpus", "m.corpus.phash", "m.corpus.chunks")
+    }
+
+    real_append = wh_mod._Transaction.append
+
+    def boom(self, name, df):
+        if name == "m.corpus.chunks":
+            raise RuntimeError("injected crash while staging chunk keys")
+        return real_append(self, name, df)
+
+    monkeypatch.setattr(wh_mod._Transaction, "append", boom)
+    try:
+        media_ingest_apply(wh, "m.corpus", _media(spark, [(9, "audio", AUD)]))
+        raise AssertionError("expected the injected failure to propagate")
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(wh_mod._Transaction, "append", real_append)
+    wh2 = Warehouse(spark, str(tmp_path / "wh"))  # recovery runs at init
+    for t, rows in before.items():
+        assert {tuple(r) for r in wh2.read(t).collect()} == rows, t
+    # and the aborted batch simply retries
+    stats = media_ingest_apply(wh2, "m.corpus", _media(spark, [(9, "audio", AUD)]))
+    assert stats["n_new"] == 1
+
+
+def test_media_bucketed_sidecars_same_verdicts_and_loud_mismatch(spark, tmp_path):
+    """Opt-in partitioned sidecars (n_sidecar_parts) must produce the
+    SAME dedup verdicts as the default layout, and a layout-mismatched
+    call must fail loudly instead of silently mis-probing."""
+    import pytest
+
+    batches = [
+        [(1, "image", IMG), (2, "audio", AUD), (3, "video", VID)],
+        [(10, "image", _edited(IMG)), (11, "audio", _edited(AUD)),
+         (12, "video", VID_SCENE), (13, "image", _noise(66, 720))],
+        [(30, "image", _edited(IMG, at=300)), (31, "audio", _noise(67, 650))],
+    ]
+    results = {}
+    for parts in (None, 64):
+        wh = Warehouse(spark, str(tmp_path / f"wh{parts}"))
+        stats = [
+            media_ingest_apply(
+                wh, "m.corpus", _media(spark, b), n_sidecar_parts=parts
+            )
+            for b in batches
+        ]
+        kept = sorted(r["media_id"] for r in wh.read("m.corpus").collect())
+        results[parts] = (stats, kept)
+        if parts:
+            # the partitioned layout actually materialized
+            assert "__bucket" in wh.read("m.corpus.chunks").columns
+            assert "__bucket" in wh.read("m.corpus.phash").columns
+    assert results[None] == results[64]  # bitwise-identical verdicts
+    # loud mismatch both directions
+    wh = Warehouse(spark, str(tmp_path / "wh64"))
+    with pytest.raises(ValueError, match="layout mismatch"):
+        media_ingest_apply(wh, "m.corpus", _media(spark, [(99, "image", IMG)]))
+    wh = Warehouse(spark, str(tmp_path / "whNone"))
+    with pytest.raises(ValueError, match="layout mismatch"):
+        media_ingest_apply(
+            wh, "m.corpus", _media(spark, [(99, "image", IMG)]),
+            n_sidecar_parts=64,
+        )
