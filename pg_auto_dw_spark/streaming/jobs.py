@@ -1477,6 +1477,7 @@ def neardup_ingest_apply(
     dupes_table: str | None = None,
     extra_appends: list | None = None,
     n_sidecar_parts: int | None = None,
+    monitor_table: str | None = None,
 ) -> dict:
     """Cross-batch NEAR-duplicate dedup against a persisted MinHash
     ledger: the streaming twin of ``dedup.minhash_lsh_candidates`` --
@@ -1544,6 +1545,12 @@ def neardup_ingest_apply(
     ``n_sidecar_parts`` well ABOVE the per-batch probe-key count or
     the <=0.8 bucket-coverage gate disables pruning entirely. The
     layout is fixed at FIRST ingest and mismatched calls fail loudly.
+
+    ``monitor_table`` (opt-in, r13) lands the over-cap band-bucket
+    audit (``lsh_hot_bucket_stats`` semantics, computed on the same
+    pinned bands frame the candidate join reads) in the SAME
+    transaction -- corpus-wide saturation there is the
+    boilerplate-pre-filter signal; healthy batches append zero rows.
     Returns counts:
     {n_batch, n_unsigned, n_within_dups, n_cross_dups, n_new}.
 
@@ -1615,6 +1622,28 @@ def neardup_ingest_apply(
     # max_probe_bucket is the one hot-bucket knob for both sides of
     # this function.
     bands = lsh_band_keys_wide(wide, id_col, band_size).localCheckpoint(eager=True)
+    # over-cap band-bucket audit (r13, back-ported from the media
+    # zone's monitor sidecar): computed on the SAME pinned bands frame
+    # the candidate join reads, landed in the SAME transaction below --
+    # corpus-wide saturation here is the boilerplate pre-filter signal
+    # (`lsh_hot_bucket_stats` semantics: star fallback emits n-1 pairs)
+    monitor = None
+    if monitor_table is not None:
+        nn = F.col("n")
+        monitor = (
+            bands.groupBy("band", "band_key")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(nn > max_probe_bucket)
+            .select(
+                "band", "band_key", nn,
+                (nn * (nn - 1) / 2).cast("long").alias("pairs_exact"),
+                (nn - 1).cast("long").alias("pairs_emitted"),
+                ((nn * (nn - 1) / 2) - (nn - 1))
+                .cast("long")
+                .alias("pairs_suppressed"),
+            )
+            .localCheckpoint(eager=True)
+        )
     within_cand = band_pair_candidates(
         bands, id_col=id_col, max_bucket_size=max_probe_bucket
     )
@@ -1749,6 +1778,10 @@ def neardup_ingest_apply(
         if not wh.exists(dupes_table):
             wh.create_table(dupes_table, dupes.schema)
         extra.append((dupes_table, dupes))
+    if monitor is not None and not monitor.isEmpty():
+        if not wh.exists(monitor_table):
+            wh.create_table(monitor_table, monitor.schema)
+        extra.append((monitor_table, monitor))
     with wh.transaction(
         [corpus_table, bands_table, sig_table, *[t for t, _ in extra]]
     ) as txn:

@@ -175,3 +175,32 @@ def test_bucketed_sidecars_same_verdicts_and_loud_mismatch(spark, tmp_path):
     assert {r["doc_id"] for r in wh.read("c.docs").collect()} == {1, 11}
     with pytest.raises(ValueError, match="layout mismatch"):
         neardup_ingest_apply(wh, "c.docs", _df(spark, [(20, OTHER)]))
+
+
+def test_neardup_zone_monitor_table(spark, tmp_path):
+    """r13 back-port of the media zone's monitor sidecar: a
+    boilerplate-skewed batch (one band bucket past the cap) lands
+    over-cap audit rows in the same transaction; a healthy batch lands
+    none; verdicts are identical with the monitor on or off."""
+    skewed = [(i, BASE) for i in range(40)] + [(100, OTHER)]
+    stats_by = {}
+    for monitored in (False, True):
+        wh = Warehouse(spark, str(tmp_path / f"wh{monitored}"))
+        stats_by[monitored] = neardup_ingest_apply(
+            wh, "c.docs", _df(spark, skewed),
+            max_probe_bucket=8,
+            monitor_table="c.buckets" if monitored else None,
+        )
+        if monitored:
+            mon = wh.read("c.buckets").collect()
+            assert mon and all(r["n"] > 8 for r in mon)
+            assert all(r["pairs_suppressed"] > 0 for r in mon)
+    assert stats_by[False] == stats_by[True]
+    # healthy follow-up batch: zero new monitor rows
+    wh = Warehouse(spark, str(tmp_path / "whTrue"))
+    n_before = wh.read("c.buckets").count()
+    neardup_ingest_apply(
+        wh, "c.docs", _df(spark, [(200, OTHER + " fresh tail")]),
+        max_probe_bucket=8, monitor_table="c.buckets",
+    )
+    assert wh.read("c.buckets").count() == n_before
