@@ -1815,6 +1815,7 @@ def jsonl_neardup_ingest_stream(
     maintenance_kwargs: dict | None = None,
     n_sidecar_parts: int | None = None,
     ndv_cols: list[str] | None = None,
+    monitor_table: str | None = None,
 ):
     """Near-dup-deduplicating JSONL landing zone: the ingest front door
     composed with ``neardup_ingest_apply``, so a re-crawl that differs
@@ -1861,6 +1862,7 @@ def jsonl_neardup_ingest_stream(
             sim_threshold=sim_threshold,
             dupes_table=dupes_table,
             n_sidecar_parts=n_sidecar_parts,
+            monitor_table=monitor_table,
             extra_appends=[
                 (quarantine_table, quarantined),
                 (
