@@ -2420,6 +2420,7 @@ def media_ingest_stream(
     dupes_table: str | None = None,
     maintenance_every: int = 0,
     maintenance_kwargs: dict | None = None,
+    ndv_cols: list[str] | None = None,
     **apply_kwargs,
 ):
     """Streaming media landing zone: a parquet-file front door (media
@@ -2454,8 +2455,9 @@ def media_ingest_stream(
             )
         if wh.read(batch_log).filter(F.col("batch_id") == batch_id).count() > 0:
             return
+        typed = batch_df.localCheckpoint()
         media_ingest_apply(
-            wh, corpus_table, batch_df.localCheckpoint(),
+            wh, corpus_table, typed,
             dupes_table=dupes_table,
             extra_appends=[
                 (
@@ -2465,6 +2467,12 @@ def media_ingest_stream(
             ],
             **apply_kwargs,
         )
+        if ndv_cols:
+            # ingest-offered NDV ledger, post-commit -- same grain and
+            # single-writer crash argument as the text zones
+            from ..functions.sketch import update_ndv_sketches
+
+            update_ndv_sketches(wh, f"{corpus_table}.ndv", typed, ndv_cols)
         _maybe_maintain()
 
     return (

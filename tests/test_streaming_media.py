@@ -344,3 +344,38 @@ def test_media_bucketed_sidecars_same_verdicts_and_loud_mismatch(spark, tmp_path
             wh, "m.corpus", _media(spark, [(99, "image", IMG)]),
             n_sidecar_parts=64,
         )
+
+
+def test_media_stream_maintains_ndv(spark, tmp_path):
+    """ndv_cols composition on the media front door: <corpus>.ndv stays
+    current across micro-batches, estimates exact at this cardinality."""
+    from pg_auto_dw_spark.functions.sketch import ndv_estimates
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", T.StringType()),
+    ])
+    src = tmp_path / "src"
+    src.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+
+    def run():
+        q = media_ingest_stream(
+            spark, str(src), schema, wh, "lz.media",
+            str(tmp_path / "ckpt"), ndv_cols=["media_type", "media_id"],
+        )
+        q.awaitTermination(120)
+
+    _media(spark, [(i, "image", _noise(300 + i, 720)) for i in range(5)]) \
+        .coalesce(1).write.mode("append").parquet(str(src))
+    run()
+    _media(spark, [(i, "audio", _noise(400 + i, 650)) for i in range(5, 9)]) \
+        .coalesce(1).write.mode("append").parquet(str(src))
+    run()
+    est = {
+        r["col_name"]: r["n_distinct"]
+        for r in ndv_estimates(wh.read("lz.media.ndv")).collect()
+    }
+    assert est == {"media_type": 2, "media_id": 9}
