@@ -771,3 +771,59 @@ def media_hash_rows(
     return media.select("media_id", "media_type", "payload").mapInPandas(
         body, schema=MEDIA_HASH_SCHEMA
     )
+
+
+def media_semantic_near_dup_pairs(
+    media: DataFrame,
+    threshold: float = 0.95,
+    dims: int = 64,
+    max_bucket_size: int = 1024,
+) -> DataFrame:
+    """SemDeDup for media (Abbas et al., 2023, applied to the media
+    embedding bridge): (media_type, id_a, id_b, cosine) where two
+    payloads' embeddings agree at cosine >= ``threshold`` -- the
+    COMPLEMENT of the perceptual-hash families, not a replacement.
+    dHash is positional (gradient signs at fixed grid cells), so a
+    re-encode that REORDERS content -- a shuffled image atlas, a
+    re-cut video, a resequenced audio montage -- defeats it while the
+    embedding (a position-free byte-trigram histogram under the stub
+    seam; a CLIP-style encoder through the same seam in production)
+    barely moves. Run BOTH: perceptual hashes for positional
+    near-copies, this for semantic/reordered ones -- the media twin of
+    the exact-digest + MinHash + semantic posture the text side runs.
+
+    Per media type (embeddings of different families share a byte
+    space under the stub, so cross-type numeric agreement is
+    meaningless -- same isolation rule as the hash families), pairs
+    ride ``similarity.embedding_near_dup_pairs``: seeded-hyperplane
+    LSH buckets + the Arrow int64 gram-matmul kernel, hot buckets
+    star-capped. NULL payloads embed to NULL and never pair.
+
+    Oracle designation (written exclusion, r13): the pair kernel is
+    already driver-verified through ``dedup_embedding_cosine`` (the
+    quantized-cosine oracle over the embeddings table); the only new
+    code here is the per-type dispatch (pytest-pinned, including the
+    block-swap scenario in tests/test_media_semantic.py), and the
+    embedding itself is the module's documented stub-encoder seam --
+    Python float normalization through a nonlinear pipeline, exactly
+    the float class the r11 cross-SF sweep excluded from hash-match
+    oracles (classifier-weights precedent)."""
+    from .similarity import embedding_near_dup_pairs
+
+    emb = embed_media(media, dims=dims).filter(
+        F.col("embedding").isNotNull()
+    ).localCheckpoint(eager=False)
+    parts = []
+    for mtype in ("image", "audio", "video"):
+        sub = emb.filter(F.col("media_type") == mtype).select(
+            "media_id", "embedding"
+        )
+        parts.append(
+            embedding_near_dup_pairs(
+                sub, threshold=threshold, id_col="media_id",
+                dims=dims, max_bucket_size=max_bucket_size,
+            ).select(
+                F.lit(mtype).alias("media_type"), "id_a", "id_b", "cosine"
+            )
+        )
+    return parts[0].unionByName(parts[1]).unionByName(parts[2])
