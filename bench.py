@@ -340,6 +340,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     reps: dict[str, list[float]] = {}
+    stats: dict[str, str] = {}  # which estimator produced each number
     jobs: dict[str, int] = {}
     for name in HEADLINE:
         fn = qmap.get(name)
@@ -374,10 +375,17 @@ def main() -> None:
                         jobs[name] = max(0, j1 - j0)
                 runs.append(elapsed)
             reps[name] = runs
-            # median for >= 3 reps; min for the heavyweight 2-rep rows
-            timings[name] = (
-                sorted(runs)[len(runs) // 2] if len(runs) >= 3 else min(runs)
-            )
+            # median for >= 3 reps; min for the heavyweight 2-rep rows.
+            # queries_stat records WHICH estimator produced each number
+            # so cross-artifact compares (bench_compare.py) can flag
+            # mixed-statistic rows instead of silently comparing a
+            # min against a median.
+            if len(runs) >= 3:
+                timings[name] = sorted(runs)[len(runs) // 2]
+                stats[name] = f"median{len(runs)}"
+            else:
+                timings[name] = min(runs)
+                stats[name] = f"min{len(runs)}"
         except Exception as e:  # a failing query must not hide the others
             print(f"bench error in {name}: {e}", file=sys.stderr)
             timings[name] = -1.0
@@ -406,6 +414,7 @@ def main() -> None:
         "queries": timings,
         "queries_cold": cold,
         "queries_reps": reps,
+        "queries_stat": stats,
         # omitted entirely when the private nextJobId API ever failed:
         # partial/zero counts would read as calibrated to bench_compare
         **({"queries_jobs": jobs} if jobs_calibrated else {}),
@@ -426,7 +435,9 @@ def main() -> None:
     with open(detail_path, "w") as f:
         json.dump(result, f)
     compact = {
-        k: v for k, v in result.items() if k not in ("queries_cold", "queries_reps", "queries_jobs")
+        k: v
+        for k, v in result.items()
+        if k not in ("queries_cold", "queries_reps", "queries_jobs", "queries_stat")
     }
     if jobs_calibrated:
         compact["jobs_total"] = sum(jobs.values())

@@ -273,12 +273,17 @@ def embed_media(media: DataFrame, dims: int = 64) -> DataFrame:
     runtime (CLIP-style encoders aren't in this container) -- swap
     ``_embed_payload`` for an ONNX/torch call and nothing else
     changes. The Spark-side contract is the real, tested part: binary
-    in, fixed-dims vector out, Arrow batches, zero shuffle, NULL
-    payload -> NULL embedding (never a zero vector pretending to be
-    content)."""
+    in, fixed-dims vector out, Arrow batches, zero shuffle, NULL or
+    sub-trigram (< 3 bytes) payload -> NULL embedding -- never a zero
+    vector pretending to be content (r13 review fix: zero vectors
+    previously leaked past downstream isNotNull filters and
+    concentrated into one degenerate LSH bucket per family, the exact
+    hot-bucket poison the hash families' NULL convention avoids)."""
     import math
 
-    def _embed_payload(b: bytes) -> list[float]:
+    def _embed_payload(b: bytes) -> list[float] | None:
+        if b is None or len(b) < 3:
+            return None  # no trigram: no content evidence, NULL
         v = [0.0] * dims
         for i in range(len(b) - 2):
             h = (b[i] * 65599 + b[i + 1]) * 65599 + b[i + 2]
@@ -292,9 +297,7 @@ def embed_media(media: DataFrame, dims: int = 64) -> DataFrame:
                 {
                     "media_id": pdf["media_id"],
                     "media_type": pdf["media_type"],
-                    "embedding": pdf["payload"].map(
-                        lambda b: None if b is None else _embed_payload(b)
-                    ),
+                    "embedding": pdf["payload"].map(_embed_payload),
                 }
             )
 
@@ -339,23 +342,32 @@ def _to_i64(v: int) -> int:
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
-def _image_small_grid(payload: bytes) -> list[int]:
-    """The image dHash's 9x8 grayscale grid with the SAME decode
-    dispatch ``perceptual_hashes`` uses: PIL pixels for genuinely
-    encoded payloads when the codec is installed, the deterministic
-    stub grid otherwise (including the magic-sniff false-positive
-    fallback). Factored to module scope so the one-pass
-    ``media_hash_rows`` kernel and ``perceptual_hashes`` cannot
-    drift on the decode path."""
-    if _is_encoded_image(payload) and _HAVE_PIL:
-        import io
+def _pil_grids(payload: bytes, sizes: list[tuple[int, int]]) -> list[list[int]] | None:
+    """PIL grayscale grids (one per requested (w, h)) for a genuinely
+    encoded image payload, or None to signal the stub fallback -- not
+    encoded, codec missing, or a magic-sniff false positive (a text
+    payload starting 'BM'/'RIFF'/...). This is THE image decode
+    dispatch: every image-grid consumer (``perceptual_hashes``,
+    ``_image_small_grid`` -> the one-pass ``media_hash_rows`` kernel)
+    routes through it, so the real-vs-stub decision cannot drift
+    between the family hashes and the zone's phash ledger."""
+    if not (_is_encoded_image(payload) and _HAVE_PIL):
+        return None
+    import io
 
-        try:
-            with _PILImage.open(io.BytesIO(payload)) as img:
-                return list(img.convert("L").resize((9, 8)).getdata())
-        except Exception:
-            pass  # magic-sniff false positive: not really encoded
-    return _gray_grid(payload, 9, 8)
+    try:
+        with _PILImage.open(io.BytesIO(payload)) as img:
+            g = img.convert("L")
+            return [list(g.resize(s).getdata()) for s in sizes]
+    except Exception:
+        return None  # magic-sniff false positive: not really encoded
+
+
+def _image_small_grid(payload: bytes) -> list[int]:
+    """The image dHash's 9x8 grayscale grid through the shared decode
+    dispatch (``_pil_grids``), stub grid on fallback."""
+    grids = _pil_grids(payload, [(9, 8)])
+    return grids[0] if grids is not None else _gray_grid(payload, 9, 8)
 
 
 def _dhash64(grid: list[int], w: int = 9, h: int = 8) -> int:
@@ -425,17 +437,9 @@ def perceptual_hashes(media: DataFrame, min_spread: int = 0) -> DataFrame:
     def _grids(payload: bytes | None):
         if payload is None or len(payload) == 0:
             return None, None
-        if _is_encoded_image(payload) and _HAVE_PIL:
-            import io
-
-            try:
-                with _PILImage.open(io.BytesIO(payload)) as img:
-                    g = img.convert("L")
-                    small = list(g.resize((9, 8)).getdata())
-                    big = list(g.resize((32, 32)).getdata())
-                return small, big
-            except Exception:
-                pass  # magic-sniff false positive: not really encoded
+        pil = _pil_grids(payload, [(9, 8), (32, 32)])
+        if pil is not None:
+            return pil[0], pil[1]
         return _gray_grid(payload, 9, 8), _gray_grid(payload, 32, 32)
 
     def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -797,7 +801,8 @@ def media_semantic_near_dup_pairs(
     meaningless -- same isolation rule as the hash families), pairs
     ride ``similarity.embedding_near_dup_pairs``: seeded-hyperplane
     LSH buckets + the Arrow int64 gram-matmul kernel, hot buckets
-    star-capped. NULL payloads embed to NULL and never pair.
+    star-capped. NULL and sub-trigram (< 3 bytes) payloads embed to
+    NULL and never pair -- the hash families' NULL-content convention.
 
     Oracle designation (written exclusion, r13): the pair kernel is
     already driver-verified through ``dedup_embedding_cosine`` (the

@@ -1778,10 +1778,13 @@ def neardup_ingest_apply(
         if not wh.exists(dupes_table):
             wh.create_table(dupes_table, dupes.schema)
         extra.append((dupes_table, dupes))
-    if monitor is not None and not monitor.isEmpty():
+    if monitor is not None:
+        # created at FIRST ingest, not first saturation: empty always
+        # means healthy, never monitoring-off (r13 review fix)
         if not wh.exists(monitor_table):
             wh.create_table(monitor_table, monitor.schema)
-        extra.append((monitor_table, monitor))
+        if not monitor.isEmpty():
+            extra.append((monitor_table, monitor))
     with wh.transaction(
         [corpus_table, bands_table, sig_table, *[t for t, _ in extra]]
     ) as txn:
@@ -2058,7 +2061,6 @@ def media_ingest_apply(
     wh,
     corpus_table: str,
     batch: DataFrame,
-    id_col: str = "media_id",
     max_hamming: int = 6,
     n_chunks: int = 8,
     max_probe_bucket: int = 256,
@@ -2142,12 +2144,37 @@ def media_ingest_apply(
     fail loudly.
 
     Returns {n_batch, n_unsigned, n_within_dups, n_cross_dups, n_new}.
-    Precondition: ``media_id`` unique within the batch."""
+    Precondition: ``media_id`` unique within the batch.
+
+    The hash KEY SPACE (n_chunks, max_frames, min_spread) is fixed at
+    first ingest and pinned in a ``<corpus>.hashcfg`` row: a later call
+    with different knobs would compute batch keys in a different space
+    than the persisted ledger and silently admit every near-copy
+    (zero probe hits), so mismatched calls fail loudly instead --
+    the same first-ingest-fixes-the-layout rule as n_sidecar_parts."""
     from ..functions.dedup import connected_components, hamming_chunk_pairs
     from ..functions.multimodal import _FRAME_SHIFT, media_hash_rows
 
+    if max_frames >= _FRAME_SHIFT:
+        raise ValueError(f"max_frames must be < {_FRAME_SHIFT}")
+    id_col = "media_id"  # the MEDIA_SCHEMA key media_hash_rows emits
     phash_table = f"{corpus_table}.phash"
     chunks_table = f"{corpus_table}.chunks"
+    cfg_table = f"{corpus_table}.hashcfg"
+    cfg = {
+        "n_chunks": n_chunks,
+        "max_frames": max_frames,
+        "min_spread": min_spread,
+    }
+    if wh.exists(cfg_table):
+        stored = wh.read(cfg_table).collect()[0].asDict()
+        stored = {k: stored[k] for k in cfg}
+        if stored != cfg:
+            raise ValueError(
+                f"{corpus_table} hashing-config mismatch: the ledger was "
+                f"built with {stored} but this call passed {cfg}; the hash "
+                "key space is fixed at first ingest"
+            )
 
     hashes = media_hash_rows(
         batch, max_frames=max_frames, min_spread=min_spread
@@ -2382,17 +2409,26 @@ def media_ingest_apply(
         # saturation here is the blank-media pre-filter signal measured
         # in SCALE.md r13 -- landed in the SAME transaction so a batch's
         # verdicts and its saturation evidence commit atomically. The
-        # frame is batch-sized; most batches emit ZERO rows.
+        # frame is batch-sized; most batches emit ZERO rows. The table
+        # is created at FIRST ingest (not first saturation), so a
+        # monitoring consumer can always read it and empty means
+        # healthy, never monitoring-off (r13 review fix).
         monitor = (
             monitor_parts[0]
             .unionByName(monitor_parts[1])
             .unionByName(monitor_parts[2])
             .localCheckpoint(eager=True)
         )
+        if not wh.exists(monitor_table):
+            wh.create_table(monitor_table, monitor.schema)
         if not monitor.isEmpty():
-            if not wh.exists(monitor_table):
-                wh.create_table(monitor_table, monitor.schema)
             extra.append((monitor_table, monitor))
+    if not wh.exists(cfg_table):
+        cfg_df = wh.spark.createDataFrame(
+            [tuple(cfg.values())], schema=", ".join(f"{k} int" for k in cfg)
+        )
+        wh.create_table(cfg_table, cfg_df.schema)
+        extra.append((cfg_table, cfg_df))
     with wh.transaction(
         [corpus_table, phash_table, chunks_table, *[t for t, _ in extra]]
     ) as txn:

@@ -379,3 +379,39 @@ def test_media_stream_maintains_ndv(spark, tmp_path):
         for r in ndv_estimates(wh.read("lz.media.ndv")).collect()
     }
     assert est == {"media_type": 2, "media_id": 9}
+
+
+def test_hash_config_fixed_at_first_ingest(spark, tmp_path):
+    """r13 review fix: the hash KEY SPACE (n_chunks/max_frames/
+    min_spread) is pinned at first ingest -- a later call with
+    different knobs would probe a different key space and silently
+    admit every near-copy, so it must fail loudly instead."""
+    import pytest
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    media_ingest_apply(wh, "m.corpus", _media(spark, [(1, "image", IMG)]))
+    for bad in ({"n_chunks": 4}, {"max_frames": 8}, {"min_spread": 5}):
+        with pytest.raises(ValueError, match="hashing-config mismatch"):
+            media_ingest_apply(
+                wh, "m.corpus", _media(spark, [(2, "image", IMG)]), **bad
+            )
+    # same knobs still ingest fine, and the guard rides the ledger
+    stats = media_ingest_apply(wh, "m.corpus", _media(spark, [(2, "audio", AUD)]))
+    assert stats["n_new"] == 1
+    with pytest.raises(ValueError, match="max_frames must be"):
+        media_ingest_apply(
+            wh, "m2.corpus", _media(spark, [(1, "video", VID)]),
+            max_frames=1 << 20,
+        )
+
+
+def test_monitor_table_exists_from_first_ingest(spark, tmp_path):
+    """r13 review fix: with monitoring enabled, the audit table exists
+    (empty) from the first healthy batch -- a consumer can always read
+    it, and empty means healthy rather than monitoring-off."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    media_ingest_apply(
+        wh, "m.corpus", _media(spark, [(1, "image", IMG)]),
+        monitor_table="m.buckets",
+    )
+    assert wh.exists("m.buckets") and wh.read("m.buckets").count() == 0

@@ -71,6 +71,7 @@ def main() -> None:
     print(f"{'query':44s} {'old':>7s} {'new':>7s} {'raw':>7s} {'plan-norm':>9s}")
     tot_o = tot_n = 0.0
     rows = []
+    so, sn = old.get("queries_stat") or {}, new.get("queries_stat") or {}
     for q in shared:
         o, n = old["queries"][q], new["queries"][q]
         if o < 0 or n < 0:
@@ -78,7 +79,16 @@ def main() -> None:
         po, co = plan_cost(old, q)
         pn, cn = plan_cost(new, q)
         norm = f"{pn / po:9.2f}" if co and cn and po > 0.05 else "      n/a"
-        rows.append((n - o, f"{q:44s} {o:7.2f} {n:7.2f} {n / o if o else 0:7.2f} {norm}"))
+        # min-of-2 <= median-of-3 by construction: a row whose
+        # estimator changed between artifacts carries a systematic
+        # bias, so flag it rather than read the ratio at face value
+        mixed = ""
+        if so.get(q, "median3") != sn.get(q, "median3"):
+            mixed = f"  [stat {so.get(q, 'median3?')}->{sn.get(q, 'median3?')}]"
+        rows.append((
+            n - o,
+            f"{q:44s} {o:7.2f} {n:7.2f} {n / o if o else 0:7.2f} {norm}{mixed}",
+        ))
         tot_o += o
         tot_n += n
     for _, line in sorted(rows, reverse=True):
