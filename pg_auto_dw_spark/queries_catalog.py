@@ -6829,18 +6829,34 @@ def image_near_dup_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The audio near-dup replay (registered r13, executing the r12 note's
-# designated candidacy): the image_near_dup_pairs_docs replay with a
-# 65x1 energy-envelope grid instead of 9x8 -- same hex-slice byte
-# averages (the Haitsma-Kalker-shape envelope under the stub codec),
-# same dHash comparisons folded through HUGEINT to signed-64, same
-# capped pigeonhole chunk join -- all exact integers end to end.
-# Synth audio payloads are the doc_id % 3 = 1 third of documents.
+# designated candidacy; DENSIFIED r14 per the r13 VERDICT's What's
+# wrong #1): the image_near_dup_pairs_docs replay with a 65x1
+# energy-envelope grid instead of 9x8 -- same hex-slice byte averages
+# (the Haitsma-Kalker-shape envelope under the stub codec), same dHash
+# comparisons folded through HUGEINT to signed-64, same capped
+# pigeonhole chunk join -- all exact integers end to end.
+# Synth audio payloads are the doc_id % 3 = 1 third of documents PLUS
+# planted envelope-preserving re-encode twins derived in-query (the
+# video row's derive-inside-the-query precedent): every doc_id % 30 =
+# 1 document gets a twin at media_id = doc_id + 10,000,000 whose text
+# has its middle 8 characters replaced by 'ZZZZZZZZ'. A same-LENGTH
+# mid-edit keeps all 65 segment boundaries identical and perturbs
+# only the 1-2 envelope cells covering the edit (measured: all 167
+# sf0.01 twins land at hamming <= 5, median 1 -- an APPENDED tail
+# shifts every boundary and lands at median hamming 30, useless), so
+# the oracle now exercises real collisions at every SF (17 planted
+# pairs at sf0.001/sf0.01, 167 at sf0.1) instead of the prior 0/0/1.
 # Empty payloads: both sides drop them (Spark emits NULL fingerprints,
 # the SQL's n > 0 filter skips them) -- the aligned NULL-content
 # convention shared with the image and video families.
 _AUDIO_NEARDUP_ORACLE = """
 WITH aud AS (
-  SELECT doc_id, encode(text) AS payload FROM documents WHERE doc_id % 3 = 1),
+  SELECT doc_id, encode(text) AS payload FROM documents WHERE doc_id % 3 = 1
+  UNION ALL
+  SELECT doc_id + 10000000,
+         encode(substr(text, 1, length(text) // 2) || 'ZZZZZZZZ' ||
+                substr(text, length(text) // 2 + 9))
+  FROM documents WHERE doc_id % 30 = 1),
 b AS (
   SELECT doc_id, hex(payload) AS hx, octet_length(payload) AS n FROM aud),
 seg AS (
@@ -6897,18 +6913,36 @@ def audio_near_dup_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     audio_fingerprints -> audio_near_dup_pairs over the deterministic
     stub decode seam; the shared dedup.hamming_chunk_pairs pigeonhole
     join with the default hot-bucket cap): hamming(afp) <= 6 over the
-    synthetic audio third of documents. The fingerprint is the
-    Haitsma-Kalker energy-difference shape -- dHash on a 65-point
-    envelope -- and every stage is exact integer (segment-average
-    envelope replayed as hex-string 2-char slices, sign-bit assembly
-    through HUGEINT, the (pos, val, media_id) capped total order), so
-    the whole operator hash-matches, precedent
-    image_near_dup_pairs_docs."""
+    synthetic audio third of documents plus planted envelope-preserving
+    re-encode twins (every doc_id % 30 = 1 document, twin media_id =
+    doc_id + 10,000,000, middle 8 characters replaced by 'ZZZZZZZZ' --
+    a same-length mid-edit keeps the 65 segment boundaries fixed so
+    the twin collides with its original at hamming <= 5; r13 VERDICT
+    What's wrong #1, densified so the replay exercises collisions at
+    every SF). The fingerprint is the Haitsma-Kalker energy-difference
+    shape -- dHash on a 65-point envelope -- and every stage is exact
+    integer (segment-average envelope replayed as hex-string 2-char
+    slices, sign-bit assembly through HUGEINT, the (pos, val,
+    media_id) capped total order), so the whole operator
+    hash-matches, precedent image_near_dup_pairs_docs."""
     from .functions.multimodal import audio_near_dup_pairs, synth_media_df
 
     docs = load_table(spark, sf_dir, "documents")
-    media = synth_media_df(docs).filter(F.col("media_type") == "audio")
-    return audio_near_dup_pairs(media, max_hamming=6)
+    base = synth_media_df(docs).filter(F.col("media_type") == "audio")
+    twins = docs.filter(F.col("doc_id") % 30 == 1).select(
+        (F.col("doc_id") + F.lit(10_000_000)).cast("long").alias("media_id"),
+        F.lit("audio").alias("media_type"),
+        F.encode(
+            F.concat(
+                F.expr("substring(text, 1, cast(length(text) / 2 as int))"),
+                F.lit("ZZZZZZZZ"),
+                F.expr("substring(text, cast(length(text) / 2 as int) + 9)"),
+            ),
+            "UTF-8",
+        ).alias("payload"),
+        F.lit(None).cast("string").alias("meta"),
+    )
+    return audio_near_dup_pairs(base.unionByName(twins), max_hamming=6)
 
 
 # The video near-dup replay (registered r13, closing the r12 VERDICT's
