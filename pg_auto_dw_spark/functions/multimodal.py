@@ -669,7 +669,17 @@ def video_near_dup_pairs(
     bounded-recall trade hit everywhere instead of on a tail.
     Suppress flat frames upstream and tune ``min_shared_frames`` to
     the corpus's frame entropy; cap saturation in bucket monitoring
-    is the pre-filter signal, not a reason to raise the cap."""
+    is the pre-filter signal, not a reason to raise the cap.
+
+    Precondition: ``media_id`` unique AND >= 0 (r13 ADVICE). The
+    packed key ``media_id * 2^20 + frame_no`` is decoded with Spark's
+    ``div``, which truncates toward zero: a NEGATIVE media_id (e.g.
+    -1, frame 3) would decode to video 0, corrupting same-video
+    filtering and cross-video evidence counts. The ingest front door
+    (``media_ingest_apply``) enforces this on every batch; callers
+    composing this function directly must renumber signed ids first
+    (``F.xxhash64`` or ``monotonically_increasing_id`` both emit
+    non-negative keys)."""
     if max_frames >= _FRAME_SHIFT:
         raise ValueError(f"max_frames must be < {_FRAME_SHIFT}")
     from .dedup import hamming_chunk_pairs

@@ -281,8 +281,77 @@ _RETIRED = {
     "events_click_purchase_funnel",
     "sat_current_view",
     "q13_order_count_distribution",
+    # r14 retirements (the three the r13 note designated, final call
+    # confirmed; rationales in the r13 candidates note below:
+    # multimodal_decode_stats's stub-codec seam stays exercised by
+    # multimodal_features + the three media rows; events_hourly_rollup
+    # is an exact subset of events_rollup_hierarchy's leaf level;
+    # dedup_simhash_hamming's pigeonhole generator is the shared
+    # dedup.hamming_chunk_pairs, driver-verified through the image /
+    # audio / video rows)
+    "multimodal_decode_stats",
+    "events_hourly_rollup",
+    "dedup_simhash_hamming",
 }
 _PRIORITY = [
+    # r13 mid-order registrations: first driver rows (r13 VERDICT #1)
+    "media_hash_rows_docs",
+    "audio_near_dup_pairs_docs",
+    "video_near_dup_pairs_docs",
+    # the 47 rows that rested in r13 (50 minus the three designated
+    # retirements executed this round -- see the r14 rotation note)
+    "sft_render_chat_spans",
+    "eval_scores_report",
+    "corpus_datacard_drift",
+    "doremi_domain_weights",
+    "documents_bpe_token_counts",
+    "documents_shard_plan",
+    "warehouse_snapshot_diff",
+    "events_correlation_matrix",
+    "documents_hashed_embedding",
+    "documents_source_overlap",
+    "documents_pack_sequences",
+    "text_bigram_logprob",
+    "documents_duplicated_spans",
+    "ann_pq_recall_bounds",
+    "documents_jsonl_roundtrip",
+    "scd2_merge_state",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "top_orders_per_customer",
+    "events_rollup_hierarchy",
+    "events_sessionize",
+    "part_name_tokens_explode",
+    "orders_without_lineitems_anti",
+    "text_language_id",
+    "text_quality_scores",
+    "corpus_token_budget_sample",
+    "dedup_exact_documents",
+    "dedup_minhash_lsh_pairs",
+    "corpus_clean_docs",
+    "dedup_ngram_jaccard",
+    "ann_lsh_bucket_topk",
+    "dedup_embedding_cosine",
+    "pending_tables_cutoff",
+    "source_table_prompt_payload",
+    "auto_dw_hash_parity",
+    "hub_load_lineitem_composite",
+    "sat_load_lineitem_composite",
+    "link_load_order_part_supplier",
+    "scd2_partitioned_merge",
+    "corpus_contamination_pairs",
+    "corpus_decontaminate",
+    "source_profile_customer",
+    "text_repetition",
+    "ann_ivf_multiprobe_topk",
+    "documents_zip_format_violations",
+    "dedup_keep_best_documents",
+]
+_DEPRIORITIZED = [
+    # the 50 rows verified in r13 (CORRECTNESS_r13: 50/50 green --
+    # this was r13's _PRIORITY, resting this round per the two-round
+    # rotation)
     # r12 mid-order registrations: first driver rows (r12 VERDICT #1)
     "documents_ndv_ledger",
     "classifier_train_contract",
@@ -290,8 +359,7 @@ _PRIORITY = [
     "preference_pairs_orders",
     "winnow_near_dup_pairs_docs",
     "image_near_dup_pairs_docs",
-    # the 44 rows that rested in r12 (50 minus the six designated
-    # retirements executed this round -- see the r13 rotation note)
+    # the 44 rows that rested in r12 and ran green in r13
     "tokenizer_stats",
     "inference_batch_plan_stats",
     "corpus_datacard",
@@ -336,59 +404,6 @@ _PRIORITY = [
     "ghost_records_customer",
     "status_source_column",
     "tracking_union_except",
-]
-_DEPRIORITIZED = [
-    # the 50 rows verified in r12 (CORRECTNESS_r12: 50/50 green)
-    "sft_render_chat_spans",
-    "eval_scores_report",
-    "corpus_datacard_drift",
-    "doremi_domain_weights",
-    "documents_bpe_token_counts",
-    "documents_shard_plan",
-    "warehouse_snapshot_diff",
-    "events_correlation_matrix",
-    "documents_hashed_embedding",
-    "documents_source_overlap",
-    "documents_pack_sequences",
-    "text_bigram_logprob",
-    "documents_duplicated_spans",
-    "ann_pq_recall_bounds",
-    "documents_jsonl_roundtrip",
-    "scd2_merge_state",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "top_orders_per_customer",
-    "events_hourly_rollup",
-    "events_rollup_hierarchy",
-    "events_sessionize",
-    "part_name_tokens_explode",
-    "orders_without_lineitems_anti",
-    "text_language_id",
-    "text_quality_scores",
-    "corpus_token_budget_sample",
-    "dedup_exact_documents",
-    "dedup_minhash_lsh_pairs",
-    "corpus_clean_docs",
-    "dedup_ngram_jaccard",
-    "ann_lsh_bucket_topk",
-    "dedup_embedding_cosine",
-    "multimodal_decode_stats",
-    "pending_tables_cutoff",
-    "source_table_prompt_payload",
-    "auto_dw_hash_parity",
-    "hub_load_lineitem_composite",
-    "sat_load_lineitem_composite",
-    "link_load_order_part_supplier",
-    "scd2_partitioned_merge",
-    "corpus_contamination_pairs",
-    "corpus_decontaminate",
-    "source_profile_customer",
-    "text_repetition",
-    "dedup_simhash_hamming",
-    "ann_ivf_multiprobe_topk",
-    "documents_zip_format_violations",
-    "dedup_keep_best_documents",
 ]
 # Designated retirement CANDIDATES for the NEXT rotation (final call
 # at r13; every mid-order registration must be matched by one so the
@@ -474,10 +489,25 @@ _DEPRIORITIZED = [
 #                            family stays via
 #                            winnow_near_dup_pairs_docs +
 #                            dedup_minhash_lsh_pairs)
+# Designated retirement CANDIDATES for the NEXT rotation (final call
+# at r15; every r14 mid-order registration must be matched by one so
+# the exactly-50 arithmetic closes). Both are in today's resting set
+# (_DEPRIORITIZED = the r13-green 50); coverage held elsewhere:
+#   corpus_datacard          (the datacard aggregate surface is an
+#                            exact subset of corpus_datacard_drift --
+#                            the drift row computes a datacard per
+#                            snapshot before diffing, the
+#                            events_hourly_rollup-precedent shape --
+#                            and drift sits in this round's _PRIORITY)
+#   events_salted_type_stats (the salting family stays driver-covered
+#                            via events_customer_salted_join -- the
+#                            salted JOIN, the harder shape -- and
+#                            events_heavy_hitter_users, the skew
+#                            detection row; all three rode the same
+#                            skew.py kernels since r10)
 _NEXT_RETIREMENT_CANDIDATES = [
-    "multimodal_decode_stats",
-    "events_hourly_rollup",
-    "dedup_simhash_hamming",
+    "corpus_datacard",
+    "events_salted_type_stats",
 ]
 # NOTE for round 13: EXECUTED -- see the "Round 13 state" note beside
 # _NEXT_RETIREMENT_CANDIDATES above (the mechanical swap the r12 note
@@ -505,10 +535,21 @@ _NEXT_RETIREMENT_CANDIDATES = [
 # Retire-and-replace designations (the exactly-50 arithmetic at r14):
 # audio_near_dup_pairs_docs is matched by dedup_simhash_hamming,
 # video_near_dup_pairs_docs by multimodal_decode_stats, and
-# media_hash_rows_docs by events_hourly_rollup in
-# _NEXT_RETIREMENT_CANDIDATES above -- three mids, three candidates,
-# the r14 swap closes exactly (final call at r14 per the standing
-# policy).
+# media_hash_rows_docs by events_hourly_rollup -- three mids, three
+# candidates, the r14 swap closes exactly.
+# Round 14 state (EXECUTED per the r13 note and the r13 VERDICT
+# directive 1): _PRIORITY = the 50 rows that rested in r13 MINUS the
+# three designated retirements (multimodal_decode_stats,
+# events_hourly_rollup, dedup_simhash_hamming -- all three confirmed
+# RESTING in r13, coverage rationales in the r13 note above) PLUS the
+# three r13 mid-order registrations taking their first driver rows
+# (media_hash_rows_docs, audio_near_dup_pairs_docs,
+# video_near_dup_pairs_docs -- the audio row DENSIFIED first per the
+# r13 VERDICT's What's wrong #1: planted envelope-preserving twins,
+# 17 pairs at sf0.01 instead of 0, byte-exact at three SFs). Exactly
+# 50. _DEPRIORITIZED = the 50 rows verified in r13 (CORRECTNESS_r13:
+# 50/50 green). Invariants re-checked via
+# tests/test_catalog_invariants.py before commit.
 
 
 def _ordered(names: list[str]) -> list[str]:

@@ -1463,6 +1463,35 @@ def _ledger_hits(ledger: DataFrame, keys: DataFrame, on: list[str]) -> DataFrame
     return ledger.join(F.broadcast(keys.select(*on)), on, "left_semi")
 
 
+def _dup_links(matched, dup_members, id_col: str):
+    """(id, matched_id) lineage rows for the dupes table: canonicals
+    that cross-matched the corpus point at their corpus witness, and
+    within-batch cluster MEMBERS point at the row that actually
+    survived -- their canonical when it was admitted, or the
+    canonical's corpus witness when the canonical itself cross-matched
+    (r13 ADVICE: members were previously dropped with no lineage).
+    ``matched_id`` therefore always names a row present in the corpus
+    table. Returns None when the batch produced no dup lineage at all;
+    every frame here is batch-sized."""
+    links = None
+    if matched is not None:
+        links = matched.select(F.col("id_a").alias(id_col), "matched_id")
+    if dup_members is not None:
+        if matched is not None:
+            resolved = dup_members.join(
+                matched, dup_members["cluster_id"] == matched["id_a"], "left"
+            ).select(
+                dup_members[id_col],
+                F.coalesce("matched_id", "cluster_id").alias("matched_id"),
+            )
+        else:
+            resolved = dup_members.select(
+                id_col, F.col("cluster_id").alias("matched_id")
+            )
+        links = resolved if links is None else links.unionByName(resolved)
+    return links
+
+
 def neardup_ingest_apply(
     wh,
     corpus_table: str,
@@ -1518,8 +1547,13 @@ def neardup_ingest_apply(
        same way for exactly the candidate ids (one minhash scan, zero
        shuffle, output <= candidates).
     4. Verify candidates by signature agreement; canonicals with a
-       verified corpus match are dropped (whole cluster; routed to
-       ``dupes_table`` with the matched corpus id when given).
+       verified corpus match are dropped, whole cluster. When
+       ``dupes_table`` is given, EVERY dropped row lands there with
+       ``matched_id`` naming the surviving corpus row: the corpus
+       witness for cross-matched canonicals, and for within-batch
+       cluster members their admitted canonical -- or, when the
+       canonical itself cross-matched, its corpus witness (r13
+       ADVICE: members previously dropped with no lineage).
     5. ONE warehouse transaction: surviving rows -> corpus, their band
        keys -> bands, their signatures -> minhash, plus
        ``extra_appends`` -- same crash-atomicity argument as the digest
@@ -1652,11 +1686,14 @@ def neardup_ingest_apply(
         # the common batch: no within-dups -> skip the iterative CC
         # rounds entirely (they cost ~2 jobs per round even on an
         # empty edge set)
-        canon_ids, n_within_dups = signed_ids, 0
+        canon_ids, n_within_dups, dup_members = signed_ids, 0, None
     else:
         comp = connected_components(within, nodes=signed_ids, id_col=id_col)
         canon_ids = comp.filter(F.col(id_col) == F.col("cluster_id")).select(id_col)
-        n_within_dups = comp.filter(F.col(id_col) != F.col("cluster_id")).count()
+        dup_members = comp.filter(F.col(id_col) != F.col("cluster_id")).select(
+            id_col, "cluster_id"
+        ).localCheckpoint(eager=True)
+        n_within_dups = dup_members.count()
     canon_sigs = wide.join(canon_ids, id_col, "left_semi")
 
     # sidecar partition buckets (opt-in): the probe collects its
@@ -1771,10 +1808,9 @@ def neardup_ingest_apply(
     if not wh.exists(sig_table):
         wh.create_table(sig_table, new_sigs.schema, partition_by=sidecar_parts)
     extra = list(extra_appends or [])
-    if dupes_table is not None and matched is not None:
-        dupes = batch.join(
-            matched.select(F.col("id_a").alias(id_col), "matched_id"), id_col
-        )
+    dup_links = _dup_links(matched, dup_members, id_col)
+    if dupes_table is not None and dup_links is not None:
+        dupes = batch.join(dup_links, id_col)
         if not wh.exists(dupes_table):
             wh.create_table(dupes_table, dupes.schema)
         extra.append((dupes_table, dupes))
@@ -2111,8 +2147,13 @@ def media_ingest_apply(
        shuffle, output <= candidates).
     4. Verify candidates by hamming(mhash_a, mhash_b) <= ``max_hamming``
        and the per-type evidence threshold; canonicals with a verified
-       corpus match are dropped (whole cluster; routed to
-       ``dupes_table`` with the matched corpus id when given).
+       corpus match are dropped, whole cluster. When ``dupes_table``
+       is given, EVERY dropped row lands there with ``matched_id``
+       naming the surviving corpus row: the corpus witness for
+       cross-matched canonicals, and for within-batch cluster members
+       their admitted canonical -- or, when the canonical itself
+       cross-matched, its corpus witness (r13 ADVICE: members
+       previously dropped with no lineage).
     5. ONE warehouse transaction: surviving rows -> corpus, their hash
        rows -> phash, their chunk keys -> chunks, plus
        ``extra_appends`` -- the crash-atomicity argument of the text
@@ -2144,7 +2185,10 @@ def media_ingest_apply(
     fail loudly.
 
     Returns {n_batch, n_unsigned, n_within_dups, n_cross_dups, n_new}.
-    Precondition: ``media_id`` unique within the batch.
+    Precondition: ``media_id`` unique within the batch AND >= 0
+    (enforced per batch in the same pass as the batch count; a
+    negative id would mis-decode under the packed-key truncating div
+    -- see the ``video_near_dup_pairs`` precondition).
 
     The hash KEY SPACE (n_chunks, max_frames, min_spread) is fixed at
     first ingest and pinned in a ``<corpus>.hashcfg`` row: a later call
@@ -2166,22 +2210,47 @@ def media_ingest_apply(
         "max_frames": max_frames,
         "min_spread": min_spread,
     }
+    # Guard on ROW presence, not table existence (r13 ADVICE): the cfg
+    # table is created OUTSIDE the ingest transaction, so a crash
+    # between create_table and the txn commit leaves it existing but
+    # EMPTY. Keying the guard off exists() would then (a) IndexError
+    # every retry on collect()[0] and (b) never append the pin row
+    # again, permanently disabling the key-space guard. An empty cfg
+    # table instead means "first successful ingest still pending": the
+    # retry validates nothing (there is no committed ledger state to
+    # protect) and re-stages the pin row into the same transaction.
+    cfg_pinned = False
     if wh.exists(cfg_table):
-        stored = wh.read(cfg_table).collect()[0].asDict()
-        stored = {k: stored[k] for k in cfg}
-        if stored != cfg:
-            raise ValueError(
-                f"{corpus_table} hashing-config mismatch: the ledger was "
-                f"built with {stored} but this call passed {cfg}; the hash "
-                "key space is fixed at first ingest"
-            )
+        cfg_rows = wh.read(cfg_table).collect()
+        if cfg_rows:
+            stored = {k: cfg_rows[0].asDict()[k] for k in cfg}
+            if stored != cfg:
+                raise ValueError(
+                    f"{corpus_table} hashing-config mismatch: the ledger was "
+                    f"built with {stored} but this call passed {cfg}; the hash "
+                    "key space is fixed at first ingest"
+                )
+            cfg_pinned = True
 
     hashes = media_hash_rows(
         batch, max_frames=max_frames, min_spread=min_spread
     ).localCheckpoint(eager=True)
     signed_ids = hashes.select(id_col).distinct()
     unsigned = batch.join(signed_ids, id_col, "left_anti")
-    n_batch = batch.count()
+    # one agg pass doubles as the media_id >= 0 guard (r13 ADVICE): a
+    # negative id would mis-decode under the packed-key truncating div
+    # (video_near_dup_pairs docstring), silently corrupting same-video
+    # filtering -- reject the batch before any ledger state changes
+    stats_row = batch.agg(
+        F.count(F.lit(1)).alias("n"), F.min(id_col).alias("min_id")
+    ).first()
+    n_batch = stats_row["n"]
+    if n_batch and stats_row["min_id"] < 0:
+        raise ValueError(
+            f"media_ingest_apply requires {id_col} >= 0 (got "
+            f"{stats_row['min_id']}): negative ids mis-decode under the "
+            f"packed media_id*{_FRAME_SHIFT}+frame_no pair key"
+        )
     n_unsigned = unsigned.count()
 
     def _evidence(pairs: DataFrame, mtype: str) -> DataFrame:
@@ -2235,11 +2304,14 @@ def media_ingest_apply(
         within_parts[2]
     ).localCheckpoint(eager=True)
     if within.isEmpty():
-        canon_ids, n_within_dups = signed_ids, 0
+        canon_ids, n_within_dups, dup_members = signed_ids, 0, None
     else:
         comp = connected_components(within, nodes=signed_ids, id_col=id_col)
         canon_ids = comp.filter(F.col(id_col) == F.col("cluster_id")).select(id_col)
-        n_within_dups = comp.filter(F.col(id_col) != F.col("cluster_id")).count()
+        dup_members = comp.filter(F.col(id_col) != F.col("cluster_id")).select(
+            id_col, "cluster_id"
+        ).localCheckpoint(eager=True)
+        n_within_dups = dup_members.count()
     canon_hashes = hashes.join(canon_ids, id_col, "left_semi").localCheckpoint(
         eager=True
     )
@@ -2396,10 +2468,9 @@ def media_ingest_apply(
     else:
         _check_layout(chunks_table)
     extra = list(extra_appends or [])
-    if dupes_table is not None and matched is not None:
-        dupes = batch.join(
-            matched.select(F.col("id_a").alias(id_col), "matched_id"), id_col
-        )
+    dup_links = _dup_links(matched, dup_members, id_col)
+    if dupes_table is not None and dup_links is not None:
+        dupes = batch.join(dup_links, id_col)
         if not wh.exists(dupes_table):
             wh.create_table(dupes_table, dupes.schema)
         extra.append((dupes_table, dupes))
@@ -2423,11 +2494,12 @@ def media_ingest_apply(
             wh.create_table(monitor_table, monitor.schema)
         if not monitor.isEmpty():
             extra.append((monitor_table, monitor))
-    if not wh.exists(cfg_table):
+    if not cfg_pinned:
         cfg_df = wh.spark.createDataFrame(
             [tuple(cfg.values())], schema=", ".join(f"{k} int" for k in cfg)
         )
-        wh.create_table(cfg_table, cfg_df.schema)
+        if not wh.exists(cfg_table):
+            wh.create_table(cfg_table, cfg_df.schema)
         extra.append((cfg_table, cfg_df))
     with wh.transaction(
         [corpus_table, phash_table, chunks_table, *[t for t, _ in extra]]

@@ -72,6 +72,18 @@ def main() -> None:
     tot_o = tot_n = 0.0
     rows = []
     so, sn = old.get("queries_stat") or {}, new.get("queries_stat") or {}
+    # r13 ADVICE: queries_stat is deliberately stripped from the
+    # compact BENCH artifact (bench.py truncation guard), so a
+    # compact-vs-detail comparison would default the missing side to
+    # 'median3' and print spurious (or suppress genuine) mixed-
+    # estimator flags. Only flag when BOTH artifacts carry provenance.
+    stat_known = bool(so) and bool(sn)
+    if not stat_known:
+        print(
+            "note: estimator provenance (queries_stat) missing from at "
+            "least one artifact (compact BENCH strips it); mixed-stat "
+            "flags suppressed -- compare BENCH_DETAIL artifacts for them."
+        )
     for q in shared:
         o, n = old["queries"][q], new["queries"][q]
         if o < 0 or n < 0:
@@ -83,7 +95,7 @@ def main() -> None:
         # estimator changed between artifacts carries a systematic
         # bias, so flag it rather than read the ratio at face value
         mixed = ""
-        if so.get(q, "median3") != sn.get(q, "median3"):
+        if stat_known and so.get(q, "median3") != sn.get(q, "median3"):
             mixed = f"  [stat {so.get(q, 'median3?')}->{sn.get(q, 'median3?')}]"
         rows.append((
             n - o,

@@ -42,8 +42,9 @@ AUDIT = [
     # r13 registrations
     "audio_near_dup_pairs_docs",  # scans=0: same shape as image
     "video_near_dup_pairs_docs",  # scans=0: frame-hash pin + rollup
-    "media_hash_rows_docs",  # expect 1 pruned scan, 0 exchanges, the
-    # three Arrow kernels union'd map-only
+    "media_hash_rows_docs",  # expect 1 pruned scan, 0 exchanges: the
+    # ONE-pass mapInPandas dispatch kernel (its docstring pins 1 scan
+    # vs the three per-family kernels union'd, which would plan 3)
 ]
 
 
