@@ -204,3 +204,32 @@ def test_neardup_zone_monitor_table(spark, tmp_path):
         max_probe_bucket=8, monitor_table="c.buckets",
     )
     assert wh.read("c.buckets").count() == n_before
+
+
+def test_within_batch_members_get_dupes_lineage(spark, tmp_path):
+    """r13 ADVICE (applied to the text zone too): within-batch cluster
+    members land in dupes_table with matched_id naming the surviving
+    corpus row -- the admitted canonical for batch-only clusters, and
+    TRANSITIVELY the corpus witness when the canonical itself
+    cross-matched (11 rides 10's verdict and points at corpus 1, not
+    at the never-admitted 10)."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    neardup_ingest_apply(wh, "c.docs", _df(spark, [(1, BASE)]))
+    long2 = (
+        "the harbor filled with sails at dawn as fishermen hauled their "
+        "nets onto the weathered docks and gulls circled above the market "
+        "stalls where merchants called out prices for the morning catch"
+    )
+    long2_near = long2.replace("morning catch", "daily haul")
+    stats = neardup_ingest_apply(
+        wh, "c.docs",
+        _df(spark, [(10, NEAR), (11, NEAR), (30, long2), (31, long2_near)]),
+        dupes_table="c.dupes",
+    )
+    assert stats["n_within_dups"] == 2   # 11 under 10, 31 under 30
+    assert stats["n_cross_dups"] == 1    # canonical 10 matches corpus 1
+    assert stats["n_new"] == 1           # canonical 30 admitted
+    lineage = {r["doc_id"]: r["matched_id"] for r in wh.read("c.dupes").collect()}
+    assert lineage == {10: 1, 11: 1, 31: 30}
+    kept = {r["doc_id"] for r in wh.read("c.docs").collect()}
+    assert kept == {1, 30} and set(lineage.values()) <= kept

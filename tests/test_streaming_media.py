@@ -415,3 +415,120 @@ def test_monitor_table_exists_from_first_ingest(spark, tmp_path):
         monitor_table="m.buckets",
     )
     assert wh.exists("m.buckets") and wh.read("m.buckets").count() == 0
+
+
+def test_hashcfg_pin_survives_first_batch_crash(spark, tmp_path, monkeypatch):
+    """r13 ADVICE (medium): the cfg table is created OUTSIDE the ingest
+    transaction, so a FIRST-batch crash between create_table and the
+    txn commit used to leave it existing-but-empty -- every retry then
+    hit collect()[0] -> IndexError, and the pin row could never be
+    written again (the append was keyed off table existence),
+    permanently disabling the key-space guard. The guard now keys off
+    ROW presence: the retry must succeed AND the pin must land."""
+    import pytest
+
+    import pg_auto_dw_spark.warehouse as wh_mod
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    real_append = wh_mod._Transaction.append
+
+    def boom(self, name, df):
+        if name == "m.corpus.chunks":
+            raise RuntimeError("injected first-batch crash")
+        return real_append(self, name, df)
+
+    monkeypatch.setattr(wh_mod._Transaction, "append", boom)
+    with pytest.raises(RuntimeError, match="injected first-batch crash"):
+        media_ingest_apply(
+            wh, "m.corpus", _media(spark, [(1, "image", IMG)]), n_chunks=16
+        )
+    monkeypatch.setattr(wh_mod._Transaction, "append", real_append)
+    # the crash window: cfg table exists but carries no committed row
+    wh2 = Warehouse(spark, str(tmp_path / "wh"))  # recovery runs at init
+    assert wh2.exists("m.corpus.hashcfg")
+    assert wh2.read("m.corpus.hashcfg").count() == 0
+    # retry with the same knobs: no IndexError, pin row lands this time
+    stats = media_ingest_apply(
+        wh2, "m.corpus", _media(spark, [(1, "image", IMG)]), n_chunks=16
+    )
+    assert stats["n_new"] == 1
+    cfg = wh2.read("m.corpus.hashcfg").collect()
+    assert len(cfg) == 1 and cfg[0]["n_chunks"] == 16
+    # and the guard is actually armed: a knob change now fails loudly
+    with pytest.raises(ValueError, match="hashing-config mismatch"):
+        media_ingest_apply(
+            wh2, "m.corpus", _media(spark, [(2, "image", IMG)]), n_chunks=8
+        )
+
+
+def test_hashcfg_guard_holds_across_reopened_warehouse(spark, tmp_path):
+    """r13 VERDICT directive 8: the key-space pin must protect the
+    COLD-START path -- a fresh Warehouse handle on the same store (new
+    process, new session) with mismatched knobs must fail loudly, not
+    just a second call within the session that wrote the pin."""
+    import pytest
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    media_ingest_apply(
+        wh, "m.corpus", _media(spark, [(1, "image", IMG)]),
+        n_chunks=16, max_frames=8, min_spread=2,
+    )
+    reopened = Warehouse(spark, str(tmp_path / "wh"))
+    for bad in ({"n_chunks": 8}, {"max_frames": 16}, {"min_spread": 0}):
+        knobs = {"n_chunks": 16, "max_frames": 8, "min_spread": 2, **bad}
+        with pytest.raises(ValueError, match="hashing-config mismatch"):
+            media_ingest_apply(
+                reopened, "m.corpus", _media(spark, [(2, "image", IMG)]),
+                **knobs,
+            )
+    # matched knobs ingest fine through the reopened handle
+    stats = media_ingest_apply(
+        reopened, "m.corpus", _media(spark, [(2, "audio", AUD)]),
+        n_chunks=16, max_frames=8, min_spread=2,
+    )
+    assert stats["n_new"] == 1
+
+
+def test_within_batch_members_routed_to_dupes(spark, tmp_path):
+    """r13 ADVICE: within-batch cluster MEMBERS get dupes lineage too.
+    matched_id must always name a row present in the corpus table --
+    the admitted canonical for a batch-only cluster, and the corpus
+    witness (transitively) when the canonical itself cross-matched."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    media_ingest_apply(wh, "m.corpus", _media(spark, [(1, "image", IMG)]))
+    # batch: a 3-cluster whose canonical (10) cross-matches corpus 1,
+    # and a batch-only 2-cluster (30 canonical, 31 member)
+    other = _noise(88, 720)
+    stats = media_ingest_apply(
+        wh, "m.corpus",
+        _media(spark, [
+            (10, "image", _edited(IMG)), (11, "image", _edited(IMG, at=300)),
+            (12, "image", _edited(IMG, at=500)),
+            (30, "image", other), (31, "image", _edited(other)),
+        ]),
+        dupes_table="m.dupes",
+    )
+    assert stats["n_within_dups"] == 3  # 11, 12, 31
+    assert stats["n_cross_dups"] == 1   # canonical 10
+    assert stats["n_new"] == 1          # canonical 30
+    lineage = {
+        r["media_id"]: r["matched_id"] for r in wh.read("m.dupes").collect()
+    }
+    # every dropped row has lineage, pointing at a SURVIVING corpus row
+    assert lineage == {10: 1, 11: 1, 12: 1, 31: 30}
+    kept = {r["media_id"] for r in wh.read("m.corpus").collect()}
+    assert set(lineage.values()) <= kept
+
+
+def test_negative_media_id_rejected(spark, tmp_path):
+    """r13 ADVICE: the packed pair key decodes with a truncating div,
+    so a negative media_id would silently corrupt same-video filtering
+    -- the front door rejects it before any ledger state changes."""
+    import pytest
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    with pytest.raises(ValueError, match="media_id >= 0"):
+        media_ingest_apply(
+            wh, "m.corpus", _media(spark, [(-1, "image", IMG)])
+        )
+    assert not wh.exists("m.corpus")
