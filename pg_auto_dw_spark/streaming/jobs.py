@@ -2093,6 +2093,72 @@ def _media_chunk_keys(hashes: DataFrame, n_chunks: int = 8) -> DataFrame:
     )
 
 
+def media_sidecar_parts_rule(
+    ledger_chunk_rows: int,
+    batch_media: int,
+    avg_frames: float = 1.0,
+    n_chunks: int = 8,
+    n_media_types: int = 3,
+    coverage_gate: float = 0.8,
+    min_parts: int = 512,
+    max_parts: int = 2048,
+) -> int | None:
+    """Parts-sizing rule for ``media_ingest_apply(n_sidecar_parts=)``,
+    the media counterpart of the text zone's decision table (r13
+    VERDICT directive 4) -- every constant below is MEASURED
+    (tools/scale_probe_media_zone_xl.py, SCALE.md r13):
+
+    | ledger chunk rows | layout            | steady apply (100-media batch) |
+    |-------------------|-------------------|--------------------------------|
+    | 228k (5k media)   | flat              | 9.4s  -- flat WINS             |
+    | 228k              | bucketed 512      | 14.9s -- fixed overhead, no win|
+    | 22.5M (500k media)| flat              | 37.2s -- scan term ~27s        |
+    | 22.5M             | bucketed 512      | 26.8s -- crossover, 28% off    |
+    | 22.5M             | bucketed 8192     | 101.6s -- METADATA STORM       |
+
+    Rule encoded here:
+
+    1. Below ~10M chunk rows return None -- flat wins outright; the
+       pruning's fixed per-batch cost (bucket-set collects + partition
+       listing) buys nothing while the sidecar scan is cheap.
+    2. Above, return the smallest power-of-two parts in
+       [min_parts, max_parts] whose EXPECTED batch bucket coverage
+       stays under the apply's ``coverage_gate`` (the <=0.8 test that
+       actually enables pruning): hashing K probe keys into P buckets
+       hits ~P*(1-(1-1/P)^K) of them. The media-specific correction
+       the text rule needs: chunk keys live in a FIXED space of
+       n_media_types * n_chunks * 2^(64//n_chunks) points (6,144 for
+       the default 8x8-bit chunks -- NOT unbounded like text band-key
+       hashes) and arrive ~45x faster than media rows (frames x 8
+       positions), so K = min(batch_media * avg_frames * n_chunks,
+       key_space) saturates coverage at much smaller batches than text
+       band keys ever do. Measured at the crossover: a 100-media batch
+       probes 714 distinct keys -> 392/512 buckets = 0.77 coverage,
+       barely under the gate.
+    3. ``max_parts`` pins the metadata-storm boundary: 8192 partition
+       directories measured 3x SLOWER than flat at 22.5M rows (listing
+       + ~700 tiny files per append dominate) -- parts stays
+       O(hundreds-to-2k) on this warehouse layout.
+    4. None when even ``max_parts`` cannot clear the gate: the batch
+       saturates the key space, pruning can never engage, and the
+       right fix is SMALLER BATCHES, not more parts.
+
+    Advisory (the layout is still fixed at first ingest and mismatched
+    calls fail loudly); compute it from the corpus's expected steady
+    state, not the first batch."""
+    key_space = n_media_types * n_chunks * (1 << (64 // n_chunks))
+    probe_keys = min(int(batch_media * avg_frames * n_chunks), key_space)
+    if ledger_chunk_rows < 10_000_000:
+        return None
+    parts = min_parts
+    while parts <= max_parts:
+        expected_buckets = parts * (1.0 - (1.0 - 1.0 / parts) ** probe_keys)
+        if expected_buckets <= coverage_gate * parts:
+            return parts
+        parts *= 2
+    return None  # key space saturated: shrink batches, don't grow parts
+
+
 def media_ingest_apply(
     wh,
     corpus_table: str,
@@ -2176,13 +2242,17 @@ def media_ingest_apply(
     ``pmod(xxhash64(media_id), parts)``), each probe collects its
     batch-sized bucket set and filters ``__bucket IN (...)`` BEFORE
     the semi join, so the scan PARTITION-PRUNES and the floor drops to
-    buckets-touched/parts of the ledger. The cost model, the <=0.8
-    bucket-coverage gate, and the leave-OFF-below-~1M-rows rule are
-    the text zone's (measured at ``neardup_ingest_apply`` /
-    SCALE.md r11) -- media sidecars cross that line EARLIER because a
-    video contributes up to max_frames hash rows and 8x that many
-    chunk rows. The layout is fixed at FIRST ingest; mismatched calls
-    fail loudly.
+    buckets-touched/parts of the ledger. The cost model and the <=0.8
+    bucket-coverage gate are the text zone's (measured at
+    ``neardup_ingest_apply`` / SCALE.md r11) -- but media sidecars
+    cross every line EARLIER because a video contributes up to
+    max_frames hash rows and 8x that many chunk rows, AND chunk keys
+    live in a fixed 6,144-point space that saturates the coverage
+    gate at much smaller batches than text band keys. Size the knob
+    with ``media_sidecar_parts_rule`` (the measured decision table:
+    flat below ~10M chunk rows, O(hundreds) parts at the 22.5M
+    crossover, never the metadata-storm regime). The layout is fixed
+    at FIRST ingest; mismatched calls fail loudly.
 
     Returns {n_batch, n_unsigned, n_within_dups, n_cross_dups, n_new}.
     Precondition: ``media_id`` unique within the batch AND >= 0

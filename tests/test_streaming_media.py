@@ -532,3 +532,30 @@ def test_negative_media_id_rejected(spark, tmp_path):
             wh, "m.corpus", _media(spark, [(-1, "image", IMG)])
         )
     assert not wh.exists("m.corpus")
+
+
+def test_media_sidecar_parts_rule_arithmetic():
+    """r13 VERDICT directive 4: the parts-sizing rule encodes the XL
+    probe's measured decision table, and its coverage-gate arithmetic
+    matches the apply's <=0.8 prune test."""
+    from pg_auto_dw_spark.streaming.jobs import media_sidecar_parts_rule
+
+    # below the measured ~10M-chunk-row crossover flat wins: no parts
+    assert media_sidecar_parts_rule(228_064, 100) is None
+    assert media_sidecar_parts_rule(9_999_999, 100) is None
+    # at the measured crossover, a 100-media batch (K = 800 probe keys)
+    # fits 512 parts: expected coverage 1-(511/512)^800 = 0.791 < 0.8
+    assert media_sidecar_parts_rule(22_463_200, 100) == 512
+    exp = 512 * (1.0 - (1.0 - 1.0 / 512) ** 800)
+    assert exp <= 0.8 * 512 < 512 * (1.0 - (1.0 - 1.0 / 512) ** 900)
+    # a 4x batch needs 4x the parts to clear the same gate
+    assert media_sidecar_parts_rule(22_463_200, 400) == 2048
+    # key-space saturation (the ~45x correction): 5k videos x 16 frames
+    # probe min(640k, 6144) = the WHOLE 6144-point chunk-key space --
+    # no parts count under the metadata-storm cap can clear the gate,
+    # so the rule says shrink batches, not grow parts
+    assert media_sidecar_parts_rule(22_463_200, 5_000, avg_frames=16) is None
+    # the fixed key space itself: 3 types x 8 positions x 2^8 values
+    assert media_sidecar_parts_rule(
+        22_463_200, 10_000_000
+    ) is None  # even an absurd batch count saturates at 6144 keys
