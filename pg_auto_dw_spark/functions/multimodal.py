@@ -842,3 +842,164 @@ def media_semantic_near_dup_pairs(
             )
         )
     return parts[0].unionByName(parts[1]).unionByName(parts[2])
+
+
+def media_dup_clusters(
+    media: DataFrame,
+    max_hamming: int = 6,
+    min_shared_frames: int = 2,
+    semantic_threshold: float | None = 0.95,
+    min_spread: int = 0,
+) -> DataFrame:
+    """(media_id, cluster_id) duplicate-cluster assignment over the
+    FULL media dedup posture: the three perceptual-hash pair families
+    (image dHash, audio envelope, video frame-evidence) unioned with
+    the SemDeDup semantic pairs (``media_semantic_near_dup_pairs``;
+    pass ``semantic_threshold=None`` for a perceptual-only, exactly
+    SQL-replayable assignment), run through the shared
+    ``dedup.connected_components`` min-label propagation with every
+    media row as a node -- so singletons get their own cluster and
+    ``cluster_id`` is always the min member id, i.e. THE canonical.
+    This is the media twin of ``corpus.cluster_assignments``; feed it
+    to ``assemble_media_text_pairs`` so captions of deduped media
+    follow their canonical. Scale shape: each pair family is the
+    capped pigeonhole/LSH generator it always was; CC state is one
+    narrow (id, label) table."""
+    from .dedup import connected_components
+
+    pairs = (
+        image_near_dup_pairs(media, max_hamming=max_hamming, min_spread=min_spread)
+        .select("id_a", "id_b")
+        .unionByName(
+            audio_near_dup_pairs(
+                media, max_hamming=max_hamming, min_spread=min_spread
+            ).select("id_a", "id_b")
+        )
+        .unionByName(
+            video_near_dup_pairs(
+                media, max_hamming=max_hamming,
+                min_shared_frames=min_shared_frames, min_spread=min_spread,
+            ).select("id_a", "id_b")
+        )
+    )
+    if semantic_threshold is not None:
+        pairs = pairs.unionByName(
+            media_semantic_near_dup_pairs(
+                media, threshold=semantic_threshold
+            ).select("id_a", "id_b")
+        )
+    nodes = media.select(F.col("media_id")).distinct()
+    return connected_components(pairs, nodes=nodes, id_col="media_id").select(
+        "media_id", "cluster_id"
+    )
+
+
+def assemble_media_text_pairs(
+    documents: DataFrame,
+    links: DataFrame,
+    media_clusters: DataFrame,
+    text_clusters: DataFrame | None = None,
+    quality_col: str | None = None,
+    with_pair_group: bool = True,
+    id_doc: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Image/audio/video-text pair assembly (r13 VERDICT directive 5):
+    join deduped media CANONICALS to their caption/alt-text documents
+    and emit the (media_id, doc_id, text, quality) training frame with
+    BOTH sides' dup-cluster ids propagated, so a leakage-safe split
+    can keep every copy of a pair single-sided.
+
+    Inputs: ``links`` is the raw (media_id, doc_id) caption/alt-text
+    association AS CRAWLED -- it may point at media that perceptual +
+    semantic dedup later collapsed; ``media_clusters`` is the
+    (media_id, cluster_id) assignment from ``media_dup_clusters`` (or
+    any ``dedup.connected_components`` output, where cluster_id = min
+    member id = the canonical); ``text_clusters`` the text side's
+    (doc_id, cluster_id) from ``corpus.cluster_assignments`` (omitted
+    -> every doc its own cluster); ``quality_col`` an optional column
+    of ``documents`` carried through as ``quality`` (precompute it
+    with quality_linear / gopher scores upstream).
+
+    Semantics, in order:
+
+    1. Canonical re-point (the "a deduped image's caption follows its
+       canonical" rule): each link's media_id is replaced by its
+       cluster id, so captions crawled against any copy attach to the
+       ONE media row that survived dedup. Distinct afterwards --
+       several copies carrying the same caption collapse to one pair.
+    2. One equi-join to ``documents`` brings in text (+ quality).
+       Duplicate CAPTIONS are deliberately kept as distinct pairs
+       (text dedup owns that decision); their shared text_cluster is
+       what the split groups on.
+    3. ``media_cluster`` / ``text_cluster`` columns propagate the two
+       dup-cluster ids. ``pair_group`` (default on) is the connected
+       component over the BIPARTITE cluster graph (media_cluster
+       nodes = 2*id, text_cluster nodes = 2*id+1): two pairs sharing
+       EITHER side's cluster get one group, so
+       ``corpus.leakage_safe_split(pairs, group_col="pair_group")``
+       provably never splits a near-copy across train/val through
+       either modality. Pass ``with_pair_group=False`` to skip the
+       iterative CC when the caller only needs one-sided grouping.
+
+    Scale shape: two broadcast-or-shuffle equi-joins on (media_id /
+    doc_id) plus the documents join; the bipartite CC runs on the
+    DISTINCT (media_cluster, text_cluster) edge set -- bounded by the
+    pair count, narrow columns, the same O(log diameter) label
+    propagation every dedup family feeds. No UDFs anywhere.
+
+    Reference analog: none (the reference has no media surface);
+    public shape: LAION-style image-text pair curation with
+    cluster-aware split hygiene (Radenovic et al. 2023)."""
+    mc = media_clusters.select(
+        F.col("media_id").alias("__lm"), F.col("cluster_id").alias("__mcl")
+    )
+    l = (
+        links.select("media_id", id_doc)
+        .join(mc, F.col("media_id") == F.col("__lm"), "left")
+        .select(
+            F.coalesce(F.col("__mcl"), F.col("media_id")).alias("media_id"),
+            F.col(id_doc),
+        )
+        .distinct()
+    )
+    if text_clusters is not None:
+        tc = text_clusters.select(
+            F.col(id_doc).alias("__ld"), F.col("cluster_id").alias("__tcl")
+        )
+        l = l.join(tc, F.col(id_doc) == F.col("__ld"), "left").select(
+            "media_id", id_doc,
+            F.coalesce(F.col("__tcl"), F.col(id_doc)).alias("text_cluster"),
+        )
+    else:
+        l = l.select("media_id", id_doc, F.col(id_doc).alias("text_cluster"))
+    doc_cols = [id_doc, text_col] + ([quality_col] if quality_col else [])
+    pairs = l.join(documents.select(*doc_cols), id_doc).select(
+        "media_id",
+        F.col(id_doc),
+        F.col(text_col).alias("text"),
+        (F.col(quality_col) if quality_col else F.lit(None).cast("double")).alias(
+            "quality"
+        ),
+        F.col("media_id").alias("media_cluster"),  # canonical IS the cluster id
+        "text_cluster",
+    )
+    if not with_pair_group:
+        return pairs
+    from .dedup import connected_components
+
+    edges = pairs.select(
+        (F.col("media_cluster") * 2).alias("id_a"),
+        (F.col("text_cluster") * 2 + 1).alias("id_b"),
+    ).distinct()
+    nodes = edges.select(F.col("id_a").alias("node")).unionByName(
+        edges.select(F.col("id_b").alias("node"))
+    ).distinct()
+    comp = connected_components(edges, nodes=nodes, id_col="node")
+    return pairs.join(
+        comp.select(
+            (F.col("node") / 2).cast("long").alias("__mn"),
+            F.col("cluster_id").alias("pair_group"),
+        ).where((F.col("__mn") * 2) == F.col("node")),
+        F.col("media_cluster") == F.col("__mn"),
+    ).drop("__mn")

@@ -1,0 +1,160 @@
+"""Image/audio/video-text pair assembly (functions/multimodal.py
+assemble_media_text_pairs + media_dup_clusters, r13 VERDICT directive
+5): deduped media canonicals joined to caption documents with both
+sides' dup-cluster ids propagated for leakage-safe splitting."""
+
+from pyspark.sql import functions as F
+
+from pg_auto_dw_spark.functions.multimodal import (
+    assemble_media_text_pairs,
+    media_dup_clusters,
+)
+
+
+def _payload(seed: int, n: int = 720) -> bytes:
+    return bytes((seed * 37 + i * 11 + (i * i) % 31) % 256 for i in range(n))
+
+
+def _noise(seed: int, n: int = 720) -> bytes:
+    # hash-stream noise: decorrelated from _payload under BOTH the
+    # positional dHash grid and the trigram-histogram embedding
+    import hashlib
+
+    out = b""
+    c = 0
+    while len(out) < n:
+        out += hashlib.sha256(f"{seed}:{c}".encode()).digest()
+        c += 1
+    return out[:n]
+
+
+def _edited(b: bytes, at: int = 100, span: int = 8) -> bytes:
+    return b[:at] + bytes((x + 40) % 256 for x in b[at : at + span]) + b[at + span :]
+
+
+def _block_swap(b: bytes) -> bytes:
+    # reorders content: defeats positional dHash, caught by SemDeDup
+    half = len(b) // 2
+    return b[half:] + b[:half]
+
+
+IMG = _payload(1)
+
+
+def _media(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, p, None) for i, t, p in rows],
+        "media_id bigint, media_type string, payload binary, meta string",
+    )
+
+
+def test_caption_follows_canonical_end_to_end(spark):
+    """The composed pipeline: perceptual + semantic dedup collapses
+    three copies of one image (a local re-tone AND a block-swap that
+    only SemDeDup catches); captions crawled against EVERY copy attach
+    to the single canonical."""
+    media = _media(spark, [
+        (1, "image", IMG),
+        (5, "image", _edited(IMG)),        # perceptual near-dup of 1
+        (7, "image", _block_swap(IMG)),    # semantic near-dup of 1
+        (9, "image", _noise(50)),          # unrelated
+    ])
+    clusters = media_dup_clusters(media)
+    assign = {r["media_id"]: r["cluster_id"] for r in clusters.collect()}
+    assert assign[1] == 1 and assign[5] == 1 and assign[9] == 9
+    assert assign[7] == 1  # the block swap: dHash misses it, cosine catches it
+
+    docs = spark.createDataFrame(
+        [(101, "a red fox", 9), (102, "a red fox photo", 15),
+         (103, "a fox, re-cut", 13), (104, "a harbor at dawn", 16)],
+        "doc_id bigint, text string, n_chars int",
+    )
+    links = spark.createDataFrame(
+        [(1, 101), (5, 102), (7, 103), (9, 104)],
+        "media_id bigint, doc_id bigint",
+    )
+    pairs = assemble_media_text_pairs(
+        docs, links, clusters, quality_col="n_chars"
+    ).collect()
+    by_doc = {r["doc_id"]: r for r in pairs}
+    # every caption of every copy follows canonical 1
+    assert {by_doc[d]["media_id"] for d in (101, 102, 103)} == {1}
+    assert by_doc[104]["media_id"] == 9
+    assert by_doc[101]["quality"] == 9.0 or by_doc[101]["quality"] == 9
+    # both cluster ids propagate; captions of one media share pair_group
+    assert len({by_doc[d]["pair_group"] for d in (101, 102, 103)}) == 1
+    assert by_doc[104]["pair_group"] != by_doc[101]["pair_group"]
+
+
+def test_duplicate_caption_collapses_to_one_pair(spark):
+    """Two copies of one image crawled with the SAME caption doc must
+    emit ONE pair after the canonical re-point, not two."""
+    media = _media(spark, [(1, "image", IMG), (5, "image", _edited(IMG))])
+    clusters = media_dup_clusters(media, semantic_threshold=None)
+    docs = spark.createDataFrame([(101, "a red fox", 9)],
+                                 "doc_id bigint, text string, n_chars int")
+    links = spark.createDataFrame([(1, 101), (5, 101)],
+                                  "media_id bigint, doc_id bigint")
+    pairs = assemble_media_text_pairs(docs, links, clusters).collect()
+    assert len(pairs) == 1
+    assert pairs[0]["media_id"] == 1 and pairs[0]["quality"] is None
+
+
+def test_pair_group_spans_both_modalities(spark):
+    """Split hygiene through EITHER side: media A and B are unrelated,
+    but their captions are text near-dups (same text cluster) -- the
+    bipartite pair_group must unite them so leakage_safe_split keeps
+    every copy of the caption single-sided."""
+    media = _media(spark, [(1, "image", IMG), (9, "image", _noise(50))])
+    clusters = media_dup_clusters(media, semantic_threshold=None)
+    docs = spark.createDataFrame(
+        [(101, "a red fox jumps", 15), (102, "a red fox jumped", 16),
+         (103, "a harbor at dawn", 16)],
+        "doc_id bigint, text string, n_chars int",
+    )
+    links = spark.createDataFrame(
+        [(1, 101), (9, 102), (9, 103)], "media_id bigint, doc_id bigint"
+    )
+    text_clusters = spark.createDataFrame(
+        [(101, 101), (102, 101), (103, 103)], "doc_id bigint, cluster_id bigint"
+    )
+    pairs = assemble_media_text_pairs(
+        docs, links, clusters, text_clusters=text_clusters
+    ).collect()
+    by_doc = {r["doc_id"]: r for r in pairs}
+    # near-dup captions pull the two unrelated media into ONE group
+    assert by_doc[101]["pair_group"] == by_doc[102]["pair_group"]
+    assert by_doc[103]["pair_group"] == by_doc[102]["pair_group"]  # via media 9
+    assert by_doc[101]["text_cluster"] == by_doc[102]["text_cluster"] == 101
+
+
+def test_leakage_safe_split_composition(spark):
+    """The downstream contract: leakage_safe_split(group_col=
+    'pair_group') never separates pairs sharing a cluster on either
+    side."""
+    from pg_auto_dw_spark.functions.corpus import leakage_safe_split
+
+    media = _media(spark, [
+        (1, "image", IMG), (5, "image", _edited(IMG)),
+        (9, "image", _noise(50)), (11, "audio", _payload(2, 650)),
+    ])
+    clusters = media_dup_clusters(media, semantic_threshold=None)
+    docs = spark.createDataFrame(
+        [(101, "caption one", 11), (102, "caption two", 11),
+         (103, "caption three", 13), (104, "caption four", 12)],
+        "doc_id bigint, text string, n_chars int",
+    )
+    links = spark.createDataFrame(
+        [(1, 101), (5, 102), (9, 103), (11, 104)],
+        "media_id bigint, doc_id bigint",
+    )
+    pairs = assemble_media_text_pairs(docs, links, clusters)
+    split = leakage_safe_split(
+        pairs, val_fraction=0.5, id_col="doc_id", text_col="text",
+        group_col="pair_group",
+    )
+    joined = pairs.join(split.select("doc_id", "split"), "doc_id").collect()
+    sides = {}
+    for r in joined:
+        sides.setdefault(r["pair_group"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in sides.values()), sides
