@@ -550,6 +550,14 @@ _NEXT_RETIREMENT_CANDIDATES = [
 # 50. _DEPRIORITIZED = the 50 rows verified in r13 (CORRECTNESS_r13:
 # 50/50 green). Invariants re-checked via
 # tests/test_catalog_invariants.py before commit.
+# r14 mid-order registration (first driver row due r15):
+# media_text_pairs_docs -- the r13 VERDICT directive-5 assembly
+# (deduped image canonicals joined to caption docs with both sides'
+# cluster ids and the bipartite pair group), check_oracle-green at
+# sf0.001/sf0.01/sf0.1 with planted twins so the canonical re-point
+# fires at every SF. Matched by corpus_datacard in
+# _NEXT_RETIREMENT_CANDIDATES above (one mid, two candidates -- the
+# r15 swap closes with a slot to spare).
 
 
 def _ordered(names: list[str]) -> list[str]:
@@ -7247,3 +7255,170 @@ def media_hash_rows_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return media_hash_rows(synth_media_df(docs))
+
+
+# The media-text pair assembly replay (registered r14, executing the
+# r13 VERDICT directive 5): deduped image canonicals joined to their
+# caption documents with both sides' cluster ids and the bipartite
+# pair group. Built from already-proven exact pieces: the image
+# dHash + capped pigeonhole replay (image_near_dup_pairs_docs
+# verbatim, over media_id), the audio row's planted same-length
+# mid-edit twins (media_id = doc_id + 10,000,000 for every
+# doc_id % 30 = 0 image, so the canonical re-point actually fires at
+# every SF -- 17 collapsed twins at sf0.01), the recursive-CTE
+# min-reachable connected components (the retired dedup_clusters
+# replay, still driver-proven), and a second recursive CC over the
+# bipartite (media_cluster*2, text_cluster*2+1) graph for
+# pair_group. Links are derived in-query (no link table in the
+# synthetic corpus): image doc_id -> caption doc_id + 1, its twin ->
+# caption doc_id + 2; captions that fall off the table edge drop on
+# both sides (inner join). The Spark side runs the FULL
+# media_dup_clusters posture minus SemDeDup (semantic_threshold=None,
+# the float-pipeline oracle exclusion; audio/video kernels run over
+# the image-only frame and emit nothing). text_clusters omitted ->
+# every doc its own cluster (the text-side propagation is
+# pytest-covered in test_media_text_pairs.py); quality = n_chars,
+# exact integer.
+_MEDIA_TEXT_PAIRS_ORACLE = """
+WITH RECURSIVE
+img AS (
+  SELECT doc_id AS media_id, encode(text) AS payload
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 10000000,
+         encode(substr(text, 1, length(text) // 2) || 'ZZZZZZZZ' ||
+                substr(text, length(text) // 2 + 9))
+  FROM documents WHERE doc_id % 30 = 0),
+b AS (
+  SELECT media_id, hex(payload) AS hx, octet_length(payload) AS n FROM img),
+seg AS (
+  SELECT media_id, u.cell,
+         (u.cell * n) // 72 AS lo,
+         greatest(((u.cell + 1) * n) // 72, (u.cell * n) // 72 + 1) AS hi
+  FROM b, LATERAL (SELECT unnest(range(0, 72)) AS cell) u
+  WHERE n > 0),
+bts AS (
+  SELECT media_id, cell, hi - lo AS cnt, unnest(generate_series(lo + 1, hi)) AS i
+  FROM seg),
+vals AS (
+  SELECT b2.media_id, b2.cell, b2.cnt,
+         ('0x' || substr(b.hx, 2 * b2.i - 1, 2))::BIGINT AS v
+  FROM bts b2 JOIN b ON b2.media_id = b.media_id),
+grid AS (
+  SELECT media_id, cell, SUM(v) // ANY_VALUE(cnt) AS g
+  FROM vals GROUP BY 1, 2),
+gl AS (
+  SELECT media_id, list(g ORDER BY cell) AS g FROM grid GROUP BY media_id),
+dh AS (
+  SELECT media_id,
+         list_sum([CASE WHEN g[(k // 8) * 9 + (k % 8) + 2]
+                             > g[(k // 8) * 9 + (k % 8) + 1]
+                        THEN CAST(1 AS HUGEINT) << k
+                        ELSE CAST(0 AS HUGEINT) END
+                   for k in range(0, 64)]) AS hu
+  FROM gl),
+hashes AS (
+  SELECT media_id, hu,
+         CAST(CASE WHEN hu >= CAST(1 AS HUGEINT) << 63
+                   THEN hu - (CAST(1 AS HUGEINT) << 64) ELSE hu END
+              AS BIGINT) AS dhash
+  FROM dh),
+chunks AS (
+  SELECT media_id, dhash, u.pos,
+         CAST((hu >> (u.pos * 8)) & 255 AS BIGINT) AS val
+  FROM hashes, LATERAL (SELECT unnest(range(0, 8)) AS pos) u),
+capped AS (
+  SELECT media_id, dhash, pos, val,
+         ROW_NUMBER() OVER (PARTITION BY pos, val ORDER BY media_id) AS rn
+  FROM chunks),
+ipairs AS (
+  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+  FROM (SELECT * FROM capped WHERE rn <= 256) a
+  JOIN (SELECT * FROM capped WHERE rn <= 256) b
+    ON a.pos = b.pos AND a.val = b.val AND a.media_id < b.media_id
+  WHERE bit_count(xor(a.dhash, b.dhash)) <= 6),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM ipairs
+  UNION ALL SELECT id_b, id_a FROM ipairs),
+reach(id, r) AS (
+  SELECT media_id, media_id FROM img
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+clusters AS (
+  SELECT id AS media_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+links AS (
+  SELECT doc_id AS media_id, doc_id + 1 AS doc_id
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 10000000, doc_id + 2 FROM documents WHERE doc_id % 30 = 0),
+repointed AS (
+  SELECT DISTINCT COALESCE(c.cluster_id, l.media_id) AS media_id, l.doc_id
+  FROM links l LEFT JOIN clusters c ON l.media_id = c.media_id),
+tpairs AS (
+  SELECT r.media_id, r.doc_id, d.text, d.n_chars AS quality,
+         r.media_id AS media_cluster, r.doc_id AS text_cluster
+  FROM repointed r JOIN documents d ON r.doc_id = d.doc_id),
+pe AS (
+  SELECT DISTINCT media_cluster * 2 AS src, text_cluster * 2 + 1 AS dst
+  FROM tpairs),
+pe2 AS (SELECT src, dst FROM pe UNION ALL SELECT dst, src FROM pe),
+preach(id, r) AS (
+  SELECT src, src FROM pe2
+  UNION
+  SELECT preach.id, e.dst FROM preach JOIN pe2 e ON e.src = preach.r),
+pg AS (SELECT id AS node, MIN(r) AS pair_group FROM preach GROUP BY id)
+SELECT p.media_id, p.doc_id, p.text, p.quality,
+       p.media_cluster, p.text_cluster, g.pair_group
+FROM tpairs p JOIN pg g ON g.node = p.media_cluster * 2
+"""
+
+
+@register("media_text_pairs_docs", _MEDIA_TEXT_PAIRS_ORACLE)
+def media_text_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-text pair assembly (functions/multimodal.py
+    assemble_media_text_pairs over media_dup_clusters, r13 VERDICT
+    directive 5): the synthetic image third of documents plus planted
+    same-length mid-edit twins (media_id = doc_id + 10,000,000 for
+    every doc_id % 30 = 0 image -- the audio row's densification
+    pattern, so canonical re-pointing fires at every SF), deduped
+    through the full perceptual pair posture (SemDeDup off: the
+    documented float-pipeline oracle exclusion) and joined to
+    derived caption links (doc_id + 1 for originals, + 2 for twins).
+    Emits (media_id, doc_id, text, quality=n_chars, media_cluster,
+    text_cluster, pair_group) where pair_group is the bipartite CC
+    over both sides' cluster ids -- the leakage_safe_split group key.
+    Every stage exact integers (image dHash replay + two recursive-CTE
+    min-reachable CCs, dedup_clusters precedent)."""
+    from .functions.multimodal import (
+        assemble_media_text_pairs,
+        media_dup_clusters,
+        synth_media_df,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = synth_media_df(docs).filter(F.col("media_type") == "image")
+    twins = docs.filter(F.col("doc_id") % 30 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).cast("long").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.encode(
+            F.concat(
+                F.expr("substring(text, 1, cast(length(text) / 2 as int))"),
+                F.lit("ZZZZZZZZ"),
+                F.expr("substring(text, cast(length(text) / 2 as int) + 9)"),
+            ),
+            "UTF-8",
+        ).alias("payload"),
+        F.lit(None).cast("string").alias("meta"),
+    )
+    media = base.unionByName(twins)
+    clusters = media_dup_clusters(media, semantic_threshold=None)
+    links = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") + 1).alias("doc_id"),
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 30 == 0).select(
+            (F.col("doc_id") + F.lit(10_000_000)).cast("long").alias("media_id"),
+            (F.col("doc_id") + 2).alias("doc_id"),
+        )
+    )
+    return assemble_media_text_pairs(docs, links, clusters, quality_col="n_chars")
