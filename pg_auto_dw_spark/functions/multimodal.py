@@ -107,14 +107,25 @@ def _decode(media_type: str, payload: bytes) -> dict:
     goes through PIL when installed and raises the documented
     real-codec boundary error when not; synthetic payloads (and
     audio/video, whose codecs are not optional-importable here) take
-    the deterministic stub. Same mapInPandas contract either way."""
+    the deterministic stub. Same mapInPandas contract either way.
+
+    A payload that magic-sniffs as an image but FAILS the real decode
+    (a text document starting 'BM'/'RIFF'/... -- a false positive of
+    the prefix sniff) falls back to the stub instead of killing the
+    Arrow task -- the same convention ``_pil_grids`` adopted in r13;
+    found latent here by the r14 fake-PIL contract tests (the stats
+    path had never executed with a codec present)."""
     if media_type == "image" and _is_encoded_image(payload):
         if _HAVE_PIL:
-            return _pil_decode(payload)
-        raise NotImplementedError(
-            "payload is a real encoded image but no codec is available "
-            "(install Pillow to enable the real decode path)"
-        )
+            try:
+                return _pil_decode(payload)
+            except Exception:
+                pass  # magic-sniff false positive: not really encoded
+        else:
+            raise NotImplementedError(
+                "payload is a real encoded image but no codec is available "
+                "(install Pillow to enable the real decode path)"
+            )
     return _fake_decode(media_type, payload)
 
 
