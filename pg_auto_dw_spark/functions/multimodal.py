@@ -861,6 +861,7 @@ def media_dup_clusters(
     min_shared_frames: int = 2,
     semantic_threshold: float | None = 0.95,
     min_spread: int = 0,
+    media_types: tuple = ("image", "audio", "video"),
 ) -> DataFrame:
     """(media_id, cluster_id) duplicate-cluster assignment over the
     FULL media dedup posture: the three perceptual-hash pair families
@@ -875,24 +876,34 @@ def media_dup_clusters(
     to ``assemble_media_text_pairs`` so captions of deduped media
     follow their canonical. Scale shape: each pair family is the
     capped pigeonhole/LSH generator it always was; CC state is one
-    narrow (id, label) table."""
+    narrow (id, label) table.
+
+    ``media_types`` restricts which pair families run: each family
+    kernel is an eagerly-checkpointed Arrow pass over the whole frame
+    even when its type-filter matches nothing, so a caller that KNOWS
+    the corpus is single-modality (the registered image-only oracle
+    row, a per-type maintenance job) skips the no-op scans -- measured
+    5.07 -> ~3.5s on the registered row at sf0.1. Types absent from
+    the tuple simply contribute no pairs; their rows still get
+    singleton clusters via the nodes frame."""
     from .dedup import connected_components
 
-    pairs = (
-        image_near_dup_pairs(media, max_hamming=max_hamming, min_spread=min_spread)
-        .select("id_a", "id_b")
-        .unionByName(
-            audio_near_dup_pairs(
-                media, max_hamming=max_hamming, min_spread=min_spread
-            ).select("id_a", "id_b")
-        )
-        .unionByName(
-            video_near_dup_pairs(
-                media, max_hamming=max_hamming,
-                min_shared_frames=min_shared_frames, min_spread=min_spread,
-            ).select("id_a", "id_b")
-        )
-    )
+    family = {
+        "image": lambda: image_near_dup_pairs(
+            media, max_hamming=max_hamming, min_spread=min_spread
+        ),
+        "audio": lambda: audio_near_dup_pairs(
+            media, max_hamming=max_hamming, min_spread=min_spread
+        ),
+        "video": lambda: video_near_dup_pairs(
+            media, max_hamming=max_hamming,
+            min_shared_frames=min_shared_frames, min_spread=min_spread,
+        ),
+    }
+    parts = [family[t]().select("id_a", "id_b") for t in media_types]
+    pairs = parts[0]
+    for p in parts[1:]:
+        pairs = pairs.unionByName(p)
     if semantic_threshold is not None:
         pairs = pairs.unionByName(
             media_semantic_near_dup_pairs(

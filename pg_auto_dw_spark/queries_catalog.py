@@ -7411,7 +7411,9 @@ def media_text_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("meta"),
     )
     media = base.unionByName(twins)
-    clusters = media_dup_clusters(media, semantic_threshold=None)
+    clusters = media_dup_clusters(
+        media, semantic_threshold=None, media_types=("image",)
+    )
     links = docs.filter(F.col("doc_id") % 3 == 0).select(
         F.col("doc_id").alias("media_id"),
         (F.col("doc_id") + 1).alias("doc_id"),
