@@ -2173,6 +2173,9 @@ def media_ingest_apply(
     monitor_table: str | None = None,
     extra_appends: list | None = None,
     n_sidecar_parts: int | None = None,
+    rejected_table: str | None = None,
+    min_bytes: int | None = None,
+    reject_unsigned: bool = False,
 ) -> dict:
     """Cross-batch perceptual-hash media dedup against a persisted
     hash ledger: the MEDIA twin of ``neardup_ingest_apply`` (r12
@@ -2194,7 +2197,8 @@ def media_ingest_apply(
        hash row -- NULL/empty payloads, sub-``min_spread`` flat media,
        unknown types -- cannot be near-dup checked: admitted WITHOUT
        ledger rows and counted (``n_unsigned``), the same convention
-       as the text zone's unsigned docs.
+       as the text zone's unsigned docs (flipped by
+       ``reject_unsigned``, below).
     2. Within-batch collapse: per media type, the shared capped
        pigeonhole join (``dedup.hamming_chunk_pairs``) over packed
        (media, frame) keys, then the evidence rollup -- a pair is a
@@ -2225,6 +2229,21 @@ def media_ingest_apply(
        ``extra_appends`` -- the crash-atomicity argument of the text
        ledgers (a chunk row without its media row would eat future
        near-copies of media that was never admitted).
+
+    Quality gate (opt-in, r14 -- the media twin of the text zone's):
+    ``min_bytes`` rejects NULL/tiny payloads BEFORE the hash pass
+    (tracking pixels, truncated files -- they never reach the ledger),
+    and ``reject_unsigned`` flips the unsigned convention: unhashable
+    rows route to ``rejected_table`` for audit instead of being
+    admitted unchecked -- a curated corpus should not contain media
+    the dedup posture can never protect. Rejected rows land
+    VERBATIM-typed plus a ``reject_reason`` column ('min_bytes' |
+    'unsigned') in the SAME transaction; the table is created at
+    first gated ingest so empty always means healthy, never gate-off.
+    Setting either knob without ``rejected_table`` raises (a silently
+    disabled gate is a quiet data-quality failure -- the text zone's
+    rule). Gate off (default) = bitwise-legacy behavior. Adds
+    ``n_rejected`` to the returned counts when on.
 
     ``monitor_table`` (opt-in) lands the over-cap bucket audit
     (``dedup.hamming_bucket_stats`` per family, run beside the pair
@@ -2271,6 +2290,17 @@ def media_ingest_apply(
 
     if max_frames >= _FRAME_SHIFT:
         raise ValueError(f"max_frames must be < {_FRAME_SHIFT}")
+    if (min_bytes is not None or reject_unsigned) and rejected_table is None:
+        # a silently-disabled gate is a quiet data-quality failure in
+        # a landing zone (the text zone's r12 ADVICE rule, applied here)
+        raise ValueError(
+            "min_bytes/reject_unsigned set but rejected_table is None; "
+            "the media quality gate needs a rejected_table to route "
+            "failures to"
+        )
+    gate_on = rejected_table is not None and (
+        min_bytes is not None or reject_unsigned
+    )
     id_col = "media_id"  # the MEDIA_SCHEMA key media_hash_rows emits
     phash_table = f"{corpus_table}.phash"
     chunks_table = f"{corpus_table}.chunks"
@@ -2302,11 +2332,27 @@ def media_ingest_apply(
                 )
             cfg_pinned = True
 
+    # quality gate stage 1 (opt-in): byte-floor rejection BEFORE the
+    # hash pass -- tiny/NULL payloads (tracking pixels, truncated
+    # files) never reach the ledger or the corpus
+    rejected_parts = []
+    gated = batch
+    if min_bytes is not None:
+        too_small = F.col("payload").isNull() | (
+            F.octet_length("payload") < min_bytes
+        )
+        rejected_parts.append(
+            batch.filter(too_small).withColumn(
+                "reject_reason", F.lit("min_bytes")
+            )
+        )
+        gated = batch.filter(~too_small)
+
     hashes = media_hash_rows(
-        batch, max_frames=max_frames, min_spread=min_spread
+        gated, max_frames=max_frames, min_spread=min_spread
     ).localCheckpoint(eager=True)
     signed_ids = hashes.select(id_col).distinct()
-    unsigned = batch.join(signed_ids, id_col, "left_anti")
+    unsigned = gated.join(signed_ids, id_col, "left_anti")
     # one agg pass doubles as the media_id >= 0 guard (r13 ADVICE): a
     # negative id would mis-decode under the packed-key truncating div
     # (video_near_dup_pairs docstring), silently corrupting same-video
@@ -2322,6 +2368,15 @@ def media_ingest_apply(
             f"packed media_id*{_FRAME_SHIFT}+frame_no pair key"
         )
     n_unsigned = unsigned.count()
+    # quality gate stage 2 (opt-in): unhashable rows (NULL/empty
+    # payloads, sub-min_spread flat media, unknown types) are rejected
+    # for audit instead of admitted unchecked -- a curated corpus
+    # should not contain media the dedup posture can never protect
+    if reject_unsigned:
+        rejected_parts.append(
+            unsigned.withColumn("reject_reason", F.lit("unsigned"))
+        )
+        unsigned = unsigned.limit(0)  # nothing admitted unchecked
 
     def _evidence(pairs: DataFrame, mtype: str) -> DataFrame:
         """Frame-grain pairs (packed keys) -> media pairs clearing the
@@ -2511,7 +2566,7 @@ def media_ingest_apply(
         if cross_dup_canon is None
         else canon_ids.join(cross_dup_canon, id_col, "left_anti")
     )
-    new_rows = batch.join(keep_canon, id_col, "left_semi").unionByName(unsigned)
+    new_rows = gated.join(keep_canon, id_col, "left_semi").unionByName(unsigned)
     new_hashes = canon_hashes.join(keep_canon, id_col, "left_semi")
     new_chunks = canon_chunks.join(keep_canon, id_col, "left_semi")
     if use_buckets:
@@ -2544,6 +2599,20 @@ def media_ingest_apply(
         if not wh.exists(dupes_table):
             wh.create_table(dupes_table, dupes.schema)
         extra.append((dupes_table, dupes))
+    n_rejected = 0
+    if gate_on:
+        rejected = rejected_parts[0]
+        for rp in rejected_parts[1:]:
+            rejected = rejected.unionByName(rp)
+        rejected = rejected.localCheckpoint(eager=True)
+        n_rejected = rejected.count()
+        # created at FIRST gated ingest (not first rejection): a
+        # monitoring consumer can always read it, and empty means
+        # healthy -- never gate-off (the monitor-table precedent)
+        if not wh.exists(rejected_table):
+            wh.create_table(rejected_table, rejected.schema)
+        if n_rejected:
+            extra.append((rejected_table, rejected))
     if monitor_table is not None:
         # over-cap bucket audit rows (hamming_bucket_stats per family on
         # the SAME batch hash frame the pair joins read): corpus-wide
@@ -2585,6 +2654,7 @@ def media_ingest_apply(
         "n_within_dups": n_within_dups,
         "n_cross_dups": n_cross_dups,
         "n_new": n_new,
+        **({"n_rejected": n_rejected} if gate_on else {}),
     }
 
 

@@ -559,3 +559,96 @@ def test_media_sidecar_parts_rule_arithmetic():
     assert media_sidecar_parts_rule(
         22_463_200, 10_000_000
     ) is None  # even an absurd batch count saturates at 6144 keys
+
+
+def test_media_quality_gate_rejects_and_routes(spark, tmp_path):
+    """r14: the media twin of the text zone's quality gate. min_bytes
+    rejects tiny/NULL payloads before the hash pass; reject_unsigned
+    flips the admitted-unchecked convention; rejected rows land
+    verbatim + reject_reason in the SAME transaction."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    flat = bytes([50] * 700)  # constant tone: unsigned under min_spread
+    stats = media_ingest_apply(
+        wh, "m.corpus",
+        _media(spark, [
+            (1, "image", IMG),                # clean
+            (2, "image", b"tiny"),            # under the byte floor
+            (3, "image", None),               # NULL payload
+            (4, "audio", flat),               # silence -> unsigned
+        ]),
+        min_spread=5,
+        rejected_table="m.rejected",
+        min_bytes=64,
+        reject_unsigned=True,
+    )
+    assert stats["n_batch"] == 4
+    assert stats["n_new"] == 1 and stats["n_rejected"] == 3
+    assert stats["n_unsigned"] == 1  # the silence row, counted then routed
+    kept = {r["media_id"] for r in wh.read("m.corpus").collect()}
+    assert kept == {1}
+    rej = {r["media_id"]: r["reject_reason"] for r in wh.read("m.rejected").collect()}
+    assert rej == {2: "min_bytes", 3: "min_bytes", 4: "unsigned"}
+    # ledger rows only for the admitted row
+    assert {r["media_id"] for r in wh.read("m.corpus.phash").collect()} == {1}
+
+
+def test_media_quality_gate_empty_table_means_healthy(spark, tmp_path):
+    """The rejected table exists (empty) from the first gated batch --
+    a consumer can always read it; empty means healthy, not gate-off."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    stats = media_ingest_apply(
+        wh, "m.corpus", _media(spark, [(1, "image", IMG)]),
+        rejected_table="m.rejected", min_bytes=8,
+    )
+    assert stats["n_rejected"] == 0
+    assert wh.exists("m.rejected") and wh.read("m.rejected").count() == 0
+
+
+def test_media_quality_gate_without_table_raises(spark, tmp_path):
+    """A gate knob without a rejected_table is a silently-disabled
+    gate: fail loudly (the text zone's rule)."""
+    import pytest
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    for bad in ({"min_bytes": 64}, {"reject_unsigned": True}):
+        with pytest.raises(ValueError, match="rejected_table"):
+            media_ingest_apply(
+                wh, "m.corpus", _media(spark, [(1, "image", IMG)]), **bad
+            )
+    assert not wh.exists("m.corpus")
+
+
+def test_media_quality_gate_off_is_legacy(spark, tmp_path):
+    """Gate off (default) = bitwise-legacy: unsigned rows admitted
+    unchecked, no n_rejected key, no rejected table."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    stats = media_ingest_apply(
+        wh, "m.corpus",
+        _media(spark, [(1, "image", IMG), (2, "image", None)]),
+    )
+    assert "n_rejected" not in stats
+    assert stats["n_unsigned"] == 1 and stats["n_new"] == 2
+    assert {r["media_id"] for r in wh.read("m.corpus").collect()} == {1, 2}
+
+
+def test_media_quality_gate_through_stream(spark, tmp_path):
+    """Gate kwargs ride the stream twin's passthrough; rejections land
+    transactionally per micro-batch."""
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", T.StringType()),
+    ])
+    src = tmp_path / "src"
+    src.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    _media(spark, [(1, "image", IMG), (2, "image", b"x")]) \
+        .coalesce(1).write.mode("append").parquet(str(src))
+    q = media_ingest_stream(
+        spark, str(src), schema, wh, "lz.media", str(tmp_path / "ckpt"),
+        rejected_table="lz.rejected", min_bytes=64,
+    )
+    q.awaitTermination(120)
+    assert {r["media_id"] for r in wh.read("lz.media").collect()} == {1}
+    assert {r["media_id"] for r in wh.read("lz.rejected").collect()} == {2}
