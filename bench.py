@@ -173,11 +173,13 @@ HEADLINE = [
     # registered ORACLE replays it as the three per-family byte
     # replays union'd, but the Spark side is the one-pass kernel)
     "media_hash_rows_docs",
-    # round-14 mid-order registration (first driver row due r15;
+    # round-14 mid-order registrations (first driver rows due r15;
     # tracked from day 1 per the standing practice): media-text pair
     # assembly (full perceptual pair posture -> CC -> canonical
-    # re-point -> caption equi-join -> bipartite pair-group CC)
+    # re-point -> caption equi-join -> bipartite pair-group CC) and
+    # the per-type media datacard (one conditional-agg pass)
     "media_text_pairs_docs",
+    "media_datacard_docs",
 ]
 
 

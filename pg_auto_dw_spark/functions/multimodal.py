@@ -1025,3 +1025,35 @@ def assemble_media_text_pairs(
         ).where((F.col("__mn") * 2) == F.col("node")),
         F.col("media_cluster") == F.col("__mn"),
     ).drop("__mn")
+
+
+def media_datacard(media: DataFrame) -> DataFrame:
+    """Per-type media data card: the media corpus's one-pass ANALYZE
+    surface (the ``corpus_datacard`` twin for MEDIA_SCHEMA frames) --
+    (media_type, n_media, n_null_payloads, n_with_meta, total_bytes,
+    min_bytes, max_bytes, avg_bytes, n_distinct_sizes) in ONE
+    conditional-agg pass over the payload column, zero UDFs. NULL and
+    EMPTY payloads count as null (the families' NULL-content
+    convention: neither carries hashable content); byte stats cover
+    the non-null rows only. ``avg_bytes`` is the lone float -- an
+    exact-int division (sum/count), deterministic IEEE on both
+    engines. Scale shape: map-side partial aggregation into a
+    per-type rollup (3 groups); the scan is the floor. Feed it to the
+    drift comparator exactly like the text datacard."""
+    nn = F.col("payload").isNotNull() & (F.octet_length("payload") > 0)
+    blen = F.octet_length("payload")
+    return media.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum(F.when(~nn, 1).otherwise(0)).cast("bigint").alias("n_null_payloads"),
+        F.sum(F.when(F.col("meta").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_with_meta"),
+        F.sum(F.when(nn, blen).otherwise(0)).cast("bigint").alias("total_bytes"),
+        F.min(F.when(nn, blen)).cast("bigint").alias("min_bytes"),
+        F.max(F.when(nn, blen)).cast("bigint").alias("max_bytes"),
+        (
+            F.sum(F.when(nn, blen).otherwise(0))
+            / F.sum(F.when(nn, 1).otherwise(0))
+        ).alias("avg_bytes"),
+        F.countDistinct(F.when(nn, blen)).alias("n_distinct_sizes"),
+    )

@@ -550,14 +550,17 @@ _NEXT_RETIREMENT_CANDIDATES = [
 # 50. _DEPRIORITIZED = the 50 rows verified in r13 (CORRECTNESS_r13:
 # 50/50 green). Invariants re-checked via
 # tests/test_catalog_invariants.py before commit.
-# r14 mid-order registration (first driver row due r15):
-# media_text_pairs_docs -- the r13 VERDICT directive-5 assembly
-# (deduped image canonicals joined to caption docs with both sides'
-# cluster ids and the bipartite pair group), check_oracle-green at
-# sf0.001/sf0.01/sf0.1 with planted twins so the canonical re-point
-# fires at every SF. Matched by corpus_datacard in
-# _NEXT_RETIREMENT_CANDIDATES above (one mid, two candidates -- the
-# r15 swap closes with a slot to spare).
+# r14 mid-order registrations (first driver rows due r15), both
+# check_oracle-green at sf0.001/sf0.01/sf0.1:
+#   media_text_pairs_docs -- the r13 VERDICT directive-5 assembly
+#     (deduped image canonicals joined to caption docs with both
+#     sides' cluster ids and the bipartite pair group), with planted
+#     twins so the canonical re-point fires at every SF. Matched by
+#     corpus_datacard in _NEXT_RETIREMENT_CANDIDATES above.
+#   media_datacard_docs -- the per-type media ANALYZE surface (one
+#     conditional-agg pass; avg_bytes the lone float, exact-int
+#     division). Matched by events_salted_type_stats. Two mids, two
+#     candidates -- the r15 swap closes exactly.
 
 
 def _ordered(names: list[str]) -> list[str]:
@@ -7424,3 +7427,55 @@ def media_text_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return assemble_media_text_pairs(docs, links, clusters, quality_col="n_chars")
+
+
+# The media datacard replay (registered r14, the second r14 mid --
+# matched by events_salted_type_stats in _NEXT_RETIREMENT_CANDIDATES):
+# one conditional-agg pass per media type over the synthetic media
+# payloads. Everything is exact-integer except avg_bytes, a
+# deterministic exact-int double division (sum/count of bigints, the
+# jaccard precedent). synth_media_df's meta column is
+# to_json(struct(source, lang)) -- never NULL -- so n_with_meta
+# replays as COUNT(*), stated explicitly rather than hidden.
+_MEDIA_DATACARD_ORACLE = """
+WITH m AS (
+  SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+         ELSE 'video' END AS media_type,
+         encode(text) AS payload
+  FROM documents)
+SELECT media_type,
+       COUNT(*) AS n_media,
+       CAST(SUM(CASE WHEN payload IS NULL OR octet_length(payload) = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_null_payloads,
+       CAST(COUNT(*) AS BIGINT) AS n_with_meta,
+       CAST(SUM(CASE WHEN payload IS NOT NULL AND octet_length(payload) > 0
+                     THEN octet_length(payload) ELSE 0 END) AS BIGINT)
+           AS total_bytes,
+       CAST(MIN(CASE WHEN payload IS NOT NULL AND octet_length(payload) > 0
+                     THEN octet_length(payload) END) AS BIGINT) AS min_bytes,
+       CAST(MAX(CASE WHEN payload IS NOT NULL AND octet_length(payload) > 0
+                     THEN octet_length(payload) END) AS BIGINT) AS max_bytes,
+       CAST(SUM(CASE WHEN payload IS NOT NULL AND octet_length(payload) > 0
+                     THEN octet_length(payload) ELSE 0 END) AS DOUBLE)
+           / SUM(CASE WHEN payload IS NOT NULL AND octet_length(payload) > 0
+                      THEN 1 ELSE 0 END) AS avg_bytes,
+       COUNT(DISTINCT CASE WHEN payload IS NOT NULL
+                                AND octet_length(payload) > 0
+                           THEN octet_length(payload) END) AS n_distinct_sizes
+FROM m GROUP BY media_type
+"""
+
+
+@register("media_datacard_docs", _MEDIA_DATACARD_ORACLE)
+def media_datacard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media data card (functions/multimodal.py media_datacard over the
+    full synthetic media table): per-type counts, NULL-convention
+    payload accounting, and byte stats in ONE conditional-agg pass --
+    the media twin of corpus_datacard (the corpus ANALYZE surface a
+    curation pipeline reads before sizing batches and gates). Exact
+    integers end to end except avg_bytes, a deterministic exact-int
+    double division (jaccard precedent)."""
+    from .functions.multimodal import media_datacard, synth_media_df
+
+    docs = load_table(spark, sf_dir, "documents")
+    return media_datacard(synth_media_df(docs))
