@@ -1018,12 +1018,12 @@ def assemble_media_text_pairs(
         edges.select(F.col("id_b").alias("node"))
     ).distinct()
     comp = connected_components(edges, nodes=nodes, id_col="node")
+    media_nodes = comp.filter(F.col("node") % 2 == 0).select(
+        (F.col("node") / 2).cast("long").alias("__mn"),
+        F.col("cluster_id").alias("pair_group"),
+    )
     return pairs.join(
-        comp.select(
-            (F.col("node") / 2).cast("long").alias("__mn"),
-            F.col("cluster_id").alias("pair_group"),
-        ).where((F.col("__mn") * 2) == F.col("node")),
-        F.col("media_cluster") == F.col("__mn"),
+        media_nodes, F.col("media_cluster") == F.col("__mn")
     ).drop("__mn")
 
 
