@@ -1057,3 +1057,74 @@ def media_datacard(media: DataFrame) -> DataFrame:
         ).alias("avg_bytes"),
         F.countDistinct(F.when(nn, blen)).alias("n_distinct_sizes"),
     )
+
+
+def score_media_text_alignment(
+    pairs: DataFrame,
+    media: DataFrame,
+    dims: int = 64,
+    min_alignment: float | None = None,
+    id_doc: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CLIP-style alignment scoring over assembled media-text pairs
+    (the filtering step of LAION-style pair curation, composing on
+    ``assemble_media_text_pairs`` output): each pair gains an
+    ``alignment`` column = cosine between the media payload's
+    embedding and the caption text's embedding, BOTH produced by the
+    SAME ``embed_media`` encoder seam (the text rides through it as
+    UTF-8 bytes -- under the stub that is the shared byte-trigram
+    featurizer; in production both towers swap in through the one
+    documented seam, exactly the two-tower contract). Embeddings are
+    L2-normalized by construction, so cosine is a plain JVM-side
+    ``aggregate(zip_with(...))`` dot product -- zero UDFs outside the
+    encoder pass.
+
+    NULL contract: a pair whose media payload or caption embeds to
+    NULL (NULL/sub-trigram content) gets NULL alignment -- it carries
+    no alignment evidence either way. ``min_alignment`` filters to
+    ``alignment >= threshold`` (NULL rows drop: an unscorable pair
+    does not belong in a curated training set; keep the unfiltered
+    frame when auditing them).
+
+    Scale shape: two Arrow encoder passes (media rows + DISTINCT
+    captions) and two equi-joins; nothing pairwise beyond the input
+    pairs. Oracle designation (written exclusion): the encoder is the
+    float stub pipeline (normalization through sqrt), the same class
+    as media SemDeDup / classifier weights -- composition and the
+    identical-text == 1.0 fixture are pytest-pinned instead.
+
+    Reference analog: none; public method: CLIP-score pair filtering
+    (Radford et al. 2021; Schuhmann et al. LAION 2021)."""
+    m_emb = embed_media(
+        media.select("media_id", "media_type", "payload"), dims=dims
+    ).select(F.col("media_id"), F.col("embedding").alias("__me"))
+    t_emb = embed_media(
+        pairs.select(id_doc, text_col)
+        .distinct()
+        .select(
+            F.col(id_doc).alias("media_id"),
+            F.lit("text").alias("media_type"),
+            F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        ),
+        dims=dims,
+    ).select(F.col("media_id").alias("__td"), F.col("embedding").alias("__te"))
+    out = (
+        pairs.join(m_emb, "media_id", "left")
+        .join(t_emb, F.col(id_doc) == F.col("__td"), "left")
+        .withColumn(
+            "alignment",
+            F.when(
+                F.col("__me").isNotNull() & F.col("__te").isNotNull(),
+                F.aggregate(
+                    F.zip_with("__me", "__te", lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+            ),
+        )
+        .drop("__me", "__te", "__td")
+    )
+    if min_alignment is not None:
+        out = out.filter(F.col("alignment") >= min_alignment)
+    return out

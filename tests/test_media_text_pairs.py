@@ -158,3 +158,48 @@ def test_leakage_safe_split_composition(spark):
     for r in joined:
         sides.setdefault(r["pair_group"], set()).add(r["split"])
     assert all(len(s) == 1 for s in sides.values()), sides
+
+
+def test_alignment_scoring_and_filter(spark):
+    """CLIP-style alignment over assembled pairs: a caption that IS
+    the media's content scores 1.0 (shared encoder seam, identical
+    trigram vectors); an unrelated caption scores lower; the filter
+    keeps only aligned pairs and drops unscorable ones."""
+    from pg_auto_dw_spark.functions.multimodal import (
+        score_media_text_alignment,
+    )
+
+    fox = "a red fox jumps over the lazy dog in the morning sun"
+    market = "quarterly earnings at the exchange beat analyst forecasts"
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(fox.encode()), None),
+            (2, "image", bytearray(market.encode()), None),
+            (3, "image", bytearray(b"ab"), None),  # sub-trigram: NULL embed
+        ],
+        "media_id bigint, media_type string, payload binary, meta string",
+    )
+    pairs = spark.createDataFrame(
+        [
+            (1, 101, fox),        # caption == content -> alignment 1.0
+            (1, 102, market),     # mismatched caption
+            (2, 103, market),     # aligned
+            (3, 104, fox),        # unscorable media
+        ],
+        "media_id bigint, doc_id bigint, text string",
+    )
+    scored = {
+        r["doc_id"]: r["alignment"]
+        for r in score_media_text_alignment(pairs, media).collect()
+    }
+    assert abs(scored[101] - 1.0) < 1e-12
+    assert abs(scored[103] - 1.0) < 1e-12
+    assert scored[102] < 0.9
+    assert scored[104] is None
+    kept = {
+        r["doc_id"]
+        for r in score_media_text_alignment(
+            pairs, media, min_alignment=0.95
+        ).collect()
+    }
+    assert kept == {101, 103}
