@@ -203,3 +203,85 @@ def test_alignment_scoring_and_filter(spark):
         ).collect()
     }
     assert kept == {101, 103}
+
+
+def test_assembly_invariants_vs_union_find_reference(spark):
+    """Randomized scenario (seeded) checked against a pure-Python
+    union-find model: (1) every link's media re-points to its
+    cluster's canonical, (2) pair_group partitions pairs exactly like
+    the bipartite components of the (media_cluster, text_cluster)
+    graph -- two pairs land in one group iff connected through any
+    chain of shared clusters."""
+    import random
+
+    rng = random.Random(20260816)
+    n_media, n_docs = 40, 60
+    # random media clustering: each media points at a uniformly chosen
+    # smaller-or-equal id's cluster (generates chains the CC must fold)
+    parent = {}
+    for m in range(n_media):
+        parent[m] = m if m == 0 or rng.random() < 0.6 else rng.randrange(m)
+
+    def find(x):
+        while parent[x] != x:
+            x = parent[x]
+        return x
+
+    clusters = [(m, find(m)) for m in range(n_media)]
+    text_clusters = [(d, d - d % 3 + 100) for d in range(100, 100 + n_docs)]
+    # sparse LOCAL links so the bipartite graph has several components
+    # (dense uniform links collapse to one group and the
+    # distinct-groups half of the assertion goes vacuous -- measured:
+    # this seed yields 9 components over 31 re-pointed pairs)
+    links = []
+    for _ in range(35):
+        m = rng.randrange(n_media)
+        d = 100 + min(n_docs - 1, (m * 3 // 2) + rng.randrange(4))
+        links.append((m, d))
+    docs = [(100 + d, f"caption {d}", d) for d in range(n_docs)]
+
+    from pg_auto_dw_spark.functions.multimodal import assemble_media_text_pairs
+
+    out = assemble_media_text_pairs(
+        spark.createDataFrame(docs, "doc_id bigint, text string, n_chars int"),
+        spark.createDataFrame(links, "media_id bigint, doc_id bigint"),
+        spark.createDataFrame(clusters, "media_id bigint, cluster_id bigint"),
+        text_clusters=spark.createDataFrame(
+            text_clusters, "doc_id bigint, cluster_id bigint"
+        ),
+        quality_col="n_chars",
+    ).collect()
+
+    # reference: re-point + bipartite union-find over cluster nodes
+    canon = dict(clusters)
+    tcl = dict(text_clusters)
+    expect_pairs = {(canon[m], d) for m, d in links}
+    got_pairs = {(r["media_id"], r["doc_id"]) for r in out}
+    assert got_pairs == expect_pairs
+
+    uf = {}
+
+    def ufind(x):
+        uf.setdefault(x, x)
+        while uf[x] != x:
+            uf[x] = uf[uf[x]]
+            x = uf[x]
+        return x
+
+    def union(a, b):
+        ra, rb = ufind(a), ufind(b)
+        if ra != rb:
+            uf[max(ra, rb)] = min(ra, rb)
+
+    for m, d in expect_pairs:
+        union(("m", m), ("t", tcl[d]))
+    by_pair_group = {}
+    for r in out:
+        by_pair_group.setdefault(r["pair_group"], set()).add(
+            ufind(("m", r["media_cluster"]))
+        )
+    # each Spark group maps to exactly one reference component...
+    assert all(len(roots) == 1 for roots in by_pair_group.values())
+    # ...and distinct Spark groups map to distinct components
+    flat = [next(iter(roots)) for roots in by_pair_group.values()]
+    assert len(flat) == len(set(flat))
