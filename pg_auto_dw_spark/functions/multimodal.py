@@ -119,8 +119,13 @@ def _decode(media_type: str, payload: bytes) -> dict:
         if _HAVE_PIL:
             try:
                 return _pil_decode(payload)
-            except Exception:
-                pass  # magic-sniff false positive: not really encoded
+            except (OSError, ValueError, SyntaxError):
+                # magic-sniff false positive (PIL UnidentifiedImageError
+                # is an OSError) or an undecodable header: stub fallback.
+                # Deliberately NOT a bare Exception -- MemoryError and
+                # friends must surface, not turn into fabricated dims
+                # (r14 review).
+                pass
         else:
             raise NotImplementedError(
                 "payload is a real encoded image but no codec is available "
@@ -370,8 +375,11 @@ def _pil_grids(payload: bytes, sizes: list[tuple[int, int]]) -> list[list[int]] 
         with _PILImage.open(io.BytesIO(payload)) as img:
             g = img.convert("L")
             return [list(g.resize(s).getdata()) for s in sizes]
-    except Exception:
-        return None  # magic-sniff false positive: not really encoded
+    except (OSError, ValueError, SyntaxError):
+        # magic-sniff false positive (UnidentifiedImageError is an
+        # OSError) or undecodable header: stub fallback. NOT a bare
+        # Exception -- MemoryError must surface (r14 review).
+        return None
 
 
 def _image_small_grid(payload: bytes) -> list[int]:
@@ -689,8 +697,10 @@ def video_near_dup_pairs(
     filtering and cross-video evidence counts. The ingest front door
     (``media_ingest_apply``) enforces this on every batch; callers
     composing this function directly must renumber signed ids first
-    (``F.xxhash64`` or ``monotonically_increasing_id`` both emit
-    non-negative keys)."""
+    -- ``F.monotonically_increasing_id()`` is non-negative by
+    construction, and a hash renumbering must be wrapped
+    (``F.pmod(F.xxhash64(...), F.lit(1 << 62))``: raw ``xxhash64`` is
+    a full-range SIGNED long, negative about half the time)."""
     if max_frames >= _FRAME_SHIFT:
         raise ValueError(f"max_frames must be < {_FRAME_SHIFT}")
     from .dedup import hamming_chunk_pairs
@@ -901,14 +911,21 @@ def media_dup_clusters(
         ),
     }
     parts = [family[t]().select("id_a", "id_b") for t in media_types]
-    pairs = parts[0]
-    for p in parts[1:]:
-        pairs = pairs.unionByName(p)
     if semantic_threshold is not None:
-        pairs = pairs.unionByName(
+        parts.append(
             media_semantic_near_dup_pairs(
                 media, threshold=semantic_threshold
             ).select("id_a", "id_b")
+        )
+    if parts:
+        pairs = parts[0]
+        for p in parts[1:]:
+            pairs = pairs.unionByName(p)
+    else:
+        # no pair source at all (empty media_types, semantic off):
+        # every row is its own singleton cluster via the nodes frame
+        pairs = media.sparkSession.createDataFrame(
+            [], "id_a bigint, id_b bigint"
         )
     nodes = media.select(F.col("media_id")).distinct()
     return connected_components(pairs, nodes=nodes, id_col="media_id").select(
@@ -1010,6 +1027,12 @@ def assemble_media_text_pairs(
         return pairs
     from .dedup import connected_components
 
+    # bipartite node encoding: media node = 2*id, text node = 2*id+1.
+    # Integer arithmetic END TO END (r14 review: a float decode loses
+    # exactness past 2^53 and the inner join below would silently drop
+    # pairs). Precondition: |cluster id| < 2^62 so the 2*id encode
+    # cannot overflow a long -- guaranteed for warehouse-assigned ids
+    # and for pmod-wrapped hash renumberings.
     edges = pairs.select(
         (F.col("media_cluster") * 2).alias("id_a"),
         (F.col("text_cluster") * 2 + 1).alias("id_b"),
@@ -1019,7 +1042,7 @@ def assemble_media_text_pairs(
     ).distinct()
     comp = connected_components(edges, nodes=nodes, id_col="node")
     media_nodes = comp.filter(F.col("node") % 2 == 0).select(
-        (F.col("node") / 2).cast("long").alias("__mn"),
+        F.expr("node div 2").alias("__mn"),  # exact: node is even
         F.col("cluster_id").alias("pair_group"),
     )
     return pairs.join(
@@ -1096,9 +1119,17 @@ def score_media_text_alignment(
 
     Reference analog: none; public method: CLIP-score pair filtering
     (Radford et al. 2021; Schuhmann et al. LAION 2021)."""
-    m_emb = embed_media(
-        media.select("media_id", "media_type", "payload"), dims=dims
-    ).select(F.col("media_id"), F.col("embedding").alias("__me"))
+    # encode only the media rows the pairs actually reference (r14
+    # review: embedding the full corpus frame and discarding the
+    # unpaired rows in the left join is wasted encoder work -- it
+    # dominates once the stub is swapped for a real tower). Mirrors
+    # the text side's DISTINCT-captions prune.
+    paired_media = media.select("media_id", "media_type", "payload").join(
+        pairs.select("media_id").distinct(), "media_id", "left_semi"
+    )
+    m_emb = embed_media(paired_media, dims=dims).select(
+        F.col("media_id"), F.col("embedding").alias("__me")
+    )
     t_emb = embed_media(
         pairs.select(id_doc, text_col)
         .distinct()

@@ -7277,8 +7277,9 @@ def media_hash_rows_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # caption doc_id + 2; captions that fall off the table edge drop on
 # both sides (inner join). The Spark side runs the FULL
 # media_dup_clusters posture minus SemDeDup (semantic_threshold=None,
-# the float-pipeline oracle exclusion; audio/video kernels run over
-# the image-only frame and emit nothing). text_clusters omitted ->
+# the float-pipeline oracle exclusion) with media_types=("image",) so
+# the audio/video family kernels -- which would scan the image-only
+# frame and emit nothing -- are skipped outright. text_clusters omitted ->
 # every doc its own cluster (the text-side propagation is
 # pytest-covered in test_media_text_pairs.py); quality = n_chars,
 # exact integer.

@@ -285,3 +285,26 @@ def test_assembly_invariants_vs_union_find_reference(spark):
     # ...and distinct Spark groups map to distinct components
     flat = [next(iter(roots)) for roots in by_pair_group.values()]
     assert len(flat) == len(set(flat))
+
+
+def test_media_dup_clusters_empty_types_all_singletons(spark):
+    """r14 review: media_types=() with semantic off must yield all
+    singleton clusters (the docstring contract), not IndexError; with
+    semantic ON it is the SemDeDup-only assignment."""
+    media = _media(spark, [
+        (1, "image", IMG), (5, "image", _edited(IMG)),
+    ])
+    singles = {
+        r["media_id"]: r["cluster_id"]
+        for r in media_dup_clusters(
+            media, media_types=(), semantic_threshold=None
+        ).collect()
+    }
+    assert singles == {1: 1, 5: 5}
+    semantic_only = {
+        r["media_id"]: r["cluster_id"]
+        for r in media_dup_clusters(
+            media, media_types=(), semantic_threshold=0.95
+        ).collect()
+    }
+    assert semantic_only == {1: 1, 5: 1}  # the re-tone is cosine-close
