@@ -1159,3 +1159,58 @@ def score_media_text_alignment(
     if min_alignment is not None:
         out = out.filter(F.col("alignment") >= min_alignment)
     return out
+
+
+def curate_media_text_corpus(
+    media: DataFrame,
+    documents: DataFrame,
+    links: DataFrame,
+    media_types: tuple = ("image", "audio", "video"),
+    semantic_threshold: float | None = 0.95,
+    min_spread: int = 0,
+    quality_col: str | None = None,
+    dims: int = 64,
+    min_alignment: float | None = None,
+    val_fraction: float = 0.1,
+) -> DataFrame:
+    """One-call media-text curation facade (the media twin of
+    ``pipeline.build_training_corpus``) -- composition ONLY, every
+    stage is the already-verified operator, in the curation order a
+    LAION-style pipeline runs:
+
+    1. ``media_dup_clusters``: perceptual (+ optional SemDeDup)
+       near-dup clustering, min-id canonicals.
+    2. ``assemble_media_text_pairs``: caption links re-pointed to
+       canonicals, text/quality joined in, both cluster ids + the
+       bipartite ``pair_group`` propagated.
+    3. ``score_media_text_alignment``: CLIP-score column over the
+       shared encoder seam; ``min_alignment`` filters (None keeps
+       every pair, alignment still emitted for auditing).
+    4. ``corpus.leakage_safe_split`` on ``pair_group``: train/val
+       sides that provably never separate near-copies through EITHER
+       modality.
+
+    Returns (media_id, doc_id, text, quality, media_cluster,
+    text_cluster, pair_group, alignment, split). All lazy; the
+    caller writes it wherever the training job reads. Scale shape:
+    the stages' own (each documented at its operator); the facade
+    adds one broadcast-sized split join."""
+    from .corpus import leakage_safe_split
+
+    clusters = media_dup_clusters(
+        media,
+        semantic_threshold=semantic_threshold,
+        min_spread=min_spread,
+        media_types=media_types,
+    )
+    pairs = assemble_media_text_pairs(
+        documents, links, clusters, quality_col=quality_col
+    )
+    pairs = score_media_text_alignment(
+        pairs, media, dims=dims, min_alignment=min_alignment
+    )
+    sides = leakage_safe_split(
+        pairs, val_fraction=val_fraction, id_col="doc_id",
+        text_col="text", group_col="pair_group",
+    ).select("doc_id", "split").distinct()
+    return pairs.join(sides, "doc_id")

@@ -308,3 +308,42 @@ def test_media_dup_clusters_empty_types_all_singletons(spark):
         ).collect()
     }
     assert semantic_only == {1: 1, 5: 1}  # the re-tone is cosine-close
+
+
+def test_curation_facade_end_to_end(spark):
+    """The one-call chain: dedup collapses copies, captions follow the
+    canonical, the misaligned pair drops at the CLIP gate, and every
+    pair group lands single-sided."""
+    from pg_auto_dw_spark.functions.multimodal import (
+        curate_media_text_corpus,
+    )
+
+    fox = "a red fox jumps over the lazy dog in the morning sun"
+    harbor = "sails fill the harbor at dawn as fishermen haul their nets"
+    media = _media(spark, [
+        (1, "image", fox.encode()),
+        (5, "image", _edited(fox.encode())),   # near-dup of 1
+        (9, "image", harbor.encode()),
+    ])
+    docs = spark.createDataFrame(
+        [(101, fox, 9), (102, fox, 9), (103, harbor, 9), (104, fox, 9)],
+        "doc_id bigint, text string, n_chars int",
+    )
+    links = spark.createDataFrame(
+        [(1, 101), (5, 102), (9, 103), (9, 104)],  # 104: misaligned caption
+        "media_id bigint, doc_id bigint",
+    )
+    out = curate_media_text_corpus(
+        media, docs, links, quality_col="n_chars", min_alignment=0.95,
+    ).collect()
+    by_doc = {r["doc_id"]: r for r in out}
+    # 104 (fox caption on the harbor image) fails the alignment gate
+    assert set(by_doc) == {101, 102, 103}
+    # captions of both fox copies follow canonical 1
+    assert by_doc[101]["media_id"] == 1 and by_doc[102]["media_id"] == 1
+    assert abs(by_doc[101]["alignment"] - 1.0) < 1e-12
+    # split: one side per pair group
+    sides = {}
+    for r in out:
+        sides.setdefault(r["pair_group"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in sides.values())
