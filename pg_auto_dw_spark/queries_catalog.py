@@ -292,14 +292,80 @@ _RETIRED = {
     "multimodal_decode_stats",
     "events_hourly_rollup",
     "dedup_simhash_hamming",
+    # r15 retirements (the two the r14 note designated, final call
+    # confirmed; rationales in the r15 candidates note below:
+    # corpus_datacard's aggregate surface is an exact subset of
+    # corpus_datacard_drift, which computes a datacard per snapshot
+    # before diffing; events_salted_type_stats' salting family stays
+    # driver-covered via events_customer_salted_join -- the salted
+    # JOIN, the harder shape -- plus events_heavy_hitter_users)
+    "corpus_datacard",
+    "events_salted_type_stats",
 }
 _PRIORITY = [
+    # r14 mid-order registrations: first driver rows (r14 VERDICT #1)
+    "media_text_pairs_docs",
+    "media_datacard_docs",
+    # the 48 rows that rested in r14 (50 minus the two designated
+    # retirements executed this round -- see the r15 rotation note)
+    "documents_ndv_ledger",
+    "classifier_train_contract",
+    "semantic_decontaminate_flags",
+    "preference_pairs_orders",
+    "winnow_near_dup_pairs_docs",
+    "image_near_dup_pairs_docs",
+    "tokenizer_stats",
+    "inference_batch_plan_stats",
+    "documents_winnow_fingerprints",
+    "text_word_entropy",
+    "documents_dsir_weights",
+    "documents_quality_linear",
+    "dedup_semantic_keep",
+    "documents_gopher_rules",
+    "documents_bloom_decontaminate",
+    "events_value_histogram",
+    "orders_constraint_audit",
+    "events_value_quantile_sketch",
+    "ann_ivf_index_search",
+    "dim_upsert_customer",
+    "gdpr_delete_customer",
+    "q4_late_shipment_priority",
+    "q18_large_volume_orders",
+    "q22_inactive_rich_customers",
+    "orders_rolling_revenue",
+    "schema_evolution_customer",
+    "time_travel_versions",
+    "documents_pii_redaction",
+    "documents_leakfree_split",
+    "documents_boilerplate_removal",
+    "pit_user_daily",
+    "events_range_click_attribution",
+    "documents_stratified_sample",
+    "documents_mixture_sample",
+    "events_heavy_hitter_users",
+    "events_customer_salted_join",
+    "part_fuzzy_name_pairs",
+    "events_type_pivot",
+    "ann_cosine_topk_filtered",
+    "documents_chunked_windows",
+    "status_window_flags",
+    "latest_transformer_responses",
+    "events_props_json_extract",
+    "multimodal_features",
+    "dv_round_trip_customer",
+    "ghost_records_customer",
+    "status_source_column",
+    "tracking_union_except",
+]
+_DEPRIORITIZED = [
+    # the 50 rows verified in r14 (CORRECTNESS_r14: 50/50 green --
+    # this was r14's _PRIORITY, resting this round per the two-round
+    # rotation)
     # r13 mid-order registrations: first driver rows (r13 VERDICT #1)
     "media_hash_rows_docs",
     "audio_near_dup_pairs_docs",
     "video_near_dup_pairs_docs",
-    # the 47 rows that rested in r13 (50 minus the three designated
-    # retirements executed this round -- see the r14 rotation note)
+    # the 47 rows that rested in r13 and ran green in r14
     "sft_render_chat_spans",
     "eval_scores_report",
     "corpus_datacard_drift",
@@ -347,63 +413,6 @@ _PRIORITY = [
     "ann_ivf_multiprobe_topk",
     "documents_zip_format_violations",
     "dedup_keep_best_documents",
-]
-_DEPRIORITIZED = [
-    # the 50 rows verified in r13 (CORRECTNESS_r13: 50/50 green --
-    # this was r13's _PRIORITY, resting this round per the two-round
-    # rotation)
-    # r12 mid-order registrations: first driver rows (r12 VERDICT #1)
-    "documents_ndv_ledger",
-    "classifier_train_contract",
-    "semantic_decontaminate_flags",
-    "preference_pairs_orders",
-    "winnow_near_dup_pairs_docs",
-    "image_near_dup_pairs_docs",
-    # the 44 rows that rested in r12 and ran green in r13
-    "tokenizer_stats",
-    "inference_batch_plan_stats",
-    "corpus_datacard",
-    "documents_winnow_fingerprints",
-    "text_word_entropy",
-    "documents_dsir_weights",
-    "documents_quality_linear",
-    "dedup_semantic_keep",
-    "documents_gopher_rules",
-    "documents_bloom_decontaminate",
-    "events_value_histogram",
-    "orders_constraint_audit",
-    "events_value_quantile_sketch",
-    "ann_ivf_index_search",
-    "dim_upsert_customer",
-    "gdpr_delete_customer",
-    "q4_late_shipment_priority",
-    "q18_large_volume_orders",
-    "q22_inactive_rich_customers",
-    "orders_rolling_revenue",
-    "schema_evolution_customer",
-    "time_travel_versions",
-    "documents_pii_redaction",
-    "documents_leakfree_split",
-    "documents_boilerplate_removal",
-    "pit_user_daily",
-    "events_range_click_attribution",
-    "documents_stratified_sample",
-    "documents_mixture_sample",
-    "events_salted_type_stats",
-    "events_heavy_hitter_users",
-    "events_customer_salted_join",
-    "part_fuzzy_name_pairs",
-    "events_type_pivot",
-    "ann_cosine_topk_filtered",
-    "documents_chunked_windows",
-    "status_window_flags",
-    "latest_transformer_responses",
-    "events_props_json_extract",
-    "multimodal_features",
-    "dv_round_trip_customer",
-    "ghost_records_customer",
-    "status_source_column",
-    "tracking_union_except",
 ]
 # Designated retirement CANDIDATES for the NEXT rotation (final call
 # at r13; every mid-order registration must be matched by one so the
@@ -505,9 +514,41 @@ _DEPRIORITIZED = [
 #                            events_heavy_hitter_users, the skew
 #                            detection row; all three rode the same
 #                            skew.py kernels since r10)
+# Designated retirement CANDIDATES for the NEXT rotation (final call
+# at r16; every r15 mid-order registration must be matched by one so
+# the exactly-50 arithmetic closes). All are in today's resting set
+# (_DEPRIORITIZED = the r14-green 50); coverage held elsewhere:
+#   corpus_contamination_pairs (the gram-instance contamination join
+#                            is replayed end-to-end inside
+#                            corpus_decontaminate -- the harder
+#                            composition, in today's resting set and
+#                            due back at r16 -- and the
+#                            decontamination family stays driver-live
+#                            via semantic_decontaminate_flags and
+#                            documents_bloom_decontaminate, both in
+#                            this round's _PRIORITY)
+#   ann_lsh_bucket_topk      (the ANN surface keeps four driver rows:
+#                            ann_cosine_topk_filtered -- the brute
+#                            ground truth, this round's _PRIORITY --
+#                            plus ann_ivf_multiprobe_topk,
+#                            ann_ivf_index_search, and
+#                            ann_pq_recall_bounds; the LSH band-join
+#                            kernel itself stays driver-covered via
+#                            dedup_minhash_lsh_pairs, which rides the
+#                            same bucket-join generator)
+#   sat_load_lineitem_composite (the INSERT..SELECT anti-join sink --
+#                            SURVEY S7 -- keeps two driver rows via
+#                            hub_load_lineitem_composite and
+#                            link_load_order_part_supplier on the
+#                            same composite-key grain, and the
+#                            satellite surface itself stays
+#                            driver-verified via
+#                            dv_round_trip_customer, in this round's
+#                            _PRIORITY)
 _NEXT_RETIREMENT_CANDIDATES = [
-    "corpus_datacard",
-    "events_salted_type_stats",
+    "corpus_contamination_pairs",
+    "ann_lsh_bucket_topk",
+    "sat_load_lineitem_composite",
 ]
 # NOTE for round 13: EXECUTED -- see the "Round 13 state" note beside
 # _NEXT_RETIREMENT_CANDIDATES above (the mechanical swap the r12 note
@@ -561,6 +602,15 @@ _NEXT_RETIREMENT_CANDIDATES = [
 #     conditional-agg pass; avg_bytes the lone float, exact-int
 #     division). Matched by events_salted_type_stats. Two mids, two
 #     candidates -- the r15 swap closes exactly.
+# Round 15 state (EXECUTED per the r14 note and the r14 VERDICT
+# directive 1): _PRIORITY = the 50 rows that rested in r14 MINUS the
+# two designated retirements (corpus_datacard,
+# events_salted_type_stats -- both confirmed RESTING in r14, coverage
+# rationales in the r14 note above) PLUS the two r14 mid-order
+# registrations taking their first driver rows (media_text_pairs_docs,
+# media_datacard_docs). Exactly 50. _DEPRIORITIZED = the 50 rows
+# verified in r14 (CORRECTNESS_r14: 50/50 green). Invariants
+# re-checked via tests/test_catalog_invariants.py before commit.
 
 
 def _ordered(names: list[str]) -> list[str]:
