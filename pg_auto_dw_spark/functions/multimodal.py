@@ -602,6 +602,13 @@ VIDEO_FH_SCHEMA = T.StructType(
 )
 
 _FRAME_SHIFT = 1 << 20  # frame capacity per video in the packed pair key
+# largest media_id the packed key media_id*_FRAME_SHIFT+frame_no can
+# carry without wrapping a signed long (2^43 - 1 at the 2^20 shift);
+# Spark multiplication is non-ANSI by default, so an id past this
+# bound wraps SILENTLY and corrupts same-video filtering -- enforced
+# at the ingest front door (media_ingest_apply) alongside the >= 0
+# guard (r14 ADVICE)
+_MAX_PACKABLE_ID = (1 << 63) // _FRAME_SHIFT - 1
 
 
 def video_frame_hashes(
@@ -690,17 +697,24 @@ def video_near_dup_pairs(
     the corpus's frame entropy; cap saturation in bucket monitoring
     is the pre-filter signal, not a reason to raise the cap.
 
-    Precondition: ``media_id`` unique AND >= 0 (r13 ADVICE). The
-    packed key ``media_id * 2^20 + frame_no`` is decoded with Spark's
-    ``div``, which truncates toward zero: a NEGATIVE media_id (e.g.
-    -1, frame 3) would decode to video 0, corrupting same-video
-    filtering and cross-video evidence counts. The ingest front door
-    (``media_ingest_apply``) enforces this on every batch; callers
-    composing this function directly must renumber signed ids first
-    -- ``F.monotonically_increasing_id()`` is non-negative by
-    construction, and a hash renumbering must be wrapped
-    (``F.pmod(F.xxhash64(...), F.lit(1 << 62))``: raw ``xxhash64`` is
-    a full-range SIGNED long, negative about half the time)."""
+    Precondition: ``media_id`` unique AND in ``[0, _MAX_PACKABLE_ID]``
+    (= 2^43 - 1; r13 + r14 ADVICE). The packed key
+    ``media_id * 2^20 + frame_no`` is decoded with Spark's ``div``,
+    which truncates toward zero: a NEGATIVE media_id (e.g. -1,
+    frame 3) would decode to video 0, and an id PAST 2^43 wraps the
+    signed-long multiply SILENTLY (Spark arithmetic is non-ANSI by
+    default) -- either way corrupting same-video filtering and
+    cross-video evidence counts. The ingest front door
+    (``media_ingest_apply``) enforces both bounds on every batch in
+    one agg pass; callers composing this function directly must
+    renumber out-of-range ids first with a modulus that KEEPS the
+    pack in range: ``F.pmod(F.xxhash64(...), F.lit(1 << 43))`` (any
+    modulus <= 2^43 works; ``pmod(..., 1 << 62)`` does NOT -- it only
+    fixes the sign, and ids up to 2^62-1 still wrap the pack).
+    ``F.monotonically_increasing_id()`` is non-negative but encodes
+    the partition id in bits 33+, so it exceeds 2^43 whenever the
+    DataFrame has >= 1024 partitions -- unsafe as a renumbering here
+    unless the partition count is provably below that."""
     if max_frames >= _FRAME_SHIFT:
         raise ValueError(f"max_frames must be < {_FRAME_SHIFT}")
     from .dedup import hamming_chunk_pairs
@@ -1169,6 +1183,7 @@ def curate_media_text_corpus(
     semantic_threshold: float | None = 0.95,
     min_spread: int = 0,
     quality_col: str | None = None,
+    text_clusters: DataFrame | None = None,
     dims: int = 64,
     min_alignment: float | None = None,
     val_fraction: float = 0.1,
@@ -1187,8 +1202,13 @@ def curate_media_text_corpus(
        shared encoder seam; ``min_alignment`` filters (None keeps
        every pair, alignment still emitted for auditing).
     4. ``corpus.leakage_safe_split`` on ``pair_group``: train/val
-       sides that provably never separate near-copies through EITHER
-       modality.
+       sides that never separate near-copies through the MEDIA side;
+       text-side protection holds only when ``text_clusters`` is
+       supplied (r14 ADVICE: with the default ``None`` every doc is
+       its own text cluster, so near-dup CAPTIONS under different
+       doc_ids on unrelated media can still land on opposite sides
+       -- pass ``corpus.cluster_assignments`` output over
+       ``documents`` to close that channel through both modalities).
 
     Returns (media_id, doc_id, text, quality, media_cluster,
     text_cluster, pair_group, alignment, split). All lazy; the
@@ -1204,7 +1224,8 @@ def curate_media_text_corpus(
         media_types=media_types,
     )
     pairs = assemble_media_text_pairs(
-        documents, links, clusters, quality_col=quality_col
+        documents, links, clusters,
+        text_clusters=text_clusters, quality_col=quality_col,
     )
     pairs = score_media_text_alignment(
         pairs, media, dims=dims, min_alignment=min_alignment

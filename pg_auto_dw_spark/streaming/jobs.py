@@ -2286,7 +2286,11 @@ def media_ingest_apply(
     (zero probe hits), so mismatched calls fail loudly instead --
     the same first-ingest-fixes-the-layout rule as n_sidecar_parts."""
     from ..functions.dedup import connected_components, hamming_chunk_pairs
-    from ..functions.multimodal import _FRAME_SHIFT, media_hash_rows
+    from ..functions.multimodal import (
+        _FRAME_SHIFT,
+        _MAX_PACKABLE_ID,
+        media_hash_rows,
+    )
 
     if max_frames >= _FRAME_SHIFT:
         raise ValueError(f"max_frames must be < {_FRAME_SHIFT}")
@@ -2353,12 +2357,16 @@ def media_ingest_apply(
     ).localCheckpoint(eager=True)
     signed_ids = hashes.select(id_col).distinct()
     unsigned = gated.join(signed_ids, id_col, "left_anti")
-    # one agg pass doubles as the media_id >= 0 guard (r13 ADVICE): a
-    # negative id would mis-decode under the packed-key truncating div
-    # (video_near_dup_pairs docstring), silently corrupting same-video
-    # filtering -- reject the batch before any ledger state changes
+    # one agg pass doubles as the media_id range guard (r13 + r14
+    # ADVICE): a negative id would mis-decode under the packed-key
+    # truncating div, and an id past _MAX_PACKABLE_ID (2^43 - 1)
+    # silently WRAPS the non-ANSI packed multiply
+    # (video_near_dup_pairs docstring) -- either corrupts same-video
+    # filtering, so reject the batch before any ledger state changes
     stats_row = batch.agg(
-        F.count(F.lit(1)).alias("n"), F.min(id_col).alias("min_id")
+        F.count(F.lit(1)).alias("n"),
+        F.min(id_col).alias("min_id"),
+        F.max(id_col).alias("max_id"),
     ).first()
     n_batch = stats_row["n"]
     if n_batch and stats_row["min_id"] < 0:
@@ -2366,6 +2374,14 @@ def media_ingest_apply(
             f"media_ingest_apply requires {id_col} >= 0 (got "
             f"{stats_row['min_id']}): negative ids mis-decode under the "
             f"packed media_id*{_FRAME_SHIFT}+frame_no pair key"
+        )
+    if n_batch and stats_row["max_id"] > _MAX_PACKABLE_ID:
+        raise ValueError(
+            f"media_ingest_apply requires {id_col} <= {_MAX_PACKABLE_ID} "
+            f"(got {stats_row['max_id']}): ids past 2^43-1 wrap the "
+            f"packed media_id*{_FRAME_SHIFT}+frame_no pair key (non-ANSI "
+            f"long multiply) -- renumber with "
+            f"pmod(xxhash64(...), 1 << 43) first"
         )
     n_unsigned = unsigned.count()
     # quality gate stage 2 (opt-in): unhashable rows (NULL/empty

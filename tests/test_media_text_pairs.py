@@ -347,3 +347,45 @@ def test_curation_facade_end_to_end(spark):
     for r in out:
         sides.setdefault(r["pair_group"], set()).add(r["split"])
     assert all(len(s) == 1 for s in sides.values())
+
+
+def test_facade_text_clusters_passthrough(spark):
+    """r14 ADVICE: without text_clusters, near-dup captions under
+    different doc_ids on UNRELATED media default to per-doc text
+    clusters and can split apart; supplying text_clusters through the
+    facade fuses their pair groups so the split keeps them one-sided."""
+    from pg_auto_dw_spark.functions.multimodal import (
+        curate_media_text_corpus,
+    )
+
+    fox = "a red fox jumps over the lazy dog in the morning sun"
+    harbor = "sails fill the harbor at dawn as fishermen haul their nets"
+    media = _media(spark, [
+        (1, "image", fox.encode()),
+        (9, "image", harbor.encode()),  # unrelated to 1
+    ])
+    # two docs, SAME caption text, one per unrelated media
+    docs = spark.createDataFrame(
+        [(201, fox, 9), (202, fox, 9)],
+        "doc_id bigint, text string, n_chars int",
+    )
+    links = spark.createDataFrame(
+        [(1, 201), (9, 202)], "media_id bigint, doc_id bigint",
+    )
+
+    def groups(tc):
+        out = curate_media_text_corpus(
+            media, docs, links, min_alignment=None, text_clusters=tc,
+        ).collect()
+        return {r["doc_id"]: r["pair_group"] for r in out}
+
+    # default: per-doc text clusters -> the identical captions sit in
+    # DIFFERENT pair groups (the documented leakage channel)
+    g = groups(None)
+    assert g[201] != g[202]
+    # with the text side's dup clusters supplied, the channel closes
+    tc = spark.createDataFrame(
+        [(201, 201), (202, 201)], "doc_id bigint, cluster_id bigint",
+    )
+    g = groups(tc)
+    assert g[201] == g[202]

@@ -534,6 +534,29 @@ def test_negative_media_id_rejected(spark, tmp_path):
     assert not wh.exists("m.corpus")
 
 
+def test_overwide_media_id_rejected(spark, tmp_path):
+    """r14 ADVICE: ids past 2^43-1 silently WRAP the packed non-ANSI
+    long multiply (media_id * 2^20 + frame_no) -- the same corruption
+    as a negative id, so the same one-agg-pass front door rejects it.
+    2^43 exactly is the first unsafe value; 2^43-1 must pass."""
+    import pytest
+
+    from pg_auto_dw_spark.functions.multimodal import _MAX_PACKABLE_ID
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    with pytest.raises(ValueError, match="wrap the"):
+        media_ingest_apply(
+            wh, "m.corpus",
+            _media(spark, [(_MAX_PACKABLE_ID + 1, "image", IMG)]),
+        )
+    assert not wh.exists("m.corpus")
+    # the boundary id itself is packable and admits cleanly
+    stats = media_ingest_apply(
+        wh, "m.corpus", _media(spark, [(_MAX_PACKABLE_ID, "image", IMG)])
+    )
+    assert stats["n_new"] == 1
+
+
 def test_media_sidecar_parts_rule_arithmetic():
     """r13 VERDICT directive 4: the parts-sizing rule encodes the XL
     probe's measured decision table, and its coverage-gate arithmetic
