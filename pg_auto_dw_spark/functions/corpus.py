@@ -584,6 +584,179 @@ def pack_sequences(
     )
 
 
+def pack_multimodal_sequences(
+    docs: DataFrame,
+    links: DataFrame,
+    media_costs: DataFrame,
+    seq_tokens: int = 2048,
+    tokens_per_frame: int = 64,
+    n_buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cost_col: str | None = None,
+) -> DataFrame:
+    """Interleaved multimodal sequence packing (r14 VERDICT #3): the
+    ``pack_sequences`` placement contract extended to examples that
+    carry MEDIA items alongside their text. Each example is one doc
+    plus its linked media; each media item costs
+    ``n_frames * tokens_per_frame`` vision tokens (a fixed per-frame
+    budget, the Flamingo/LLaVA-style accounting) or, when
+    ``cost_col`` names a column of ``media_costs``, that column's
+    banded cost directly (resolution-banded budgets precomputed
+    upstream). Output is one row per ITEM -- media placeholders AND
+    the text span -- so a packing writer can splice placeholder
+    tokens and text at exact offsets:
+
+        (doc_id, item_no, item_type, media_id, n_tokens,
+         global_offset, seq_id, seq_offset)
+
+    Layout contract, all deterministic: examples are laid end-to-end
+    in the same bucket-coarse md5 order as ``pack_sequences`` (docs
+    with no media degenerate to that shape, shifted by other
+    examples' media budgets); WITHIN an example the media items come
+    first in media_id order, the text span last (the
+    placeholder-then-caption convention of interleaved pretraining);
+    a doc or item may straddle a sequence boundary exactly as in the
+    text-only planner (readers slice; this map is the source of
+    truth).
+
+    Inputs: ``links`` is (media_id, doc_id) -- duplicates collapse,
+    links to absent docs drop (left_semi); ``media_costs`` is
+    (media_id, n_frames) -- e.g. ``media_hash_rows`` grouped to frame
+    counts, or ``decode_media`` stats. A linked media_id missing from
+    ``media_costs`` fails the job with its id in the message
+    (the pack_sequences token_counts_df convention: a silent drop
+    would misalign every downstream offset).
+
+    Scale shape: one distinct + left_semi on the link keys, one
+    doc-keyed shuffle for the example sums, then the pack_sequences
+    bucket construction (<= n_buckets window rows, bounded
+    intra-bucket windows) plus ONE per-doc item window bounded by
+    items-per-example. All integer arithmetic -- replayable exactly
+    in any ANSI engine."""
+    if cost_col is not None:
+        mc = media_costs.select(
+            "media_id", F.col(cost_col).cast("long").alias("__mtok")
+        )
+    else:
+        mc = media_costs.select(
+            "media_id",
+            (F.col("n_frames").cast("long") * tokens_per_frame).alias("__mtok"),
+        )
+    li = (
+        links.select("media_id", id_col)
+        .distinct()
+        .join(docs.select(id_col), id_col, "left_semi")
+    )
+    mitems = li.join(mc, "media_id", "left").select(
+        F.col(id_col),
+        F.col("media_id").cast("long").alias("media_id"),
+        F.when(F.col("__mtok").isNotNull(), F.col("__mtok"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "pack_multimodal_sequences: media_costs has no row "
+                        "for media_id="
+                    ),
+                    F.col("media_id").cast("string"),
+                )
+            )
+        )
+        .alias("n_tokens"),
+        F.lit("media").alias("item_type"),
+    )
+    titems = docs.select(
+        F.col(id_col),
+        F.lit(None).cast("long").alias("media_id"),
+        F.size(
+            F.regexp_extract_all(
+                F.col(text_col), F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0
+            )
+        )
+        .cast("long")
+        .alias("n_tokens"),
+        F.lit("text").alias("item_type"),
+    )
+    items = mitems.unionByName(titems)
+    # example (= doc) total budgets, then the pack_sequences global
+    # order: bucket-coarse md5, <= n_buckets bucket window, bounded
+    # intra-bucket cumulative sums
+    h = F.md5(F.col(id_col).cast("string"))
+    ex = (
+        items.groupBy(id_col)
+        .agg(F.sum("n_tokens").alias("ex_tokens"))
+        .select(
+            id_col,
+            "ex_tokens",
+            h.alias("h"),
+            F.pmod(
+                F.conv(F.substring(h, 1, 4), 16, 10).cast("bigint"),
+                F.lit(n_buckets),
+            ).alias("bucket"),
+        )
+    )
+    bsum = ex.groupBy("bucket").agg(F.sum("ex_tokens").alias("btok"))
+    wb = Window.orderBy("bucket")  # <= n_buckets rows by construction
+    bcum = bsum.withColumn(
+        "bucket_offset",
+        F.coalesce(
+            F.sum("btok").over(wb.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    ).select("bucket", "bucket_offset")
+    wd = Window.partitionBy("bucket").orderBy("h", id_col)
+    ex_off = (
+        ex.join(F.broadcast(bcum), "bucket")
+        .withColumn(
+            "__before",
+            F.coalesce(
+                F.sum("ex_tokens").over(
+                    wd.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select(
+            id_col,
+            (F.col("bucket_offset") + F.col("__before")).alias("ex_offset"),
+        )
+    )
+    # item placement inside the example: media (by media_id) then
+    # text -- 'media' < 'text', so one (item_type, media_id) ordering
+    # serves both the rank and the within-example cumulative sum;
+    # window bounded by items-per-example
+    wi = Window.partitionBy(id_col).orderBy("item_type", "media_id")
+    placed = (
+        items.join(ex_off, id_col)
+        .withColumn("item_no", (F.row_number().over(wi) - 1).cast("int"))
+        .withColumn(
+            "__within",
+            F.coalesce(
+                F.sum("n_tokens").over(
+                    wi.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "global_offset", F.col("ex_offset") + F.col("__within")
+        )
+    )
+    return placed.select(
+        id_col,
+        "item_no",
+        "item_type",
+        "media_id",
+        "n_tokens",
+        "global_offset",
+        (F.col("global_offset") / seq_tokens).cast("long").alias("seq_id"),
+        F.pmod(F.col("global_offset"), F.lit(seq_tokens))
+        .cast("long")
+        .alias("seq_offset"),
+    )
+
+
 def packing_stats(
     docs: DataFrame,
     seq_tokens: int = 2048,

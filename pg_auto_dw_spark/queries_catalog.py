@@ -7530,3 +7530,119 @@ def media_datacard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return media_datacard(synth_media_df(docs))
+
+
+# ---- round-15 registrations (mid-order: first driver rows due r16) ----
+
+# Interleaved multimodal packing replay (r14 VERDICT #3 -- matched by
+# corpus_contamination_pairs in _NEXT_RETIREMENT_CANDIDATES): the
+# pack_sequences bucket construction over example budgets of
+# text tokens + n_frames*16 vision tokens per linked media, then the
+# within-example media-first item layout. Every media cost replays the
+# deterministic stub decode's n_frames arithmetic (image 1, audio
+# 1 + bytes % 1000, video 1 + bytes % 120 -- functions/multimodal.py
+# _fake_decode); every offset is integer prefix-sum arithmetic, the
+# documents_pack_sequences precedent. Links: every doc carries its own
+# synthetic media, and every image doc's media ALSO captions the next
+# doc (multi-item examples; the EXISTS drop mirrors the left_semi).
+_PACK_MULTIMODAL_ORACLE = """
+WITH m AS (
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS mt,
+           octet_length(encode(text)) AS nb
+    FROM documents),
+costs AS (
+    SELECT media_id,
+           CASE mt WHEN 'image' THEN 1
+                   WHEN 'audio' THEN 1 + nb % 1000
+                   ELSE 1 + nb % 120 END AS n_frames
+    FROM m),
+links AS (
+    SELECT doc_id AS media_id, doc_id FROM documents
+    UNION
+    SELECT d.doc_id AS media_id, d.doc_id + 1 AS doc_id
+    FROM documents d
+    WHERE d.doc_id % 3 = 0
+      AND EXISTS (SELECT 1 FROM documents x WHERE x.doc_id = d.doc_id + 1)),
+mitems AS (
+    SELECT l.doc_id, l.media_id,
+           CAST(c.n_frames * 16 AS BIGINT) AS n_tokens,
+           'media' AS item_type
+    FROM links l JOIN costs c USING (media_id)),
+titems AS (
+    SELECT doc_id, CAST(NULL AS BIGINT) AS media_id,
+           CAST(len(regexp_extract_all(text,
+                '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens,
+           'text' AS item_type
+    FROM documents),
+items AS (SELECT * FROM mitems UNION ALL SELECT * FROM titems),
+ex AS (
+    SELECT doc_id, SUM(n_tokens) AS ex_tokens,
+           md5(CAST(doc_id AS VARCHAR)) AS h,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 256
+               AS bucket
+    FROM items GROUP BY doc_id),
+b AS (SELECT bucket, SUM(ex_tokens) AS btok FROM ex GROUP BY 1),
+c2 AS (
+    SELECT bucket,
+           COALESCE(SUM(btok) OVER (ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS bucket_offset
+    FROM b),
+exoff AS (
+    SELECT ex.doc_id,
+           c2.bucket_offset
+           + COALESCE(SUM(ex.ex_tokens) OVER (PARTITION BY ex.bucket
+                      ORDER BY ex.h, ex.doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS ex_offset
+    FROM ex JOIN c2 USING (bucket)),
+placed AS (
+    SELECT i.doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY i.doc_id
+                ORDER BY i.item_type, i.media_id) - 1 AS INTEGER) AS item_no,
+           i.item_type, i.media_id, i.n_tokens,
+           e.ex_offset
+           + COALESCE(SUM(i.n_tokens) OVER (PARTITION BY i.doc_id
+                      ORDER BY i.item_type, i.media_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS global_offset
+    FROM items i JOIN exoff e USING (doc_id))
+SELECT doc_id, item_no, item_type, media_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(global_offset AS BIGINT) AS global_offset,
+       CAST(global_offset // 2048 AS BIGINT) AS seq_id,
+       CAST(global_offset % 2048 AS BIGINT) AS seq_offset
+FROM placed
+"""
+
+
+@register("documents_pack_multimodal", _PACK_MULTIMODAL_ORACLE)
+def documents_pack_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved multimodal packing placement map
+    (functions/corpus.py pack_multimodal_sequences, r14 VERDICT #3):
+    every doc carries its own synthetic media item, image docs' media
+    additionally caption the next doc (multi-item examples), and each
+    media item costs n_frames * 16 vision tokens with n_frames from
+    the REAL decode_media Arrow pass (stub-deterministic byte
+    arithmetic). Emits the per-ITEM placement rows -- media
+    placeholders before the text span -- under 2048-token
+    pack-then-chunk; same bucket-coarse md5 global order as
+    documents_pack_sequences, no unbounded sort on either engine."""
+    from .functions.corpus import pack_multimodal_sequences
+    from .functions.multimodal import decode_media, synth_media_df
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synth_media_df(docs)
+    costs = decode_media(media).select("media_id", "n_frames")
+    links = media.select(
+        "media_id", F.col("media_id").alias("doc_id")
+    ).unionByName(
+        media.filter(F.col("media_type") == "image").select(
+            "media_id", (F.col("media_id") + 1).alias("doc_id")
+        )
+    )
+    return pack_multimodal_sequences(
+        docs, links, costs, seq_tokens=2048, tokens_per_frame=16
+    )

@@ -1,0 +1,132 @@
+"""Interleaved multimodal sequence packing (r14 VERDICT #3):
+pack_multimodal_sequences extends the pack_sequences placement
+contract to examples carrying media items, each costing
+n_frames * tokens_per_frame vision tokens (or a banded cost column).
+The map must be contiguous, media-first-then-text within an example,
+and bit-identical across partitionings -- same bar as the text-only
+planner."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg_auto_dw_spark.functions.corpus import (
+    pack_multimodal_sequences,
+    pack_sequences,
+)
+from pg_auto_dw_spark.sources import load_table
+
+
+def _small(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta"), (3, "epsilon zeta")],
+        "doc_id long, text string",
+    )
+    links = spark.createDataFrame(
+        # doc 1 carries media 10 and 11; doc 3 carries media 12;
+        # doc 2 is text-only; duplicate link collapses; link to a
+        # missing doc drops
+        [(10, 1), (11, 1), (10, 1), (12, 3), (99, 7)],
+        "media_id long, doc_id long",
+    )
+    costs = spark.createDataFrame(
+        [(10, 1), (11, 4), (12, 2), (99, 1)], "media_id long, n_frames long"
+    )
+    return docs, links, costs
+
+
+def test_layout_media_first_then_text(spark):
+    docs, links, costs = _small(spark)
+    out = pack_multimodal_sequences(
+        docs, links, costs, seq_tokens=64, tokens_per_frame=8
+    ).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {1, 2, 3}  # link to absent doc 7 dropped
+    d1 = sorted(by_doc[1], key=lambda r: r["item_no"])
+    assert [r["item_type"] for r in d1] == ["media", "media", "text"]
+    assert [r["media_id"] for r in d1] == [10, 11, None]  # media_id order
+    assert [r["n_tokens"] for r in d1] == [8, 32, 3]  # frames*8, then text
+    # items are contiguous inside the example
+    assert d1[1]["global_offset"] == d1[0]["global_offset"] + 8
+    assert d1[2]["global_offset"] == d1[1]["global_offset"] + 32
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["item_type"] == "text"
+    # duplicate (10, 1) link collapsed to one item
+    assert sum(1 for r in d1 if r["media_id"] == 10) == 1
+
+
+def test_global_stream_contiguous_and_deterministic(spark, sf_dir):
+    """Full-corpus map: sorted global offsets form an exact prefix sum
+    of item token counts (no gap or overlap anywhere in the stream),
+    seq coordinates derive from the offset, and the placement is
+    bit-identical across input partitionings."""
+    docs = load_table(spark, sf_dir, "documents")
+    links = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("media_id"), F.col("doc_id").alias("doc_id")
+    )
+    costs = links.select(
+        "media_id", (F.col("media_id") % 7 + 1).cast("long").alias("n_frames")
+    )
+    placed = pack_multimodal_sequences(
+        docs, links, costs, seq_tokens=512, tokens_per_frame=16
+    ).collect()
+    n_docs = docs.count()
+    n_media = links.count()
+    assert len(placed) == n_docs + n_media
+    cum = 0
+    for r in sorted(placed, key=lambda r: r["global_offset"]):
+        assert r["global_offset"] == cum
+        assert r["seq_id"] == cum // 512
+        assert r["seq_offset"] == cum % 512
+        cum += r["n_tokens"]
+    again = pack_multimodal_sequences(
+        docs.repartition(7), links.repartition(5), costs,
+        seq_tokens=512, tokens_per_frame=16,
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, placed))
+
+
+def test_text_only_degenerates_to_pack_sequences(spark, sf_dir):
+    """With no links the map IS pack_sequences' (one text item per doc
+    at the same offsets) -- the extension is strictly additive."""
+    docs = load_table(spark, sf_dir, "documents")
+    empty_links = spark.createDataFrame([], "media_id long, doc_id long")
+    empty_costs = spark.createDataFrame([], "media_id long, n_frames long")
+    mm = {
+        r["doc_id"]: (r["n_tokens"], r["global_offset"], r["item_no"],
+                      r["item_type"])
+        for r in pack_multimodal_sequences(
+            docs, empty_links, empty_costs, seq_tokens=512
+        ).collect()
+    }
+    base = {
+        r["doc_id"]: (r["n_bpe_tokens"], r["global_offset"])
+        for r in pack_sequences(docs, seq_tokens=512).collect()
+    }
+    assert set(mm) == set(base)
+    for did, (ntok, off) in base.items():
+        assert mm[did] == (ntok, off, 0, "text")
+
+
+def test_missing_cost_row_fails_loudly(spark):
+    """A linked media_id absent from media_costs must fail with the id
+    in the message, not silently shrink the layout (the
+    pack_sequences token_counts_df convention)."""
+    docs, links, costs = _small(spark)
+    partial = costs.filter(F.col("media_id") != 11)
+    with pytest.raises(Exception, match="media_id=11"):
+        pack_multimodal_sequences(docs, links, partial).collect()
+
+
+def test_banded_cost_col(spark):
+    """cost_col bypasses frames*tokens_per_frame: the banded budget
+    column is the per-item cost verbatim."""
+    docs, links, _ = _small(spark)
+    banded = spark.createDataFrame(
+        [(10, 100), (11, 200), (12, 300)], "media_id long, vis_tokens long"
+    )
+    out = pack_multimodal_sequences(
+        docs, links, banded, tokens_per_frame=999, cost_col="vis_tokens"
+    ).collect()
+    got = {r["media_id"]: r["n_tokens"] for r in out if r["media_id"]}
+    assert got == {10: 100, 11: 200, 12: 300}
