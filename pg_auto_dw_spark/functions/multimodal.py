@@ -50,7 +50,10 @@ DECODED_SCHEMA = T.StructType(
 def synth_media_df(documents: DataFrame) -> DataFrame:
     """Deterministic fake media table derived from ``documents``: the
     UTF-8 text bytes stand in for an encoded payload. Exercises the
-    binary column path end to end."""
+    binary column path end to end. Every 11th row carries a NULL meta
+    sidecar (r14 VERDICT What's wrong #3: an always-present meta made
+    ``media_datacard.n_with_meta`` replay as COUNT(*) -- the NULL rows
+    make the column actually discriminating)."""
     return documents.select(
         F.col("doc_id").alias("media_id"),
         F.element_at(
@@ -58,7 +61,10 @@ def synth_media_df(documents: DataFrame) -> DataFrame:
             (F.col("doc_id") % 3 + 1).cast("int"),
         ).alias("media_type"),
         F.encode(F.col("text"), "UTF-8").alias("payload"),
-        F.to_json(F.struct(F.col("source"), F.col("lang"))).alias("meta"),
+        F.when(
+            F.col("doc_id") % 11 != 0,
+            F.to_json(F.struct(F.col("source"), F.col("lang"))),
+        ).alias("meta"),
     )
 
 
@@ -1075,8 +1081,9 @@ def media_datacard(media: DataFrame) -> DataFrame:
     the non-null rows only. ``avg_bytes`` is the lone float -- an
     exact-int division (sum/count), deterministic IEEE on both
     engines. Scale shape: map-side partial aggregation into a
-    per-type rollup (3 groups); the scan is the floor. Feed it to the
-    drift comparator exactly like the text datacard."""
+    per-type rollup (3 groups); the scan is the floor.
+    ``media_datacard_drift`` composes two cards into the composition
+    drift report, exactly like the text datacard's comparator."""
     nn = F.col("payload").isNotNull() & (F.octet_length("payload") > 0)
     blen = F.octet_length("payload")
     return media.groupBy("media_type").agg(
@@ -1093,6 +1100,62 @@ def media_datacard(media: DataFrame) -> DataFrame:
             / F.sum(F.when(nn, 1).otherwise(0))
         ).alias("avg_bytes"),
         F.countDistinct(F.when(nn, blen)).alias("n_distinct_sizes"),
+    )
+
+
+def media_datacard_drift(
+    old_media: DataFrame,
+    new_media: DataFrame,
+    rel_threshold: float = 0.5,
+) -> DataFrame:
+    """Composition-drift report between two media corpus versions --
+    the promised composition of ``media_datacard`` with the drift
+    comparator (``datacard.datacard_drift``'s contract, per-type):
+    both sides' cards full-outer-joined on ``media_type`` with
+    integer old/new/delta fields for the load-bearing counters
+    (n_media, n_null_payloads, n_with_meta, total_bytes) and a
+    ``drifted`` flag when n_media, n_null_payloads, or total_bytes
+    moved by more than ``rel_threshold`` relatively; a type present
+    on only one side always flags (an appearing/disappearing modality
+    is the loudest composition change).
+
+    The float ``avg_bytes`` and size-sketch columns stay on the card
+    surface -- the drift row carries integers only, so the whole
+    report is exact on any engine. Scale shape: two one-pass
+    conditional aggregations (3 groups each) + one group-sized join;
+    the scans are the floor."""
+    fields = ["n_media", "n_null_payloads", "n_with_meta", "total_bytes"]
+    o = media_datacard(old_media).select(
+        "media_type", *[F.col(c).alias(f"{c}_old") for c in fields]
+    )
+    n = media_datacard(new_media).select(
+        "media_type", *[F.col(c).alias(f"{c}_new") for c in fields]
+    )
+    j = o.join(n, on="media_type", how="full_outer")
+    both = F.col("n_media_old").isNotNull() & F.col("n_media_new").isNotNull()
+
+    def rel_moved(c: str):
+        o_ = F.coalesce(F.col(f"{c}_old"), F.lit(0))
+        n_ = F.coalesce(F.col(f"{c}_new"), F.lit(0))
+        return F.abs(n_ - o_).cast("double") > F.lit(
+            rel_threshold
+        ) * F.greatest(o_, F.lit(1)).cast("double")
+
+    drifted = ~both
+    for c in ("n_media", "n_null_payloads", "total_bytes"):
+        drifted = drifted | rel_moved(c)
+    return j.select(
+        "media_type",
+        *[F.col(f"{c}_old") for c in fields],
+        *[F.col(f"{c}_new") for c in fields],
+        *[
+            (
+                F.coalesce(F.col(f"{c}_new"), F.lit(0))
+                - F.coalesce(F.col(f"{c}_old"), F.lit(0))
+            ).alias(f"{c}_delta")
+            for c in fields
+        ],
+        drifted.alias("drifted"),
     )
 
 

@@ -7485,12 +7485,14 @@ def media_text_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # one conditional-agg pass per media type over the synthetic media
 # payloads. Everything is exact-integer except avg_bytes, a
 # deterministic exact-int double division (sum/count of bigints, the
-# jaccard precedent). synth_media_df's meta column is
-# to_json(struct(source, lang)) -- never NULL -- so n_with_meta
-# replays as COUNT(*), stated explicitly rather than hidden.
+# jaccard precedent). r15 (the r14 VERDICT's What's wrong #3):
+# synth_media_df now plants NULL meta on every 11th row, so
+# n_with_meta replays as the discriminating doc_id % 11 count instead
+# of COUNT(*).
 _MEDIA_DATACARD_ORACLE = """
 WITH m AS (
-  SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
          ELSE 'video' END AS media_type,
          encode(text) AS payload
   FROM documents)
@@ -7498,7 +7500,8 @@ SELECT media_type,
        COUNT(*) AS n_media,
        CAST(SUM(CASE WHEN payload IS NULL OR octet_length(payload) = 0
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_null_payloads,
-       CAST(COUNT(*) AS BIGINT) AS n_with_meta,
+       CAST(SUM(CASE WHEN doc_id % 11 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_with_meta,
        CAST(SUM(CASE WHEN payload IS NOT NULL AND octet_length(payload) > 0
                      THEN octet_length(payload) ELSE 0 END) AS BIGINT)
            AS total_bytes,
@@ -7645,4 +7648,92 @@ def documents_pack_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pack_multimodal_sequences(
         docs, links, costs, seq_tokens=2048, tokens_per_frame=16
+    )
+
+
+# Media datacard drift replay (r14 VERDICT #6 -- matched by
+# ann_lsh_bucket_topk in _NEXT_RETIREMENT_CANDIDATES): two
+# conditional-agg cards full-outer-joined on media_type, integer
+# old/new/delta fields only (avg_bytes stays on the card surface), the
+# rel_threshold=0.5 double comparison rewritten as the exactly-
+# equivalent integer form 2*|delta| > greatest(old, 1) -- the
+# corpus_datacard_drift precedent verbatim. The 'new' window drops the
+# audio type entirely so the one-side-missing always-flags rule fires,
+# and the NULL-meta rows (media_id % 11 = 0) make n_with_meta
+# discriminate from n_media.
+_MEDIA_DATACARD_DRIFT_ORACLE = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         encode(text) AS payload
+  FROM documents),
+card_old AS (
+  SELECT media_type,
+         CAST(COUNT(*) AS BIGINT) AS n_media,
+         CAST(SUM(CASE WHEN payload IS NULL OR octet_length(payload) = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_null_payloads,
+         CAST(SUM(CASE WHEN media_id % 11 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_with_meta,
+         CAST(SUM(CASE WHEN payload IS NOT NULL AND octet_length(payload) > 0
+                       THEN octet_length(payload) ELSE 0 END) AS BIGINT)
+             AS total_bytes
+  FROM m WHERE media_id % 7 <> 0 GROUP BY media_type),
+card_new AS (
+  SELECT media_type,
+         CAST(COUNT(*) AS BIGINT) AS n_media,
+         CAST(SUM(CASE WHEN payload IS NULL OR octet_length(payload) = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_null_payloads,
+         CAST(SUM(CASE WHEN media_id % 11 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_with_meta,
+         CAST(SUM(CASE WHEN payload IS NOT NULL AND octet_length(payload) > 0
+                       THEN octet_length(payload) ELSE 0 END) AS BIGINT)
+             AS total_bytes
+  FROM m WHERE media_type <> 'audio' GROUP BY media_type)
+SELECT COALESCE(o.media_type, n.media_type) AS media_type,
+       o.n_media AS n_media_old,
+       o.n_null_payloads AS n_null_payloads_old,
+       o.n_with_meta AS n_with_meta_old,
+       o.total_bytes AS total_bytes_old,
+       n.n_media AS n_media_new,
+       n.n_null_payloads AS n_null_payloads_new,
+       n.n_with_meta AS n_with_meta_new,
+       n.total_bytes AS total_bytes_new,
+       CAST(COALESCE(n.n_media, 0) - COALESCE(o.n_media, 0) AS BIGINT)
+           AS n_media_delta,
+       CAST(COALESCE(n.n_null_payloads, 0) - COALESCE(o.n_null_payloads, 0)
+            AS BIGINT) AS n_null_payloads_delta,
+       CAST(COALESCE(n.n_with_meta, 0) - COALESCE(o.n_with_meta, 0) AS BIGINT)
+           AS n_with_meta_delta,
+       CAST(COALESCE(n.total_bytes, 0) - COALESCE(o.total_bytes, 0) AS BIGINT)
+           AS total_bytes_delta,
+       ((o.n_media IS NULL OR n.n_media IS NULL)
+        OR 2 * ABS(COALESCE(n.n_media, 0) - COALESCE(o.n_media, 0))
+           > GREATEST(COALESCE(o.n_media, 0), 1)
+        OR 2 * ABS(COALESCE(n.n_null_payloads, 0)
+                   - COALESCE(o.n_null_payloads, 0))
+           > GREATEST(COALESCE(o.n_null_payloads, 0), 1)
+        OR 2 * ABS(COALESCE(n.total_bytes, 0) - COALESCE(o.total_bytes, 0))
+           > GREATEST(COALESCE(o.total_bytes, 0), 1)) AS drifted
+FROM card_old o FULL OUTER JOIN card_new n
+  ON o.media_type = n.media_type
+"""
+
+
+@register("media_datacard_drift_docs", _MEDIA_DATACARD_DRIFT_ORACLE)
+def media_datacard_drift_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media composition-drift report (functions/multimodal.py
+    media_datacard_drift, r14 VERDICT #6 -- the composition
+    media_datacard's docstring promised): the synthetic media table
+    split into an 'old' window (media_id % 7 <> 0) and a 'new' window
+    that drops the audio type entirely, so the one-side-missing
+    always-flags rule fires alongside the integer relative-move
+    rule. All-integer old/new/delta fields; the NULL-meta fixture
+    rows make n_with_meta != n_media in every populated cell."""
+    from .functions.multimodal import media_datacard_drift, synth_media_df
+
+    media = synth_media_df(load_table(spark, sf_dir, "documents"))
+    return media_datacard_drift(
+        media.filter(F.col("media_id") % 7 != 0),
+        media.filter(F.col("media_type") != "audio"),
     )
