@@ -1159,6 +1159,128 @@ def media_datacard_drift(
     )
 
 
+def cross_modal_retrieval_eval(
+    wh,
+    pairs: DataFrame,
+    media: DataFrame,
+    k: int = 10,
+    dims: int = 64,
+    stride: int = 50,
+    n_probes: int = 1,
+    directions: tuple = ("text2media", "media2text"),
+    index_prefix: str = "xmodal",
+) -> DataFrame:
+    """Cross-modal retrieval recall@k (r14 VERDICT #4): the feedback
+    loop that calibrates ``min_alignment`` and the IVF knobs for
+    CLIP-style curation. Ground truth = the assembled media-text
+    pairs; for each direction a persisted IVF index is built over one
+    tower and the OTHER tower's embeddings query it corpus-scale
+    (``retrieval.ivf_search_frame``), then ``similarity.ann_recall``
+    scores whether each query's paired counterpart(s) surfaced in the
+    top k. ``n_probes >= cells`` probes every cell, making the search
+    EXACT -- the brute-force baseline and the sweep's recall=1 anchor
+    come from the same code path, so a curve is just this function
+    re-run across n_probes (the semsearch recall-curve protocol).
+
+    Both towers ride the ONE ``embed_media`` encoder seam (captions
+    as UTF-8 bytes -- swap in a real two-tower CLIP checkpoint there
+    and nothing else changes). NULL contract: a side that embeds to
+    NULL can neither query nor be found, so pairs with an unscorable
+    side leave the ground truth (the alignment scorer's precedent);
+    the denominator counts scorable queries only.
+
+    Output: one row per direction --
+    (direction, k, n_probes, n_queries, macro_recall, hit_rate)
+    where macro_recall averages per-query hits/true and hit_rate is
+    the fraction of queries with at least one counterpart in top k.
+
+    Scale shape: two Arrow encoder passes, two index builds (each a
+    warehouse transaction, probe-side partition pruning), two
+    cell-cogrouped searches bounded by cells x cap -- never query x
+    corpus. Oracle designation (written exclusion): the encoder and
+    cosine ranking are the float stub pipeline (the alignment-scorer
+    class); recall floors on planted pairs are pytest-pinned and the
+    measured sf0.01 curve lives in SCALE.md r15.
+
+    Reference analog: none; public method: cross-modal retrieval
+    evaluation as in CLIP (Radford et al. 2021, Table 13) over
+    LAION-style pair ground truth."""
+    from .retrieval import ivf_search_frame
+    from .similarity import ann_recall, build_ivf_index
+
+    m_emb = embed_media(
+        media.join(
+            pairs.select("media_id").distinct(), "media_id", "left_semi"
+        ),
+        dims=dims,
+    ).filter(F.col("embedding").isNotNull()).select(
+        F.col("media_id").alias("vec_id"), "embedding"
+    )
+    t_emb = embed_media(
+        pairs.select("doc_id", "text")
+        .distinct()
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.lit("text").alias("media_type"),
+            F.encode(F.col("text"), "UTF-8").alias("payload"),
+        ),
+        dims=dims,
+    ).filter(F.col("embedding").isNotNull()).select(
+        F.col("media_id").alias("vec_id"), "embedding"
+    )
+    m_emb = m_emb.localCheckpoint(eager=True)
+    t_emb = t_emb.localCheckpoint(eager=True)
+    # scorable ground truth: both sides embedded
+    truth = (
+        pairs.select("media_id", "doc_id")
+        .distinct()
+        .join(
+            m_emb.select(F.col("vec_id").alias("media_id")), "media_id"
+        )
+        .join(t_emb.select(F.col("vec_id").alias("doc_id")), "doc_id")
+        .localCheckpoint(eager=True)
+    )
+    spark = pairs.sparkSession
+    reports = []
+    sides = {
+        "text2media": (t_emb, m_emb, "doc_id", "media_id"),
+        "media2text": (m_emb, t_emb, "media_id", "doc_id"),
+    }
+    for d in directions:
+        queries, index_side, q_key, n_key = sides[d]
+        name = f"{index_prefix}_{d}"
+        build_ivf_index(wh, index_side, name, stride=stride, dims=dims)
+        approx = ivf_search_frame(
+            wh,
+            name,
+            queries.select(
+                F.col("vec_id").alias("query_id"), "embedding"
+            ),
+            k=k,
+            n_probes=n_probes,
+        )
+        exact = truth.select(
+            F.col(q_key).alias("query_id"), F.col(n_key).alias("neighbor_id")
+        )
+        r = ann_recall(approx, exact)
+        reports.append(
+            r.agg(
+                F.lit(d).alias("direction"),
+                F.lit(k).alias("k"),
+                F.lit(n_probes).alias("n_probes"),
+                F.count(F.lit(1)).alias("n_queries"),
+                F.round(F.avg("recall"), 6).alias("macro_recall"),
+                F.round(
+                    F.avg((F.col("n_hit") > 0).cast("double")), 6
+                ).alias("hit_rate"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 def score_media_text_alignment(
     pairs: DataFrame,
     media: DataFrame,
