@@ -1103,6 +1103,65 @@ def media_datacard(media: DataFrame) -> DataFrame:
     )
 
 
+def media_decode_rule_verdicts(
+    media: DataFrame, rules: dict
+) -> DataFrame:
+    """Structural decode-floor verdicts (r14 VERDICT #5 -- the media
+    counterpart of the text zone's Gopher rules, extracted pure so the
+    landing zone's gate and the oracle replay share ONE rule kernel):
+    each media row gains ``rule`` = the FIRST failing floor's name, or
+    NULL when the row passes every applicable rule.
+
+    Supported rule keys (unknown keys raise -- a typo'd floor silently
+    gating nothing is a quiet data-quality failure):
+
+    - ``min_width`` / ``min_height``: apply only where the decode
+      REPORTS that dimension (audio's NULL dims are not a failure --
+      the per-applicable-type rule);
+    - ``min_frames``: a duration floor for TIME-BASED media
+      (audio/video); a static image is one frame by construction, not
+      a too-short clip.
+
+    One Arrow pass through the ``decode_media`` seam
+    (stub-deterministic byte arithmetic here; real codecs swap in at
+    the documented seam and nothing else changes), then a JVM-side
+    when-chain -- the verdict column itself never touches Python.
+    ``streaming.media_ingest_apply(decode_rules=...)`` routes rows
+    with a non-NULL verdict to its rejected table in the ingest
+    transaction."""
+    unknown = set(rules) - {"min_width", "min_height", "min_frames"}
+    if unknown:
+        raise ValueError(
+            f"decode rules has unknown rule keys {sorted(unknown)}; "
+            "supported: min_width, min_height, min_frames"
+        )
+    rule_conds = []
+    if "min_width" in rules:
+        rule_conds.append((
+            F.col("width").isNotNull()
+            & (F.col("width") < rules["min_width"]),
+            "min_width",
+        ))
+    if "min_height" in rules:
+        rule_conds.append((
+            F.col("height").isNotNull()
+            & (F.col("height") < rules["min_height"]),
+            "min_height",
+        ))
+    if "min_frames" in rules:
+        rule_conds.append((
+            (F.col("media_type") != "image")
+            & (F.col("n_frames") < rules["min_frames"]),
+            "min_frames",
+        ))
+    reason = F.lit(None).cast("string")
+    for cond, name in reversed(rule_conds):
+        reason = F.when(cond, F.lit(name)).otherwise(reason)
+    return decode_media(media).select(
+        "media_id", "media_type", reason.alias("rule")
+    )
+
+
 def media_datacard_drift(
     old_media: DataFrame,
     new_media: DataFrame,

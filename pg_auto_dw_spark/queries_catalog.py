@@ -7737,3 +7737,57 @@ def media_datacard_drift_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         media.filter(F.col("media_id") % 7 != 0),
         media.filter(F.col("media_type") != "audio"),
     )
+
+
+# Media decode-rule verdict replay (r14 VERDICT #5 -- matched by
+# sat_load_lineitem_composite in _NEXT_RETIREMENT_CANDIDATES): the
+# landing zone's structural quality gate and this row share ONE rule
+# kernel (multimodal.media_decode_rule_verdicts), so the driver row
+# verifies exactly what the gate rejects on. The stub decode is pure
+# byte arithmetic (image width = 16 + n%624 / height = 16 + 7n%464 /
+# 1 frame; audio NULL dims / 1 + n%1000 frames; video dims like image
+# / 1 + n%120 frames), the verdict a first-failing-rule CASE -- all
+# integers and strings.
+_MEDIA_DECODE_RULES_ORACLE = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         octet_length(encode(text)) AS n
+  FROM documents),
+d AS (
+  SELECT media_id, media_type,
+         CASE WHEN media_type = 'audio' THEN NULL
+              ELSE 16 + n % 624 END AS width,
+         CASE WHEN media_type = 'audio' THEN NULL
+              ELSE 16 + (n * 7) % 464 END AS height,
+         CASE media_type WHEN 'image' THEN 1
+              WHEN 'audio' THEN 1 + n % 1000
+              ELSE 1 + n % 120 END AS n_frames
+  FROM m)
+SELECT media_id, media_type,
+       CASE WHEN width IS NOT NULL AND width < 100 THEN 'min_width'
+            WHEN height IS NOT NULL AND height < 100 THEN 'min_height'
+            WHEN media_type <> 'image' AND n_frames < 50
+                 THEN 'min_frames'
+       END AS rule
+FROM d
+"""
+
+
+@register("media_decode_rules_docs", _MEDIA_DECODE_RULES_ORACLE)
+def media_decode_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural decode-floor verdicts (functions/multimodal.py
+    media_decode_rule_verdicts, r14 VERDICT #5): one Arrow decode pass
+    over the full synthetic media table, then the first-failing-rule
+    when-chain (min_width=100, min_height=100, min_frames=50) with the
+    per-applicable-type rules -- audio's NULL dims pass the dimension
+    floors, static images pass the duration floor. The landing zone's
+    decode_rules gate routes rows with a non-NULL verdict through this
+    SAME kernel."""
+    from .functions.multimodal import media_decode_rule_verdicts, synth_media_df
+
+    media = synth_media_df(load_table(spark, sf_dir, "documents"))
+    return media_decode_rule_verdicts(
+        media, {"min_width": 100, "min_height": 100, "min_frames": 50}
+    )

@@ -2176,6 +2176,7 @@ def media_ingest_apply(
     rejected_table: str | None = None,
     min_bytes: int | None = None,
     reject_unsigned: bool = False,
+    decode_rules: dict | None = None,
 ) -> dict:
     """Cross-batch perceptual-hash media dedup against a persisted
     hash ledger: the MEDIA twin of ``neardup_ingest_apply`` (r12
@@ -2238,12 +2239,28 @@ def media_ingest_apply(
     admitted unchecked -- a curated corpus should not contain media
     the dedup posture can never protect. Rejected rows land
     VERBATIM-typed plus a ``reject_reason`` column ('min_bytes' |
-    'unsigned') in the SAME transaction; the table is created at
-    first gated ingest so empty always means healthy, never gate-off.
-    Setting either knob without ``rejected_table`` raises (a silently
-    disabled gate is a quiet data-quality failure -- the text zone's
-    rule). Gate off (default) = bitwise-legacy behavior. Adds
-    ``n_rejected`` to the returned counts when on.
+    'unsigned' | 'decode:<rule>') in the SAME transaction; the table
+    is created at first gated ingest so empty always means healthy,
+    never gate-off. Setting any knob without ``rejected_table`` raises
+    (a silently disabled gate is a quiet data-quality failure -- the
+    text zone's rule). Gate off (default) = bitwise-legacy behavior.
+    Adds ``n_rejected`` to the returned counts when on.
+
+    ``decode_rules`` (opt-in, r15 -- the media counterpart of the text
+    zone's Gopher-rule posture): structural floors checked in ONE
+    extra Arrow pass through the ``decode_media`` seam
+    (stub-deterministic here; real codecs swap in at the documented
+    seam and nothing else changes). Supported keys: ``min_width`` /
+    ``min_height`` (apply only where the decode REPORTS a dimension --
+    audio's NULL dims are not a failure, the per-applicable-type
+    rule) and ``min_frames`` (frame/duration floor for TIME-BASED
+    media -- audio/video; a static image is one frame by
+    construction, not a too-short clip). Failing rows reject with
+    reason
+    ``decode:<first-failing-rule>`` BEFORE the hash pass, so
+    sub-floor media never reaches the ledger or the corpus. Unknown
+    rule keys raise (a typo'd floor silently gating nothing is the
+    same quiet failure the rejected_table rule exists for).
 
     ``monitor_table`` (opt-in) lands the over-cap bucket audit
     (``dedup.hamming_bucket_stats`` per family, run beside the pair
@@ -2294,16 +2311,25 @@ def media_ingest_apply(
 
     if max_frames >= _FRAME_SHIFT:
         raise ValueError(f"max_frames must be < {_FRAME_SHIFT}")
-    if (min_bytes is not None or reject_unsigned) and rejected_table is None:
+    if decode_rules:
+        unknown = set(decode_rules) - {"min_width", "min_height", "min_frames"}
+        if unknown:
+            raise ValueError(
+                f"decode_rules has unknown rule keys {sorted(unknown)}; "
+                "supported: min_width, min_height, min_frames"
+            )
+    if (
+        min_bytes is not None or reject_unsigned or decode_rules
+    ) and rejected_table is None:
         # a silently-disabled gate is a quiet data-quality failure in
         # a landing zone (the text zone's r12 ADVICE rule, applied here)
         raise ValueError(
-            "min_bytes/reject_unsigned set but rejected_table is None; "
-            "the media quality gate needs a rejected_table to route "
-            "failures to"
+            "min_bytes/reject_unsigned/decode_rules set but rejected_table "
+            "is None; the media quality gate needs a rejected_table to "
+            "route failures to"
         )
     gate_on = rejected_table is not None and (
-        min_bytes is not None or reject_unsigned
+        min_bytes is not None or reject_unsigned or bool(decode_rules)
     )
     id_col = "media_id"  # the MEDIA_SCHEMA key media_hash_rows emits
     phash_table = f"{corpus_table}.phash"
@@ -2351,6 +2377,30 @@ def media_ingest_apply(
             )
         )
         gated = batch.filter(~too_small)
+
+    # quality gate stage 1b (opt-in, r15): structural decode floors --
+    # one Arrow pass through the decode_media seam via the SHARED rule
+    # kernel (multimodal.media_decode_rule_verdicts: the oracle-
+    # replayed verdict and this gate are the same code); the reject
+    # reason names the FIRST failing rule for audit
+    if decode_rules:
+        from ..functions.multimodal import media_decode_rule_verdicts
+
+        bad = (
+            media_decode_rule_verdicts(gated, decode_rules)
+            .select(id_col, F.col("rule").alias("__rule"))
+            .filter(F.col("__rule").isNotNull())
+            .localCheckpoint(eager=True)
+        )
+        rejected_parts.append(
+            gated.join(bad, id_col)
+            .withColumn(
+                "reject_reason",
+                F.concat(F.lit("decode:"), F.col("__rule")),
+            )
+            .drop("__rule")
+        )
+        gated = gated.join(bad.select(id_col), id_col, "left_anti")
 
     hashes = media_hash_rows(
         gated, max_frames=max_frames, min_spread=min_spread

@@ -654,6 +654,75 @@ def test_media_quality_gate_off_is_legacy(spark, tmp_path):
     assert {r["media_id"] for r in wh.read("m.corpus").collect()} == {1, 2}
 
 
+def test_media_decode_rules_gate(spark, tmp_path):
+    """r15 (r14 VERDICT #5): structural decode floors -- the media
+    counterpart of the text zone's Gopher rules. Width/height rules
+    apply only where the decode reports a dimension (audio passes a
+    width floor), the frame floor applies everywhere, the reason
+    names the FIRST failing rule, and sub-floor media never reaches
+    the ledger. The frame floor is a duration floor for TIME-BASED
+    media only: a static image (1 frame by construction) passes it.
+    Stub decode arithmetic: image width = 16 + n%624,
+    height = 16 + 7n%464; audio frames = 1 + n%1000; video frames =
+    1 + n%120 (functions/multimodal.py _fake_decode)."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    stats = media_ingest_apply(
+        wh, "m.corpus",
+        _media(spark, [
+            # n=700: width 16+76=92 >= 90, height 16+(4900%464)=276: clean
+            (1, "image", _noise(11, 700)),
+            # n=50: width 66 < 90 AND height 366 >= 100 -> min_width
+            (2, "image", _noise(12, 50)),
+            # n=636: width 28 < 90, height 16+(4452%464)=280 -> first
+            # failing rule is min_width even with a height rule set
+            (3, "image", _noise(13, 636)),
+            # audio: width NULL -> width rule does NOT apply; frames
+            # 1 + 700%1000 = 701 >= 10: clean
+            (4, "audio", _noise(14, 700)),
+            # audio n=1005: frames 6 < 10 -> min_frames
+            (5, "audio", _noise(15, 1005)),
+            # video n=240: frames 1 + 240%120 = 1 < 10 -> min_frames
+            (6, "video", _noise(16, 240)),
+        ]),
+        rejected_table="m.rejected",
+        decode_rules={"min_width": 90, "min_height": 100, "min_frames": 10},
+    )
+    assert stats["n_batch"] == 6
+    assert stats["n_rejected"] == 4 and stats["n_new"] == 2
+    kept = {r["media_id"] for r in wh.read("m.corpus").collect()}
+    assert kept == {1, 4}
+    rej = {r["media_id"]: r["reject_reason"]
+           for r in wh.read("m.rejected").collect()}
+    assert rej == {
+        2: "decode:min_width",
+        3: "decode:min_width",
+        5: "decode:min_frames",
+        6: "decode:min_frames",
+    }
+    # sub-floor media never reached the ledger
+    assert {r["media_id"] for r in wh.read("m.corpus.phash").collect()} <= {1, 4}
+
+
+def test_media_decode_rules_unknown_key_and_no_table(spark, tmp_path):
+    """A typo'd rule key or a missing rejected_table is the same quiet
+    gate failure: both raise before any state changes."""
+    import pytest
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    with pytest.raises(ValueError, match="unknown rule keys"):
+        media_ingest_apply(
+            wh, "m.corpus", _media(spark, [(1, "image", IMG)]),
+            rejected_table="m.rejected",
+            decode_rules={"min_widht": 90},
+        )
+    with pytest.raises(ValueError, match="rejected_table"):
+        media_ingest_apply(
+            wh, "m.corpus", _media(spark, [(1, "image", IMG)]),
+            decode_rules={"min_width": 90},
+        )
+    assert not wh.exists("m.corpus")
+
+
 def test_media_quality_gate_through_stream(spark, tmp_path):
     """Gate kwargs ride the stream twin's passthrough; rejections land
     transactionally per micro-batch."""
