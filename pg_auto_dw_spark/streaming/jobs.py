@@ -2724,6 +2724,52 @@ def media_ingest_apply(
     }
 
 
+def media_zone_cluster_assignments(
+    wh, corpus_table: str, dupes_table: str
+) -> DataFrame:
+    """Incremental media cluster assignments from the landing zone's
+    OWN ledger (r14 VERDICT #7): the (media_id, cluster_id) frame
+    ``multimodal.assemble_media_text_pairs`` consumes, read from state
+    ``media_ingest_apply`` already maintains transactionally -- no
+    corpus-scale re-hash, no batch ``media_dup_clusters`` call.
+
+    The zone's dedup IS a clustering: surviving corpus rows are
+    canonicals (cluster_id = own id), and every dropped row's
+    ``dupes_table`` lineage names a SURVIVING corpus row (resolved at
+    drop time -- within-batch members point at their admitted
+    canonical or its corpus witness), so one sidecar read per side
+    reconstructs the assignment. A media_id dropped by several
+    resubmitted batches collapses to its min witness for determinism.
+
+    Semantics note (documented divergence from batch
+    ``media_dup_clusters``): the zone clustering is STAR-shaped --
+    every member was VERIFIED against a retained row, because dropped
+    rows leave no ledger hashes for later arrivals to chain through.
+    Batch-mode connected components can merge A--B--C transitively
+    even when A and C never directly agree; the zone requires each
+    later copy to match a RETAINED row within ``max_hamming``. On
+    direct-twin corpora (every copy derived from a retained original,
+    the common crawl-dedup shape) the two coincide exactly -- pinned
+    by tests/test_streaming_media.py's incremental-assembly leg.
+    First-arrived canonicals equal batch min-id canonicals whenever
+    ingest order is id-ascending.
+
+    Scale shape: two column-pruned sidecar scans and one union --
+    bounded by corpus + dupes rows, ZERO Arrow passes; assembly after
+    this is the three narrow equi-joins it always was. This is the
+    build-once / read-many contract: the expensive hashing happened at
+    ingest, already paid."""
+    canon = wh.read(corpus_table).select(
+        F.col("media_id"), F.col("media_id").alias("cluster_id")
+    )
+    dropped = (
+        wh.read(dupes_table)
+        .groupBy("media_id")
+        .agg(F.min("matched_id").alias("cluster_id"))
+    )
+    return canon.unionByName(dropped)
+
+
 def media_ingest_stream(
     spark: SparkSession,
     source_dir: str,

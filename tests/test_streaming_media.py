@@ -723,6 +723,58 @@ def test_media_decode_rules_unknown_key_and_no_table(spark, tmp_path):
     assert not wh.exists("m.corpus")
 
 
+def test_incremental_assembly_matches_batch_mode(spark, tmp_path):
+    """r14 VERDICT #7: media-text assembly per-ingest against the
+    zone's OWN ledger (media_zone_cluster_assignments over
+    corpus + dupes -- zero re-hash) equals the batch-mode
+    media_dup_clusters assembly over the union, on a direct-twin
+    corpus ingested in id order (where the zone's star clustering and
+    batch CC provably coincide). Captions of dropped twins re-point
+    to the surviving canonical on both paths."""
+    from pg_auto_dw_spark.functions.multimodal import (
+        assemble_media_text_pairs,
+        media_dup_clusters,
+    )
+    from pg_auto_dw_spark.streaming.jobs import (
+        media_zone_cluster_assignments,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    img_a, img_b = _noise(21, 700), _noise(22, 700)
+    batches = [
+        [(1, "image", img_a), (2, "image", img_b)],
+        [(3, "image", _edited(img_a))],                    # twin of 1
+        [(4, "image", _edited(img_b, at=200)),             # twin of 2
+         (5, "image", _noise(23, 650))],                   # fresh
+    ]
+    all_rows = []
+    for b in batches:
+        media_ingest_apply(
+            wh, "z.corpus", _media(spark, b), dupes_table="z.dupes"
+        )
+        all_rows += b
+    docs = spark.createDataFrame(
+        [(100 + i, f"caption for media {i}") for i in range(1, 6)],
+        "doc_id bigint, text string",
+    )
+    links = spark.createDataFrame(
+        [(i, 100 + i) for i in range(1, 6)],
+        "media_id bigint, doc_id bigint",
+    )
+    zone_clusters = media_zone_cluster_assignments(wh, "z.corpus", "z.dupes")
+    inc = assemble_media_text_pairs(docs, links, zone_clusters).collect()
+    batch_clusters = media_dup_clusters(
+        _media(spark, all_rows), semantic_threshold=None,
+        media_types=("image",),
+    )
+    full = assemble_media_text_pairs(docs, links, batch_clusters).collect()
+    assert sorted(map(tuple, inc)) == sorted(map(tuple, full))
+    # dropped twin 3's caption follows canonical 1; twin 4's follows 2
+    repointed = {(r["media_id"], r["doc_id"]) for r in inc}
+    assert (1, 103) in repointed and (2, 104) in repointed
+    assert not any(m in (3, 4) for m, _ in repointed)
+
+
 def test_media_quality_gate_through_stream(spark, tmp_path):
     """Gate kwargs ride the stream twin's passthrough; rejections land
     transactionally per micro-batch."""
