@@ -180,6 +180,16 @@ HEADLINE = [
     # the per-type media datacard (one conditional-agg pass)
     "media_text_pairs_docs",
     "media_datacard_docs",
+    # round-15 mid-order registrations (first driver rows due r16;
+    # tracked from day 1 per the standing practice): interleaved
+    # multimodal packing (decode_media cost pass + the pack_sequences
+    # bucket construction + one bounded per-example item window),
+    # media datacard drift (two conditional-agg passes + a 3-row outer
+    # join), and the decode-rule verdict kernel (one Arrow decode pass
+    # + a JVM-side when-chain -- the zone gate's shared kernel)
+    "documents_pack_multimodal",
+    "media_datacard_drift_docs",
+    "media_decode_rules_docs",
 ]
 
 

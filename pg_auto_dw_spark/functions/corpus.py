@@ -678,7 +678,12 @@ def pack_multimodal_sequences(
         .alias("n_tokens"),
         F.lit("text").alias("item_type"),
     )
-    items = mitems.unionByName(titems)
+    # pin the item frame: it feeds BOTH the example-budget rollup and
+    # the final placement join, and its media branch may carry an
+    # expensive upstream (an Arrow decode pass for the costs) that
+    # would otherwise replay once per reference (measured: 6 decode
+    # subtrees in the unpinned plan, 1 after the pin)
+    items = mitems.unionByName(titems).localCheckpoint(eager=False)
     # example (= doc) total budgets, then the pack_sequences global
     # order: bucket-coarse md5, <= n_buckets bucket window, bounded
     # intra-bucket cumulative sums

@@ -169,8 +169,15 @@ def decode_media_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
 
 
 def decode_media(media: DataFrame) -> DataFrame:
-    """Distributed decode: Arrow-batched, schema-enforced, no shuffle."""
-    return media.mapInPandas(decode_media_batch, schema=DECODED_SCHEMA)
+    """Distributed decode: Arrow-batched, schema-enforced, no shuffle.
+    Input pruned to the three columns the kernel reads BEFORE the
+    Arrow boundary -- column pruning cannot reach through mapInPandas,
+    so an unpruned call would ship every extra column (meta sidecars,
+    wide frames) through Arrow for nothing (r15; the embed_media
+    convention)."""
+    return media.select("media_id", "media_type", "payload").mapInPandas(
+        decode_media_batch, schema=DECODED_SCHEMA
+    )
 
 
 RESIZED_SCHEMA = T.StructType(
