@@ -1435,6 +1435,7 @@ def curate_media_text_corpus(
     min_spread: int = 0,
     quality_col: str | None = None,
     text_clusters: DataFrame | None = None,
+    media_clusters: DataFrame | None = None,
     dims: int = 64,
     min_alignment: float | None = None,
     val_fraction: float = 0.1,
@@ -1445,7 +1446,12 @@ def curate_media_text_corpus(
     LAION-style pipeline runs:
 
     1. ``media_dup_clusters``: perceptual (+ optional SemDeDup)
-       near-dup clustering, min-id canonicals.
+       near-dup clustering, min-id canonicals. Pass ``media_clusters``
+       to SKIP this corpus-scale re-hash and plug in a precomputed
+       assignment instead -- e.g.
+       ``streaming.media_zone_cluster_assignments`` when the media
+       arrived through the landing zone, whose ledger already paid
+       the hashing at ingest (r15).
     2. ``assemble_media_text_pairs``: caption links re-pointed to
        canonicals, text/quality joined in, both cluster ids + the
        bipartite ``pair_group`` propagated.
@@ -1468,11 +1474,15 @@ def curate_media_text_corpus(
     adds one broadcast-sized split join."""
     from .corpus import leakage_safe_split
 
-    clusters = media_dup_clusters(
-        media,
-        semantic_threshold=semantic_threshold,
-        min_spread=min_spread,
-        media_types=media_types,
+    clusters = (
+        media_clusters
+        if media_clusters is not None
+        else media_dup_clusters(
+            media,
+            semantic_threshold=semantic_threshold,
+            min_spread=min_spread,
+            media_types=media_types,
+        )
     )
     pairs = assemble_media_text_pairs(
         documents, links, clusters,

@@ -773,6 +773,25 @@ def test_incremental_assembly_matches_batch_mode(spark, tmp_path):
     repointed = {(r["media_id"], r["doc_id"]) for r in inc}
     assert (1, 103) in repointed and (2, 104) in repointed
     assert not any(m in (3, 4) for m, _ in repointed)
+    # the facade's media_clusters plug-in (r15): zone assignments ride
+    # the one-call chain without the corpus-scale re-hash, same pairs
+    from pg_auto_dw_spark.functions.multimodal import (
+        curate_media_text_corpus,
+    )
+
+    media_union = _media(spark, all_rows)
+    via_zone = curate_media_text_corpus(
+        media_union, docs, links, media_clusters=zone_clusters,
+        min_alignment=None,
+    )
+    via_batch = curate_media_text_corpus(
+        media_union, docs, links, semantic_threshold=None,
+        media_types=("image",), min_alignment=None,
+    )
+    cols = ["media_id", "doc_id", "media_cluster", "pair_group", "split"]
+    assert sorted(map(tuple, via_zone.select(*cols).collect())) == sorted(
+        map(tuple, via_batch.select(*cols).collect())
+    )
 
 
 def test_media_quality_gate_through_stream(spark, tmp_path):
