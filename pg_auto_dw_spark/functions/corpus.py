@@ -797,6 +797,62 @@ def packing_stats(
     )
 
 
+def pack_multimodal_stats(
+    docs: DataFrame,
+    links: DataFrame,
+    media_costs: DataFrame,
+    seq_tokens: int = 2048,
+    tokens_per_frame: int = 64,
+    n_buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cost_col: str | None = None,
+) -> DataFrame:
+    """One-row packing report for ``pack_multimodal_sequences`` -- the
+    ``packing_stats`` twin with the media split a multimodal budget
+    review needs: total/text/media token counts, item and example
+    counts, straddling ITEMS (a media placeholder cut by a sequence
+    boundary is a real cost: the reader either splits the
+    placeholder run or pads), and the last sequence's fill (FULL
+    reported as seq_tokens, the packing_stats convention). One
+    aggregation over the placement map; media share =
+    media_tokens / total is left to the consumer (keep the row exact
+    integers)."""
+    placed = pack_multimodal_sequences(
+        docs, links, media_costs, seq_tokens, tokens_per_frame,
+        n_buckets, id_col, text_col, cost_col,
+    )
+    is_media = (F.col("item_type") == "media").cast("long")
+    total = F.max(F.col("global_offset") + F.col("n_tokens"))
+    fill = F.pmod(total, F.lit(seq_tokens))
+    return placed.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(is_media).alias("n_media_items"),
+        F.countDistinct(id_col).alias("n_examples"),
+        total.alias("total_tokens"),
+        F.sum(F.when(F.col("item_type") == "media", F.col("n_tokens"))
+              .otherwise(F.lit(0))).alias("media_tokens"),
+        F.sum(F.when(F.col("item_type") == "text", F.col("n_tokens"))
+              .otherwise(F.lit(0))).alias("text_tokens"),
+        F.ceil(total / F.lit(seq_tokens)).cast("long").alias("n_sequences"),
+        F.sum(
+            (
+                (F.col("seq_offset") + F.col("n_tokens")) > F.lit(seq_tokens)
+            ).cast("long")
+        ).alias("n_straddling_items"),
+        F.sum(
+            (
+                ((F.col("seq_offset") + F.col("n_tokens")) > F.lit(seq_tokens))
+                & (F.col("item_type") == "media")
+            ).cast("long")
+        ).alias("n_straddling_media"),
+        F.when((fill == 0) & (total > 0), F.lit(seq_tokens))
+        .otherwise(fill)
+        .cast("long")
+        .alias("last_seq_fill"),
+    )
+
+
 def ngram_instances_of(toks, n: int = 8):
     """ALL ordered word n-grams of a bound token-array column, one per
     occurrence (the non-distinct twin of ``ngrams_of`` -- span-level

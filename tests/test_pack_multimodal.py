@@ -130,3 +130,44 @@ def test_banded_cost_col(spark):
     ).collect()
     got = {r["media_id"]: r["n_tokens"] for r in out if r["media_id"]}
     assert got == {10: 100, 11: 200, 12: 300}
+
+
+def test_pack_multimodal_stats_accounts_everything(spark, sf_dir):
+    """The stats row reconciles exactly with the placement map: token
+    splits sum to the total, straddle counts match a direct filter,
+    and the media/text item split is exact."""
+    from pg_auto_dw_spark.functions.corpus import pack_multimodal_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    links = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("media_id"), F.col("doc_id").alias("doc_id")
+    )
+    costs = links.select(
+        "media_id", (F.col("media_id") % 7 + 1).cast("long").alias("n_frames")
+    )
+    placed = pack_multimodal_sequences(
+        docs, links, costs, seq_tokens=512, tokens_per_frame=16
+    )
+    s = pack_multimodal_stats(
+        docs, links, costs, seq_tokens=512, tokens_per_frame=16
+    ).collect()[0]
+    agg = placed.agg(
+        F.count(F.lit(1)), F.sum("n_tokens"),
+        F.sum(F.when(F.col("item_type") == "media", F.col("n_tokens"))
+              .otherwise(F.lit(0))),
+    ).collect()[0]
+    assert s["n_items"] == agg[0]
+    assert s["total_tokens"] == agg[1]
+    assert s["media_tokens"] == agg[2]
+    assert s["text_tokens"] == s["total_tokens"] - s["media_tokens"]
+    assert s["n_examples"] == docs.count()
+    assert s["n_media_items"] == links.count()
+    assert s["n_sequences"] == -(-s["total_tokens"] // 512)
+    straddle = placed.filter(
+        (F.col("seq_offset") + F.col("n_tokens")) > 512
+    )
+    assert s["n_straddling_items"] == straddle.count()
+    assert s["n_straddling_media"] == straddle.filter(
+        F.col("item_type") == "media"
+    ).count()
+    assert 0 < s["last_seq_fill"] <= 512
