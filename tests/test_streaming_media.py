@@ -815,3 +815,58 @@ def test_media_quality_gate_through_stream(spark, tmp_path):
     q.awaitTermination(120)
     assert {r["media_id"] for r in wh.read("lz.media").collect()} == {1}
     assert {r["media_id"] for r in wh.read("lz.rejected").collect()} == {2}
+
+
+def test_decode_rules_and_assembly_through_stream(spark, tmp_path):
+    """r15 composition: the decode-rules gate rides the stream twin's
+    passthrough (sub-floor media rejected transactionally per
+    micro-batch), and the zone's ledger immediately serves
+    incremental assembly -- the full per-ingest curation loop with
+    zero corpus re-hash."""
+    from pg_auto_dw_spark.functions.multimodal import (
+        assemble_media_text_pairs,
+    )
+    from pg_auto_dw_spark.streaming.jobs import (
+        media_zone_cluster_assignments,
+    )
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", T.StringType()),
+    ])
+    src = tmp_path / "src"
+    src.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    img = _noise(31, 700)
+    _media(spark, [
+        (1, "image", img),
+        (2, "image", _edited(img)),        # near-dup of 1: dropped
+        (3, "video", _noise(32, 240)),     # 1 frame < floor: rejected
+    ]).coalesce(1).write.mode("append").parquet(str(src))
+    q = media_ingest_stream(
+        spark, str(src), schema, wh, "lz.media", str(tmp_path / "ckpt"),
+        dupes_table="lz.dupes",
+        rejected_table="lz.rejected",
+        decode_rules={"min_frames": 10},
+    )
+    q.awaitTermination(120)
+    assert {r["media_id"] for r in wh.read("lz.media").collect()} == {1}
+    rej = {r["media_id"]: r["reject_reason"]
+           for r in wh.read("lz.rejected").collect()}
+    assert rej == {3: "decode:min_frames"}
+    # per-ingest assembly straight off the zone state: the dropped
+    # twin's caption re-points to canonical 1; the rejected video's
+    # caption keeps its own id (never ingested -> own cluster)
+    docs = spark.createDataFrame(
+        [(101, "cap one"), (102, "cap two"), (103, "cap three")],
+        "doc_id bigint, text string",
+    )
+    links = spark.createDataFrame(
+        [(1, 101), (2, 102), (3, 103)], "media_id bigint, doc_id bigint"
+    )
+    zc = media_zone_cluster_assignments(wh, "lz.media", "lz.dupes")
+    pairs = {(r["media_id"], r["doc_id"])
+             for r in assemble_media_text_pairs(docs, links, zc).collect()}
+    assert pairs == {(1, 101), (1, 102), (3, 103)}
