@@ -2759,12 +2759,33 @@ def media_zone_cluster_assignments(
     this is the three narrow equi-joins it always was. This is the
     build-once / read-many contract: the expensive hashing happened at
     ingest, already paid."""
+    return _zone_cluster_assignments(wh, corpus_table, dupes_table, "media_id")
+
+
+def text_zone_cluster_assignments(
+    wh, corpus_table: str, dupes_table: str
+) -> DataFrame:
+    """The text twin of ``media_zone_cluster_assignments`` over the
+    MinHash zone's ledger (``neardup_ingest_apply`` with a
+    ``dupes_table``): the (doc_id, cluster_id) frame
+    ``assemble_media_text_pairs(text_clusters=...)`` and
+    ``corpus.leakage_safe_split(clusters=...)`` consume -- so the
+    facade's text-side leakage protection (r14 ADVICE) can ride zone
+    state instead of a corpus-scale re-cluster. Same star-shaped
+    semantics and scale shape as the media reader; the shared
+    construction is the point (one lineage convention, two zones)."""
+    return _zone_cluster_assignments(wh, corpus_table, dupes_table, "doc_id")
+
+
+def _zone_cluster_assignments(
+    wh, corpus_table: str, dupes_table: str, id_col: str
+) -> DataFrame:
     canon = wh.read(corpus_table).select(
-        F.col("media_id"), F.col("media_id").alias("cluster_id")
+        F.col(id_col), F.col(id_col).alias("cluster_id")
     )
     dropped = (
         wh.read(dupes_table)
-        .groupBy("media_id")
+        .groupBy(id_col)
         .agg(F.min("matched_id").alias("cluster_id"))
     )
     return canon.unionByName(dropped)

@@ -389,3 +389,49 @@ def test_facade_text_clusters_passthrough(spark):
     )
     g = groups(tc)
     assert g[201] == g[202]
+
+
+def test_text_zone_clusters_feed_assembly(spark, tmp_path):
+    """r15: the MinHash text zone's lineage serves text_clusters the
+    same way the media zone serves media_clusters -- near-dup captions
+    under different doc_ids on UNRELATED media land in one pair_group
+    without a corpus-scale re-cluster (the r14 ADVICE channel, closed
+    from zone state)."""
+    from pg_auto_dw_spark.functions.multimodal import (
+        assemble_media_text_pairs,
+    )
+    from pg_auto_dw_spark.streaming.jobs import (
+        neardup_ingest_apply,
+        text_zone_cluster_assignments,
+    )
+    from pg_auto_dw_spark.warehouse import Warehouse
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the river "
+        "runs quietly past the old mill and the miller watches the "
+        "wheel turn slowly in the afternoon sun as travelers pass"
+    )
+    near = base.replace("afternoon sun", "evening light")
+    other = (
+        "stock markets rallied sharply today as investors cheered "
+        "strong quarterly earnings reports from the largest technology "
+        "companies and central banks signalled steady policy ahead"
+    )
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id bigint, text string"
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    neardup_ingest_apply(wh, "c.docs", docs, dupes_table="c.dupes")
+    tc = text_zone_cluster_assignments(wh, "c.docs", "c.dupes")
+    got = {r["doc_id"]: r["cluster_id"] for r in tc.collect()}
+    assert got == {1: 1, 2: 1, 3: 3}  # near-dup 2 points at survivor 1
+    # two UNRELATED media, each captioned by one of the near-dup docs
+    clusters = spark.createDataFrame(
+        [(10, 10), (20, 20)], "media_id bigint, cluster_id bigint"
+    )
+    links = spark.createDataFrame(
+        [(10, 1), (20, 2)], "media_id bigint, doc_id bigint"
+    )
+    pairs = assemble_media_text_pairs(docs, links, clusters, text_clusters=tc)
+    groups = {r["doc_id"]: r["pair_group"] for r in pairs.collect()}
+    assert groups[1] == groups[2]  # one group through the text side
