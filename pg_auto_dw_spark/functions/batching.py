@@ -75,11 +75,19 @@ def inference_batch_plan(
             .alias("n_tokens"),
         )
     else:
+        # coalesce: a NULL text is a zero-token request, never a NULL
+        # that the batch-budget SUM would silently skip (the
+        # pack_sequences r15 fix, same proxy)
         base = docs.select(
             F.col(id_col),
-            F.size(
-                F.regexp_extract_all(t, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0)
-            ).cast("long").alias("n_tokens"),
+            F.coalesce(
+                F.size(
+                    F.regexp_extract_all(
+                        t, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0
+                    )
+                ).cast("long"),
+                F.lit(0),
+            ).alias("n_tokens"),
         )
     # band upper bound: next power of two >= max(n_tokens, 1)
     band = F.pow(F.lit(2.0), F.ceil(F.log2(F.greatest(F.col("n_tokens"), F.lit(1))))).cast(

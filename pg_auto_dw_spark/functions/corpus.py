@@ -281,9 +281,15 @@ def token_budget_sample(
     feats = docs.select(
         F.col(id_col),
         language_expr(t).alias("detected_lang"),
-        F.size(
-            F.regexp_extract_all(t, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0)
-        ).cast("long").alias("n_bpe_tokens"),
+        # coalesce: NULL text counts as zero tokens, never a NULL that
+        # SUM would skip in the budget prefix sums (the pack_sequences
+        # r15 fix, same construction)
+        F.coalesce(
+            F.size(
+                F.regexp_extract_all(t, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0)
+            ).cast("long"),
+            F.lit(0),
+        ).alias("n_bpe_tokens"),
         h.alias("h"),
         F.pmod(F.conv(F.substring(h, 1, 4), 16, 10).cast("bigint"), F.lit(n_buckets)).alias(
             "bucket"
@@ -539,11 +545,21 @@ def pack_sequences(
             ).alias("bucket"),
         )
     else:
+        # COALESCE the proxy count: regexp over a NULL text yields a
+        # NULL count, which SUM would silently SKIP in the offset
+        # windows -- two docs would then share a global offset (found
+        # by a NULL-text probe in r15). A NULL doc places exactly like
+        # an empty one: zero width at a well-defined offset.
         feats = docs.select(
             F.col(id_col),
-            F.size(
-                F.regexp_extract_all(t, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0)
-            ).cast("long").alias("n_bpe_tokens"),
+            F.coalesce(
+                F.size(
+                    F.regexp_extract_all(
+                        t, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0
+                    )
+                ).cast("long"),
+                F.lit(0),
+            ).alias("n_bpe_tokens"),
             h.alias("h"),
             F.pmod(F.conv(F.substring(h, 1, 4), 16, 10).cast("bigint"), F.lit(n_buckets)).alias(
                 "bucket"
@@ -669,13 +685,17 @@ def pack_multimodal_sequences(
     titems = docs.select(
         F.col(id_col),
         F.lit(None).cast("long").alias("media_id"),
-        F.size(
-            F.regexp_extract_all(
-                F.col(text_col), F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0
-            )
-        )
-        .cast("long")
-        .alias("n_tokens"),
+        # coalesce: a NULL text places as a zero-width item, never a
+        # NULL count (the pack_sequences r15 fix -- NULL would skip
+        # the offset sums and silently overlap placements)
+        F.coalesce(
+            F.size(
+                F.regexp_extract_all(
+                    F.col(text_col), F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0
+                )
+            ).cast("long"),
+            F.lit(0),
+        ).alias("n_tokens"),
         F.lit("text").alias("item_type"),
     )
     # pin the item frame: it feeds BOTH the example-budget rollup and

@@ -1711,7 +1711,8 @@ f AS (
                 WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
                 WHEN score_es >= score_fr THEN 'es'
                 ELSE 'fr' END AS detected_lang,
-           len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+           COALESCE(len(regexp_extract_all(text,
+                        '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')), 0) AS n_bpe_tokens,
            md5(CAST(doc_id AS VARCHAR)) AS h,
            ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 256 AS bucket
     FROM f0),
@@ -4659,7 +4660,8 @@ def customer_balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PACK_SEQUENCES_ORACLE = """
 WITH f AS (
     SELECT doc_id,
-           len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))
+           COALESCE(len(regexp_extract_all(text,
+                        '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')), 0)
                AS n_bpe_tokens,
            md5(CAST(doc_id AS VARCHAR)) AS h,
            ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 256
@@ -5911,8 +5913,8 @@ def tokenizer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH base AS (
         SELECT doc_id,
-               CAST(len(regexp_extract_all(text,
-                   '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(len(regexp_extract_all(text,
+                   '[A-Za-z0-9]+|[^A-Za-z0-9\s]')), 0) AS BIGINT) AS n_tokens,
                ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
         FROM documents),
     banded AS (
@@ -7575,8 +7577,8 @@ mitems AS (
     FROM links l JOIN costs c USING (media_id)),
 titems AS (
     SELECT doc_id, CAST(NULL AS BIGINT) AS media_id,
-           CAST(len(regexp_extract_all(text,
-                '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(len(regexp_extract_all(text,
+                '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')), 0) AS BIGINT) AS n_tokens,
            'text' AS item_type
     FROM documents),
 items AS (SELECT * FROM mitems UNION ALL SELECT * FROM titems),

@@ -171,3 +171,29 @@ def test_pack_multimodal_stats_accounts_everything(spark, sf_dir):
         F.col("item_type") == "media"
     ).count()
     assert 0 < s["last_seq_fill"] <= 512
+
+
+def test_null_text_places_zero_width(spark):
+    """r15 fix: a NULL-text doc must place as a ZERO-width item at a
+    well-defined offset -- before the coalesce, its NULL count skipped
+    the offset window sums and two docs silently shared an offset."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, None), (3, "gamma")],
+        "doc_id long, text string",
+    )
+    links = spark.createDataFrame([], "media_id long, doc_id long")
+    costs = spark.createDataFrame([], "media_id long, n_frames long")
+    for placed, col in (
+        (pack_sequences(docs, seq_tokens=8).collect(), "n_bpe_tokens"),
+        (pack_multimodal_sequences(docs, links, costs, seq_tokens=8).collect(),
+         "n_tokens"),
+    ):
+        tok = {r["doc_id"]: r[col] for r in placed}
+        assert tok[2] == 0  # zero-width, never NULL
+        # offsets form an exact prefix sum (no overlap, no gap); a
+        # zero-width row shares its offset with its successor BY
+        # DESIGN, so order zero-width rows first at equal offsets
+        cum = 0
+        for r in sorted(placed, key=lambda r: (r["global_offset"], r[col])):
+            assert r["global_offset"] == cum
+            cum += r[col]
