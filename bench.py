@@ -190,6 +190,10 @@ HEADLINE = [
     "documents_pack_multimodal",
     "media_datacard_drift_docs",
     "media_decode_rules_docs",
+    # r15 session op registered mid-order same round: the packing
+    # WRITER's token stream (the planner's bounded windows + ONE
+    # posexplode; row count = corpus token count, forced by count())
+    "documents_packed_token_stream",
 ]
 
 

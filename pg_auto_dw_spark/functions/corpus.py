@@ -817,6 +817,130 @@ def packing_stats(
     )
 
 
+def render_packed_tokens(
+    docs: DataFrame,
+    links: DataFrame | None = None,
+    media_costs: DataFrame | None = None,
+    seq_tokens: int = 2048,
+    tokens_per_frame: int = 64,
+    n_buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cost_col: str | None = None,
+    media_token_id: int = -1,
+    vocab_mod: int = 32768,
+) -> DataFrame:
+    """The packing WRITER (r15): materialize the
+    ``pack_multimodal_sequences`` placement map into the exact packed
+    token stream a training loader reads -- one row per TOKEN
+    position:
+
+        (seq_id, seq_pos, token_id, doc_id, item_type)
+
+    Text tokens come from the same regex pre-tokenizer the map's
+    budget used (guaranteeing count agreement position by position),
+    each id a deterministic md5 hash of the token modulo
+    ``vocab_mod`` -- the hashed-vocab stand-in for a real tokenizer;
+    swap in exact BPE by passing ``tokenizer.bpe_apply`` counts to the
+    planner and joining its ids here, nothing else changes. Media
+    items emit ``media_token_id`` repeated for their full vision
+    budget (the placeholder run an interleaved trainer replaces with
+    encoder outputs). With no ``links`` the stream is the TEXT-ONLY
+    packing -- byte-exact to ``pack_sequences``' map (pinned by the
+    degeneration test), which is why its oracle strictly subsumes the
+    plain placement row.
+
+    Shape: the planner's bounded-window construction, then ONE
+    posexplode per item family and pure offset arithmetic -- every
+    token's global position is item.global_offset + its index, so no
+    sequence-fragment slicing, no per-sequence state, nothing beyond
+    a map-side explode after the planner. ``collect_packed_sequences``
+    groups this stream into per-sequence arrays (bounded at
+    ``seq_tokens`` per group) when the loader wants rows-per-sequence;
+    ``assemble_packed_sequences`` is the text-only real-BPE
+    materializer with the same contract."""
+    spark = docs.sparkSession
+    if links is None:
+        links = spark.createDataFrame([], f"media_id long, {id_col} long")
+    if media_costs is None:
+        media_costs = spark.createDataFrame([], "media_id long, n_frames long")
+    placed = pack_multimodal_sequences(
+        docs, links, media_costs, seq_tokens, tokens_per_frame,
+        n_buckets, id_col, text_col, cost_col,
+    )
+    text_items = placed.filter(F.col("item_type") == "text").join(
+        docs.select(id_col, text_col), id_col
+    )
+    toks = F.regexp_extract_all(
+        F.col(text_col), F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0
+    )
+    ids = F.transform(
+        toks,
+        lambda tok: F.pmod(
+            F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("bigint"),
+            F.lit(vocab_mod),
+        ),
+    )
+    t_stream = text_items.select(
+        id_col,
+        F.lit("text").alias("item_type"),
+        "global_offset",
+        F.posexplode(ids).alias("pos", "token_id"),
+    )
+    m_stream = placed.filter(F.col("item_type") == "media").select(
+        id_col,
+        F.lit("media").alias("item_type"),
+        "global_offset",
+        F.posexplode(
+            F.array_repeat(
+                F.lit(media_token_id).cast("bigint"),
+                F.col("n_tokens").cast("int"),
+            )
+        ).alias("pos", "token_id"),
+    )
+    stream = t_stream.unionByName(m_stream).select(
+        ((F.col("global_offset") + F.col("pos")) / seq_tokens)
+        .cast("long")
+        .alias("seq_id"),
+        F.pmod(F.col("global_offset") + F.col("pos"), F.lit(seq_tokens))
+        .cast("long")
+        .alias("seq_pos"),
+        "token_id",
+        F.col(id_col),
+        "item_type",
+    )
+    return stream
+
+
+def collect_packed_sequences(
+    stream: DataFrame, seq_tokens: int = 2048
+) -> DataFrame:
+    """Group a ``render_packed_tokens`` stream into loader rows:
+    (seq_id, n_filled, token_ids) with tokens in exact position order.
+    One shuffle on seq_id; every group is bounded at ``seq_tokens``
+    elements by construction, so the sort_array + flatten is
+    constant-size per group (never a corpus-scale sort). The final
+    sequence may be short -- n_filled says by how much; padding policy
+    belongs to the loader.
+
+    Relation to ``assemble_packed_sequences`` (below): that is the
+    TEXT-ONLY materializer over real BPE token arrays (fragment
+    slicing, no per-token rows); this one groups the multimodal
+    per-token stream -- pick by input shape."""
+    return (
+        stream.groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_filled"),
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("seq_pos", "token_id"))
+                ),
+                lambda s: s["token_id"],
+            ).alias("token_ids"),
+        )
+    )
+
+
 def pack_multimodal_stats(
     docs: DataFrame,
     links: DataFrame,

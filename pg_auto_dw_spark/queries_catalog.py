@@ -545,10 +545,22 @@ _DEPRIORITIZED = [
 #                            driver-verified via
 #                            dv_round_trip_customer, in this round's
 #                            _PRIORITY)
+#   documents_pack_sequences (fourth candidate, matching the fourth
+#                            r15 mid documents_packed_token_stream:
+#                            the token-stream oracle replays the
+#                            ENTIRE pack_sequences placement CTE
+#                            before exploding per-token, so its
+#                            coverage is a strict superset -- the
+#                            events_hourly_rollup exact-subset
+#                            precedent; the multimodal planner row
+#                            documents_pack_multimodal ALSO carries
+#                            the same bucket construction and is a
+#                            sibling r15 mid)
 _NEXT_RETIREMENT_CANDIDATES = [
     "corpus_contamination_pairs",
     "ann_lsh_bucket_topk",
     "sat_load_lineitem_composite",
+    "documents_pack_sequences",
 ]
 # NOTE for round 13: EXECUTED -- see the "Round 13 state" note beside
 # _NEXT_RETIREMENT_CANDIDATES above (the mechanical swap the r12 note
@@ -7792,4 +7804,70 @@ def media_decode_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synth_media_df(load_table(spark, sf_dir, "documents"))
     return media_decode_rule_verdicts(
         media, {"min_width": 100, "min_height": 100, "min_frames": 50}
+    )
+
+
+# Packed token-stream replay (the packing WRITER, r15 -- matched by
+# documents_pack_sequences in _NEXT_RETIREMENT_CANDIDATES: this oracle
+# replays that row's ENTIRE placement CTE before exploding per-token,
+# the exact-subset retirement precedent). Text-only rendering (no
+# links), hashed-vocab ids: token_id = md5-prefix % 32768, the same
+# md5 integer convention every bucket hash in this file uses; one
+# row per token position, zero-token docs emit nothing.
+_PACKED_TOKEN_STREAM_ORACLE = """
+WITH f AS (
+    SELECT doc_id,
+           COALESCE(len(regexp_extract_all(text,
+                        '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')), 0)
+               AS n_bpe_tokens,
+           md5(CAST(doc_id AS VARCHAR)) AS h,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 256
+               AS bucket
+    FROM documents),
+b AS (SELECT bucket, SUM(n_bpe_tokens) AS btok FROM f GROUP BY 1),
+c AS (
+    SELECT bucket,
+           COALESCE(SUM(btok) OVER (ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS bucket_offset
+    FROM b),
+d AS (
+    SELECT f.doc_id,
+           c.bucket_offset
+           + COALESCE(SUM(f.n_bpe_tokens) OVER (PARTITION BY f.bucket
+                      ORDER BY f.h, f.doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS global_offset
+    FROM f JOIN c USING (bucket)),
+tk AS (
+    SELECT d.doc_id, d.global_offset,
+           unnest(regexp_extract_all(doc.text,
+                  '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS tok,
+           generate_subscripts(regexp_extract_all(doc.text,
+                  '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'), 1) AS i
+    FROM d JOIN documents doc USING (doc_id))
+SELECT CAST((global_offset + i - 1) // 2048 AS BIGINT) AS seq_id,
+       CAST((global_offset + i - 1) % 2048 AS BIGINT) AS seq_pos,
+       CAST(('0x' || substr(md5(tok), 1, 8))::BIGINT % 32768 AS BIGINT)
+           AS token_id,
+       doc_id,
+       'text' AS item_type
+FROM tk
+"""
+
+
+@register("documents_packed_token_stream", _PACKED_TOKEN_STREAM_ORACLE)
+def documents_packed_token_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packing WRITER's token stream (functions/corpus.py
+    render_packed_tokens, r15): the pack_sequences placement map
+    materialized to one row per token position -- (seq_id, seq_pos,
+    token_id, doc_id, item_type) under 2048-token pack-then-chunk,
+    hashed-vocab ids (md5 % 32768). Text-only here (the multimodal
+    placeholder path is pytest-pinned); after the planner's bounded
+    windows the whole render is ONE posexplode + offset arithmetic,
+    no sequence-fragment state anywhere."""
+    from .functions.corpus import render_packed_tokens
+
+    return render_packed_tokens(
+        load_table(spark, sf_dir, "documents"), seq_tokens=2048
     )

@@ -197,3 +197,94 @@ def test_null_text_places_zero_width(spark):
         for r in sorted(placed, key=lambda r: (r["global_offset"], r[col])):
             assert r["global_offset"] == cum
             cum += r[col]
+
+
+def test_render_packed_tokens_stream_exact(spark):
+    """The writer's stream is position-exact: every (seq_id, seq_pos)
+    is distinct and gap-free over [0, total); text token ids are the
+    md5-hash of the SAME regex tokens the budget counted; media items
+    emit their full placeholder run."""
+    from pg_auto_dw_spark.functions.corpus import render_packed_tokens
+
+    docs, links, costs = _small(spark)
+    stream = render_packed_tokens(
+        docs, links, costs, seq_tokens=16, tokens_per_frame=8,
+        media_token_id=-7,
+    ).collect()
+    # total = text tokens (3+1+2) + media (8 + 32 + 16) = 62
+    assert len(stream) == 62
+    positions = sorted(r["seq_id"] * 16 + r["seq_pos"] for r in stream)
+    assert positions == list(range(62))  # gap-free, overlap-free
+    media_rows = [r for r in stream if r["item_type"] == "media"]
+    assert len(media_rows) == 56
+    assert all(r["token_id"] == -7 for r in media_rows)
+    text_rows = [r for r in stream if r["item_type"] == "text"]
+    assert all(0 <= r["token_id"] < 32768 for r in text_rows)
+    # same token -> same id (hashed vocab is deterministic): doc 1's
+    # text "alpha beta gamma" and doc 3's "epsilon zeta" never collide
+    # with the media placeholder
+    assert all(r["token_id"] != -7 for r in text_rows)
+
+
+def test_render_matches_placement_map(spark, sf_dir):
+    """Stream-reconstructed item extents equal the placement map: per
+    (doc, item_type) the min global position and the count equal the
+    map's global_offset and n_tokens -- the writer and the planner
+    agree token for token."""
+    from pg_auto_dw_spark.functions.corpus import render_packed_tokens
+
+    docs = load_table(spark, sf_dir, "documents").limit(200).localCheckpoint()
+    links = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("media_id"), "doc_id"
+    )
+    costs = links.select(
+        "media_id", (F.col("media_id") % 5 + 1).cast("long").alias("n_frames")
+    )
+    placed = pack_multimodal_sequences(
+        docs, links, costs, seq_tokens=256, tokens_per_frame=4
+    )
+    stream = render_packed_tokens(
+        docs, links, costs, seq_tokens=256, tokens_per_frame=4
+    )
+    got = {
+        (r["doc_id"], r["item_type"]): (r["off"], r["cnt"])
+        for r in stream.groupBy("doc_id", "item_type").agg(
+            F.min(F.col("seq_id") * 256 + F.col("seq_pos")).alias("off"),
+            F.count(F.lit(1)).alias("cnt"),
+        ).collect()
+    }
+    for r in placed.collect():
+        if r["n_tokens"] == 0:
+            continue  # zero-width items emit no stream rows
+        key = (r["doc_id"], r["item_type"])
+        off, cnt = got[key]
+        if r["item_type"] == "text":
+            assert (off, cnt) == (r["global_offset"], r["n_tokens"])
+
+
+def test_collect_packed_sequences(spark):
+    """Loader rows: full sequences are exactly seq_tokens long, the
+    final one short, order within a sequence is position order."""
+    from pg_auto_dw_spark.functions.corpus import (
+        collect_packed_sequences,
+        render_packed_tokens,
+    )
+
+    docs, links, costs = _small(spark)
+    stream = render_packed_tokens(
+        docs, links, costs, seq_tokens=16, tokens_per_frame=8,
+        media_token_id=-7,
+    )
+    seqs = {r["seq_id"]: r for r in
+            collect_packed_sequences(stream, seq_tokens=16).collect()}
+    total = 62
+    assert sorted(seqs) == list(range(-(-total // 16)))
+    for sid, r in seqs.items():
+        assert r["n_filled"] == (16 if sid < total // 16 else total % 16)
+        assert len(r["token_ids"]) == r["n_filled"]
+    # cross-check one sequence against the raw stream ordering
+    raw = sorted(
+        ((r["seq_pos"], r["token_id"]) for r in stream.collect()
+         if r["seq_id"] == 0)
+    )
+    assert [t for _, t in raw] == list(seqs[0]["token_ids"])
