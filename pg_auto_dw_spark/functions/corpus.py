@@ -485,6 +485,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     n_buckets: int = 256,
     token_counts_df: DataFrame | None = None,
+    epoch_salt: str = "",
 ) -> DataFrame:
     """Deterministic pack-then-chunk sequence packing (the GPT-style
     pretraining batch-construction step): documents are laid end-to-end
@@ -508,7 +509,11 @@ def pack_sequences(
     n_bpe_tokens > seq_tokens (readers slice; this map is the source
     of truth)."""
     t = F.col(text_col)
-    h = F.md5(F.col(id_col).cast("string"))
+    # epoch_salt folds into the global-order hash: a different salt is
+    # a fresh deterministic shuffle of the SAME corpus (epoch reshuffle
+    # at zero cost -- the shard.py seed convention); "" keeps the
+    # historical order bit-exact
+    h = F.md5(F.concat(F.lit(epoch_salt), F.col(id_col).cast("string")))
     if token_counts_df is not None:
         # caller-supplied counts (e.g. the REAL tokenizer's exact
         # counts, tokenizer.bpe_apply): the placement map must use the
@@ -610,6 +615,7 @@ def pack_multimodal_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     cost_col: str | None = None,
+    epoch_salt: str = "",
 ) -> DataFrame:
     """Interleaved multimodal sequence packing (r14 VERDICT #3): the
     ``pack_sequences`` placement contract extended to examples that
@@ -706,8 +712,9 @@ def pack_multimodal_sequences(
     items = mitems.unionByName(titems).localCheckpoint(eager=False)
     # example (= doc) total budgets, then the pack_sequences global
     # order: bucket-coarse md5, <= n_buckets bucket window, bounded
-    # intra-bucket cumulative sums
-    h = F.md5(F.col(id_col).cast("string"))
+    # intra-bucket cumulative sums (epoch_salt = the same zero-cost
+    # deterministic epoch reshuffle as pack_sequences)
+    h = F.md5(F.concat(F.lit(epoch_salt), F.col(id_col).cast("string")))
     ex = (
         items.groupBy(id_col)
         .agg(F.sum("n_tokens").alias("ex_tokens"))

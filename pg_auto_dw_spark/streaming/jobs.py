@@ -2777,6 +2777,23 @@ def text_zone_cluster_assignments(
     return _zone_cluster_assignments(wh, corpus_table, dupes_table, "doc_id")
 
 
+def media_zone_frame_costs(wh, corpus_table: str) -> DataFrame:
+    """(media_id, n_frames) from the media zone's phash ledger -- the
+    vision-token cost source ``corpus.pack_multimodal_sequences``
+    consumes, read from state the ingest transaction already paid for
+    (one hash row per sampled frame: images/audio 1, video up to
+    max_frames): a zone-fed corpus plans interleaved packing with ZERO
+    decode passes. Only SIGNED media appear (unsigned rows have no
+    hashable structure and no ledger rows); link unsigned media at
+    your own cost column or drop them upstream -- the planner fails
+    loudly on a linked id with no cost row, by design."""
+    return (
+        wh.read(f"{corpus_table}.phash")
+        .groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("n_frames"))
+    )
+
+
 def _zone_cluster_assignments(
     wh, corpus_table: str, dupes_table: str, id_col: str
 ) -> DataFrame:

@@ -288,3 +288,37 @@ def test_collect_packed_sequences(spark):
          if r["seq_id"] == 0)
     )
     assert [t for _, t in raw] == list(seqs[0]["token_ids"])
+
+
+def test_epoch_salt_reshuffles_deterministically(spark, sf_dir):
+    """epoch_salt is the zero-cost epoch reshuffle: a different salt
+    permutes the global order (same totals, same per-doc widths), the
+    same salt reproduces it bit-exactly, and "" keeps the historical
+    order."""
+    from pg_auto_dw_spark.functions.corpus import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents").limit(300).localCheckpoint()
+    base = {r["doc_id"]: r["global_offset"]
+            for r in pack_sequences(docs, seq_tokens=512).collect()}
+    e1 = {r["doc_id"]: r["global_offset"]
+          for r in pack_sequences(docs, seq_tokens=512,
+                                  epoch_salt="epoch1").collect()}
+    e1b = {r["doc_id"]: r["global_offset"]
+           for r in pack_sequences(docs, seq_tokens=512,
+                                   epoch_salt="epoch1").collect()}
+    assert e1 == e1b                       # same salt: bit-exact
+    assert e1 != base                      # new salt: new order
+    assert set(e1) == set(base)            # same docs
+    # same total stream length either way
+    tok = {r["doc_id"]: r["n_bpe_tokens"]
+           for r in pack_sequences(docs, seq_tokens=512).collect()}
+    assert max(o + tok[d] for d, o in e1.items()) == \
+        max(o + tok[d] for d, o in base.items())
+    # the multimodal planner takes the same knob
+    links = spark.createDataFrame([], "media_id long, doc_id long")
+    costs = spark.createDataFrame([], "media_id long, n_frames long")
+    mm = {r["doc_id"]: r["global_offset"]
+          for r in pack_multimodal_sequences(
+              docs, links, costs, seq_tokens=512, epoch_salt="epoch1"
+          ).collect()}
+    assert mm == e1  # degeneration holds under the salt too

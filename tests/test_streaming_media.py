@@ -870,3 +870,37 @@ def test_decode_rules_and_assembly_through_stream(spark, tmp_path):
     pairs = {(r["media_id"], r["doc_id"])
              for r in assemble_media_text_pairs(docs, links, zc).collect()}
     assert pairs == {(1, 101), (1, 102), (3, 103)}
+
+
+def test_zone_frame_costs_feed_packing(spark, tmp_path):
+    """r15 composition: the phash ledger's frame counts are the
+    vision-token cost source for interleaved packing -- a zone-fed
+    corpus plans packing with zero decode passes, and the budgets
+    match the per-family frame counts the zone sampled."""
+    from pg_auto_dw_spark.functions.corpus import pack_multimodal_sequences
+    from pg_auto_dw_spark.streaming.jobs import media_zone_frame_costs
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    media_ingest_apply(
+        wh, "z.corpus",
+        _media(spark, [
+            (1, "image", _noise(41, 700)),
+            (2, "video", _noise(42, 1600)),
+        ]),
+    )
+    costs = media_zone_frame_costs(wh, "z.corpus")
+    by_id = {r["media_id"]: r["n_frames"] for r in costs.collect()}
+    assert by_id[1] == 1 and by_id[2] > 1  # image 1 frame, video many
+    docs = spark.createDataFrame(
+        [(101, "caption one"), (102, "caption two")],
+        "doc_id bigint, text string",
+    )
+    links = spark.createDataFrame(
+        [(1, 101), (2, 102)], "media_id bigint, doc_id bigint"
+    )
+    placed = pack_multimodal_sequences(
+        docs, links, costs, seq_tokens=2048, tokens_per_frame=16
+    ).collect()
+    got = {(r["doc_id"], r["item_type"]): r["n_tokens"] for r in placed}
+    assert got[(101, "media")] == 16 * by_id[1]
+    assert got[(102, "media")] == 16 * by_id[2]
