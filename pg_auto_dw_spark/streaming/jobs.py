@@ -2177,6 +2177,7 @@ def media_ingest_apply(
     min_bytes: int | None = None,
     reject_unsigned: bool = False,
     decode_rules: dict | None = None,
+    embed_index: str | None = None,
 ) -> dict:
     """Cross-batch perceptual-hash media dedup against a persisted
     hash ledger: the MEDIA twin of ``neardup_ingest_apply`` (r12
@@ -2262,6 +2263,15 @@ def media_ingest_apply(
     rule keys raise (a typo'd floor silently gating nothing is the
     same quiet failure the rejected_table rule exists for).
 
+    ``embed_index`` (opt-in, r15): name of a PRE-BUILT IVF index --
+    each batch's ADMITTED rows embed through the ``embed_media`` seam,
+    assign against the index's frozen codebook (geometry from its own
+    build_config), and the assignment rows commit in the SAME
+    transaction as the corpus append: the zone maintains a searchable
+    cross-modal index incrementally, per ingest, zero rebuild scans.
+    Idempotent by id; drift ownership = the rebuild schedule
+    (``append_to_ivf_index``'s documented posture).
+
     ``monitor_table`` (opt-in) lands the over-cap bucket audit
     (``dedup.hamming_bucket_stats`` per family, run beside the pair
     joins on the SAME batch hash frame) in the SAME transaction:
@@ -2331,6 +2341,16 @@ def media_ingest_apply(
     gate_on = rejected_table is not None and (
         min_bytes is not None or reject_unsigned or bool(decode_rules)
     )
+    if embed_index is not None and (
+        not wh.exists(f"{embed_index}.build_config")
+        or not wh.read(f"{embed_index}.build_config").collect()
+    ):
+        # validated at the front door, BEFORE any zone table is
+        # created: a missing index must leave no state behind
+        raise ValueError(
+            f"embed_index {embed_index!r} has no build_config row -- "
+            "build it with build_ivf_index first"
+        )
     id_col = "media_id"  # the MEDIA_SCHEMA key media_hash_rows emits
     phash_table = f"{corpus_table}.phash"
     chunks_table = f"{corpus_table}.chunks"
@@ -2699,6 +2719,55 @@ def media_ingest_apply(
             wh.create_table(monitor_table, monitor.schema)
         if not monitor.isEmpty():
             extra.append((monitor_table, monitor))
+    if embed_index is not None:
+        # incremental cross-modal index maintenance (r15): the ADMITTED
+        # rows embed through the one encoder seam, assign against the
+        # index's FROZEN codebook (append_to_ivf_index's no-retrain
+        # posture -- periodic rebuilds own distribution drift), and the
+        # assignment rows land in the SAME transaction as the corpus
+        # append, so the searchable index and the corpus can never
+        # disagree about what was ingested. The index must be PRE-BUILT
+        # (build_ivf_index needs training vectors); a missing index
+        # fails loudly here, before any state changes. Geometry (dims /
+        # columns) comes from the index's own build_config -- never
+        # from caller knobs that could drift from the stored codebook.
+        import json as _json
+
+        from ..functions.multimodal import embed_media
+        from ..functions.similarity import _assign_against, with_quantized
+
+        icfg_rows = wh.read(f"{embed_index}.build_config").collect()
+        if not icfg_rows:
+            raise ValueError(
+                f"embed_index {embed_index!r} has no build_config row -- "
+                "build it with build_ivf_index first"
+            )
+        icfg = _json.loads(icfg_rows[0]["config"])
+        vecs = (
+            embed_media(new_rows, dims=icfg["dims"])
+            .filter(F.col("embedding").isNotNull())
+            .select(
+                F.col("media_id").alias(icfg["id_col"]),
+                F.col("embedding").alias(icfg["vec_col"]),
+            )
+        )
+        assigned = _assign_against(
+            with_quantized(vecs, icfg["vec_col"]).select(
+                F.col(icfg["id_col"]), "qvec", "qnorm"
+            ),
+            wh.read(f"{embed_index}.codebook"),
+            icfg["id_col"],
+        )
+        # idempotent by id (append_to_ivf_index's global-probe rule):
+        # a direct-apply retry appends nothing; stream replays already
+        # short-circuit on the batch log before reaching here
+        assigned = assigned.join(
+            wh.read(f"{embed_index}.assignment").select(icfg["id_col"]),
+            icfg["id_col"],
+            "left_anti",
+        ).localCheckpoint(eager=True)
+        if not assigned.isEmpty():
+            extra.append((f"{embed_index}.assignment", assigned))
     if not cfg_pinned:
         cfg_df = wh.spark.createDataFrame(
             [tuple(cfg.values())], schema=", ".join(f"{k} int" for k in cfg)

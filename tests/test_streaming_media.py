@@ -904,3 +904,59 @@ def test_zone_frame_costs_feed_packing(spark, tmp_path):
     got = {(r["doc_id"], r["item_type"]): r["n_tokens"] for r in placed}
     assert got[(101, "media")] == 16 * by_id[1]
     assert got[(102, "media")] == 16 * by_id[2]
+
+
+def test_embed_index_maintained_per_ingest(spark, tmp_path):
+    """r15: embed_index wires incremental cross-modal index
+    maintenance into the zone -- every ADMITTED row's embedding lands
+    in the index's assignment table in the ingest transaction;
+    dropped near-dups never enter; a direct-apply retry appends
+    nothing; and a search over the maintained index finds a dropped
+    copy's surviving canonical."""
+    from pg_auto_dw_spark.functions.multimodal import embed_media
+    from pg_auto_dw_spark.functions.retrieval import ivf_search_frame
+    from pg_auto_dw_spark.functions.similarity import build_ivf_index
+    from pyspark.sql import functions as F
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    img_a, img_b = _noise(51, 700), _noise(52, 700)
+    # pre-build the index from an initial embedded corpus (the
+    # build-once contract; training needs vectors)
+    seed = _media(spark, [(1, "image", img_a), (2, "image", img_b)])
+    vecs = embed_media(seed, dims=32).select(
+        F.col("media_id").alias("vec_id"), "embedding"
+    )
+    build_ivf_index(wh, vecs, "xm", stride=2, dims=32)
+    media_ingest_apply(wh, "z.corpus", seed, embed_index="xm")
+    assert {r["vec_id"] for r in wh.read("xm.assignment").collect()} == {1, 2}
+    # batch 2: a near-dup (dropped -> never indexed) + a new row
+    stats = media_ingest_apply(
+        wh, "z.corpus",
+        _media(spark, [(3, "image", _edited(img_a)), (4, "image", _noise(53, 700))]),
+        dupes_table="z.dupes", embed_index="xm",
+    )
+    assert stats["n_cross_dups"] == 1 and stats["n_new"] == 1
+    ids = {r["vec_id"] for r in wh.read("xm.assignment").collect()}
+    assert ids == {1, 2, 4}  # 3 was dropped, never indexed
+    # retry of the same apply appends nothing (idempotent by id)
+    media_ingest_apply(
+        wh, "z.corpus",
+        _media(spark, [(4, "image", _noise(53, 700))]), embed_index="xm",
+    )
+    assert wh.read("xm.assignment").count() == 3
+    # the maintained index answers: the dropped copy's embedding finds
+    # its surviving canonical as the top hit
+    q = embed_media(
+        _media(spark, [(99, "image", _edited(img_a))]), dims=32
+    ).select(F.col("media_id").alias("query_id"), "embedding")
+    hits = ivf_search_frame(wh, "xm", q, k=1, n_probes=10).collect()
+    assert hits and hits[0]["neighbor_id"] == 1
+    # a missing index fails loudly before any state changes
+    import pytest
+
+    with pytest.raises(Exception):
+        media_ingest_apply(
+            wh, "z2.corpus", _media(spark, [(9, "image", img_b)]),
+            embed_index="nope",
+        )
+    assert not wh.exists("z2.corpus")
