@@ -1235,6 +1235,7 @@ def cross_modal_retrieval_eval(
     n_probes: int = 1,
     directions: tuple = ("text2media", "media2text"),
     index_prefix: str = "xmodal",
+    media_index: str | None = None,
 ) -> DataFrame:
     """Cross-modal retrieval recall@k (r14 VERDICT #4): the feedback
     loop that calibrates ``min_alignment`` and the IVF knobs for
@@ -1314,8 +1315,18 @@ def cross_modal_retrieval_eval(
     }
     for d in directions:
         queries, index_side, q_key, n_key = sides[d]
-        name = f"{index_prefix}_{d}"
-        build_ivf_index(wh, index_side, name, stride=stride, dims=dims)
+        if d == "text2media" and media_index is not None:
+            # evaluate against an EXISTING media index -- e.g. the one
+            # the landing zone maintains per ingest
+            # (media_ingest_apply(embed_index=...)): no rebuild, and
+            # the index's full corpus acts as realistic distractors
+            # beyond the paired media (r15). dims must match the
+            # index's build geometry -- the searcher reads its stored
+            # codebook, so a mismatch fails loudly in the kernel.
+            name = media_index
+        else:
+            name = f"{index_prefix}_{d}"
+            build_ivf_index(wh, index_side, name, stride=stride, dims=dims)
         approx = ivf_search_frame(
             wh,
             name,

@@ -106,3 +106,29 @@ def test_single_direction_and_multi_counterpart(spark, tmp_path):
     # media 0 finds both counterparts (both doc ids carry the same
     # embedding) or the recall reflects the tie; assert the floor
     assert r["hit_rate"] == 1.0
+
+
+def test_eval_against_zone_maintained_index(spark, tmp_path):
+    """r15 composition: the retrieval eval runs text2media against
+    the index the landing zone maintains per ingest
+    (media_ingest_apply(embed_index=...)) -- no rebuild, full recall
+    on planted aligned pairs, with the zone corpus as distractors."""
+    from pyspark.sql import functions as F
+
+    from pg_auto_dw_spark.functions.multimodal import embed_media
+    from pg_auto_dw_spark.functions.similarity import build_ivf_index
+    from pg_auto_dw_spark.streaming.jobs import media_ingest_apply
+
+    media, pairs = _planted(spark)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    vecs = embed_media(media, dims=32).filter(
+        F.col("embedding").isNotNull()
+    ).select(F.col("media_id").alias("vec_id"), "embedding")
+    build_ivf_index(wh, vecs, "zonex", stride=3, dims=32)
+    media_ingest_apply(wh, "z.corpus", media, embed_index="zonex")
+    rows = cross_modal_retrieval_eval(
+        wh, pairs, media, k=3, dims=32, n_probes=100,
+        directions=("text2media",), media_index="zonex",
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["macro_recall"] == 1.0 and rows[0]["n_queries"] == 10
