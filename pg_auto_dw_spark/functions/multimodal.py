@@ -1358,6 +1358,128 @@ def cross_modal_retrieval_eval(
     return out
 
 
+def mine_cross_modal_negatives(
+    wh,
+    pairs: DataFrame,
+    media: DataFrame,
+    k: int = 10,
+    dims: int = 64,
+    stride: int = 50,
+    n_probes: int = 1,
+    margin: float | None = 0.95,
+    max_negatives: int | None = None,
+    media_clusters: DataFrame | None = None,
+    index_prefix: str = "xmodal_neg",
+    media_index: str | None = None,
+) -> DataFrame:
+    """Hard-negative media for contrastive media-text training (the
+    mining step after ``assemble_media_text_pairs`` +
+    ``score_media_text_alignment``): each caption queries a
+    corpus-scale media IVF index and the CLOSE-BUT-WRONG media come
+    back as ``(doc_id, negative_media_id, cosine, neg_rank)`` -- the
+    examples a two-tower encoder actually learns from.
+
+    Composition: captions embed through the ONE ``embed_media`` seam
+    (UTF-8 bytes, the retrieval-eval convention), search rides
+    ``retrieval.ivf_search_frame`` against either a freshly built
+    index over the FULL media frame (mining WANTS the unpaired corpus
+    as distractors -- deliberately not the eval's left_semi prune) or
+    an existing one via ``media_index`` (e.g. the index
+    ``media_ingest_apply(embed_index=...)`` maintains), and the
+    margin/false-negative/rank logic is ``retrieval.
+    mine_hard_negatives`` unchanged.
+
+    The cross-modal twist is ``media_clusters``: byte-level
+    near-copies of a positive (``media_dup_clusters`` /
+    ``media_zone_cluster_assignments`` output) are FALSE negatives by
+    construction -- training against them teaches the encoder to
+    separate a caption from its own image's re-encode -- and the
+    encoder-score margin guard cannot be trusted to catch them (a
+    crop or transcode can score below margin x positive while still
+    being the same content). With clusters supplied, any hit sharing
+    a dup cluster with one of the query's positives is removed BEFORE
+    mining; hits without an assignment row default to their own
+    singleton cluster (the ``assemble_media_text_pairs`` convention).
+    Exact positives stay in the hits frame through this step so the
+    margin guard keeps its reference score, then drop inside
+    ``mine_hard_negatives`` as always.
+
+    Scale shape: one Arrow encoder pass per tower, one index build
+    (skipped under ``media_index``), one cell-cogrouped search bounded
+    by cells x cap, and every post-search join is over the k x
+    n_queries hits frame -- never query x corpus. Oracle designation
+    (written exclusion): float encoder + cosine ranking, the
+    retrieval-eval class; behavior pinned in
+    tests/test_cross_modal_negatives.py.
+
+    Reference analog: none; public methods: hard-negative mining with
+    a false-negative margin filter (the sentence-transformers
+    convention, as in ``retrieval.mine_hard_negatives``) plus
+    dedup-aware negative exclusion for image-text contrastive
+    training (Radford et al. 2021; Schuhmann et al. LAION 2021)."""
+    from .retrieval import ivf_search_frame, mine_hard_negatives
+    from .similarity import build_ivf_index
+
+    t_emb = embed_media(
+        pairs.select("doc_id", "text")
+        .distinct()
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.lit("text").alias("media_type"),
+            F.encode(F.col("text"), "UTF-8").alias("payload"),
+        ),
+        dims=dims,
+    ).filter(F.col("embedding").isNotNull()).select(
+        F.col("media_id").alias("query_id"), "embedding"
+    )
+    if media_index is not None:
+        name = media_index
+    else:
+        name = f"{index_prefix}_media"
+        m_emb = embed_media(media, dims=dims).filter(
+            F.col("embedding").isNotNull()
+        ).select(F.col("media_id").alias("vec_id"), "embedding")
+        build_ivf_index(wh, m_emb, name, stride=stride, dims=dims)
+    hits = ivf_search_frame(wh, name, t_emb, k=k, n_probes=n_probes)
+    pos = pairs.select(
+        F.col("doc_id").alias("query_id"),
+        F.col("media_id").alias("neighbor_id"),
+    ).distinct()
+    if media_clusters is not None:
+        cl = media_clusters.select(
+            F.col("media_id").alias("neighbor_id"), "cluster_id"
+        )
+        pos_cl = (
+            pos.join(cl, "neighbor_id", "left")
+            .select(
+                "query_id",
+                F.coalesce("cluster_id", "neighbor_id").alias("__cl"),
+            )
+            .distinct()
+            .withColumn("__mate", F.lit(True))
+        )
+        hits = (
+            hits.join(cl, "neighbor_id", "left")
+            .withColumn("__cl", F.coalesce("cluster_id", "neighbor_id"))
+            .drop("cluster_id")
+            .join(pos_cl, ["query_id", "__cl"], "left")
+            .join(pos.withColumn("__ispos", F.lit(True)),
+                  ["query_id", "neighbor_id"], "left")
+            .filter(F.col("__mate").isNull() | F.col("__ispos").isNotNull())
+            .drop("__cl", "__mate", "__ispos")
+        )
+    out = mine_hard_negatives(
+        hits, pos, positive_id_col="neighbor_id",
+        margin=margin, max_negatives=max_negatives,
+    )
+    return out.select(
+        F.col("query_id").alias("doc_id"),
+        F.col("negative_id").alias("negative_media_id"),
+        "cosine",
+        "neg_rank",
+    )
+
+
 def score_media_text_alignment(
     pairs: DataFrame,
     media: DataFrame,
