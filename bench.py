@@ -194,6 +194,10 @@ HEADLINE = [
     # WRITER's token stream (the planner's bounded windows + ONE
     # posexplode; row count = corpus token count, forced by count())
     "documents_packed_token_stream",
+    # r15 session op registered mid-order same round: modality-budgeted
+    # sampling (the token_budget_sample bucket construction + one
+    # doc-keyed media-bill combine off the decode_media cost pass)
+    "documents_multimodal_budget_sample",
 ]
 
 

@@ -319,6 +319,142 @@ def token_budget_sample(
     )
 
 
+def multimodal_token_budget_sample(
+    docs: DataFrame,
+    links: DataFrame,
+    media_costs: DataFrame,
+    budget_tokens: int = 100_000,
+    tokens_per_frame: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    cost_col: str | None = None,
+) -> DataFrame:
+    """``token_budget_sample`` for an interleaved multimodal mix: each
+    example is a doc plus its linked media, its budget cost is text
+    BPE tokens PLUS the vision-token bill of every linked media item
+    (``n_frames * tokens_per_frame``, the Flamingo/LLaVA accounting
+    ``pack_multimodal_sequences`` uses, or ``cost_col`` banded costs
+    directly), and each language's budget fills greedily in the SAME
+    bucket-coarse md5 order -- so the mix builder that sized a
+    text-only corpus and the one sizing an interleaved corpus share
+    one deterministic construction. A 4k-vision-token video doc now
+    correctly displaces ~4k text tokens of budget instead of
+    sneaking in at its caption's width.
+
+    Input conventions are the packer's verbatim: ``links``
+    (media_id, doc_id) -- duplicates collapse, links to absent docs
+    drop (left_semi); a linked media_id missing from ``media_costs``
+    fails the job with its id in the message (a silent zero would
+    under-bill every downstream budget); docs with no links are
+    text-only examples (media cost 0). Output: (doc_id,
+    detected_lang, n_text_tokens, n_media_tokens, n_tokens) for the
+    KEPT examples. With no links at all this is ``token_budget_sample``
+    exactly (same order, same prefix sums, media term identically 0).
+
+    Scale shape: one distinct + left_semi on the link keys, one
+    doc-keyed combine for the per-example media bill, then the
+    bucket-coarse construction unchanged -- per-(lang, bucket) sums
+    map-side combined, <= langs x buckets window rows, bounded
+    intra-bucket cumulative sums, no unbounded sort anywhere. All
+    integer arithmetic -- replayable exactly in any ANSI engine."""
+    if cost_col is not None:
+        mc = media_costs.select(
+            "media_id", F.col(cost_col).cast("long").alias("__mtok")
+        )
+    else:
+        mc = media_costs.select(
+            "media_id",
+            (F.col("n_frames").cast("long") * tokens_per_frame).alias("__mtok"),
+        )
+    li = (
+        links.select("media_id", id_col)
+        .distinct()
+        .join(docs.select(id_col), id_col, "left_semi")
+    )
+    mtok = (
+        li.join(mc, "media_id", "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("__mtok").isNotNull(), F.col("__mtok"))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "multimodal_token_budget_sample: media_costs "
+                            "has no row for media_id="
+                        ),
+                        F.col("media_id").cast("string"),
+                    )
+                )
+            )
+            .alias("__mtok"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("__mtok").alias("n_media_tokens"))
+    )
+    t = F.col(text_col)
+    h = F.md5(F.col(id_col).cast("string"))
+    feats = (
+        docs.select(
+            F.col(id_col),
+            language_expr(t).alias("detected_lang"),
+            # coalesce: NULL text is a zero-token example, never a NULL
+            # that SUM would skip in the budget prefix sums (the
+            # pack_sequences r15 fix, same construction)
+            F.coalesce(
+                F.size(
+                    F.regexp_extract_all(
+                        t, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0
+                    )
+                ).cast("long"),
+                F.lit(0),
+            ).alias("n_text_tokens"),
+            h.alias("h"),
+            F.pmod(
+                F.conv(F.substring(h, 1, 4), 16, 10).cast("bigint"),
+                F.lit(n_buckets),
+            ).alias("bucket"),
+        )
+        .join(mtok, id_col, "left")
+        .withColumn(
+            "n_media_tokens", F.coalesce("n_media_tokens", F.lit(0))
+        )
+        .withColumn(
+            "n_tokens", F.col("n_text_tokens") + F.col("n_media_tokens")
+        )
+    )
+    bsum = feats.groupBy("detected_lang", "bucket").agg(
+        F.sum("n_tokens").alias("btok")
+    )
+    wb = Window.partitionBy("detected_lang").orderBy("bucket")
+    bcum = bsum.withColumn(
+        "cum_before",
+        F.coalesce(
+            F.sum("btok").over(wb.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    ).select("detected_lang", "bucket", "cum_before")
+    wd = Window.partitionBy("detected_lang", "bucket").orderBy("h", id_col)
+    return (
+        feats.join(F.broadcast(bcum), ["detected_lang", "bucket"])
+        .withColumn(
+            "dcum",
+            F.sum("n_tokens").over(
+                wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .filter(F.col("cum_before") + F.col("dcum") <= budget_tokens)
+        .select(
+            id_col,
+            "detected_lang",
+            "n_text_tokens",
+            "n_media_tokens",
+            "n_tokens",
+        )
+    )
+
+
 def clean_corpus_summary(
     docs: DataFrame,
     min_words: int = 5,

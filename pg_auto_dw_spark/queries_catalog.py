@@ -556,11 +556,22 @@ _DEPRIORITIZED = [
 #                            documents_pack_multimodal ALSO carries
 #                            the same bucket construction and is a
 #                            sibling r15 mid)
+#   corpus_token_budget_sample (fifth candidate, matching the fifth
+#                            r15 mid documents_multimodal_budget_sample:
+#                            that oracle replays this row's ENTIRE
+#                            lang-CASE + bucket-greedy prefix
+#                            construction and extends the budget cost
+#                            with the per-example media bill -- empty
+#                            links degenerate to this row byte-exactly
+#                            (pinned in tests/test_multimodal_budget.py),
+#                            the documents_pack_sequences exact-subset
+#                            precedent one entry up)
 _NEXT_RETIREMENT_CANDIDATES = [
     "corpus_contamination_pairs",
     "ann_lsh_bucket_topk",
     "sat_load_lineitem_composite",
     "documents_pack_sequences",
+    "corpus_token_budget_sample",
 ]
 # NOTE for round 13: EXECUTED -- see the "Round 13 state" note beside
 # _NEXT_RETIREMENT_CANDIDATES above (the mechanical swap the r12 note
@@ -7870,4 +7881,117 @@ def documents_packed_token_stream(spark: SparkSession, sf_dir: str) -> DataFrame
 
     return render_packed_tokens(
         load_table(spark, sf_dir, "documents"), seq_tokens=2048
+    )
+
+
+# Modality-budgeted sampling replay (r15 -- matched by
+# corpus_token_budget_sample in _NEXT_RETIREMENT_CANDIDATES: this
+# oracle replays that row's ENTIRE lang-CASE + bucket-greedy prefix
+# construction and extends the budget cost with the media bill, the
+# exact-subset retirement precedent; empty links degenerate to the
+# retired row byte-exactly). Links: docs with doc_id % 5 != 0 carry
+# their own synthetic media (so text-only examples exist and the
+# left-join COALESCE leg discriminates); image media additionally
+# caption the next doc (multi-item bills); every media cost replays
+# the deterministic stub decode's n_frames arithmetic (image 1,
+# audio 1 + bytes % 1000, video 1 + bytes % 120) at 16 tokens/frame.
+_MULTIMODAL_BUDGET_ORACLE = f"""
+WITH f0 AS (
+    SELECT doc_id, text,
+           len(regexp_extract_all(lower(text), '{_LANG_RE["de"]}')) AS score_de,
+           len(regexp_extract_all(lower(text), '{_LANG_RE["en"]}')) AS score_en,
+           len(regexp_extract_all(lower(text), '{_LANG_RE["es"]}')) AS score_es,
+           len(regexp_extract_all(lower(text), '{_LANG_RE["fr"]}')) AS score_fr
+    FROM documents),
+f AS (
+    SELECT doc_id,
+           CASE WHEN score_de = 0 AND score_en = 0 AND score_es = 0 AND score_fr = 0
+                THEN 'und'
+                WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr
+                THEN 'de'
+                WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
+                WHEN score_es >= score_fr THEN 'es'
+                ELSE 'fr' END AS detected_lang,
+           COALESCE(len(regexp_extract_all(text,
+                        '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')), 0) AS n_text_tokens,
+           md5(CAST(doc_id AS VARCHAR)) AS h,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 256 AS bucket
+    FROM f0),
+m AS (
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS mt,
+           octet_length(encode(text)) AS nb
+    FROM documents),
+costs AS (
+    SELECT media_id,
+           CASE mt WHEN 'image' THEN 1
+                   WHEN 'audio' THEN 1 + nb % 1000
+                   ELSE 1 + nb % 120 END AS n_frames
+    FROM m),
+links AS (
+    SELECT doc_id AS media_id, doc_id FROM documents WHERE doc_id % 5 <> 0
+    UNION
+    SELECT d.doc_id AS media_id, d.doc_id + 1 AS doc_id
+    FROM documents d
+    WHERE d.doc_id % 3 = 0
+      AND EXISTS (SELECT 1 FROM documents x WHERE x.doc_id = d.doc_id + 1)),
+mtok AS (
+    SELECT l.doc_id, SUM(c.n_frames * 16) AS n_media_tokens
+    FROM links l JOIN costs c USING (media_id) GROUP BY 1),
+ft AS (
+    SELECT f.doc_id, f.detected_lang, f.n_text_tokens,
+           COALESCE(mtok.n_media_tokens, 0) AS n_media_tokens,
+           f.n_text_tokens + COALESCE(mtok.n_media_tokens, 0) AS n_tokens,
+           f.h, f.bucket
+    FROM f LEFT JOIN mtok USING (doc_id)),
+b AS (
+    SELECT detected_lang, bucket, SUM(n_tokens) AS btok
+    FROM ft GROUP BY 1, 2),
+c2 AS (
+    SELECT detected_lang, bucket,
+           COALESCE(SUM(btok) OVER (PARTITION BY detected_lang ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+    FROM b),
+d AS (
+    SELECT ft.doc_id, ft.detected_lang, ft.n_text_tokens, ft.n_media_tokens,
+           ft.n_tokens, c2.cum_before,
+           SUM(ft.n_tokens) OVER (PARTITION BY ft.detected_lang, ft.bucket
+                    ORDER BY ft.h, ft.doc_id ROWS UNBOUNDED PRECEDING) AS dcum
+    FROM ft JOIN c2 ON ft.detected_lang = c2.detected_lang AND ft.bucket = c2.bucket)
+SELECT doc_id, detected_lang,
+       CAST(n_text_tokens AS BIGINT) AS n_text_tokens,
+       CAST(n_media_tokens AS BIGINT) AS n_media_tokens,
+       CAST(n_tokens AS BIGINT) AS n_tokens
+FROM d WHERE cum_before + dcum <= 200000
+"""
+
+
+@register("documents_multimodal_budget_sample", _MULTIMODAL_BUDGET_ORACLE)
+def documents_multimodal_budget_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Modality-budgeted token sampling (functions/corpus.py
+    multimodal_token_budget_sample, r15): per-language 200k-token
+    budgets fill greedily in the token_budget_sample bucket-coarse md5
+    order, but each example bills text tokens PLUS its linked media's
+    vision tokens (n_frames x 16, frames from the REAL decode_media
+    Arrow pass) -- the mix construction an interleaved pretraining
+    corpus actually needs. Docs with doc_id % 5 == 0 are text-only
+    (media cost 0); image media additionally caption the next doc."""
+    from .functions.corpus import multimodal_token_budget_sample
+    from .functions.multimodal import decode_media, synth_media_df
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synth_media_df(docs)
+    costs = decode_media(media).select("media_id", "n_frames")
+    links = media.filter(F.col("media_id") % 5 != 0).select(
+        "media_id", F.col("media_id").alias("doc_id")
+    ).unionByName(
+        media.filter(F.col("media_type") == "image").select(
+            "media_id", (F.col("media_id") + 1).alias("doc_id")
+        )
+    )
+    return multimodal_token_budget_sample(
+        docs, links, costs, budget_tokens=200_000, tokens_per_frame=16
     )
