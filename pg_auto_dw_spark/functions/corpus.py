@@ -1084,6 +1084,154 @@ def collect_packed_sequences(
     )
 
 
+def _placement_items(placement: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Normalize a placement map to (doc_id, item_type, n_tokens,
+    global_offset): ``pack_sequences`` rows (n_bpe_tokens, no
+    item_type) become text items; ``pack_multimodal_sequences`` rows
+    pass through."""
+    cols = set(placement.columns)
+    if "n_tokens" in cols:
+        it = (
+            F.col("item_type")
+            if "item_type" in cols
+            else F.lit("text")
+        )
+        return placement.select(
+            F.col(id_col), it.alias("item_type"), "n_tokens", "global_offset"
+        )
+    return placement.select(
+        F.col(id_col),
+        F.lit("text").alias("item_type"),
+        F.col("n_bpe_tokens").alias("n_tokens"),
+        "global_offset",
+    )
+
+
+def packed_shard_manifest(
+    placement: DataFrame,
+    seq_tokens: int = 2048,
+    seqs_per_shard: int = 1024,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Shard manifest for a packed corpus -- the index a distributed
+    loader reads BEFORE touching token data: sequences group into
+    fixed ``seqs_per_shard`` shards (shard = seq_id DIV
+    seqs_per_shard, so shard boundaries align with sequence
+    boundaries and a shard is exactly one loader file), and each
+    shard's row states what it holds:
+
+        (shard_id, seq_lo, n_seqs, n_tokens, n_text_tokens,
+         n_media_tokens, n_items, n_items_carry_in,
+         n_items_carry_out, n_docs)
+
+    Token attribution is exact overlap arithmetic: an item occupying
+    [global_offset, global_offset + n_tokens) bills each shard window
+    for precisely the positions inside it, so an item straddling a
+    shard boundary appears in BOTH shards' item counts with its
+    tokens split (``n_items_carry_in``/``carry_out`` count the
+    straddlers -- the loader's predecessor/successor handshake).
+    Because pack-then-chunk lays items end-to-end with no holes, a
+    shard's filled positions are contiguous from its start, so
+    ``n_seqs`` = ceil(filled / seq_tokens) and only the LAST shard is
+    partial. Accepts either placement shape (``pack_sequences`` rows
+    are all-text items); zero-width items bill nothing.
+
+    Scale shape: one bounded explode (an item spans
+    1 + n_tokens DIV shard_tokens windows -- almost always 1) and one
+    shard-keyed aggregation; no windows, no sort. All integer
+    arithmetic -- the manifest replays exactly in any ANSI engine."""
+    st = seq_tokens * seqs_per_shard
+    items = _placement_items(placement, id_col).filter(F.col("n_tokens") > 0)
+    x = (
+        items.withColumn("__end", F.col("global_offset") + F.col("n_tokens"))
+        .withColumn(
+            "shard_id",
+            F.explode(
+                F.sequence(
+                    F.expr(f"global_offset div {st}"),
+                    F.expr(f"(global_offset + n_tokens - 1) div {st}"),
+                )
+            ),
+        )
+        .withColumn("__slo", F.col("shard_id") * st)
+        .withColumn(
+            "__tok",
+            F.least(F.col("__end"), F.col("__slo") + st)
+            - F.greatest(F.col("global_offset"), F.col("__slo")),
+        )
+    )
+    text = F.col("item_type") == "text"
+    return (
+        x.groupBy("shard_id")
+        .agg(
+            F.sum("__tok").alias("n_tokens"),
+            F.sum(F.when(text, F.col("__tok")).otherwise(F.lit(0))).alias(
+                "n_text_tokens"
+            ),
+            F.sum(F.when(~text, F.col("__tok")).otherwise(F.lit(0))).alias(
+                "n_media_tokens"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                F.when(F.col("global_offset") < F.col("__slo"), 1).otherwise(0)
+            ).alias("n_items_carry_in"),
+            F.sum(
+                F.when(F.col("__end") > F.col("__slo") + st, 1).otherwise(0)
+            ).alias("n_items_carry_out"),
+            F.countDistinct(id_col).alias("n_docs"),
+        )
+        .select(
+            "shard_id",
+            (F.col("shard_id") * seqs_per_shard).alias("seq_lo"),
+            F.expr(f"(n_tokens + {seq_tokens - 1}) div {seq_tokens}").alias(
+                "n_seqs"
+            ),
+            "n_tokens",
+            "n_text_tokens",
+            "n_media_tokens",
+            "n_items",
+            "n_items_carry_in",
+            "n_items_carry_out",
+            "n_docs",
+        )
+    )
+
+
+def resume_packed_placement(
+    placement: DataFrame,
+    next_seq_id: int,
+    next_seq_pos: int = 0,
+    seq_tokens: int = 2048,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic mid-epoch resume over a placement map: given the
+    loader's checkpoint (the NEXT token position it would have read,
+    as sequence coordinates), return the placement rows still to be
+    consumed plus ``resume_skip`` -- how many leading tokens of each
+    item the checkpoint already consumed (> 0 only for the one item
+    the checkpoint cuts; the reader slices, the map stays the source
+    of truth). An item ending exactly at the checkpoint is consumed
+    and dropped; zero-width items at or past the checkpoint are kept
+    (they carry document-boundary accounting, no tokens).
+
+    Pure integer filter arithmetic over the map -- no token data is
+    touched, no state is replayed; resuming from (0, 0) returns every
+    row with resume_skip 0. Works on either placement shape."""
+    ckpt = next_seq_id * seq_tokens + next_seq_pos
+    ntok = (
+        F.col("n_tokens")
+        if "n_tokens" in placement.columns
+        else F.col("n_bpe_tokens")
+    )
+    end = F.col("global_offset") + ntok
+    return placement.filter(
+        (end > ckpt) | ((ntok == 0) & (F.col("global_offset") >= ckpt))
+    ).withColumn(
+        "resume_skip",
+        F.greatest(F.lit(0).cast("long"), F.lit(ckpt) - F.col("global_offset")),
+    )
+
+
 def pack_multimodal_stats(
     docs: DataFrame,
     links: DataFrame,

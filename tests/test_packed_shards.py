@@ -1,0 +1,163 @@
+"""Packed-shard manifest + mid-epoch resume (functions/corpus.py
+packed_shard_manifest / resume_packed_placement): the loader-facing
+index over the packing family. Pins exact token partitioning across
+shard windows, boundary-straddler split attribution and the
+carry_in/carry_out handshake, the contiguity-derived n_seqs rule,
+both placement shapes (text-only and multimodal), checkpoint-cut
+resume_skip arithmetic, and stream-level agreement with
+render_packed_tokens."""
+
+from pyspark.sql import functions as F
+
+from pg_auto_dw_spark.functions.corpus import (
+    pack_multimodal_sequences,
+    pack_sequences,
+    packed_shard_manifest,
+    render_packed_tokens,
+    resume_packed_placement,
+)
+
+
+def _docs(spark, n=60):
+    rows = [(i, ("alpha beta gamma delta " * (1 + i % 9)).strip())
+            for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _mm(spark, n=60):
+    docs = _docs(spark, n)
+    links = spark.createDataFrame(
+        [(i * 10, i) for i in range(n)], "media_id bigint, doc_id bigint"
+    )
+    costs = spark.createDataFrame(
+        [(i * 10, 1 + i % 5) for i in range(n)],
+        "media_id bigint, n_frames bigint",
+    )
+    return docs, links, costs
+
+
+def test_manifest_partitions_the_corpus_exactly(spark):
+    docs, links, costs = _mm(spark)
+    placed = pack_multimodal_sequences(
+        docs, links, costs, seq_tokens=64, tokens_per_frame=16
+    )
+    total = placed.agg(F.sum("n_tokens")).collect()[0][0]
+    man = packed_shard_manifest(
+        placed, seq_tokens=64, seqs_per_shard=4
+    ).collect()
+    assert sum(r["n_tokens"] for r in man) == total
+    assert sum(r["n_text_tokens"] + r["n_media_tokens"] for r in man) == total
+    st = 64 * 4
+    by_id = sorted(man, key=lambda r: r["shard_id"])
+    # pack-then-chunk has no holes: every shard but the last is FULL
+    for r in by_id[:-1]:
+        assert r["n_tokens"] == st, r
+        assert r["n_seqs"] == 4
+        assert r["seq_lo"] == r["shard_id"] * 4
+    last = by_id[-1]
+    assert 0 < last["n_tokens"] <= st
+    assert last["n_seqs"] == (last["n_tokens"] + 63) // 64
+    # shard ids are the contiguous range 0..n-1
+    assert [r["shard_id"] for r in by_id] == list(range(len(by_id)))
+
+
+def test_straddler_split_and_carry_handshake(spark):
+    """Hand-built placement: item A [0, 100), item B [100, 300) with a
+    shard size of 128 tokens (seq 32 x 4): B spans three shard windows
+    -- 28 tokens bill shard 0, 128 bill shard 1, 44 bill shard 2 --
+    and the carry flags agree pairwise across every boundary."""
+    placed = spark.createDataFrame(
+        [(1, "text", 100, 0), (2, "media", 200, 100)],
+        "doc_id bigint, item_type string, n_tokens bigint, global_offset bigint",
+    )
+    man = {
+        r["shard_id"]: r
+        for r in packed_shard_manifest(
+            placed, seq_tokens=32, seqs_per_shard=4
+        ).collect()
+    }
+    assert man[0]["n_tokens"] == 128
+    assert man[0]["n_text_tokens"] == 100
+    assert man[0]["n_media_tokens"] == 28
+    assert man[0]["n_items"] == 2
+    assert (man[0]["n_items_carry_in"], man[0]["n_items_carry_out"]) == (0, 1)
+    assert man[1]["n_tokens"] == 128
+    assert man[1]["n_media_tokens"] == 128
+    assert man[1]["n_items"] == 1
+    assert (man[1]["n_items_carry_in"], man[1]["n_items_carry_out"]) == (1, 1)
+    assert man[2]["n_tokens"] == 44
+    assert man[2]["n_media_tokens"] == 44
+    assert (man[2]["n_items_carry_in"], man[2]["n_items_carry_out"]) == (1, 0)
+    assert man[2]["n_seqs"] == 2  # 44 tokens over 32-token seqs
+    assert man[1]["n_docs"] == man[2]["n_docs"] == 1 and man[0]["n_docs"] == 2
+
+
+def test_text_only_placement_shape(spark):
+    """pack_sequences rows (n_bpe_tokens, no item_type) are accepted
+    as all-text items."""
+    docs = _docs(spark, 30)
+    placed = pack_sequences(docs, seq_tokens=64)
+    man = packed_shard_manifest(placed, seq_tokens=64, seqs_per_shard=2)
+    rows = man.collect()
+    total = placed.agg(F.sum("n_bpe_tokens")).collect()[0][0]
+    assert sum(r["n_tokens"] for r in rows) == total
+    assert all(r["n_media_tokens"] == 0 for r in rows)
+
+
+def test_resume_mid_item_and_at_boundary(spark):
+    docs = _docs(spark, 40)
+    placed = pack_sequences(docs, seq_tokens=64)
+    total = placed.agg(F.sum("n_bpe_tokens")).collect()[0][0]
+    # a checkpoint that cuts an item: remaining token mass must equal
+    # total - ckpt, with exactly one row carrying resume_skip > 0
+    # (unless the ckpt lands exactly between items)
+    ckpt_seq, ckpt_pos = 1, 17
+    ckpt = ckpt_seq * 64 + ckpt_pos
+    res = resume_packed_placement(
+        placed, ckpt_seq, ckpt_pos, seq_tokens=64
+    ).collect()
+    remaining = sum(r["n_bpe_tokens"] - r["resume_skip"] for r in res)
+    assert remaining == total - ckpt
+    cut = [r for r in res if r["resume_skip"] > 0]
+    assert len(cut) <= 1
+    for r in res:
+        assert r["global_offset"] + r["n_bpe_tokens"] > ckpt
+    # resuming from (0, 0) is the identity with resume_skip 0
+    full = resume_packed_placement(placed, 0, 0, seq_tokens=64).collect()
+    assert len(full) == placed.count()
+    assert all(r["resume_skip"] == 0 for r in full)
+
+
+def test_resume_drops_exactly_consumed_and_keeps_zero_width(spark):
+    placed = spark.createDataFrame(
+        [(1, 50, 0), (2, 0, 50), (3, 30, 50)],
+        "doc_id bigint, n_bpe_tokens bigint, global_offset bigint",
+    )
+    # ckpt = 50: item 1 ends exactly there (consumed, dropped); the
+    # zero-width item 2 AT the ckpt is kept for doc accounting
+    res = {r["doc_id"]: r for r in
+           resume_packed_placement(placed, 0, 50, seq_tokens=64).collect()}
+    assert set(res) == {2, 3}
+    assert res[3]["resume_skip"] == 0 and res[2]["resume_skip"] == 0
+
+
+def test_resume_agrees_with_rendered_stream(spark):
+    """The contract end to end: tokens at stream positions >= ckpt ==
+    the resumed placement's remaining token mass."""
+    docs, links, costs = _mm(spark, 30)
+    placed = pack_multimodal_sequences(
+        docs, links, costs, seq_tokens=64, tokens_per_frame=16
+    )
+    stream = render_packed_tokens(
+        docs, links, costs, seq_tokens=64, tokens_per_frame=16
+    )
+    ckpt_seq, ckpt_pos = 2, 5
+    ckpt = ckpt_seq * 64 + ckpt_pos
+    n_after = stream.filter(
+        F.col("seq_id") * 64 + F.col("seq_pos") >= ckpt
+    ).count()
+    res = resume_packed_placement(placed, ckpt_seq, ckpt_pos, seq_tokens=64)
+    remaining = res.agg(
+        F.sum(F.col("n_tokens") - F.col("resume_skip"))
+    ).collect()[0][0]
+    assert remaining == n_after
