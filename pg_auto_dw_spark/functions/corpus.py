@@ -423,6 +423,13 @@ def multimodal_token_budget_sample(
         .withColumn(
             "n_tokens", F.col("n_text_tokens") + F.col("n_media_tokens")
         )
+        # pin the example frame: it feeds BOTH the per-(lang, bucket)
+        # rollup and the final budget join, and its media-bill branch
+        # may carry an expensive upstream (an Arrow decode pass for
+        # the costs) that would otherwise replay once per reference
+        # (the pack_multimodal_sequences item-frame precedent;
+        # measured: 4 decode subtrees in the unpinned plan, 1 after)
+        .localCheckpoint(eager=False)
     )
     bsum = feats.groupBy("detected_lang", "bucket").agg(
         F.sum("n_tokens").alias("btok")
