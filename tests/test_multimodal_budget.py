@@ -8,7 +8,6 @@ the per-language budget invariant, the loud missing-cost failure,
 and the cost_col banded override."""
 
 import pytest
-from py4j.protocol import Py4JJavaError
 
 from pg_auto_dw_spark.functions.corpus import (
     multimodal_token_budget_sample,
@@ -94,7 +93,10 @@ def test_missing_cost_row_fails_loudly(spark):
         [(77, 1)], "media_id bigint, doc_id bigint"
     )
     costs = spark.createDataFrame([], "media_id bigint, n_frames bigint")
-    with pytest.raises(Py4JJavaError, match="media_id=77"):
+    # the raise_error surfaces at the example-frame checkpoint as the
+    # converted SparkRuntimeException (sibling pack_multimodal test
+    # convention: match on the message, not the wrapper type)
+    with pytest.raises(Exception, match="media_id=77"):
         multimodal_token_budget_sample(docs, links, costs).collect()
 
 
