@@ -979,6 +979,7 @@ def render_packed_tokens(
     cost_col: str | None = None,
     media_token_id: int = -1,
     vocab_mod: int = 32768,
+    placement: DataFrame | None = None,
 ) -> DataFrame:
     """The packing WRITER (r15): materialize the
     ``pack_multimodal_sequences`` placement map into the exact packed
@@ -1010,14 +1011,23 @@ def render_packed_tokens(
     ``assemble_packed_sequences`` is the text-only real-BPE
     materializer with the same contract."""
     spark = docs.sparkSession
-    if links is None:
-        links = spark.createDataFrame([], f"media_id long, {id_col} long")
-    if media_costs is None:
-        media_costs = spark.createDataFrame([], "media_id long, n_frames long")
-    placed = pack_multimodal_sequences(
-        docs, links, media_costs, seq_tokens, tokens_per_frame,
-        n_buckets, id_col, text_col, cost_col,
-    )
+    if placement is not None:
+        # caller already planned (and usually pinned) the map -- e.g.
+        # write_packed_corpus shares ONE placement across the stream
+        # render and the shard manifest instead of replanning twice;
+        # the caller owns input agreement
+        placed = placement
+    else:
+        if links is None:
+            links = spark.createDataFrame([], f"media_id long, {id_col} long")
+        if media_costs is None:
+            media_costs = spark.createDataFrame(
+                [], "media_id long, n_frames long"
+            )
+        placed = pack_multimodal_sequences(
+            docs, links, media_costs, seq_tokens, tokens_per_frame,
+            n_buckets, id_col, text_col, cost_col,
+        )
     text_items = placed.filter(F.col("item_type") == "text").join(
         docs.select(id_col, text_col), id_col
     )
@@ -1236,6 +1246,125 @@ def resume_packed_placement(
     ).withColumn(
         "resume_skip",
         F.greatest(F.lit(0).cast("long"), F.lit(ckpt) - F.col("global_offset")),
+    )
+
+
+def write_packed_corpus(
+    wh,
+    docs: DataFrame,
+    name: str,
+    links: DataFrame | None = None,
+    media_costs: DataFrame | None = None,
+    seq_tokens: int = 2048,
+    tokens_per_frame: int = 64,
+    seqs_per_shard: int = 1024,
+    n_buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cost_col: str | None = None,
+    media_token_id: int = -1,
+    vocab_mod: int = 32768,
+) -> dict:
+    """Materialize a packed (optionally interleaved-multimodal) corpus
+    as warehouse tables a training loader actually mounts -- the
+    ``build_ivf_index`` posture for the packing family:
+
+    - ``<name>.shards``: one row per sequence (shard_id, seq_id,
+      n_filled, token_ids), PARTITIONED BY shard_id so a loader rank
+      reading its shard prunes to one partition directory;
+    - ``<name>.manifest``: the ``packed_shard_manifest`` index (exact
+      per-shard token content + the carry handshake) -- what a
+      launcher reads to assign shards to ranks without touching data;
+    - ``<name>.placement``: the placement map, the source of truth
+      for resume and audits;
+    - ``<name>.config``: one row of build geometry (seq_tokens,
+      seqs_per_shard, tokens_per_frame, media_token_id, vocab_mod).
+
+    All four commit in ONE warehouse transaction: a manifest from one
+    epoch pointing at another epoch's shards can never be observed,
+    the exact pairing rule the IVF index build established. The
+    placement is planned ONCE (pinned) and shared by the stream
+    render and the manifest -- no replanning, one decode-cost pass.
+    Returns {"shards": n, "sequences": n, "tokens": n}."""
+    spark = docs.sparkSession
+    if links is None:
+        links = spark.createDataFrame([], f"media_id long, {id_col} long")
+    if media_costs is None:
+        media_costs = spark.createDataFrame([], "media_id long, n_frames long")
+    placed = pack_multimodal_sequences(
+        docs, links, media_costs, seq_tokens, tokens_per_frame,
+        n_buckets, id_col, text_col, cost_col,
+    ).localCheckpoint(eager=False)
+    stream = render_packed_tokens(
+        docs, links, media_costs, seq_tokens, tokens_per_frame,
+        n_buckets, id_col, text_col, cost_col, media_token_id,
+        vocab_mod, placement=placed,
+    )
+    seqs = collect_packed_sequences(stream, seq_tokens).select(
+        F.expr(f"seq_id div {seqs_per_shard}").alias("shard_id"),
+        "seq_id",
+        "n_filled",
+        "token_ids",
+    )
+    manifest = packed_shard_manifest(
+        placed, seq_tokens, seqs_per_shard, id_col
+    )
+    cfg = spark.createDataFrame(
+        [(seq_tokens, seqs_per_shard, tokens_per_frame,
+          media_token_id, vocab_mod)],
+        "seq_tokens long, seqs_per_shard long, tokens_per_frame long, "
+        "media_token_id long, vocab_mod long",
+    )
+    sh_name, mf_name = f"{name}.shards", f"{name}.manifest"
+    pl_name, cfg_name = f"{name}.placement", f"{name}.config"
+    if not wh.exists(sh_name):
+        wh.create_table(sh_name, seqs.schema, partition_by=["shard_id"])
+    for t, df in ((mf_name, manifest), (pl_name, placed), (cfg_name, cfg)):
+        if not wh.exists(t):
+            wh.create_table(t, df.schema)
+    with wh.transaction([sh_name, mf_name, pl_name, cfg_name]) as txn:
+        txn.overwrite(sh_name, seqs)
+        txn.overwrite(mf_name, manifest)
+        txn.overwrite(pl_name, placed)
+        txn.overwrite(cfg_name, cfg)
+    stats = wh.read(mf_name).agg(
+        F.count(F.lit(1)).alias("shards"),
+        F.sum("n_seqs").alias("seqs"),
+        F.sum("n_tokens").alias("toks"),
+    ).collect()[0]
+    return {
+        "shards": stats["shards"] or 0,
+        "sequences": int(stats["seqs"] or 0),
+        "tokens": int(stats["toks"] or 0),
+    }
+
+
+def read_packed_shard(wh, name: str, shard_id: int) -> DataFrame:
+    """One shard's loader rows back, in sequence order. The filter is
+    on the shards table's PARTITION column, so the scan prunes to the
+    one shard directory -- a loader rank never reads its neighbors'
+    token data."""
+    return (
+        wh.read(f"{name}.shards")
+        .filter(F.col("shard_id") == shard_id)
+        .orderBy("seq_id")
+    )
+
+
+def resume_packed_corpus(
+    wh, name: str, next_seq_id: int, next_seq_pos: int = 0
+) -> DataFrame:
+    """``resume_packed_placement`` against a persisted packed corpus:
+    geometry comes from ``<name>.config`` (written in the same
+    transaction as the map, so they can never disagree), the map from
+    ``<name>.placement``. Returns the unconsumed placement rows with
+    ``resume_skip``."""
+    cfg = wh.read(f"{name}.config").collect()[0]
+    return resume_packed_placement(
+        wh.read(f"{name}.placement"),
+        next_seq_id,
+        next_seq_pos,
+        seq_tokens=int(cfg["seq_tokens"]),
     )
 
 

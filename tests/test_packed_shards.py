@@ -161,3 +161,51 @@ def test_resume_agrees_with_rendered_stream(spark):
         F.sum(F.col("n_tokens") - F.col("resume_skip"))
     ).collect()[0][0]
     assert remaining == n_after
+
+
+def test_write_read_resume_packed_corpus(spark, tmp_path):
+    """The warehouse-backed loader contract end to end: one
+    transaction writes shards (partitioned), manifest, placement and
+    config; a rank reads exactly its shard; resume reads geometry
+    from the committed config."""
+    import os
+
+    from pg_auto_dw_spark.functions.corpus import (
+        read_packed_shard,
+        resume_packed_corpus,
+        write_packed_corpus,
+    )
+    from pg_auto_dw_spark.warehouse import Warehouse
+
+    docs, links, costs = _mm(spark, 30)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    stats = write_packed_corpus(
+        wh, docs, "packed", links, costs,
+        seq_tokens=64, tokens_per_frame=16, seqs_per_shard=2,
+    )
+    placed_total = wh.read("packed.placement").agg(
+        F.sum("n_tokens")
+    ).collect()[0][0]
+    assert stats["tokens"] == placed_total
+    man = wh.read("packed.manifest")
+    assert man.count() == stats["shards"]
+    assert man.agg(F.sum("n_tokens")).collect()[0][0] == stats["tokens"]
+    # every sequence row landed under its shard partition directory
+    shard_dir = wh.path("packed.shards")
+    assert any(d.startswith("shard_id=") for d in os.listdir(shard_dir))
+    # a rank's read: only its shard, in order, arrays sized to fill
+    s0 = read_packed_shard(wh, "packed", 0).collect()
+    assert s0 and all(r["shard_id"] == 0 for r in s0)
+    assert [r["seq_id"] for r in s0] == sorted(r["seq_id"] for r in s0)
+    assert all(len(r["token_ids"]) == r["n_filled"] for r in s0)
+    assert all(r["seq_id"] < 2 for r in s0)  # seqs_per_shard=2
+    # total filled across every shard == the manifest's token total
+    all_rows = wh.read("packed.shards")
+    assert all_rows.agg(F.sum("n_filled")).collect()[0][0] == stats["tokens"]
+    # resume against the persisted corpus: geometry from config
+    ckpt_seq, ckpt_pos = 1, 5
+    res = resume_packed_corpus(wh, "packed", ckpt_seq, ckpt_pos)
+    remaining = res.agg(
+        F.sum(F.col("n_tokens") - F.col("resume_skip"))
+    ).collect()[0][0]
+    assert remaining == stats["tokens"] - (ckpt_seq * 64 + ckpt_pos)
