@@ -1368,6 +1368,122 @@ def resume_packed_corpus(
     )
 
 
+def append_packed_corpus(
+    wh,
+    docs: DataFrame,
+    name: str,
+    links: DataFrame | None = None,
+    media_costs: DataFrame | None = None,
+    n_buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cost_col: str | None = None,
+) -> dict:
+    """Grow a ``write_packed_corpus`` corpus WITHOUT re-rendering it:
+    the new docs plan among themselves (the packer's own order),
+    every placement shifts by the corpus's existing token total, and
+    only the BOUNDARY shard -- the one whose last sequence was
+    partial -- is rewritten (its tail sequence re-collected with the
+    new tokens spliced in); every already-full shard's parquet files
+    survive byte-identical through the partition-CoW hardlink path.
+    At 100 TB this is the difference between appending a day's
+    documents and re-rendering the epoch: data writes are
+    O(new tokens), never O(corpus).
+
+    Geometry (seq_tokens, seqs_per_shard, tokens_per_frame,
+    media_token_id, vocab_mod) comes from the committed
+    ``<name>.config`` -- an append can never disagree with the build.
+    Doc ids must be disjoint from the existing corpus (the map is
+    id-keyed; the caller owns dedup -- run the dedup family first).
+    Shards (partition-overwrite of boundary + new partitions),
+    placement (append) and manifest (recomputed from the full map --
+    the ITEM-grain table, metadata-scale, never token data) commit in
+    ONE transaction. Returns the same totals dict as the writer."""
+    spark = docs.sparkSession
+    if links is None:
+        links = spark.createDataFrame([], f"media_id long, {id_col} long")
+    if media_costs is None:
+        media_costs = spark.createDataFrame([], "media_id long, n_frames long")
+    cfg = wh.read(f"{name}.config").collect()[0]
+    seq_tokens = int(cfg["seq_tokens"])
+    seqs_per_shard = int(cfg["seqs_per_shard"])
+    st = seq_tokens * seqs_per_shard
+    sh_name, mf_name = f"{name}.shards", f"{name}.manifest"
+    pl_name = f"{name}.placement"
+    old_total = int(
+        wh.read(mf_name).agg(F.sum("n_tokens")).collect()[0][0] or 0
+    )
+    placed_new = (
+        pack_multimodal_sequences(
+            docs, links, media_costs, seq_tokens,
+            int(cfg["tokens_per_frame"]), n_buckets, id_col, text_col,
+            cost_col,
+        )
+        .withColumn("global_offset", F.col("global_offset") + old_total)
+        .withColumn("seq_id", F.expr(f"global_offset div {seq_tokens}"))
+        .withColumn(
+            "seq_offset",
+            F.pmod(F.col("global_offset"), F.lit(seq_tokens)).cast("long"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    stream_new = render_packed_tokens(
+        docs, links, media_costs, seq_tokens, int(cfg["tokens_per_frame"]),
+        n_buckets, id_col, text_col, cost_col,
+        int(cfg["media_token_id"]), int(cfg["vocab_mod"]),
+        placement=placed_new,
+    )
+    boundary_shard = old_total // st
+    # the boundary shard wholesale: its untouched old sequences, the
+    # spliced tail sequence, and any new sequences landing in it --
+    # old rows re-explode to stream form (positions are array order)
+    # and re-collect together with the new tokens
+    old_aff_stream = (
+        wh.read(sh_name)
+        .filter(F.col("shard_id") == boundary_shard)
+        .select("seq_id", F.posexplode("token_ids").alias("pos", "token_id"))
+        .select("seq_id", F.col("pos").cast("long").alias("seq_pos"), "token_id")
+    )
+    new_aff_stream = stream_new.filter(
+        F.expr(f"seq_id div {seqs_per_shard}") == boundary_shard
+    ).select("seq_id", "seq_pos", "token_id")
+    merged_aff = collect_packed_sequences(
+        old_aff_stream.unionByName(new_aff_stream), seq_tokens
+    )
+    later = collect_packed_sequences(
+        stream_new.filter(
+            F.expr(f"seq_id div {seqs_per_shard}") > boundary_shard
+        ),
+        seq_tokens,
+    )
+    shard_rows = merged_aff.unionByName(later).select(
+        F.expr(f"seq_id div {seqs_per_shard}").alias("shard_id"),
+        "seq_id",
+        "n_filled",
+        "token_ids",
+    )
+    manifest = packed_shard_manifest(
+        wh.read(pl_name).unionByName(placed_new),
+        seq_tokens,
+        seqs_per_shard,
+        id_col,
+    )
+    with wh.transaction([sh_name, mf_name, pl_name]) as txn:
+        txn.overwrite_partitions(sh_name, shard_rows)
+        txn.append(pl_name, placed_new)
+        txn.overwrite(mf_name, manifest)
+    stats = wh.read(mf_name).agg(
+        F.count(F.lit(1)).alias("shards"),
+        F.sum("n_seqs").alias("seqs"),
+        F.sum("n_tokens").alias("toks"),
+    ).collect()[0]
+    return {
+        "shards": stats["shards"] or 0,
+        "sequences": int(stats["seqs"] or 0),
+        "tokens": int(stats["toks"] or 0),
+    }
+
+
 def pack_multimodal_stats(
     docs: DataFrame,
     links: DataFrame,

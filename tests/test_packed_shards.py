@@ -209,3 +209,89 @@ def test_write_read_resume_packed_corpus(spark, tmp_path):
         F.sum(F.col("n_tokens") - F.col("resume_skip"))
     ).collect()[0][0]
     assert remaining == stats["tokens"] - (ckpt_seq * 64 + ckpt_pos)
+
+
+def test_append_packed_corpus_splices_only_the_boundary(spark, tmp_path):
+    """Incremental growth: appending new docs re-renders NOTHING from
+    the existing epoch -- the boundary shard's partial tail sequence
+    is spliced, full shards keep byte-identical files (same inodes
+    through the partition-CoW hardlink), and the spliced corpus obeys
+    every invariant a fresh write would."""
+    import os
+
+    from pg_auto_dw_spark.functions.corpus import (
+        append_packed_corpus,
+        resume_packed_corpus,
+        write_packed_corpus,
+    )
+    from pg_auto_dw_spark.warehouse import Warehouse
+
+    docs_a, links_a, costs_a = _mm(spark, 30)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    stats_a = write_packed_corpus(
+        wh, docs_a, "grow", links_a, costs_a,
+        seq_tokens=64, tokens_per_frame=16, seqs_per_shard=2,
+    )
+    boundary_seq = stats_a["tokens"] // 64
+    boundary_shard = stats_a["tokens"] // 128
+    assert boundary_shard >= 1, "fixture must span multiple shards"
+    old_boundary = {
+        r["seq_id"]: r["token_ids"]
+        for r in wh.read("grow.shards")
+        .filter(F.col("shard_id") == boundary_shard)
+        .collect()
+    }
+
+    def inodes(shard):
+        d = os.path.join(wh.path("grow.shards"), f"shard_id={shard}")
+        return {f: os.stat(os.path.join(d, f)).st_ino
+                for f in os.listdir(d) if f.endswith(".parquet")}
+
+    before = inodes(0)
+
+    # disjoint id space for the appended batch
+    docs_b = spark.createDataFrame(
+        [(1000 + i, ("omega psi chi " * (1 + i % 5)).strip())
+         for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    links_b = spark.createDataFrame(
+        [(10_000 + i, 1000 + i) for i in range(20)],
+        "media_id bigint, doc_id bigint",
+    )
+    costs_b = spark.createDataFrame(
+        [(10_000 + i, 1 + i % 3) for i in range(20)],
+        "media_id bigint, n_frames bigint",
+    )
+    stats = append_packed_corpus(wh, docs_b, "grow", links_b, costs_b)
+
+    tok_b = (
+        wh.read("grow.placement")
+        .filter(F.col("doc_id") >= 1000)
+        .agg(F.sum("n_tokens"))
+        .collect()[0][0]
+    )
+    assert stats["tokens"] == stats_a["tokens"] + tok_b
+    # untouched full shard: same parquet files, same inodes (CoW)
+    assert inodes(0) == before
+    # contiguity across the splice: every sequence but the last FULL
+    rows = sorted(
+        wh.read("grow.shards").collect(), key=lambda r: r["seq_id"]
+    )
+    assert [r["seq_id"] for r in rows] == list(range(len(rows)))
+    for r in rows[:-1]:
+        assert r["n_filled"] == 64, r["seq_id"]
+    assert sum(r["n_filled"] for r in rows) == stats["tokens"]
+    # the spliced boundary sequence keeps its old prefix verbatim
+    if boundary_seq in old_boundary:  # old total not seq-aligned
+        new_arr = next(
+            r["token_ids"] for r in rows if r["seq_id"] == boundary_seq
+        )
+        old_arr = old_boundary[boundary_seq]
+        assert new_arr[: len(old_arr)] == old_arr
+        assert len(new_arr) > len(old_arr)
+    # manifest recomputed consistently; resume sees the grown corpus
+    man = wh.read("grow.manifest")
+    assert man.agg(F.sum("n_tokens")).collect()[0][0] == stats["tokens"]
+    res = resume_packed_corpus(wh, "grow", 0, 0)
+    assert res.agg(F.sum("n_tokens")).collect()[0][0] == stats["tokens"]
