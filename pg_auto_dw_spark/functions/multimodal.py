@@ -1629,3 +1629,83 @@ def curate_media_text_corpus(
         text_col="text", group_col="pair_group",
     ).select("doc_id", "split").distinct()
     return pairs.join(sides, "doc_id")
+
+
+def build_contrastive_media_text_set(
+    wh,
+    media: DataFrame,
+    documents: DataFrame,
+    links: DataFrame,
+    media_types: tuple = ("image", "audio", "video"),
+    semantic_threshold: float | None = 0.95,
+    min_spread: int = 0,
+    quality_col: str | None = None,
+    text_clusters: DataFrame | None = None,
+    media_clusters: DataFrame | None = None,
+    dims: int = 64,
+    min_alignment: float | None = None,
+    val_fraction: float = 0.1,
+    k: int = 16,
+    n_negatives: int = 4,
+    neg_margin: float | None = 0.95,
+    stride: int = 50,
+    n_probes: int = 1,
+    media_index: str | None = None,
+    index_prefix: str = "contrastive",
+) -> DataFrame:
+    """The full two-tower training-set build in one call:
+    ``curate_media_text_corpus`` (dedup -> assembly -> alignment ->
+    leakage-safe split) plus ``mine_cross_modal_negatives`` over the
+    TRAIN side only, with ONE dup-cluster computation shared by both
+    stages -- the same clusters that collapsed near-copies during
+    curation exclude them as false negatives during mining, so the
+    two stages can never disagree about what counts as "the same
+    image". Output = the curation columns plus
+    ``negative_media_ids`` (hardest-first, <= ``n_negatives``);
+    NULL for val rows (mining deliberately never sees them -- val
+    must not shape the training distribution) and for train rows
+    where every candidate was excluded.
+
+    Composition ONLY over verified operators. Scale shape: the
+    stages' own; the add-on grouping is k x n_train-bounded. Pass
+    ``media_index`` to mine against the zone-maintained index
+    instead of building one (``media_ingest_apply(embed_index=...)``)."""
+    clusters = (
+        media_clusters
+        if media_clusters is not None
+        else media_dup_clusters(
+            media,
+            semantic_threshold=semantic_threshold,
+            min_spread=min_spread,
+            media_types=media_types,
+        )
+    )
+    curated = curate_media_text_corpus(
+        media, documents, links,
+        media_types=media_types,
+        semantic_threshold=semantic_threshold,
+        min_spread=min_spread,
+        quality_col=quality_col,
+        text_clusters=text_clusters,
+        media_clusters=clusters,
+        dims=dims,
+        min_alignment=min_alignment,
+        val_fraction=val_fraction,
+    )
+    train = curated.filter(F.col("split") == "train")
+    negs = mine_cross_modal_negatives(
+        wh, train, media,
+        k=k, dims=dims, stride=stride, n_probes=n_probes,
+        margin=neg_margin, max_negatives=n_negatives,
+        media_clusters=clusters,
+        index_prefix=index_prefix, media_index=media_index,
+    )
+    neg_arr = negs.groupBy("doc_id").agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct("neg_rank", "negative_media_id"))
+            ),
+            lambda s: s["negative_media_id"],
+        ).alias("negative_media_ids")
+    )
+    return curated.join(neg_arr, "doc_id", "left")

@@ -156,3 +156,46 @@ def test_max_negatives_cap(spark, tmp_path):
     for doc, ranks in by_doc.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert len(ranks) <= 2, doc
+
+
+def test_build_contrastive_set_end_to_end(spark, tmp_path):
+    """The one-call composition: curation and mining share ONE cluster
+    computation -- the byte copy of media 0 collapses during curation
+    AND never appears as a negative; val rows carry NULL negatives;
+    train negatives are hardest-first, capped, and never the row's own
+    positive."""
+    from pg_auto_dw_spark.functions.multimodal import (
+        build_contrastive_media_text_set,
+    )
+
+    media, pairs = _corpus(spark, with_copy=True)
+    docs = pairs.selectExpr("doc_id", "text")
+    links = pairs.select("media_id", "doc_id")
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    out = build_contrastive_media_text_set(
+        wh, media, docs, links,
+        media_types=("image",), semantic_threshold=None,
+        dims=32, stride=3, n_probes=100, k=6, n_negatives=3,
+        neg_margin=None, val_fraction=0.2,
+    ).collect()
+    assert out
+    # the copy (media 20) collapsed to canonical 0 during curation:
+    # no surviving pair points at it
+    assert all(r["media_id"] != 20 for r in out)
+    for r in out:
+        if r["split"] == "val":
+            assert r["negative_media_ids"] is None
+            continue
+        negs = r["negative_media_ids"]
+        if negs is None:
+            continue
+        assert len(negs) <= 3
+        assert r["media_id"] not in negs
+        # cluster-mates of the positive are excluded: doc 100's
+        # positive is cluster {0, 20} -- neither may be mined
+        if r["media_id"] == 0:
+            assert 0 not in negs and 20 not in negs
+    train_with_negs = [r for r in out
+                       if r["split"] == "train"
+                       and r["negative_media_ids"]]
+    assert train_with_negs, "train rows must mine some negatives"
