@@ -634,6 +634,17 @@ _NEXT_RETIREMENT_CANDIDATES = [
 # media_datacard_docs). Exactly 50. _DEPRIORITIZED = the 50 rows
 # verified in r14 (CORRECTNESS_r14: 50/50 green). Invariants
 # re-checked via tests/test_catalog_invariants.py before commit.
+# r15 mid-order registrations (first driver rows due r16), all five
+# check_oracle-green at sf0.001/sf0.01/sf0.1, each matched by one
+# _NEXT_RETIREMENT_CANDIDATES entry so the exactly-50 arithmetic at
+# r16 closes (rationales in the candidate block above):
+#   documents_pack_multimodal      <- corpus_contamination_pairs
+#   media_datacard_drift_docs      <- ann_lsh_bucket_topk
+#   media_decode_rules_docs        <- sat_load_lineitem_composite
+#   documents_packed_token_stream  <- documents_pack_sequences
+#   documents_multimodal_budget_sample <- corpus_token_budget_sample
+# (the last two pairings are exact-subset: each mid's oracle replays
+# its candidate's ENTIRE construction CTE before extending it).
 
 
 def _ordered(names: list[str]) -> list[str]:
