@@ -748,6 +748,102 @@ def pack_sequences(
     )
 
 
+def pack_grouped_sequences(
+    docs: DataFrame,
+    group_col: str,
+    seq_tokens: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    epoch_salt: str = "",
+) -> DataFrame:
+    """``pack_sequences`` with GROUP-CONTIGUOUS layout: every doc of a
+    group (same source, same dedup cluster, same topic -- whatever
+    ``group_col`` carries) occupies one contiguous global token range,
+    so a long-context window over the packed stream sees related
+    documents together instead of an arbitrary shuffle -- the
+    in-context-relatedness layout long-context continual pretraining
+    wants. Same output contract as ``pack_sequences`` (id,
+    n_bpe_tokens, global_offset, seq_id, seq_offset), same proxy
+    tokenizer, same NULL-as-zero-width rule; NULL group = a singleton
+    group (the doc packs alone, leakage-safe-split's convention).
+
+    Construction: the ONE change is the order key. The bucket hashes
+    the GROUP (so a group can never split across buckets) and the
+    intra-bucket sort key is md5(group) || md5(doc): group members
+    share the 32-hex prefix and therefore sort adjacent, groups
+    interleave pseudo-randomly, docs within a group order by their own
+    hash. Everything else is the pack_sequences bucket-coarse
+    machinery unchanged -- <= n_buckets window rows, intra-bucket
+    cumulative sums, all integer, engine-replayable. ``epoch_salt``
+    reshuffles GROUPS and the order within each group, never group
+    membership.
+
+    Scale note: intra-bucket window partitions are per-bucket, so one
+    pathological group (a single source holding a material fraction of
+    the corpus) concentrates in one bucket where pack_sequences would
+    have spread its docs -- bound group sizes upstream (the skew
+    family's heavy-hitter probe over ``group_col`` is the instrument)
+    or raise ``n_buckets``."""
+    t = F.col(text_col)
+    g = F.coalesce(
+        F.col(group_col).cast("string"),
+        F.concat(F.lit("∅"), F.col(id_col).cast("string")),
+    )
+    gh = F.md5(F.concat(F.lit(epoch_salt), g))
+    h = F.concat(gh, F.md5(F.concat(F.lit(epoch_salt), F.col(id_col).cast("string"))))
+    feats = docs.select(
+        F.col(id_col),
+        F.coalesce(
+            F.size(
+                F.regexp_extract_all(t, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0)
+            ).cast("long"),
+            F.lit(0),
+        ).alias("n_bpe_tokens"),
+        h.alias("h"),
+        F.pmod(
+            F.conv(F.substring(gh, 1, 4), 16, 10).cast("bigint"),
+            F.lit(n_buckets),
+        ).alias("bucket"),
+    )
+    bsum = feats.groupBy("bucket").agg(F.sum("n_bpe_tokens").alias("btok"))
+    wb = Window.orderBy("bucket")  # <= n_buckets rows by construction
+    bcum = bsum.withColumn(
+        "bucket_offset",
+        F.coalesce(
+            F.sum("btok").over(wb.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    ).select("bucket", "bucket_offset")
+    wd = Window.partitionBy("bucket").orderBy("h", id_col)
+    return (
+        feats.join(F.broadcast(bcum), "bucket")
+        .withColumn(
+            "__before",
+            F.coalesce(
+                F.sum("n_bpe_tokens").over(
+                    wd.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select(
+            id_col,
+            "n_bpe_tokens",
+            (F.col("bucket_offset") + F.col("__before")).alias("global_offset"),
+        )
+        .select(
+            id_col,
+            "n_bpe_tokens",
+            "global_offset",
+            (F.col("global_offset") / seq_tokens).cast("long").alias("seq_id"),
+            F.pmod(F.col("global_offset"), F.lit(seq_tokens))
+            .cast("long")
+            .alias("seq_offset"),
+        )
+    )
+
+
 def pack_multimodal_sequences(
     docs: DataFrame,
     links: DataFrame,
