@@ -295,3 +295,60 @@ def test_append_packed_corpus_splices_only_the_boundary(spark, tmp_path):
     assert man.agg(F.sum("n_tokens")).collect()[0][0] == stats["tokens"]
     res = resume_packed_corpus(wh, "grow", 0, 0)
     assert res.agg(F.sum("n_tokens")).collect()[0][0] == stats["tokens"]
+
+
+def test_manifest_duckdb_replay(spark):
+    """Oracle-grade cross-check without a rotation slot: the manifest
+    is all-integer overlap arithmetic, so DuckDB replays it exactly
+    from the raw placement rows -- every column, every shard."""
+    import duckdb
+
+    docs, links, costs = _mm(spark, 40)
+    placed = pack_multimodal_sequences(
+        docs, links, costs, seq_tokens=64, tokens_per_frame=16
+    )
+    pdf = placed.select(
+        "doc_id", "item_type", "n_tokens", "global_offset"
+    ).toPandas()
+    got = sorted(
+        packed_shard_manifest(
+            placed, seq_tokens=64, seqs_per_shard=4
+        ).collect(),
+        key=lambda r: r["shard_id"],
+    )
+    con = duckdb.connect()
+    con.register("p", pdf)
+    want = con.execute(
+        """
+        WITH x AS (
+            SELECT doc_id, item_type, n_tokens, global_offset,
+                   global_offset + n_tokens AS e,
+                   unnest(range(global_offset // 256,
+                                (global_offset + n_tokens - 1) // 256 + 1))
+                       AS shard_id
+            FROM p WHERE n_tokens > 0),
+        y AS (
+            SELECT *,
+                   LEAST(e, (shard_id + 1) * 256)
+                   - GREATEST(global_offset, shard_id * 256) AS tok
+            FROM x)
+        SELECT shard_id,
+               shard_id * 4 AS seq_lo,
+               (SUM(tok) + 63) // 64 AS n_seqs,
+               SUM(tok) AS n_tokens,
+               SUM(CASE WHEN item_type = 'text' THEN tok ELSE 0 END)
+                   AS n_text_tokens,
+               SUM(CASE WHEN item_type <> 'text' THEN tok ELSE 0 END)
+                   AS n_media_tokens,
+               COUNT(*) AS n_items,
+               SUM(CASE WHEN global_offset < shard_id * 256
+                        THEN 1 ELSE 0 END) AS n_items_carry_in,
+               SUM(CASE WHEN e > (shard_id + 1) * 256
+                        THEN 1 ELSE 0 END) AS n_items_carry_out,
+               COUNT(DISTINCT doc_id) AS n_docs
+        FROM y GROUP BY shard_id ORDER BY shard_id
+        """
+    ).fetchall()
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert tuple(g) == tuple(int(v) for v in w), (tuple(g), w)
