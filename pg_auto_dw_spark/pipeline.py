@@ -290,3 +290,58 @@ def build_training_corpus(
         pinned=pinned,
         config=cfg,
     )
+
+
+def materialize_training_corpus(
+    wh,
+    name: str,
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    config: CorpusPipelineConfig | None = None,
+    seqs_per_shard: int = 1024,
+) -> tuple[CorpusPipelineResult, dict]:
+    """``build_training_corpus`` carried all the way to what a trainer
+    MOUNTS: the pipeline's survivors feed ``corpus.write_packed_corpus``,
+    which commits the loader contract (partitioned shards + manifest +
+    placement + config) in one warehouse transaction, and the
+    pipeline's reproducibility record lands beside it as
+    ``<name>.build`` in a second commit of the same call. Returns
+    (pipeline_result, writer_totals).
+
+    Proxy-tokenizer path only: the writer hashes the SAME regex tokens
+    the pipeline's placement counted, so counts and stream agree
+    position by position. ``exact_tokens`` builds pack with REAL BPE
+    counts the hashed-vocab writer cannot render -- materialize those
+    through ``corpus.assemble_packed_sequences`` instead; the error
+    says so rather than silently re-counting with the proxy."""
+    import json
+
+    from .functions.corpus import write_packed_corpus
+
+    cfg = config or CorpusPipelineConfig()
+    if cfg.exact_tokens:
+        raise ValueError(
+            "materialize_training_corpus renders the proxy-tokenizer "
+            "stream; with exact_tokens=True the placement uses real BPE "
+            "counts -- materialize via corpus.assemble_packed_sequences"
+        )
+    res = build_training_corpus(docs, benchmark, cfg)
+    totals = write_packed_corpus(
+        wh, res.survivors, name,
+        seq_tokens=cfg.seq_tokens, seqs_per_shard=seqs_per_shard,
+        id_col=cfg.id_col, text_col=cfg.text_col,
+    )
+    summary = res.summary()
+    build = res.manifest(summary)
+    spark = docs.sparkSession
+    bdf = spark.createDataFrame(
+        [(json.dumps(build), totals["tokens"], totals["sequences"],
+          totals["shards"])],
+        "build_manifest string, n_tokens long, n_sequences long, "
+        "n_shards long",
+    )
+    bname = f"{name}.build"
+    if not wh.exists(bname):
+        wh.create_table(bname, bdf.schema)
+    wh.overwrite(bname, bdf)
+    return res, totals

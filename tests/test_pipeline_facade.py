@@ -186,3 +186,38 @@ def test_quality_keep_fraction_rate_gate(spark):
                 quality_weights=weights, quality_keep_fraction=1.5,
             ),
         )
+
+
+def test_materialize_training_corpus_end_to_end(spark, sf_dir, tmp_path):
+    """Pipeline -> warehouse loader contract in one call: totals agree
+    with the pipeline's own placement, the reproducibility record
+    lands as <name>.build, and the exact_tokens path refuses with the
+    documented redirect."""
+    import json
+
+    import pytest
+
+    from pg_auto_dw_spark.functions.corpus import read_packed_shard
+    from pg_auto_dw_spark.pipeline import materialize_training_corpus
+    from pg_auto_dw_spark.warehouse import Warehouse
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    res, totals = materialize_training_corpus(
+        wh, "train", docs, seqs_per_shard=4,
+        config=CorpusPipelineConfig(seq_tokens=256),
+    )
+    placed_total = res.placement.agg(F.sum("n_bpe_tokens")).collect()[0][0]
+    assert totals["tokens"] == placed_total
+    assert wh.read("train.manifest").count() == totals["shards"]
+    s0 = read_packed_shard(wh, "train", 0).collect()
+    assert s0 and all(len(r["token_ids"]) == r["n_filled"] for r in s0)
+    build = wh.read("train.build").collect()[0]
+    rec = json.loads(build["build_manifest"])
+    assert rec["config"]["seq_tokens"] == 256
+    assert dict((s[0], s[1]) for s in rec["stages"])["input"] == 200
+    assert build["n_tokens"] == totals["tokens"]
+    with pytest.raises(ValueError, match="assemble_packed_sequences"):
+        materialize_training_corpus(
+            wh, "t2", docs, config=CorpusPipelineConfig(exact_tokens=True),
+        )
