@@ -45,6 +45,11 @@ AUDIT = [
     "media_hash_rows_docs",  # expect 1 pruned scan, 0 exchanges: the
     # ONE-pass mapInPandas dispatch kernel (its docstring pins 1 scan
     # vs the three per-family kernels union'd, which would plan 3)
+    # r15 registration
+    "documents_multimodal_budget_sample",  # expect scans=0 python=0:
+    # the example frame (incl. the registration's Arrow decode cost
+    # pass) pins once and both the rollup and the budget join consume
+    # the pin -- unpinned this planned 24 scans / 4 decode subtrees
 ]
 
 
