@@ -960,3 +960,69 @@ def test_embed_index_maintained_per_ingest(spark, tmp_path):
             embed_index="nope",
         )
     assert not wh.exists("z2.corpus")
+
+
+def test_zone_fed_contrastive_build(spark, tmp_path):
+    """The full incremental story in one call (r15): the zone's OWN
+    state -- its corpus, its dup-cluster lineage, its maintained
+    embed index -- feeds build_contrastive_media_text_set with zero
+    corpus-scale re-hash and zero index rebuild: a caption pointing
+    at a DROPPED near-dup re-points to the surviving canonical, the
+    canonical's cluster never appears among that caption's negatives,
+    and no fresh index tables materialize."""
+    from pyspark.sql import functions as F
+
+    from pg_auto_dw_spark.functions.multimodal import (
+        build_contrastive_media_text_set,
+        embed_media,
+    )
+    from pg_auto_dw_spark.functions.similarity import build_ivf_index
+    from pg_auto_dw_spark.streaming.jobs import media_zone_cluster_assignments
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    img_a, img_b = _noise(61, 700), _noise(62, 700)
+    batch1 = _media(spark, [(1, "image", img_a), (2, "image", img_b)])
+    vecs = embed_media(batch1, dims=32).select(
+        F.col("media_id").alias("vec_id"), "embedding"
+    )
+    build_ivf_index(wh, vecs, "cx", stride=2, dims=32)
+    media_ingest_apply(
+        wh, "zc.corpus", batch1, dupes_table="zc.dupes", embed_index="cx"
+    )
+    stats = media_ingest_apply(
+        wh, "zc.corpus",
+        _media(spark, [(3, "image", _edited(img_a)),
+                       (4, "image", _noise(63, 700))]),
+        dupes_table="zc.dupes", embed_index="cx",
+    )
+    assert stats["n_cross_dups"] == 1 and stats["n_new"] == 1
+    clusters = media_zone_cluster_assignments(wh, "zc.corpus", "zc.dupes")
+    docs = spark.createDataFrame(
+        [(101, "a photo of noisy texture alpha"),
+         (103, "another view of noisy texture alpha"),
+         (104, "a completely different pattern")],
+        "doc_id bigint, text string",
+    )
+    links = spark.createDataFrame(
+        [(1, 101), (3, 103), (4, 104)], "media_id bigint, doc_id bigint"
+    )
+    corpus = wh.read("zc.corpus").select("media_id", "media_type", "payload")
+    out = build_contrastive_media_text_set(
+        wh, corpus, docs, links,
+        media_types=("image",), semantic_threshold=None,
+        media_clusters=clusters, media_index="cx",
+        dims=32, k=4, n_negatives=2, neg_margin=None,
+        val_fraction=0.001,  # tiny: keep the 3 pairs on the train side
+    ).collect()
+    by_doc = {r["doc_id"]: r for r in out}
+    # the caption of the DROPPED copy re-pointed to the canonical
+    assert by_doc[103]["media_id"] == 1
+    # zero rebuild: the facade's default index name never materialized
+    assert not wh.exists("contrastive_media.codebook")
+    for r in out:
+        negs = r["negative_media_ids"]
+        if r["split"] != "train" or negs is None:
+            continue
+        assert r["media_id"] not in negs
+        if r["media_id"] == 1:  # cluster {1, 3}: neither may be mined
+            assert 1 not in negs and 3 not in negs
