@@ -319,6 +319,54 @@ def token_budget_sample(
     )
 
 
+def _media_token_bill(
+    docs: DataFrame,
+    links: DataFrame,
+    media_costs: DataFrame,
+    tokens_per_frame: int,
+    cost_col: str | None,
+    id_col: str,
+    caller: str,
+) -> DataFrame:
+    """The ONE media-bill convention the packer and the budget sampler
+    share (r15 review: previously two verbatim copies that could
+    drift): per-link (id_col, media_id, __mtok) where __mtok is the
+    ``cost_col`` banded cost or ``n_frames * tokens_per_frame``;
+    duplicate links collapse, links to absent docs drop (left_semi),
+    and a linked media_id missing from ``media_costs`` fails the job
+    with the caller's name and the id in the message -- a silent
+    zero/drop would misalign every packer offset or under-bill every
+    budget."""
+    if cost_col is not None:
+        mc = media_costs.select(
+            "media_id", F.col(cost_col).cast("long").alias("__mtok")
+        )
+    else:
+        mc = media_costs.select(
+            "media_id",
+            (F.col("n_frames").cast("long") * tokens_per_frame).alias("__mtok"),
+        )
+    li = (
+        links.select("media_id", id_col)
+        .distinct()
+        .join(docs.select(id_col), id_col, "left_semi")
+    )
+    return li.join(mc, "media_id", "left").select(
+        F.col(id_col),
+        F.col("media_id"),
+        F.when(F.col("__mtok").isNotNull(), F.col("__mtok"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"{caller}: media_costs has no row for media_id="),
+                    F.col("media_id").cast("string"),
+                )
+            )
+        )
+        .alias("__mtok"),
+    )
+
+
 def multimodal_token_budget_sample(
     docs: DataFrame,
     links: DataFrame,
@@ -358,37 +406,10 @@ def multimodal_token_budget_sample(
     map-side combined, <= langs x buckets window rows, bounded
     intra-bucket cumulative sums, no unbounded sort anywhere. All
     integer arithmetic -- replayable exactly in any ANSI engine."""
-    if cost_col is not None:
-        mc = media_costs.select(
-            "media_id", F.col(cost_col).cast("long").alias("__mtok")
-        )
-    else:
-        mc = media_costs.select(
-            "media_id",
-            (F.col("n_frames").cast("long") * tokens_per_frame).alias("__mtok"),
-        )
-    li = (
-        links.select("media_id", id_col)
-        .distinct()
-        .join(docs.select(id_col), id_col, "left_semi")
-    )
     mtok = (
-        li.join(mc, "media_id", "left")
-        .select(
-            F.col(id_col),
-            F.when(F.col("__mtok").isNotNull(), F.col("__mtok"))
-            .otherwise(
-                F.raise_error(
-                    F.concat(
-                        F.lit(
-                            "multimodal_token_budget_sample: media_costs "
-                            "has no row for media_id="
-                        ),
-                        F.col("media_id").cast("string"),
-                    )
-                )
-            )
-            .alias("__mtok"),
+        _media_token_bill(
+            docs, links, media_costs, tokens_per_frame, cost_col, id_col,
+            "multimodal_token_budget_sample",
         )
         .groupBy(id_col)
         .agg(F.sum("__mtok").alias("n_media_tokens"))
@@ -895,36 +916,13 @@ def pack_multimodal_sequences(
     intra-bucket windows) plus ONE per-doc item window bounded by
     items-per-example. All integer arithmetic -- replayable exactly
     in any ANSI engine."""
-    if cost_col is not None:
-        mc = media_costs.select(
-            "media_id", F.col(cost_col).cast("long").alias("__mtok")
-        )
-    else:
-        mc = media_costs.select(
-            "media_id",
-            (F.col("n_frames").cast("long") * tokens_per_frame).alias("__mtok"),
-        )
-    li = (
-        links.select("media_id", id_col)
-        .distinct()
-        .join(docs.select(id_col), id_col, "left_semi")
-    )
-    mitems = li.join(mc, "media_id", "left").select(
+    mitems = _media_token_bill(
+        docs, links, media_costs, tokens_per_frame, cost_col, id_col,
+        "pack_multimodal_sequences",
+    ).select(
         F.col(id_col),
         F.col("media_id").cast("long").alias("media_id"),
-        F.when(F.col("__mtok").isNotNull(), F.col("__mtok"))
-        .otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit(
-                        "pack_multimodal_sequences: media_costs has no row "
-                        "for media_id="
-                    ),
-                    F.col("media_id").cast("string"),
-                )
-            )
-        )
-        .alias("n_tokens"),
+        F.col("__mtok").alias("n_tokens"),
         F.lit("media").alias("item_type"),
     )
     titems = docs.select(

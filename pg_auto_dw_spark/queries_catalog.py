@@ -7589,7 +7589,7 @@ WITH m AS (
     SELECT doc_id AS media_id,
            CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                 ELSE 'video' END AS mt,
-           octet_length(encode(text)) AS nb
+           COALESCE(octet_length(encode(text)), 0) AS nb
     FROM documents),
 costs AS (
     SELECT media_id,
@@ -7789,7 +7789,7 @@ WITH m AS (
   SELECT doc_id AS media_id,
          CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
               ELSE 'video' END AS media_type,
-         octet_length(encode(text)) AS n
+         COALESCE(octet_length(encode(text)), 0) AS n
   FROM documents),
 d AS (
   SELECT media_id, media_type,
@@ -7906,6 +7906,10 @@ def documents_packed_token_stream(spark: SparkSession, sf_dir: str) -> DataFrame
 # caption the next doc (multi-item bills); every media cost replays
 # the deterministic stub decode's n_frames arithmetic (image 1,
 # audio 1 + bytes % 1000, video 1 + bytes % 120) at 16 tokens/frame.
+# nb COALESCEs to 0 for NULL text (r15 review): the stub decodes a
+# NULL payload as length 0 (n_frames >= 1 always), while a NULL nb
+# would NULL the frame count and SUM would silently skip the bill --
+# the same NULL-skip class the packing family's r15 fix closed.
 _MULTIMODAL_BUDGET_ORACLE = f"""
 WITH f0 AS (
     SELECT doc_id, text,
@@ -7932,7 +7936,7 @@ m AS (
     SELECT doc_id AS media_id,
            CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                 ELSE 'video' END AS mt,
-           octet_length(encode(text)) AS nb
+           COALESCE(octet_length(encode(text)), 0) AS nb
     FROM documents),
 costs AS (
     SELECT media_id,
