@@ -787,7 +787,12 @@ def pack_grouped_sequences(
     wants. Same output contract as ``pack_sequences`` (id,
     n_bpe_tokens, global_offset, seq_id, seq_offset), same proxy
     tokenizer, same NULL-as-zero-width rule; NULL group = a singleton
-    group (the doc packs alone, leakage-safe-split's convention).
+    group -- the doc packs alone. (Deliberately NOT what
+    ``leakage_safe_split`` does with NULL groups: the splitter windows
+    all NULL-group rows together; here each ungrouped doc stays an
+    independent layout unit, since co-packing every ungrouped doc
+    into one giant pseudo-group would be exactly the mega-group skew
+    the note below warns about.)
 
     Construction: the ONE change is the order key. The bucket hashes
     the GROUP (so a group can never split across buckets) and the
@@ -807,10 +812,13 @@ def pack_grouped_sequences(
     family's heavy-hitter probe over ``group_col`` is the instrument)
     or raise ``n_buckets``."""
     t = F.col(text_col)
-    g = F.coalesce(
-        F.col(group_col).cast("string"),
-        F.concat(F.lit("∅"), F.col(id_col).cast("string")),
-    )
+    # distinct prefixes make the NULL-singleton namespace uncollidable
+    # with caller-supplied group strings (r15 review: a bare sentinel
+    # could equal a real group value and silently merge layouts)
+    g = F.when(
+        F.col(group_col).isNull(),
+        F.concat(F.lit("n "), F.col(id_col).cast("string")),
+    ).otherwise(F.concat(F.lit("g "), F.col(group_col).cast("string")))
     gh = F.md5(F.concat(F.lit(epoch_salt), g))
     h = F.concat(gh, F.md5(F.concat(F.lit(epoch_salt), F.col(id_col).cast("string"))))
     feats = docs.select(

@@ -96,3 +96,25 @@ def test_composes_with_shard_manifest(spark):
     assert sum(r["n_tokens"] for r in rows) == total
     for r in sorted(rows, key=lambda r: r["shard_id"])[:-1]:
         assert r["n_tokens"] == 128
+
+
+def test_adversarial_group_value_never_merges_with_null_singleton(spark):
+    """A real group whose string value mimics the NULL-singleton
+    namespace ('n <id>') must stay its own group: prefixes keep the
+    namespaces disjoint (r15 review)."""
+    docs = spark.createDataFrame(
+        [(1, "n 3", "alpha beta gamma delta epsilon"),
+         (2, "n 3", "zeta eta theta iota kappa"),
+         (3, None, "lambda mu nu xi omicron")],
+        "doc_id bigint, source string, text string",
+    )
+    out = pack_grouped_sequences(docs, "source", seq_tokens=64).collect()
+    _check_valid_packing(out)
+    g = {r["doc_id"]: r for r in out}
+    # docs 1 and 2 are adjacent (one contiguous range)
+    lo = min(g[1]["global_offset"], g[2]["global_offset"])
+    hi = max(g[1]["global_offset"] + g[1]["n_bpe_tokens"],
+             g[2]["global_offset"] + g[2]["n_bpe_tokens"])
+    assert hi - lo == g[1]["n_bpe_tokens"] + g[2]["n_bpe_tokens"]
+    # doc 3 never lands INSIDE that range (it is not a member)
+    assert not (lo <= g[3]["global_offset"] < hi)
