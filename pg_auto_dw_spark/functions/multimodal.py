@@ -335,6 +335,33 @@ def embed_media(media: DataFrame, dims: int = 64) -> DataFrame:
     )
 
 
+def embed_captions(
+    pairs: DataFrame,
+    dims: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The caption tower through the ONE ``embed_media`` seam:
+    distinct (id, text) rows ride as UTF-8 ``'text'`` media, returning
+    (<id_col>, embedding) with embedding NULL for unscorable captions
+    (the ``embed_media`` NULL contract -- callers filter or
+    when-guard per their semantics). The shared kernel behind
+    alignment scoring, retrieval eval, and negative mining (r15
+    review: previously three verbatim copies); precompute it once and
+    pass to ``mine_cross_modal_negatives(text_embeddings=...)`` to
+    avoid a second tower pass over the same captions."""
+    return embed_media(
+        pairs.select(id_col, text_col)
+        .distinct()
+        .select(
+            F.col(id_col).alias("media_id"),
+            F.lit("text").alias("media_type"),
+            F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        ),
+        dims=dims,
+    ).select(F.col("media_id").alias(id_col), "embedding")
+
+
 PHASH_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -1283,18 +1310,9 @@ def cross_modal_retrieval_eval(
     ).filter(F.col("embedding").isNotNull()).select(
         F.col("media_id").alias("vec_id"), "embedding"
     )
-    t_emb = embed_media(
-        pairs.select("doc_id", "text")
-        .distinct()
-        .select(
-            F.col("doc_id").alias("media_id"),
-            F.lit("text").alias("media_type"),
-            F.encode(F.col("text"), "UTF-8").alias("payload"),
-        ),
-        dims=dims,
-    ).filter(F.col("embedding").isNotNull()).select(
-        F.col("media_id").alias("vec_id"), "embedding"
-    )
+    t_emb = embed_captions(pairs, dims=dims).filter(
+        F.col("embedding").isNotNull()
+    ).select(F.col("doc_id").alias("vec_id"), "embedding")
     m_emb = m_emb.localCheckpoint(eager=True)
     t_emb = t_emb.localCheckpoint(eager=True)
     # scorable ground truth: both sides embedded
@@ -1371,6 +1389,7 @@ def mine_cross_modal_negatives(
     media_clusters: DataFrame | None = None,
     index_prefix: str = "xmodal_neg",
     media_index: str | None = None,
+    text_embeddings: DataFrame | None = None,
 ) -> DataFrame:
     """Hard-negative media for contrastive media-text training (the
     mining step after ``assemble_media_text_pairs`` +
@@ -1380,7 +1399,10 @@ def mine_cross_modal_negatives(
     examples a two-tower encoder actually learns from.
 
     Composition: captions embed through the ONE ``embed_media`` seam
-    (UTF-8 bytes, the retrieval-eval convention), search rides
+    (UTF-8 bytes, the retrieval-eval convention; pass a precomputed
+    ``embed_captions`` frame via ``text_embeddings`` to skip this
+    tower pass when the same captions were already encoded upstream),
+    search rides
     ``retrieval.ivf_search_frame`` against either a freshly built
     index over the FULL media frame (mining WANTS the unpaired corpus
     as distractors -- deliberately not the eval's left_semi prune) or
@@ -1420,17 +1442,13 @@ def mine_cross_modal_negatives(
     from .retrieval import ivf_search_frame, mine_hard_negatives
     from .similarity import build_ivf_index
 
-    t_emb = embed_media(
-        pairs.select("doc_id", "text")
-        .distinct()
-        .select(
-            F.col("doc_id").alias("media_id"),
-            F.lit("text").alias("media_type"),
-            F.encode(F.col("text"), "UTF-8").alias("payload"),
-        ),
-        dims=dims,
-    ).filter(F.col("embedding").isNotNull()).select(
-        F.col("media_id").alias("query_id"), "embedding"
+    caps = (
+        text_embeddings
+        if text_embeddings is not None
+        else embed_captions(pairs, dims=dims)
+    )
+    t_emb = caps.filter(F.col("embedding").isNotNull()).select(
+        F.col("doc_id").alias("query_id"), "embedding"
     )
     if media_index is not None:
         name = media_index
@@ -1528,16 +1546,9 @@ def score_media_text_alignment(
     m_emb = embed_media(paired_media, dims=dims).select(
         F.col("media_id"), F.col("embedding").alias("__me")
     )
-    t_emb = embed_media(
-        pairs.select(id_doc, text_col)
-        .distinct()
-        .select(
-            F.col(id_doc).alias("media_id"),
-            F.lit("text").alias("media_type"),
-            F.encode(F.col(text_col), "UTF-8").alias("payload"),
-        ),
-        dims=dims,
-    ).select(F.col("media_id").alias("__td"), F.col("embedding").alias("__te"))
+    t_emb = embed_captions(
+        pairs, dims=dims, id_col=id_doc, text_col=text_col
+    ).select(F.col(id_doc).alias("__td"), F.col("embedding").alias("__te"))
     out = (
         pairs.join(m_emb, "media_id", "left")
         .join(t_emb, F.col(id_doc) == F.col("__td"), "left")
