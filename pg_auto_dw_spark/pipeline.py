@@ -313,8 +313,18 @@ def materialize_training_corpus(
     position by position. ``exact_tokens`` builds pack with REAL BPE
     counts the hashed-vocab writer cannot render -- materialize those
     through ``corpus.assemble_packed_sequences`` instead; the error
-    says so rather than silently re-counting with the proxy."""
+    says so rather than silently re-counting with the proxy.
+
+    Survivors are force-pinned for the run (r15 review): this facade
+    consumes the filter chain three ways -- the placement/stream
+    render inside the writer, and the per-stage counts -- which
+    unpinned would re-execute the whole gopher/dedup/bloom chain once
+    per consumer (the exact recompute the persist_survivors config
+    note warns about). The pin is left in place on return (the
+    returned frames stay cheap to reuse); call ``result.release()``
+    when done with them."""
     import json
+    from dataclasses import replace
 
     from .functions.corpus import write_packed_corpus
 
@@ -325,6 +335,8 @@ def materialize_training_corpus(
             "stream; with exact_tokens=True the placement uses real BPE "
             "counts -- materialize via corpus.assemble_packed_sequences"
         )
+    if not cfg.persist_survivors:
+        cfg = replace(cfg, persist_survivors=True)
     res = build_training_corpus(docs, benchmark, cfg)
     totals = write_packed_corpus(
         wh, res.survivors, name,
