@@ -328,65 +328,94 @@ def connected_components(
     hash-partitioned on id.
 
     ``nodes`` (default: ids appearing in pairs) adds singleton docs so
-    every document gets a cluster row."""
+    every document gets a cluster row.
+
+    r15 optimization (guide section 2.4, identical fixpoint): the
+    iteration runs only over ACTIVE nodes (endpoints of >= 1 edge) --
+    singletons can never change label, so hauling them through every
+    round's joins was pure shuffle waste; they join back ONCE via an
+    anti-join at the end. Round 1 is algebraic (labels start as the
+    identity, so the neighbor-min is just min(dst) -- no label join),
+    and the change count reads an ``old`` column carried through the
+    round instead of re-joining the previous round's labels. Same
+    update rule, same per-round labels on the active set, same round
+    count, same output rows."""
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
         .localCheckpoint(eager=False)
     )
-    if nodes is None:
-        ids = (
-            pairs.select(F.col("id_a").alias(id_col))
-            .union(pairs.select(F.col("id_b").alias(id_col)))
-            .distinct()
-        )
-    else:
-        ids = nodes.select(F.col(id_col)).distinct()
-    labels = ids.select(F.col(id_col), F.col(id_col).alias("label")).localCheckpoint(
-        eager=False
-    )
+    labels: DataFrame | None = None  # active-set (id, label); None = round 1
     for _ in range(max_iters):
-        # min label among graph neighbors
-        neigh = (
-            edges.join(labels, edges["dst"] == labels[id_col])
-            .groupBy("src")
-            .agg(F.min("label").alias("nmin"))
-        )
-        stepped = (
-            labels.join(neigh, labels[id_col] == neigh["src"], "left")
-            .select(
-                F.col(id_col),
-                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
-                    "label"
-                ),
+        if labels is None:
+            # round 1: labels are the identity, so min-over-neighbor
+            # labels == min(dst); edges are symmetric, so src covers
+            # every active node and the join below is unnecessary.
+            stepped = (
+                edges.groupBy("src")
+                .agg(F.min("dst").alias("nmin"))
+                .select(
+                    F.col("src").alias(id_col),
+                    F.col("src").alias("old"),
+                    F.least(F.col("src"), F.col("nmin")).alias("label"),
+                )
+                .localCheckpoint(eager=False)  # read by both sides of the jump
             )
-            .localCheckpoint(eager=False)  # read by both sides of the jump
-        )
+        else:
+            # min label among graph neighbors (every active id has >= 1
+            # edge and every dst is active, so both joins are inner)
+            neigh = (
+                edges.join(labels, edges["dst"] == labels[id_col])
+                .groupBy("src")
+                .agg(F.min("label").alias("nmin"))
+            )
+            stepped = (
+                labels.join(neigh, labels[id_col] == neigh["src"])
+                .select(
+                    F.col(id_col),
+                    F.col("label").alias("old"),
+                    F.least(F.col("label"), F.col("nmin")).alias("label"),
+                )
+                .localCheckpoint(eager=False)  # read by both sides of the jump
+            )
         # pointer jump: label <- label(label) (labels only ever shrink,
-        # so jumping through the previous round's table is safe)
+        # so jumping through the previous round's table is safe; a
+        # label is always an ACTIVE member's id, so the lookup is inner)
         parent = stepped.select(
             F.col(id_col).alias("p_id"), F.col("label").alias("p_label")
         )
         jumped = (
-            stepped.join(parent, stepped["label"] == parent["p_id"], "left")
+            stepped.join(parent, stepped["label"] == parent["p_id"])
             .select(
                 F.col(id_col),
-                F.least(
-                    F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
-                ).alias("label"),
+                F.col("old"),
+                F.least(F.col("label"), F.col("p_label")).alias("label"),
             )
             .localCheckpoint(eager=False)
         )
-        changed = (
-            labels.join(jumped.withColumnRenamed("label", "new_label"), id_col)
-            .filter(F.col("label") != F.col("new_label"))
-            .count()
-        )
-        labels = jumped
+        changed = jumped.filter(F.col("old") != F.col("label")).count()
+        labels = jumped.select(F.col(id_col), F.col("label"))
         if changed == 0:
             break
-    return labels.select(F.col(id_col), F.col("label").alias("cluster_id"))
+    if labels is None:  # max_iters < 1: every active node keeps its own id
+        labels = edges.select(
+            F.col("src").alias(id_col), F.col("src").alias("label")
+        ).distinct()
+    if nodes is None:
+        out = labels
+    else:
+        singles = (
+            nodes.select(F.col(id_col))
+            .distinct()
+            .join(labels.select(id_col), id_col, "left_anti")
+            .select(F.col(id_col), F.col(id_col).alias("label"))
+        )
+        # pin: the active-set labels are already checkpoint-backed, but
+        # the singleton leg re-derives ``nodes`` (often a full upstream
+        # lineage) -- without the pin every consumer would recompute it
+        out = labels.unionByName(singles).localCheckpoint(eager=False)
+    return out.select(F.col(id_col), F.col("label").alias("cluster_id"))
 
 
 def simhash(
