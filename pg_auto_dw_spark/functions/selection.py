@@ -405,6 +405,42 @@ def hashed_embedding(
     )
 
 
+def prepare_classifier_features(
+    pos_docs: DataFrame,
+    neg_docs: DataFrame,
+    buckets: int = CLASSIFIER_BUCKETS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The pinned (id, __y, b, __x) normalized feature matrix
+    ``train_linear_classifier`` iterates over: hashed-bucket token
+    counts per labeled doc, normalized to within-doc frequencies.
+    Split out (r15) so callers that need BOTH the training run and the
+    matrix itself (contract aggregations, feature audits) tokenize the
+    corpus exactly once.
+
+    Every per-example key is (id, __y), NOT the id alone: the same id
+    can legitimately appear in BOTH seed sets (pos/neg drawn from
+    different corpora with independent id spaces), and an id-only key
+    would pool the two examples' token counts in this normalization
+    AND cross-product the gradient join."""
+    labeled = pos_docs.select(
+        F.col(id_col), F.col(text_col), F.lit(1.0).alias("__y")
+    ).unionByName(
+        neg_docs.select(F.col(id_col), F.col(text_col), F.lit(0.0).alias("__y"))
+    )
+    mat = _doc_bucket_counts(labeled, text_col, id_col, buckets, "__y")
+    return (
+        mat.withColumn(
+            "__x",
+            F.col("c").cast("double")
+            / F.sum("c").over(Window.partitionBy(id_col, "__y")).cast("double"),
+        )
+        .select(id_col, "__y", "b", "__x")
+        .localCheckpoint(eager=True)
+    )
+
+
 def train_linear_classifier(
     pos_docs: DataFrame,
     neg_docs: DataFrame,
@@ -414,6 +450,7 @@ def train_linear_classifier(
     iters: int = 20,
     lr: float = 2.0,
     l2: float = 0.0,
+    features: DataFrame | None = None,
 ) -> tuple[DataFrame, list[float]]:
     """TRAIN the fastText-shape quality classifier that
     ``hashed_linear_score`` serves: full-batch logistic regression
@@ -443,30 +480,22 @@ def train_linear_classifier(
     monotone descent on separable fixtures). A bias term is learned
     for loss/calibration but NOT emitted: ``hashed_linear_score`` is a
     ranker (selection thresholds on relative score) and a constant
-    offset never changes the ranking."""
+    offset never changes the ranking.
+
+    ``features`` (r15 optimization seam): a pre-built pinned feature
+    matrix from ``prepare_classifier_features`` -- callers that ALSO
+    need the matrix (the registered contract row aggregates its
+    training-population integers from it) pass it in so the corpus is
+    tokenized once, not twice."""
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     spark = pos_docs.sparkSession
-    labeled = pos_docs.select(
-        F.col(id_col), F.col(text_col), F.lit(1.0).alias("__y")
-    ).unionByName(
-        neg_docs.select(F.col(id_col), F.col(text_col), F.lit(0.0).alias("__y"))
-    )
-    # pin the normalized feature matrix once; every iteration reuses it.
-    # Every per-example key below is (id, __y), NOT the id alone: the
-    # same id can legitimately appear in BOTH seed sets (pos/neg drawn
-    # from different corpora with independent id spaces), and an
-    # id-only key would pool the two examples' token counts in this
-    # normalization AND cross-product the gradient join.
-    mat = _doc_bucket_counts(labeled, text_col, id_col, buckets, "__y")
     feats = (
-        mat.withColumn(
-            "__x",
-            F.col("c").cast("double")
-            / F.sum("c").over(Window.partitionBy(id_col, "__y")).cast("double"),
+        features
+        if features is not None
+        else prepare_classifier_features(
+            pos_docs, neg_docs, buckets=buckets, text_col=text_col, id_col=id_col
         )
-        .select(id_col, "__y", "b", "__x")
-        .localCheckpoint(eager=True)
     )
     n_docs = feats.select(id_col, "__y").distinct().count()
     if n_docs == 0:
@@ -478,6 +507,11 @@ def train_linear_classifier(
     bias = 0.0
     losses: list[float] = []
     for it in range(iters):
+        # pin the per-example margins: both the loss aggregate and the
+        # gradient join read ``scored``, and without the pin the heavy
+        # subtree (broadcast join over the feature matrix + doc rollup)
+        # ran TWICE per iteration (r15, guide section 5 caching rule --
+        # reused AND expensive to recompute)
         scored = (
             feats.join(F.broadcast(weights), "b")
             .groupBy(id_col, "__y")
@@ -485,6 +519,7 @@ def train_linear_classifier(
             .withColumn(
                 "__p", F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("__s") + F.lit(bias))))
             )
+            .localCheckpoint(eager=True)
         )
         # clamp the log args: a perfectly-separated fixture drives p to
         # exactly 0/1 in fp and log would return -inf
@@ -518,7 +553,11 @@ def train_linear_classifier(
                     - step * F.coalesce(F.col("__g"), F.lit(0.0))
                 ).alias("__w"),
             )
-            .localCheckpoint(eager=True)  # cut the per-iteration lineage
+            # cut the per-iteration lineage; LAZY (r15): the next
+            # iteration's broadcast build (or the caller's first read)
+            # materializes it -- an eager pin here was one extra action
+            # per iteration for a <= buckets-row table
+            .localCheckpoint(eager=False)
         )
         bias = bias - lr * float(agg["gbias"]) / n_docs
     out = weights.select(

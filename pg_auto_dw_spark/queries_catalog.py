@@ -6581,24 +6581,39 @@ def classifier_train_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     the feature plumbing and the training contract."""
     import math
 
-    from .functions.selection import _token_stream, train_linear_classifier
+    from .functions.selection import (
+        prepare_classifier_features,
+        train_linear_classifier,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
+    # ONE tokenize+hash pass (r15): the pinned feature matrix feeds the
+    # training loop AND the contract aggregation below -- previously the
+    # corpus was re-tokenized a second time through _token_stream for
+    # the same distinct (doc, bucket) population (guide section 1.2:
+    # don't compute things twice). lang is non-NULL in every SF fixture,
+    # so feats' (__y == 1.0) partition IS the is_pos token population.
+    feats = prepare_classifier_features(
+        docs.filter(F.col("lang") == "en"),
+        docs.filter(F.col("lang") != "en"),
+        buckets=4096,
+    )
     weights, losses = train_linear_classifier(
         docs.filter(F.col("lang") == "en"),
         docs.filter(F.col("lang") != "en"),
         iters=4,
+        features=feats,
     )
     n_weight_rows = weights.count()  # <= buckets rows by construction
     mono = all(b <= a for a, b in zip(losses, losses[1:]))
     below = losses[-1] < math.log(2.0)
-    ts = _token_stream(
-        docs.withColumn("is_pos", F.col("lang") == "en"),
-        "text", "doc_id", 4096, "is_pos",
-    )
-    return ts.agg(
-        F.countDistinct(F.when(F.col("is_pos"), F.col("doc_id"))).alias("n_pos"),
-        F.countDistinct(F.when(~F.col("is_pos"), F.col("doc_id"))).alias("n_neg"),
+    return feats.agg(
+        F.countDistinct(
+            F.when(F.col("__y") == 1.0, F.col("doc_id"))
+        ).alias("n_pos"),
+        F.countDistinct(
+            F.when(F.col("__y") == 0.0, F.col("doc_id"))
+        ).alias("n_neg"),
         F.countDistinct("b").alias("n_feature_buckets"),
     ).select(
         F.col("n_pos").cast("bigint").alias("n_pos"),
