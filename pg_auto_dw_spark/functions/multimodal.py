@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -398,6 +399,99 @@ def _to_i64(v: int) -> int:
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
+# ---------------------------------------------------------------------------
+# Batched kernel primitives (r15 optimization, guide section 4.2): the
+# per-row Python loops above are exact but slow -- at bench scale one
+# parquet split means ONE Python task, so per-payload cost is the wall.
+# These helpers compute the SAME integers for a whole Arrow batch with
+# vectorized numpy (one cumsum + fancy indexing instead of per-cell byte
+# slicing; packbits instead of per-bit shifts). The scalar versions stay
+# as the executable spec -- tests pin batch == scalar row-for-row.
+# ---------------------------------------------------------------------------
+
+
+def _seg_avg_grids(
+    buf: np.ndarray, starts: np.ndarray, lengths: np.ndarray, cells: int
+) -> np.ndarray:
+    """(N, cells) int64 segment-average grids over N byte ranges of a
+    shared buffer -- the batched exact equivalent of
+    ``_gray_grid(buf[s:s+L], w, h)`` with ``w * h == cells`` for every
+    (s, L) with L >= 1. ``buf`` is uint8; boundaries and floor
+    divisions replay the scalar arithmetic bit-for-bit."""
+    cs = np.zeros(len(buf) + 1, dtype=np.int64)
+    # dtype=int64 INSIDE the cumsum: this numpy build's standalone
+    # uint8->int64 element cast (astype / default-dtype promotion) runs
+    # an unvectorized loop ~100x slower than the fused cast-accumulate
+    # (measured 7s vs 0.05s on a 5.7MB buffer) -- keep the cast fused.
+    cs[1:] = np.cumsum(buf, dtype=np.int64)
+    j = np.arange(cells, dtype=np.int64)
+    ln = lengths[:, None]
+    lo = (ln * j) // cells
+    hi = np.maximum((ln * (j + 1)) // cells, lo + 1)
+    base = starts[:, None]
+    sums = cs[base + hi] - cs[base + lo]
+    return sums // (hi - lo)
+
+
+def _pack_bits_i64(bits: np.ndarray) -> np.ndarray:
+    """(N, 64) boolean, bit k at column k -> (N,) signed int64 via the
+    same two's-complement fold as ``_to_i64``."""
+    packed = np.packbits(
+        np.ascontiguousarray(bits), axis=1, bitorder="little"
+    )  # (N, 8) uint8, byte b = bits 8b..8b+7
+    return packed.view("<u8").ravel().view(np.int64)
+
+
+def _dhash64_batch(grids: np.ndarray, w: int = 9, h: int = 8) -> np.ndarray:
+    """(N,) int64 dHashes of (N, w*h) grids -- bit (r*(w-1) + c) =
+    [row r cell c+1 > cell c], exactly ``_dhash64``; (w-1)*h must be
+    64."""
+    g = grids.reshape(len(grids), h, w)
+    bits = (g[:, :, 1:] > g[:, :, :-1]).reshape(len(grids), (w - 1) * h)
+    return _pack_bits_i64(bits)
+
+
+_DCT_CACHE: dict[int, np.ndarray] = {}
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    c = _DCT_CACHE.get(n)
+    if c is None:
+        k = np.arange(n)
+        c = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+        _DCT_CACHE[n] = c
+    return c
+
+
+def _phash64_batch(grids: np.ndarray, n: int = 32) -> np.ndarray:
+    """(N,) int64 pHashes of (N, n*n) grids: batched 2-D DCT-II (the
+    same left-associated ``(c @ m) @ c.T`` BLAS calls as the scalar
+    ``_phash64``, broadcast over the batch), 8x8 low block, bit =
+    [coefficient > median excluding DC]."""
+    c = _dct_matrix(n)
+    m = grids.reshape(len(grids), n, n).astype(np.float64)
+    low = np.matmul(np.matmul(c, m), c.T)[:, :8, :8].reshape(len(grids), 64)
+    med = np.median(low[:, 1:], axis=1)
+    return _pack_bits_i64(low > med[:, None])
+
+
+def _concat_idx(lengths: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(starts, lengths) addressing segments of the given lengths laid
+    end to end in one buffer."""
+    starts = np.zeros(len(lengths), dtype=np.int64)
+    np.cumsum(lengths[:-1], out=starts[1:])
+    return starts, lengths
+
+
+def _concat_payloads(payloads: list) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(buf uint8, starts int64, lengths int64) for a list of non-empty
+    byte strings, concatenated into one buffer."""
+    lengths = np.fromiter((len(b) for b in payloads), dtype=np.int64, count=len(payloads))
+    starts, lengths = _concat_idx(lengths)
+    buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+    return buf, starts, lengths
+
+
 def _pil_grids(payload: bytes, sizes: list[tuple[int, int]]) -> list[list[int]] | None:
     """PIL grayscale grids (one per requested (w, h)) for a genuinely
     encoded image payload, or None to signal the stub fallback -- not
@@ -506,15 +600,43 @@ def perceptual_hashes(media: DataFrame, min_spread: int = 0) -> DataFrame:
             pdf = pdf[pdf["media_type"] == "image"]
             if not len(pdf):
                 continue
-            dh, ph = [], []
-            for payload in pdf["payload"]:
-                small, big = _grids(payload)
-                if small is not None and min_spread and (
-                    max(small) - min(small) < min_spread
-                ):
-                    small = big = None  # flat image: no matchable structure
-                dh.append(None if small is None else _dhash64(small))
-                ph.append(None if big is None else _phash64(big))
+            n = len(pdf)
+            dh: list = [None] * n
+            ph: list = [None] * n
+            # split the batch: genuinely-encoded candidates keep the
+            # per-row PIL dispatch (real codec seam, incl. the failed-
+            # decode stub fallback); everything else takes the batched
+            # numpy stub -- bit-identical to the scalar _gray_grid path
+            stub_rows: list[int] = []
+            stub_payloads: list[bytes] = []
+            for i, payload in enumerate(pdf["payload"]):
+                if payload is None or len(payload) == 0:
+                    continue
+                if _HAVE_PIL and _is_encoded_image(payload):
+                    small, big = _grids(payload)
+                    if small is not None and min_spread and (
+                        max(small) - min(small) < min_spread
+                    ):
+                        small = big = None  # flat image: no structure
+                    dh[i] = None if small is None else _dhash64(small)
+                    ph[i] = None if big is None else _phash64(big)
+                else:
+                    stub_rows.append(i)
+                    stub_payloads.append(bytes(payload))
+            if stub_payloads:
+                buf, starts, lengths = _concat_payloads(stub_payloads)
+                small = _seg_avg_grids(buf, starts, lengths, 72)
+                keep = np.ones(len(stub_rows), dtype=bool)
+                if min_spread:
+                    keep = (
+                        small.max(axis=1) - small.min(axis=1)
+                    ) >= min_spread  # flat image: no matchable structure
+                dhs = _dhash64_batch(small)
+                phs = _phash64_batch(_seg_avg_grids(buf, starts, lengths, 1024))
+                for j, i in enumerate(stub_rows):
+                    if keep[j]:
+                        dh[i] = int(dhs[j])
+                        ph[i] = int(phs[j])
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

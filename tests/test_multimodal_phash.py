@@ -143,6 +143,66 @@ def test_grid_and_hash_units():
     assert isinstance(_phash64([0] * 1024), int)
 
 
+def test_batched_kernels_equal_scalar_spec():
+    """r15 optimization pin: the vectorized numpy batch kernels
+    (_seg_avg_grids / _dhash64_batch / _phash64_batch) reproduce the
+    scalar executable spec (_gray_grid / _dhash64 / _phash64)
+    bit-for-bit over varied payload lengths, including sub-cell-count
+    payloads and flat (zero-spread) payloads."""
+    import numpy as np
+
+    from pg_auto_dw_spark.functions.multimodal import (
+        _concat_payloads,
+        _dhash64_batch,
+        _phash64_batch,
+        _seg_avg_grids,
+    )
+
+    payloads = (
+        [_payload(s, n) for s, n in [(1, 720), (2, 3), (3, 71), (4, 72),
+                                     (5, 73), (6, 1024), (7, 1), (8, 5000)]]
+        + [bytes([50] * 700), bytes([0] * 64), b"\xff"]
+    )
+    buf, starts, lengths = _concat_payloads(payloads)
+    small = _seg_avg_grids(buf, starts, lengths, 72)
+    big = _seg_avg_grids(buf, starts, lengths, 1024)
+    dhs = _dhash64_batch(small)
+    phs = _phash64_batch(big)
+    for i, p in enumerate(payloads):
+        g_small = _gray_grid(p, 9, 8)
+        g_big = _gray_grid(p, 32, 32)
+        assert list(small[i]) == g_small, f"small grid row {i}"
+        assert list(big[i]) == g_big, f"big grid row {i}"
+        assert int(dhs[i]) == _dhash64(g_small), f"dhash row {i}"
+        assert int(phs[i]) == _phash64(g_big), f"phash row {i}"
+    # the min_spread keep-mask matches the scalar spread predicate
+    spread = small.max(axis=1) - small.min(axis=1)
+    for i, p in enumerate(payloads):
+        g = _gray_grid(p, 9, 8)
+        assert (int(spread[i]) >= 5) == (max(g) - min(g) >= 5)
+    assert not (spread >= 5)[8]  # the flat tone row is suppressed
+    assert isinstance(np.asarray(dhs).dtype.type(0), np.int64)
+
+
+def test_perceptual_hashes_mixed_flat_batch_min_spread(spark):
+    """The mixed keep/suppress batch path (flat rows interleaved with
+    structured ones under min_spread) matches the scalar per-row
+    answer -- exercises the kept-subset re-index of the pHash grid."""
+    base = _payload(1)
+    rows = [(1, base), (2, bytes([7] * 300)), (3, _edited(base)),
+            (4, bytes([200] * 90)), (5, _payload(9))]
+    got = {
+        r["media_id"]: (r["dhash"], r["phash"])
+        for r in perceptual_hashes(_media(spark, rows), min_spread=5).collect()
+    }
+    for mid, p in rows:
+        g = _gray_grid(p, 9, 8)
+        if max(g) - min(g) < 5:
+            assert got[mid] == (None, None), mid
+        else:
+            assert got[mid] == (_dhash64(g), _phash64(_gray_grid(p, 32, 32))), mid
+
+
 SIGNED64 = st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1)
 
 
