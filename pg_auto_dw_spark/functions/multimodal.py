@@ -157,15 +157,13 @@ def decode_media_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
         out["height"] = pd.array([d["height"] for d in decoded], dtype="Int32")
         out["n_frames"] = pd.array([d["n_frames"] for d in decoded], dtype="Int32")
 
-        def histogram(b: bytes | None) -> list[float]:
-            b = b or b""
-            counts = [0] * 8
-            for byte in b:
-                counts[byte >> 5] += 1
-            total = max(len(b), 1)
-            return [c / total for c in counts]
-
-        out["feature"] = pdf["payload"].map(histogram)
+        # batched 8-bin byte histogram (numpy bincount over the shared
+        # buffer; one pass over all payload bytes instead of a Python
+        # loop per byte) -- ratios identical to the scalar
+        # count / max(len, 1) float division
+        out["feature"] = _byte_histograms(
+            [b"" if b is None else bytes(b) for b in pdf["payload"]]
+        )
         yield pd.DataFrame(out)
 
 
@@ -309,25 +307,24 @@ def embed_media(media: DataFrame, dims: int = 64) -> DataFrame:
     previously leaked past downstream isNotNull filters and
     concentrated into one degenerate LSH bucket per family, the exact
     hot-bucket poison the hash families' NULL convention avoids)."""
-    import math
-
-    def _embed_payload(b: bytes) -> list[float] | None:
-        if b is None or len(b) < 3:
-            return None  # no trigram: no content evidence, NULL
-        v = [0.0] * dims
-        for i in range(len(b) - 2):
-            h = (b[i] * 65599 + b[i + 1]) * 65599 + b[i + 2]
-            v[h % dims] += 1.0 if (h >> 7) & 1 else -1.0
-        n = math.sqrt(sum(x * x for x in v))
-        return [x / n for x in v] if n > 0 else v
-
     def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            embs: list = [None] * len(pdf)
+            idx = [
+                i for i, p in enumerate(pdf["payload"])
+                if p is not None and len(p) >= 3
+            ]  # no trigram: no content evidence, NULL
+            if idx:
+                vecs = _trigram_embeddings(
+                    [bytes(pdf["payload"].iloc[i]) for i in idx], dims
+                )
+                for j, i in enumerate(idx):
+                    embs[i] = vecs[j]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "media_type": pdf["media_type"],
-                    "embedding": pdf["payload"].map(_embed_payload),
+                    "embedding": embs,
                 }
             )
 
@@ -410,6 +407,33 @@ def _to_i64(v: int) -> int:
 # ---------------------------------------------------------------------------
 
 
+def _prefix_sums(buf: np.ndarray) -> np.ndarray:
+    """Exclusive int64 prefix sums of a uint8 buffer (cs[i] = sum of
+    buf[:i]); shared by every grid family so one Arrow batch pays ONE
+    pass over the payload bytes."""
+    cs = np.zeros(len(buf) + 1, dtype=np.int64)
+    # dtype=int64 INSIDE the cumsum: this numpy build's standalone
+    # uint8->int64 element cast (astype / default-dtype promotion) runs
+    # an unvectorized loop ~100x slower than the fused cast-accumulate
+    # (measured 7s vs 0.05s on a 5.7MB buffer) -- keep the cast fused.
+    cs[1:] = np.cumsum(buf, dtype=np.int64)
+    return cs
+
+
+def _seg_avg_grids_cs(
+    cs: np.ndarray, starts: np.ndarray, lengths: np.ndarray, cells: int
+) -> np.ndarray:
+    """(N, cells) grids from precomputed prefix sums -- see
+    ``_seg_avg_grids``."""
+    j = np.arange(cells, dtype=np.int64)
+    ln = lengths[:, None]
+    lo = (ln * j) // cells
+    hi = np.maximum((ln * (j + 1)) // cells, lo + 1)
+    base = starts[:, None]
+    sums = cs[base + hi] - cs[base + lo]
+    return sums // (hi - lo)
+
+
 def _seg_avg_grids(
     buf: np.ndarray, starts: np.ndarray, lengths: np.ndarray, cells: int
 ) -> np.ndarray:
@@ -418,19 +442,25 @@ def _seg_avg_grids(
     ``_gray_grid(buf[s:s+L], w, h)`` with ``w * h == cells`` for every
     (s, L) with L >= 1. ``buf`` is uint8; boundaries and floor
     divisions replay the scalar arithmetic bit-for-bit."""
-    cs = np.zeros(len(buf) + 1, dtype=np.int64)
-    # dtype=int64 INSIDE the cumsum: this numpy build's standalone
-    # uint8->int64 element cast (astype / default-dtype promotion) runs
-    # an unvectorized loop ~100x slower than the fused cast-accumulate
-    # (measured 7s vs 0.05s on a 5.7MB buffer) -- keep the cast fused.
-    cs[1:] = np.cumsum(buf, dtype=np.int64)
-    j = np.arange(cells, dtype=np.int64)
-    ln = lengths[:, None]
-    lo = (ln * j) // cells
-    hi = np.maximum((ln * (j + 1)) // cells, lo + 1)
-    base = starts[:, None]
-    sums = cs[base + hi] - cs[base + lo]
-    return sums // (hi - lo)
+    return _seg_avg_grids_cs(_prefix_sums(buf), starts, lengths, cells)
+
+
+def _video_frame_index(
+    starts: np.ndarray, lengths: np.ndarray, max_frames: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Expand N video payload ranges into per-frame ranges: (video row
+    index, frame_no, frame start, frame length), replaying the scalar
+    loop's arithmetic (k = clamp(1 + L % 120, 1, max_frames); frame f
+    covers [f*L//k, max((f+1)*L//k, f*L//k + 1))) exactly."""
+    k = np.maximum(np.minimum(1 + lengths % 120, max_frames), 1)
+    vid = np.repeat(np.arange(len(lengths), dtype=np.int64), k)
+    csk = np.zeros(len(k) + 1, dtype=np.int64)
+    csk[1:] = np.cumsum(k)
+    f = np.arange(len(vid), dtype=np.int64) - csk[vid]
+    kl, ll = k[vid], lengths[vid]
+    lo = (f * ll) // kl
+    hi = np.maximum(((f + 1) * ll) // kl, lo + 1)
+    return vid, f, starts[vid] + lo, hi - lo
 
 
 def _pack_bits_i64(bits: np.ndarray) -> np.ndarray:
@@ -473,6 +503,52 @@ def _phash64_batch(grids: np.ndarray, n: int = 32) -> np.ndarray:
     low = np.matmul(np.matmul(c, m), c.T)[:, :8, :8].reshape(len(grids), 64)
     med = np.median(low[:, 1:], axis=1)
     return _pack_bits_i64(low > med[:, None])
+
+
+def _trigram_embeddings(payloads: list, dims: int) -> list:
+    """L2-normalized signed byte-trigram hash histograms for payloads
+    of >= 3 bytes -- the batched exact equivalent of the scalar
+    ``_embed_payload`` loop (hash ``(b0*65599 + b1)*65599 + b2``, slot
+    ``h % dims``, sign bit ``(h >> 7) & 1``; signed counts are exact
+    small integers so the norm and division reproduce the scalar
+    float64 results bit-for-bit). Returns a list of Python-float
+    lists (all-zero UNnormalized when every slot cancels, matching the
+    scalar n == 0 branch)."""
+    buf, starts, lengths = _concat_payloads(payloads)
+    k = lengths - 2  # trigrams per payload (every length >= 3)
+    seg = np.repeat(np.arange(len(payloads), dtype=np.int64), k)
+    csk = np.zeros(len(k) + 1, dtype=np.int64)
+    csk[1:] = np.cumsum(k)
+    pos = starts[seg] + (np.arange(len(seg), dtype=np.int64) - csk[seg])
+    # int64 byte values as adjacent prefix-sum differences: the only
+    # uint8 -> int64 cast this numpy build runs fast is the one fused
+    # into cumsum (see _prefix_sums), so gather bytes from it
+    cs = _prefix_sums(buf)
+    b0, b1, b2 = (cs[pos + o + 1] - cs[pos + o] for o in (0, 1, 2))
+    h = b0 * (65599 * 65599) + b1 * 65599 + b2
+    w = np.where((h >> 7) & 1, 1.0, -1.0)
+    v = np.bincount(
+        seg * dims + h % dims, weights=w, minlength=len(payloads) * dims
+    ).reshape(len(payloads), dims)
+    norms = np.sqrt((v * v).sum(axis=1))
+    out = np.divide(v, norms[:, None], out=v, where=norms[:, None] > 0)
+    return out.tolist()
+
+
+def _byte_histograms(payloads: list) -> list:
+    """Per-payload 8-bin high-3-bit byte histograms as ratio lists --
+    the batched exact equivalent of the scalar per-byte loop
+    (``counts[byte >> 5] += 1`` then ``c / max(len, 1)``). Empty
+    payloads are legal (all-zero bins over a divisor of 1)."""
+    lengths = np.fromiter(
+        (len(b) for b in payloads), dtype=np.int64, count=len(payloads)
+    )
+    buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+    seg = np.repeat(np.arange(len(payloads), dtype=np.int64), lengths)
+    counts = np.bincount(
+        seg * 8 + (buf >> 5), minlength=len(payloads) * 8
+    ).reshape(len(payloads), 8)
+    return (counts / np.maximum(lengths, 1)[:, None]).tolist()
 
 
 def _concat_idx(lengths: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -707,20 +783,28 @@ def audio_fingerprints(media: DataFrame, min_spread: int = 0) -> DataFrame:
     configuration). Pairs via ``audio_near_dup_pairs`` (the
     shared pigeonhole join); map-only, no shuffle."""
 
-    def _fp(payload: bytes | None) -> int | None:
-        if payload is None or len(payload) == 0:
-            return None
-        env = _gray_grid(payload, 65, 1)
-        if min_spread and max(env) - min(env) < min_spread:
-            return None  # silence/flat tone: no matchable structure
-        return _dhash64(env, w=65, h=1)
-
     def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf[pdf["media_type"] == "audio"]
             if not len(pdf):
                 continue
-            fps = [_fp(payload) for payload in pdf["payload"]]
+            fps: list = [None] * len(pdf)
+            idx = [i for i, p in enumerate(pdf["payload"]) if p is not None and len(p)]
+            if idx:
+                # batched envelope + sign bits (numpy, one buffer pass)
+                # -- bit-identical to _gray_grid(p, 65, 1) -> _dhash64
+                buf, starts, lengths = _concat_payloads(
+                    [bytes(pdf["payload"].iloc[i]) for i in idx]
+                )
+                env = _seg_avg_grids(buf, starts, lengths, 65)
+                keep = np.ones(len(idx), dtype=bool)
+                if min_spread:
+                    # silence/flat tone: no matchable structure
+                    keep = (env.max(axis=1) - env.min(axis=1)) >= min_spread
+                hashes = _dhash64_batch(env, w=65, h=1)
+                for j, i in enumerate(idx):
+                    if keep[j]:
+                        fps[i] = int(hashes[j])
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"], "afp": pd.array(fps, dtype="Int64")}
             )
@@ -799,25 +883,38 @@ def video_frame_hashes(
             pdf = pdf[pdf["media_type"] == "video"]
             if not len(pdf):
                 continue
-            rows = []
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                if payload is None or len(payload) == 0:
-                    continue  # no content: no frames (NULL convention)
-                b = bytes(payload)
-                n = _fake_decode("video", b)["n_frames"]
-                k = max(1, min(n, max_frames))
-                for f in range(k):
-                    lo = f * len(b) // k
-                    hi = max((f + 1) * len(b) // k, lo + 1)
-                    grid = _gray_grid(b[lo:hi], 9, 8)
-                    if min_spread and max(grid) - min(grid) < min_spread:
-                        continue  # flat frame: no matchable structure
-                    rows.append((mid, f, _dhash64(grid)))
-            if not rows:
+            payloads = [
+                bytes(p) for p in pdf["payload"] if p is not None and len(p)
+            ]  # no content: no frames (NULL convention)
+            mids = np.fromiter(
+                (m for m, p in zip(pdf["media_id"], pdf["payload"])
+                 if p is not None and len(p)),
+                dtype=np.int64, count=len(payloads),
+            )
+            if not len(payloads):
                 continue
-            out = pd.DataFrame(rows, columns=["media_id", "frame_no", "fhash"])
-            out["frame_no"] = pd.array(out["frame_no"], dtype="Int32")
-            yield out
+            # batched frame expansion + 9x8 grids + dHash (numpy; one
+            # buffer pass) -- frame boundaries, grid arithmetic, and
+            # sign bits replay the scalar loop bit-for-bit
+            buf, starts, lengths = _concat_payloads(payloads)
+            vid, fno, fstarts, flens = _video_frame_index(starts, lengths, max_frames)
+            grids = _seg_avg_grids(buf, fstarts, flens, 72)
+            keep = np.ones(len(vid), dtype=bool)
+            if min_spread:
+                # flat frame: no matchable structure
+                keep = (grids.max(axis=1) - grids.min(axis=1)) >= min_spread
+            hashes = _dhash64_batch(grids)
+            if not keep.all():
+                vid, fno, hashes = vid[keep], fno[keep], hashes[keep]
+            if not len(vid):
+                continue
+            yield pd.DataFrame(
+                {
+                    "media_id": mids[vid],
+                    "frame_no": pd.array(fno, dtype="Int32"),
+                    "fhash": hashes,
+                }
+            )
 
     return media.select("media_id", "media_type", "payload").mapInPandas(
         body, schema=VIDEO_FH_SCHEMA
@@ -942,35 +1039,68 @@ def media_hash_rows(
     family kernels' exactly -- pinned row-identical to their union in
     tests and byte-replayed by the ``media_hash_rows_docs`` oracle."""
 
+    def _emit(mids, mtype, fnos, hashes, keep, rows):
+        for j in range(len(mids)):
+            if keep[j]:
+                rows.append((int(mids[j]), mtype, int(fnos[j]), int(hashes[j])))
+
     def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
+            rows: list = []
+            # split per family; PIL-candidate images keep the per-row
+            # decode dispatch (real-codec seam), everything else rides
+            # the batched numpy stub over ONE shared prefix-sum pass
+            fam: dict[str, tuple[list, list]] = {
+                "image": ([], []), "audio": ([], []), "video": ([], [])
+            }
             for mid, mtype, payload in zip(
                 pdf["media_id"], pdf["media_type"], pdf["payload"]
             ):
                 if payload is None or len(payload) == 0:
                     continue  # unsigned: no content, no row
                 b = bytes(payload)
-                if mtype == "image":
+                if mtype == "image" and _HAVE_PIL and _is_encoded_image(b):
                     g = _image_small_grid(b)
                     if min_spread and max(g) - min(g) < min_spread:
                         continue
                     rows.append((mid, "image", 0, _dhash64(g)))
-                elif mtype == "audio":
-                    env = _gray_grid(b, 65, 1)
-                    if min_spread and max(env) - min(env) < min_spread:
+                elif mtype in fam:
+                    fam[mtype][0].append(mid)
+                    fam[mtype][1].append(b)
+            stub_payloads = fam["image"][1] + fam["audio"][1] + fam["video"][1]
+            if stub_payloads:
+                buf, starts, lengths = _concat_payloads(stub_payloads)
+                cs = _prefix_sums(buf)
+                n_img, n_aud = len(fam["image"][1]), len(fam["audio"][1])
+                img, aud, vid_s = (
+                    slice(0, n_img),
+                    slice(n_img, n_img + n_aud),
+                    slice(n_img + n_aud, None),
+                )
+                for mtype, sl, cells, w, h in (
+                    ("image", img, 72, 9, 8), ("audio", aud, 65, 65, 1)
+                ):
+                    if not fam[mtype][0]:
                         continue
-                    rows.append((mid, "audio", 0, _dhash64(env, w=65, h=1)))
-                elif mtype == "video":
-                    n = _fake_decode("video", b)["n_frames"]
-                    k = max(1, min(n, max_frames))
-                    for f in range(k):
-                        lo = f * len(b) // k
-                        hi = max((f + 1) * len(b) // k, lo + 1)
-                        g = _gray_grid(b[lo:hi], 9, 8)
-                        if min_spread and max(g) - min(g) < min_spread:
-                            continue
-                        rows.append((mid, "video", f, _dhash64(g)))
+                    g = _seg_avg_grids_cs(cs, starts[sl], lengths[sl], cells)
+                    keep = (
+                        (g.max(axis=1) - g.min(axis=1)) >= min_spread
+                        if min_spread else np.ones(len(g), dtype=bool)
+                    )
+                    _emit(fam[mtype][0], mtype,
+                          np.zeros(len(g), dtype=np.int64),
+                          _dhash64_batch(g, w=w, h=h), keep, rows)
+                if fam["video"][0]:
+                    vid, fno, fstarts, flens = _video_frame_index(
+                        starts[vid_s], lengths[vid_s], max_frames
+                    )
+                    g = _seg_avg_grids_cs(cs, fstarts, flens, 72)
+                    keep = (
+                        (g.max(axis=1) - g.min(axis=1)) >= min_spread
+                        if min_spread else np.ones(len(g), dtype=bool)
+                    )
+                    vmids = np.asarray(fam["video"][0], dtype=np.int64)[vid]
+                    _emit(vmids, "video", fno, _dhash64_batch(g), keep, rows)
             if not rows:
                 continue
             out = pd.DataFrame(

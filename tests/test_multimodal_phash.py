@@ -184,6 +184,64 @@ def test_batched_kernels_equal_scalar_spec():
     assert isinstance(np.asarray(dhs).dtype.type(0), np.int64)
 
 
+def test_batched_family_kernels_equal_scalar_spec():
+    """r15 optimization pin for the remaining batched families: audio
+    envelope hashes, video frame expansion + hashes, byte histograms,
+    and trigram embeddings each reproduce their scalar loops exactly."""
+    import math
+
+    from pg_auto_dw_spark.functions.multimodal import (
+        _byte_histograms,
+        _concat_payloads,
+        _dhash64_batch,
+        _fake_decode,
+        _seg_avg_grids,
+        _trigram_embeddings,
+        _video_frame_index,
+    )
+
+    payloads = [_payload(s, n) for s, n in
+                [(1, 3), (2, 64), (3, 65), (4, 120), (5, 700), (6, 5000)]]
+    buf, starts, lengths = _concat_payloads(payloads)
+    env = _seg_avg_grids(buf, starts, lengths, 65)
+    ah = _dhash64_batch(env, w=65, h=1)
+    for i, p in enumerate(payloads):
+        e = _gray_grid(p, 65, 1)
+        assert list(env[i]) == e and int(ah[i]) == _dhash64(e, w=65, h=1)
+
+    for mf in (16, 3, 1):
+        vid, fno, fs, fl = _video_frame_index(starts, lengths, mf)
+        g = _seg_avg_grids(buf, fs, fl, 72)
+        vh = _dhash64_batch(g)
+        r = 0
+        for i, p in enumerate(payloads):
+            k = max(1, min(_fake_decode("video", p)["n_frames"], mf))
+            for f in range(k):
+                lo, hi = f * len(p) // k, max((f + 1) * len(p) // k, f * len(p) // k + 1)
+                gg = _gray_grid(p[lo:hi], 9, 8)
+                assert (int(vid[r]), int(fno[r])) == (i, f)
+                assert list(g[r]) == gg and int(vh[r]) == _dhash64(gg)
+                r += 1
+        assert r == len(vid)
+
+    for i, b in enumerate(_byte_histograms(payloads + [b""])):
+        p = (payloads + [b""])[i]
+        counts = [0] * 8
+        for byte in p:
+            counts[byte >> 5] += 1
+        assert b == [c / max(len(p), 1) for c in counts]
+
+    for dims in (64, 16):
+        got = _trigram_embeddings(payloads, dims)
+        for i, p in enumerate(payloads):
+            v = [0.0] * dims
+            for j in range(len(p) - 2):
+                h = (p[j] * 65599 + p[j + 1]) * 65599 + p[j + 2]
+                v[h % dims] += 1.0 if (h >> 7) & 1 else -1.0
+            n = math.sqrt(sum(x * x for x in v))
+            assert got[i] == ([x / n for x in v] if n > 0 else v)
+
+
 def test_perceptual_hashes_mixed_flat_batch_min_spread(spark):
     """The mixed keep/suppress batch path (flat rows interleaved with
     structured ones under min_spread) matches the scalar per-row
