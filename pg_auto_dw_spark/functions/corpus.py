@@ -611,34 +611,39 @@ def remove_repeated_segments(
         segs.groupBy("__h")
         .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
         .filter(F.col("__nd") > max_docs)
-        .select("__h")
+        .select("__h", F.lit(True).alias("__boiler"))
     )
     if max_broadcast_segments is None:
         # AQE-guarded: no hint; the runtime broadcasts only if the
         # boiler stage's measured size fits, else shuffles (see docstring)
-        kept = segs.join(boiler, "__h", "left_anti")
+        flagged = segs.join(boiler, "__h", "left")
     else:
         boiler = boiler.localCheckpoint(eager=True)  # counted, then joined
         if boiler.count() <= max_broadcast_segments:
-            kept = segs.join(F.broadcast(boiler), "__h", "left_anti")
+            flagged = segs.join(F.broadcast(boiler), "__h", "left")
         else:
-            kept = segs.join(boiler, "__h", "left_anti")
-    clean = kept.groupBy(id_col).agg(
+            flagged = segs.join(boiler, "__h", "left")
+    # ONE aggregation serves base + clean: every doc owns >= 1 segment
+    # row (n_segs >= 1 by construction), so n_segments = COUNT(*) per
+    # doc over the pinned segs -- no second full text-split scan -- and
+    # the kept/removed split is a conditional agg over the boiler flag
+    # (collect_list skips the NULLed-out boiler rows), replacing the
+    # old anti-join + separate base scan + final id-join.
+    keep_seg = F.when(F.col("__boiler").isNull(), F.struct("seg_id", "seg"))
+    return flagged.groupBy(id_col).agg(
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("seg_id", "seg"))),
-                lambda s: s["seg"],
+                F.array_sort(F.collect_list(keep_seg)), lambda s: s["seg"]
             ),
             " ",
         ).alias("clean_text"),
-        F.count(F.lit(1)).alias("__kept"),
-    )
-    base = df.select(F.col(id_col), n_segs.alias("n_segments"))
-    return base.join(clean, id_col, "left").select(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.count(F.col("__boiler")).alias("__rm"),
+    ).select(
         id_col,
-        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        "clean_text",
         "n_segments",
-        (F.col("n_segments") - F.coalesce(F.col("__kept"), F.lit(0))).alias("n_removed"),
+        F.col("__rm").alias("n_removed"),
     )
 
 
