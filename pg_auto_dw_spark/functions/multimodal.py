@@ -18,10 +18,25 @@ executor memory.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
+
+# Belt-and-braces twin of the package-init NUMPY_MADVISE_HUGEPAGE=0
+# default (see pg_auto_dw_spark/__init__.py): a worker whose numpy was
+# imported before the env var landed (pre-warmed daemons, foreign entry
+# points) still gets the toggle, because this module imports inside
+# every worker that runs a media kernel. Same opt-out env var.
+if os.environ.get("NUMPY_MADVISE_HUGEPAGE", "0") != "1":
+    try:  # private but stable since numpy 1.18; a miss just keeps THP on
+        np.core.multiarray._set_madvise_hugepage(False)  # type: ignore[attr-defined]
+    except Exception:
+        try:
+            np._core.multiarray._set_madvise_hugepage(False)  # type: ignore[attr-defined]
+        except Exception:
+            pass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T

@@ -83,6 +83,14 @@ def get_spark(app_name: str = "pg_auto_dw_spark", master: str | None = None) -> 
         # accumulate dead blocks into storage-eviction churn. Spark's
         # own periodic-GC hook bounds that (default is 30min).
         .config("spark.cleaner.periodicGC.interval", "2min")
+        # Propagate the numpy THP-madvise opt-out (see
+        # pg_auto_dw_spark/__init__.py) to CLUSTER executors, whose
+        # Python workers do not inherit the driver environment the way
+        # local mode's do. Harmless no-op when already disabled.
+        .config(
+            "spark.executorEnv.NUMPY_MADVISE_HUGEPAGE",
+            os.environ.get("NUMPY_MADVISE_HUGEPAGE", "0"),
+        )
     )
     return prepare(builder.getOrCreate())
 
