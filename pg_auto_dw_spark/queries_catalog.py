@@ -301,13 +301,97 @@ _RETIRED = {
     # JOIN, the harder shape -- plus events_heavy_hitter_users)
     "corpus_datacard",
     "events_salted_type_stats",
+    # r16 retirements (the five the r15 note designated -- matching
+    # the five r15 mid-order registrations so the exactly-50
+    # arithmetic closes -- final call confirmed; coverage rationales
+    # in the r15 candidates note below: corpus_contamination_pairs is
+    # replayed inside corpus_decontaminate (in this round's
+    # _PRIORITY); ann_lsh_bucket_topk's band-join kernel stays via
+    # dedup_minhash_lsh_pairs (also _PRIORITY); the INSERT..SELECT
+    # anti-join sink keeps hub_load_lineitem_composite +
+    # link_load_order_part_supplier on the same composite grain;
+    # documents_pack_sequences' placement CTE is replayed whole by
+    # documents_packed_token_stream; corpus_token_budget_sample's
+    # bucket-greedy prefix is replayed whole by
+    # documents_multimodal_budget_sample)
+    "corpus_contamination_pairs",
+    "ann_lsh_bucket_topk",
+    "sat_load_lineitem_composite",
+    "documents_pack_sequences",
+    "corpus_token_budget_sample",
 }
+# Round 16 state (EXECUTED per the r15 note and the r15 VERDICT
+# directive 8): _PRIORITY = the 50 rows that rested in r15 MINUS the
+# five designated retirements (all five confirmed RESTING in r15,
+# coverage rationales above) PLUS the five r15 mid-order
+# registrations taking their first driver rows. Exactly 50.
+# _DEPRIORITIZED = the 50 rows verified in r15 (CORRECTNESS_r15:
+# 50/50 green). Invariants re-checked via
+# tests/test_catalog_invariants.py before commit.
 _PRIORITY = [
+    # r15 mid-order registrations: first driver rows (r15 VERDICT #8)
+    "documents_pack_multimodal",
+    "media_datacard_drift_docs",
+    "media_decode_rules_docs",
+    "documents_packed_token_stream",
+    "documents_multimodal_budget_sample",
+    # the 45 rows that rested in r15 (50 minus the five designated
+    # retirements executed this round -- see the r16 rotation note)
+    "media_hash_rows_docs",
+    "audio_near_dup_pairs_docs",
+    "video_near_dup_pairs_docs",
+    "sft_render_chat_spans",
+    "eval_scores_report",
+    "corpus_datacard_drift",
+    "doremi_domain_weights",
+    "documents_bpe_token_counts",
+    "documents_shard_plan",
+    "warehouse_snapshot_diff",
+    "events_correlation_matrix",
+    "documents_hashed_embedding",
+    "documents_source_overlap",
+    "text_bigram_logprob",
+    "documents_duplicated_spans",
+    "ann_pq_recall_bounds",
+    "documents_jsonl_roundtrip",
+    "scd2_merge_state",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "top_orders_per_customer",
+    "events_rollup_hierarchy",
+    "events_sessionize",
+    "part_name_tokens_explode",
+    "orders_without_lineitems_anti",
+    "text_language_id",
+    "text_quality_scores",
+    "dedup_exact_documents",
+    "dedup_minhash_lsh_pairs",
+    "corpus_clean_docs",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "pending_tables_cutoff",
+    "source_table_prompt_payload",
+    "auto_dw_hash_parity",
+    "hub_load_lineitem_composite",
+    "link_load_order_part_supplier",
+    "scd2_partitioned_merge",
+    "corpus_decontaminate",
+    "source_profile_customer",
+    "text_repetition",
+    "ann_ivf_multiprobe_topk",
+    "documents_zip_format_violations",
+    "dedup_keep_best_documents",
+]
+_DEPRIORITIZED = [
+    # the 50 rows verified in r15 (CORRECTNESS_r15: 50/50 green --
+    # this was r15's _PRIORITY, resting this round per the two-round
+    # rotation)
     # r14 mid-order registrations: first driver rows (r14 VERDICT #1)
     "media_text_pairs_docs",
     "media_datacard_docs",
     # the 48 rows that rested in r14 (50 minus the two designated
-    # retirements executed this round -- see the r15 rotation note)
+    # retirements executed in r15 -- see the r15 rotation note)
     "documents_ndv_ledger",
     "classifier_train_contract",
     "semantic_decontaminate_flags",
@@ -356,63 +440,6 @@ _PRIORITY = [
     "ghost_records_customer",
     "status_source_column",
     "tracking_union_except",
-]
-_DEPRIORITIZED = [
-    # the 50 rows verified in r14 (CORRECTNESS_r14: 50/50 green --
-    # this was r14's _PRIORITY, resting this round per the two-round
-    # rotation)
-    # r13 mid-order registrations: first driver rows (r13 VERDICT #1)
-    "media_hash_rows_docs",
-    "audio_near_dup_pairs_docs",
-    "video_near_dup_pairs_docs",
-    # the 47 rows that rested in r13 and ran green in r14
-    "sft_render_chat_spans",
-    "eval_scores_report",
-    "corpus_datacard_drift",
-    "doremi_domain_weights",
-    "documents_bpe_token_counts",
-    "documents_shard_plan",
-    "warehouse_snapshot_diff",
-    "events_correlation_matrix",
-    "documents_hashed_embedding",
-    "documents_source_overlap",
-    "documents_pack_sequences",
-    "text_bigram_logprob",
-    "documents_duplicated_spans",
-    "ann_pq_recall_bounds",
-    "documents_jsonl_roundtrip",
-    "scd2_merge_state",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "top_orders_per_customer",
-    "events_rollup_hierarchy",
-    "events_sessionize",
-    "part_name_tokens_explode",
-    "orders_without_lineitems_anti",
-    "text_language_id",
-    "text_quality_scores",
-    "corpus_token_budget_sample",
-    "dedup_exact_documents",
-    "dedup_minhash_lsh_pairs",
-    "corpus_clean_docs",
-    "dedup_ngram_jaccard",
-    "ann_lsh_bucket_topk",
-    "dedup_embedding_cosine",
-    "pending_tables_cutoff",
-    "source_table_prompt_payload",
-    "auto_dw_hash_parity",
-    "hub_load_lineitem_composite",
-    "sat_load_lineitem_composite",
-    "link_load_order_part_supplier",
-    "scd2_partitioned_merge",
-    "corpus_contamination_pairs",
-    "corpus_decontaminate",
-    "source_profile_customer",
-    "text_repetition",
-    "ann_ivf_multiprobe_topk",
-    "documents_zip_format_violations",
-    "dedup_keep_best_documents",
 ]
 # Designated retirement CANDIDATES for the NEXT rotation (final call
 # at r13; every mid-order registration must be matched by one so the
@@ -566,13 +593,11 @@ _DEPRIORITIZED = [
 #                            (pinned in tests/test_multimodal_budget.py),
 #                            the documents_pack_sequences exact-subset
 #                            precedent one entry up)
-_NEXT_RETIREMENT_CANDIDATES = [
-    "corpus_contamination_pairs",
-    "ann_lsh_bucket_topk",
-    "sat_load_lineitem_composite",
-    "documents_pack_sequences",
-    "corpus_token_budget_sample",
-]
+# r16: the five candidates above were RETIRED this round (the r16
+# rotation executed them); r16 is an optimization round with NO new
+# registrations, so no mid-order rows need matching candidates and
+# the list is empty until the next build round registers queries.
+_NEXT_RETIREMENT_CANDIDATES = []
 # NOTE for round 13: EXECUTED -- see the "Round 13 state" note beside
 # _NEXT_RETIREMENT_CANDIDATES above (the mechanical swap the r12 note
 # prescribed, invariants re-run before commit).
