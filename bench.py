@@ -477,10 +477,33 @@ def main() -> None:
     if jobs_calibrated:
         compact["jobs_total"] = sum(jobs.values())
     compact["detail"] = "BENCH_DETAIL.json"
-    line = json.dumps(compact)
-    if len(line) > 1900:  # degrade gracefully: headline fields survive
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:
+        # The full {name: sec} map cannot fit the recording harness's
+        # 2000-byte stdout window once the suite passed ~55 rows (the
+        # row names alone are ~1.6 kB) -- r14/r15 silently dropped it
+        # here and blinded the driver's per-query comparison (r15
+        # VERDICT "What's wrong" #2). Degrade to a POSITIONAL encoding
+        # instead of dropping the data: "q" = centisecond ints in
+        # benched row order, "qk" = first 8 md5 hex of the
+        # comma-joined row names in that order. A reader reconstructs
+        # {name: round(sec, 2)} by zipping "q" against this repo's
+        # benched HEADLINE order (tools/bench_compare.py decode_q) and
+        # verifies the zip against "qk"; failed rows stay -1. The full
+        # map remains in BENCH_DETAIL.json.
+        import hashlib
+
         compact.pop("queries", None)
-        line = json.dumps(compact)
+        order = [n for n in headline if n in timings]
+        compact["q"] = [
+            -1 if timings[n] < 0 else int(round(timings[n] * 100)) for n in order
+        ]
+        compact["qk"] = hashlib.md5(",".join(order).encode()).hexdigest()[:8]
+        line = json.dumps(compact, separators=(",", ":"))
+        if len(line) > 1900:  # last resort: headline fields survive
+            compact.pop("q", None)
+            compact.pop("qk", None)
+            line = json.dumps(compact, separators=(",", ":"))
     print(line)
     spark.stop()
 

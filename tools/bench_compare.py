@@ -21,21 +21,58 @@ import sys
 signal.signal(signal.SIGPIPE, signal.SIG_DFL)  # clean exit under `| head`
 
 
+def decode_q(art: dict) -> dict:
+    """Reconstruct the per-query map from the positional compact
+    encoding bench.py emits when the full {name: sec} map outgrows the
+    2000-byte stdout window (r15 VERDICT directive 2): "q" =
+    centisecond ints in benched HEADLINE order, "qk" = first 8 md5 hex
+    of the comma-joined names. Returns the artifact with "queries"
+    restored (seconds, error rows -1), or unchanged if the order hash
+    does not match this repo's current bench order (the artifact was
+    produced by a different rotation state -- refuse to mislabel)."""
+    if "queries" in art or "q" not in art:
+        return art
+    import hashlib
+    import os
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+    from pg_auto_dw_spark import queries_catalog
+
+    order = [n for n in bench.HEADLINE if n not in queries_catalog._RETIRED]
+    if len(order) != len(art["q"]) or (
+        hashlib.md5(",".join(order).encode()).hexdigest()[:8] != art.get("qk")
+    ):
+        print(
+            f"note: positional 'q' present but order hash {art.get('qk')} does "
+            "not match this repo's bench order; cannot decode -- use the "
+            "artifact's BENCH_DETAIL.json instead.",
+            file=sys.stderr,
+        )
+        return art
+    art = dict(art)
+    art["queries"] = {
+        n: (v / 100.0 if v >= 0 else -1.0) for n, v in zip(order, art["q"])
+    }
+    return art
+
+
 def load(path: str) -> dict:
     with open(path) as f:
         d = json.load(f)
     if "parsed" in d and d["parsed"]:
-        return d["parsed"]
+        return decode_q(d["parsed"])
     if "tail" in d:  # driver wrapper whose parse failed: last JSON line
         for line in reversed(d["tail"].strip().splitlines()):
             line = line[line.find("{") :] if "{" in line else ""
             if line:
                 try:
-                    return json.loads(line)
+                    return decode_q(json.loads(line))
                 except json.JSONDecodeError:
                     continue
         raise SystemExit(f"{path}: no parsable bench line in tail")
-    return d
+    return decode_q(d)
 
 
 def plan_cost(art: dict, q: str) -> tuple[float, bool]:
