@@ -113,7 +113,15 @@ def build_chunk_search_index(
             )
         )
     )
-    keyed = chunks.select(key.alias("chunk_key"), F.col("chunk_text"))
+    # Pin the keyed chunk frame: the IDF fit scans it, the embedding
+    # transform scans it again, and (r16) build_ivf_index's quantized
+    # base derives from the embedding -- without the pin each consumer
+    # re-ran the chunk explode, and the un-truncated lineage under the
+    # index build was half of the "plan string too large" cold pass
+    # (r15 VERDICT #4). Lazy: the IDF fit's collect materializes it.
+    keyed = chunks.select(
+        key.alias("chunk_key"), F.col("chunk_text")
+    ).localCheckpoint(eager=False)
     idf, n_docs = hashed_idf_model(
         keyed, dims, text_col="chunk_text", id_col="chunk_key", with_n_docs=True
     )

@@ -403,6 +403,7 @@ def ivf_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed_hash: bool = False,
+    _base: DataFrame | None = None,
 ) -> DataFrame:
     """Deterministic IVF centroid seed set: every ``stride``-th vector
     by id. Stands in for a k-means codebook (which would be refined
@@ -418,8 +419,14 @@ def ivf_centroids(
     ``doc_id % 25 == 0``), so n_cells actually tracks n_vectors /
     stride. A tiny corpus that hashes to zero seeds falls back to the
     min-id vector (one extra build-time action, never on the query
-    path)."""
-    base = with_quantized(corpus, vec_col)
+    path).
+
+    ``_base``: an already-quantized (id, qvec, qnorm) frame to seed
+    from instead of re-deriving ``with_quantized(corpus)`` -- the
+    index builders pass their pinned base so the (possibly expensive)
+    embedding lineage is evaluated once, not once per consumer
+    (r16, guide section 5). Same rows, same seeds."""
+    base = _base if _base is not None else with_quantized(corpus, vec_col)
     if seed_hash:
         seeds = base.filter(
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(stride)) == 0
@@ -509,6 +516,7 @@ def ivf_kmeans_codebook(
     vec_col: str = "embedding",
     train_modulus: int = 1,
     seed_hash: bool = False,
+    _base: DataFrame | None = None,
 ) -> DataFrame:
     """K-means-refined IVF codebook: Lloyd iterations as DataFrame jobs.
 
@@ -533,13 +541,31 @@ def ivf_kmeans_codebook(
     deterministic ``id % train_modulus == 0`` subsample (k-means
     centroids converge on a sample), and the full corpus only ever
     pays the one ivf_assign pass against the finished codebook."""
-    train = corpus if train_modulus <= 1 else corpus.filter(
-        (F.col(id_col) % train_modulus) == 0
-    )
-    base = with_quantized(train, vec_col).select(
-        F.col(id_col), "qvec", "qnorm"
-    ).localCheckpoint(eager=False)  # iters+1 passes read one computed scan
-    codebook = ivf_centroids(corpus, stride, id_col, vec_col, seed_hash)
+    # ``_base``: an already-quantized-and-pinned (id, qvec, qnorm)
+    # frame (build_ivf_index passes its shared pin). Without it the
+    # seed pass and the Lloyd train base each re-derive the quantized
+    # lineage -- for semsearch's chunk index that lineage is the chunk
+    # explode + hashed-TF-IDF transform, and the repeated giant plans
+    # were the "plan string too large" 35-160s cold pass (r15 VERDICT
+    # #4). The standalone path keeps quantizing only the train subset
+    # (train_modulus > 1 exists so training never touches the full
+    # corpus); the shared-base path already has the full corpus
+    # quantized because its caller assigns every vector afterwards.
+    if _base is not None:
+        base = _base if train_modulus <= 1 else _base.filter(
+            (F.col(id_col) % train_modulus) == 0
+        ).localCheckpoint(eager=False)
+        codebook = ivf_centroids(
+            corpus, stride, id_col, vec_col, seed_hash, _base=_base
+        )
+    else:
+        train = corpus if train_modulus <= 1 else corpus.filter(
+            (F.col(id_col) % train_modulus) == 0
+        )
+        base = with_quantized(train, vec_col).select(
+            F.col(id_col), "qvec", "qnorm"
+        ).localCheckpoint(eager=False)  # iters+1 passes read one computed scan
+        codebook = ivf_centroids(corpus, stride, id_col, vec_col, seed_hash)
     for _ in range(iters):
         assigned = _assign_against(base, codebook, id_col)
         sums = assigned.groupBy("cell").agg(
@@ -1000,14 +1026,25 @@ def build_ivf_index(
     caller sidecars (e.g. semsearch's embed geometry) overwritten in
     the SAME transaction -- a sidecar committed separately could pair
     a new index with stale metadata after a crash between commits."""
+    # Quantize the corpus ONCE and pin it: the seed pass, the Lloyd
+    # refinement, and the final full-corpus assignment below all read
+    # this one materialized scan. Before r16 each of the three
+    # re-derived the caller's full embedding lineage -- for semsearch's
+    # chunk index (chunk explode + hashed-TF-IDF + 64-dim quantize)
+    # that tripled the work AND built Catalyst plans big enough to
+    # trip the "plan string too large" warning, the diagnosed source
+    # of the 35-160s semantic_decontaminate_flags cold pass (r15
+    # VERDICT #4). Lazy pin: the first action (the seed collect)
+    # materializes it; every later consumer reads a LogicalRDD, so
+    # downstream plans are O(1) in the corpus lineage.
+    qbase = with_quantized(corpus, vec_col).select(
+        F.col(id_col), "qvec", "qnorm"
+    ).localCheckpoint(eager=False)
     codebook = ivf_kmeans_codebook(
-        corpus, stride, iters, dims, id_col, vec_col, train_modulus, seed_hash
+        corpus, stride, iters, dims, id_col, vec_col, train_modulus, seed_hash,
+        _base=qbase,
     ).localCheckpoint(eager=True)
-    assigned = _assign_against(
-        with_quantized(corpus, vec_col).select(F.col(id_col), "qvec", "qnorm"),
-        codebook,
-        id_col,
-    )
+    assigned = _assign_against(qbase, codebook, id_col)
     cb_name, as_name = f"{name}.codebook", f"{name}.assignment"
     cfg_name = f"{name}.build_config"
     spark = corpus.sparkSession
