@@ -328,7 +328,14 @@ def connected_components(
     hash-partitioned on id.
 
     ``nodes`` (default: ids appearing in pairs) adds singleton docs so
-    every document gets a cluster row.
+    every document gets a cluster row. CONTRACT (r16, per ADVICE):
+    ``nodes`` must be a SUPERSET of the ids appearing in ``pairs`` --
+    since the r15 active-set rewrite the iteration runs over edge
+    endpoints regardless of ``nodes``, so an endpoint missing from
+    ``nodes`` still gets an output row and still pulls neighbor labels
+    toward its id; passing a proper subset to confine the graph is not
+    supported (pre-filter ``pairs`` instead). Every in-repo caller
+    passes the full corpus the pairs were mined from.
 
     r15 optimization (guide section 2.4, identical fixpoint): the
     iteration runs only over ACTIVE nodes (endpoints of >= 1 edge) --

@@ -111,6 +111,18 @@ def _pil_decode(payload: bytes) -> dict:
         }
 
 
+# Synthetic-video frame count as a function of payload length. ONE
+# definition shared by the scalar decoder (_fake_decode) and the
+# batched frame expansion (_video_frame_index) so the two paths cannot
+# silently desync (r16, per ADVICE); the batch==scalar parity tests
+# then guard this single formula. Accepts an int or an int64 ndarray.
+_VIDEO_FRAMES_MOD = 120
+
+
+def _video_n_frames(n):
+    return 1 + n % _VIDEO_FRAMES_MOD
+
+
 def _fake_decode(media_type: str, payload: bytes) -> dict:
     """Deterministic stand-in decoder for synthetic payloads: derives
     dimensions from payload length only."""
@@ -120,7 +132,11 @@ def _fake_decode(media_type: str, payload: bytes) -> dict:
     if media_type == "audio":
         return {"width": None, "height": None, "n_frames": 1 + n % 1000}
     if media_type == "video":
-        return {"width": 16 + n % 624, "height": 16 + (n * 7) % 464, "n_frames": 1 + n % 120}
+        return {
+            "width": 16 + n % 624,
+            "height": 16 + (n * 7) % 464,
+            "n_frames": _video_n_frames(n),
+        }
     raise NotImplementedError(f"real decoder for media_type={media_type!r} not available")
 
 
@@ -422,6 +438,33 @@ def _to_i64(v: int) -> int:
 # ---------------------------------------------------------------------------
 
 
+# Transient-memory ceiling per batched-kernel invocation (r16, per
+# ADVICE): the r15 vectorization made several kernels materialize
+# int64 working arrays proportional to the batch's TOTAL payload bytes
+# (prefix sums are 8x, the trigram path ~60x), so one Arrow batch of
+# large payloads could spike a Python worker far beyond the bounded-
+# batch claim above. Each kernel divides this budget by its own
+# multiplier and processes the batch in payload-byte-capped chunks --
+# per-row results are independent, so chunked == whole bit-for-bit
+# (pinned by test_batched_kernel_chunking). 256 MB keeps chunking
+# inert for bench-scale batches while bounding worst-case workers.
+_KERNEL_TRANSIENT_BUDGET = 256 << 20
+
+
+def _chunk_spans(lengths: np.ndarray, payload_budget: int):
+    """Yield (lo, hi) row spans whose summed payload lengths stay
+    within ``payload_budget`` (always >= 1 row per span, so oversized
+    single payloads still process)."""
+    n, lo = len(lengths), 0
+    while lo < n:
+        hi, tot = lo + 1, int(lengths[lo])
+        while hi < n and tot + int(lengths[hi]) <= payload_budget:
+            tot += int(lengths[hi])
+            hi += 1
+        yield lo, hi
+        lo = hi
+
+
 def _prefix_sums(buf: np.ndarray) -> np.ndarray:
     """Exclusive int64 prefix sums of a uint8 buffer (cs[i] = sum of
     buf[:i]); shared by every grid family so one Arrow batch pays ONE
@@ -456,8 +499,23 @@ def _seg_avg_grids(
     shared buffer -- the batched exact equivalent of
     ``_gray_grid(buf[s:s+L], w, h)`` with ``w * h == cells`` for every
     (s, L) with L >= 1. ``buf`` is uint8; boundaries and floor
-    divisions replay the scalar arithmetic bit-for-bit."""
-    return _seg_avg_grids_cs(_prefix_sums(buf), starts, lengths, cells)
+    divisions replay the scalar arithmetic bit-for-bit. Transient
+    memory is bounded: the int64 prefix-sum array (8 bytes per payload
+    byte) is built over at most _KERNEL_TRANSIENT_BUDGET/8 payload
+    bytes at a time (per-segment results are independent)."""
+    if len(starts) == 0:
+        return np.zeros((0, cells), dtype=np.int64)
+    budget = max(_KERNEL_TRANSIENT_BUDGET // 8, 1)
+    if int(lengths.sum()) <= budget:
+        return _seg_avg_grids_cs(_prefix_sums(buf), starts, lengths, cells)
+    out = np.empty((len(starts), cells), dtype=np.int64)
+    for lo, hi in _chunk_spans(lengths, budget):
+        s, ln = starts[lo:hi], lengths[lo:hi]
+        blo, bhi = int(s.min()), int((s + ln).max())
+        out[lo:hi] = _seg_avg_grids_cs(
+            _prefix_sums(buf[blo:bhi]), s - blo, ln, cells
+        )
+    return out
 
 
 def _video_frame_index(
@@ -465,9 +523,9 @@ def _video_frame_index(
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Expand N video payload ranges into per-frame ranges: (video row
     index, frame_no, frame start, frame length), replaying the scalar
-    loop's arithmetic (k = clamp(1 + L % 120, 1, max_frames); frame f
-    covers [f*L//k, max((f+1)*L//k, f*L//k + 1))) exactly."""
-    k = np.maximum(np.minimum(1 + lengths % 120, max_frames), 1)
+    loop's arithmetic (k = clamp(_video_n_frames(L), 1, max_frames);
+    frame f covers [f*L//k, max((f+1)*L//k, f*L//k + 1))) exactly."""
+    k = np.maximum(np.minimum(_video_n_frames(lengths), max_frames), 1)
     vid = np.repeat(np.arange(len(lengths), dtype=np.int64), k)
     csk = np.zeros(len(k) + 1, dtype=np.int64)
     csk[1:] = np.cumsum(k)
@@ -528,7 +586,19 @@ def _trigram_embeddings(payloads: list, dims: int) -> list:
     small integers so the norm and division reproduce the scalar
     float64 results bit-for-bit). Returns a list of Python-float
     lists (all-zero UNnormalized when every slot cancels, matching the
-    scalar n == 0 branch)."""
+    scalar n == 0 branch). Transient memory is bounded: the per-
+    trigram int64 working arrays (~60 bytes per payload byte) are
+    built over byte-capped chunks of the batch (per-payload results
+    are independent)."""
+    budget = max(_KERNEL_TRANSIENT_BUDGET // 64, 1)
+    if len(payloads) > 1 and sum(len(p) for p in payloads) > budget:
+        lengths = np.fromiter(
+            (len(p) for p in payloads), dtype=np.int64, count=len(payloads)
+        )
+        out: list = []
+        for lo, hi in _chunk_spans(lengths, budget):
+            out.extend(_trigram_embeddings(payloads[lo:hi], dims))
+        return out
     buf, starts, lengths = _concat_payloads(payloads)
     k = lengths - 2  # trigrams per payload (every length >= 3)
     seg = np.repeat(np.arange(len(payloads), dtype=np.int64), k)
@@ -554,10 +624,18 @@ def _byte_histograms(payloads: list) -> list:
     """Per-payload 8-bin high-3-bit byte histograms as ratio lists --
     the batched exact equivalent of the scalar per-byte loop
     (``counts[byte >> 5] += 1`` then ``c / max(len, 1)``). Empty
-    payloads are legal (all-zero bins over a divisor of 1)."""
+    payloads are legal (all-zero bins over a divisor of 1). Transient
+    memory is bounded: the per-byte int64 bin-key array (~24 bytes per
+    payload byte) is built over byte-capped chunks of the batch."""
     lengths = np.fromiter(
         (len(b) for b in payloads), dtype=np.int64, count=len(payloads)
     )
+    budget = max(_KERNEL_TRANSIENT_BUDGET // 32, 1)
+    if len(payloads) > 1 and int(lengths.sum()) > budget:
+        out: list = []
+        for lo, hi in _chunk_spans(lengths, budget):
+            out.extend(_byte_histograms(payloads[lo:hi]))
+        return out
     buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
     seg = np.repeat(np.arange(len(payloads), dtype=np.int64), lengths)
     counts = np.bincount(
