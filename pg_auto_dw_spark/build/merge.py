@@ -33,7 +33,7 @@ from __future__ import annotations
 import bisect
 import os
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from ..warehouse import Warehouse
@@ -108,7 +108,15 @@ def merge_upsert(
         raise ValueError(f"merge_upsert requires a partitioned table; {table} has no spec")
     if order_col is not None:
         batch = _latest_per_key(batch, key_cols, order_col)
-    batch = batch.localCheckpoint(eager=True)  # pin: read before we overwrite
+    # Pin via persist, not eager checkpoint (r16, guide section 5): the
+    # stats aggregation below is the ONE action that both computes the
+    # metadata and populates the cache, so the separate checkpoint
+    # materialization job disappears. Later reads of the batch (the
+    # match join's build side, the union into the rewrite) hit the
+    # cache; MEMORY_AND_DISK storage spills rather than drops, and
+    # every consumer runs before the commit point, so a
+    # self-referential batch's recompute source (the old generation)
+    # is still on disk throughout. Unpersisted before return.
     # ONE metadata pass over the pinned batch: total rows, distinct
     # keys (struct-wise, so NULL key fields compare like groupBy
     # equality), and the touched-partition set (bounded: one struct
@@ -121,53 +129,67 @@ def merge_upsert(
     # valid under the lock, and a duplicate-key batch now fails cheaply
     # without ever holding the table's exclusive lock through its own
     # materialization.
-    stats = batch.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count_distinct(F.struct(*key_cols)).alias("nk"),
-        F.collect_set(F.struct(*pcols)).alias("parts"),
-    ).collect()[0]
-    n_batch = stats["n"]
-    if order_col is None and stats["nk"] != n_batch:
-        raise ValueError(
-            "merge_upsert batch has duplicate keys; pass order_col to "
-            "pick the newest version per key"
-        )
-    touched = [tuple(r) for r in stats["parts"]]
-    with wh.lock(table):
-        cur = wh.read(table).filter(_touched_partitions_cond(pcols, touched))
-        if verify_partition_contract:
-            outside = wh.read(table).filter(
-                ~_touched_partitions_cond(pcols, touched)
-            )
-            stray = (
-                outside.select(*key_cols)
-                .join(batch.select(*key_cols), on=key_cols, how="left_semi")
-                .limit(1)
-                .count()
-            )
-            if stray:
-                raise ValueError(
-                    "merge_upsert partition contract violated: a batch key's "
-                    "current row lives outside the batch's partitions -- the "
-                    "partition column must be a function of the key"
-                )
-        # ONE materialization of the touched partitions carries a match
-        # flag; carried rows, the rewrite input, and the stats all
-        # derive from the pinned frame (no second scan, no re-run of
-        # the join for counting). No broadcast hint on the batch side:
-        # incremental batches usually fit, and AQE decides on size.
-        ann = cur.join(
-            batch.select(*key_cols).withColumn("__m", F.lit(1)),
-            on=key_cols,
-            how="left",
-        ).localCheckpoint(eager=True)
-        counts = ann.agg(
-            F.count(F.lit(1)).alias("n_cur"), F.sum("__m").alias("n_matched")
+    batch = batch.persist()
+    try:
+        stats = batch.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.struct(*key_cols)).alias("nk"),
+            F.collect_set(F.struct(*pcols)).alias("parts"),
         ).collect()[0]
-        n_cur, n_matched = counts["n_cur"], counts["n_matched"] or 0
-        carried = ann.filter(F.col("__m").isNull()).drop("__m")
-        out = carried.unionByName(batch.select(*carried.columns))
-        wh.overwrite_partitions(table, out)
+        n_batch = stats["n"]
+        if order_col is None and stats["nk"] != n_batch:
+            raise ValueError(
+                "merge_upsert batch has duplicate keys; pass order_col to "
+                "pick the newest version per key"
+            )
+        touched = [tuple(r) for r in stats["parts"]]
+        with wh.lock(table):
+            cur = wh.read(table).filter(_touched_partitions_cond(pcols, touched))
+            if verify_partition_contract:
+                outside = wh.read(table).filter(
+                    ~_touched_partitions_cond(pcols, touched)
+                )
+                stray = (
+                    outside.select(*key_cols)
+                    .join(batch.select(*key_cols), on=key_cols, how="left_semi")
+                    .limit(1)
+                    .count()
+                )
+                if stray:
+                    raise ValueError(
+                        "merge_upsert partition contract violated: a batch key's "
+                        "current row lives outside the batch's partitions -- the "
+                        "partition column must be a function of the key"
+                    )
+            # The match-flag join is consumed exactly once, by the
+            # rewrite below, and its audit counts ride THAT action as
+            # an observe() metric node (r16, guide section 1.2: don't
+            # schedule extra jobs for numbers the write already
+            # computes). CollectMetrics sees every joined row BEFORE
+            # the carried-rows filter above it (filters do not push
+            # through it -- verified against the physical plan), so
+            # n_cur/n_matched are identical to the old separate
+            # aggregation. Replaces the eager checkpoint + count pair:
+            # pin job + agg job + write job collapse to the write job.
+            # No broadcast hint on the batch side: incremental batches
+            # usually fit, and AQE decides on size.
+            obs = Observation()
+            ann = cur.join(
+                batch.select(*key_cols).withColumn("__m", F.lit(1)),
+                on=key_cols,
+                how="left",
+            ).observe(
+                obs,
+                F.count(F.lit(1)).alias("n_cur"),
+                F.sum("__m").alias("n_matched"),
+            )
+            carried = ann.filter(F.col("__m").isNull()).drop("__m")
+            out = carried.unionByName(batch.select(*carried.columns))
+            wh.overwrite_partitions(table, out)
+            counts = obs.get
+            n_cur, n_matched = counts["n_cur"], counts["n_matched"] or 0
+    finally:
+        batch.unpersist()
     return {
         "matched": n_matched,
         "inserted": n_batch - n_matched,
@@ -279,19 +301,23 @@ def _files_containing_keys(
 
 
 def _annotate_victims(cur: DataFrame, key_lit: DataFrame, key_col: str):
-    """Pin ONE victim-flag join over the rows under rewrite and derive
-    both the survivor frame and the deletion count from it -- two jobs
-    (pin + agg) where the pin-both-sides-and-count-each shape cost
-    four. ``key_lit`` is distinct, so the left join never fans out."""
+    """ONE victim-flag join over the rows under rewrite; the survivor
+    frame is returned with the deletion count attached as an observe()
+    metric, so the caller's rewrite action computes both in a single
+    job (r16 -- was pin job + count job + write job). CollectMetrics
+    sees every joined row before the survivor filter (filters do not
+    push through it), so the count equals the old separate
+    aggregation. Read ``obs.get["n_del"]`` only AFTER the write.
+    ``key_lit`` is distinct, so the left join never fans out."""
+    obs = Observation()
     ann = cur.join(
         F.broadcast(key_lit.withColumn("__victim", F.lit(1))),
         on=key_col,
         how="left",
-    ).localCheckpoint(eager=True)
-    n_del = ann.agg(F.sum("__victim")).collect()[0][0] or 0
+    ).observe(obs, F.sum("__victim").alias("n_del"))
     # the join moved key_col to position 0 -- restore the table's order
     kept = ann.filter(F.col("__victim").isNull()).select(*cur.columns)
-    return kept, int(n_del)
+    return kept, obs
 
 
 def delete_keys(
@@ -348,17 +374,18 @@ def delete_keys(
         # would otherwise be silently rolled back
         with wh.lock(table):
             n_files = len(wh.data_files(table))
-            kept, n_del = _annotate_victims(wh.read(table), key_lit, key_col)
+            kept, obs = _annotate_victims(wh.read(table), key_lit, key_col)
             wh.overwrite(table, kept)
+        n_del = int(obs.get["n_del"] or 0)
         return {"rows_deleted": n_del, "files_rewritten": n_files, "files_carried": 0}
     with wh.lock(table):
         affected, clean = _files_containing_keys(wh, table, key_col, keys, bucket_of)
         if not affected:
             return {"rows_deleted": 0, "files_rewritten": 0, "files_carried": len(clean)}
-        kept, n_del = _annotate_victims(wh.read_files(table, affected), key_lit, key_col)
+        kept, obs = _annotate_victims(wh.read_files(table, affected), key_lit, key_col)
         wh.replace_files(table, kept, drop_files=affected)
     return {
-        "rows_deleted": n_del,
+        "rows_deleted": int(obs.get["n_del"] or 0),
         "files_rewritten": len(affected),
         "files_carried": len(clean),
     }

@@ -52,7 +52,7 @@ from __future__ import annotations
 import datetime
 import os
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -304,15 +304,20 @@ def merge_batch(
             .unionByName(updated_y)
             .unionByName(inserts.withColumn("_closed_now", zero))
         )
-        # Pin before the write: avoids recomputing the merge for the
-        # counts and the write, and keeps the write independent of the
-        # partitions it replaces. The materialization is bounded by the
-        # touched partitions (batch footprint), never the whole table.
-        final_touched = final_touched.localCheckpoint(eager=True)
-        counts_row = final_touched.agg(
+        # The merged frame is consumed exactly once, by the rewrite:
+        # its audit counts ride that action as observe() metrics (r16,
+        # guide section 1.2) instead of paying a pin job + a count job
+        # first. The write targets a FRESH generation dir (copy-on-
+        # write), so reading the partitions being replaced needs no
+        # pin for correctness, and CollectMetrics sits above the whole
+        # merge (nothing filters between it and the write), so the
+        # counts equal the old separate aggregation.
+        obs = Observation()
+        final_touched = final_touched.observe(
+            obs,
             F.sum("_closed_now").alias("closed_total"),
             F.count(F.lit(1)).alias("rows_written"),
-        ).collect()[0]
+        )
         if prune_plan is None:
             wh.overwrite_partitions(table, final_touched.drop("_closed_now"))
             files_rewritten = files_preserved = -1  # partition-granular
@@ -320,6 +325,7 @@ def merge_batch(
             wh.replace_files(table, final_touched.drop("_closed_now"), prune_plan[0])
             files_rewritten = len(prune_plan[0])
             files_preserved = prune_plan[1] - files_rewritten
+        counts_row = obs.get
         return {
             "touched_buckets": len(touched),
             "rows_written": counts_row["rows_written"] or 0,
