@@ -370,20 +370,33 @@ def connected_components(
                 .localCheckpoint(eager=False)  # read by both sides of the jump
             )
         else:
-            # min label among graph neighbors (every active id has >= 1
-            # edge and every dst is active, so both joins are inner)
-            neigh = (
+            # min label among graph neighbors AND self in ONE
+            # join+aggregation (r16, guide section 2.4): the node's own
+            # previous label rides the aggregation as extra union rows
+            # (src, label, own=label) next to the neighbor rows
+            # (src, label, own=NULL), so min(label) is the new label
+            # (= least(old, neighbor-min)) and min(own) recovers the
+            # old label for the change count -- the second per-round
+            # join (labels back onto the neighbor mins) is gone.
+            # Every dst is active, so the join stays inner; the union
+            # is narrow (no shuffle of its own) and min() partial-
+            # aggregates map-side.
+            own_t = labels.schema["label"].dataType
+            contrib = (
                 edges.join(labels, edges["dst"] == labels[id_col])
-                .groupBy("src")
-                .agg(F.min("label").alias("nmin"))
+                .select("src", "label", F.lit(None).cast(own_t).alias("own"))
+                .unionByName(
+                    labels.select(
+                        F.col(id_col).alias("src"),
+                        F.col("label"),
+                        F.col("label").alias("own"),
+                    )
+                )
             )
             stepped = (
-                labels.join(neigh, labels[id_col] == neigh["src"])
-                .select(
-                    F.col(id_col),
-                    F.col("label").alias("old"),
-                    F.least(F.col("label"), F.col("nmin")).alias("label"),
-                )
+                contrib.groupBy("src")
+                .agg(F.min("label").alias("label"), F.min("own").alias("old"))
+                .select(F.col("src").alias(id_col), F.col("old"), F.col("label"))
                 .localCheckpoint(eager=False)  # read by both sides of the jump
             )
         # pointer jump: label <- label(label) (labels only ever shrink,
