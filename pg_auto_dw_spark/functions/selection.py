@@ -115,9 +115,16 @@ def dsir_log_weights(
 
     Output: (id, n_tokens, log_weight double, nats). Docs with no
     tokens emit no row."""
+    # Lazily pinned (r16, guide section 2.4): the matrix lineage had
+    # three executions per action -- the model aggregation (cnt), the
+    # one-row totals broadcast (tot re-derives cnt independently), and
+    # the scoring join -- each re-running the corpus tokenize+hash
+    # pass (the plan showed three identical scan chains). One
+    # materialization now feeds all three reads; the docstring's
+    # warehouse-scale artifact contract is unchanged.
     mat = _doc_bucket_counts(
         docs, text_col, id_col, buckets, target.cast("int").alias("is_t")
-    )
+    ).localCheckpoint(eager=False)
     cnt = mat.groupBy("b").agg(
         F.sum("c").alias("c_s"), F.sum(F.col("c") * F.col("is_t")).alias("c_t")
     )

@@ -455,8 +455,18 @@ def bigram_logprob(
     # (id, w1, w2, c) pair matrix: ONE pair-expansion pass; both model
     # counts are rollups of the matrix and scoring joins the matrix
     # (count-weighted mean) instead of raw pair instances -- smaller
-    # join probes, pairs derived once (r8 matrix shape)
-    mat = pairs.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    # join probes, pairs derived once (r8 matrix shape). Lazily pinned
+    # (r16, guide section 2.4): the matrix has THREE consumers (cnt12,
+    # cnt1, the scoring join) and exchange reuse does not fire across
+    # them (the lambda-built pair expression defeats plan
+    # canonicalization), so the unpinned plan re-ran the corpus
+    # tokenize + pair explode + first aggregation three times per
+    # action -- the plan showed three identical Scan->Generate->
+    # HashAggregate->Exchange chains. One materialization now feeds
+    # all three reads.
+    mat = pairs.groupBy(id_col, "w1", "w2").agg(
+        F.count(F.lit(1)).alias("c")
+    ).localCheckpoint(eager=False)
     cnt12 = mat.groupBy("w1", "w2").agg(F.sum("c").alias("c12"))
     cnt1 = mat.groupBy("w1").agg(F.sum("c").alias("c1"))
     return (
@@ -760,10 +770,17 @@ def winnow_overlap_pairs(
     fingerprint buckets."""
     from pyspark.sql import Window
 
+    # Pin the fingerprint lineage (r16, guide section 2.4): both sides
+    # of the bucket self-join below derive from it, and exchange reuse
+    # does not fire across them (the fingerprint window's lambda
+    # defeats plan canonicalization), so the unpinned plan ran the
+    # tokenize + k-gram hash + winnowing window TWICE per action. The
+    # pin sits UNDER the distinct + hot-bucket cap (which stay cheap
+    # and visible to the plan-shape guard) rather than over them.
+    fps = fps.select(id_col, "fp_hash").localCheckpoint(eager=False)
     w = Window.partitionBy("fp_hash").orderBy(id_col)
     capped = (
-        fps.select(id_col, "fp_hash")
-        .distinct()
+        fps.distinct()
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= max_bucket_size)
         .drop("__rn")
