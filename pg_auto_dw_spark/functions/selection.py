@@ -513,12 +513,20 @@ def train_linear_classifier(
     )
     bias = 0.0
     losses: list[float] = []
+    prev_scored = None
     for it in range(iters):
         # pin the per-example margins: both the loss aggregate and the
         # gradient join read ``scored``, and without the pin the heavy
         # subtree (broadcast join over the feature matrix + doc rollup)
         # ran TWICE per iteration (r15, guide section 5 caching rule --
-        # reused AND expensive to recompute)
+        # reused AND expensive to recompute). Pinned via persist (r16):
+        # the loss aggregate below is the ONE action that computes the
+        # margins AND fills the cache, so the former eager-checkpoint
+        # materialization job disappears -- one job per iteration. The
+        # PREVIOUS iteration's cache is released once this iteration's
+        # aggregate has run (that action's broadcast build was its last
+        # reader); the final iteration's bounded margin frame is left
+        # to the ContextCleaner.
         scored = (
             feats.join(F.broadcast(weights), "b")
             .groupBy(id_col, "__y")
@@ -526,7 +534,7 @@ def train_linear_classifier(
             .withColumn(
                 "__p", F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("__s") + F.lit(bias))))
             )
-            .localCheckpoint(eager=True)
+            .persist()
         )
         # clamp the log args: a perfectly-separated fixture drives p to
         # exactly 0/1 in fp and log would return -inf
@@ -542,6 +550,9 @@ def train_linear_classifier(
             F.sum(F.col("__p") - F.col("__y")).alias("gbias"),
         ).first()
         losses.append(float(agg["loss"]))
+        if prev_scored is not None:
+            prev_scored.unpersist()
+        prev_scored = scored
         grad = (
             scored.select(
                 id_col, "__y", (F.col("__p") - F.col("__y")).alias("__r")
