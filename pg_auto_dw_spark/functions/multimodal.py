@@ -1426,6 +1426,11 @@ def assemble_media_text_pairs(
         return pairs
     from .dedup import connected_components
 
+    # pin (r16, guide section 5): the pair frame feeds BOTH the
+    # bipartite edge set (re-executed by every CC action) and the
+    # final group join -- without the pin the re-point join + the
+    # documents join re-ran once per consumer
+    pairs = pairs.localCheckpoint(eager=False)
     # bipartite node encoding: media node = 2*id, text node = 2*id+1.
     # Integer arithmetic END TO END (r14 review: a float decode loses
     # exactness past 2^53 and the inner join below would silently drop
@@ -1436,10 +1441,11 @@ def assemble_media_text_pairs(
         (F.col("media_cluster") * 2).alias("id_a"),
         (F.col("text_cluster") * 2 + 1).alias("id_b"),
     ).distinct()
-    nodes = edges.select(F.col("id_a").alias("node")).unionByName(
-        edges.select(F.col("id_b").alias("node"))
-    ).distinct()
-    comp = connected_components(edges, nodes=nodes, id_col="node")
+    # every bipartite node is an edge endpoint BY CONSTRUCTION (each
+    # pair row contributes both its nodes), so the CC's optional
+    # ``nodes`` superset -- whose only job is adding singletons --
+    # would be a provably empty anti-join; omit it (r16)
+    comp = connected_components(edges, id_col="node")
     media_nodes = comp.filter(F.col("node") % 2 == 0).select(
         F.expr("node div 2").alias("__mn"),  # exact: node is even
         F.col("cluster_id").alias("pair_group"),
