@@ -357,6 +357,15 @@ def hashed_embedding(
             hashed_idf_model(docs, dims, text_col, id_col) if use_idf else {}
         )
 
+    return _embedding_from_toks(toks, dims, use_idf, idf_by_dim, id_col)
+
+
+def _embedding_from_toks(
+    toks: DataFrame, dims: int, use_idf: bool, idf_by_dim, id_col: str
+) -> DataFrame:
+    """TRANSFORM half over a prebuilt (id, dim, s) hashed-token frame
+    -- shared by ``hashed_embedding`` and ``hashed_embedding_fit`` so
+    the fused fit+transform path reuses the identical assembly."""
     # sparse two-level assembly, O(tokens) work: (id, dim) signed-tf
     # aggregation (map-side combined), then one (id) aggregation
     # densifying <= dims entries per doc. A wide per-dim
@@ -410,6 +419,56 @@ def hashed_embedding(
         ).otherwise(F.col("__v")).alias("embedding"),
         "n_tokens",
     )
+
+
+def hashed_embedding_fit(
+    docs: DataFrame,
+    dims: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """FIT + TRANSFORM with ONE tokenize+hash pass (r16, guide section
+    1.2): callers that need both the embeddings AND the persisted IDF
+    geometry (semsearch's chunk index build) previously ran
+    ``hashed_idf_model`` then ``hashed_embedding`` -- two full
+    tokenize + md5 passes over the corpus. Here the hashed (id, dim,
+    sign) token frame is built once and lazily pinned; the IDF rollup
+    (which materializes the pin) and the transform both read it. The
+    arithmetic is identical to the two-call form: same tokenization,
+    same md5 prefix hash, same rollup-derived df/n_docs, same
+    smoothed-default fill for unseen dims, same transform assembly.
+
+    Returns (embedding frame, FITTED idf dict -- only dims the corpus
+    touched, exactly ``hashed_idf_model``'s shape, so callers persist
+    the same geometry -- and n_docs). The transform itself uses the
+    smoothed default ``log(n_docs + 1) + 1`` for unseen dims, the
+    same fill ``_filled_model`` applies in the two-call form."""
+    import math
+
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    base = docs.repartition(par, id_col).select(
+        F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("__w")
+    )
+    h = F.conv(F.substring(F.md5("__w"), 1, 8), 16, 10).cast("bigint")
+    sign = (F.shiftright(h, 15) % 2 * 2 - 1).cast("double")
+    toks = base.select(
+        F.col(id_col), (h % dims).alias("dim"), sign.alias("s")
+    ).localCheckpoint(eager=False)
+    rows = (
+        toks.rollup("dim")
+        .agg(F.countDistinct(id_col).alias("df"), F.grouping("dim").alias("g"))
+        .collect()
+    )
+    n_docs = int(next((r["df"] for r in rows if r["g"] == 1), 0))
+    fitted = {
+        int(r["dim"]): math.log((n_docs + 1) / (r["df"] + 1)) + 1.0
+        for r in rows
+        if r["g"] == 0
+    }
+    default = math.log(float(n_docs + 1)) + 1.0
+    model = {d: fitted.get(d, default) for d in range(dims)}
+    emb = _embedding_from_toks(toks, dims, True, model, id_col)
+    return emb, fitted, n_docs
 
 
 def prepare_classifier_features(
