@@ -409,15 +409,27 @@ def _embedding_from_toks(
             "n_tokens",
         )
     )
+    # Bind the norm to a column BEFORE the normalizing transform (r16,
+    # guide section 4/7.2): a lambda body re-evaluates every expression
+    # subtree it references per array element (the word_tokens module
+    # contract), so the inlined form re-ran the 64-step sum-of-squares
+    # aggregate 64 times per row -- measured 1.76s -> 0.14s on the
+    # chunk-embedding tail with bit-identical output. The projection
+    # boundary survives CollapseProject because __norm is referenced
+    # twice (the guard and the lambda) and is not a cheap expression.
     norm = F.sqrt(
         F.aggregate("__v", F.lit(0.0), lambda acc, x: acc + x * x)
     )
-    return dense.select(
-        id_col,
-        F.when(
-            norm > 0, F.transform("__v", lambda x: x / norm)
-        ).otherwise(F.col("__v")).alias("embedding"),
-        "n_tokens",
+    return (
+        dense.withColumn("__norm", norm)
+        .select(
+            id_col,
+            F.when(
+                F.col("__norm") > 0,
+                F.transform("__v", lambda x: x / F.col("__norm")),
+            ).otherwise(F.col("__v")).alias("embedding"),
+            "n_tokens",
+        )
     )
 
 

@@ -51,8 +51,17 @@ def int_dot(a: Column, b: Column) -> Column:
 
 
 def with_quantized(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    # qnorm reads the BOUND qvec column, not the raw quantize
+    # expression: int_dot(q, q) inlined the transform twice more (once
+    # per zip_with side), tripling the per-row quantize work -- and
+    # when vec_col itself is an unbound assembly (the hashed-embedding
+    # chain) the whole upstream re-ran with it. Measured 0.52s ->
+    # 0.24s on the chunk corpus, bit-identical (r16, guide section 7.2
+    # "duplicated subtrees").
     q = quantized(F.col(vec_col))
-    return df.withColumn("qvec", q).withColumn("qnorm", int_dot(q, q))
+    return df.withColumn("qvec", q).withColumn(
+        "qnorm", int_dot(F.col("qvec"), F.col("qvec"))
+    )
 
 
 def cosine(dot: Column, norm_a: Column, norm_b: Column) -> Column:
@@ -1077,14 +1086,23 @@ def build_ivf_index(
     # cannot recover stride/dims/columns would silently retrain at
     # defaults and change quantization geometry under the searcher
     with wh.transaction([cb_name, as_name, cfg_name, *[t for t, _ in extra]]) as txn:
-        txn.overwrite(cb_name, codebook)
+        # coalesce(1): the codebook is bounded at O(sqrt n) cells
+        # (~50 MB even at 100k cells), but the eager pin spreads it
+        # over defaultParallelism partitions -- writing those was 32
+        # near-empty files per build (guide section 6 small-files);
+        # one task drains the pinned blocks with no shuffle
+        txn.overwrite(cb_name, codebook.coalesce(1))
         txn.overwrite(as_name, assigned)
         txn.overwrite(cfg_name, cfg_df)
         for t, df in extra:
             txn.overwrite(t, df)
+    # Stats from the already-materialized pins, not a re-read of the
+    # written parquet (two extra scan jobs per build, r16 guide
+    # section 5): the assignment kernel emits exactly one row per
+    # qbase row, so vectors == the pinned base count.
     return {
-        "cells": wh.read(cb_name).count(),
-        "vectors": wh.read(as_name).count(),
+        "cells": codebook.count(),
+        "vectors": qbase.count(),
     }
 
 
