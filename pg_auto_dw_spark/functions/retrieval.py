@@ -119,9 +119,19 @@ def ivf_search_frame(
         "qvec",
         "qnorm",
     )
+    # Explicit-width repartition on BOTH cogroup inputs (r16, guide
+    # section 2.5/2.2): the cell exchange is tiny in BYTES (a few
+    # hundred qvec rows per cell) but enormous in CPU (the kernel runs
+    # an |queries| x |cell| matmul per cell), and AQE's byte-based
+    # coalescing collapsed it to ONE task -- measured 1.6s of a 3.4s
+    # row at sf0.1 and ~16s single-task at 10x volume, flat 8-vs-32-core
+    # ratio. An explicit numPartitions marks the exchange user-specified
+    # (AQE leaves it alone); defaultParallelism scales with the cluster.
+    par = queries.sparkSession.sparkContext.defaultParallelism
     sim = (
-        probed.groupBy("cell_q")
-        .cogroup(db.groupBy("cell_d"))
+        probed.repartition(par, "cell_q")
+        .groupBy("cell_q")
+        .cogroup(db.repartition(par, "cell_d").groupBy("cell_d"))
         .applyInPandas(
             lambda qq, dd: _cogroup_topk_kernel(k, strike_self=False)(qq, dd),
             _PAIR_TOPK_SCHEMA,
