@@ -168,11 +168,14 @@ def trainable_char_stats(rendered: DataFrame) -> DataFrame:
         F.lit(0).cast("bigint"),
         lambda acc, s: acc + (s["end"] - s["start"]),
     )
-    return rendered.select(
+    # bind the span aggregate once: referenced by both output columns,
+    # and an interpreted HOF re-evaluates per reference (r16, the
+    # expression-binding pass)
+    return rendered.withColumn("__tr", trainable).select(
         "conv_id",
         "n_chars",
-        trainable.alias("trainable_chars"),
-        (trainable * 10000 / F.greatest(F.col("n_chars"), F.lit(1)))
+        F.col("__tr").alias("trainable_chars"),
+        (F.col("__tr") * 10000 / F.greatest(F.col("n_chars"), F.lit(1)))
         .cast("bigint")
         .alias("trainable_pct_e4"),
     )

@@ -6205,7 +6205,10 @@ def sft_render_chat_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("role"),
         F.substring("text", 1, 120).alias("content"),
     )
-    rendered = render_chat(turns)
+    # pin: the rendered frame feeds BOTH the stats aggregation and the
+    # join's left side -- unpinned, the collect_list + span-offset
+    # aggregate lineage ran twice per action (r16, guide section 2.4)
+    rendered = render_chat(turns).localCheckpoint(eager=False)
     stats = trainable_char_stats(rendered).select(
         "conv_id", "trainable_chars", "trainable_pct_e4"
     )
