@@ -396,18 +396,21 @@ def lsh_bucket_topk(
     # (see _cogroup_topk_kernel -- replaces the bucket self-join whose
     # per-pair interpreted dot dominated at scale); each query lives in
     # exactly one bucket, so the global window only finalizes ranks.
-    # Explicit-width repartition before the cogroup (r16, guide
-    # section 2.5): the bucket exchange is small in bytes but the
-    # kernel's per-group matmul is CPU-dense, and AQE's byte-based
-    # coalescing collapses the self-search to one task (measured on
-    # the cell variant: single 1.6s task at sf0.1, flat 8-vs-32-core
-    # scaling at 10x volume). Explicit numPartitions is exempt from
-    # AQE coalescing; defaultParallelism scales with the cluster.
-    par = corpus.sparkSession.sparkContext.defaultParallelism
+    # NOTE on exchange width (r16): the query-frame search
+    # (retrieval.ivf_search_frame) pins its cogroup width with an
+    # explicit repartition because AQE's byte-based coalescing
+    # single-tasked its CPU-dense probe (measured, and the fix showed
+    # a 1.88x 8-vs-32-core ratio at 10x volume). The SAME pin was
+    # tried HERE and measured counterproductive at every volume we
+    # can generate locally: +0.65s on ann_pq_recall_bounds at sf0.1
+    # (python-worker fan-out over near-empty groups) and an INVERTED
+    # 0.20x core ratio on the 20k-vector semantic-dedup probe --
+    # these self-search inputs are orders of magnitude smaller than a
+    # chunk corpus. Left AQE-adaptive; revisit only with a measured
+    # volume where the per-group matmul dominates worker dispatch.
     sim = (
-        a.repartition(par, "bk_q")
-        .groupBy("bk_q")
-        .cogroup(b.repartition(par, "bk_d").groupBy("bk_d"))
+        a.groupBy("bk_q")
+        .cogroup(b.groupBy("bk_d"))
         .applyInPandas(
             lambda q, d: _cogroup_topk_kernel(k)(q, d), _PAIR_TOPK_SCHEMA
         )
@@ -737,14 +740,13 @@ def ivf_topk(
     # 79s for 200k vectors at cap 1024; the kernel runs the same shape
     # in a few seconds). The window re-ranks globally, which multi-probe
     # queries (one query in n_probes cells) require for exactness.
-    # Explicit-width repartition before the cogroup: same AQE
-    # byte-coalescing-vs-CPU-density rationale as the bucket self-search
-    # above (the per-cell matmul is the cost, not the exchanged bytes).
-    par = assigned.sparkSession.sparkContext.defaultParallelism
+    # Exchange width left AQE-adaptive: see the measured note on the
+    # bucket self-search above (the explicit width pin helps the
+    # query-frame search in retrieval.py but was measured
+    # counterproductive on these self-search volumes).
     sim = (
-        a.repartition(par, "cell_q")
-        .groupBy("cell_q")
-        .cogroup(b.repartition(par, "cell_d").groupBy("cell_d"))
+        a.groupBy("cell_q")
+        .cogroup(b.groupBy("cell_d"))
         .applyInPandas(
             lambda q, d: _cogroup_topk_kernel(k)(q, d), _PAIR_TOPK_SCHEMA
         )
