@@ -39,6 +39,9 @@ ROWS = [
     "semantic_decontaminate_flags",
     "dedup_semantic_keep",
 ]
+# ad-hoc single-row reruns: SCALE_PROBE_ROWS="rowA,rowB"
+if os.environ.get("SCALE_PROBE_ROWS"):
+    ROWS = [r for r in os.environ["SCALE_PROBE_ROWS"].split(",") if r]
 ID_STRIDE = 10_000_000
 
 
